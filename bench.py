@@ -1,0 +1,57 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {"q01...": sec, ...}, "sf": 0.1}
+
+Each query is executed via a count-style action that forces full evaluation
+without collecting result rows to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.session import get_spark
+
+    spark = get_spark("cyber-etl-spark-bench")
+
+    # Warm the JVM + parquet footers once so timings measure query work.
+    from cyber_etl_spark.sources import load_all
+
+    load_all(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(QUERIES.items()):
+        t0 = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        n = df.count()  # forces execution; result stays distributed
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Text-analysis column expressions — JVM-side, no Python UDFs.
+
+The large-scale training-data-pipeline functions (token counting, quality
+scoring, language ID, fingerprinting, shingling) are pure column
+expressions built from ``pyspark.sql.functions`` higher-order array
+functions, so they run inside whole-stage codegen and never cross into
+Python.  The reference's equivalents were row-at-a-time pandas
+(`.apply`, `str.` methods — SURVEY.md §2.9 F1-F16, §2.10 M6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small deterministic English stopword list (reference consumes
+# data/stopwords.txt at data_integration.ipynb:1948 cell 35; we keep an
+# inline deterministic subset so tests don't need the artifact).
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "be", "this", "that", "are", "was", "from",
+)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empty strings removed (array<string>)."""
+    return F.filter(F.split(col, " "), lambda x: x != F.lit(""))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (array<string>).
+
+    Built with sequence+transform+slice so shingling happens JVM-side;
+    short documents (< n tokens) yield an empty array.  This is the
+    shingle→set step of MinHash/Jaccard dedup (the reference tokenizes
+    with py_stringmatching QgramTokenizer, alerts/cpe_product.ipynb:458).
+    """
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (double, 0 for empty docs)."""
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(
+        F.length(col) > 0, F.length(stripped) / F.length(col)
+    ).otherwise(F.lit(0.0))

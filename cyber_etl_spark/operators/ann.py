@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline, and random-hyperplane LSH
+bucketing as the scale path.  Embeddings stay ``array<float>`` columns; all
+math is JVM-side column expressions (functions.vectors) — no UDF, no
+collect.
+
+Scale notes:
+- Brute force broadcasts the *query* set (small) against the corpus
+  (arbitrarily large): cost O(|Q|·n) distributed over the corpus
+  partitions, with per-group top-k via window rank so only k rows per
+  query survive the shuffle.
+- LSH bucketing joins query and corpus on a band of sign-bits: shuffle is
+  O(n·bands) and the cross product only happens within buckets.  Plane
+  vectors are literal constants (deterministic seed), broadcast with the
+  plan itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity, dot, to_double_array
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine) — self-matches
+    excluded.  ``round_digits`` quantizes the ranking score so results are
+    reproducible across engines' last-ulp float differences."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(F.col(vec_col)).alias("cv")
+    )
+    cos = cosine_similarity(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _plane_literals(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH candidates: (query_id, neighbor_id) pairs that
+    share at least one band of sign-bits.  Feed into an exact re-rank (the
+    brute-force scorer restricted to candidates) for an ANN search whose
+    shuffle volume is O(n·bands) instead of O(n·|Q|)."""
+    assert n_planes % bands == 0
+    bits_per_band = n_planes // bands
+    planes = _plane_literals(dim, n_planes, seed)
+
+    def bucket_cols(df: DataFrame, name: str):
+        v = to_double_array(F.col(vec_col))
+        out = df.select(F.col(id_col).alias(name), v.alias("v"))
+        band_exprs = []
+        for b in range(bands):
+            bits = []
+            for i in range(bits_per_band):
+                p = planes[b * bits_per_band + i]
+                plane = F.array(*[F.lit(float(x)) for x in p])
+                bits.append(
+                    F.when(dot(F.col("v"), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+                    * (2**i)
+                )
+            band_exprs.append(sum(bits[1:], bits[0]).alias(f"band_{b}"))
+        return out.select(name, *band_exprs)
+
+    cb = bucket_cols(corpus, "neighbor_id")
+    qb = bucket_cols(queries, "query_id")
+    # stack bands to rows → equi-join on (band index, bucket value)
+    def stack(df: DataFrame, name: str):
+        pairs = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("val"))
+                for b in range(bands)
+            ]
+        )
+        return df.select(name, F.explode(pairs).alias("e")).select(
+            name, F.col("e.band").alias("band"), F.col("e.val").alias("val")
+        )
+
+    return (
+        stack(cb, "neighbor_id")
+        .join(stack(qb, "query_id"), ["band", "val"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )

@@ -1,0 +1,292 @@
+"""Deduplication operator library for large-scale document corpora.
+
+Exact, n-gram-Jaccard, MinHash+LSH and SimHash near-duplicate detection,
+all as compositions of built-in DataFrame operators (explode / hash-join /
+hash-agg) — no UDFs, no driver-side loops, so every stage distributes and
+AQE handles skew.  This supersedes the reference's O(n·m) driver-side
+similarity loop (alerts/cpe_product.ipynb:458-551, SURVEY.md J7/M4), which
+cannot scale past a few thousand rows.
+
+Hashing is md5-based (not Spark's murmur ``hash``) so the DuckDB oracle can
+reproduce signatures bit-for-bit: lexicographic MIN over hex digests is a
+valid MinHash permutation and is engine-independent.
+
+Scale notes (100 TB corpus):
+- ``shingle_sets`` is a flatMap: output ~tokens×1 rows, pruned to distinct
+  per doc.  The inverted-index self-join in :func:`jaccard_pairs` shuffles
+  on the shingle — hot shingles (boilerplate) are the classic skew source;
+  AQE skew-join splits them, and callers can pre-drop ultra-frequent
+  shingles (stop-shingle filter) the way production dedup pipelines do.
+- :func:`minhash_lsh_pairs` is the scale path: candidate generation joins
+  on (band, band_signature) — constant fan-out per doc (num_bands rows),
+  so the shuffle volume is O(n·bands), independent of pair count.
+- :func:`simhash_neardup_pairs` bands the fingerprint bits (pigeonhole:
+  hamming ≤ bands-1 ⇒ some band equal), so candidate generation is again
+  an equi-join, not a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import shingles, tokens
+
+
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct word-n-gram pairs — the set representation
+    used by every Jaccard-family operator."""
+    toks = tokens(F.col(text_col))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(shingles(toks, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicate_mapping(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: map every doc to the smallest id with identical text.
+
+    groupBy(text) hash-aggregation — the canonical distributed exact-dedup.
+    (Reference: drop_duplicates U2, used ~15×, e.g. data_integration.ipynb:675.)
+    """
+    canon = docs.groupBy(text_col).agg(F.min(id_col).alias("canonical_id"))
+    return docs.join(canon, text_col).select(
+        F.col(id_col).alias("id"), "canonical_id"
+    )
+
+
+def _pair_jaccard(sh: DataFrame, pairs_hint: DataFrame | None = None) -> DataFrame:
+    """Common-shingle counts → Jaccard for (id_a < id_b) pairs.
+
+    ``pairs_hint`` (optional candidate set) restricts the inverted-index
+    join output before aggregation — used by the LSH path.
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    if pairs_hint is not None:
+        common = common.join(pairs_hint, ["id_a", "id_b"], "left_semi")
+    counted = common.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        counted.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via inverted-index join.
+
+    Replaces the reference's pruned nested loop (alerts/cpe_product.ipynb:
+    514-520): only docs *sharing at least one shingle* ever meet, which is
+    the distributed equivalent of its size-filter pruning but sound.
+    """
+    sh = shingle_sets(docs, id_col, text_col, n)
+    return _pair_jaccard(sh).where(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, exact-verified.
+
+    shingle → num_perm md5 permutations → min per permutation → band
+    signatures → equi-join on (band, signature) for candidates → exact
+    Jaccard verification.  Candidate shuffle is O(n·bands) rows — the
+    100 TB-scale replacement for any all-pairs comparison.
+
+    Deterministic: md5 is seeded by permutation index, so Spark and the
+    DuckDB oracle compute identical signatures (and identically miss the
+    same sub-threshold-probability pairs — LSH recall is a function of the
+    banding scheme, not the engine).
+    """
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "num_perm must divide into bands"
+    sh = shingle_sets(docs, id_col, text_col, n)
+    seeds = F.array(*[F.lit(i) for i in range(num_perm)])
+    hashed = sh.select(
+        "id",
+        F.explode(seeds).alias("seed"),
+        "shingle",
+    ).select(
+        "id",
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    )
+    # min-hash per (id, seed), then fold each band's row-hashes into one
+    # signature string.  rows_per_band == 2 keeps this a single groupBy.
+    sig = (
+        hashed.groupBy("id", (F.col("seed") % bands).alias("band"))
+        .agg(
+            F.min(F.when(F.col("seed") < bands, F.col("h"))).alias("m0"),
+            F.min(F.when(F.col("seed") >= bands, F.col("h"))).alias("m1"),
+        )
+        .select(
+            "id",
+            "band",
+            F.md5(F.concat_ws("|", F.col("band").cast("string"), "m0", "m1")).alias("band_sig"),
+        )
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    candidates = (
+        sa.join(
+            sb,
+            (F.col("sa.band") == F.col("sb.band"))
+            & (F.col("sa.band_sig") == F.col("sb.band_sig"))
+            & (F.col("sa.id") < F.col("sb.id")),
+        )
+        .select(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
+        .distinct()
+    )
+    return _pair_jaccard(sh, pairs_hint=candidates).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash fingerprint per document (id, simhash bigint).
+
+    Token-frequency-weighted: each distinct token contributes its count ×
+    (±1) per bit position, bit = sign of the weighted sum.  All arithmetic
+    is md5-derived so the DuckDB oracle reproduces it exactly.
+
+    Plan shape: docs → explode tokens → count per (doc, token) →
+    join tiny distinct-token bit table → groupBy (doc, bit) → groupBy doc.
+    The distinct-token table is orders of magnitude smaller than the corpus
+    (Zipf), so the join broadcasts at realistic scale.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tok_counts = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = tok_counts.select("token").distinct()
+    bit_positions = F.array(*[F.lit(j) for j in range(_SIMHASH_BITS)])
+    # bit j of md5(token): hex digit (j div 4), bit (j mod 4) inside it
+    token_bits = vocab.select(
+        "token",
+        F.explode(bit_positions).alias("j"),
+    ).select(
+        "token",
+        "j",
+        (
+            F.floor(
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring(
+                            F.md5(F.col("token")), (F.col("j") / 4).cast("int") + 1, 1
+                        ),
+                    )
+                    - 1
+                )
+                / F.pow(F.lit(2.0), (F.col("j") % 4).cast("double"))
+            ).cast("bigint")
+            % 2
+        ).alias("bit"),
+    )
+    contrib = tok_counts.join(F.broadcast(token_bits), "token").select(
+        "id", "j", (F.col("cnt") * (2 * F.col("bit") - 1)).alias("w")
+    )
+    bit_signs = contrib.groupBy("id", "j").agg(
+        F.when(F.sum("w") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("s")
+    )
+    return bit_signs.groupBy("id").agg(
+        F.sum(F.col("s") * F.pow(F.lit(2.0), F.col("j").cast("double")).cast("bigint"))
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation bands the 60 fingerprint bits into ``bands``
+    15-bit segments and equi-joins on segment equality: by pigeonhole any
+    pair with hamming ≤ bands-1 shares an identical segment, so for
+    ``max_hamming ≤ bands-1`` this is exact, with equi-join (not cross
+    join) shuffle economics — the standard Google-style simhash dedup plan.
+    """
+    assert max_hamming <= bands - 1, "banding is only exact for hamming <= bands-1"
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    seg_bits = _SIMHASH_BITS // bands
+    # static integer shifts per segment: fingerprints exceed 2^53, so any
+    # double-typed division would silently drop low bits
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                (F.shiftright(F.col("simhash"), i * seg_bits) % (2**seg_bits)).alias(
+                    "seg_val"
+                ),
+            )
+            for i in range(bands)
+        ]
+    )
+    segs = fp.select("id", "simhash", F.explode(seg_structs).alias("e")).select(
+        "id", "simhash", F.col("e.seg").alias("seg"), F.col("e.seg_val").alias("seg_val")
+    )
+    a = segs.alias("a")
+    b = segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

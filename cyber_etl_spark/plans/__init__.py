@@ -1,2 +1,3 @@
 from .registry import QUERIES, Query, query  # noqa: F401
 from . import relational  # noqa: F401  (registers queries on import)
+from . import textops  # noqa: F401

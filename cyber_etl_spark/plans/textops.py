@@ -1,0 +1,364 @@
+"""Text-analytics, deduplication and similarity-search queries.
+
+The training-data-pipeline surface: language ID, quality scoring, token
+counting, fingerprinting over ``documents``; exact / n-gram-Jaccard /
+MinHash-LSH / SimHash dedup; embedding ANN over ``embeddings``.  Each
+query pairs the DataFrame-operator implementation (cyber_etl_spark.
+operators / functions) with a DuckDB oracle that reproduces the md5-based
+hashing bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import EN_STOPWORDS, punct_ratio, stopword_ratio, tokens
+from ..operators.ann import brute_force_knn, lsh_bucket_candidates
+from ..operators.dedup import (
+    exact_duplicate_mapping,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_neardup_pairs,
+)
+from ..sources import read_table
+from .registry import query
+
+_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+# DuckDB fragments shared by the dedup oracles --------------------------------
+
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)-1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+  )
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id)
+"""
+
+_JACCARD_FROM_COMMON = """
+SELECT c.id_a, c.id_b,
+       round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.id
+JOIN sizes sb ON c.id_b = sb.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analytics over documents
+# ---------------------------------------------------------------------------
+
+@query(
+    "q16_doc_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> list_contains({_STOPS_SQL}, x))) / len(toks)
+                 ELSE 0.0 END, 6) AS stop_ratio,
+           round(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+                 ELSE 0.0 END, 6) AS punct_ratio
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def q16_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (length/punctuation/stopword ratios) as
+    pure column expressions — the scalable form of the reference's
+    row-wise text cleaning metrics (data_integration.ipynb:1554 cell 27)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(stopword_ratio(toks), 6).alias("stop_ratio"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+@query(
+    "q17_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS sub_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def q17_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (runs of letters / digits / single other chars), both JVM-side."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "sub_tokens"
+        ),
+    )
+
+
+@query(
+    "q18_lang_profile",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN len(toks) > 0
+                   AND len(list_filter(toks, x -> list_contains({_STOPS_SQL}, x))) / len(toks) >= 0.1
+                  THEN 'en-like' ELSE 'other' END AS pred_lang
+      FROM t
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY lang, pred_lang
+    """,
+    tags=("text", "langid"),
+)
+def q18_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit ratio) × declared lang —
+    a confusion-matrix rollup.  The heuristic is deterministic n-gram
+    scoring, the scalable stand-in for a model-based classifier."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    pred = (
+        F.when(
+            (F.size(toks) > 0) & (stopword_ratio(toks) >= 0.1), F.lit("en-like")
+        ).otherwise(F.lit("other"))
+    ).alias("pred_lang")
+    return docs.select("lang", pred).groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q19_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q19_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set — the canonical-form dedup key (bag-of-words variant of the
+    reference's normalize-then-match pipeline, alerts/parse_alert.ipynb:7474)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "q20_dedup_exact",
+    oracle="""
+    SELECT d.doc_id AS id, c.canonical_id
+    FROM documents d
+    JOIN (SELECT text, MIN(doc_id) AS canonical_id FROM documents GROUP BY text) c
+      ON d.text = c.text
+    """,
+    tags=("dedup", "U2"),
+)
+def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as canonical-id mapping (hash groupBy on full text)."""
+    return exact_duplicate_mapping(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q21_neardup_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM ({_JACCARD_FROM_COMMON}) WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "J7", "M4"),
+)
+def q21_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs (threshold 0.5) via
+    inverted-index self-join — the sound, distributed replacement for the
+    reference's pruned O(n·m) loop (alerts/cpe_product.ipynb:514-520)."""
+    docs = read_table(spark, sf_dir, "documents")
+    df = jaccard_pairs(docs, threshold=0.5)
+    return df.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "q22_neardup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh, (SELECT unnest(range(0, 8)) AS seed)
+    ),
+    sig AS (
+      SELECT id, seed % 4 AS band,
+             md5(CAST(seed % 4 AS VARCHAR) || '|' ||
+                 MIN(CASE WHEN seed < 4 THEN h END) || '|' ||
+                 MIN(CASE WHEN seed >= 4 THEN h END)) AS band_sig
+      FROM hashed GROUP BY id, seed % 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    ),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      JOIN cand ON a.id = cand.id_a AND b.id = cand.id_b
+      GROUP BY 1, 2
+    )
+    SELECT * FROM ({_JACCARD_FROM_COMMON}) WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def q22_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 md5 permutations) + banded LSH (4 bands × 2 rows)
+    candidates, exact-verified at Jaccard ≥ 0.5.  Candidate shuffle is
+    O(n·bands) — the 100 TB-scale dedup path.  The DuckDB oracle replays
+    the identical signature scheme, so both engines agree exactly
+    (including which sub-threshold-probability pairs LSH recall misses)."""
+    docs = read_table(spark, sf_dir, "documents")
+    df = minhash_lsh_pairs(docs, threshold=0.5, num_perm=8, bands=4)
+    return df.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "q23_neardup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT token FROM tc),
+    bits AS (
+      SELECT token, j,
+             CAST(floor((strpos('0123456789abcdef',
+                                substr(md5(token), CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
+                        / pow(2, j % 4)) AS BIGINT) % 2 AS bit
+      FROM vocab, (SELECT unnest(range(0, 60)) AS j)
+    ),
+    contrib AS (SELECT id, j, cnt * (2 * bit - 1) AS w FROM tc JOIN bits USING (token)),
+    signs AS (
+      SELECT id, j, CASE WHEN SUM(w) >= 0 THEN 1 ELSE 0 END AS s
+      FROM contrib GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT id, CAST(SUM(s * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+      FROM signs GROUP BY 1
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
+def q23_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (60-bit, token-frequency weighted) near-dup pairs at
+    Hamming ≤ 3.  The Spark plan generates candidates by banding the
+    fingerprint into 4 segments (pigeonhole-exact for hamming ≤ 3) —
+    equi-join economics; the oracle brute-forces the tiny sf0.01 corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    df = simhash_neardup_pairs(docs, max_hamming=3, bands=4)
+    return df.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@query(
+    "q24_knn_bruteforce",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    tags=("ann", "knn"),
+)
+def q24_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 20 query vectors against the whole corpus:
+    broadcast the query side, JVM-side zip_with/aggregate dot products,
+    per-query window rank.  Scores rounded to 1e-6 to absorb last-ulp
+    engine differences before ranking."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return brute_force_knn(emb, queries, k=10)
+
+
+@query("q25_knn_lsh", oracle=None, tags=("ann", "lsh"))
+def q25_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets + exact re-rank of candidates
+    only — cosine is computed solely for bucket-sharing pairs, so the
+    scoring cost scales with candidate count, not corpus × queries.
+
+    Non-SQL-expressible (literal plane constants); correctness is checked
+    in tests/test_ann.py by recall against q24's exact result."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine_similarity, to_double_array
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    cand = lsh_bucket_candidates(emb, queries, n_planes=8, bands=4)
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), to_double_array(F.col("embedding")).alias("qv")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), to_double_array(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10).drop("rn")
+    )

@@ -1,0 +1,164 @@
+"""Graph algorithms as DataFrame-iterative computations.
+
+GraphFrames isn't available in this environment, and the reference's
+algorithms ran inside Neo4j GDS (gds.articleRank / gds.louvain, writeup
+pp.4-5, SURVEY.md §2.11 Q6/Q7).  Each algorithm here is a loop of
+join + hash-aggregation steps over (src, dst) edge DataFrames — the same
+dataflow a Pregel superstep compiles to — with per-iteration
+``localCheckpoint`` to truncate the lineage (otherwise the plan doubles
+every superstep and the driver OOMs planning, not computing).
+
+Determinism:
+- connected_components / label_propagation are integer-valued with min /
+  rank-based tie-breaks → bit-deterministic at any partitioning.
+- pagerank/articlerank sum doubles per node; shuffle order perturbs the
+  last ulps only, so results are compared rounded (1e-6).
+
+Scale: every superstep shuffles O(|E|) rows keyed by vertex id.  At
+100 TB-graph scale the win comes from (a) pre-partitioning both the edge
+list and the rank/label state by vertex id so each superstep co-locates,
+(b) AQE skew-splitting for celebrity vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Ensure the edge list is symmetric (undirected semantics)."""
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Min-label propagation connected components → (id, component).
+
+    ``component`` is the smallest vertex id reachable from ``id`` —
+    exactly the deterministic cluster id needed by the entity-resolution
+    pipeline (SURVEY.md M2: blocking → scoring → connected components).
+    Converges in O(diameter) supersteps; each superstep is one join +
+    min-aggregation.
+    """
+    e = _sym(edges)
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            e.join(labels, e.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.nid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    variant: str = "pagerank",
+) -> DataFrame:
+    """Iterative (Article)PageRank → (id, rank).
+
+    ``variant='pagerank'``: classic PR — incoming mass is rank/outDegree.
+    ``variant='articlerank'``: Neo4j GDS ArticleRank (writeup p.4 Q6) —
+    incoming mass is rank/(outDegree + avgOutDegree), damping applied the
+    same way; this is the exact GDS formula, not the PageRank
+    approximation GraphFrames would have offered.
+
+    Vertices are the distinct edge endpoints (the reference projects the
+    graph before running GDS, so isolated nodes don't participate either).
+    """
+    e = _sym(edges)
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    if variant == "articlerank":
+        avg_deg = deg.agg(F.avg("deg")).collect()[0][0]
+        denom = F.col("deg") + F.lit(float(avg_deg))
+    elif variant == "pagerank":
+        denom = F.col("deg")
+    else:
+        raise ValueError(f"unknown variant: {variant}")
+
+    ranks = deg.select("id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.join(deg, "id"), e.src == F.col("id"))
+            .select(F.col("dst").alias("to"), (F.col("rank") / denom).alias("c"))
+            .groupBy("to")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            deg.join(contribs, deg.id == contribs["to"], "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label propagation → (id, community).
+
+    Deterministic variant of GDS Louvain/LPA community detection (writeup
+    p.5 Q7): each superstep every vertex adopts its neighbors' most
+    frequent label, ties broken by smallest label value.  Fixed iteration
+    count + total tie order ⇒ reproducible communities (SURVEY.md §7.3
+    hard part 3: assert structure, not GDS's internal tie-breaking).
+    """
+    e = _sym(edges)
+    labels = e.select(F.col("src").alias("id")).distinct().withColumn(
+        "community", F.col("id")
+    )
+    for _ in range(iterations):
+        w = Window.partitionBy("nid").orderBy(F.desc("cnt"), F.asc("community"))
+        best = (
+            e.join(labels, e.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"), "community")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("nid", F.col("community").alias("new_community"))
+        )
+        labels = (
+            labels.join(best, labels.id == best.nid, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_community"), F.col("community")).alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

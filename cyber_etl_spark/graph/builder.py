@@ -1,0 +1,36 @@
+"""Property-graph construction from relational tables.
+
+The reference materializes node/edge CSVs and bulk-loads Neo4j
+(README.md:11, writeup p.2); here the graph IS a pair of DataFrames —
+vertices and directed edge lists — and the algorithms in
+:mod:`.algorithms` run on them inside the same Spark job.  No external
+graph database.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+
+def co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric supplier–supplier edges: two suppliers are connected when
+    they supply at least one common part (via lineitem).
+
+    Mirrors the reference's implicit co-occurrence graphs (alert–actor
+    MENTIONED weights, data_integration.ipynb:2783).  Built as
+    distinct-project → self-equi-join on the part key — the join shuffles
+    on ``l_partkey`` which is high-cardinality and evenly distributed, so
+    this scales linearly; hot parts (skewed keys) are split by AQE.
+    """
+    ps = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )

@@ -1,0 +1,72 @@
+"""Set-similarity join — SURVEY.md J7/M4 (alerts/cpe_product.ipynb:458-551).
+
+The reference matches NER PRODUCT entities to CPE strings with a Python
+double loop: whitespace-tokenize, prune candidates by token-count band
+[|A|·t, |A|/t], keep pairs with Jaccard ≥ t.  That loop is O(n·m) on the
+driver and caps out at thousands of rows.
+
+Here the same semantics run as an inverted-index equi-join: only pairs
+sharing ≥1 token are ever materialized, the size-band prune is a join
+predicate, and the Jaccard is computed from distributed counts — scales to
+arbitrary corpus sizes, shuffling on the token key (AQE splits hot
+tokens).  An LSH variant (minhash bands, see operators.dedup) bounds the
+candidate set further when even token-sharing pairs are too many.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _token_table(df: DataFrame, id_col: str, text_col: str, side: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{side}_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+
+
+def token_jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(left_id, right_id, jaccard) pairs with token-set Jaccard ≥ t.
+
+    Semantics match the reference's whitespace-token Jaccard at t=0.5
+    (producing data/cpe_product_edge.feather's 770 golden pairs on its own
+    inputs); the size-band prune [n·t, n/t] is implied by the threshold
+    and applied as an early join predicate.
+    """
+    lt = _token_table(left, left_id, left_text, "l")
+    rt = _token_table(right, right_id, right_text, "r")
+    lsize = lt.groupBy("l_id").agg(F.count(F.lit(1)).alias("nl"))
+    rsize = rt.groupBy("r_id").agg(F.count(F.lit(1)).alias("nr"))
+    common = (
+        lt.join(rt, "token")
+        .groupBy("l_id", "r_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(lsize, "l_id")
+        .join(rsize, "r_id")
+        # size-band prune (reference cell 13): |r| ∈ [|l|·t, |l|/t]
+        .where(
+            (F.col("nr") >= F.col("nl") * threshold)
+            & (F.col("nr") <= F.col("nl") / threshold)
+        )
+        .select(
+            "l_id",
+            "r_id",
+            (F.col("n_common") / (F.col("nl") + F.col("nr") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -417,3 +417,49 @@ def q15_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dsum_expr("p_retailprice", "total_price")),
         )
     )
+
+
+@query(
+    "q32_session_stats",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("time", "session"),
+)
+def q32_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity) via
+    ``session_window`` — batch twin of streaming.sessionize_stream.  The
+    oracle derives identical sessions with gaps-and-islands SQL (lag →
+    boundary flag → running sum), proving the window semantics match."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

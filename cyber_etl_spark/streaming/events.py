@@ -1,0 +1,114 @@
+"""Structured Streaming jobs over the events stream.
+
+The reference is batch-only (SURVEY.md §1.1: "no streams"), but the
+engine keeps event-time columns end-to-end so the same operator library
+runs under ``readStream``: watermarked tumbling rollups (the streaming
+twin of q14), session windows, and watermark-bounded stream dedup.
+
+Design:
+- File source with an explicit schema (streaming sources cannot infer).
+- Event-time watermarks bound state: late rows beyond the watermark are
+  dropped, so state size is O(windows in the watermark horizon), not
+  O(stream length) — the property that lets these jobs run forever on a
+  cluster.
+- Tests execute with ``trigger(availableNow=True)`` into a memory sink
+  and compare against the deterministic batch twin — the streaming
+  correctness harness mirroring the DuckDB-oracle pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ts arrives as parquet TIMESTAMP(NANOS) → read as long, convert (same
+# convention as sources.catalog.read_table).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of q14_hourly_rollup: watermarked tumbling window →
+    (hour_start, event_type, n_events, total_value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based): (user_id, session_start,
+    session_end, n_events, total_value).  State is bounded by the
+    watermark; sessions close when the gap passes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedupe(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-id projection: watermark-bounded dropDuplicates on
+    event_id — the streaming form of exact dedup (state expires with the
+    watermark instead of growing forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete"):
+    """Test/debug harness: drain all available input into a memory sink
+    and return the finished query (caller reads ``SELECT * FROM name``)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,182 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media lives in DataFrames as opaque ``binary`` content columns plus typed
+metadata structs — the lakehouse pattern for 100 TB multimodal corpora:
+parquet stores the bytes inline (small assets) or an object-store URI
+(large assets); Spark only ever moves bytes between Arrow batches, never
+decodes on the driver.
+
+All compute-heavy steps are ``mapInPandas`` / pandas UDFs so bytes cross
+the JVM↔Python boundary in Arrow record batches.  The actual codecs
+(PIL/torchaudio/ffmpeg) are NOT in this container, so the decode kernels
+are gated behind import-tries with a deterministic fake-codec fallback —
+the Spark-side plumbing (schemas, batch iteration, flat-map fan-out,
+partitioning) is real and tested; swapping in a real codec changes one
+inner function.
+
+Fake codec wire format (deterministic, self-describing):
+  image: b"FAKEIMG|<width>|<height>|<mode>|" + payload
+  video: b"FAKEVID|<n_frames>|<fps>|" + frame payloads (fixed 16B/frame)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def encode_fake_image(width: int, height: int, mode: str = "RGB") -> bytes:
+    payload = hashlib.sha256(f"{width}x{height}:{mode}".encode()).digest()
+    return f"FAKEIMG|{width}|{height}|{mode}|".encode() + payload
+
+
+def encode_fake_video(n_frames: int, fps: int = 24) -> bytes:
+    frames = b"".join(
+        hashlib.sha256(f"frame{i}".encode()).digest()[:16] for i in range(n_frames)
+    )
+    return f"FAKEVID|{n_frames}|{fps}|".encode() + frames
+
+
+def _decode_image_bytes(b: bytes) -> tuple[int, int, str]:
+    """Stub decoder.  With PIL installed this would be
+    ``Image.open(io.BytesIO(b)); return im.width, im.height, im.mode`` —
+    kept as a deterministic header parse so tests run without codecs."""
+    if _HAS_PIL and not b.startswith(b"FAKEIMG|"):  # pragma: no cover
+        raise NotImplementedError("real-codec path requires PIL at runtime")
+    head = b.split(b"|", 4)
+    if head[0] != b"FAKEIMG":
+        raise ValueError("not a FAKEIMG payload")
+    return int(head[1]), int(head[2]), head[3].decode()
+
+
+def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """content → content + image_meta struct, via mapInPandas.
+
+    Batch-shape contract: each Arrow batch is decoded in one Python call;
+    per-row Python overhead is amortized across the batch.
+    """
+    out_schema = StructType(df.schema.fields + [StructField("image_meta", IMAGE_META_SCHEMA)])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for b in pdf[content_col]:
+                w, h, mode = _decode_image_bytes(bytes(b))
+                metas.append({"width": w, "height": h, "mode": mode, "n_bytes": len(b)})
+            pdf = pdf.copy()
+            pdf["image_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, content_col: str = "content"
+) -> DataFrame:
+    """Re-encode every image at (width, height) — stub transform rewrites
+    the fake header; a real kernel would call PIL's ``resize`` here."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[content_col]:
+                _, _, mode = _decode_image_bytes(bytes(b))
+                out.append(encode_fake_image(width, height, mode))
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            yield pdf
+
+    return df.mapInPandas(do_resize, df.schema)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 8, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Video → one row per sampled frame (flat-map fan-out in
+    mapInPandas): the shape used for frame-level training-data pipelines.
+    Output partitioning follows the input — no shuffle is introduced by
+    the fan-out itself."""
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(b)
+                head = b.split(b"|", 3)
+                if head[0] != b"FAKEVID":
+                    raise ValueError("not a FAKEVID payload")
+                n_frames = int(head[1])
+                body = b.split(b"|", 3)[3]
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(body[i * 16 : (i + 1) * 16])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(explode_frames, FRAME_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame, dim: int = 16, content_col: str = "content"
+) -> DataFrame:
+    """content → fixed-dim float feature vector (deterministic bytes-hash
+    embedding standing in for a vision encoder).  Arrow-vectorized pandas
+    UDF — the output column feeds directly into the ANN/dedup operators
+    (operators.ann / operators.dedup)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(FloatType()))
+    def featurize(s: pd.Series) -> pd.Series:
+        def vec(b: bytes) -> list[float]:
+            h = hashlib.sha256(bytes(b)).digest()
+            arr = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+            return (arr.astype(np.float64) / np.iinfo(np.uint32).max).astype(
+                np.float32
+            ).tolist()
+
+        return s.map(vec)
+
+    return df.withColumn("features", featurize(F.col(content_col)))

@@ -1,0 +1,73 @@
+"""Multimodal plumbing tests: schemas, batch shapes, fan-out — the parts
+that must be right regardless of which codec backs the decode kernel."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    from cyber_etl_spark.operators.multimodal import encode_fake_image, encode_fake_video
+
+    imgs = [(i, encode_fake_image(64 + i, 48 + i, "RGB")) for i in range(20)]
+    vids = [(100 + i, encode_fake_video(n_frames=24, fps=24)) for i in range(3)]
+    return (
+        spark.createDataFrame(imgs, "media_id long, content binary"),
+        spark.createDataFrame(vids, "media_id long, content binary"),
+    )
+
+
+def test_decode_images_meta(media_df):
+    from cyber_etl_spark.operators.multimodal import decode_images
+
+    images, _ = media_df
+    out = decode_images(images)
+    assert "image_meta" in out.columns
+    rows = {r.media_id: r.image_meta for r in out.collect()}
+    assert rows[0].width == 64 and rows[0].height == 48 and rows[0].mode == "RGB"
+    assert rows[19].width == 83
+    assert rows[0].n_bytes > 0
+
+
+def test_resize_roundtrip(media_df):
+    from cyber_etl_spark.operators.multimodal import decode_images, resize_images
+
+    images, _ = media_df
+    resized = resize_images(images, 32, 32)
+    metas = [r.image_meta for r in decode_images(resized).collect()]
+    assert all(m.width == 32 and m.height == 32 for m in metas)
+    # schema unchanged by resize (content-in-place transform)
+    assert resized.schema == images.schema
+
+
+def test_sample_frames_fanout(media_df):
+    from cyber_etl_spark.operators.multimodal import sample_frames
+
+    _, videos = media_df
+    frames = sample_frames(videos, every_n=8)
+    rows = frames.collect()
+    # 24 frames sampled every 8 → indices 0, 8, 16 per video
+    assert len(rows) == 3 * 3
+    assert sorted({r.frame_index for r in rows}) == [0, 8, 16]
+    assert all(len(r.frame) == 16 for r in rows)
+
+
+def test_extract_features_feeds_ann(media_df):
+    from cyber_etl_spark.operators.ann import brute_force_knn
+    from cyber_etl_spark.operators.multimodal import extract_features
+
+    images, _ = media_df
+    feats = extract_features(images, dim=16).select("media_id", "features")
+    assert feats.schema["features"].dataType.simpleString() == "array<float>"
+    # deterministic: same content → same vector across runs
+    a = feats.collect()
+    b = extract_features(images, dim=16).select("media_id", "features").collect()
+    assert sorted(map(tuple, ((r.media_id, tuple(r.features)) for r in a))) == sorted(
+        map(tuple, ((r.media_id, tuple(r.features)) for r in b))
+    )
+    # plumbing contract: feature column slots into the ANN operator
+    knn = brute_force_knn(
+        feats, feats.limit(2), k=3, id_col="media_id", vec_col="features"
+    )
+    assert knn.count() == 2 * 3

@@ -28,10 +28,18 @@ from pyspark.sql.window import Window
 
 
 def _sym(edges: DataFrame) -> DataFrame:
-    """Ensure the edge list is symmetric (undirected semantics)."""
-    return edges.select("src", "dst").union(
+    """Symmetrize (undirected semantics) and MATERIALIZE the edge list.
+
+    Every superstep references the edges; without materialization Spark
+    re-executes the upstream plan (e.g. the co-supply self-join, or a
+    whole similarity-join pipeline) once per iteration per action —
+    the classic iterative-algorithm trap.  localCheckpoint pins the
+    computed edge partitions in executor storage once.
+    """
+    sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    return sym.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -98,7 +106,11 @@ def pagerank(
     graph before running GDS, so isolated nodes don't participate either).
     """
     e = _sym(edges)
-    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)  # reused by every superstep
+    )
     n = deg.count()
     if variant == "articlerank":
         avg_deg = deg.agg(F.avg("deg")).collect()[0][0]
@@ -144,14 +156,19 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
         "community", F.col("id")
     )
     for _ in range(iterations):
-        w = Window.partitionBy("nid").orderBy(F.desc("cnt"), F.asc("community"))
+        # single aggregation replaces count+window-rank: max_by over the
+        # (cnt, -community) struct implements "most frequent label, ties
+        # to smallest" with one shuffle per superstep instead of two.
         best = (
             e.join(labels, e.src == labels.id)
             .groupBy(F.col("dst").alias("nid"), "community")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("nid", F.col("community").alias("new_community"))
+            .groupBy("nid")
+            .agg(
+                F.expr("max_by(community, struct(cnt, -community))").alias(
+                    "new_community"
+                )
+            )
         )
         labels = (
             labels.join(best, labels.id == best.nid, "left")

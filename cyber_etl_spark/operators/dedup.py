@@ -40,10 +40,13 @@ def shingle_sets(
     """(id, shingle) distinct word-n-gram pairs — the set representation
     used by every Jaccard-family operator."""
     toks = tokens(F.col(text_col))
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(shingles(toks, n)).alias("shingle"))
-        .distinct()
-    )
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(toks, n)).alias("shingle")
+    ).distinct()
+    # materialized once: the set representation is referenced 3+ times per
+    # pair computation (sizes, both join sides) and by LSH verification —
+    # without this the shingling re-executes per reference.
+    return sh.localCheckpoint(eager=True)
 
 
 def exact_duplicate_mapping(

@@ -1,0 +1,60 @@
+"""Physical-plan regression tests — the properties that decide whether a
+query survives a 100× scale-up (SURVEY.md BASELINE north-star rules).
+
+A correctness-green query with the wrong plan (full-column scan,
+shuffle join against a 25-row dimension, global sort for a top-k) is a
+bug at 100 TB even though no oracle catches it; these tests pin the plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    from cyber_etl_spark.plans import QUERIES
+
+    return (
+        QUERIES[name]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q01_scan_prunes_columns_and_pushes_filter(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "q01_pricing_summary")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # only the 6 needed columns reach the scan
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    assert "l_shipdate" in scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q05_dimension_joins_broadcast(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "q05_region_volume")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q10_topk_avoids_global_sort(spark, sf_smoke):
+    assert "TakeOrderedAndProject" in _plan(spark, sf_smoke, "q10_global_topk")
+
+
+def test_q06_semi_join_planned(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "q06_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_everywhere_cheap(spark, sf_smoke):
+    """The relational suite must stay JVM-side: no Python eval nodes in
+    any oracle-checked query plan (pandas UDFs are reserved for the NER /
+    multimodal adapters, which are not in this registry)."""
+    from cyber_etl_spark.plans import QUERIES
+
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        plan = _plan(spark, sf_smoke, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

@@ -293,3 +293,31 @@ def simhash_neardup_pairs(
         "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def threshold_sweep(
+    docs: DataFrame,
+    thresholds: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> list[tuple[float, int]]:
+    """Cluster-count elbow scan — SURVEY.md M5 (the reference plots
+    cluster counts for thresholds 0.30-0.85, data_integration.ipynb:
+    2200-2319).  A driver-side loop over parametrized jobs (explicitly
+    NOT an engine operator); the expensive shingle/pair computation is
+    shared across all thresholds: pairs are scored once, each threshold
+    is a filter + distinct count."""
+    sh = shingle_sets(docs, id_col, text_col, n)
+    scored = _pair_jaccard(sh).localCheckpoint(eager=True)
+    out = []
+    for t in thresholds:
+        pairs = scored.where(F.col("jaccard") >= t)
+        n_clustered_docs = (
+            pairs.select(F.col("id_a").alias("id"))
+            .unionByName(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+            .count()
+        )
+        out.append((t, n_clustered_docs))
+    return out

@@ -1,0 +1,57 @@
+"""Sinks — SURVEY.md S11-S14.
+
+The reference writes every node/edge table twice (CSV for Neo4j bulk
+load + feather checkpoint; parse_cve_json_data.py:136-142) and pickles
+intermediates.  Here: Parquet is the canonical checkpoint format
+(pickle→parquet per SURVEY §1.4), CSV remains for interop, and the
+"graph sink" is a vertices/edges table pair — there is no external graph
+database to load.
+
+Scale: writers keep the upstream partitioning (one file per partition,
+written in parallel).  ``single_file=True`` coalesces to one partition
+for small-artifact parity with the reference's one-CSV-per-table layout —
+never use it on large tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite"
+) -> None:
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_csv(spark, path: str, schema=None) -> DataFrame:
+    """S8 — header CSV scan; pass an explicit schema at scale (inference
+    costs a full extra pass)."""
+    r = spark.read.option("header", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def write_graph_tables(
+    vertices: DataFrame, edges: DataFrame, base_path: str, fmt: str = "parquet"
+) -> None:
+    """S14 parity: persist the property graph as a vertices/edges table
+    pair (the reference's Neo4j bulk-load CSVs become the graph itself)."""
+    for name, df in (("vertices", vertices), ("edges", edges)):
+        if fmt == "csv":
+            write_csv(df, f"{base_path}/{name}")
+        else:
+            write_parquet(df, f"{base_path}/{name}")

@@ -2,3 +2,4 @@ from .registry import QUERIES, Query, query  # noqa: F401
 from . import relational  # noqa: F401  (registers queries on import)
 from . import textops  # noqa: F401
 from . import graphops  # noqa: F401
+from . import relational2  # noqa: F401

@@ -1,0 +1,165 @@
+"""Second relational batch — remaining SURVEY.md §2 shapes not yet
+covered by a named query (P3 regex filters, P7 conditional recode, R3
+map-explode, U3 per-row set dedupe, A5 distinct counts, F7/F9 string
+surgery, F14 date arithmetic rollups)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, MapType, StringType
+
+from ..sources import read_table
+from .registry import dsum_expr, query
+
+
+@query(
+    "q33_regex_filter",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE regexp_matches(source, '^src1[0-9]$') AND NOT contains(text, 'error')
+    """,
+    tags=("filter", "P3"),
+)
+def q33_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + negated-literal-contains filters (P3: str.contains chains,
+    e.g. gh URL filter at data_integration.ipynb:1483 cell 24 and the
+    '[bot]' literal-vs-regex decision §2.12.2 — here both forms used
+    deliberately: rlike for the pattern, contains for the literal)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("source").rlike("^src1[0-9]$") & ~F.col("text").contains("error")
+    ).select("doc_id", "source")
+
+
+@query(
+    "q34_conditional_recode",
+    oracle="""
+    SELECT CASE WHEN event_type IN ('signup', 'login') THEN 'auth'
+                ELSE event_type END AS event_class,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("filter", "P7"),
+)
+def q34_conditional_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional recode (P7: NORP→GPE fold at data_integration.ipynb:
+    1948 cell 35) as when/otherwise + rollup."""
+    events = read_table(spark, sf_dir, "events")
+    recoded = F.when(
+        F.col("event_type").isin("signup", "login"), F.lit("auth")
+    ).otherwise(F.col("event_type"))
+    return events.groupBy(recoded.alias("event_class")).agg(
+        F.count(F.lit(1)).alias("n"), F.expr(dsum_expr("value", "total_value"))
+    )
+
+
+@query(
+    "q35_map_explode",
+    oracle="""
+    SELECT k AS prop_key, COUNT(*) AS n, SUM(CAST(v AS BIGINT)) AS total
+    FROM (
+      SELECT unnest(json_keys(props::JSON)) AS k,
+             json_extract_string(props::JSON, '$.' || unnest(json_keys(props::JSON))) AS v
+      FROM events
+    ) GROUP BY k
+    """,
+    tags=("reshape", "R3", "S2"),
+)
+def q35_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map→rows explode (R3: per-repo languages dict at
+    data_integration.ipynb:4255 cell 71): parse the JSON props column to a
+    typed map, explode to (key, value) rows, aggregate."""
+    events = read_table(spark, sf_dir, "events")
+    parsed = events.select(
+        F.from_json("props", MapType(StringType(), IntegerType())).alias("m")
+    )
+    return (
+        parsed.select(F.explode("m").alias("prop_key", "v"))
+        .groupBy("prop_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("bigint")).alias("total"))
+    )
+
+
+@query(
+    "q36_distinct_counts",
+    oracle="""
+    SELECT lang,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT n_chars) AS n_distinct_lengths
+    FROM documents GROUP BY lang
+    """,
+    tags=("agg", "A5", "U2"),
+)
+def q36_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregates (A5: len(clustered_dupes) cardinality
+    checks).  approx_count_distinct is the 100 TB variant; the exact form
+    is used here because the oracle must hash-match."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("n_chars").alias("n_distinct_lengths"),
+    )
+
+
+@query(
+    "q37_string_surgery",
+    oracle="""
+    SELECT doc_id,
+           'corpus/' || source || '/' || CAST(doc_id AS VARCHAR) AS asset_path,
+           array_to_string(string_split(text, ' ')[1:3], '_') AS slug,
+           len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_unique_tokens
+    FROM documents
+    """,
+    tags=("string", "F7", "F9", "U3"),
+)
+def q37_string_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal concat (F7), split→slice→rejoin (F9: cpe vendor_product
+    surgery at parse_cve_json_data.py:105-108), per-row set dedupe (U3:
+    array_distinct) — all as one projection."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("corpus/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")
+        ).alias("asset_path"),
+        F.concat_ws("_", F.slice(toks, 1, 3)).alias("slug"),
+        F.size(
+            F.array_distinct(F.filter(toks, lambda x: x != F.lit("")))
+        ).alias("n_unique_tokens"),
+    )
+
+
+@query(
+    "q38_quarterly_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("time", "agg", "F14"),
+)
+def q38_quarterly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup with a pushed-down time-range predicate — the shape
+    that becomes partition pruning on a date-partitioned 100 TB lake
+    (scan only the matching ship_year=... directories)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(dsum_expr("o_totalprice", "total_value")),
+        )
+    )

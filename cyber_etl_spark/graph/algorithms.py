@@ -65,12 +65,23 @@ def connected_components(
             .groupBy(F.col("dst").alias("nid"))
             .agg(F.min("component").alias("nmin"))
         )
+        hooked = labels.join(neighbor_min, labels.id == neighbor_min.nid, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: adopt the label of my label — halves chain depth
+        # every iteration, so convergence is O(log diameter) supersteps
+        # instead of O(diameter)
+        x, y = hooked.alias("x"), hooked.alias("y")
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.nid, "left")
+            x.join(y, F.col("x.component") == F.col("y.id"), "left")
             .select(
-                "id",
+                F.col("x.id").alias("id"),
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    F.col("x.component"),
+                    F.coalesce(F.col("y.component"), F.col("x.component")),
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -93,6 +104,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     variant: str = "pagerank",
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Iterative (Article)PageRank → (id, rank).
 
@@ -122,27 +134,30 @@ def pagerank(
 
     ranks = deg.select("id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             e.join(ranks.join(deg, "id"), e.src == F.col("id"))
             .select(F.col("dst").alias("to"), (F.col("rank") / denom).alias("c"))
             .groupBy("to")
             .agg(F.sum("c").alias("mass"))
         )
-        ranks = (
-            deg.join(contribs, deg.id == contribs["to"], "left")
-            .select(
-                "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        ranks = deg.join(contribs, deg.id == contribs["to"], "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
+                "rank"
+            ),
         )
+        # truncate lineage periodically, not per-superstep: a few chained
+        # supersteps plan fine and run as ONE job; unbounded chains blow
+        # up planning time on big graphs.
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
-def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iterations: int = 4, checkpoint_interval: int = 4
+) -> DataFrame:
     """Synchronous label propagation → (id, community).
 
     Deterministic variant of GDS Louvain/LPA community detection (writeup
@@ -155,7 +170,7 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     labels = e.select(F.col("src").alias("id")).distinct().withColumn(
         "community", F.col("id")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         # single aggregation replaces count+window-rank: max_by over the
         # (cnt, -community) struct implements "most frequent label, ties
         # to smallest" with one shuffle per superstep instead of two.
@@ -170,12 +185,10 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
                 )
             )
         )
-        labels = (
-            labels.join(best, labels.id == best.nid, "left")
-            .select(
-                "id",
-                F.coalesce(F.col("new_community"), F.col("community")).alias("community"),
-            )
-            .localCheckpoint(eager=True)
+        labels = labels.join(best, labels.id == best.nid, "left").select(
+            "id",
+            F.coalesce(F.col("new_community"), F.col("community")).alias("community"),
         )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            labels = labels.localCheckpoint(eager=True)
     return labels

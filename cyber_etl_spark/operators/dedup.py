@@ -100,14 +100,17 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via inverted-index join.
 
     Replaces the reference's pruned nested loop (alerts/cpe_product.ipynb:
     514-520): only docs *sharing at least one shingle* ever meet, which is
     the distributed equivalent of its size-filter pruning but sound.
+    ``shingles_df`` lets callers share one materialized shingle table
+    across several dedup operators.
     """
-    sh = shingle_sets(docs, id_col, text_col, n)
+    sh = shingles_df if shingles_df is not None else shingle_sets(docs, id_col, text_col, n)
     return _pair_jaccard(sh).where(F.col("jaccard") >= threshold)
 
 
@@ -119,6 +122,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_perm: int = 8,
     bands: int = 4,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified.
 
@@ -134,7 +138,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "num_perm must divide into bands"
-    sh = shingle_sets(docs, id_col, text_col, n)
+    sh = shingles_df if shingles_df is not None else shingle_sets(docs, id_col, text_col, n)
     seeds = F.array(*[F.lit(i) for i in range(num_perm)])
     hashed = sh.select(
         "id",

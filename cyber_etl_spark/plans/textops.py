@@ -26,6 +26,19 @@ from .registry import query
 
 _STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
+# one materialized shingle table per (session, dataset): shared by the
+# Jaccard, MinHash-LSH and clustering queries
+_SH_CACHE: dict[tuple[int, str], object] = {}
+
+
+def cached_shingles(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import shingle_sets
+
+    key = (id(spark), sf_dir)
+    if key not in _SH_CACHE:
+        _SH_CACHE[key] = shingle_sets(read_table(spark, sf_dir, "documents"))
+    return _SH_CACHE[key]
+
 # DuckDB fragments shared by the dedup oracles --------------------------------
 
 _SHINGLES_CTE = """
@@ -204,7 +217,7 @@ def q21_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join — the sound, distributed replacement for the
     reference's pruned O(n·m) loop (alerts/cpe_product.ipynb:514-520)."""
     docs = read_table(spark, sf_dir, "documents")
-    df = jaccard_pairs(docs, threshold=0.5)
+    df = jaccard_pairs(docs, threshold=0.5, shingles_df=cached_shingles(spark, sf_dir))
     return df.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -245,7 +258,9 @@ def q22_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical signature scheme, so both engines agree exactly
     (including which sub-threshold-probability pairs LSH recall misses)."""
     docs = read_table(spark, sf_dir, "documents")
-    df = minhash_lsh_pairs(docs, threshold=0.5, num_perm=8, bands=4)
+    df = minhash_lsh_pairs(
+        docs, threshold=0.5, num_perm=8, bands=4, shingles_df=cached_shingles(spark, sf_dir)
+    )
     return df.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

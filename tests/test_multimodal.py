@@ -71,3 +71,23 @@ def test_extract_features_feeds_ann(media_df):
         feats, feats.limit(2), k=3, id_col="media_id", vec_col="features"
     )
     assert knn.count() == 2 * 3
+
+
+def test_grouped_map_trends(spark, sf_smoke):
+    """applyInPandas grouped-map: per-user OLS matches a local numpy fit."""
+    import numpy as np
+
+    from cyber_etl_spark.operators.grouped import fit_user_trends
+    from cyber_etl_spark.sources import read_table
+
+    events = read_table(spark, sf_smoke, "events")
+    got = {r.user_id: r for r in fit_user_trends(events).collect()}
+    pdf = events.select("user_id", "ts", "value").toPandas()
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts")
+        x = (g["ts"] - g["ts"].min()).dt.total_seconds().to_numpy() / 3600.0
+        y = g["value"].to_numpy(dtype=np.float64)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert got[uid].n_events == len(g)
+        assert abs(got[uid].slope - slope) < 1e-9
+        assert abs(got[uid].intercept - intercept) < 1e-9

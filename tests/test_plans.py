@@ -49,12 +49,18 @@ def test_q06_semi_join_planned(spark, sf_smoke):
 
 def test_whole_stage_codegen_everywhere_cheap(spark, sf_smoke):
     """The relational suite must stay JVM-side: no Python eval nodes in
-    any oracle-checked query plan (pandas UDFs are reserved for the NER /
-    multimodal adapters, which are not in this registry)."""
+    any oracle-checked query plan.  Exceptions are explicit: q39 scores
+    millions of wide-vector pairs where the Arrow-vectorized numpy kernel
+    beats interpreted `aggregate` folds ~10× (functions/vectors.py
+    cosine_pandas) — and even there, row-at-a-time BatchEvalPython is
+    still forbidden."""
     from cyber_etl_spark.plans import QUERIES
 
+    VECTORIZED_OK = {"q39_neardup_embedding"}
     for name, q in QUERIES.items():
         if q.oracle is None:
             continue
         plan = _plan(spark, sf_smoke, name)
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name not in VECTORIZED_OK:
+            assert "ArrowEvalPython" not in plan, name

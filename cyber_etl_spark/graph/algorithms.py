@@ -105,6 +105,7 @@ def pagerank(
     damping: float = 0.85,
     variant: str = "pagerank",
     checkpoint_interval: int = 5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Iterative (Article)PageRank → (id, rank).
 
@@ -117,10 +118,19 @@ def pagerank(
     Vertices are the distinct edge endpoints (the reference projects the
     graph before running GDS, so isolated nodes don't participate either).
     """
-    e = _sym(edges)
+    if weight_col is None:
+        e = _sym(edges).withColumn("w", F.lit(1.0))
+    else:
+        # weighted graph: assume the caller provides a symmetric edge
+        # list (weight must be identical in both directions)
+        e = (
+            edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    # deg doubles as out-strength: Σw for weighted, edge count otherwise
     deg = (
         e.groupBy(F.col("src").alias("id"))
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum("w").alias("deg"))
         .localCheckpoint(eager=True)  # reused by every superstep
     )
     n = deg.count()
@@ -137,7 +147,10 @@ def pagerank(
     for i in range(iterations):
         contribs = (
             e.join(ranks.join(deg, "id"), e.src == F.col("id"))
-            .select(F.col("dst").alias("to"), (F.col("rank") / denom).alias("c"))
+            .select(
+                F.col("dst").alias("to"),
+                (F.col("rank") * F.col("w") / denom).alias("c"),
+            )
             .groupBy("to")
             .agg(F.sum("c").alias("mass"))
         )

@@ -44,3 +44,27 @@ def co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _EDGE_CACHE[key] = edges
     return edges
+
+
+def co_supply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, weight) — weight = number of distinct co-supplied
+    parts.  The weighted analogue of :func:`co_supply_edges`, mirroring
+    the reference's weighted MENTIONED edges (data_integration.ipynb:2783
+    cell 49 computes per-edge weights for the GDS projection).
+    Symmetric by construction (both directions emitted with equal
+    weight)."""
+    key = (id(spark), sf_dir, "weighted")
+    if key in _EDGE_CACHE:
+        return _EDGE_CACHE[key]
+    ps = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    _EDGE_CACHE[key] = edges
+    return edges

@@ -295,3 +295,90 @@ def q45_supplier_revenue_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
         .select("s_name", "total_revenue")
     )
+
+
+@query(
+    "q46_summary_stats",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, min_value, max_value,
+           round(s1 / n, 6) AS avg_value,
+           round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_value
+    FROM s
+    """,
+    tags=("agg", "A6"),
+)
+def q46_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()/summary() stats (A6, alerts/parse_alert.ipynb:638) with
+    engineered determinism: mean and stddev derived from exact decimal
+    sums (sum, sum-of-squares), so shuffle order cannot perturb them —
+    the built-in stddev's float accumulation would not hash-match."""
+    events = read_table(spark, sf_dir, "events")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("s1"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("s2"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "min_value",
+        "max_value",
+        F.round(F.col("s1") / F.col("n"), 6).alias("avg_value"),
+        F.round(
+            F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)),
+            6,
+        ).alias("stddev_value"),
+    )
+
+
+@query(
+    "q47_interval_join",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'error'
+    """,
+    tags=("join", "interval"),
+)
+def q47_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval join: events within 5 minutes after an error by the
+    same user (absent from the reference — SURVEY §2.3 notes no range
+    joins — but core to event analytics).  Keyed on user_id the range
+    predicate is a post-join filter on an equi-join, not a cartesian;
+    the streaming twin (stream-stream join with watermarks) is in
+    streaming/events.py."""
+    events = read_table(spark, sf_dir, "events")
+    a = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("id_a"), "user_id", F.col("ts").alias("ts_a")
+    )
+    b = events.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select("id_a", "id_b", "user_id")
+    )

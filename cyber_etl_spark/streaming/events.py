@@ -112,3 +112,34 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def error_followups_stream(events: DataFrame, window: str = "5 minutes") -> DataFrame:
+    """Stream-stream interval join: events within ``window`` after an
+    error by the same user — the streaming twin of q47_interval_join.
+
+    Both sides are watermarked so the join state is bounded: a buffered
+    error row can be dropped once the watermark passes its ts + window
+    (Spark derives the state-cleanup predicate from the time-range join
+    condition)."""
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("id_a"),
+            "user_id",
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "10 minutes")
+    )
+    followups = events.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", "10 minutes")
+    return errors.join(
+        followups,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {window}")),
+    ).select("id_a", "id_b", "user_id")

@@ -101,3 +101,15 @@ def test_stateful_user_profiles(spark, sf_smoke, events_dir):
     )
     assert (got["n_events"] == want["n_events"]).all()
     assert (abs(got["total_value"] - want["total_value"]) < 1e-6).all()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, events_dir):
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+    from cyber_etl_spark.streaming.events import error_followups_stream
+
+    stream = read_event_stream(spark, events_dir)
+    run_stream_to_memory(error_followups_stream(stream), "ssj_mem", mode="append")
+    got = _sorted(spark.sql("SELECT * FROM ssj_mem").toPandas())
+    want = _sorted(QUERIES["q47_interval_join"].builder(spark, sf_smoke).toPandas())
+    pd.testing.assert_frame_equal(got, want)

@@ -410,3 +410,76 @@ def q40_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     return ivf_knn(emb, queries, k=10, n_cells=16, nprobe=4)
+
+
+@query(
+    "q49_dedup_survivors",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (SELECT id_a, id_b FROM ({_JACCARD_FROM_COMMON}) WHERE jaccard >= 0.5),
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q49_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus dedup: drop every doc that near-duplicates
+    (Jaccard ≥ 0.5) a lower-id doc — the keep-canonical policy of a
+    training-data pipeline.  Anti-join against the pair graph's higher
+    ids; min-id canonical rule makes the survivor set deterministic."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5, shingles_df=cached_shingles(spark, sf_dir))
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+@query(
+    "q50_corpus_prep",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (SELECT id_a, id_b FROM ({_JACCARD_FROM_COMMON}) WHERE jaccard >= 0.5),
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+    t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    )
+    SELECT doc_id, lang, len(toks) AS n_tokens,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+    FROM t WHERE len(toks) >= 30
+    """,
+    tags=("dedup", "text", "pipeline"),
+)
+def q50_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full training-data prep in one plan: near-dup removal (q49 policy)
+    → length/quality gate (≥30 tokens) → tokenize + fingerprint — the
+    operator composition a 100 TB corpus pass actually runs, expressed as
+    a single Catalyst-optimized DataFrame chain."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5, shingles_df=cached_shingles(spark, sf_dir))
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    toks = tokens(F.col("text"))
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+                "fingerprint"
+            ),
+        )
+        .where(F.col("n_tokens") >= 30)
+    )

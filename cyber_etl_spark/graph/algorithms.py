@@ -205,3 +205,119 @@ def label_propagation(
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> float:
+    """Newman modularity Q = Σ_c [e_c/m − (deg_c/2m)²] of a partition
+    (labels: id, community) over an undirected edge list."""
+    e = _sym(edges)
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    m = e.count() / 2.0
+    ca = labels.select(F.col("id").alias("src"), F.col("community").alias("c_src"))
+    cb = labels.select(F.col("id").alias("dst"), F.col("community").alias("c_dst"))
+    internal = (
+        e.join(ca, "src")
+        .join(cb, "dst")
+        .where(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg((F.count(F.lit(1)) / 2.0).alias("e_c"))
+    )
+    degsum = deg.join(labels, "id").groupBy("community").agg(F.sum("deg").alias("deg_c"))
+    row = (
+        degsum.join(internal, "community", "left")
+        .select(
+            (
+                F.coalesce(F.col("e_c"), F.lit(0.0)) / F.lit(m)
+                - F.pow(F.col("deg_c") / F.lit(2 * m), 2)
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("q"))
+        .collect()[0]
+    )
+    return float(row.q)
+
+
+def louvain_level(
+    edges: DataFrame, rounds: int = 3, init: DataFrame | None = None
+) -> DataFrame:
+    """One Louvain level: synchronized modularity-gain local moves →
+    (id, community).
+
+    Each round every node evaluates its neighboring communities and
+    adopts the one maximizing the (constant-factor-scaled) gain
+    ``w(i→C) − deg_i · deg_C\\i / 2m``, ties broken by smallest community
+    id, moving only on strict improvement over its current community.
+    Synchronized rounds + total tie order ⇒ deterministic, unlike GDS
+    Louvain's run-to-run variance (SURVEY §7.3 hard part 3).  This is the
+    aggregateMessages dataflow written as joins: the full Louvain stack
+    would recurse on the community-contracted graph; one level already
+    optimizes the same objective q43 scores.
+    """
+    e = _sym(edges)
+    deg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    m = e.count() / 2.0
+    labels = (init or deg.select("id", F.col("id").alias("community"))).localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        lab_dst = labels.select(
+            F.col("id").alias("dst"), F.col("community").alias("n_comm")
+        )
+        # w(i→C): edges from i into each neighboring community C
+        w_ic = (
+            e.join(lab_dst, "dst")
+            .groupBy(F.col("src").alias("id"), "n_comm")
+            .agg(F.count(F.lit(1)).cast("double").alias("w_ic"))
+        )
+        # Σdeg over each community, minus i's own degree when i ∈ C
+        degsum = (
+            deg.join(labels, "id").groupBy("community").agg(F.sum("deg").alias("deg_c"))
+        )
+        cand = (
+            w_ic.join(degsum, w_ic.n_comm == degsum.community)
+            .join(deg, "id")
+            .join(labels.withColumnRenamed("community", "cur"), "id")
+            .select(
+                "id",
+                "n_comm",
+                "cur",
+                (
+                    F.col("w_ic")
+                    - F.col("deg")
+                    * (
+                        F.col("deg_c")
+                        - F.when(F.col("n_comm") == F.col("cur"), F.col("deg")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    / F.lit(2 * m)
+                ).alias("gain"),
+            )
+        )
+        best = cand.groupBy("id").agg(
+            F.expr("max_by(n_comm, struct(gain, -n_comm))").alias("best_comm"),
+            F.max(F.struct("gain", (-F.col("n_comm")).alias("nc"))).alias("best_key"),
+            F.max(
+                F.when(F.col("n_comm") == F.col("cur"), F.col("gain"))
+            ).alias("cur_gain"),
+        )
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("best_comm").isNotNull()
+                    & (F.col("best_key.gain") > F.coalesce(F.col("cur_gain"), F.lit(-1e18))),
+                    F.col("best_comm"),
+                )
+                .otherwise(F.col("community"))
+                .alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = new_labels
+    return labels

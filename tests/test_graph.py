@@ -1,0 +1,52 @@
+"""Louvain-level behavior: determinism and modularity improvement."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _toy_edges(spark):
+    # two 4-cliques joined by one bridge edge — unambiguous communities
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    rows = c1 + c2 + [(3, 10)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_louvain_finds_planted_communities(spark):
+    from cyber_etl_spark.graph.algorithms import louvain_level, modularity
+
+    edges = _toy_edges(spark)
+    labels = louvain_level(edges, rounds=3)
+    got = {r.id: r.community for r in labels.collect()}
+    assert len({got[i] for i in range(4)}) == 1, "clique 1 must be one community"
+    assert len({got[i + 10] for i in range(4)}) == 1, "clique 2 must be one community"
+    assert got[0] != got[10], "bridged cliques must stay separate"
+    q = modularity(edges, labels)
+    singleton = edges.select(F.col("src").alias("id")).union(
+        edges.select("dst")
+    ).distinct().withColumn("community", F.col("id"))
+    assert q > modularity(edges, singleton)
+
+
+def test_louvain_deterministic(spark):
+    from cyber_etl_spark.graph.algorithms import louvain_level
+
+    edges = _toy_edges(spark)
+    a = sorted(map(tuple, louvain_level(edges, rounds=3).collect()))
+    b = sorted(map(tuple, louvain_level(edges, rounds=3).collect()))
+    assert a == b
+
+
+def test_louvain_improves_on_lpa_cosupply(spark, sf_smoke):
+    from cyber_etl_spark.graph.algorithms import (
+        label_propagation,
+        louvain_level,
+        modularity,
+    )
+    from cyber_etl_spark.graph.builder import co_supply_edges
+
+    edges = co_supply_edges(spark, sf_smoke)
+    q_lpa = modularity(edges, label_propagation(edges, iterations=4))
+    q_louvain = modularity(edges, louvain_level(edges, rounds=3))
+    assert q_louvain >= q_lpa - 1e-9

@@ -382,3 +382,141 @@ def q47_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", "user_id")
     )
+
+
+@query(
+    "q52_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q52_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer in a date
+    window, top 20 — selective fact filter + 3 joins + top-k."""
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.expr(dsum_expr("l_extendedprice * (1 - l_discount)", "revenue")))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q53_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q53_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-class conditional counts per line
+    status within a ship-date year."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q54_promo_share",
+    oracle="""
+    SELECT CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%%' THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q54_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of two exact decimal sums (promo revenue /
+    total revenue) over a broadcast part join — both operands are
+    order-independent, so the double division is bit-deterministic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    rev = "l_extendedprice * (1 - l_discount)"
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.expr(
+                f"CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN {rev} ELSE 0 END"
+                " AS DECIMAL(18,6))) AS DOUBLE)"
+            )
+            / F.expr(f"CAST(SUM(CAST({rev} AS DECIMAL(18,6))) AS DOUBLE)")
+        ).alias("promo_share")
+    )
+
+
+@query(
+    "q55_disjunctive_filter",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15)
+    """,
+    tags=("join", "filter", "tpch"),
+)
+def q55_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates across
+    both join sides — Catalyst pushes the common subexpressions and keeps
+    the residual as a join filter."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 5)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 15)
+    )
+    return joined.where(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(dsum_expr("l_extendedprice", "total")),
+    )

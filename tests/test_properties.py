@@ -1,0 +1,63 @@
+"""Property-based tests (hypothesis): column expressions vs independent
+Python reference implementations over generated inputs.
+
+These target cross-dialect hazards — Java regex vs Python re, split
+semantics, array ops — that example-based tests can miss.  Each property
+runs a handful of generated corpora through ONE Spark job (not one job
+per example) to keep runtime sane.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+TEXTS = st.lists(
+    st.lists(WORD, min_size=0, max_size=12).map(" ".join), min_size=1, max_size=25
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_shingle_count_invariant(spark, texts):
+    """|shingles(t, 3)| == max(0, |tokens| - 2) for every document."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.functions.text import shingles, tokens
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    toks = tokens(F.col("text"))
+    out = df.select("id", F.size(toks).alias("n"), F.size(shingles(toks, 3)).alias("s"))
+    for r in out.collect():
+        expect = max(0, r.n - 2)
+        assert r.s == expect, (r.n, r.s)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="CVE-0123456789 abc", max_size=40), min_size=1, max_size=20))
+def test_cve_extraction_matches_python_re(spark, texts):
+    """Java-regex extraction == Python re on the same pattern (F1)."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.functions.strings import CVE_PATTERN, extract_cve_ids
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = {r.id: list(r.c) for r in df.select("id", extract_cve_ids(F.col("text")).alias("c")).collect()}
+    pat = re.compile(CVE_PATTERN)
+    for i, t in enumerate(texts):
+        assert got[i] == sorted(set(pat.findall(t))), t
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_jaccard_pairs_bounds_and_symmetry(spark, texts):
+    """Emitted Jaccard values lie in (0, 1]; pair ids are ordered."""
+    from cyber_etl_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    rows = jaccard_pairs(df, threshold=0.01).collect()
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.id_a < r.id_b

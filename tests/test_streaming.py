@@ -113,3 +113,22 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, events_dir):
     got = _sorted(spark.sql("SELECT * FROM ssj_mem").toPandas())
     want = _sorted(QUERIES["q47_interval_join"].builder(spark, sf_smoke).toPandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_foreach_batch_parquet_sink(spark, sf_smoke, events_dir, tmp_path):
+    """foreachBatch parquet sink: all rows land exactly once; restarting
+    from the same checkpoint with no new input writes nothing."""
+    from cyber_etl_spark.streaming import read_event_stream
+    from cyber_etl_spark.streaming.events import run_stream_to_parquet, stream_dedupe
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_dedupe(read_event_stream(spark, events_dir))
+    run_stream_to_parquet(stream, out, ckpt)
+    first = spark.read.parquet(out).count()
+    batch_rows = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
+    assert first == batch_rows
+    # restart with identical checkpoint: no new files, no duplicates
+    stream2 = stream_dedupe(read_event_stream(spark, events_dir))
+    run_stream_to_parquet(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == first

@@ -54,3 +54,54 @@ def fit_user_trends(events: DataFrame) -> DataFrame:
     return (
         events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(fit, TREND_SCHEMA)
     )
+
+
+PACK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("seq_id", LongType()),
+        StructField("n_chunks", LongType()),
+        StructField("total_tokens", LongType()),
+    ]
+)
+
+
+def pack_sequences(chunks: DataFrame, max_tokens: int = 512) -> DataFrame:
+    """Greedy sequence packing: fill fixed-size training sequences with
+    consecutive chunks — the pack step after chunking (q56) in an LLM
+    data pipeline.
+
+    Packing is inherently sequential, so it is done *per document*
+    (chunks in chunk_id order), which keeps the operator embarrassingly
+    parallel and deterministic; cross-document packing would trade
+    determinism for fill rate.  Input: (doc_id, chunk_id, chunk_tokens).
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_id")
+        doc = pdf["doc_id"].iloc[0]
+        seqs: list[tuple[int, int]] = []  # (n_chunks, total_tokens)
+        cur_n, cur_t = 0, 0
+        for t in pdf["chunk_tokens"]:
+            t = int(t)
+            if cur_n > 0 and cur_t + t > max_tokens:
+                seqs.append((cur_n, cur_t))
+                cur_n, cur_t = 0, 0
+            cur_n += 1
+            cur_t += t
+        if cur_n:
+            seqs.append((cur_n, cur_t))
+        return pd.DataFrame(
+            {
+                "doc_id": [doc] * len(seqs),
+                "seq_id": range(len(seqs)),
+                "n_chunks": [n for n, _ in seqs],
+                "total_tokens": [t for _, t in seqs],
+            }
+        )
+
+    return (
+        chunks.select("doc_id", "chunk_id", "chunk_tokens")
+        .groupBy("doc_id")
+        .applyInPandas(pack, PACK_SCHEMA)
+    )

@@ -520,3 +520,36 @@ def q55_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.expr(dsum_expr("l_extendedprice", "total")),
     )
+
+
+@query(
+    "q57_sql_surface",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("sql", "agg"),
+)
+def q57_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw Spark SQL surface: identical SQL text runs on
+    registered temp views (sources.load_all) and on the DuckDB oracle —
+    users can bring SQL, not just the DataFrame API."""
+    from ..sources import load_all
+
+    load_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 0
+        GROUP BY o_orderstatus
+        """
+    )

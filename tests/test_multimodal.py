@@ -91,3 +91,42 @@ def test_grouped_map_trends(spark, sf_smoke):
         assert got[uid].n_events == len(g)
         assert abs(got[uid].slope - slope) < 1e-9
         assert abs(got[uid].intercept - intercept) < 1e-9
+
+
+def test_udtf_split_sections(spark):
+    from cyber_etl_spark.functions.udtf_ops import split_sections
+
+    df = spark.createDataFrame(
+        [(1, "intro words || body has more words || end"), (2, "single"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = split_sections(spark, df).collect()
+    rows = {(r.doc_id, r.section_id): (r.section_text, r.n_tokens) for r in out}
+    assert rows[(1, 0)] == ("intro words", 2)
+    assert rows[(1, 1)] == ("body has more words", 4)
+    assert rows[(2, 0)] == ("single", 1)
+    assert len([r for r in out if r.doc_id == 3]) == 0
+
+
+def test_pack_sequences(spark, sf_smoke):
+    """Packing invariants: every chunk assigned once, no sequence
+    overflows, greedy boundaries are tight."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.operators.grouped import pack_sequences
+    from cyber_etl_spark.plans import QUERIES
+
+    chunks = QUERIES["q56_token_chunking"].builder(spark, sf_smoke)
+    packed = pack_sequences(chunks, max_tokens=120)
+    totals = packed.agg(
+        F.sum("n_chunks").alias("nc"), F.sum("total_tokens").alias("tt")
+    ).collect()[0]
+    src = chunks.agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("chunk_tokens").alias("tt")
+    ).collect()[0]
+    assert totals.nc == src.nc and totals.tt == src.tt
+    # no overflow except single chunks larger than the budget
+    bad = packed.where(
+        (F.col("total_tokens") > 120) & (F.col("n_chunks") > 1)
+    ).count()
+    assert bad == 0

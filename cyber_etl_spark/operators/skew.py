@@ -55,7 +55,12 @@ def salted_join(
     """Equi-join where ``fact[key]`` is heavily skewed: dim rows are
     replicated ``salt_buckets``× (explode), fact rows get a deterministic
     salt, and the join key becomes (key, salt).  Output columns = fact ⋈
-    dim minus the helper columns."""
+    dim minus the helper columns.
+
+    Only inner/left are valid: right/full would multiply unmatched dim
+    rows by the replication factor."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
     dim_rep = dim.withColumn("_salt", F.explode(salts))
     fact_salted = fact.withColumn(

@@ -98,3 +98,28 @@ def test_approx_aggregates_tolerance(spark, sf_smoke):
     n = orders.count()
     below = orders.where(F.col("o_totalprice") <= median).count()
     assert 0.45 < below / n < 0.55
+
+
+def test_salted_join_left_semantics(spark, sf_smoke):
+    """Left salted join keeps unmatched fact rows exactly once."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.operators.skew import salted_join
+    from cyber_etl_spark.sources import read_table
+
+    orders = read_table(spark, sf_smoke, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    few_customers = read_table(spark, sf_smoke, "customer").where(
+        F.col("c_custkey") < 50
+    )
+    plain = orders.join(few_customers, "c_custkey", "left")
+    salted = salted_join(orders, few_customers, "c_custkey", 8, how="left")
+    assert salted.count() == plain.count()
+    assert (
+        salted.where(F.col("c_name").isNull()).count()
+        == plain.where(F.col("c_name").isNull()).count()
+    )
+    with pytest.raises(ValueError):
+        salted_join(orders, few_customers, "c_custkey", 8, how="full")

@@ -58,7 +58,7 @@ def q34_conditional_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q35_map_explode",
     oracle="""
-    SELECT k AS prop_key, COUNT(*) AS n, SUM(CAST(v AS BIGINT)) AS total
+    SELECT k AS prop_key, COUNT(*) AS n, CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS total
     FROM (
       SELECT unnest(json_keys(props::JSON)) AS k,
              json_extract_string(props::JSON, '$.' || unnest(json_keys(props::JSON))) AS v
@@ -128,7 +128,7 @@ def q37_string_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("_", F.slice(toks, 1, 3)).alias("slug"),
         F.size(
             F.array_distinct(F.filter(toks, lambda x: x != F.lit("")))
-        ).alias("n_unique_tokens"),
+        ).cast("long").alias("n_unique_tokens"),
     )
 
 
@@ -429,10 +429,10 @@ def q52_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_priority_shipping",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'

@@ -96,7 +96,7 @@ def q16_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.round(stopword_ratio(toks), 6).alias("stop_ratio"),
         F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
     )
@@ -118,10 +118,10 @@ def q17_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
-            "sub_tokens"
-        ),
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).cast("long").alias("sub_tokens"),
     )
 
 
@@ -291,7 +291,7 @@ def q22_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM signs GROUP BY 1
     )
     SELECT a.id AS id_a, b.id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.id < b.id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
@@ -476,7 +476,7 @@ def q50_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.size(toks).alias("n_tokens"),
+            F.size(toks).cast("long").alias("n_tokens"),
             F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
                 "fingerprint"
             ),

@@ -30,18 +30,10 @@ def co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key in _EDGE_CACHE:
         return _EDGE_CACHE[key]
-    ps = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    edges = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
-        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .distinct()
-        # shared build step for the whole graph-query suite: materialize
-        # once per (session, dataset) — six queries reuse it.
-        .localCheckpoint(eager=True)
-    )
+    # projection of the weighted build: one expensive self-join serves the
+    # whole graph-query suite (weighted rows are exactly the distinct
+    # pairs), materialized once per (session, dataset).
+    edges = co_supply_edges_weighted(spark, sf_dir).select("src", "dst")
     _EDGE_CACHE[key] = edges
     return edges
 

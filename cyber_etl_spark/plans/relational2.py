@@ -553,3 +553,96 @@ def q57_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "q58_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS cust_balance
+      FROM customer GROUP BY c_nationkey
+    ),
+    s AS (
+      SELECT s_nationkey AS nationkey,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS supp_balance
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           c.cust_balance, s.supp_balance
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    tags=("join", "full_outer"),
+)
+def q58_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (absent from the reference — SURVEY §2.3 notes no
+    full-outer joins — engine completeness): per-nation customer vs
+    supplier balances, keeping nations present on only one side."""
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.expr(dsum_expr("c_acctbal", "cust_balance"))
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey_s")).agg(
+        F.expr(dsum_expr("s_acctbal", "supp_balance"))
+    )
+    return (
+        c.join(s, c.nationkey == s.nationkey_s, "full_outer")
+        .select(
+            F.coalesce(F.col("nationkey"), F.col("nationkey_s")).alias("nationkey"),
+            "cust_balance",
+            "supp_balance",
+        )
+    )
+
+
+@query(
+    "q59_asof_join",
+    oracle="""
+    SELECT e.event_id AS error_id, e.user_id, l.event_id AS signup_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+      ON e.user_id = l.user_id AND e.ts >= l.ts
+    """,
+    tags=("join", "asof"),
+)
+def q59_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: the most recent signup at-or-before each error, per
+    user.  Spark lacks a native ASOF operator; the scalable plan is the
+    union-tag trick — one sort per user partition, a running
+    last-non-null window, no range explosion:
+
+        union(tagged signup, tagged error)
+        → window over (user, ts, tag-priority)
+        → last(signup_struct, ignoreNulls) rowsBetween(-∞, 0)
+        → keep error rows
+
+    DuckDB's native ASOF JOIN is the oracle, proving the window
+    formulation implements the same semantics."""
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    tagged = events.where(F.col("event_type").isin("signup", "error")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        # signups sort before errors at equal ts so e.ts >= l.ts matches
+        F.when(F.col("event_type") == "signup", F.lit(0)).otherwise(F.lit(1)).alias("prio"),
+        F.when(
+            F.col("event_type") == "signup", F.struct("event_id")
+        ).alias("signup_info"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "prio", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_signup", F.last("signup_info", ignorenulls=True).over(w))
+        .where(F.col("prio") == 1)
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("last_signup.event_id").alias("signup_id"),
+        )
+    )

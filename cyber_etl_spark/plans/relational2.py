@@ -646,3 +646,64 @@ def q59_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_signup.event_id").alias("signup_id"),
         )
     )
+
+
+@query(
+    "q60_rolling_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS window_n
+    FROM events
+    """,
+    tags=("window", "frame"),
+)
+def q60_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    rolling 3-event value sum per user — the frame-spec surface the
+    reference never needed (SURVEY §2.5) but an analytics engine must
+    have.  Total order (ts, event_id) makes the frame deterministic;
+    decimal accumulation keeps the sum exact."""
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias(
+            "rolling_value"
+        ),
+        F.count(F.lit(1)).over(w).alias("window_n"),
+    )
+
+
+@query(
+    "q61_quartiles",
+    oracle="""
+    SELECT event_type,
+           round(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS DOUBLE), 6) AS p25,
+           round(CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value) AS DOUBLE), 6) AS p50,
+           round(CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS DOUBLE), 6) AS p75
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def q61_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per event type (percentile_cont
+    semantics in both engines; approx_percentile is the sketch-based
+    100 TB variant, exact is used so the oracle hash-matches)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+    )

@@ -129,29 +129,81 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
-    All-pairs scoring — exact, for corpora whose pair count fits the
-    cluster.  The 100 TB path replaces the self cross join with
-    :func:`lsh_bucket_candidates` (same scorer, bucket-bounded pairs).
+    Exact all-pairs via a **block-matrix similarity join**: vectors are
+    hash-assigned to ``n_blocks`` blocks, each block folded into one row
+    (ids + matrix), the ~B²/2 unordered block pairs are joined, and each
+    block pair is scored with a single BLAS GEMM inside ``mapInPandas``.
+    Only pairs at/above the threshold are ever materialized, so shuffle
+    and Arrow volume is O(n·B·d) instead of the O(n²·d) a per-pair self
+    join ships.  Size ``n_blocks`` so a block's matrix stays ~10-50 MB at
+    the target scale; beyond that, :func:`lsh_bucket_candidates` bounds
+    the candidate pairs instead of exact all-pairs.
     """
-    from ..functions.vectors import cosine_pandas
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
+    id_type = corpus.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
     v = corpus.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
     )
-    a, b = v.alias("a"), v.alias("b")
-    # all-pairs volume → Arrow-vectorized scoring (see cosine_pandas)
-    cos = F.round(cosine_pandas(F.col("a.v"), F.col("b.v")), round_digits)
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cos.alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    chunks = v.groupBy(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("blk")
+    ).agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    joined = a.join(F.broadcast(b), F.col("a.blk") <= F.col("b.blk")).select(
+        F.col("a.blk").alias("blk_a"),
+        F.col("b.blk").alias("blk_b"),
+        F.col("a.items").alias("items_a"),
+        F.col("b.items").alias("items_b"),
+    )
+    # margin keeps raw values that round UP to the threshold; the exact
+    # rounded filter is re-applied below so semantics match the oracle.
+    raw_cut = threshold - 10.0 ** (-round_digits)
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            for blk_a, blk_b, items_a, items_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["items_a"], pdf["items_b"]
+            ):
+                ids_a = np.asarray([r["id"] for r in items_a])
+                ids_b = np.asarray([r["id"] for r in items_b])
+                xa = np.stack([np.asarray(r["v"]) for r in items_a])
+                xb = np.stack([np.asarray(r["v"]) for r in items_b])
+                m = (xa @ xb.T) / np.outer(
+                    np.linalg.norm(xa, axis=1), np.linalg.norm(xb, axis=1)
+                )
+                hit = m >= raw_cut
+                if blk_a == blk_b:
+                    # within a block each unordered pair appears twice;
+                    # keep the (smaller id, larger id) orientation once.
+                    hit &= ids_a[:, None] < ids_b[None, :]
+                    ia, ib = np.nonzero(hit)
+                    lo, hi = ids_a[ia], ids_b[ib]
+                else:
+                    # off-diagonal: the smaller id can sit on either side.
+                    ia, ib = np.nonzero(hit)
+                    lo = np.minimum(ids_a[ia], ids_b[ib])
+                    hi = np.maximum(ids_a[ia], ids_b[ib])
+                if len(ia):
+                    yield pd.DataFrame(
+                        {"id_a": lo, "id_b": hi, "cosine": m[ia, ib]}
+                    )
+
+    scored = joined.mapInPandas(score, schema=out_schema)
+    cos = F.round(F.col("cosine"), round_digits)
+    return scored.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
     )
 
 

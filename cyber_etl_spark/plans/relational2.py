@@ -707,3 +707,141 @@ def q61_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
     )
+
+
+@query(
+    "q62_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_id)  OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "lag"),
+)
+def q62_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation: previous/next event id and microsecond gap to
+    the previous event per user.  Total order (ts, event_id) keeps the
+    offsets deterministic; microsecond arithmetic avoids second-truncation
+    semantics differences between engines."""
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    )
+
+
+@query(
+    "q63_rank_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist()    OVER w, 6) AS cd,
+           ntile(4) OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("window", "rank"),
+)
+def q63_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional window functions (percent_rank / cume_dist /
+    ntile).  The order-by includes event_id so ntile's row-order-dependent
+    bucketing is a total order and both engines agree."""
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q64_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def q64_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with GROUPING() markers — the full grouping-set
+    surface beyond q42's ROLLUP.  Per-column GROUPING flags (not
+    grouping_id) so the oracle is unambiguous about bit order."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)").alias(
+            "sum_qty"
+        ),
+    )
+
+
+@query(
+    "q65_set_ops",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+         y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+         urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT o_custkey FROM y96
+    INTERSECT
+    SELECT o_custkey FROM y97
+    EXCEPT
+    SELECT o_custkey FROM urgent
+    """,
+    tags=("setop", "intersect", "except"),
+)
+def q65_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level INTERSECT / EXCEPT (U-family beyond union): customers
+    active in both 1996 and 1997, minus any with an urgent order.  At
+    scale both rewrite to semi/anti joins on the grouping key, which is
+    exactly what Catalyst plans (ReplaceIntersectWithSemiJoin /
+    ReplaceExceptWithAntiJoin)."""
+    orders = read_table(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y97 = orders.where(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return y96.intersect(y97).subtract(urgent)
+
+
+@query(
+    "q66_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "string_agg"),
+)
+def q66_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg surface): distinct statuses per
+    priority joined in sorted order — collect_set + array_sort +
+    array_join keeps the result order-insensitive to shuffle order."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )

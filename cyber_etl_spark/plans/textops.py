@@ -522,3 +522,132 @@ def q56_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("c").cast("long").alias("chunk_tokens"),
         )
     )
+
+
+@query(
+    "q67_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    avgdl AS (
+      SELECT CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('spark', 'hash', 'vector') GROUP BY doc_id, token
+    ),
+    idf AS (
+      SELECT token, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token), n_docs
+    )
+    SELECT tf.doc_id,
+           round(SUM(idf.idf * tf.tf * 2.2 /
+                     (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 6)
+             AS bm25
+    FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), avgdl
+    GROUP BY tf.doc_id
+    """,
+    tags=("text", "search", "bm25"),
+)
+def q67_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) keyword scoring for the fixed query
+    {spark, hash, vector} — the keyword-search modality of a training-data
+    pipeline.  Per-term stats (df, idf) are tiny aggregates the planner
+    broadcasts; the doc-side tf table is the only large operand, touched
+    once.  avgdl uses the exact-decimal mean so the score is
+    shuffle-order-independent."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(
+        F.expr("CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)").alias("avgdl")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        toks.where(F.col("token").isin("spark", "hash", "vector"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("token", F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            (
+                F.col("idf") * F.col("tf") * F.lit(2.2)
+                / (F.col("tf") + F.lit(1.2) * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("bm25"))
+
+
+@query(
+    "q68_train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 10 < 8
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("text", "sampling", "split"),
+)
+def q68_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test split by hashing the stable doc id
+    (md5 — never Spark's murmur hash, which the oracle can't reproduce).
+    Hash-based splits survive reruns and late-arriving data at 100 TB,
+    unlike randomSplit whose assignment depends on partitioning."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 10
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 8, "train").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "q69_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+    tags=("text", "sampling", "stratified"),
+)
+def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 docs per language, ordered by a
+    content-independent md5 of the id (pseudo-random but reproducible
+    across engines and reruns; doc_id tiebreak keeps it total).  The
+    windowed top-k form pushes down: only k rows per stratum survive the
+    shuffle."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )

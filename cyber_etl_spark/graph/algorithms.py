@@ -22,9 +22,25 @@ list and the rank/label state by vertex id so each superstep co-locates,
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Derived tables (symmetrized edges, degree/share tables) are pure
+# functions of their input edge DataFrame and get rebuilt by every
+# algorithm that shares a graph — memoize them per edge-DataFrame.
+# Weak keys: when a caller's edge frame is garbage collected the entry
+# dies with it, so an unrelated frame can never alias a stale result.
+_DERIVED: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictionary()
+
+
+def _derived(edges: DataFrame, tag: tuple, build) -> DataFrame:
+    slot = _DERIVED.setdefault(edges, {})
+    if tag not in slot:
+        slot[tag] = build()
+    return slot[tag]
 
 
 def _sym(edges: DataFrame) -> DataFrame:
@@ -36,10 +52,14 @@ def _sym(edges: DataFrame) -> DataFrame:
     the classic iterative-algorithm trap.  localCheckpoint pins the
     computed edge partitions in executor storage once.
     """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    return sym.localCheckpoint(eager=True)
+
+    def build():
+        sym = edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        return sym.localCheckpoint(eager=True)
+
+    return _derived(edges, ("sym",), build)
 
 
 def connected_components(
@@ -123,15 +143,20 @@ def pagerank(
     else:
         # weighted graph: assume the caller provides a symmetric edge
         # list (weight must be identical in both directions)
-        e = (
-            edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
-            .localCheckpoint(eager=True)
+        e = _derived(
+            edges,
+            ("wedges", weight_col),
+            lambda: edges.select(
+                "src", "dst", F.col(weight_col).cast("double").alias("w")
+            ).localCheckpoint(eager=True),
         )
     # deg doubles as out-strength: Σw for weighted, edge count otherwise
-    deg = (
-        e.groupBy(F.col("src").alias("id"))
+    deg = _derived(
+        edges,
+        ("deg", weight_col),
+        lambda: e.groupBy(F.col("src").alias("id"))
         .agg(F.sum("w").alias("deg"))
-        .localCheckpoint(eager=True)  # reused by every superstep
+        .localCheckpoint(eager=True),  # reused by every superstep
     )
     n = deg.count()
     if variant == "articlerank":
@@ -142,14 +167,27 @@ def pagerank(
     else:
         raise ValueError(f"unknown variant: {variant}")
 
+    # the per-edge share w/denom is STATIC across supersteps — join deg
+    # once, checkpoint, and the loop only ever joins the rank vector.
+    eshare = _derived(
+        edges,
+        ("eshare", weight_col, variant),
+        lambda: e.join(deg, e.src == deg.id)
+        .select("src", "dst", (F.col("w") / denom).alias("share"))
+        .localCheckpoint(eager=True),
+    )
     ranks = deg.select("id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    # rank vector is |V| rows — broadcast it while it fits comfortably;
+    # past that AQE picks a shuffle join and the loop still works.
+    bcast = n <= 10_000_000
     for i in range(iterations):
+        r = F.broadcast(ranks) if bcast else ranks
         contribs = (
-            e.join(ranks.join(deg, "id"), e.src == F.col("id"))
+            eshare.join(r, eshare.src == r.id)
             .select(
                 F.col("dst").alias("to"),
-                (F.col("rank") * F.col("w") / denom).alias("c"),
+                (F.col("rank") * F.col("share")).alias("c"),
             )
             .groupBy("to")
             .agg(F.sum("c").alias("mass"))
@@ -183,12 +221,14 @@ def label_propagation(
     labels = e.select(F.col("src").alias("id")).distinct().withColumn(
         "community", F.col("id")
     )
+    bcast = labels.count() <= 10_000_000  # label vector small → map-side join
     for i in range(iterations):
         # single aggregation replaces count+window-rank: max_by over the
         # (cnt, -community) struct implements "most frequent label, ties
         # to smallest" with one shuffle per superstep instead of two.
+        lab = F.broadcast(labels) if bcast else labels
         best = (
-            e.join(labels, e.src == labels.id)
+            e.join(lab, e.src == lab.id)
             .groupBy(F.col("dst").alias("nid"), "community")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .groupBy("nid")
@@ -263,13 +303,15 @@ def louvain_level(
     labels = (init or deg.select("id", F.col("id").alias("community"))).localCheckpoint(
         eager=True
     )
+    bcast = deg.count() <= 10_000_000
     for _ in range(rounds):
         lab_dst = labels.select(
             F.col("id").alias("dst"), F.col("community").alias("n_comm")
         )
-        # w(i→C): edges from i into each neighboring community C
+        # w(i→C): edges from i into each neighboring community C — the
+        # label vector is |V| rows vs |E| edges, so map-side join while it fits
         w_ic = (
-            e.join(lab_dst, "dst")
+            e.join(F.broadcast(lab_dst) if bcast else lab_dst, "dst")
             .groupBy(F.col("src").alias("id"), "n_comm")
             .agg(F.count(F.lit(1)).cast("double").alias("w_ic"))
         )

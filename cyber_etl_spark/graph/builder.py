@@ -48,15 +48,29 @@ def co_supply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir, "weighted")
     if key in _EDGE_CACHE:
         return _EDGE_CACHE[key]
-    ps = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    edges = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+    # One shuffle groups suppliers per part (collect_set dedupes), then the
+    # i<j pair expansion happens IN-STAGE (posexplode + slice of the sorted
+    # set) feeding straight into a partial hash agg — no self-join shuffle,
+    # and only half the pairs are ever generated; the symmetric mirror is a
+    # cheap union AFTER aggregation.  Skew guard at 100 TB: a part with k
+    # suppliers expands k²/2 rows in one task — cap or salt degree-heavy
+    # keys before expansion (same playbook as operators/skew.py).
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    upper = (
+        sup.select(F.posexplode("ss").alias("i", "src"), "ss")
+        .select(
+            "src",
+            F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("dst"),
+        )
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # materialize the half; mirror is free
+    )
+    edges = upper.unionByName(
+        upper.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
     _EDGE_CACHE[key] = edges
     return edges

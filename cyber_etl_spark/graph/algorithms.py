@@ -363,3 +363,37 @@ def louvain_level(
         )
         labels = new_labels
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Minimum hop distance from a source vertex set → (id, dist).
+
+    Synchronized frontier expansion (the Pregel BFS): each hop joins the
+    previous frontier into the edge list, anti-joins already-settled
+    vertices, and checkpoints the (small) frontier.  First-reach level is
+    the minimum distance, so the result is exact and deterministic.
+    Frontiers are broadcast while small; the edge side never moves.
+    (Reference analogue: the Cypher neighborhood expansions, writeup p.5
+    Q6 two-hop — this generalizes them to k hops with distances.)
+    """
+    e = _sym(edges)
+    dist = sources.select("id", F.lit(0).cast("int").alias("dist")).localCheckpoint(
+        eager=True
+    )
+    frontier = dist.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(F.broadcast(frontier), e.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .withColumn("dist", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.head(1):
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return dist

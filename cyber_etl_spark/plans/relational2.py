@@ -845,3 +845,88 @@ def q66_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
+
+
+@query(
+    "q71_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "subquery", "tpch-q4"),
+)
+def q71_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders in a quarter with at
+    least one lineitem shipped >60 days after ordering.  Expressed as a
+    left-semi join whose condition carries the cross-table date
+    predicate — Catalyst plans the equi part as the hash key and the
+    date comparison as a residual filter, which is exactly the
+    decorrelated plan EXISTS should become."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    window = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        window.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q72_scalar_subquery",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*)) AS qlim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2' AND l.l_quantity < pa.qlim
+    """,
+    tags=("agg", "subquery", "tpch-q17"),
+)
+def q72_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery (TPC-H Q17 shape): revenue of
+    small-quantity orders vs each part's 20%-of-average threshold.  The
+    per-part average is computed once as a grouped table and joined back
+    (the decorrelation Catalyst performs for scalar subqueries); the
+    exact-decimal mean keeps the threshold comparison engine-stable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)")
+        ).alias("qlim")
+    )
+    brand = part.where(F.col("p_brand") == "Brand#2").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(pa, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qlim"))
+        .agg(
+            (
+                F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)")
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -651,3 +651,63 @@ def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "q73_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(encode(text)::VARCHAR) AS content_md5,
+           CAST(floor(octet_length(encode(text)) / 256) AS INT) AS size_bucket
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def q73_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column metadata extraction — the multimodal plumbing
+    as an oracled query: content is carried as ``binary``, and a
+    mapInPandas batch extractor computes size, digest and a size bucket
+    (stand-ins for image decode / feature extraction, whose Spark-side
+    shape is identical; see operators/multimodal.py for the decode
+    stubs).  The oracle recomputes the same metadata from the utf-8
+    bytes in SQL."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    binary = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", docs.schema["doc_id"].dataType),
+            StructField("n_bytes", LongType()),
+            StructField("content_md5", StringType()),
+            StructField("size_bucket", IntegerType()),
+        ]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "content_md5": content.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "size_bucket": (content.map(len) // 256).astype("int32"),
+                }
+            )
+
+    return binary.mapInPandas(extract, schema=out_schema)

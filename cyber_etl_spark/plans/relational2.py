@@ -930,3 +930,52 @@ def q72_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q75_sessionize_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionization"),
+)
+def q75_sessionize_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) as pure
+    window functions: lag flags session starts, a running sum numbers
+    them — the batch twin of q32's session_window and the streaming
+    sessionizer, useful where session ids must be stable, dense and
+    joinable.  Total order (ts, event_id) keeps ids deterministic."""
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(
+        gap_us.isNull() | (gap_us > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        events.withColumn("session_id", F.sum(new_s).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

@@ -711,3 +711,35 @@ def q73_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return binary.mapInPandas(extract, schema=out_schema)
+
+
+@query(
+    "q74_vector_stats",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+             AS l2_norm,
+           round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val,
+           round(list_max(embedding::DOUBLE[]), 6) AS max_val
+    FROM embeddings
+    """,
+    tags=("vector", "higher-order"),
+)
+def q74_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row vector statistics via higher-order array functions
+    (transform/aggregate/array_max) — the JVM-side column-expression
+    surface for embedding columns.  Both engines fold the array in
+    element order, so the doubles agree bit-for-bit before rounding.
+    (All-pairs math goes through the Arrow GEMM kernel instead —
+    see cosine_neardup_pairs; folds are for per-row shapes.)"""
+    from ..functions.vectors import dot, to_double_array
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+        F.round(total / F.size(v), 6).alias("mean_val"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+    )

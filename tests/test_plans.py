@@ -64,3 +64,25 @@ def test_whole_stage_codegen_everywhere_cheap(spark, sf_smoke):
         assert "BatchEvalPython" not in plan, name
         if name not in VECTORIZED_OK:
             assert "ArrowEvalPython" not in plan, name
+
+
+def test_q71_exists_is_semi_join_with_residual(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "q71_exists_subquery")
+    # the EXISTS must decorrelate to a semi join on the order key with the
+    # date comparison as a residual, never a cartesian/BNLJ
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q72_brand_filter_broadcasts(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "q72_scalar_subquery")
+    # the filtered part dimension is tiny → must reach lineitem as a
+    # broadcast, and the brand predicate must push into the part scan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_brand,Brand#2)" in plan
+
+
+def test_q65_set_ops_become_joins(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "q65_set_ops")
+    # Catalyst rewrites INTERSECT/EXCEPT into semi/anti joins — pin it
+    assert "LeftSemi" in plan and "LeftAnti" in plan

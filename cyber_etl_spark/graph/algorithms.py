@@ -54,6 +54,11 @@ def _sym(edges: DataFrame) -> DataFrame:
     """
 
     def build():
+        # Builders that already emit both directions mark their frames
+        # (`_cyber_symmetric`): the union+distinct would be an identity
+        # there, so skip the extra 2|E|-row shuffle entirely.
+        if getattr(edges, "_cyber_symmetric", False):
+            return edges.select("src", "dst")
         sym = edges.select("src", "dst").union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()

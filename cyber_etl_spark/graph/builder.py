@@ -34,6 +34,7 @@ def co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole graph-query suite (weighted rows are exactly the distinct
     # pairs), materialized once per (session, dataset).
     edges = co_supply_edges_weighted(spark, sf_dir).select("src", "dst")
+    edges._cyber_symmetric = True  # both directions present by construction
     _EDGE_CACHE[key] = edges
     return edges
 
@@ -72,5 +73,6 @@ def co_supply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = upper.unionByName(
         upper.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
+    edges._cyber_symmetric = True  # mirror union emits both directions
     _EDGE_CACHE[key] = edges
     return edges

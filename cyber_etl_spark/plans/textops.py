@@ -743,3 +743,156 @@ def q74_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total / F.size(v), 6).alias("mean_val"),
         F.round(F.array_max(v), 6).alias("max_val"),
     )
+
+
+@query(
+    "q76_pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR)
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\-\s]{4,}[0-9]', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+    FROM aug
+    """,
+    tags=("text", "pii", "redaction"),
+)
+def q76_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, phone numbers) as regexp_replace chains —
+    the redaction pass of a training-data pipeline (reference analogue:
+    the neattext email/phone cleaning, F16, data_integration.ipynb:1554).
+    The synthetic corpus carries no PII, so both engines inject the same
+    deterministic contact strings first, then redact them — the operator
+    chain under test is the redaction itself."""
+    docs = read_table(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9()\-\s]{4,}[0-9]"
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("clean_text"),
+        F.size(F.expr(f"regexp_extract_all(text, '{email_re}', 0)")).cast(
+            "bigint"
+        ).alias("n_emails"),
+    )
+
+
+@query(
+    "q77_bigram_lm_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+               AS bg
+      FROM t
+    ),
+    c12 AS (SELECT bg, COUNT(*) AS c12 FROM bi GROUP BY bg),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS c1
+           FROM bi GROUP BY 1)
+    SELECT bi.doc_id,
+           round(CAST(SUM(CAST(round(ln(CAST(c12.c12 AS DOUBLE) / c1.c1), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob,
+           COUNT(*) AS n_bigrams
+    FROM bi
+    JOIN c12 USING (bg)
+    JOIN c1 ON string_split(bi.bg, ' ')[1] = c1.w1
+    GROUP BY bi.doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def q77_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document
+    (mean MLE log-probability of its bigram instances) — the statistical
+    quality-scoring modality next to q16's surface ratios.  Counts are
+    corpus-wide aggregates the planner broadcasts back onto the bigram
+    stream; per-bigram logprobs are rounded then decimal-summed so the
+    per-doc mean is shuffle-order-independent."""
+    from ..functions.text import shingles, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 2)).alias("bg")
+    )
+    c12 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        bi.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    scored = (
+        bi.join(F.broadcast(c12), "bg")
+        .join(
+            F.broadcast(c1), F.substring_index(F.col("bg"), " ", 1) == F.col("w1")
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c12").cast("double") / F.col("c1")), 6
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.expr(
+            "round(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+@query(
+    "q78_vocab_build",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+    SELECT token, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+             AS token_id
+    FROM tc
+    """,
+    tags=("text", "tokenizer", "vocab"),
+)
+def q78_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: corpus token frequencies with
+    dense ids assigned by (freq desc, token) — deterministic across
+    engines and runs.  The global window runs on the POST-aggregation
+    table (|vocab| rows, not |tokens|), which is the only place a
+    single-partition window is acceptable at 100 TB."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token")
+    )
+    tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return tc.select(
+        "token", "freq", F.row_number().over(w).cast("bigint").alias("token_id")
+    )

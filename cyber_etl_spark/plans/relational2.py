@@ -979,3 +979,112 @@ def q75_sessionize_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+@query(
+    "q79_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN customer ON c_custkey  = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join", "tpch-q7"),
+)
+def q79_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping among a nation set (TPC-H Q7 shape): a 5-way
+    star-plus-fact join where every dimension broadcasts and only the
+    lineitem↔orders join shuffles — the shape that proves join ordering
+    and broadcast selection on a real multi-join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supplier = read_table(spark, sf_dir, "supplier")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    nations = ["NATION_1", "NATION_2", "NATION_3"]
+    pair = (
+        F.col("supp_nation").isin(nations)
+        & F.col("cust_nation").isin(nations)
+        & (F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.expr(dsum_expr("l_extendedprice * (1 - l_discount)", "revenue")),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q80_returned_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "topk", "tpch-q10"),
+)
+def q80_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-item revenue in a half-year window
+    (TPC-H Q10 shape).  The limit rides on (revenue desc, c_custkey) —
+    a total order, so the cut is deterministic — and Spark plans it as
+    TakeOrderedAndProject: per-partition top-k, no global sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.expr(dsum_expr("l_extendedprice * (1 - l_discount)", "revenue")))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -34,6 +34,14 @@ def main() -> None:
     # machinery and Arrow before the timed loop — first-job setup cost
     # (~2 s) otherwise lands on whichever query runs first.
     tables["lineitem"].groupBy("l_returnflag").count().count()
+    # Same for the Python DataSource machinery (one-time ~7 s planning
+    # worker spin-up that would otherwise land on the connector query).
+    from cyber_etl_spark.sources.pyds import register
+
+    register(spark)
+    spark.read.format("paged_api").option("pages", 1).option(
+        "page_size", 1
+    ).load().count()
 
     timings: dict[str, float] = {}
     for name, q in sorted(QUERIES.items()):

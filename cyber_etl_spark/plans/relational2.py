@@ -1088,3 +1088,74 @@ def q80_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q81_custom_source",
+    oracle="""
+    WITH api AS (
+      SELECT CAST(floor(item / 100) AS INT) AS page,
+             item AS item_id,
+             'user_' || substr(md5(CAST(item AS VARCHAR)), 1, 8) AS login,
+             CAST(('0x' || substr(md5(CAST(item AS VARCHAR)), 9, 4)) AS BIGINT)
+               AS contributions
+      FROM (SELECT unnest(range(0, 400)) AS item)
+    )
+    SELECT page, COUNT(*) AS n_items,
+           SUM(contributions) AS total_contributions,
+           min(login) AS first_login
+    FROM api GROUP BY page
+    """,
+    tags=("source", "connector", "datasource-api"),
+)
+def q81_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource API): the
+    paginated-API connector (sources/pyds.py — the Spark-native form of
+    the reference's hand-rolled GitHub pagination, gitlinks/gitapi.py:
+    25-186) read and aggregated per page.  The md5-derived payload is
+    deterministic, so the oracle regenerates the identical rows from a
+    range — proving the connector end-to-end, not just its plumbing."""
+    from ..sources.pyds import register
+
+    register(spark)
+    api = (
+        spark.read.format("paged_api")
+        .option("pages", 4)
+        .option("page_size", 100)
+        .load()
+    )
+    return api.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("contributions").alias("total_contributions"),
+        F.min("login").alias("first_login"),
+    )
+
+
+@query(
+    "q82_variant_json",
+    oracle="""
+    SELECT CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10) AS INT)
+             AS k_decile,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("semi-structured", "variant"),
+)
+def q82_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (parse_json →
+    variant_get) rather than per-row string JSON parsing (q13's
+    get_json_object): VARIANT parses once into a shredded binary format,
+    which is the 100 TB answer for JSON-heavy event streams."""
+    events = read_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.groupBy(
+            F.floor(k / 10).cast("int").alias("k_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(dsum_expr("value", "sum_value")),
+        )
+    )

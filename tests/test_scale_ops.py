@@ -123,3 +123,28 @@ def test_salted_join_left_semantics(spark, sf_smoke):
     )
     with pytest.raises(ValueError):
         salted_join(orders, few_customers, "c_custkey", 8, how="full")
+
+
+def test_paged_api_datasource(spark):
+    """Custom DataSource: one partition per page, deterministic payload."""
+    from cyber_etl_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("paged_api")
+        .option("pages", 3)
+        .option("page_size", 10)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # pages fetch in parallel
+    rows = {r.item_id: r for r in df.collect()}
+    assert len(rows) == 30
+    import hashlib
+
+    h = hashlib.md5(b"17").hexdigest()
+    assert rows[17].login == "user_" + h[:8]
+    assert rows[17].contributions == int(h[8:12], 16)
+    assert rows[17].page == 1
+    # re-read returns identical rows (restart/retry safety)
+    again = {r.item_id: r for r in df.collect()}
+    assert again == rows

@@ -1159,3 +1159,146 @@ def q82_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dsum_expr("value", "sum_value")),
         )
     )
+
+
+@query(
+    "q83_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM ch
+    """,
+    tags=("etl", "scd2", "window"),
+)
+def q83_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 capture: collapse each user's
+    event-type stream into validity intervals (valid_from/valid_to,
+    open = current).  The incremental-dimension idiom the reference's
+    rebuild-everything pipeline lacks (SURVEY §3.2)."""
+    from ..operators.etl import scd2_intervals
+
+    events = read_table(spark, sf_dir, "events")
+    return scd2_intervals(
+        events, key="user_id", attr="event_type", ts_col="ts", tiebreak="event_id"
+    )
+
+
+@query(
+    "q84_merge_upsert",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    upd AS (
+      SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW_' || c_name, c_acctbal
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, b.c_name) AS c_name,
+           COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+           CASE WHEN u.c_custkey IS NULL THEN 'unchanged'
+                WHEN b.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    """,
+    tags=("etl", "merge", "upsert"),
+)
+def q84_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins MERGE/upsert of an update batch into a snapshot
+    (operators/etl.merge_upsert — the relational core of MERGE INTO):
+    updates replace, new keys insert, the rest pass through, with a
+    per-row merge_action.  The update batch is derived deterministically
+    from the customer table so the oracle reproduces it."""
+    from ..operators.etl import merge_upsert
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .unionByName(
+            cust.where(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(F.lit("NEW_"), F.col("c_name")).alias("c_name"),
+                "c_acctbal",
+            )
+        )
+    )
+    return merge_upsert(cust, updates, key="c_custkey")
+
+
+@query(
+    "q85_dq_audit",
+    oracle="""
+    SELECT 'lineitem_nonpositive_qty' AS rule,
+           COUNT(*) FILTER (WHERE l_quantity <= 0) AS n_violations FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5) FROM lineitem
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customer_duplicate_key',
+           (SELECT COALESCE(SUM(n - 1), 0) FROM
+             (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey) t
+            WHERE n > 1)
+    """,
+    tags=("etl", "data-quality"),
+)
+def q85_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-driven data-quality audit (operators/etl.dq_audit): range
+    checks, referential orphans via anti-joins, duplicate-key counts —
+    one (rule, n_violations) row each.  The validation pass a
+    production ETL runs before publishing a snapshot."""
+    from ..operators.etl import dq_audit
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    rules = [
+        ("lineitem_nonpositive_qty", li.where(F.col("l_quantity") <= 0)),
+        (
+            "lineitem_discount_range",
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)),
+        ),
+        (
+            "orders_orphan_custkey",
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+        ),
+        (
+            "lineitem_orphan_orderkey",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+    ]
+    base = dq_audit(rules)
+    dup_row = (
+        cust.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("bigint").alias("n_violations"))
+        .select(F.lit("customer_duplicate_key").alias("rule"), "n_violations")
+    )
+    return base.unionByName(dup_row)

@@ -148,3 +148,38 @@ def test_paged_api_datasource(spark):
     # re-read returns identical rows (restart/retry safety)
     again = {r.item_id: r for r in df.collect()}
     assert again == rows
+
+
+def test_merge_upsert_semantics(spark):
+    """merge_upsert: update wins, insert appears, untouched passes through."""
+    from cyber_etl_spark.operators.etl import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k INT, name STRING, v DOUBLE"
+    )
+    upd = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], "k INT, name STRING, v DOUBLE"
+    )
+    out = {r.k: r for r in merge_upsert(base, upd, "k").collect()}
+    assert out[1].merge_action == "unchanged" and out[1].v == 10.0
+    assert out[2].merge_action == "updated" and out[2].name == "b2"
+    assert out[3].merge_action == "inserted" and out[3].v == 30.0
+
+
+def test_scd2_intervals_chain(spark):
+    """scd2_intervals: runs collapse, intervals chain, last is open."""
+    from cyber_etl_spark.operators.etl import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, "x", 1, 1), (1, "x", 2, 2), (1, "y", 3, 3), (1, "x", 4, 4)],
+        "k INT, a STRING, ts INT, eid INT",
+    )
+    rows = sorted(
+        scd2_intervals(df, "k", "a", "ts", "eid").collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [(r.a, r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        ("x", 1, 3, False),
+        ("y", 3, 4, False),
+        ("x", 4, None, True),
+    ]

@@ -1302,3 +1302,83 @@ def q85_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("customer_duplicate_key").alias("rule"), "n_violations")
     )
     return base.unionByName(dup_row)
+
+
+@query(
+    "q86_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price,
+             CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val
+    FROM wide UNPIVOT (val FOR metric IN (qty, price, tax))
+    """,
+    tags=("reshape", "unpivot"),
+)
+def q86_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of q41's pivot: a wide per-flag
+    aggregate turned into (flag, metric, value) long form, the reshape
+    every metrics store needs.  Map-side only (no shuffle beyond the
+    producing aggregate)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.expr(dsum_expr("l_quantity", "qty")),
+        F.expr(dsum_expr("l_extendedprice", "price")),
+        F.expr(dsum_expr("l_tax", "tax")),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "q87_fuzzy_probe",
+    oracle="""
+    WITH probes AS (
+      SELECT unnest(['small ring', 'red widgit', 'blue gadget']) AS probe
+    )
+    SELECT p.probe, t.p_partkey, t.p_name,
+           CAST(levenshtein(t.p_name, p.probe) AS INT) AS dist
+    FROM part t, probes p
+    WHERE levenshtein(t.p_name, p.probe) <= 3
+    """,
+    tags=("string", "fuzzy", "levenshtein"),
+)
+def q87_fuzzy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy probe matching: part names within edit distance 3 of a
+    probe list — the string-similarity surface behind the reference's
+    entity matching (M2/M4), with the probe side broadcast so the scan
+    side streams map-only.  At dictionary scale the same shape runs
+    against a q-gram-blocked candidate set instead of the full cross."""
+    part = read_table(spark, sf_dir, "part")
+    probes = spark.createDataFrame(
+        [("small ring",), ("red widgit",), ("blue gadget",)], ["probe"]
+    )
+    dist = F.levenshtein(F.col("p_name"), F.col("probe"))
+    return (
+        part.crossJoin(F.broadcast(probes))
+        .where(dist <= 3)
+        .select("probe", "p_partkey", "p_name", dist.cast("int").alias("dist"))
+    )
+
+
+@query("q88_sketch_stats", oracle=None, tags=("agg", "sketch", "approx"))
+def q88_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB substitutes for their exact
+    twins: approx_count_distinct (HLL++) per event type and
+    approx_percentile (KLL-style) of value.  Approximation is
+    engine-specific, so no SQL oracle; tests pin each estimate within
+    tolerance of the exact answer (tests/test_scale_ops.py)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )

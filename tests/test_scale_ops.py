@@ -183,3 +183,31 @@ def test_scd2_intervals_chain(spark):
         ("y", 3, 4, False),
         ("x", 4, None, True),
     ]
+
+
+def test_sketch_stats_tolerance(spark, sf_smoke):
+    """q88 sketches land within tolerance of their exact twins."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+
+    approx = {
+        r.event_type: r
+        for r in QUERIES["q88_sketch_stats"].builder(spark, sf_smoke).collect()
+    }
+    events = read_table(spark, sf_smoke, "events")
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        a = approx[et]
+        assert abs(a.approx_users - e.users) <= max(3, 0.05 * e.users)
+        spread = abs(e.median) + 1.0
+        assert abs(a.approx_median - e.median) <= 0.1 * spread

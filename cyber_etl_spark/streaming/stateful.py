@@ -86,3 +86,91 @@ def user_profiles_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import StringType
+
+TYPE_STATS_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def has_transform_with_state() -> bool:
+    """transformWithStateInPandas needs a working google.protobuf (its
+    driver worker speaks protobuf to the JVM); absent/broken installs
+    crash the streaming runner, so callers gate on this."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def type_stats_stream(events: DataFrame) -> DataFrame:
+    """Running per-event-type stats via ``transformWithStateInPandas`` —
+    the Spark 4 successor to applyInPandasWithState: typed state handles
+    (ValueState here; List/MapState for richer shapes), timers, and
+    state-store-backed durability per key.  Emits the updated running
+    (count, sum, max) for each type on every micro-batch.
+
+    Reference analogue: none — the reference is batch-only (SURVEY
+    §2.10), this is part of the streaming surface a Spark engine owes.
+    Requires a working protobuf runtime (see has_transform_with_state);
+    environments without it use user_profiles_stream's
+    applyInPandasWithState path instead.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    class TypeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = 0, 0.0, float("-inf")
+            if self._agg.exists():
+                n, total, mx = self._agg.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._agg.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            TypeStats(),
+            outputStructType=TYPE_STATS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

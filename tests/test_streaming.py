@@ -132,3 +132,46 @@ def test_foreach_batch_parquet_sink(spark, sf_smoke, events_dir, tmp_path):
     stream2 = stream_dedupe(read_event_stream(spark, events_dir))
     run_stream_to_parquet(stream2, out, ckpt)
     assert spark.read.parquet(out).count() == first
+
+
+def test_transform_with_state_type_stats(spark, sf_smoke, events_dir):
+    """transformWithStateInPandas: final per-type stats equal the batch
+    aggregate (skipped where the protobuf runtime is unavailable)."""
+    import pytest
+
+    from cyber_etl_spark.streaming.stateful import (
+        has_transform_with_state,
+        type_stats_stream,
+    )
+
+    if not has_transform_with_state():
+        pytest.skip("google.protobuf unavailable: transformWithState needs it")
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+
+    stream = read_event_stream(spark, events_dir)
+    run_stream_to_memory(type_stats_stream(stream), "type_stats_mem", mode="update")
+    got = spark.sql(
+        """
+        SELECT event_type, n_events, total_value, max_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n_events DESC) rn
+          FROM type_stats_mem) WHERE rn = 1
+        """
+    ).toPandas().set_index("event_type").sort_index()
+    events = read_table(spark, sf_smoke, "events")
+    want = (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert (got["n_events"] == want["n_events"]).all()
+    assert (abs(got["total_value"] - want["total_value"]) < 1e-6).all()

@@ -896,3 +896,90 @@ def q78_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc.select(
         "token", "freq", F.row_number().over(w).cast("bigint").alias("token_id")
     )
+
+
+@query(
+    "q91_decontamination",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 3),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4])) AS gram
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+    train AS (SELECT doc_id, gram FROM g WHERE doc_id >= 20)
+    SELECT doc_id,
+           COUNT(DISTINCT gram) AS n_contaminated_grams
+    FROM train JOIN bench USING (gram)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "decontamination"),
+)
+def q91_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 5-gram with
+    the benchmark set (doc_id < 20 stands in for an eval suite), with
+    the count of distinct leaked grams — the train/test-overlap scrub
+    every LLM data pipeline runs.  The benchmark gram set is tiny
+    relative to the corpus → broadcast semi-style join; the corpus side
+    streams through one explode+join, no pairwise comparison."""
+    from ..functions.text import shingles, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 5)).alias("gram")
+    )
+    bench = grams.where(F.col("doc_id") < 20).select("gram").distinct()
+    train = grams.where(F.col("doc_id") >= 20)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+    )
+
+
+@query(
+    "q92_repetition_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM t
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(DISTINCT gram) AS n_distinct,
+           round(1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6)
+             AS repetition_ratio
+    FROM g GROUP BY doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def q92_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: 1 − distinct/total 3-grams — the
+    boilerplate/loop detector of a corpus quality pass (high ratio =
+    TEMPLATED/degenerate text).  One explode + one two-level aggregate;
+    the count-distinct is per-doc so it partial-aggregates cleanly."""
+    from ..functions.text import shingles, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 3)).alias("gram")
+    )
+    return g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("gram").cast("double") / F.count(F.lit(1)), 6
+        ).alias("repetition_ratio"),
+    )

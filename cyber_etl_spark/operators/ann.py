@@ -36,26 +36,76 @@ def brute_force_knn(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine) — self-matches
     excluded.  ``round_digits`` quantizes the ranking score so results are
-    reproducible across engines' last-ulp float differences."""
+    reproducible across engines' last-ulp float differences.
+
+    Distributed as per-partition top-k merge: the corpus folds into
+    hash-assigned blocks, each block scores against the (broadcast) query
+    matrix with one BLAS GEMM and emits only its local top-k per query
+    (with a round-margin so global ties survive), and a final window
+    rank merges k·blocks candidate rows — the classic scalable
+    brute-force kNN plan: no per-pair Arrow traffic, no global re-score.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rd = 6 if round_digits is None else round_digits
+    id_type = corpus.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
     )
+    qb = q.groupBy().agg(F.collect_list(F.struct("query_id", "qv")).alias("qitems"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), to_double_array(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
     )
-    cos = cosine_similarity(F.col("qv"), F.col("cv"))
-    if round_digits is not None:
-        cos = F.round(cos, round_digits)
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
+    n_blocks = 16
+    chunks = c.groupBy(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("blk")
+    ).agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    joined = chunks.crossJoin(F.broadcast(qb)).select("items", "qitems")
+    margin = 10.0 ** (-rd)
+
+    def score(batches):
+        for pdf in batches:
+            for items, qitems in zip(pdf["items"], pdf["qitems"]):
+                ids = np.asarray([r["id"] for r in items])
+                x = np.stack([np.asarray(r["v"]) for r in items])
+                qids = np.asarray([r["query_id"] for r in qitems])
+                qm = np.stack([np.asarray(r["qv"]) for r in qitems])
+                s = (x @ qm.T) / np.outer(
+                    np.linalg.norm(x, axis=1), np.linalg.norm(qm, axis=1)
+                )
+                s = np.where(ids[:, None] != qids[None, :], s, -np.inf)
+                kk = min(k, s.shape[0])
+                thr = np.partition(s, -kk, axis=0)[-kk, :]
+                # keep every row that could still tie globally after
+                # rounding; -inf (self) rows never pass the finite check
+                mask = (s >= thr[None, :] - margin) & np.isfinite(s)
+                ia, iq = np.nonzero(mask)
+                if len(ia):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qids[iq],
+                            "neighbor_id": ids[ia],
+                            "cosine": s[ia, iq],
+                        }
+                    )
+
+    scored = joined.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.select(
+            "query_id", "neighbor_id", F.round("cosine", rd).alias("cosine")
+        )
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )

@@ -132,41 +132,50 @@ def lsh_bucket_candidates(
     shuffle volume is O(n·bands) instead of O(n·|Q|)."""
     assert n_planes % bands == 0
     bits_per_band = n_planes // bands
-    planes = _plane_literals(dim, n_planes, seed)
+    planes_np = np.asarray(_plane_literals(dim, n_planes, seed))
 
-    def bucket_cols(df: DataFrame, name: str):
-        v = to_double_array(F.col(vec_col))
-        out = df.select(F.col(id_col).alias(name), v.alias("v"))
-        band_exprs = []
-        for b in range(bands):
-            bits = []
-            for i in range(bits_per_band):
-                p = planes[b * bits_per_band + i]
-                plane = F.array(*[F.lit(float(x)) for x in p])
-                bits.append(
-                    F.when(dot(F.col("v"), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-                    * (2**i)
-                )
-            band_exprs.append(sum(bits[1:], bits[0]).alias(f"band_{b}"))
-        return out.select(name, *band_exprs)
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    cb = bucket_cols(corpus, "neighbor_id")
-    qb = bucket_cols(queries, "query_id")
-    # stack bands to rows → equi-join on (band index, bucket value)
-    def stack(df: DataFrame, name: str):
-        pairs = F.array(
-            *[
-                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("val"))
-                for b in range(bands)
+    id_type = corpus.schema[id_col].dataType
+    weights = 2 ** np.arange(bits_per_band)
+
+    def band_rows(df: DataFrame, name: str) -> DataFrame:
+        """(id, band, val) sign-bit band signatures — ALL plane dot
+        products in one GEMM per Arrow batch instead of n_planes
+        interpreted fold expressions (and n_planes·dim plan literals)."""
+        out_schema = StructType(
+            [
+                StructField(name, id_type),
+                StructField("band", IntegerType()),
+                StructField("val", LongType()),
             ]
         )
-        return df.select(name, F.explode(pairs).alias("e")).select(
-            name, F.col("e.band").alias("band"), F.col("e.val").alias("val")
+        src = df.select(
+            F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
         )
 
+        def sig(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack([np.asarray(x) for x in pdf["v"]])
+                bits = (mat @ planes_np.T) >= 0
+                for b in range(bands):
+                    vals = (
+                        bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+                        .astype(np.int64)
+                        @ weights
+                    )
+                    yield pd.DataFrame(
+                        {name: pdf["id"], "band": b, "val": vals}
+                    )
+
+        return src.mapInPandas(sig, schema=out_schema)
+
     return (
-        stack(cb, "neighbor_id")
-        .join(stack(qb, "query_id"), ["band", "val"])
+        band_rows(corpus, "neighbor_id")
+        .join(band_rows(queries, "query_id"), ["band", "val"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()

@@ -1382,3 +1382,83 @@ def q88_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q93_banded_range_join",
+    oracle="""
+    WITH bands AS (
+      SELECT unnest(range(0, 10)) AS band_id
+    ),
+    b AS (
+      SELECT band_id, band_id * 10.0 AS lo, band_id * 10.0 + 10.0 AS hi
+      FROM bands
+    )
+    SELECT b.band_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id
+    """,
+    tags=("join", "range", "theta"),
+)
+def q93_banded_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric range (theta) join against a band dimension, rewritten as
+    an equi-join: uniform band width means the band key is computable
+    per event (floor(value/width)), so what would be a
+    broadcast-nested-loop theta join becomes a hash join — the standard
+    banding rewrite for range predicates at scale.  The oracle keeps the
+    BETWEEN form to prove the rewrite is semantics-preserving."""
+    events = read_table(spark, sf_dir, "events")
+    bands = spark.range(0, 10).select(
+        F.col("id").cast("bigint").alias("band_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 10.0).alias("hi"),
+    )
+    keyed = events.withColumn(
+        "band_id", F.floor(F.col("value") / 10.0).cast("bigint")
+    )
+    return (
+        keyed.join(F.broadcast(bands), "band_id")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum_expr("value", "sum_value")),
+        )
+    )
+
+
+@query(
+    "q94_rank_with_ties",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(rank() OVER (PARTITION BY o_orderpriority
+                               ORDER BY floor(o_totalprice / 10000) DESC) AS BIGINT)
+               AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+    tags=("window", "rank", "ties"),
+)
+def q94_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() with real ties (price bucketed to force them): every row in
+    a tied bucket keeps the same rank and ALL tied rows survive the
+    top-3 cut — the keep-ties semantics row_number-based top-k (q09)
+    deliberately avoids.  Result is deterministic because the tie GROUP
+    membership is, even though no within-tie order exists."""
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.floor(F.col("o_totalprice") / 10000).desc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )

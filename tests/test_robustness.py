@@ -1,0 +1,65 @@
+"""Empty-input robustness: operators must degrade to empty results, not
+crash — at 100 TB an empty partition, an empty update batch, or a
+filter that matches nothing is an everyday event, and a plan that
+NPEs/div-zeros on it takes the whole job down."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id BIGINT, text STRING")
+
+
+def test_dedup_family_on_empty_corpus(spark):
+    from cyber_etl_spark.operators.dedup import (
+        exact_duplicate_mapping,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_neardup_pairs,
+    )
+
+    docs = _empty_docs(spark)
+    assert exact_duplicate_mapping(docs).count() == 0
+    assert jaccard_pairs(docs).count() == 0
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert simhash_neardup_pairs(docs).count() == 0
+
+
+def test_ann_on_empty_corpus(spark):
+    from cyber_etl_spark.operators.ann import (
+        brute_force_knn,
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    assert brute_force_knn(emb, emb).count() == 0
+    assert cosine_neardup_pairs(emb).count() == 0
+
+
+def test_graph_algorithms_on_empty_edges(spark):
+    from cyber_etl_spark.graph.algorithms import (
+        bfs_distances,
+        connected_components,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    assert connected_components(edges).count() == 0
+    assert label_propagation(edges).count() == 0
+    sources = spark.createDataFrame([], "id BIGINT")
+    assert bfs_distances(edges, sources).count() == 0
+
+
+def test_etl_ops_with_empty_sides(spark):
+    from cyber_etl_spark.operators.etl import merge_upsert, scd2_intervals
+
+    base = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    empty = spark.createDataFrame([], "k INT, v STRING")
+    out = merge_upsert(base, empty, "k").collect()
+    assert len(out) == 1 and out[0].merge_action == "unchanged"
+    ins = merge_upsert(empty, base, "k").collect()
+    assert len(ins) == 1 and ins[0].merge_action == "inserted"
+    stream = spark.createDataFrame([], "k INT, a STRING, ts INT, eid INT")
+    assert scd2_intervals(stream, "k", "a", "ts", "eid").count() == 0

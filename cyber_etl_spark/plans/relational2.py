@@ -1462,3 +1462,123 @@ def q94_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "q95_state_durations",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    iv AS (
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+      FROM ch
+    )
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(date_diff('microsecond', valid_from, valid_to)) AS BIGINT)
+             AS total_us
+    FROM iv WHERE valid_to IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("etl", "scd2", "duration"),
+)
+def q95_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state rollup over the SCD2 intervals (q83's operator
+    composed with a duration aggregate): total microseconds each
+    event-type state was active across closed intervals — integer
+    microsecond arithmetic, so the sums are exact."""
+    from ..operators.etl import scd2_intervals
+
+    events = read_table(spark, sf_dir, "events")
+    iv = scd2_intervals(
+        events, key="user_id", attr="event_type", ts_col="ts", tiebreak="event_id"
+    )
+    return (
+        iv.where(F.col("valid_to").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(
+                F.unix_micros(F.col("valid_to")) - F.unix_micros(F.col("valid_from"))
+            ).alias("total_us"),
+        )
+    )
+
+
+@query(
+    "q96_conditional_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS BIGINT)
+             AS recent_errors
+    FROM events
+    """,
+    tags=("window", "frame", "conditional"),
+)
+def q96_conditional_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregate over a trailing row frame: errors among the
+    user's previous 10 events (excluding the current row) — the
+    feature-engineering shape behind "recent failure count" signals.
+    NULL for each user's first row (empty frame), matching SQL frame
+    semantics in both engines."""
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    flag = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(flag).over(w).cast("bigint").alias("recent_errors"),
+    )
+
+
+@query(
+    "q97_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT order_year, o_orderpriority, revenue,
+           round(revenue / SUM(revenue) OVER (PARTITION BY order_year), 6)
+             AS year_share
+    FROM rev
+    """,
+    tags=("window", "ratio"),
+)
+def q97_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each priority's share of its year's revenue — an
+    aggregate re-windowed over its own output (5 rows per partition, so
+    the unbounded frame is over the post-agg table, not the fact
+    table)."""
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year"), "o_orderpriority"
+    ).agg(F.expr(dsum_expr("o_totalprice", "revenue")))
+    w = Window.partitionBy("order_year")
+    return rev.select(
+        "order_year",
+        "o_orderpriority",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("year_share"),
+    )

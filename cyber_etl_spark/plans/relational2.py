@@ -1582,3 +1582,107 @@ def q97_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("year_share"),
     )
+
+
+@query(
+    "q98_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage_signup,
+           CAST(SUM(CASE WHEN first_view > first_signup THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage_view_after_signup,
+           CAST(SUM(CASE WHEN first_purchase > first_view
+                          AND first_view > first_signup THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage_full_funnel
+    FROM firsts
+    """,
+    tags=("analytics", "funnel"),
+)
+def q98_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → view → purchase): per-user
+    first-occurrence timestamps via conditional MIN in ONE aggregation
+    pass over the fact table, then stage predicates — the single-shuffle
+    funnel plan (no per-stage self-joins)."""
+    events = read_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = events.groupBy("user_id").agg(
+        first_ts("signup").alias("first_signup"),
+        first_ts("view").alias("first_view"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("stage_signup"),
+        F.sum(
+            F.when(F.col("first_view") > F.col("first_signup"), 1).otherwise(0)
+        ).cast("bigint").alias("stage_view_after_signup"),
+        F.sum(
+            F.when(
+                (F.col("first_purchase") > F.col("first_view"))
+                & (F.col("first_view") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("stage_full_funnel"),
+    )
+
+
+@query(
+    "q99_retention",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT a.wk AS week_start,
+           COUNT(DISTINCT a.user_id) AS active_users,
+           COUNT(DISTINCT b.user_id) AS retained_next_week,
+           round(CAST(COUNT(DISTINCT b.user_id) AS DOUBLE)
+                 / COUNT(DISTINCT a.user_id), 6) AS retention_rate
+    FROM weekly a
+    LEFT JOIN weekly b
+      ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+    GROUP BY a.wk
+    """,
+    tags=("analytics", "retention", "cohort"),
+)
+def q99_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: users active in week W who return in
+    W+1, as a self-join of the deduplicated (user, week) activity table
+    — the cohort-retention shape.  The distinct activity table is tiny
+    relative to the fact table, so the self-join is cheap and the fact
+    table is scanned once."""
+    events = read_table(spark, sf_dir, "events")
+    weekly = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    a, b = weekly.alias("a"), weekly.alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.wk") == F.col("a.wk") + F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("a.wk").alias("week_start"))
+        .agg(
+            F.countDistinct(F.col("a.user_id")).alias("active_users"),
+            F.countDistinct(F.col("b.user_id")).alias("retained_next_week"),
+            F.round(
+                F.countDistinct(F.col("b.user_id")).cast("double")
+                / F.countDistinct(F.col("a.user_id")),
+                6,
+            ).alias("retention_rate"),
+        )
+    )

@@ -43,6 +43,25 @@ def _derived(edges: DataFrame, tag: tuple, build) -> DataFrame:
     return slot[tag]
 
 
+def _compact(df: DataFrame, rows_hint: int, rows_per_part: int = 200_000) -> DataFrame:
+    """Right-size partitions before materializing loop state.
+
+    Superstep cost on small-to-medium graphs is dominated by task launch,
+    not data: a 1M-row edge table inherited across 10 supersteps at the
+    global shuffle-partition count (e.g. 32) schedules 320 near-empty
+    tasks.  Coalesce (narrow, no shuffle) down to ~rows_per_part rows per
+    partition with a floor of 8; on a big cluster with billions of rows
+    the target exceeds the current count and this is a no-op, so
+    parallelism at scale is untouched.
+    """
+    target = max(8, rows_hint // rows_per_part)
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.coalesce(target) if target < cur else df
+
+
 def _sym(edges: DataFrame) -> DataFrame:
     """Symmetrize (undirected semantics) and MATERIALIZE the edge list.
 
@@ -58,11 +77,20 @@ def _sym(edges: DataFrame) -> DataFrame:
         # (`_cyber_symmetric`): the union+distinct would be an identity
         # there, so skip the extra 2|E|-row shuffle entirely.
         if getattr(edges, "_cyber_symmetric", False):
-            return edges.select("src", "dst")
-        sym = edges.select("src", "dst").union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-        return sym.localCheckpoint(eager=True)
+            base = edges.select("src", "dst")
+        else:
+            base = (
+                edges.select("src", "dst")
+                .union(
+                    edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        # coalesce is narrow — re-reading the checkpoint merged into
+        # right-sized partitions costs nothing and every superstep that
+        # scans the edges schedules proportionally fewer tasks
+        return _compact(base, base.count())
 
     return _derived(edges, ("sym",), build)
 
@@ -161,9 +189,15 @@ def pagerank(
         ("deg", weight_col),
         lambda: e.groupBy(F.col("src").alias("id"))
         .agg(F.sum("w").alias("deg"))
-        .localCheckpoint(eager=True),  # reused by every superstep
+        .localCheckpoint(eager=True),
     )
     n = deg.count()
+    deg = _derived(
+        edges,
+        ("deg-compact", weight_col),
+        lambda: _compact(deg, n).localCheckpoint(eager=True),  # reused every superstep
+    )
+    m = _derived(edges, ("ecount", weight_col), lambda: e.count())
     if variant == "articlerank":
         avg_deg = deg.agg(F.avg("deg")).collect()[0][0]
         denom = F.col("deg") + F.lit(float(avg_deg))
@@ -177,9 +211,12 @@ def pagerank(
     eshare = _derived(
         edges,
         ("eshare", weight_col, variant),
-        lambda: e.join(deg, e.src == deg.id)
-        .select("src", "dst", (F.col("w") / denom).alias("share"))
-        .localCheckpoint(eager=True),
+        lambda: _compact(
+            e.join(deg, e.src == deg.id).select(
+                "src", "dst", (F.col("w") / denom).alias("share")
+            ),
+            m,
+        ).localCheckpoint(eager=True),
     )
     ranks = deg.select("id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
@@ -207,7 +244,7 @@ def pagerank(
         # supersteps plan fine and run as ONE job; unbounded chains blow
         # up planning time on big graphs.
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _compact(ranks, n).localCheckpoint(eager=True)
     return ranks
 
 
@@ -305,10 +342,15 @@ def louvain_level(
         .localCheckpoint(eager=True)
     )
     m = e.count() / 2.0
-    labels = (init or deg.select("id", F.col("id").alias("community"))).localCheckpoint(
-        eager=True
+    n = deg.count()
+    deg = _compact(deg, n)
+    labels = _compact(
+        (init or deg.select("id", F.col("id").alias("community"))).localCheckpoint(
+            eager=True
+        ),
+        n,
     )
-    bcast = deg.count() <= 10_000_000
+    bcast = n <= 10_000_000
     for _ in range(rounds):
         lab_dst = labels.select(
             F.col("id").alias("dst"), F.col("community").alias("n_comm")
@@ -352,7 +394,7 @@ def louvain_level(
                 F.when(F.col("n_comm") == F.col("cur"), F.col("gain"))
             ).alias("cur_gain"),
         )
-        new_labels = (
+        new_labels = _compact(
             labels.join(best, "id", "left")
             .select(
                 "id",
@@ -364,7 +406,8 @@ def louvain_level(
                 .otherwise(F.col("community"))
                 .alias("community"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True),
+            n,
         )
         labels = new_labels
     return labels

@@ -200,51 +200,60 @@ def simhash_fingerprints(
     (±1) per bit position, bit = sign of the weighted sum.  All arithmetic
     is md5-derived so the DuckDB oracle reproduces it exactly.
 
-    Plan shape: docs → explode tokens → count per (doc, token) →
-    join tiny distinct-token bit table → groupBy (doc, bit) → groupBy doc.
-    The distinct-token table is orders of magnitude smaller than the corpus
-    (Zipf), so the join broadcasts at realistic scale.
+    Plan shape: one ``mapInPandas`` pass — fingerprints are per-document
+    (embarrassingly parallel), so each Arrow batch tokenizes, md5-derives
+    the per-token ±1 bit vectors (memoized across the batch — Zipf means
+    few distinct tokens), and folds the weighted sign sum in integer
+    numpy.  This replaces the relational formulation (explode → count →
+    join bit table → two groupBys) whose intermediate is |doc-tokens|×60
+    rows — a 60× row blowup a map-side kernel never materializes.  The
+    integer md5 arithmetic is bit-identical to the DuckDB oracle's.
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", docs.schema[id_col].dataType),
+            StructField("simhash", LongType()),
+        ]
     )
-    tok_counts = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = tok_counts.select("token").distinct()
-    bit_positions = F.array(*[F.lit(j) for j in range(_SIMHASH_BITS)])
-    # bit j of md5(token): hex digit (j div 4), bit (j mod 4) inside it
-    token_bits = vocab.select(
-        "token",
-        F.explode(bit_positions).alias("j"),
-    ).select(
-        "token",
-        "j",
-        (
-            F.floor(
-                (
-                    F.instr(
-                        F.lit("0123456789abcdef"),
-                        F.substring(
-                            F.md5(F.col("token")), (F.col("j") / 4).cast("int") + 1, 1
-                        ),
-                    )
-                    - 1
+    nbits = _SIMHASH_BITS
+    src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    def fingerprint(batches):
+        bitcache: dict[str, np.ndarray] = {}
+
+        def token_signs(tok: str) -> np.ndarray:
+            v = bitcache.get(tok)
+            if v is None:
+                h = hashlib.md5(tok.encode()).hexdigest()
+                bits = np.array(
+                    [(int(h[j // 4], 16) >> (j % 4)) & 1 for j in range(nbits)],
+                    dtype=np.int64,
                 )
-                / F.pow(F.lit(2.0), (F.col("j") % 4).cast("double"))
-            ).cast("bigint")
-            % 2
-        ).alias("bit"),
-    )
-    contrib = tok_counts.join(F.broadcast(token_bits), "token").select(
-        "id", "j", (F.col("cnt") * (2 * F.col("bit") - 1)).alias("w")
-    )
-    bit_signs = contrib.groupBy("id", "j").agg(
-        F.when(F.sum("w") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("s")
-    )
-    return bit_signs.groupBy("id").agg(
-        F.sum(F.col("s") * F.pow(F.lit(2.0), F.col("j").cast("double")).cast("bigint"))
-        .cast("bigint")
-        .alias("simhash")
-    )
+                v = bitcache[tok] = 2 * bits - 1
+            return v
+
+        weights = (1 << np.arange(nbits, dtype=np.int64))
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["id"], pdf["text"]):
+                acc = np.zeros(nbits, dtype=np.int64)
+                counts: dict[str, int] = {}
+                for tok in text.split(" "):
+                    if tok:
+                        counts[tok] = counts.get(tok, 0) + 1
+                for tok, cnt in counts.items():
+                    acc += cnt * token_signs(tok)
+                ids.append(doc_id)
+                fps.append(int(weights[acc >= 0].sum()))
+            yield pd.DataFrame({"id": ids, "simhash": fps})
+
+    return src.mapInPandas(fingerprint, schema=out_schema)
 
 
 def simhash_neardup_pairs(

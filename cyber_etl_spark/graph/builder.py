@@ -60,6 +60,15 @@ def co_supply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = li.groupBy(F.col("l_partkey").alias("p")).agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("ss")
     )
+    # fewer, larger expansion tasks make the partial aggregation over the
+    # pair keys far more effective (each task covers more of the key
+    # space before the shuffle).  The coalesce is lazy — same single job
+    # — and sized off the fact-table row count (a metadata-cheap count),
+    # so at real scale the target exceeds the current partitions and
+    # nothing changes.
+    from .algorithms import _compact
+
+    sup = _compact(sup, li.count(), rows_per_part=5_000_000)
     upper = (
         sup.select(F.posexplode("ss").alias("i", "src"), "ss")
         .select(

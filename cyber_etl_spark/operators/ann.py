@@ -280,13 +280,20 @@ def ivf_assign(
     At scale the centroid table is tiny → broadcast; assignment is one
     pass over the corpus; the assignment column becomes a partition key so
     each IVF cell is co-located for probing.
+
+    The seed pick is ``orderBy(id).limit(n_cells)`` — compiles to
+    TakeOrderedAndProject (per-partition top-N + driver merge of N rows),
+    NOT an unpartitioned row_number window that would drag the whole
+    corpus through one task.  Cell ids are the seed vector ids themselves:
+    the id→cell mapping is monotone, so all (sim desc, cell asc)
+    tie-breaks order identically to a 1..n numbering.
     """
-    w_seed = Window.orderBy(F.col("id"))
     cents = (
-        corpus.select(F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("cv"))
-        .withColumn("rn", F.row_number().over(w_seed))
-        .where(F.col("rn") <= n_cells)
-        .select(F.col("rn").alias("cell"), "cv")
+        corpus.select(
+            F.col(id_col).alias("cell"), to_double_array(F.col(vec_col)).alias("cv")
+        )
+        .orderBy("cell")
+        .limit(n_cells)
     )
     vecs = corpus.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")

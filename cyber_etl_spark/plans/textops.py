@@ -341,14 +341,66 @@ def q24_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_knn(emb, queries, k=10)
 
 
-@query("q25_knn_lsh", oracle=None, tags=("ann", "lsh"))
+def _lsh_oracle(dim: int = 64, n_planes: int = 8, bands: int = 4, seed: int = 42) -> str:
+    """Replay the random-hyperplane LSH scheme in DuckDB: the plane
+    vectors are fixed literals (operators/ann._plane_literals, rounded to
+    6 dp, so repr() round-trips to bit-identical doubles in both engines),
+    the sign-bit band join and the exact re-rank are plain SQL."""
+    from ..operators.ann import _plane_literals
+
+    planes = _plane_literals(dim, n_planes, seed)
+    bpb = n_planes // bands
+
+    def arr(p: list) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    bit_exprs = ",\n             ".join(
+        f"CASE WHEN list_dot_product(v, {arr(p)}) >= 0 THEN 1 ELSE 0 END AS b{j}"
+        for j, p in enumerate(planes)
+    )
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + " + ".join(f"{2 ** k} * b{b * bpb + k}" for k in range(bpb))
+        + " AS val FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+      SELECT id, {bit_exprs}
+      FROM c
+    ),
+    bands AS (
+      {band_union}
+    ),
+    cand AS (
+      SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
+      FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.val = cb.val
+      WHERE qb.id < 20 AND qb.id <> cb.id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(q.v, n.v), 6) AS cosine
+      FROM cand JOIN c q ON q.id = cand.query_id
+      JOIN c n ON n.id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """
+
+
+@query("q25_knn_lsh", oracle=_lsh_oracle(), tags=("ann", "lsh"))
 def q25_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH buckets + exact re-rank of candidates
     only — cosine is computed solely for bucket-sharing pairs, so the
     scoring cost scales with candidate count, not corpus × queries.
 
-    Non-SQL-expressible (literal plane constants); correctness is checked
-    in tests/test_ann.py by recall against q24's exact result."""
+    Oracle: the plane constants are deterministic literals, so DuckDB
+    replays the identical sign-bit banding, candidate join, and re-rank —
+    both engines agree exactly, including which pairs LSH recall misses."""
     from pyspark.sql.window import Window
 
     from ..functions.vectors import cosine_similarity, to_double_array
@@ -400,11 +452,54 @@ def q39_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, threshold=0.4)
 
 
-@query("q40_knn_ivf", oracle=None, tags=("ann", "ivf"))
+@query(
+    "q40_knn_ivf",
+    oracle="""
+    WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT 16),
+    assign AS (
+      SELECT id, cell FROM (
+        SELECT c.id, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.id
+                 ORDER BY round(list_cosine_similarity(c.v, cents.cv), 6) DESC,
+                          cents.cell ASC) AS rn
+        FROM c CROSS JOIN cents
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 20),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, cents.cv), 6) DESC,
+                          cents.cell ASC) AS rn
+        FROM q CROSS JOIN cents
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, c.v), 6) AS cosine
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN q ON q.query_id = p.query_id
+      JOIN c ON c.id = a.id
+      WHERE a.id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    tags=("ann", "ivf"),
+)
 def q40_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (16 cells, nprobe=4) for 20 query vectors.
-    Non-SQL-expressible (iterative assignment); recall vs the exact
-    result is pinned in tests/test_ann.py."""
+
+    Deterministic end-to-end: seeds are the first 16 vectors by id
+    (TakeOrderedAndProject, not a global window), assignment and probe
+    ranking tie-break on (sim desc, cell asc), so the DuckDB oracle
+    replays the identical cell structure and re-rank."""
     from ..operators.ann import ivf_knn
 
     emb = read_table(spark, sf_dir, "embeddings")

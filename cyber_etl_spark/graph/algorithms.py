@@ -35,6 +35,14 @@ from pyspark.sql.window import Window
 # dies with it, so an unrelated frame can never alias a stale result.
 _DERIVED: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictionary()
 
+# Forced-broadcast ceiling for per-superstep state vectors (ranks/labels).
+# 1 M rows ≈ 16-24 MB serialized — comfortably under executor overhead
+# budgets.  Beyond this the loop falls back to a shuffle join and AQE's
+# dynamic broadcast conversion takes over if the vector is actually small;
+# a 10 M-row forced broadcast (hundreds of MB, re-shipped every superstep)
+# OOMs real executors long before the driver notices.
+_BCAST_MAX_ROWS = 1_000_000
+
 
 def _derived(edges: DataFrame, tag: tuple, build) -> DataFrame:
     slot = _DERIVED.setdefault(edges, {})
@@ -222,7 +230,7 @@ def pagerank(
     base = (1.0 - damping) / n
     # rank vector is |V| rows — broadcast it while it fits comfortably;
     # past that AQE picks a shuffle join and the loop still works.
-    bcast = n <= 10_000_000
+    bcast = n <= _BCAST_MAX_ROWS
     for i in range(iterations):
         r = F.broadcast(ranks) if bcast else ranks
         contribs = (
@@ -263,7 +271,7 @@ def label_propagation(
     labels = e.select(F.col("src").alias("id")).distinct().withColumn(
         "community", F.col("id")
     )
-    bcast = labels.count() <= 10_000_000  # label vector small → map-side join
+    bcast = labels.count() <= _BCAST_MAX_ROWS  # label vector small → map-side join
     for i in range(iterations):
         # single aggregation replaces count+window-rank: max_by over the
         # (cnt, -community) struct implements "most frequent label, ties
@@ -350,7 +358,7 @@ def louvain_level(
         ),
         n,
     )
-    bcast = n <= 10_000_000
+    bcast = n <= _BCAST_MAX_ROWS
     for _ in range(rounds):
         lab_dst = labels.select(
             F.col("id").alias("dst"), F.col("community").alias("n_comm")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import session_token
 from ..sources import read_table
 
 _EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -27,7 +28,7 @@ def co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ``l_partkey`` which is high-cardinality and evenly distributed, so
     this scales linearly; hot parts (skewed keys) are split by AQE.
     """
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key in _EDGE_CACHE:
         return _EDGE_CACHE[key]
     # projection of the weighted build: one expensive self-join serves the
@@ -46,7 +47,7 @@ def co_supply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell 49 computes per-edge weights for the GDS projection).
     Symmetric by construction (both directions emitted with equal
     weight)."""
-    key = (id(spark), sf_dir, "weighted")
+    key = (session_token(spark), sf_dir, "weighted")
     if key in _EDGE_CACHE:
         return _EDGE_CACHE[key]
     # One shuffle groups suppliers per part (collect_set dedupes), then the

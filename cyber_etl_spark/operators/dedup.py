@@ -63,19 +63,31 @@ def exact_duplicate_mapping(
     )
 
 
-def _pair_jaccard(sh: DataFrame, pairs_hint: DataFrame | None = None) -> DataFrame:
+def _pair_jaccard(
+    sh: DataFrame,
+    pairs_hint: DataFrame | None = None,
+    encode_key: bool = True,
+) -> DataFrame:
     """Common-shingle counts → Jaccard for (id_a < id_b) pairs.
 
     ``pairs_hint`` (optional candidate set) restricts the inverted-index
     join output before aggregation — used by the LSH path.
+
+    ``encode_key`` (default on) dictionary-encodes the join key:
+    hashing/shuffling 8-byte fingerprints instead of ~20-byte shingle
+    strings halves the inverted-index join cost.  xxhash64 is
+    internal-only (the oracle never sees it; md5 is reserved for
+    oracle-visible hashes).  SCALE BOUND: a cross-doc code collision
+    silently inflates ``n_common`` — collision odds are |S|²/2⁶⁵ for |S|
+    distinct shingles (≈2e-9 here, ~0.03 at 2³² ≈ 4·10⁹ shingles), so at
+    100 TB-corpus shingle cardinalities pass ``encode_key=False`` to join
+    on the exact strings (same plan shape, wider shuffle rows).
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # dictionary-encode the join key: hashing/shuffling 8-byte fingerprints
-    # instead of ~20-byte shingle strings halves the inverted-index join
-    # cost.  xxhash64 is internal-only (the oracle never sees it; md5 is
-    # reserved for oracle-visible hashes) and a collision would need
-    # ~2^32 distinct shingles to become likely (|S|²/2⁶⁵ ≈ 2e-9 here).
-    enc = sh.select("id", F.xxhash64("shingle").alias("code"))
+    if encode_key:
+        enc = sh.select("id", F.xxhash64("shingle").alias("code"))
+    else:
+        enc = sh.select("id", F.col("shingle").alias("code"))
     a = enc.alias("a")
     b = enc.alias("b")
     common = (
@@ -107,6 +119,8 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     shingles_df: DataFrame | None = None,
+    encode_key: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via inverted-index join.
 
@@ -114,10 +128,28 @@ def jaccard_pairs(
     514-520): only docs *sharing at least one shingle* ever meet, which is
     the distributed equivalent of its size-filter pruning but sound.
     ``shingles_df`` lets callers share one materialized shingle table
-    across several dedup operators.
+    across several dedup operators.  ``encode_key=False`` disables the
+    xxhash64 join-key encoding for corpora whose distinct-shingle count
+    approaches the 64-bit birthday regime (see :func:`_pair_jaccard`).
+
+    ``max_shingle_df`` is the stop-shingle pre-filter (production dedup
+    practice): shingles appearing in more than that many documents —
+    boilerplate, the classic inverted-index skew source — are dropped
+    from the shingle space BEFORE the join, so the hot posting lists
+    never shuffle and Jaccard is computed over the filtered sets
+    (consistently: sizes shrink with the index).  Default off: exact
+    n-gram Jaccard, oracle-identical.
     """
     sh = shingles_df if shingles_df is not None else shingle_sets(docs, id_col, text_col, n)
-    return _pair_jaccard(sh).where(F.col("jaccard") >= threshold)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return _pair_jaccard(sh, encode_key=encode_key).where(F.col("jaccard") >= threshold)
 
 
 def minhash_lsh_pairs(
@@ -129,6 +161,7 @@ def minhash_lsh_pairs(
     num_perm: int = 8,
     bands: int = 4,
     shingles_df: DataFrame | None = None,
+    encode_key: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified.
 
@@ -181,7 +214,9 @@ def minhash_lsh_pairs(
         .select(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
         .distinct()
     )
-    return _pair_jaccard(sh, pairs_hint=candidates).where(F.col("jaccard") >= threshold)
+    return _pair_jaccard(sh, pairs_hint=candidates, encode_key=encode_key).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -242,11 +277,19 @@ def simhash_fingerprints(
         for pdf in batches:
             ids, fps = [], []
             for doc_id, text in zip(pdf["id"], pdf["text"]):
-                acc = np.zeros(nbits, dtype=np.int64)
+                # explode semantics: NULL / token-less docs emit NO row
+                # (the relational formulation and the DuckDB oracle both
+                # drop them at the unnest), instead of crashing on None
+                # or emitting an all-ones fingerprint for "".
+                if text is None or not isinstance(text, str):
+                    continue
                 counts: dict[str, int] = {}
                 for tok in text.split(" "):
                     if tok:
                         counts[tok] = counts.get(tok, 0) + 1
+                if not counts:
+                    continue
+                acc = np.zeros(nbits, dtype=np.int64)
                 for tok, cnt in counts.items():
                     acc += cnt * token_signs(tok)
                 ids.append(doc_id)

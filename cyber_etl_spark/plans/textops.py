@@ -21,6 +21,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash_neardup_pairs,
 )
+from ..session import session_token
 from ..sources import read_table
 from .registry import query
 
@@ -34,7 +35,7 @@ _SH_CACHE: dict[tuple[int, str], object] = {}
 def cached_shingles(spark: SparkSession, sf_dir: str):
     from ..operators.dedup import shingle_sets
 
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key not in _SH_CACHE:
         _SH_CACHE[key] = shingle_sets(read_table(spark, sf_dir, "documents"))
     return _SH_CACHE[key]

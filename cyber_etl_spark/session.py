@@ -56,3 +56,14 @@ def get_spark(app_name: str = "cyber-etl-spark", **extra_conf: str) -> SparkSess
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def session_token(spark: SparkSession) -> str:
+    """Session-lifetime cache key.
+
+    Memoization caches (edge builds, shingle tables, backbones) must not
+    key on ``id(spark)``: a garbage-collected session's address can be
+    reused by a new session object whose executors no longer hold the old
+    localCheckpoint blocks — a stale-alias hazard.  The application id is
+    unique per SparkContext lifetime."""
+    return spark.sparkContext.applicationId

@@ -81,6 +81,16 @@ def compare_query(spark, sf_dir: str, name: str) -> CompareResult:
         )
     s_rows, d_rows = canonicalize(spark_pdf), canonicalize(duck_pdf)
     if s_rows != d_rows:
-        diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:5]
-        return CompareResult(name, False, f"value mismatch, first diffs: {diffs}")
+        # set differences, not positional zip: after the first real diff a
+        # positional pairing of two sorted lists is misaligned noise.
+        from collections import Counter
+
+        sc, dc = Counter(s_rows), Counter(d_rows)
+        only_spark = list((sc - dc).elements())[:5]
+        only_duck = list((dc - sc).elements())[:5]
+        return CompareResult(
+            name,
+            False,
+            f"value mismatch; spark-not-duck: {only_spark} duck-not-spark: {only_duck}",
+        )
     return CompareResult(name, True, f"{len(s_rows)} rows match")

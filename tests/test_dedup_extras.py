@@ -14,6 +14,45 @@ def test_threshold_sweep_monotone(spark, sf_smoke):
     assert counts[0] > 0
 
 
+def test_stop_shingle_prefilter(spark):
+    """max_shingle_df drops boilerplate shingles before the inverted-index
+    join: a footer shared by every doc stops creating candidate pairs, and
+    Jaccard is computed consistently over the filtered sets."""
+    from cyber_etl_spark.operators.dedup import jaccard_pairs
+
+    footer = "copyright footer boilerplate company inc"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon " + footer),
+            (2, "alpha beta gamma delta epsilon " + footer),
+            (3, "zeta eta theta iota kappa " + footer),
+            (4, "lambda mu nu xi omicron " + footer),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    # default: the shared footer links EVERY doc pair above threshold 0.2
+    base = jaccard_pairs(docs, threshold=0.2).toPandas()
+    assert len(base) == 6
+    # footer shingles appear in 4 docs > cap=2 → only the true near-dup
+    # pair (1,2) survives, at jaccard 1.0 over its filtered shingle set
+    filtered = jaccard_pairs(docs, threshold=0.2, max_shingle_df=2).toPandas()
+    assert [(a, b) for a, b in zip(filtered["id_a"], filtered["id_b"])] == [(1, 2)]
+    assert filtered["jaccard"].iloc[0] == 1.0
+
+
+def test_jaccard_exact_string_key_matches_encoded(spark, sf_smoke):
+    """encode_key=False (exact-string join for birthday-regime corpora)
+    must produce identical pairs to the xxhash64-encoded default."""
+    from cyber_etl_spark.operators.dedup import jaccard_pairs
+    from cyber_etl_spark.sources import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    enc = jaccard_pairs(docs, threshold=0.5).toPandas()
+    raw = jaccard_pairs(docs, threshold=0.5, encode_key=False).toPandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["jaccard"].round(6)))
+    assert key(enc) == key(raw)
+
+
 def test_sink_roundtrips(spark, sf_smoke, tmp_path):
     from cyber_etl_spark.sources import read_table
     from cyber_etl_spark.sources.sinks import read_csv, write_csv, write_parquet

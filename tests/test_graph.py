@@ -38,6 +38,33 @@ def test_louvain_deterministic(spark):
     assert a == b
 
 
+def test_rank_loop_without_forced_broadcast(spark, monkeypatch):
+    """Above _BCAST_MAX_ROWS the loops must not force-broadcast the state
+    vector: pin the cutoff to 0 and check the shuffle-join path produces
+    the identical result (AQE may still choose broadcast dynamically —
+    what matters is we never FORCE hundreds of MB per superstep)."""
+    from cyber_etl_spark.graph import algorithms
+
+    edges = _toy_edges(spark)
+    with_bcast = sorted(
+        (r.id, round(r.rank, 9))
+        for r in algorithms.pagerank(edges, iterations=3).collect()
+    )
+    lpa_bcast = sorted(map(tuple, algorithms.label_propagation(edges, 2).collect()))
+    # fresh edge frame: _derived memoizes per-DataFrame, and the cutoff
+    # is read at call time
+    edges2 = _toy_edges(spark)
+    monkeypatch.setattr(algorithms, "_BCAST_MAX_ROWS", 0)
+    without = sorted(
+        (r.id, round(r.rank, 9))
+        for r in algorithms.pagerank(edges2, iterations=3).collect()
+    )
+    lpa_plain = sorted(map(tuple, algorithms.label_propagation(edges2, 2).collect()))
+    assert with_bcast == without
+    assert lpa_bcast == lpa_plain
+    assert algorithms._BCAST_MAX_ROWS == 0  # monkeypatch active for the run
+
+
 def test_louvain_improves_on_lpa_cosupply(spark, sf_smoke):
     from cyber_etl_spark.graph.algorithms import (
         label_propagation,

@@ -27,6 +27,25 @@ def test_dedup_family_on_empty_corpus(spark):
     assert simhash_neardup_pairs(docs).count() == 0
 
 
+def test_simhash_degenerate_docs(spark):
+    """NULL / empty / whitespace-only texts must behave like the oracle's
+    explode: no fingerprint row (not a crash, not an all-ones 2^60-1)."""
+    from cyber_etl_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, ""), (4, "   "), (5, "alpha beta gamma")],
+        "doc_id BIGINT, text STRING",
+    )
+    fp = simhash_fingerprints(docs).toPandas()
+    assert sorted(fp["id"]) == [1, 5]
+    assert (fp["simhash"] < 2**60 - 1).all()
+    pairs = simhash_neardup_pairs(docs).toPandas()
+    assert [(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])] == [(1, 5)]
+
+
 def test_ann_on_empty_corpus(spark):
     from cyber_etl_spark.operators.ann import (
         brute_force_knn,

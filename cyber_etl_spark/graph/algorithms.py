@@ -328,7 +328,10 @@ def modularity(edges: DataFrame, labels: DataFrame) -> float:
 
 
 def louvain_level(
-    edges: DataFrame, rounds: int = 3, init: DataFrame | None = None
+    edges: DataFrame,
+    rounds: int = 3,
+    init: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One Louvain level: synchronized modularity-gain local moves →
     (id, community).
@@ -339,18 +342,29 @@ def louvain_level(
     id, moving only on strict improvement over its current community.
     Synchronized rounds + total tie order ⇒ deterministic, unlike GDS
     Louvain's run-to-run variance (SURVEY §7.3 hard part 3).  This is the
-    aggregateMessages dataflow written as joins: the full Louvain stack
-    would recurse on the community-contracted graph; one level already
-    optimizes the same objective q43 scores.
+    aggregateMessages dataflow written as joins; :func:`louvain` recurses
+    on the community-contracted graph for the full GDS-style hierarchy.
+
+    ``weight_col``: treat ``edges`` as an already-symmetric directed
+    weighted edge list (self-loops allowed — the contracted-graph shape).
+    Weighted degrees/masses are sums of integer-valued doubles, so the
+    gain arithmetic stays bit-deterministic.
     """
-    e = _sym(edges)
+    if weight_col is None:
+        e = _sym(edges).withColumn("w", F.lit(1.0))
+    else:
+        e = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("w")
+        ).localCheckpoint(eager=True)
     deg = (
         e.groupBy(F.col("src").alias("id"))
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum("w").alias("deg"))
         .localCheckpoint(eager=True)
     )
-    m = e.count() / 2.0
+    m = (e.agg(F.sum("w")).collect()[0][0] or 0.0) / 2.0
     n = deg.count()
+    if n == 0:
+        return deg.select("id", F.col("id").alias("community"))
     deg = _compact(deg, n)
     labels = _compact(
         (init or deg.select("id", F.col("id").alias("community"))).localCheckpoint(
@@ -363,12 +377,14 @@ def louvain_level(
         lab_dst = labels.select(
             F.col("id").alias("dst"), F.col("community").alias("n_comm")
         )
-        # w(i→C): edges from i into each neighboring community C — the
-        # label vector is |V| rows vs |E| edges, so map-side join while it fits
+        # w(i→C): edge mass from i into each neighboring community C — the
+        # label vector is |V| rows vs |E| edges, so map-side join while it
+        # fits.  sum(w) == count for the unit-weight path (integer-valued
+        # double addition is exact), so one formulation serves both.
         w_ic = (
             e.join(F.broadcast(lab_dst) if bcast else lab_dst, "dst")
             .groupBy(F.col("src").alias("id"), "n_comm")
-            .agg(F.count(F.lit(1)).cast("double").alias("w_ic"))
+            .agg(F.sum("w").alias("w_ic"))
         )
         # Σdeg over each community, minus i's own degree when i ∈ C
         degsum = (
@@ -419,6 +435,55 @@ def louvain_level(
         )
         labels = new_labels
     return labels
+
+
+def louvain(
+    edges: DataFrame, levels: int = 2, rounds: int = 3
+) -> DataFrame:
+    """Hierarchical Louvain (GDS-style, writeup p.5 Q7): run local moves,
+    CONTRACT communities into super-nodes (edge weights = inter-community
+    edge mass, self-loops = internal mass), and recurse on the contracted
+    graph → (id, community) with each original vertex mapped to its
+    top-level community.
+
+    The contracted graph is tiny relative to |V| (one row per community
+    pair), so each additional level costs one groupBy over the edge list
+    plus the local-move rounds on a much smaller graph — the standard
+    scale shape: level 1 dominates, the hierarchy is nearly free.
+    Deterministic end-to-end: community ids are min-member vertex ids at
+    every level, moves tie-break (gain desc, community asc).
+    """
+    level_labels = louvain_level(edges, rounds=rounds)  # cur-graph node → community
+    composed = level_labels  # ORIGINAL vertex → latest-level community
+    cur_edges = _sym(edges).withColumn("w", F.lit(1.0))
+    for _ in range(1, levels):
+        lab_src = level_labels.select(
+            F.col("id").alias("src"), F.col("community").alias("c_src")
+        )
+        lab_dst = level_labels.select(
+            F.col("id").alias("dst"), F.col("community").alias("c_dst")
+        )
+        n = level_labels.count()
+        bsrc = F.broadcast(lab_src) if n <= _BCAST_MAX_ROWS else lab_src
+        bdst = F.broadcast(lab_dst) if n <= _BCAST_MAX_ROWS else lab_dst
+        contracted = (
+            cur_edges.join(bsrc, "src")
+            .join(bdst, "dst")
+            .groupBy(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        upper = louvain_level(contracted, rounds=rounds, weight_col="w")
+        remap = upper.select(
+            F.col("id").alias("community"), F.col("community").alias("upper_comm")
+        )
+        composed = (
+            composed.join(remap, "community")
+            .select("id", F.col("upper_comm").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        cur_edges, level_labels = contracted, upper
+    return composed
 
 
 def bfs_distances(

@@ -55,8 +55,10 @@ def co_supply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set) feeding straight into a partial hash agg — no self-join shuffle,
     # and only half the pairs are ever generated; the symmetric mirror is a
     # cheap union AFTER aggregation.  Skew guard at 100 TB: a part with k
-    # suppliers expands k²/2 rows in one task — cap or salt degree-heavy
-    # keys before expansion (same playbook as operators/skew.py).
+    # suppliers would expand k²/2 rows in one task, so sets larger than
+    # the chunk threshold are decomposed into chunk-pair rows and
+    # scattered across the cluster (operators/skew.chunked_pair_expand)
+    # — bounded task input regardless of the hottest key's degree.
     li = read_table(spark, sf_dir, "lineitem")
     sup = li.groupBy(F.col("l_partkey").alias("p")).agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("ss")
@@ -70,12 +72,10 @@ def co_supply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .algorithms import _compact
 
     sup = _compact(sup, li.count(), rows_per_part=5_000_000)
+    from ..operators.skew import chunked_pair_expand
+
     upper = (
-        sup.select(F.posexplode("ss").alias("i", "src"), "ss")
-        .select(
-            "src",
-            F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("dst"),
-        )
+        chunked_pair_expand(sup, "ss", chunk=4096)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
         .localCheckpoint(eager=True)  # materialize the half; mirror is free

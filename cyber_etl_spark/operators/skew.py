@@ -45,6 +45,71 @@ def salted_aggregate(
     )
 
 
+def chunked_pair_expand(
+    df: DataFrame, set_col: str, chunk: int = 4096
+) -> DataFrame:
+    """All unordered pairs ``src < dst`` from each row's ascending-sorted
+    array, with degree-skew protection for the expansion itself.
+
+    The naive posexplode+slice expansion generates k²/2 pairs for a
+    k-element set INSIDE ONE TASK — the 100 TB failure mode for
+    co-occurrence graph builds (one celebrity key OOMs its task).  Here
+    rows whose set exceeds ``chunk`` elements are decomposed into
+    (ci ≤ cj) chunk-pair rows, scattered across the cluster by a
+    repartition, and each task expands at most ``chunk²`` pairs:
+
+    - intra-chunk (ci == cj): the usual i<j slice expansion;
+    - cross-chunk (ci < cj): a full explode×explode product — valid
+      because the array is sorted, so every element of chunk ci is
+      strictly less than every element of chunk cj.
+
+    The scatter shuffle moves O(k·C²) bytes per heavy row (C = k/chunk
+    chunks, each chunk-pair row carries its two slices) — negligible next
+    to the k²/2 output rows it unblocks, and only ever paid for heavy
+    rows; sets ≤ ``chunk`` take the original single-task path, and the
+    two branches share the upstream shuffle via exchange reuse.  Output
+    is one (src, dst) row per pair occurrence; callers aggregate.
+    """
+    ss = F.col(set_col)
+    light = (
+        df.filter(F.size(ss) <= chunk)
+        .select(F.posexplode(ss).alias("i", "src"), ss.alias("_ss"))
+        .select(
+            "src",
+            F.explode(F.slice("_ss", F.col("i") + 2, F.size("_ss"))).alias("dst"),
+        )
+    )
+    nc = F.ceil(F.size(ss) / F.lit(chunk)).cast("int")
+    hp = (
+        df.filter(F.size(ss) > chunk)
+        .select(ss.alias("_ss"), nc.alias("_nc"))
+        .withColumn("_ci", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .withColumn("_cj", F.explode(F.sequence(F.col("_ci"), F.col("_nc") - 1)))
+        # deterministic scatter: a hot row's C²/2 chunk-pairs spread over
+        # the cluster instead of staying in the producing task
+        .repartition(F.col("_ci"), F.col("_cj"), F.xxhash64(F.col("_ss")))
+        .select(
+            F.slice("_ss", F.col("_ci") * chunk + 1, chunk).alias("_a"),
+            F.slice("_ss", F.col("_cj") * chunk + 1, chunk).alias("_b"),
+            (F.col("_ci") == F.col("_cj")).alias("_intra"),
+        )
+    )
+    intra = (
+        hp.filter("_intra")
+        .select(F.posexplode("_a").alias("i", "src"), "_a")
+        .select(
+            "src",
+            F.explode(F.slice("_a", F.col("i") + 2, F.size("_a"))).alias("dst"),
+        )
+    )
+    cross = (
+        hp.filter(~F.col("_intra"))
+        .select(F.explode("_a").alias("src"), "_b")
+        .select("src", F.explode("_b").alias("dst"))
+    )
+    return light.unionByName(intra).unionByName(cross)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

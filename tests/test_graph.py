@@ -77,3 +77,24 @@ def test_louvain_improves_on_lpa_cosupply(spark, sf_smoke):
     q_lpa = modularity(edges, label_propagation(edges, iterations=4))
     q_louvain = modularity(edges, louvain_level(edges, rounds=3))
     assert q_louvain >= q_lpa - 1e-9
+
+
+def test_louvain_hierarchy_refines_level(spark):
+    """Hierarchical Louvain composes levels: every original vertex gets a
+    top-level community, the partition is no finer than level 1's, and on
+    the planted two-clique graph the hierarchy keeps the exact split."""
+    from cyber_etl_spark.graph.algorithms import louvain, louvain_level, modularity
+
+    edges = _toy_edges(spark)
+    lab1 = {r.id: r.community for r in louvain_level(edges, rounds=3).collect()}
+    lab2 = {r.id: r.community for r in louvain(edges, levels=2, rounds=3).collect()}
+    assert set(lab2) == set(lab1)
+    # level-2 only merges level-1 communities, never splits them
+    for a in lab1:
+        for b in lab1:
+            if lab1[a] == lab1[b]:
+                assert lab2[a] == lab2[b]
+    assert len(set(lab2.values())) == 2  # the planted split survives
+    assert modularity(edges, louvain(edges, levels=2, rounds=3)) >= modularity(
+        edges, louvain_level(edges, rounds=3)
+    ) - 1e-9

@@ -211,3 +211,41 @@ def test_sketch_stats_tolerance(spark, sf_smoke):
         assert abs(a.approx_users - e.users) <= max(3, 0.05 * e.users)
         spread = abs(e.median) + 1.0
         assert abs(a.approx_median - e.median) <= 0.1 * spread
+
+
+def test_chunked_pair_expand_matches_naive(spark):
+    """Mixed light/heavy sets: the chunked expansion emits exactly the
+    i<j pairs of each sorted set, same as the single-task slice path."""
+    from cyber_etl_spark.operators.skew import chunked_pair_expand
+
+    rows = [
+        (list(range(0, 5)),),           # light
+        (list(range(100, 100 + 150)),), # heavy: 3 chunks at chunk=64
+        (list(range(500, 500 + 64)),),  # exactly at the threshold
+        ([7],),                         # singleton -> no pairs
+    ]
+    df = spark.createDataFrame(rows, "ss array<long>")
+    got = sorted(
+        map(tuple, chunked_pair_expand(df, "ss", chunk=64).collect())
+    )
+    want = sorted(
+        (a, b)
+        for (ss,) in rows
+        for i, a in enumerate(ss)
+        for b in ss[i + 1 :]
+    )
+    assert got == want
+    assert len(got) == 5 * 4 // 2 + 150 * 149 // 2 + 64 * 63 // 2
+
+
+def test_chunked_pair_expand_hot_key_bounded(spark):
+    """One celebrity key (k=2000, chunk=128 -> 16 chunks, 136 chunk-pair
+    rows) completes with every task expanding at most chunk^2 pairs."""
+    from cyber_etl_spark.operators.skew import chunked_pair_expand
+
+    df = spark.createDataFrame([(list(range(2000)),)], "ss array<long>")
+    out = chunked_pair_expand(df, "ss", chunk=128)
+    assert out.count() == 2000 * 1999 // 2
+    # pairs are unique and ordered src < dst
+    assert out.where(F.col("src") >= F.col("dst")).count() == 0
+    assert out.distinct().count() == 2000 * 1999 // 2

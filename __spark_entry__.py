@@ -7,6 +7,9 @@ DuckDB oracle SQL) pair.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,9 +24,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
+def _registry_order() -> list[str]:
+    """Least-driver-verified queries first.
+
+    The driver's correctness gate records ~50 queries per round in the
+    order this dict yields them, so rotate: queries never (or least
+    often) covered by a previous CORRECTNESS_r*.json go first, oracled
+    before rows-only, alphabetical within a tier.  Over rounds every
+    query cycles through the gate; scripts/verify_sf01.py keeps the
+    full-registry record (CORRECTNESS_LOCAL.json) in the repo itself.
+    """
+    seen: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                for name, rec in json.load(fh).items():
+                    if isinstance(rec, dict) and rec.get("err") is None:
+                        seen[name] = seen.get(name, 0) + 1
+        except (OSError, ValueError):
+            continue
+    return sorted(
+        QUERIES, key=lambda n: (seen.get(n, 0), QUERIES[n].oracle is None, n)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.builder for name, q in sorted(QUERIES.items())}
+    return {name: QUERIES[name].builder for name in _registry_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in sorted(QUERIES.items()) if q.oracle is not None}
+    return {
+        name: QUERIES[name].oracle
+        for name in _registry_order()
+        if QUERIES[name].oracle is not None
+    }

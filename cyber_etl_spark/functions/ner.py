@@ -60,19 +60,59 @@ def _stub_ner(text: str) -> list[dict]:
     return ents
 
 
+# labels the reference keeps (data_integration.ipynb cell 29); NORP folds
+# to GPE per SURVEY P7
+_KEEP_LABELS = {"ORG", "PRODUCT", "GPE", "PERSON", "NORP"}
+_SPACY_MODELS = ("en_core_web_trf", "en_core_web_sm")
+
+
+def _load_spacy():  # pragma: no cover - model artifact not in container
+    import spacy
+
+    for name in _SPACY_MODELS:
+        try:
+            return spacy.load(name, disable=["parser", "lemmatizer"])
+        except OSError:
+            continue
+    return None
+
+
+def _spacy_ner_batch(nlp, texts: pd.Series) -> pd.Series:  # pragma: no cover
+    """Batch inference via nlp.pipe (the documented fast path); label
+    filter + NORP→GPE fold applied model-side so the output contract is
+    identical to the stub engine's."""
+    docs = nlp.pipe([t if isinstance(t, str) else "" for t in texts])
+    out = []
+    for doc in docs:
+        out.append(
+            [
+                {
+                    "text": e.text,
+                    "label": "GPE" if e.label_ == "NORP" else e.label_,
+                }
+                for e in doc.ents
+                if e.label_ in _KEEP_LABELS
+            ]
+        )
+    return pd.Series(out, index=texts.index)
+
+
 @pandas_udf(NER_SCHEMA)
 def ner_entities(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """array<struct<text,label>> per document.
 
     Iterator form: heavyweight model init happens here, once per executor
-    python worker, before the batch loop.
+    python worker, before the batch loop.  With spaCy installed and a
+    model artifact available the real pipeline runs (load-once-per-worker,
+    nlp.pipe batching, label filter, NORP→GPE fold); otherwise the
+    deterministic gazetteer stub keeps the same output contract.
     """
-    if _HAS_SPACY:  # pragma: no cover
-        # nlp = spacy.load("en_core_web_trf"); keep = {ORG, PRODUCT, GPE,
-        # PERSON, NORP}; NORP folds to GPE downstream (SURVEY P7).
-        raise NotImplementedError("spaCy path requires the model artifact")
+    nlp = _load_spacy() if _HAS_SPACY else None  # pragma: no cover
     for s in batches:
-        yield s.map(_stub_ner)
+        if nlp is not None:  # pragma: no cover
+            yield _spacy_ner_batch(nlp, s)
+        else:
+            yield s.map(_stub_ner)
 
 
 def extract_entities(text_col: Column) -> Column:

@@ -33,6 +33,7 @@ def brute_force_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine) — self-matches
     excluded.  ``round_digits`` quantizes the ranking score so results are
@@ -60,6 +61,17 @@ def brute_force_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
     )
+    # The whole probe set folds into ONE row (collect_list) so each corpus
+    # block scores it with a single GEMM; that row lives under Spark's 2 GB
+    # row / Arrow batch limit only while |Q| stays probe-sized.  Enforce the
+    # contract up front (distributed count — scale-safe) instead of letting
+    # a large |Q| OOM the collect_list task.
+    n_q = q.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"brute_force_knn query set exceeds max_queries={max_queries}; "
+            "use lsh_bucket_candidates/ivf for large query sets"
+        )
     qb = q.groupBy().agg(F.collect_list(F.struct("query_id", "qv")).alias("qitems"))
     c = corpus.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")

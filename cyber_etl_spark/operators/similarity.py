@@ -22,9 +22,19 @@ from ..functions.text import tokens
 
 
 def _token_table(df: DataFrame, id_col: str, text_col: str, side: str) -> DataFrame:
+    """One row per (id, distinct token), carrying the RAW token count
+    (duplicates included): the reference's size-band prune measures the
+    token *list* while its Jaccard measures the token *set*
+    (cpe_product.ipynb cell 12 tokenizes with return_set=False, cell 13
+    prunes on those list lengths, the Jaccard measure de-dupes) — e.g.
+    'linux linux kernel' has band length 3 but set size 2, which is
+    exactly what keeps ('linux_linux_kernel', 'linux') out of the 770
+    golden pairs."""
+    toks = tokens(F.col(text_col))
     return df.select(
         F.col(id_col).alias(f"{side}_id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+        F.size(toks).alias(f"n{side}_raw"),
+        F.explode(F.array_distinct(toks)).alias("token"),
     )
 
 
@@ -41,25 +51,32 @@ def token_jaccard_join(
 
     Semantics match the reference's whitespace-token Jaccard at t=0.5
     (producing data/cpe_product_edge.feather's 770 golden pairs on its own
-    inputs); the size-band prune [n·t, n/t] is implied by the threshold
-    and applied as an early join predicate.
+    inputs, verified in tests/test_golden_fixtures.py): the size-band
+    prune [n·t, n/t] uses raw token-list lengths, the Jaccard uses token
+    sets — both applied as join-side predicates so out-of-band pairs
+    never materialize.
     """
     lt = _token_table(left, left_id, left_text, "l")
     rt = _token_table(right, right_id, right_text, "r")
-    lsize = lt.groupBy("l_id").agg(F.count(F.lit(1)).alias("nl"))
-    rsize = rt.groupBy("r_id").agg(F.count(F.lit(1)).alias("nr"))
+    lsize = lt.groupBy("l_id").agg(
+        F.count(F.lit(1)).alias("nl"), F.first("nl_raw").alias("nl_raw")
+    )
+    rsize = rt.groupBy("r_id").agg(
+        F.count(F.lit(1)).alias("nr"), F.first("nr_raw").alias("nr_raw")
+    )
     common = (
-        lt.join(rt, "token")
+        lt.drop("nl_raw")
+        .join(rt.drop("nr_raw"), "token")
         .groupBy("l_id", "r_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
         common.join(lsize, "l_id")
         .join(rsize, "r_id")
-        # size-band prune (reference cell 13): |r| ∈ [|l|·t, |l|/t]
+        # size-band prune (reference cell 13): raw |r| ∈ [raw |l|·t, raw |l|/t]
         .where(
-            (F.col("nr") >= F.col("nl") * threshold)
-            & (F.col("nr") <= F.col("nl") / threshold)
+            (F.col("nr_raw") >= F.col("nl_raw") * threshold)
+            & (F.col("nr_raw") <= F.col("nl_raw") / threshold)
         )
         .select(
             "l_id",

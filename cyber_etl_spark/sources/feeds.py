@@ -1,0 +1,127 @@
+"""Custom Python DataSources for feed ingest — SURVEY.md S1 (HTTP JSON
+ingest, get_nvd_data.py:16-63) and S4 (RSS alert feed, exploratory cell
+in alerts/parse_alert.ipynb).
+
+The reference pulls NVD gzip-JSON feeds and the CISA RSS alert feed on
+the driver with requests/feedparser.  The Spark-idiomatic shape is a
+custom DataSource: every feed URL (or file) is an ``InputPartition``, so
+fetches fan out across executors, failed fetches retry per-partition,
+and the result is an ordinary DataFrame.
+
+Both connectors are transport-real: URLs resolve through
+``urllib.request`` which handles ``file://`` URIs identically to
+``https://`` — tests exercise the full fetch→parse→rows path against
+local fixtures with zero network, and the same code fetches live feeds
+on a connected cluster.  Parsing is stdlib-only (gzip/json/xml.etree):
+no feedparser/requests dependency.
+
+Scale notes: one partition per feed bounds executor memory at one
+document; a thousand feeds fan out a thousand tasks.  Per-URL isolation
+means a single dead mirror fails one task, not the job.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import urllib.request
+import xml.etree.ElementTree as ET
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _fetch(url: str) -> bytes:
+    with urllib.request.urlopen(url) as resp:  # noqa: S310 - file:// in tests
+        data = resp.read()
+    if data[:2] == b"\x1f\x8b":  # gzip magic — NVD feeds ship gzipped
+        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    return data
+
+
+class HttpJsonDataSource(DataSource):
+    """``spark.read.format("http_json").option("urls", "u1,u2")``.
+
+    Each URL must resolve to a JSON document; ``item_path`` (default
+    ``CVE_Items``) names the top-level array to explode into rows of
+    (url, item_json).  Downstream parsing stays declarative:
+    ``from_json``/``variant`` over the raw item string (S2 machinery).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "http_json"
+
+    def schema(self) -> str:
+        return "url STRING, item_json STRING"
+
+    def reader(self, schema) -> "HttpJsonReader":
+        return HttpJsonReader(self.options)
+
+
+class HttpJsonReader(DataSourceReader):
+    def __init__(self, options):
+        self.urls = [u for u in (options.get("urls") or "").split(",") if u]
+        self.item_path = options.get("item_path", "CVE_Items")
+
+    def partitions(self):
+        return [InputPartition(u) for u in self.urls]
+
+    def read(self, partition: InputPartition):
+        url = partition.value
+        doc = json.loads(_fetch(url))
+        items = doc.get(self.item_path, []) if isinstance(doc, dict) else doc
+        for item in items:
+            yield (url, json.dumps(item, sort_keys=True))
+
+
+def _text(el, tag: str) -> str | None:
+    child = el.find(tag)
+    return child.text if child is not None else None
+
+
+class RssDataSource(DataSource):
+    """``spark.read.format("rss").option("urls", "u1,u2")`` — one row per
+    ``<item>`` with the fields the reference's exploratory feed pull
+    used (title/link/description/pubDate/guid)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rss"
+
+    def schema(self) -> str:
+        return (
+            "feed_url STRING, title STRING, link STRING, "
+            "description STRING, pub_date STRING, guid STRING"
+        )
+
+    def reader(self, schema) -> "RssReader":
+        return RssReader(self.options)
+
+
+class RssReader(DataSourceReader):
+    def __init__(self, options):
+        self.urls = [u for u in (options.get("urls") or "").split(",") if u]
+
+    def partitions(self):
+        return [InputPartition(u) for u in self.urls]
+
+    def read(self, partition: InputPartition):
+        url = partition.value
+        root = ET.fromstring(_fetch(url).decode("utf-8", errors="replace"))
+        # RSS 2.0: rss/channel/item; be lenient about a missing channel level
+        for item in root.iter("item"):
+            yield (
+                url,
+                _text(item, "title"),
+                _text(item, "link"),
+                _text(item, "description"),
+                _text(item, "pubDate"),
+                _text(item, "guid"),
+            )
+
+
+def register_feeds(spark) -> None:
+    """Idempotently register both feed connectors on a session."""
+    spark.dataSource.register(HttpJsonDataSource)
+    spark.dataSource.register(RssDataSource)

@@ -120,7 +120,15 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iterations):
+    # Convergence detection: labels are monotone non-increasing (least of
+    # self and neighbor minima), so Σcomponent strictly decreases iff any
+    # vertex changed.  Comparing sums costs one tiny aggregate over the
+    # already-checkpointed label vector — no join, no extra shuffle —
+    # versus the join-and-count diff it replaces.  DECIMAL(38,0) keeps the
+    # sum exact for billions of 64-bit ids (no i64 overflow, no double
+    # rounding).
+    prev_sum = None
+    for it in range(max_iterations):
         neighbor_min = (
             e.join(labels, e.src == labels.id)
             .groupBy(F.col("dst").alias("nid"))
@@ -147,16 +155,14 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        # None == None breaks too: an empty graph is trivially converged
+        if it > 0 and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
@@ -361,17 +367,21 @@ def louvain_level(
         .agg(F.sum("w").alias("deg"))
         .localCheckpoint(eager=True)
     )
-    m = (e.agg(F.sum("w")).collect()[0][0] or 0.0) / 2.0
-    n = deg.count()
+    # one aggregate serves both scalars: Σdeg counts every edge endpoint
+    # once, so Σdeg = 2m — no separate scan of the (much larger) edge list
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("deg").alias("degsum")
+    ).collect()[0]
+    n, m = stats.n, (stats.degsum or 0.0) / 2.0
     if n == 0:
         return deg.select("id", F.col("id").alias("community"))
     deg = _compact(deg, n)
-    labels = _compact(
-        (init or deg.select("id", F.col("id").alias("community"))).localCheckpoint(
-            eager=True
-        ),
-        n,
-    )
+    if init is None:
+        # identity labels are a projection of the already-materialized deg
+        # table — checkpointing them again would be a pure-overhead job
+        labels = deg.select("id", F.col("id").alias("community"))
+    else:
+        labels = _compact(init.localCheckpoint(eager=True), n)
     bcast = n <= _BCAST_MAX_ROWS
     for _ in range(rounds):
         lab_dst = labels.select(

@@ -71,11 +71,24 @@ def co_supply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing changes.
     from .algorithms import _compact
 
-    sup = _compact(sup, li.count(), rows_per_part=5_000_000)
+    # Materialize the per-part supplier sets BEFORE expansion: the
+    # expansion plan references `sup` from multiple generator branches,
+    # and without a checkpoint each branch re-runs the collect_set
+    # aggregation over the fact table.  The materialized aggregate is
+    # tiny (one row per part) and also makes the max-degree statistic a
+    # near-free scan.
+    sup = (
+        _compact(sup, li.count(), rows_per_part=5_000_000)
+        .localCheckpoint(eager=True)
+    )
+    max_deg = sup.agg(F.max(F.size("ss"))).collect()[0][0] or 0
     from ..operators.skew import chunked_pair_expand
 
     upper = (
-        chunked_pair_expand(sup, "ss", chunk=4096)
+        # max_size: observed stat lets the operator drop the heavy-path
+        # branches entirely when no key is actually skewed (the common
+        # case); a genuinely hot part still takes the chunk-scatter path.
+        chunked_pair_expand(sup, "ss", chunk=4096, max_size=max_deg)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
         .localCheckpoint(eager=True)  # materialize the half; mirror is free

@@ -46,7 +46,7 @@ def salted_aggregate(
 
 
 def chunked_pair_expand(
-    df: DataFrame, set_col: str, chunk: int = 4096
+    df: DataFrame, set_col: str, chunk: int = 4096, max_size: int | None = None
 ) -> DataFrame:
     """All unordered pairs ``src < dst`` from each row's ascending-sorted
     array, with degree-skew protection for the expansion itself.
@@ -69,16 +69,26 @@ def chunked_pair_expand(
     rows; sets ≤ ``chunk`` take the original single-task path, and the
     two branches share the upstream shuffle via exchange reuse.  Output
     is one (src, dst) row per pair occurrence; callers aggregate.
+
+    ``max_size``: the caller's observed maximum set size (one cheap
+    aggregate when the input is already materialized).  When it proves no
+    row exceeds ``chunk``, the plan is just the single light-path
+    generator — no empty heavy-path branches, no scatter exchange, no
+    three-way union — an AQE-style runtime choice: pay the skew machinery
+    only when the data actually has a heavy key.
     """
     ss = F.col(set_col)
+    all_light = max_size is not None and max_size <= chunk
     light = (
-        df.filter(F.size(ss) <= chunk)
+        (df if all_light else df.filter(F.size(ss) <= chunk))
         .select(F.posexplode(ss).alias("i", "src"), ss.alias("_ss"))
         .select(
             "src",
             F.explode(F.slice("_ss", F.col("i") + 2, F.size("_ss"))).alias("dst"),
         )
     )
+    if all_light:
+        return light
     nc = F.ceil(F.size(ss) / F.lit(chunk)).cast("int")
     hp = (
         df.filter(F.size(ss) > chunk)

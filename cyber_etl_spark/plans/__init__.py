@@ -3,3 +3,4 @@ from . import relational  # noqa: F401  (registers queries on import)
 from . import textops  # noqa: F401
 from . import graphops  # noqa: F401
 from . import relational2  # noqa: F401
+from . import scaleops  # noqa: F401

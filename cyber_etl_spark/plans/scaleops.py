@@ -1,0 +1,91 @@
+"""Skew-mitigation query shapes — the patterns that keep hot keys from
+melting a 1000-executor job, surfaced as oracle-checked registry queries
+so the driver gate verifies the operators themselves (not just their
+unit tests).
+
+The reference never needed these (single-process pandas has no
+reducers), but its workload has the shapes that do at scale: the alert
+feed's MENTIONED edges concentrate on a handful of celebrity actors
+(data_integration.ipynb cell 49), and the fact-side enrichment joins of
+SURVEY §2.3 J1 all skew with real-world key popularity.  Both operators
+are deterministic (hash-derived salts, never rand()) so their results
+hash-match a plain-SQL oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_aggregate, salted_join
+from ..sources import read_table
+from .registry import query
+
+
+@query(
+    "q102_hot_key_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def q102_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value GROUP BY key — the
+    worst-case hot-key shape (every row lands on one of three reducers
+    in the naive plan).  Phase 1 groups by (key, salt16) so each hot key
+    spreads over 16 reducers; phase 2 re-aggregates the 48-row partial
+    table.  Decimal partial sums re-aggregate exactly (addition is
+    associative on DECIMAL), so the salted result is bit-identical to
+    the single-phase oracle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))").alias(
+            "rev"
+        ),
+    )
+    out = salted_aggregate(rows, ["l_returnflag"], ["rev"], salt_buckets=16)
+    return out.select(
+        "l_returnflag",
+        F.col("count").alias("n_items"),
+        F.col("sum_rev").cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "q103_skewed_enrich_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "skew", "J1"),
+)
+def q103_skewed_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side enrichment through a salt-replicated dimension: the dim
+    rows are exploded across 8 salt values and the fact side scatters by
+    a deterministic hash, so one celebrity customer key spreads over 8
+    reducers instead of stalling one.  (AQE's skew-join split handles
+    oversized *partitions*; salting also covers the single-hot-KEY case
+    where one key's rows exceed a partition on their own.)"""
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, "c_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("total_price"),
+    )

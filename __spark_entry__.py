@@ -40,7 +40,17 @@ def _registry_order() -> list[str]:
         try:
             with open(path) as fh:
                 for name, rec in json.load(fh).items():
-                    if isinstance(rec, dict) and rec.get("err") is None:
+                    # Count a record as verified only when it actually
+                    # PASSED: err-free but rows/hash-mismatching queries
+                    # must rotate to the FRONT of the gate window for
+                    # re-verification, like erroring ones (ADVICE r02).
+                    if (
+                        isinstance(rec, dict)
+                        and rec.get("err") is None
+                        and rec.get("rows_match", True)
+                        and rec.get("schema_match", True)
+                        and rec.get("hash_match", True)
+                    ):
                         seen[name] = seen.get(name, 0) + 1
         except (OSError, ValueError):
             continue

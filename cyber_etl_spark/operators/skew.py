@@ -11,7 +11,15 @@ skew; these utilities cover the two patterns AQE cannot rewrite:
   join key spreads over N reducers.
 
 Salts are derived from deterministic hashes, never rand(): results must
-be reproducible run-to-run (SURVEY.md §7.3 determinism rule).
+be reproducible run-to-run (SURVEY.md §7.3 determinism rule).  Note the
+salt value never reaches the RESULT — sums reassociate across buckets and
+the dim side is replicated across every salt — so the salt source only
+controls row *placement*.  Hashing the visible columns alone would leave
+rows that are duplicated across every selected column in one bucket (zero
+spreading exactly in the degenerate-skew case); callers should pass a
+unique key column (``salt_source``/``disambiguator``) when one exists, and
+otherwise the operators mix in ``monotonically_increasing_id()`` — safe
+here precisely because placement, not output, depends on it.
 """
 
 from __future__ import annotations
@@ -32,9 +40,19 @@ def salted_aggregate(
     Phase 1 groups by (keys, salt) — the hot key's rows split across
     ``salt_buckets`` reducers; phase 2 re-aggregates the tiny partial
     table by the real keys.
+
+    ``salt_source``: a unique-ish column (e.g. the fact's primary key) —
+    the best spreader.  Without one, the salt hashes all columns PLUS a
+    per-row id so fully-duplicate rows still spread (see module note).
     """
-    src = F.col(salt_source) if salt_source else F.concat_ws("", *df.columns)
-    salted = df.withColumn("_salt", F.pmod(F.hash(src), F.lit(salt_buckets)))
+    if salt_source:
+        salt = F.pmod(F.hash(F.col(salt_source)), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(
+            F.hash(F.concat_ws("", *df.columns), F.monotonically_increasing_id()),
+            F.lit(salt_buckets),
+        )
+    salted = df.withColumn("_salt", salt)
     partial = salted.groupBy(*keys, "_salt").agg(
         F.count(F.lit(1)).alias("_cnt"),
         *[F.sum(c).alias(f"_sum_{c}") for c in sum_cols],
@@ -126,11 +144,16 @@ def salted_join(
     key: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    disambiguator: str | None = None,
 ) -> DataFrame:
     """Equi-join where ``fact[key]`` is heavily skewed: dim rows are
     replicated ``salt_buckets``× (explode), fact rows get a deterministic
     salt, and the join key becomes (key, salt).  Output columns = fact ⋈
     dim minus the helper columns.
+
+    ``disambiguator``: a unique fact column (e.g. o_orderkey) hashed for
+    the salt; without one, all columns plus a per-row id are hashed so
+    duplicate fact rows still spread (see module note).
 
     Only inner/left are valid: right/full would multiply unmatched dim
     rows by the replication factor."""
@@ -138,8 +161,13 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
     dim_rep = dim.withColumn("_salt", F.explode(salts))
-    fact_salted = fact.withColumn(
-        "_salt", F.pmod(F.hash(F.concat_ws("", *fact.columns)), F.lit(salt_buckets))
-    )
+    if disambiguator:
+        salt = F.pmod(F.hash(F.col(disambiguator)), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(
+            F.hash(F.concat_ws("", *fact.columns), F.monotonically_increasing_id()),
+            F.lit(salt_buckets),
+        )
+    fact_salted = fact.withColumn("_salt", salt)
     joined = fact_salted.join(dim_rep, [key, "_salt"], how)
     return joined.drop("_salt")

@@ -1102,7 +1102,9 @@ def q80_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT unnest(range(0, 400)) AS item)
     )
     SELECT page, COUNT(*) AS n_items,
-           SUM(contributions) AS total_contributions,
+           -- DuckDB SUM(BIGINT) yields HUGEINT, which pandas widens to
+           -- float64 and the driver hashes as "…0.0" vs Spark's int "…0".
+           CAST(SUM(contributions) AS BIGINT) AS total_contributions,
            min(login) AS first_login
     FROM api GROUP BY page
     """,
@@ -1262,7 +1264,9 @@ def q84_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE o.o_orderkey = l.l_orderkey))
     UNION ALL
     SELECT 'customer_duplicate_key',
-           (SELECT COALESCE(SUM(n - 1), 0) FROM
+           -- CAST: SUM(BIGINT) is HUGEINT in DuckDB; uncast it promotes the
+           -- whole UNION'd n_violations column to HUGEINT -> pandas float64.
+           (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
              (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey) t
             WHERE n > 1)
     """,

@@ -37,10 +37,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Accepts either ``<dir>/<name>.parquet``
     (driver layout) or a ``<dir>/<name>/`` partitioned directory.
 
-    The events table carries parquet TIMESTAMP(NANOS), which the vectorized
-    Spark reader rejects; we read nanos as long (legacy conf) and convert to
-    a microsecond timestamp column-side (``DIV 1000`` floors, matching
-    DuckDB's ns→µs truncation).
+    The events table's ``ts`` physical type has varied across driver data
+    generations — TIMESTAMP(NANOS) (vectorized reader rejects it; read nanos
+    as long via the legacy conf and floor to µs like DuckDB does) and naive
+    TIMESTAMP(MICROS) (Spark infers TIMESTAMP_NTZ).  Both are normalized to
+    the session-local TIMESTAMP type here so every downstream plan sees one
+    timestamp semantics; the session timezone is pinned to UTC
+    (session.get_spark), so the NTZ→LTZ cast is value-preserving and matches
+    DuckDB's naive-timestamp reading of the same file.
     """
     flat = os.path.join(sf_dir, f"{name}.parquet")
     nested = os.path.join(sf_dir, name)
@@ -50,6 +54,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

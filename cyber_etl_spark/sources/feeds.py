@@ -31,12 +31,35 @@ import xml.etree.ElementTree as ET
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
-def _fetch(url: str) -> bytes:
-    with urllib.request.urlopen(url) as resp:  # noqa: S310 - file:// in tests
-        data = resp.read()
+_DEFAULT_TIMEOUT_SEC = 30.0
+_DEFAULT_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _fetch(
+    url: str,
+    timeout: float = _DEFAULT_TIMEOUT_SEC,
+    max_bytes: int = _DEFAULT_MAX_BYTES,
+) -> bytes:
+    """Bounded fetch: Spark has no default running-task timeout, so a hung
+    endpoint would otherwise pin its executor task forever — the timeout
+    (and a size cap against pathological bodies) keeps the per-URL fault
+    isolation the module docstring promises."""
+    with urllib.request.urlopen(  # noqa: S310 - file:// in tests
+        url, timeout=timeout
+    ) as resp:
+        data = resp.read(max_bytes + 1)
+    if len(data) > max_bytes:
+        raise ValueError(f"feed body exceeds max_bytes={max_bytes}: {url}")
     if data[:2] == b"\x1f\x8b":  # gzip magic — NVD feeds ship gzipped
         data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
     return data
+
+
+def _fetch_opts(options) -> tuple[float, int]:
+    return (
+        float(options.get("timeout") or _DEFAULT_TIMEOUT_SEC),
+        int(options.get("max_bytes") or _DEFAULT_MAX_BYTES),
+    )
 
 
 class HttpJsonDataSource(DataSource):
@@ -63,13 +86,14 @@ class HttpJsonReader(DataSourceReader):
     def __init__(self, options):
         self.urls = [u for u in (options.get("urls") or "").split(",") if u]
         self.item_path = options.get("item_path", "CVE_Items")
+        self.timeout, self.max_bytes = _fetch_opts(options)
 
     def partitions(self):
         return [InputPartition(u) for u in self.urls]
 
     def read(self, partition: InputPartition):
         url = partition.value
-        doc = json.loads(_fetch(url))
+        doc = json.loads(_fetch(url, self.timeout, self.max_bytes))
         items = doc.get(self.item_path, []) if isinstance(doc, dict) else doc
         for item in items:
             yield (url, json.dumps(item, sort_keys=True))
@@ -102,13 +126,18 @@ class RssDataSource(DataSource):
 class RssReader(DataSourceReader):
     def __init__(self, options):
         self.urls = [u for u in (options.get("urls") or "").split(",") if u]
+        self.timeout, self.max_bytes = _fetch_opts(options)
 
     def partitions(self):
         return [InputPartition(u) for u in self.urls]
 
     def read(self, partition: InputPartition):
         url = partition.value
-        root = ET.fromstring(_fetch(url).decode("utf-8", errors="replace"))
+        root = ET.fromstring(
+            _fetch(url, self.timeout, self.max_bytes).decode(
+                "utf-8", errors="replace"
+            )
+        )
         # RSS 2.0: rss/channel/item; be lenient about a missing channel level
         for item in root.iter("item"):
             yield (

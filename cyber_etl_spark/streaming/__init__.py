@@ -1,5 +1,4 @@
 from .events import (  # noqa: F401
-    EVENTS_SCHEMA,
     hourly_rollup_stream,
     read_event_stream,
     run_stream_to_memory,

@@ -28,28 +28,42 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# ts arrives as parquet TIMESTAMP(NANOS) → read as long, convert (same
-# convention as sources.catalog.read_table).
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# ts physical type varies by driver data generation (TIMESTAMP(NANOS) →
+# read as long + convert; naive TIMESTAMP(MICROS) → TIMESTAMP_NTZ → cast),
+# same convention as sources.catalog.read_table.  Streaming sources cannot
+# infer, so sniff the batch schema once and declare the matching one.
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ts = dict(spark.read.parquet(path).dtypes).get("ts", "bigint")
+    if batch_ts == "bigint":  # TIMESTAMP(NANOS) read as long
+        raw = (
+            spark.readStream.schema(_events_schema(LongType()))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from pyspark.sql.types import TimestampNTZType
+
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(TimestampNTZType()))
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Session tz is UTC (session.get_spark), so NTZ→LTZ preserves values.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -28,8 +28,11 @@ def _canon_cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "∅"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Driver-strict: NEVER collapse 123.0 to "123".  The driver's value
+        # hash keeps the float/int distinction, so an oracle whose column
+        # comes back float64 (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> pandas
+        # float64) must FAIL here too, not drift through a laxer local gate
+        # and burn a driver round (VERDICT r02 "What's wrong" #3).
         return repr(v)
     if isinstance(v, (pd.Timestamp,)):
         return v.isoformat()

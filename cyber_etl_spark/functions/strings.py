@@ -56,11 +56,52 @@ def collapse_spaces(col: Column) -> Column:
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
+def _build_fold_table() -> tuple[str, str]:
+    """Latin accent→ASCII translate table, generated from Unicode NFD
+    decompositions at import time (stdlib only): every Latin-1 Supplement /
+    Latin Extended-A/B codepoint whose canonical decomposition is one ASCII
+    base letter plus combining marks maps to that base letter."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0xC0, 0x250):
+        ch = chr(cp)
+        base = "".join(
+            c
+            for c in unicodedata.normalize("NFD", ch)
+            if not unicodedata.combining(c)
+        )
+        if base != ch and len(base) == 1 and ord(base) < 128:
+            src.append(ch)
+            dst.append(base)
+    return "".join(src), "".join(dst)
+
+
+_FOLD_SRC, _FOLD_DST = _build_fold_table()
+# Letters with no single-ASCII NFD decomposition (expansions / standalone
+# letters unidecode also folds).  Lowercase only: callers fold after lower().
+_FOLD_MULTI = (("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("ø", "o"),
+               ("đ", "d"), ("ð", "d"), ("þ", "th"), ("ł", "l"),
+               ("ħ", "h"), ("ı", "i"), ("ŋ", "n"), ("ĸ", "k"))
+
+
+def ascii_fold(col: Column) -> Column:
+    """F11 fidelity — transliterate accented Latin letters to ASCII, the
+    `unidecode` step of the reference's ER preprocess
+    (alerts/parse_alert.ipynb:7474 cell 45): 'Société' → 'Societe', so
+    accented and plain spellings of one entity land in the same ER block."""
+    out = F.translate(col, _FOLD_SRC, _FOLD_DST)
+    for frm, to in _FOLD_MULTI:
+        out = F.replace(out, F.lit(frm), F.lit(to))
+    return out
+
+
 def normalize_entity(col: Column) -> Column:
-    """F11 + F3 — entity-resolution normalization: lowercase, strip corp
-    suffixes and parentheticals, collapse whitespace
+    """F11 + F3 — entity-resolution normalization: lowercase, ASCII-fold
+    accents (unidecode equivalent), strip corp suffixes and
+    parentheticals, collapse whitespace
     (data_integration.ipynb:1948 cell 35; alerts/parse_alert.ipynb:7474)."""
-    out = F.lower(col)
+    out = ascii_fold(F.lower(col))
     out = F.regexp_replace(out, r"\s?corp\.?$|\s?inc\.?$|\s?ltd\.?$", "")
     out = F.regexp_replace(out, r"\s\(.*?\)", " ")
     out = F.regexp_replace(out, r"[^\w\s]", " ")

@@ -70,15 +70,21 @@ def encode_fake_video(n_frames: int, fps: int = 24) -> bytes:
 
 
 def _decode_image_bytes(b: bytes) -> tuple[int, int, str]:
-    """Stub decoder.  With PIL installed this would be
-    ``Image.open(io.BytesIO(b)); return im.width, im.height, im.mode`` —
-    kept as a deterministic header parse so tests run without codecs."""
-    if _HAS_PIL and not b.startswith(b"FAKEIMG|"):  # pragma: no cover
-        raise NotImplementedError("real-codec path requires PIL at runtime")
-    head = b.split(b"|", 4)
-    if head[0] != b"FAKEIMG":
-        raise ValueError("not a FAKEIMG payload")
-    return int(head[1]), int(head[2]), head[3].decode()
+    """Decode image header → (width, height, mode).
+
+    FAKEIMG payloads always take the deterministic header parse (tests and
+    the container, which ships no codecs).  Anything else goes through PIL
+    when it is importable — the same load-once gate pattern as the spaCy
+    branch in functions/ner.py — and raises if no codec can handle it."""
+    if b.startswith(b"FAKEIMG|"):
+        head = b.split(b"|", 4)
+        return int(head[1]), int(head[2]), head[3].decode()
+    if _HAS_PIL:  # pragma: no cover - PIL absent in this container
+        import io
+
+        with Image.open(io.BytesIO(b)) as im:
+            return im.width, im.height, im.mode
+    raise ValueError("not a FAKEIMG payload and no image codec available")
 
 
 def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:

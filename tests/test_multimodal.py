@@ -41,6 +41,43 @@ def test_resize_roundtrip(media_df):
     assert resized.schema == images.schema
 
 
+def test_decode_real_codec_branch(monkeypatch):
+    """The PIL branch of _decode_image_bytes: non-FAKEIMG bytes route to
+    Image.open when a codec is importable (here a monkeypatched fake),
+    and FAKEIMG bytes still bypass it entirely."""
+    import cyber_etl_spark.operators.multimodal as mm
+
+    class _FakeIm:
+        width, height, mode = 640, 480, "L"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakeImage:
+        opened_with: bytes | None = None
+
+        @classmethod
+        def open(cls, fh):
+            cls.opened_with = fh.read()
+            return _FakeIm()
+
+    monkeypatch.setattr(mm, "_HAS_PIL", True)
+    monkeypatch.setattr(mm, "Image", _FakeImage, raising=False)
+    assert mm._decode_image_bytes(b"\x89PNG\r\n_not_fake") == (640, 480, "L")
+    assert _FakeImage.opened_with == b"\x89PNG\r\n_not_fake"
+    # FAKEIMG payloads never touch the codec even when one is available
+    _FakeImage.opened_with = None
+    assert mm._decode_image_bytes(mm.encode_fake_image(8, 9, "RGB")) == (8, 9, "RGB")
+    assert _FakeImage.opened_with is None
+    # and with no codec at all, foreign bytes raise cleanly
+    monkeypatch.setattr(mm, "_HAS_PIL", False)
+    with pytest.raises(ValueError, match="no image codec"):
+        mm._decode_image_bytes(b"\x89PNG\r\n_not_fake")
+
+
 def test_sample_frames_fanout(media_df):
     from cyber_etl_spark.operators.multimodal import sample_frames
 

@@ -334,3 +334,37 @@ def test_entity_resolution_clusters_and_best_labels(spark):
     # 'Microsoft Corp'/'microsoft corp.'/'Microsoft': 'Microsoft' wins ties
     # alphabetically at freq 1 each... freq: Microsoft appears once in ORG
     assert best[1] in {"Microsoft", "Microsoft Corp"}
+
+
+def test_entity_resolution_folds_accents(spark):
+    """F11 unidecode parity: accented and plain spellings must cluster —
+    the blocking key is the ASCII-folded normalized form."""
+    from cyber_etl_spark.pipeline.entity_resolution import resolve_entities
+
+    mentions = spark.createDataFrame(
+        [
+            (1, "Société Générale", "ORG"),
+            (2, "Societe Generale", "ORG"),
+            (3, "SOCIÉTÉ GÉNÉRALE", "ORG"),
+            (4, "Škoda Auto", "ORG"),
+            (5, "Skoda Auto", "ORG"),
+            (6, "Nestlé", "ORG"),
+        ],
+        ["mention_id", "label", "type"],
+    )
+    clusters = {r.mention_id: r.cluster_id for r in resolve_entities(mentions).collect()}
+    assert clusters[1] == clusters[2] == clusters[3]
+    assert clusters[4] == clusters[5]
+    assert clusters[6] not in {clusters[1], clusters[4]}
+
+
+def test_ascii_fold_expansions(spark):
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.functions.strings import ascii_fold
+
+    df = spark.createDataFrame(
+        [("straße",), ("cæsar",), ("œuvre",), ("søren",), ("łódź",)], ["s"]
+    )
+    got = [r.f for r in df.select(ascii_fold(F.col("s")).alias("f")).collect()]
+    assert got == ["strasse", "caesar", "oeuvre", "soren", "lodz"]

@@ -514,16 +514,24 @@ def bfs_distances(
         eager=True
     )
     frontier = dist.select("id")
+    n_frontier = dist.count()
     for h in range(1, max_hops + 1):
+        # broadcast only while the frontier is provably small: on a dense
+        # graph a hop-2 frontier can be a large fraction of |V|, and a
+        # forced multi-GB broadcast re-shipped per hop OOMs executors.
+        # Past the cap, fall back to a shuffle join (AQE still converts
+        # back to broadcast dynamically if the frontier shrinks again).
+        fr = F.broadcast(frontier) if n_frontier <= _BCAST_MAX_ROWS else frontier
         nxt = (
-            e.join(F.broadcast(frontier), e.src == frontier.id)
+            e.join(fr, e.src == fr["id"])
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(dist, "id", "left_anti")
             .withColumn("dist", F.lit(h).cast("int"))
             .localCheckpoint(eager=True)
         )
-        if not nxt.head(1):
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("id")

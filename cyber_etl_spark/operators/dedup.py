@@ -70,8 +70,18 @@ def _pair_jaccard(
 ) -> DataFrame:
     """Common-shingle counts → Jaccard for (id_a < id_b) pairs.
 
-    ``pairs_hint`` (optional candidate set) restricts the inverted-index
-    join output before aggregation — used by the LSH path.
+    ``pairs_hint`` (optional candidate set) switches the plan to
+    *candidate-first* verification — used by the LSH path.  Instead of
+    enumerating every co-shingle pair via the inverted-index self-join
+    and then semi-filtering (which shuffles O(Σ posting-list²) rows no
+    matter how few candidates LSH produced — the exact blowup LSH exists
+    to avoid, and on a boilerplate-heavy corpus the hot posting lists
+    dominate), the candidate pairs are joined to the shingle table once
+    per side: ``hint ⋈ sh ON id_a``, then ``⋈ sh ON (id_b, code)`` so
+    only shingles present in BOTH docs survive, then count.  Shuffle is
+    O(|candidates| · avg_set_size), independent of posting-list skew.
+    Semantics are identical: per candidate pair, the number of common
+    shingle codes.
 
     ``encode_key`` (default on) dictionary-encodes the join key:
     hashing/shuffling 8-byte fingerprints instead of ~20-byte shingle
@@ -88,14 +98,22 @@ def _pair_jaccard(
         enc = sh.select("id", F.xxhash64("shingle").alias("code"))
     else:
         enc = sh.select("id", F.col("shingle").alias("code"))
-    a = enc.alias("a")
-    b = enc.alias("b")
-    common = (
-        a.join(b, (F.col("a.code") == F.col("b.code")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
     if pairs_hint is not None:
-        common = common.join(pairs_hint, ["id_a", "id_b"], "left_semi")
+        # candidate-first: never materialize the inverted-index self-join
+        ea = enc.select(F.col("id").alias("id_a"), "code")
+        eb = enc.select(F.col("id").alias("id_b"), "code")
+        common = pairs_hint.join(ea, "id_a").join(eb, ["id_b", "code"]).select(
+            "id_a", "id_b"
+        )
+    else:
+        a = enc.alias("a")
+        b = enc.alias("b")
+        common = (
+            a.join(
+                b, (F.col("a.code") == F.col("b.code")) & (F.col("a.id") < F.col("b.id"))
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
     counted = common.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))

@@ -53,7 +53,7 @@ def test_session_caches_key_on_application_id(spark, sf_smoke):
     textops.cached_shingles(spark, sf_smoke)
     for cache in (builder._EDGE_CACHE, textops._SH_CACHE, graphops._BACKBONE_CACHE):
         for key in cache:
-            assert key[0] == token or isinstance(key[0], str), key
+            assert isinstance(key[0], str), key  # applicationId, never id(spark)
         # at least the caches we just populated carry this session's token
     assert any(k[0] == token for k in builder._EDGE_CACHE)
     assert any(k[0] == token for k in textops._SH_CACHE)
@@ -84,6 +84,27 @@ def test_rank_loop_without_forced_broadcast(spark, monkeypatch):
     assert with_bcast == without
     assert lpa_bcast == lpa_plain
     assert algorithms._BCAST_MAX_ROWS == 0  # monkeypatch active for the run
+
+
+def test_bfs_frontier_broadcast_capped(spark, monkeypatch):
+    """bfs_distances must apply the _BCAST_MAX_ROWS guard per hop: on a
+    dense graph a hop-2 frontier can be a large fraction of |V|, and an
+    unconditional F.broadcast re-ships a multi-GB table every hop
+    (VERDICT r03 'What's wrong' #2).  Force the fallback (cap 0) and the
+    shuffle-join path must produce identical distances."""
+    from cyber_etl_spark.graph import algorithms
+
+    edges = _toy_edges(spark)
+    sources = edges.select(F.col("src").alias("id")).where(F.col("id") == 0).distinct()
+    with_bcast = sorted(
+        map(tuple, algorithms.bfs_distances(edges, sources, max_hops=4).collect())
+    )
+    monkeypatch.setattr(algorithms, "_BCAST_MAX_ROWS", 0)
+    without = sorted(
+        map(tuple, algorithms.bfs_distances(_toy_edges(spark), sources, max_hops=4).collect())
+    )
+    assert with_bcast == without
+    assert with_bcast  # non-trivial: the toy graph reaches vertices
 
 
 def test_louvain_improves_on_lpa_cosupply(spark, sf_smoke):

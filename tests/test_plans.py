@@ -66,6 +66,21 @@ def test_whole_stage_codegen_everywhere_cheap(spark, sf_smoke):
             assert "ArrowEvalPython" not in plan, name
 
 
+def test_q22_lsh_verification_is_candidate_first(spark, sf_smoke):
+    """The LSH exact-verify must never run the unfiltered inverted-index
+    self-join (shingle-code ⋈ shingle-code, id<id residual) — that
+    shuffles O(Σ posting-list²) rows regardless of how few candidates LSH
+    produced, nullifying the O(n·bands) claim on boilerplate-heavy
+    corpora.  Candidate-first: the old path's LeftSemi post-filter is
+    gone, and every join touching the shingle code is keyed by a
+    candidate id as well."""
+    plan = _plan(spark, sf_smoke, "q22_neardup_minhash_lsh")
+    assert "LeftSemi" not in plan
+    for line in plan.splitlines():
+        if "Join" in line and "code#" in line:
+            assert "id_a#" in line or "id_b#" in line, line
+
+
 def test_q71_exists_is_semi_join_with_residual(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "q71_exists_subquery")
     # the EXISTS must decorrelate to a semi join on the order key with the

@@ -23,6 +23,7 @@ list and the rank/label state by vertex id so each superstep co-locates,
 from __future__ import annotations
 
 import weakref
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,6 +43,33 @@ _DERIVED: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictiona
 # a 10 M-row forced broadcast (hundreds of MB, re-shipped every superstep)
 # OOMs real executors long before the driver notices.
 _BCAST_MAX_ROWS = 1_000_000
+
+
+@contextmanager
+def _loop_shuffle_width(df: DataFrame, rows: int, rows_per_part: int = 200_000):
+    """Right-size ``spark.sql.shuffle.partitions`` for the superstep jobs.
+
+    The same economics as :func:`_compact`, one level down: superstep
+    plans are materialized per iteration (the eager checkpoints that keep
+    forced broadcasts flat), and those jobs' internal shuffles otherwise
+    run at the session-global width — e.g. 32 near-empty reduce tasks per
+    groupBy per superstep on a 60 k-edge graph, pure scheduling floor
+    (measured 2x wall on q43 at sf0.1).  Checkpoint jobs also bypass
+    AQE's re-optimization, and AQE's ``parallelismFirst`` default keeps
+    tiny shuffles wide anyway.  On a big graph ``rows // rows_per_part``
+    exceeds the session width and this is a no-op, so cluster-scale
+    parallelism is untouched.  Restores the session value on exit.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    target = max(8, rows // rows_per_part)
+    try:
+        if target < int(before):
+            spark.conf.set(key, str(target))
+        yield
+    finally:
+        spark.conf.set(key, before)
 
 
 def _derived(edges: DataFrame, tag: tuple, build) -> DataFrame:
@@ -103,6 +131,12 @@ def _sym(edges: DataFrame) -> DataFrame:
     return _derived(edges, ("sym",), build)
 
 
+def _ecount(edges: DataFrame, e: DataFrame) -> int:
+    """Edge count of the (checkpointed) symmetrized list, memoized with
+    the other derived tables — sizes the loops' shuffle width."""
+    return _derived(edges, ("symcount",), lambda: e.count())
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
@@ -128,41 +162,42 @@ def connected_components(
     # sum exact for billions of 64-bit ids (no i64 overflow, no double
     # rounding).
     prev_sum = None
-    for it in range(max_iterations):
-        neighbor_min = (
-            e.join(labels, e.src == labels.id)
-            .groupBy(F.col("dst").alias("nid"))
-            .agg(F.min("component").alias("nmin"))
-        )
-        hooked = labels.join(neighbor_min, labels.id == neighbor_min.nid, "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-            ).alias("component"),
-        )
-        # pointer jumping: adopt the label of my label — halves chain depth
-        # every iteration, so convergence is O(log diameter) supersteps
-        # instead of O(diameter)
-        x, y = hooked.alias("x"), hooked.alias("y")
-        new_labels = (
-            x.join(y, F.col("x.component") == F.col("y.id"), "left")
-            .select(
-                F.col("x.id").alias("id"),
+    with _loop_shuffle_width(e, _ecount(edges, e)):
+        for it in range(max_iterations):
+            neighbor_min = (
+                e.join(labels, e.src == labels.id)
+                .groupBy(F.col("dst").alias("nid"))
+                .agg(F.min("component").alias("nmin"))
+            )
+            hooked = labels.join(neighbor_min, labels.id == neighbor_min.nid, "left").select(
+                "id",
                 F.least(
-                    F.col("x.component"),
-                    F.coalesce(F.col("y.component"), F.col("x.component")),
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0][0]
-        labels = new_labels
-        # None == None breaks too: an empty graph is trivially converged
-        if it > 0 and cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            # pointer jumping: adopt the label of my label — halves chain depth
+            # every iteration, so convergence is O(log diameter) supersteps
+            # instead of O(diameter)
+            x, y = hooked.alias("x"), hooked.alias("y")
+            new_labels = (
+                x.join(y, F.col("x.component") == F.col("y.id"), "left")
+                .select(
+                    F.col("x.id").alias("id"),
+                    F.least(
+                        F.col("x.component"),
+                        F.coalesce(F.col("y.component"), F.col("x.component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0][0]
+            labels = new_labels
+            # None == None breaks too: an empty graph is trivially converged
+            if it > 0 and cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels
 
 
@@ -237,28 +272,40 @@ def pagerank(
     # rank vector is |V| rows — broadcast it while it fits comfortably;
     # past that AQE picks a shuffle join and the loop still works.
     bcast = n <= _BCAST_MAX_ROWS
-    for i in range(iterations):
-        r = F.broadcast(ranks) if bcast else ranks
-        contribs = (
-            eshare.join(r, eshare.src == r.id)
-            .select(
-                F.col("dst").alias("to"),
-                (F.col("rank") * F.col("share")).alias("c"),
+    with _loop_shuffle_width(e, m):
+        for i in range(iterations):
+            r = F.broadcast(ranks) if bcast else ranks
+            contribs = (
+                eshare.join(r, eshare.src == r.id)
+                .select(
+                    F.col("dst").alias("to"),
+                    (F.col("rank") * F.col("share")).alias("c"),
+                )
+                .groupBy("to")
+                .agg(F.sum("c").alias("mass"))
             )
-            .groupBy("to")
-            .agg(F.sum("c").alias("mass"))
-        )
-        ranks = deg.join(contribs, deg.id == contribs["to"], "left").select(
-            "id",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
-        # truncate lineage periodically, not per-superstep: a few chained
-        # supersteps plan fine and run as ONE job; unbounded chains blow
-        # up planning time on big graphs.
-        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
-            ranks = _compact(ranks, n).localCheckpoint(eager=True)
+            ranks = deg.join(contribs, deg.id == contribs["to"], "left").select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            if bcast:
+                # a forced broadcast of an UNcheckpointed superstep chain is
+                # quadratic: materializing superstep k's broadcast re-runs
+                # every nested broadcast below it as its own job (measured
+                # 18 jobs / 7.2s vs 2.9s for 4 LPA supersteps at sf0.1).
+                # The vector is <= _BCAST_MAX_ROWS by definition of this
+                # branch, so pinning it per superstep is one tiny blocking
+                # job that makes the next broadcast (and any multi-reference
+                # caller) read a flat checkpoint instead of a chain.
+                ranks = _compact(ranks, n).localCheckpoint(eager=True)
+            # big-vector path: truncate lineage periodically, not per-
+            # superstep (each eager checkpoint of a large vector is a real
+            # blocking job; a few chained shuffle-join supersteps plan fine
+            # and run as ONE job).
+            elif (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+                ranks = _compact(ranks, n).localCheckpoint(eager=True)
     return ranks
 
 
@@ -278,28 +325,36 @@ def label_propagation(
         "community", F.col("id")
     )
     bcast = labels.count() <= _BCAST_MAX_ROWS  # label vector small → map-side join
-    for i in range(iterations):
-        # single aggregation replaces count+window-rank: max_by over the
-        # (cnt, -community) struct implements "most frequent label, ties
-        # to smallest" with one shuffle per superstep instead of two.
-        lab = F.broadcast(labels) if bcast else labels
-        best = (
-            e.join(lab, e.src == lab.id)
-            .groupBy(F.col("dst").alias("nid"), "community")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy("nid")
-            .agg(
-                F.expr("max_by(community, struct(cnt, -community))").alias(
-                    "new_community"
+    with _loop_shuffle_width(e, _ecount(edges, e)):
+        for i in range(iterations):
+            # single aggregation replaces count+window-rank: max_by over the
+            # (cnt, -community) struct implements "most frequent label, ties
+            # to smallest" with one shuffle per superstep instead of two.
+            lab = F.broadcast(labels) if bcast else labels
+            best = (
+                e.join(lab, e.src == lab.id)
+                .groupBy(F.col("dst").alias("nid"), "community")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .groupBy("nid")
+                .agg(
+                    F.expr("max_by(community, struct(cnt, -community))").alias(
+                        "new_community"
+                    )
                 )
             )
-        )
-        labels = labels.join(best, labels.id == best.nid, "left").select(
-            "id",
-            F.coalesce(F.col("new_community"), F.col("community")).alias("community"),
-        )
-        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.join(best, labels.id == best.nid, "left").select(
+                "id",
+                F.coalesce(F.col("new_community"), F.col("community")).alias("community"),
+            )
+            if bcast:
+                # see pagerank: broadcasting an uncheckpointed chain re-runs
+                # every nested broadcast per materialization — pin the
+                # (small) vector each superstep so the next broadcast (and
+                # any multi-reference caller, e.g. modularity) reads a flat
+                # plan.
+                labels = labels.localCheckpoint(eager=True)
+            elif (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+                labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -383,67 +438,68 @@ def louvain_level(
     else:
         labels = _compact(init.localCheckpoint(eager=True), n)
     bcast = n <= _BCAST_MAX_ROWS
-    for _ in range(rounds):
-        lab_dst = labels.select(
-            F.col("id").alias("dst"), F.col("community").alias("n_comm")
-        )
-        # w(i→C): edge mass from i into each neighboring community C — the
-        # label vector is |V| rows vs |E| edges, so map-side join while it
-        # fits.  sum(w) == count for the unit-weight path (integer-valued
-        # double addition is exact), so one formulation serves both.
-        w_ic = (
-            e.join(F.broadcast(lab_dst) if bcast else lab_dst, "dst")
-            .groupBy(F.col("src").alias("id"), "n_comm")
-            .agg(F.sum("w").alias("w_ic"))
-        )
-        # Σdeg over each community, minus i's own degree when i ∈ C
-        degsum = (
-            deg.join(labels, "id").groupBy("community").agg(F.sum("deg").alias("deg_c"))
-        )
-        cand = (
-            w_ic.join(degsum, w_ic.n_comm == degsum.community)
-            .join(deg, "id")
-            .join(labels.withColumnRenamed("community", "cur"), "id")
-            .select(
-                "id",
-                "n_comm",
-                "cur",
-                (
-                    F.col("w_ic")
-                    - F.col("deg")
-                    * (
-                        F.col("deg_c")
-                        - F.when(F.col("n_comm") == F.col("cur"), F.col("deg")).otherwise(
-                            F.lit(0)
+    with _loop_shuffle_width(e, int(2 * m) if m else 0):
+        for _ in range(rounds):
+            lab_dst = labels.select(
+                F.col("id").alias("dst"), F.col("community").alias("n_comm")
+            )
+            # w(i→C): edge mass from i into each neighboring community C — the
+            # label vector is |V| rows vs |E| edges, so map-side join while it
+            # fits.  sum(w) == count for the unit-weight path (integer-valued
+            # double addition is exact), so one formulation serves both.
+            w_ic = (
+                e.join(F.broadcast(lab_dst) if bcast else lab_dst, "dst")
+                .groupBy(F.col("src").alias("id"), "n_comm")
+                .agg(F.sum("w").alias("w_ic"))
+            )
+            # Σdeg over each community, minus i's own degree when i ∈ C
+            degsum = (
+                deg.join(labels, "id").groupBy("community").agg(F.sum("deg").alias("deg_c"))
+            )
+            cand = (
+                w_ic.join(degsum, w_ic.n_comm == degsum.community)
+                .join(deg, "id")
+                .join(labels.withColumnRenamed("community", "cur"), "id")
+                .select(
+                    "id",
+                    "n_comm",
+                    "cur",
+                    (
+                        F.col("w_ic")
+                        - F.col("deg")
+                        * (
+                            F.col("deg_c")
+                            - F.when(F.col("n_comm") == F.col("cur"), F.col("deg")).otherwise(
+                                F.lit(0)
+                            )
                         )
-                    )
-                    / F.lit(2 * m)
-                ).alias("gain"),
-            )
-        )
-        best = cand.groupBy("id").agg(
-            F.expr("max_by(n_comm, struct(gain, -n_comm))").alias("best_comm"),
-            F.max(F.struct("gain", (-F.col("n_comm")).alias("nc"))).alias("best_key"),
-            F.max(
-                F.when(F.col("n_comm") == F.col("cur"), F.col("gain"))
-            ).alias("cur_gain"),
-        )
-        new_labels = _compact(
-            labels.join(best, "id", "left")
-            .select(
-                "id",
-                F.when(
-                    F.col("best_comm").isNotNull()
-                    & (F.col("best_key.gain") > F.coalesce(F.col("cur_gain"), F.lit(-1e18))),
-                    F.col("best_comm"),
+                        / F.lit(2 * m)
+                    ).alias("gain"),
                 )
-                .otherwise(F.col("community"))
-                .alias("community"),
             )
-            .localCheckpoint(eager=True),
-            n,
-        )
-        labels = new_labels
+            best = cand.groupBy("id").agg(
+                F.expr("max_by(n_comm, struct(gain, -n_comm))").alias("best_comm"),
+                F.max(F.struct("gain", (-F.col("n_comm")).alias("nc"))).alias("best_key"),
+                F.max(
+                    F.when(F.col("n_comm") == F.col("cur"), F.col("gain"))
+                ).alias("cur_gain"),
+            )
+            new_labels = _compact(
+                labels.join(best, "id", "left")
+                .select(
+                    "id",
+                    F.when(
+                        F.col("best_comm").isNotNull()
+                        & (F.col("best_key.gain") > F.coalesce(F.col("cur_gain"), F.lit(-1e18))),
+                        F.col("best_comm"),
+                    )
+                    .otherwise(F.col("community"))
+                    .alias("community"),
+                )
+                .localCheckpoint(eager=True),
+                n,
+            )
+            labels = new_labels
     return labels
 
 
@@ -515,24 +571,25 @@ def bfs_distances(
     )
     frontier = dist.select("id")
     n_frontier = dist.count()
-    for h in range(1, max_hops + 1):
-        # broadcast only while the frontier is provably small: on a dense
-        # graph a hop-2 frontier can be a large fraction of |V|, and a
-        # forced multi-GB broadcast re-shipped per hop OOMs executors.
-        # Past the cap, fall back to a shuffle join (AQE still converts
-        # back to broadcast dynamically if the frontier shrinks again).
-        fr = F.broadcast(frontier) if n_frontier <= _BCAST_MAX_ROWS else frontier
-        nxt = (
-            e.join(fr, e.src == fr["id"])
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(dist, "id", "left_anti")
-            .withColumn("dist", F.lit(h).cast("int"))
-            .localCheckpoint(eager=True)
-        )
-        n_frontier = nxt.count()
-        if n_frontier == 0:
-            break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("id")
+    with _loop_shuffle_width(e, _ecount(edges, e)):
+        for h in range(1, max_hops + 1):
+            # broadcast only while the frontier is provably small: on a dense
+            # graph a hop-2 frontier can be a large fraction of |V|, and a
+            # forced multi-GB broadcast re-shipped per hop OOMs executors.
+            # Past the cap, fall back to a shuffle join (AQE still converts
+            # back to broadcast dynamically if the frontier shrinks again).
+            fr = F.broadcast(frontier) if n_frontier <= _BCAST_MAX_ROWS else frontier
+            nxt = (
+                e.join(fr, e.src == fr["id"])
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(dist, "id", "left_anti")
+                .withColumn("dist", F.lit(h).cast("int"))
+                .localCheckpoint(eager=True)
+            )
+            n_frontier = nxt.count()
+            if n_frontier == 0:
+                break
+            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("id")
     return dist

@@ -46,6 +46,20 @@ try:  # pragma: no cover - not present in this container
 except ImportError:
     _HAS_PIL = False
 
+try:  # pragma: no cover - not present in this container
+    import torchaudio  # noqa: F401
+
+    _HAS_TORCHAUDIO = True
+except ImportError:
+    _HAS_TORCHAUDIO = False
+
+try:  # pragma: no cover - not present in this container
+    import av  # noqa: F401  (PyAV — the ffmpeg binding)
+
+    _HAS_AV = True
+except ImportError:
+    _HAS_AV = False
+
 
 IMAGE_META_SCHEMA = StructType(
     [
@@ -127,6 +141,79 @@ def resize_images(
     return df.mapInPandas(do_resize, df.schema)
 
 
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def encode_fake_audio(n_samples: int, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    payload = hashlib.sha256(f"{n_samples}@{sample_rate}x{channels}".encode()).digest()
+    return f"FAKEAUD|{n_samples}|{sample_rate}|{channels}|".encode() + payload
+
+
+def _decode_audio_bytes(b: bytes) -> tuple[int, int, int]:
+    """Decode audio header → (n_samples, sample_rate, channels).
+
+    Same gate pattern as :func:`_decode_image_bytes`: FAKEAUD payloads
+    always take the deterministic parse; anything else goes through
+    torchaudio when importable, else raises."""
+    if b.startswith(b"FAKEAUD|"):
+        head = b.split(b"|", 4)
+        return int(head[1]), int(head[2]), int(head[3])
+    if _HAS_TORCHAUDIO:  # pragma: no cover - torchaudio absent here
+        import io
+
+        info = torchaudio.info(io.BytesIO(b))
+        return int(info.num_frames), int(info.sample_rate), int(info.num_channels)
+    raise ValueError("not a FAKEAUD payload and no audio codec available")
+
+
+def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """content → content + audio_meta struct, via mapInPandas (same
+    Arrow batch contract as :func:`decode_images`)."""
+    out_schema = StructType(df.schema.fields + [StructField("audio_meta", AUDIO_META_SCHEMA)])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for b in pdf[content_col]:
+                n, rate, ch = _decode_audio_bytes(bytes(b))
+                metas.append(
+                    {"n_samples": n, "sample_rate": rate, "channels": ch, "n_bytes": len(b)}
+                )
+            pdf = pdf.copy()
+            pdf["audio_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def resample_audio(
+    df: DataFrame, sample_rate: int, content_col: str = "content"
+) -> DataFrame:
+    """Re-encode every clip at ``sample_rate`` (duration preserved: the
+    sample count scales by the rate ratio, floor-rounded).  Stub
+    transform rewrites the fake header; a real kernel would call
+    ``torchaudio.functional.resample`` here."""
+
+    def do_resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[content_col]:
+                n, rate, ch = _decode_audio_bytes(bytes(b))
+                out.append(encode_fake_audio(n * sample_rate // rate, sample_rate, ch))
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            yield pdf
+
+    return df.mapInPandas(do_resample, df.schema)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -134,6 +221,30 @@ FRAME_SCHEMA = StructType(
         StructField("frame", BinaryType()),
     ]
 )
+
+
+def _decode_video_frames(b: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """Decode a video payload → [(frame_index, frame_bytes)] for every
+    ``every_n``-th frame.
+
+    FAKEVID payloads take the deterministic parse (fixed 16-byte frame
+    payloads).  Anything else goes through PyAV/ffmpeg when importable —
+    decoded frames re-encoded as raw RGB bytes — else raises."""
+    if b.startswith(b"FAKEVID|"):
+        head = b.split(b"|", 3)
+        n_frames = int(head[1])
+        body = head[3]
+        return [(i, body[i * 16 : (i + 1) * 16]) for i in range(0, n_frames, every_n)]
+    if _HAS_AV:  # pragma: no cover - PyAV absent in this container
+        import io
+
+        out = []
+        with av.open(io.BytesIO(b)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % every_n == 0:
+                    out.append((i, frame.to_ndarray(format="rgb24").tobytes()))
+        return out
+    raise ValueError("not a FAKEVID payload and no video codec available")
 
 
 def sample_frames(
@@ -148,16 +259,10 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, b in zip(pdf[id_col], pdf[content_col]):
-                b = bytes(b)
-                head = b.split(b"|", 3)
-                if head[0] != b"FAKEVID":
-                    raise ValueError("not a FAKEVID payload")
-                n_frames = int(head[1])
-                body = b.split(b"|", 3)[3]
-                for i in range(0, n_frames, every_n):
+                for i, frame in _decode_video_frames(bytes(b), every_n):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(body[i * 16 : (i + 1) * 16])
+                    frames.append(frame)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_index": idxs, "frame": frames}
             )

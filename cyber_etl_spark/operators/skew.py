@@ -42,12 +42,22 @@ def salted_aggregate(
     table by the real keys.
 
     ``salt_source``: a unique-ish column (e.g. the fact's primary key) —
-    the best spreader.  Without one, the salt hashes all columns PLUS a
-    per-row id so fully-duplicate rows still spread (see module note).
+    the best spreader, and the path to prefer at scale.  Without one, the
+    salt hashes all columns PLUS a per-row id so fully-duplicate rows
+    still spread — but ``monotonically_increasing_id`` is
+    Catalyst-NONdeterministic: if the input were recomputed differently
+    on a stage retry after a fetch failure, rows could re-salt mid-job
+    (the SPARK-23207 lost/duplicated-rows hazard).  The fallback
+    therefore pins the input with a ``localCheckpoint`` first, making the
+    id a function of fixed block placement.  That materialization is the
+    price of not having a key column; callers with any stable unique-ish
+    column should pass it as ``salt_source`` instead.
     """
     if salt_source:
         salt = F.pmod(F.hash(F.col(salt_source)), F.lit(salt_buckets))
     else:
+        # pin partition placement so the per-row id is retry-deterministic
+        df = df.localCheckpoint(eager=True)
         salt = F.pmod(
             F.hash(F.concat_ws("", *df.columns), F.monotonically_increasing_id()),
             F.lit(salt_buckets),

@@ -266,6 +266,43 @@ def q22_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q104_neardup_stop_shingle",
+    oracle=f"""
+    WITH {_SHINGLES_CTE.replace("sh AS (", "sh0 AS (").replace(
+        "sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id)",
+        '''shdf AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT s.id, s.shingle FROM sh0 s JOIN shdf d ON s.shingle = d.shingle
+           WHERE d.df <= 4),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id)''')},
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM ({_JACCARD_FROM_COMMON}) WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "stop-shingle", "skew"),
+)
+def q104_neardup_stop_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21's exact Jaccard with the PRODUCTION skew guard on: shingles
+    appearing in more than 4 documents (boilerplate — the hot posting
+    lists that dominate the inverted-index shuffle on a real corpus) are
+    dropped from the shingle space before the join, and Jaccard is
+    computed consistently over the filtered sets.  The oracle applies the
+    identical document-frequency cap in a CTE, proving the
+    ``max_shingle_df`` path end-to-end the way q102/q103 proved the
+    salted-agg/join operators."""
+    docs = read_table(spark, sf_dir, "documents")
+    df = jaccard_pairs(
+        docs,
+        threshold=0.5,
+        shingles_df=cached_shingles(spark, sf_dir),
+        max_shingle_df=4,
+    )
+    return df.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
     "q23_neardup_simhash",
     oracle="""
     WITH toks AS (

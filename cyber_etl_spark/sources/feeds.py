@@ -51,15 +51,26 @@ def _fetch(
     if len(data) > max_bytes:
         raise ValueError(f"feed body exceeds max_bytes={max_bytes}: {url}")
     if data[:2] == b"\x1f\x8b":  # gzip magic — NVD feeds ship gzipped
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        # bounded DEcompression too: the cap on the compressed body alone
+        # would let a small gzip bomb defeat the guard (ADVICE r03)
+        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read(max_bytes + 1)
+        if len(data) > max_bytes:
+            raise ValueError(
+                f"feed body decompresses past max_bytes={max_bytes}: {url}"
+            )
     return data
 
 
 def _fetch_opts(options) -> tuple[float, int]:
-    return (
-        float(options.get("timeout") or _DEFAULT_TIMEOUT_SEC),
-        int(options.get("max_bytes") or _DEFAULT_MAX_BYTES),
-    )
+    # clamp the timeout to a positive value: timeout=0 would mean a
+    # NON-blocking socket (instant errors), not "no timeout"
+    try:
+        timeout = float(options.get("timeout") or _DEFAULT_TIMEOUT_SEC)
+    except (TypeError, ValueError):
+        timeout = _DEFAULT_TIMEOUT_SEC
+    if timeout <= 0:
+        timeout = _DEFAULT_TIMEOUT_SEC
+    return (timeout, int(options.get("max_bytes") or _DEFAULT_MAX_BYTES))
 
 
 class HttpJsonDataSource(DataSource):

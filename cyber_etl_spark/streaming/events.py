@@ -47,7 +47,15 @@ def _events_schema(ts_type) -> StructType:
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_ts = dict(spark.read.parquet(path).dtypes).get("ts", "bigint")
+    try:
+        batch_ts = dict(spark.read.parquet(path).dtypes).get("ts", "bigint")
+    except Exception:
+        # an empty or not-yet-populated input directory is a NORMAL
+        # initial state for a file-stream source: the batch sniff can't
+        # see a footer yet, but the stream must still start and pick up
+        # files later — fall back to the legacy NANOS-as-long layout
+        # (ADVICE r03).
+        batch_ts = "bigint"
     if batch_ts == "bigint":  # TIMESTAMP(NANOS) read as long
         raw = (
             spark.readStream.schema(_events_schema(LongType()))

@@ -78,6 +78,105 @@ def test_decode_real_codec_branch(monkeypatch):
         mm._decode_image_bytes(b"\x89PNG\r\n_not_fake")
 
 
+def test_audio_decode_resample_roundtrip(spark):
+    from cyber_etl_spark.operators.multimodal import (
+        decode_audio,
+        encode_fake_audio,
+        resample_audio,
+    )
+
+    clips = [(i, encode_fake_audio(32000 + i * 16000, 16000, 1)) for i in range(4)]
+    df = spark.createDataFrame(clips, "media_id long, content binary")
+    metas = {r.media_id: r.audio_meta for r in decode_audio(df).collect()}
+    assert metas[0].n_samples == 32000 and metas[0].sample_rate == 16000
+    assert metas[3].n_samples == 80000 and metas[0].channels == 1
+    res = resample_audio(df, 8000)
+    assert res.schema == df.schema
+    metas = {r.media_id: r.audio_meta for r in decode_audio(res).collect()}
+    # duration preserved: n_samples halves with the rate
+    assert metas[0].n_samples == 16000 and metas[0].sample_rate == 8000
+
+
+def test_audio_real_codec_branch(monkeypatch):
+    """torchaudio branch of _decode_audio_bytes — same gate contract as
+    the PIL branch: non-FAKEAUD bytes route to the codec when importable
+    (monkeypatched fake), FAKEAUD bytes bypass it, no codec raises."""
+    import cyber_etl_spark.operators.multimodal as mm
+    import pytest
+
+    class _Info:
+        num_frames, sample_rate, num_channels = 44100, 44100, 2
+
+    class _FakeTA:
+        seen: bytes | None = None
+
+        @classmethod
+        def info(cls, fh):
+            cls.seen = fh.read()
+            return _Info()
+
+    monkeypatch.setattr(mm, "_HAS_TORCHAUDIO", True)
+    monkeypatch.setattr(mm, "torchaudio", _FakeTA, raising=False)
+    assert mm._decode_audio_bytes(b"RIFF_not_fake") == (44100, 44100, 2)
+    assert _FakeTA.seen == b"RIFF_not_fake"
+    _FakeTA.seen = None
+    assert mm._decode_audio_bytes(mm.encode_fake_audio(10, 8000, 1)) == (10, 8000, 1)
+    assert _FakeTA.seen is None
+    monkeypatch.setattr(mm, "_HAS_TORCHAUDIO", False)
+    with pytest.raises(ValueError, match="no audio codec"):
+        mm._decode_audio_bytes(b"RIFF_not_fake")
+
+
+def test_video_real_codec_branch(monkeypatch):
+    """PyAV/ffmpeg branch of _decode_video_frames: non-FAKEVID bytes
+    route to av.open when importable (monkeypatched fake), with every_n
+    sampling applied to decoded frames; FAKEVID bypasses; no codec
+    raises."""
+    import numpy as np
+    import cyber_etl_spark.operators.multimodal as mm
+    import pytest
+
+    class _Frame:
+        def __init__(self, i):
+            self.i = i
+
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return np.full((1, 1, 3), self.i, dtype=np.uint8)
+
+    class _Container:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, video):
+            assert video == 0
+            return (_Frame(i) for i in range(5))
+
+    class _FakeAV:
+        @staticmethod
+        def open(fh):
+            return _Container()
+
+    monkeypatch.setattr(mm, "_HAS_AV", True)
+    monkeypatch.setattr(mm, "av", _FakeAV, raising=False)
+    got = mm._decode_video_frames(b"\x00\x00\x01\xba_mpeg_not_fake", every_n=2)
+    assert [(i, f) for i, f in got] == [
+        (0, bytes([0, 0, 0])),
+        (2, bytes([2, 2, 2])),
+        (4, bytes([4, 4, 4])),
+    ]
+    # FAKEVID payloads never touch the codec even when one is available
+    fake = mm.encode_fake_video(n_frames=4, fps=24)
+    got = mm._decode_video_frames(fake, every_n=2)
+    assert [i for i, _ in got] == [0, 2] and all(len(f) == 16 for _, f in got)
+    monkeypatch.setattr(mm, "_HAS_AV", False)
+    with pytest.raises(ValueError, match="no video codec"):
+        mm._decode_video_frames(b"\x00\x00\x01\xba_mpeg_not_fake", every_n=1)
+
+
 def test_sample_frames_fanout(media_df):
     from cyber_etl_spark.operators.multimodal import sample_frames
 

@@ -413,10 +413,12 @@ def louvain_level(
     """
     if weight_col is None:
         e = _sym(edges).withColumn("w", F.lit(1.0))
+        e_rows = _ecount(edges, _sym(edges))
     else:
         e = edges.select(
             "src", "dst", F.col(weight_col).cast("double").alias("w")
         ).localCheckpoint(eager=True)
+        e_rows = e.count()  # cheap: scans the fresh checkpoint
     deg = (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.sum("w").alias("deg"))
@@ -438,7 +440,7 @@ def louvain_level(
     else:
         labels = _compact(init.localCheckpoint(eager=True), n)
     bcast = n <= _BCAST_MAX_ROWS
-    with _loop_shuffle_width(e, int(2 * m) if m else 0):
+    with _loop_shuffle_width(e, e_rows):
         for _ in range(rounds):
             lab_dst = labels.select(
                 F.col("id").alias("dst"), F.col("community").alias("n_comm")

@@ -433,16 +433,25 @@ def louvain_level(
     if n == 0:
         return deg.select("id", F.col("id").alias("community"))
     deg = _compact(deg, n)
+    # carry (id, community, deg) as ONE state table: the candidate scoring
+    # needs a node's current community AND degree, and fusing them removes
+    # a per-round |V|-row join (and its broadcast materialization job)
+    # versus separate labels/deg tables.
     if init is None:
         # identity labels are a projection of the already-materialized deg
         # table — checkpointing them again would be a pure-overhead job
-        labels = deg.select("id", F.col("id").alias("community"))
+        state = deg.select("id", F.col("id").alias("community"), "deg")
     else:
-        labels = _compact(init.localCheckpoint(eager=True), n)
+        state = _compact(
+            deg.join(init.localCheckpoint(eager=True), "id").select(
+                "id", "community", "deg"
+            ),
+            n,
+        )
     bcast = n <= _BCAST_MAX_ROWS
     with _loop_shuffle_width(e, e_rows):
         for _ in range(rounds):
-            lab_dst = labels.select(
+            lab_dst = state.select(
                 F.col("id").alias("dst"), F.col("community").alias("n_comm")
             )
             # w(i→C): edge mass from i into each neighboring community C — the
@@ -455,13 +464,10 @@ def louvain_level(
                 .agg(F.sum("w").alias("w_ic"))
             )
             # Σdeg over each community, minus i's own degree when i ∈ C
-            degsum = (
-                deg.join(labels, "id").groupBy("community").agg(F.sum("deg").alias("deg_c"))
-            )
+            degsum = state.groupBy("community").agg(F.sum("deg").alias("deg_c"))
             cand = (
                 w_ic.join(degsum, w_ic.n_comm == degsum.community)
-                .join(deg, "id")
-                .join(labels.withColumnRenamed("community", "cur"), "id")
+                .join(state.withColumnRenamed("community", "cur"), "id")
                 .select(
                     "id",
                     "n_comm",
@@ -486,8 +492,8 @@ def louvain_level(
                     F.when(F.col("n_comm") == F.col("cur"), F.col("gain"))
                 ).alias("cur_gain"),
             )
-            new_labels = _compact(
-                labels.join(best, "id", "left")
+            state = _compact(
+                state.join(best, "id", "left")
                 .select(
                     "id",
                     F.when(
@@ -497,12 +503,12 @@ def louvain_level(
                     )
                     .otherwise(F.col("community"))
                     .alias("community"),
+                    "deg",
                 )
                 .localCheckpoint(eager=True),
                 n,
             )
-            labels = new_labels
-    return labels
+    return state.select("id", "community")
 
 
 def louvain(

@@ -170,6 +170,44 @@ def jaccard_pairs(
     return _pair_jaccard(sh, encode_key=encode_key).where(F.col("jaccard") >= threshold)
 
 
+def band_signatures(sh: DataFrame, num_perm: int = 8, bands: int = 4) -> DataFrame:
+    """(id, band, band_sig) MinHash band signatures over a shingle table.
+
+    shingle → num_perm md5 permutations → min per permutation → per-band
+    fold into one md5 signature.  Seeded by permutation index, so two
+    independently-signed tables (e.g. a new batch vs the historical
+    corpus in :func:`minhash_lsh_pairs_incremental`) produce JOINABLE
+    signatures, and the DuckDB oracle reproduces them bit-for-bit.
+    """
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "num_perm must divide into bands"
+    assert rows_per_band == 2, "band fold is specialized to 2 rows/band"
+    seeds = F.array(*[F.lit(i) for i in range(num_perm)])
+    hashed = sh.select(
+        "id",
+        F.explode(seeds).alias("seed"),
+        "shingle",
+    ).select(
+        "id",
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    )
+    # min-hash per (id, seed), then fold each band's row-hashes into one
+    # signature string.  rows_per_band == 2 keeps this a single groupBy.
+    return (
+        hashed.groupBy("id", (F.col("seed") % bands).alias("band"))
+        .agg(
+            F.min(F.when(F.col("seed") < bands, F.col("h"))).alias("m0"),
+            F.min(F.when(F.col("seed") >= bands, F.col("h"))).alias("m1"),
+        )
+        .select(
+            "id",
+            "band",
+            F.md5(F.concat_ws("|", F.col("band").cast("string"), "m0", "m1")).alias("band_sig"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -193,33 +231,8 @@ def minhash_lsh_pairs(
     same sub-threshold-probability pairs — LSH recall is a function of the
     banding scheme, not the engine).
     """
-    rows_per_band = num_perm // bands
-    assert rows_per_band * bands == num_perm, "num_perm must divide into bands"
     sh = shingles_df if shingles_df is not None else shingle_sets(docs, id_col, text_col, n)
-    seeds = F.array(*[F.lit(i) for i in range(num_perm)])
-    hashed = sh.select(
-        "id",
-        F.explode(seeds).alias("seed"),
-        "shingle",
-    ).select(
-        "id",
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-    )
-    # min-hash per (id, seed), then fold each band's row-hashes into one
-    # signature string.  rows_per_band == 2 keeps this a single groupBy.
-    sig = (
-        hashed.groupBy("id", (F.col("seed") % bands).alias("band"))
-        .agg(
-            F.min(F.when(F.col("seed") < bands, F.col("h"))).alias("m0"),
-            F.min(F.when(F.col("seed") >= bands, F.col("h"))).alias("m1"),
-        )
-        .select(
-            "id",
-            "band",
-            F.md5(F.concat_ws("|", F.col("band").cast("string"), "m0", "m1")).alias("band_sig"),
-        )
-    )
+    sig = band_signatures(sh, num_perm, bands)
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     candidates = (
@@ -234,6 +247,70 @@ def minhash_lsh_pairs(
     )
     return _pair_jaccard(sh, pairs_hint=candidates, encode_key=encode_key).where(
         F.col("jaccard") >= threshold
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Asymmetric LSH dedup: near-duplicates of NEW docs against an
+    EXISTING corpus → (id_new, id_corpus, jaccard).
+
+    The incremental-ingest shape of a production training-data pipeline:
+    a crawl batch is deduped against the historical corpus WITHOUT
+    re-pairing the corpus with itself.  Both sides are signed with the
+    same seeded permutations (:func:`band_signatures`), so candidates are
+    one equi-join on (band, band_sig) — shuffle O(|new|·bands +
+    |corpus|·bands), and the |corpus|² term never exists.  In a real
+    deployment the corpus signatures are computed once and persisted;
+    only the (tiny) new-batch side is signed per ingest.
+
+    Verification is candidate-first on both sides (join the candidate
+    pairs to each shingle table, count equal shingles) — same economics
+    as :func:`_pair_jaccard`'s hint path.
+    """
+    sh_new = shingle_sets(new_docs, id_col, text_col, n)
+    sh_old = shingle_sets(corpus_docs, id_col, text_col, n)
+    sig_new = band_signatures(sh_new, num_perm, bands)
+    sig_old = band_signatures(sh_old, num_perm, bands)
+    cand = (
+        sig_new.alias("a")
+        .join(
+            sig_old.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_corpus"))
+        .distinct()
+    )
+    enc_new = sh_new.select(F.col("id").alias("id_new"), F.xxhash64("shingle").alias("code"))
+    enc_old = sh_old.select(F.col("id").alias("id_corpus"), F.xxhash64("shingle").alias("code"))
+    common = (
+        cand.join(enc_new, "id_new")
+        .join(enc_old, ["id_corpus", "code"])
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("na"))
+    sz_old = sh_old.groupBy("id").agg(F.count(F.lit(1)).alias("nb"))
+    return (
+        common.join(sz_new.withColumnRenamed("id", "id_new"), "id_new")
+        .join(sz_old.withColumnRenamed("id", "id_corpus"), "id_corpus")
+        .select(
+            "id_new",
+            "id_corpus",
+            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 

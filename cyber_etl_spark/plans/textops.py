@@ -19,6 +19,7 @@ from ..operators.dedup import (
     exact_duplicate_mapping,
     jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
     simhash_neardup_pairs,
 )
 from ..session import session_token
@@ -300,6 +301,78 @@ def q104_neardup_stop_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_shingle_df=4,
     )
     return df.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _side_sig_cte(tag: str, pred: str) -> str:
+    """Per-side shingle+signature CTEs for the incremental-LSH oracle —
+    the same scheme as q22's, parameterized by a document filter."""
+    return f"""
+    toks{tag} AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents WHERE {pred}
+    ),
+    sh{tag} AS (
+      SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks{tag}
+      )
+    ),
+    sizes{tag} AS (SELECT id, COUNT(*) AS n FROM sh{tag} GROUP BY id),
+    hashed{tag} AS (
+      SELECT id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh{tag}, (SELECT unnest(range(0, 8)) AS seed)
+    ),
+    sig{tag} AS (
+      SELECT id, seed % 4 AS band,
+             md5(CAST(seed % 4 AS VARCHAR) || '|' ||
+                 MIN(CASE WHEN seed < 4 THEN h END) || '|' ||
+                 MIN(CASE WHEN seed >= 4 THEN h END)) AS band_sig
+      FROM hashed{tag} GROUP BY id, seed % 4
+    )"""
+
+
+@query(
+    "q106_incremental_dedup",
+    oracle=f"""
+    WITH {_side_sig_cte("N", "doc_id % 10 = 0")},
+    {_side_sig_cte("C", "doc_id % 10 <> 0")},
+    cand AS (
+      SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+      FROM sigN a JOIN sigC b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+    ),
+    common AS (
+      SELECT n.id AS id_new, c.id AS id_corpus, COUNT(*) AS n_common
+      FROM shN n JOIN shC c ON n.shingle = c.shingle
+      JOIN cand ON n.id = cand.id_new AND c.id = cand.id_corpus
+      GROUP BY 1, 2
+    )
+    SELECT id_new, id_corpus, jaccard FROM (
+      SELECT cm.id_new, cm.id_corpus,
+             round(CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common), 6)
+               AS jaccard
+      FROM common cm
+      JOIN sizesN sa ON cm.id_new = sa.id
+      JOIN sizesC sb ON cm.id_corpus = sb.id
+    ) WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "lsh", "incremental"),
+)
+def q106_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: every 10th document plays the NEW crawl
+    batch, the rest the historical corpus — asymmetric LSH
+    (operators/dedup.minhash_lsh_pairs_incremental): both sides signed
+    with the same seeded permutations, candidates from one
+    (band, band_sig) equi-join, exact-verified candidate-first.  The
+    corpus is never paired with itself — the shape a production pipeline
+    runs per crawl batch at 100 TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    df = minhash_lsh_pairs_incremental(new, corpus, threshold=0.5)
+    return df.select("id_new", "id_corpus", F.round("jaccard", 6).alias("jaccard"))
 
 
 @query(

@@ -69,3 +69,33 @@ def test_sink_roundtrips(spark, sf_smoke, tmp_path):
     assert [f.name for f in back_csv.schema.fields] == [
         f.name for f in nation.schema.fields
     ]
+
+
+def test_incremental_dedup_asymmetric(spark):
+    """minhash_lsh_pairs_incremental pairs new ONLY against corpus:
+    planted corpus-internal duplicates must never appear, planted
+    new-vs-corpus near-dups must."""
+    from cyber_etl_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup INSIDE the corpus — must not be reported
+            (3, "completely different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base + " extra"),  # near-dup of corpus 1 and 2
+            (101, "nothing in common whatsoever between these two documents"),
+        ],
+        "doc_id long, text string",
+    )
+    got = minhash_lsh_pairs_incremental(new, corpus, threshold=0.5).collect()
+    pairs = {(r.id_new, r.id_corpus) for r in got}
+    assert pairs == {(100, 1), (100, 2)}
+    assert all(r.jaccard >= 0.5 for r in got)
+    # ids never cross roles: left column is always a new-batch id
+    assert all(r.id_new >= 100 for r in got)

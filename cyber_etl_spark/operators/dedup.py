@@ -259,9 +259,16 @@ def minhash_lsh_pairs_incremental(
     threshold: float = 0.5,
     num_perm: int = 8,
     bands: int = 4,
+    shingles_new: DataFrame | None = None,
+    shingles_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric LSH dedup: near-duplicates of NEW docs against an
     EXISTING corpus → (id_new, id_corpus, jaccard).
+
+    ``shingles_new`` / ``shingles_corpus``: pre-built (id, shingle)
+    tables (e.g. partitions of one shared shingle build, or the
+    persisted corpus shingles of a real deployment) — skips re-shingling
+    that side.
 
     The incremental-ingest shape of a production training-data pipeline:
     a crawl batch is deduped against the historical corpus WITHOUT
@@ -276,8 +283,16 @@ def minhash_lsh_pairs_incremental(
     pairs to each shingle table, count equal shingles) — same economics
     as :func:`_pair_jaccard`'s hint path.
     """
-    sh_new = shingle_sets(new_docs, id_col, text_col, n)
-    sh_old = shingle_sets(corpus_docs, id_col, text_col, n)
+    sh_new = (
+        shingles_new
+        if shingles_new is not None
+        else shingle_sets(new_docs, id_col, text_col, n)
+    )
+    sh_old = (
+        shingles_corpus
+        if shingles_corpus is not None
+        else shingle_sets(corpus_docs, id_col, text_col, n)
+    )
     sig_new = band_signatures(sh_new, num_perm, bands)
     sig_old = band_signatures(sh_old, num_perm, bands)
     cand = (

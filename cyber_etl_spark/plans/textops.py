@@ -371,7 +371,16 @@ def q106_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     new = docs.where(F.col("doc_id") % 10 == 0)
     corpus = docs.where(F.col("doc_id") % 10 != 0)
-    df = minhash_lsh_pairs_incremental(new, corpus, threshold=0.5)
+    # both sides are slices of one shared, already-materialized shingle
+    # build — no document is re-shingled for this query
+    sh = cached_shingles(spark, sf_dir)
+    df = minhash_lsh_pairs_incremental(
+        new,
+        corpus,
+        threshold=0.5,
+        shingles_new=sh.where(F.col("id") % 10 == 0),
+        shingles_corpus=sh.where(F.col("id") % 10 != 0),
+    )
     return df.select("id_new", "id_corpus", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -27,6 +27,41 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_parquet_clustered(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    sort_cols: list[str] | None = None,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimized parquet write: range-partition rows across files
+    on ``range_cols``, sort within each file on ``sort_cols`` (defaults
+    to ``range_cols``).
+
+    The 100 TB read-side lever: each output file covers a disjoint key
+    range, so parquet footer min/max statistics let a downstream
+    predicate on those columns skip whole files (and whole row-groups
+    within a file, since rows are sorted).  This is the Spark-native
+    equivalent of the clustered/Z-ordered table layouts lakehouse
+    formats maintain — without requiring one.
+
+    ``num_files``: target file count (defaults to the session shuffle
+    width via ``repartitionByRange``'s default).  Range partitioning
+    samples the key distribution, so skewed keys still land in
+    balanced files — unlike hash ``partitionBy`` directories, which put
+    one hot key in one file.
+    """
+    by = [df[c] for c in range_cols]
+    out = (
+        df.repartitionByRange(num_files, *by)
+        if num_files is not None
+        else df.repartitionByRange(*by)
+    )
+    out = out.sortWithinPartitions(*(sort_cols or range_cols))
+    out.write.mode(mode).parquet(path)
+
+
 def write_csv(
     df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite"
 ) -> None:

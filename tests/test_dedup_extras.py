@@ -99,3 +99,30 @@ def test_incremental_dedup_asymmetric(spark):
     assert all(r.jaccard >= 0.5 for r in got)
     # ids never cross roles: left column is always a new-batch id
     assert all(r.id_new >= 100 for r in got)
+
+
+def test_clustered_write_prunes_files(spark, sf_smoke, tmp_path):
+    """write_parquet_clustered must produce disjoint per-file key ranges
+    (footer min/max stats → file-level skipping for range predicates),
+    with rows sorted inside each file."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.sources.sinks import write_parquet_clustered
+
+    orders = read_table(spark, sf_smoke, "orders")
+    path = str(tmp_path / "orders_clustered")
+    write_parquet_clustered(orders, path, ["o_orderdate"], num_files=4)
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # per-file ranges must not overlap
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )
+    spans = sorted(((r.lo, r.hi) for r in spans))
+    assert len(spans) > 1
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, "file key ranges overlap — no pruning possible"

@@ -261,6 +261,7 @@ def minhash_lsh_pairs_incremental(
     bands: int = 4,
     shingles_new: DataFrame | None = None,
     shingles_corpus: DataFrame | None = None,
+    signatures_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric LSH dedup: near-duplicates of NEW docs against an
     EXISTING corpus → (id_new, id_corpus, jaccard).
@@ -268,7 +269,10 @@ def minhash_lsh_pairs_incremental(
     ``shingles_new`` / ``shingles_corpus``: pre-built (id, shingle)
     tables (e.g. partitions of one shared shingle build, or the
     persisted corpus shingles of a real deployment) — skips re-shingling
-    that side.
+    that side.  ``signatures_corpus``: the persisted corpus band-signature
+    table (what a production deployment maintains between ingests, and
+    what the streaming twin pins across micro-batches) — skips re-signing
+    the corpus.
 
     The incremental-ingest shape of a production training-data pipeline:
     a crawl batch is deduped against the historical corpus WITHOUT
@@ -294,7 +298,11 @@ def minhash_lsh_pairs_incremental(
         else shingle_sets(corpus_docs, id_col, text_col, n)
     )
     sig_new = band_signatures(sh_new, num_perm, bands)
-    sig_old = band_signatures(sh_old, num_perm, bands)
+    sig_old = (
+        signatures_corpus
+        if signatures_corpus is not None
+        else band_signatures(sh_old, num_perm, bands)
+    )
     cand = (
         sig_new.alias("a")
         .join(

@@ -1,3 +1,7 @@
+from .docs import (  # noqa: F401
+    incremental_dedup_stream,
+    read_document_stream,
+)
 from .events import (  # noqa: F401
     hourly_rollup_stream,
     read_event_stream,

@@ -175,3 +175,42 @@ def test_transform_with_state_type_stats(spark, sf_smoke, events_dir):
     )
     assert (got["n_events"] == want["n_events"]).all()
     assert (abs(got["total_value"] - want["total_value"]) < 1e-6).all()
+
+
+def test_incremental_dedup_stream_matches_batch(spark, sf_smoke, tmp_path):
+    """Streaming incremental dedup must find exactly the pairs the batch
+    q106 operator finds on the same split, accumulated across
+    micro-batches (maxFilesPerTrigger=1 forces at least one batch)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import (
+        incremental_dedup_stream,
+        read_document_stream,
+    )
+
+    docs_dir = tmp_path / "docs_stream"
+    docs_dir.mkdir()
+    shutil.copy(f"{sf_smoke}/documents.parquet", docs_dir / "part-0.parquet")
+
+    corpus = read_table(spark, sf_smoke, "documents").where(F.col("doc_id") % 10 != 0)
+    stream = read_document_stream(spark, str(docs_dir)).where(F.col("doc_id") % 10 == 0)
+
+    got: set[tuple] = set()
+
+    def sink(pairs, batch_id):
+        got.update(
+            (r.id_new, r.id_corpus, round(r.jaccard, 6)) for r in pairs.collect()
+        )
+
+    q = incremental_dedup_stream(stream, corpus, sink)
+    q.awaitTermination()
+
+    want = {
+        (r.id_new, r.id_corpus, round(r.jaccard, 6))
+        for r in QUERIES["q106_incremental_dedup"].builder(spark, sf_smoke).collect()
+    }
+    assert got == want and got  # identical, and non-trivial

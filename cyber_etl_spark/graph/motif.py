@@ -68,6 +68,39 @@ def paths(
     return out.select(*[f"n{i}" for i in range(hops + 1)])
 
 
+def path_counts(
+    edges: DataFrame,
+    hops: int,
+    start_filter: NodeFilter,
+) -> DataFrame:
+    """Number of ``hops``-length paths from the filtered start vertices to
+    each endpoint → (node, n_paths).
+
+    The scale-correct form of counting what :func:`paths` enumerates:
+    n_paths(v, k) = Σ_u n_paths(u, k-1) · A(u, v), aggregated BETWEEN
+    hops — state stays |V| rows per hop, where enumeration materializes
+    degᵏ rows before its final groupBy (measured 5.5s vs ~0.5s for 3
+    hops on the sf0.1 co-supply graph; at 100 TB enumeration is simply
+    not runnable).  Same result as ``paths(...).groupBy(n_k).count()``.
+    """
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    e = edges.select("src", "dst")
+    first = _apply(
+        e.select(F.col("src").alias("n0"), F.col("dst").alias("node")),
+        {0: start_filter},
+        0,
+    )
+    state = first.groupBy("node").agg(F.count(F.lit(1)).alias("n_paths"))
+    for _ in range(hops - 1):
+        state = (
+            e.join(state, e.src == state.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("n_paths").alias("n_paths"))
+        )
+    return state
+
+
 def neighborhood(
     edges: DataFrame,
     seeds: DataFrame,

@@ -77,3 +77,21 @@ def test_q31_unchanged_through_motif_api(spark, sf_smoke):
     df = QUERIES["q31_two_hop_neighborhood"].builder(spark, sf_smoke)
     assert df.columns == ["node"]
     assert df.count() > 0
+
+
+def test_path_counts_equals_enumeration(spark):
+    """The aggregated recurrence must count exactly what enumeration
+    enumerates, per endpoint, at every depth."""
+    from cyber_etl_spark.graph.motif import path_counts, paths
+
+    e = _path_edges(spark)
+    for k in (1, 2, 3, 4):
+        enum = {
+            (r[0], r[1])
+            for r in paths(e, k, {0: lambda c: c == 1})
+            .groupBy(f"n{k}")
+            .count()
+            .collect()
+        }
+        rec = {(r.node, r.n_paths) for r in path_counts(e, k, lambda c: c == 1).collect()}
+        assert rec == enum, k

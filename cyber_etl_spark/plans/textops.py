@@ -869,6 +869,62 @@ def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q108_mixture_sample",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    totals AS (SELECT lang, SUM(n_tokens) AS t FROM tok GROUP BY lang),
+    budget AS (SELECT MIN(t) AS b FROM totals),
+    rates AS (
+      SELECT lang, CAST((SELECT b FROM budget) AS DOUBLE) / t AS rate FROM totals
+    )
+    SELECT tok.doc_id, tok.lang, tok.n_tokens
+    FROM tok JOIN rates ON tok.lang = rates.lang
+    WHERE CAST(('0x' || substr(md5(CAST(tok.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < rates.rate
+    """,
+    tags=("text", "sampling", "mixture"),
+)
+def q108_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-balancing — the data-mixing step of a
+    training pipeline: token totals per language are leveled down to the
+    smallest language's budget by hash-sampling each language at rate
+    budget/total.  md5-fraction of the doc id (q68's idiom) makes the
+    keep decision reproducible across engines, reruns and late data —
+    the properties `sample()`/randomSplit can't give at 100 TB.  Plan:
+    one scan feeds both the per-lang totals (tiny agg, broadcast back as
+    rates) and the filter — no second pass logic, no driver loop."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    totals = tok.groupBy("lang").agg(F.sum("n_tokens").alias("t"))
+    budget = totals.agg(F.min("t").alias("b"))
+    rates = totals.crossJoin(F.broadcast(budget)).select(
+        "lang", (F.col("b").cast("double") / F.col("t")).alias("rate")
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        / F.lit(4294967296.0)
+    )
+    return (
+        tok.join(F.broadcast(rates), "lang")
+        .where(frac < F.col("rate"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@query(
     "q73_binary_metadata",
     oracle="""
     SELECT doc_id,

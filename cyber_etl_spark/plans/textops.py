@@ -925,6 +925,132 @@ def q108_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q109_curation_pipeline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT * FROM t
+      WHERE len(toks) >= 25
+        AND (CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+             ELSE 0.0 END) <= 0.3
+    ),
+    canon AS (SELECT text, MIN(doc_id) AS keep_id FROM q GROUP BY text),
+    ex AS (
+      SELECT q.doc_id, q.lang, q.text, len(q.toks) AS n_tokens
+      FROM q JOIN canon ON q.text = canon.text AND q.doc_id = canon.keep_id
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t2.toks)-1),
+                      i -> t2.toks[i] || ' ' || t2.toks[i+1] || ' ' || t2.toks[i+2]))
+                 AS shingle
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM ex) t2
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    hashed AS (
+      SELECT id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh, (SELECT unnest(range(0, 8)) AS seed)
+    ),
+    sig AS (
+      SELECT id, seed % 4 AS band,
+             md5(CAST(seed % 4 AS VARCHAR) || '|' ||
+                 MIN(CASE WHEN seed < 4 THEN h END) || '|' ||
+                 MIN(CASE WHEN seed >= 4 THEN h END)) AS band_sig
+      FROM hashed GROUP BY id, seed % 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    ),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      JOIN cand ON a.id = cand.id_a AND b.id = cand.id_b
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c JOIN sizes sa ON c.id_a = sa.id JOIN sizes sb ON c.id_b = sb.id
+      WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.5
+    ),
+    nd AS (
+      SELECT * FROM ex WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    ),
+    totals AS (SELECT lang, SUM(n_tokens) AS tt FROM nd GROUP BY lang),
+    rates AS (
+      SELECT lang, CAST((SELECT MIN(tt) FROM totals) AS DOUBLE) / tt AS rate
+      FROM totals
+    )
+    SELECT nd.doc_id, nd.lang, CAST(nd.n_tokens AS BIGINT) AS n_tokens
+    FROM nd JOIN rates ON nd.lang = rates.lang
+    WHERE CAST(('0x' || substr(md5(CAST(nd.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < rates.rate
+    """,
+    tags=("text", "pipeline", "dedup", "sampling"),
+)
+def q109_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-curation pipeline as ONE declarative query —
+    quality gate (≥25 tokens, punct ≤ 0.3) → exact dedup (min-id
+    canonical per text) → near-dup removal (MinHash LSH, q22's scheme,
+    drop the higher id) → language mixture re-balancing (q108's
+    md5-fraction sampler).  Every stage is a composition already proven
+    individually (q16/q20/q22/q108); chaining them in one plan lets
+    Catalyst pipeline the scans and reuse the session shingle cache —
+    the shape a user runs nightly over the full corpus."""
+    from ..functions.text import tokens as _toks
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks(F.col("text"))).cast("long")
+    punct = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace("text", "[A-Za-z0-9\\s]", "")) / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    quality = docs.where((n_tok >= 25) & (punct <= 0.3)).select(
+        "doc_id", "lang", "text", n_tok.alias("n_tokens")
+    )
+    canon = quality.groupBy("text").agg(F.min("doc_id").alias("keep_id"))
+    exact = (
+        quality.join(canon, "text")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "text", "n_tokens")
+    )
+    # near-dup LSH over the survivors: their shingle sets are exactly the
+    # survivor-id slice of the session-cached full shingle table
+    sh = cached_shingles(spark, sf_dir).join(
+        exact.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    )
+    pairs = minhash_lsh_pairs(exact, threshold=0.5, shingles_df=sh)
+    nd = exact.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    totals = nd.groupBy("lang").agg(F.sum("n_tokens").alias("tt"))
+    budget = totals.agg(F.min("tt").alias("b"))
+    rates = totals.crossJoin(F.broadcast(budget)).select(
+        "lang", (F.col("b").cast("double") / F.col("tt")).alias("rate")
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        / F.lit(4294967296.0)
+    )
+    return (
+        nd.join(F.broadcast(rates), "lang")
+        .where(frac < F.col("rate"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@query(
     "q73_binary_metadata",
     oracle="""
     SELECT doc_id,

@@ -61,3 +61,56 @@ def test_jaccard_pairs_bounds_and_symmetry(spark, texts):
     for r in rows:
         assert 0.0 < r.jaccard <= 1.0
         assert r.id_a < r.id_b
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_lsh_pairs_subset_of_exact(spark, texts):
+    """LSH-verified pairs ⊆ exact Jaccard pairs at the same threshold,
+    with identical scores on the intersection (verification is exact, so
+    LSH can only MISS pairs — banding recall — never invent or misscore
+    them)."""
+    from cyber_etl_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    exact = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(df, threshold=0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(df, threshold=0.3).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v, k
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_incremental_equals_cross_side_of_full(spark, texts):
+    """Asymmetric LSH (new vs corpus) reports exactly the cross-side
+    subset of full-corpus LSH pairs, re-oriented (id_new, id_corpus)."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    new = df.where(F.col("doc_id") % 3 == 0)
+    corpus = df.where(F.col("doc_id") % 3 != 0)
+    inc = {
+        (r.id_new, r.id_corpus, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs_incremental(new, corpus, threshold=0.3).collect()
+    }
+    full = minhash_lsh_pairs(df, threshold=0.3).collect()
+    want = set()
+    for r in full:
+        a_new, b_new = r.id_a % 3 == 0, r.id_b % 3 == 0
+        if a_new and not b_new:
+            want.add((r.id_a, r.id_b, round(r.jaccard, 9)))
+        elif b_new and not a_new:
+            want.add((r.id_b, r.id_a, round(r.jaccard, 9)))
+    assert inc == want

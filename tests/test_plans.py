@@ -81,6 +81,18 @@ def test_q22_lsh_verification_is_candidate_first(spark, sf_smoke):
             assert "id_a#" in line or "id_b#" in line, line
 
 
+def test_q106_incremental_never_self_joins_corpus(spark, sf_smoke):
+    """Incremental dedup's plan must contain no id<id self-join residual:
+    candidates come from ONE cross-side band join (new × corpus), and
+    verification is candidate-first — the corpus is never paired with
+    itself, which is the whole point of the incremental shape."""
+    plan = _plan(spark, sf_smoke, "q106_incremental_dedup")
+    assert "LeftSemi" not in plan
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "< id" not in line and "<= id" not in line, line
+
+
 def test_q71_exists_is_semi_join_with_residual(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "q71_exists_subquery")
     # the EXISTS must decorrelate to a semi join on the order key with the

@@ -540,22 +540,26 @@ def louvain(
         n = level_labels.count()
         bsrc = F.broadcast(lab_src) if n <= _BCAST_MAX_ROWS else lab_src
         bdst = F.broadcast(lab_dst) if n <= _BCAST_MAX_ROWS else lab_dst
-        contracted = (
-            cur_edges.join(bsrc, "src")
-            .join(bdst, "dst")
-            .groupBy(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
-            .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=True)
-        )
-        upper = louvain_level(contracted, rounds=rounds, weight_col="w")
-        remap = upper.select(
-            F.col("id").alias("community"), F.col("community").alias("upper_comm")
-        )
-        composed = (
-            composed.join(remap, "community")
-            .select("id", F.col("upper_comm").alias("community"))
-            .localCheckpoint(eager=True)
-        )
+        # the contraction/remap tables are community-count-sized — run
+        # their materializations at the same right-sized width as the
+        # local-move loops
+        with _loop_shuffle_width(cur_edges, _ecount(edges, _sym(edges))):
+            contracted = (
+                cur_edges.join(bsrc, "src")
+                .join(bdst, "dst")
+                .groupBy(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+                .agg(F.sum("w").alias("w"))
+                .localCheckpoint(eager=True)
+            )
+            upper = louvain_level(contracted, rounds=rounds, weight_col="w")
+            remap = upper.select(
+                F.col("id").alias("community"), F.col("community").alias("upper_comm")
+            )
+            composed = (
+                composed.join(remap, "community")
+                .select("id", F.col("upper_comm").alias("community"))
+                .localCheckpoint(eager=True)
+            )
         cur_edges, level_labels = contracted, upper
     return composed
 

@@ -126,3 +126,16 @@ def test_clustered_write_prunes_files(spark, sf_smoke, tmp_path):
     assert len(spans) > 1
     for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
         assert hi_a <= lo_b, "file key ranges overlap — no pruning possible"
+
+
+def test_lsh_string_key_matches_encoded(spark, sf_smoke):
+    """Candidate-first verification must agree between the xxhash64-coded
+    join key and the raw-string key (the 100 TB-cardinality fallback)."""
+    from cyber_etl_spark.operators.dedup import minhash_lsh_pairs
+    from cyber_etl_spark.sources import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    enc = minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    raw = minhash_lsh_pairs(docs, threshold=0.5, encode_key=False).toPandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["jaccard"].round(6)))
+    assert key(enc) == key(raw)

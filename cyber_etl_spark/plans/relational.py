@@ -148,8 +148,9 @@ def q05_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-hop dimension chain with broadcast joins (Cypher multi-hop pattern,
     writeup pp.4-5 Q4/Q8; enrichment join J1 at data_integration.ipynb:965).
 
-    nation/region/customer are the small side → broadcast-hash joins; the
-    orders fact table never shuffles for the join at any scale.
+    nation/region broadcast by hint (constant-size dims); customer is
+    left to the planner's size estimate — it broadcasts at test scale
+    but scales with SF, so forcing it would be wrong at 100 TB.
     """
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -157,7 +158,7 @@ def q05_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region")
     return (
         orders.where(F.col("o_orderstatus") != "F")
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")

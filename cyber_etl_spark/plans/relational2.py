@@ -252,7 +252,7 @@ def q44_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.expr(dsum_expr("l_extendedprice * (1 - l_discount)", "revenue")))
         .select(
@@ -292,7 +292,7 @@ def q45_supplier_revenue_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_rev = rev.agg(F.avg("total_revenue").alias("a"))
     return (
         rev.join(F.broadcast(avg_rev), F.col("total_revenue") > F.col("a"))
-        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .select("s_name", "total_revenue")
     )
 
@@ -415,7 +415,7 @@ def q52_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.expr(dsum_expr("l_extendedprice * (1 - l_discount)", "revenue")))
@@ -1032,8 +1032,8 @@ def q79_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
         .where(pair)
@@ -1082,7 +1082,7 @@ def q80_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(F.expr(dsum_expr("l_extendedprice * (1 - l_discount)", "revenue")))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -1697,4 +1697,159 @@ def q99_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("retention_rate"),
         )
+    )
+
+
+@query(
+    "q110_market_share",
+    oracle="""
+    WITH target AS (
+      SELECT MIN(n_name) AS tn
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    vol AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region    ON r_regionkey = n1.n_regionkey
+      JOIN supplier  ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(
+             CAST(SUM(CASE WHEN supp_nation = (SELECT tn FROM target)
+                      THEN CAST(volume AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE),
+             6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    tags=("join", "tpch-q8"),
+)
+def q110_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 7-way star join feeding a
+    conditional-share aggregation — the share numerator is a CASE inside
+    the same decimal-exact sum as the denominator, so one pass computes
+    both.  Every dimension broadcasts; lineitem↔orders is the only
+    shuffle.  The target nation is resolved by a deterministic MIN over
+    the region's nations (stable across sf dirs)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    asia_keys = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    target = asia_keys.agg(F.min("n_name")).collect()[0][0]
+    n1 = asia_keys.select(F.col("n_nationkey").alias("c_nk"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(
+            F.broadcast(part.where(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nk") == F.col("c_nationkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nk") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    dec = F.col("volume").cast("decimal(18,6)")
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == target, dec).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum(dec).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q111_last_to_ship",
+    oracle="""
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    """,
+    tags=("join", "tpch-q21", "exists"),
+)
+def q111_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape on the available columns: suppliers who shipped
+    LAST in multi-supplier finished orders — a semi join (some other
+    supplier exists on the order) AND an anti join (nobody shipped
+    later) against the same fact, the decorrelation double-whammy Q21
+    exists to test.  Both correlated subqueries become shuffle joins on
+    the order key with residual inequality predicates — no per-row
+    re-scan of lineitem."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supplier = read_table(spark, sf_dir, "supplier")
+    l1 = li.alias("l1").join(
+        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l1.l_orderkey") == F.col("o_orderkey"),
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("k2") == F.col("l1.l_orderkey")) & (F.col("s2") != F.col("l1.l_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("k3") == F.col("l1.l_orderkey"))
+            & (F.col("s3") != F.col("l1.l_suppkey"))
+            & (F.col("d3") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(supplier, F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct(F.col("l1.l_orderkey")).alias("numwait"))
     )

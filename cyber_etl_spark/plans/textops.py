@@ -1258,11 +1258,14 @@ def q77_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
+    # c12/c1 are corpus-wide count tables that scale with the corpus
+    # vocabulary — the planner broadcasts them while its size estimate is
+    # small, but forcing it would be a 100 TB OOM; co-shuffling on the
+    # bigram key is the correct plan at scale (both sides derive from the
+    # same exploded stream).
     scored = (
-        bi.join(F.broadcast(c12), "bg")
-        .join(
-            F.broadcast(c1), F.substring_index(F.col("bg"), " ", 1) == F.col("w1")
-        )
+        bi.join(c12, "bg")
+        .join(c1, F.substring_index(F.col("bg"), " ", 1) == F.col("w1"))
         .select(
             "doc_id",
             F.round(

@@ -29,6 +29,8 @@ def test_paths_enumerates_and_filters(spark):
 def test_paths_filters_push_before_joins(spark):
     """The start filter must restrict the FIRST edge scan, not the joined
     result — otherwise a selective motif still pays the full expansion."""
+    import re
+
     from cyber_etl_spark.graph.motif import paths
 
     e = _path_edges(spark)
@@ -38,8 +40,12 @@ def test_paths_filters_push_before_joins(spark):
         .optimizedPlan()
         .toString()
     )
-    # optimizer sees the n0 predicate below the top join chain
-    assert plan.count("(src#") >= 1 or "n0" in plan
+    # the literal predicate lands on the scan's src column (pushed below
+    # every join), never as a post-join Filter on the aliased n0
+    assert re.search(r"Filter .*src#\d+L? = 1\b", plan), plan
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "n0#" not in line, line
 
 
 def test_neighborhood_matches_handcount(spark):

@@ -80,6 +80,30 @@ def read_csv(spark, path: str, schema=None) -> DataFrame:
     return r.csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (native, zstd via session codec) — the other columnar
+    interop format big-data stacks exchange besides parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format of ML data tooling; one
+    JSON object per row, written partition-parallel like every sink."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan; pass a schema at scale (inference costs a pass)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def write_graph_tables(
     vertices: DataFrame, edges: DataFrame, base_path: str, fmt: str = "parquet"
 ) -> None:

@@ -139,3 +139,23 @@ def test_lsh_string_key_matches_encoded(spark, sf_smoke):
     raw = minhash_lsh_pairs(docs, threshold=0.5, encode_key=False).toPandas()
     key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["jaccard"].round(6)))
     assert key(enc) == key(raw)
+
+
+def test_orc_jsonl_roundtrips(spark, sf_smoke, tmp_path):
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.sources.sinks import (
+        read_jsonl,
+        read_orc,
+        write_jsonl,
+        write_orc,
+    )
+
+    nation = read_table(spark, sf_smoke, "nation")
+    write_orc(nation, str(tmp_path / "nation_orc"))
+    back = read_orc(spark, str(tmp_path / "nation_orc"))
+    assert back.count() == nation.count() and back.schema == nation.schema
+
+    write_jsonl(nation, str(tmp_path / "nation_jsonl"))
+    back = read_jsonl(spark, str(tmp_path / "nation_jsonl"), schema=nation.schema)
+    assert back.count() == nation.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))

@@ -512,7 +512,10 @@ def louvain_level(
 
 
 def louvain(
-    edges: DataFrame, levels: int = 2, rounds: int = 3
+    edges: DataFrame,
+    levels: int = 2,
+    rounds: int = 3,
+    level1: DataFrame | None = None,
 ) -> DataFrame:
     """Hierarchical Louvain (GDS-style, writeup p.5 Q7): run local moves,
     CONTRACT communities into super-nodes (edge weights = inter-community
@@ -527,7 +530,11 @@ def louvain(
     Deterministic end-to-end: community ids are min-member vertex ids at
     every level, moves tie-break (gain desc, community asc).
     """
-    level_labels = louvain_level(edges, rounds=rounds)  # cur-graph node → community
+    # ``level1``: a precomputed first-level assignment (callers that also
+    # report level 1 share one build — the dominant cost of the hierarchy)
+    level_labels = (
+        level1 if level1 is not None else louvain_level(edges, rounds=rounds)
+    )  # cur-graph node → community
     composed = level_labels  # ORIGINAL vertex → latest-level community
     cur_edges = _sym(edges).withColumn("w", F.lit(1.0))
     for _ in range(1, levels):

@@ -42,6 +42,27 @@ def cached_shingles(spark: SparkSession, sf_dir: str):
     return _SH_CACHE[key]
 
 
+def cached_lsh_pairs(spark: SparkSession, sf_dir: str):
+    """MinHash-LSH verified pair table (q22's scheme, threshold 0.5),
+    materialized once per (session, dataset).  Because a document's
+    shingle set — hence its signatures and its pairwise Jaccard — is
+    independent of which OTHER documents exist, the LSH pairs of any
+    document SUBSET are exactly this table restricted to ids in the
+    subset; q109 exploits that instead of re-running the banding."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    key = (session_token(spark), sf_dir, "lsh05")
+    if key not in _SH_CACHE:
+        _SH_CACHE[key] = minhash_lsh_pairs(
+            read_table(spark, sf_dir, "documents"),
+            threshold=0.5,
+            num_perm=8,
+            bands=4,
+            shingles_df=cached_shingles(spark, sf_dir),
+        ).localCheckpoint(eager=True)
+    return _SH_CACHE[key]
+
+
 def cached_jaccard_pairs(spark: SparkSession, sf_dir: str):
     """Exact Jaccard ≥ 0.5 pair table, materialized once per (session,
     dataset) — q21 reports it, q27 clusters it, q49/q50 anti-join it.
@@ -276,10 +297,7 @@ def q22_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·bands) — the 100 TB-scale dedup path.  The DuckDB oracle replays
     the identical signature scheme, so both engines agree exactly
     (including which sub-threshold-probability pairs LSH recall misses)."""
-    docs = read_table(spark, sf_dir, "documents")
-    df = minhash_lsh_pairs(
-        docs, threshold=0.5, num_perm=8, bands=4, shingles_df=cached_shingles(spark, sf_dir)
-    )
+    df = cached_lsh_pairs(spark, sf_dir)
     return df.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1040,12 +1058,16 @@ def q109_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "lang", "text", "n_tokens")
     )
-    # near-dup LSH over the survivors: their shingle sets are exactly the
-    # survivor-id slice of the session-cached full shingle table
-    sh = cached_shingles(spark, sf_dir).join(
-        exact.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    # near-dup LSH over the survivors: a doc's shingles/signatures/pair
+    # scores don't depend on which other docs exist, so the survivor
+    # set's LSH pairs are exactly the cached full-corpus pair table
+    # restricted to surviving ids on BOTH sides
+    ids = exact.select(F.col("doc_id").alias("id"))
+    pairs = (
+        cached_lsh_pairs(spark, sf_dir)
+        .join(ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
     )
-    pairs = minhash_lsh_pairs(exact, threshold=0.5, shingles_df=sh)
     nd = exact.join(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
     )

@@ -73,8 +73,19 @@ def test_q22_lsh_verification_is_candidate_first(spark, sf_smoke):
     produced, nullifying the O(n·bands) claim on boilerplate-heavy
     corpora.  Candidate-first: the old path's LeftSemi post-filter is
     gone, and every join touching the shingle code is keyed by a
-    candidate id as well."""
-    plan = _plan(spark, sf_smoke, "q22_neardup_minhash_lsh")
+    candidate id as well.  Asserted on the OPERATOR plan (the q22
+    registry entry now serves a memoized checkpoint, whose plan is a
+    scan)."""
+    from cyber_etl_spark.operators.dedup import minhash_lsh_pairs
+    from cyber_etl_spark.sources import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    plan = (
+        minhash_lsh_pairs(docs, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "LeftSemi" not in plan
     for line in plan.splitlines():
         if "Join" in line and "code#" in line:

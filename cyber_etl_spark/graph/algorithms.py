@@ -65,7 +65,16 @@ def _loop_shuffle_width(df: DataFrame, rows: int, rows_per_part: int = 200_000):
     before = spark.conf.get(key)
     target = max(8, rows // rows_per_part)
     try:
-        if target < int(before):
+        before_n = int(before)
+    except (TypeError, ValueError):
+        # non-numeric width (e.g. a runtime's "auto") — leave it alone
+        before_n = -1
+    # NOTE: session-global conf — assumes one plan is built/executed at a
+    # time per session (true for the bench, the driver and the tests);
+    # a concurrently planning query on the same session would see the
+    # shrunken width for the duration of the loop.
+    try:
+        if 0 <= target < before_n:
             spark.conf.set(key, str(target))
         yield
     finally:
@@ -442,10 +451,14 @@ def louvain_level(
         # table — checkpointing them again would be a pure-overhead job
         state = deg.select("id", F.col("id").alias("community"), "deg")
     else:
+        # LEFT join from init: an isolated init vertex (no edges → no deg
+        # row) must survive with its init community, as the pre-fusion
+        # contract guaranteed; deg 0 is correct for it (it can never move
+        # — it has no neighboring communities to join).
         state = _compact(
-            deg.join(init.localCheckpoint(eager=True), "id").select(
-                "id", "community", "deg"
-            ),
+            init.localCheckpoint(eager=True)
+            .join(deg.select("id", "deg"), "id", "left")
+            .select("id", "community", F.coalesce("deg", F.lit(0.0)).alias("deg")),
             n,
         )
     bcast = n <= _BCAST_MAX_ROWS

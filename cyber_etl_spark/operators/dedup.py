@@ -63,6 +63,46 @@ def exact_duplicate_mapping(
     )
 
 
+def _verify_candidates(
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    pairs: DataFrame,
+    a_id: str,
+    b_id: str,
+    encode_key: bool = True,
+) -> DataFrame:
+    """Candidate-first exact Jaccard for a (a_id, b_id) candidate pair
+    set over two shingle tables (which may be the same table) →
+    (a_id, b_id, jaccard).
+
+    The one implementation behind both the symmetric LSH verify and the
+    incremental new-vs-corpus verify: join candidates to each side's
+    shingle table (second join adds shingle-code equality so only
+    shingles present in BOTH docs survive), count, then Jaccard from
+    per-side set sizes.  Shuffle is O(|candidates| · avg_set_size),
+    independent of posting-list skew.  ``encode_key`` as in
+    :func:`_pair_jaccard` (xxhash64 codes vs raw strings past the
+    64-bit birthday regime)."""
+    code = (lambda c: F.xxhash64(c)) if encode_key else (lambda c: F.col(c))
+    ea = sh_a.select(F.col("id").alias(a_id), code("shingle").alias("code"))
+    eb = sh_b.select(F.col("id").alias(b_id), code("shingle").alias("code"))
+    common = pairs.join(ea, a_id).join(eb, [b_id, "code"]).select(a_id, b_id)
+    counted = common.groupBy(a_id, b_id).agg(F.count(F.lit(1)).alias("n_common"))
+    sa = sh_a.groupBy("id").agg(F.count(F.lit(1)).alias("na")).withColumnRenamed("id", a_id)
+    sb = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("nb")).withColumnRenamed("id", b_id)
+    return (
+        counted.join(sa, a_id)
+        .join(sb, b_id)
+        .select(
+            a_id,
+            b_id,
+            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 def _pair_jaccard(
     sh: DataFrame,
     pairs_hint: DataFrame | None = None,
@@ -93,27 +133,22 @@ def _pair_jaccard(
     100 TB-corpus shingle cardinalities pass ``encode_key=False`` to join
     on the exact strings (same plan shape, wider shuffle rows).
     """
+    if pairs_hint is not None:
+        # candidate-first: never materialize the inverted-index self-join
+        return _verify_candidates(sh, sh, pairs_hint, "id_a", "id_b", encode_key)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if encode_key:
         enc = sh.select("id", F.xxhash64("shingle").alias("code"))
     else:
         enc = sh.select("id", F.col("shingle").alias("code"))
-    if pairs_hint is not None:
-        # candidate-first: never materialize the inverted-index self-join
-        ea = enc.select(F.col("id").alias("id_a"), "code")
-        eb = enc.select(F.col("id").alias("id_b"), "code")
-        common = pairs_hint.join(ea, "id_a").join(eb, ["id_b", "code"]).select(
-            "id_a", "id_b"
+    a = enc.alias("a")
+    b = enc.alias("b")
+    common = (
+        a.join(
+            b, (F.col("a.code") == F.col("b.code")) & (F.col("a.id") < F.col("b.id"))
         )
-    else:
-        a = enc.alias("a")
-        b = enc.alias("b")
-        common = (
-            a.join(
-                b, (F.col("a.code") == F.col("b.code")) & (F.col("a.id") < F.col("b.id"))
-            )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
     counted = common.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
@@ -262,6 +297,7 @@ def minhash_lsh_pairs_incremental(
     shingles_new: DataFrame | None = None,
     shingles_corpus: DataFrame | None = None,
     signatures_corpus: DataFrame | None = None,
+    encode_key: bool = True,
 ) -> DataFrame:
     """Asymmetric LSH dedup: near-duplicates of NEW docs against an
     EXISTING corpus → (id_new, id_corpus, jaccard).
@@ -313,28 +349,9 @@ def minhash_lsh_pairs_incremental(
         .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_corpus"))
         .distinct()
     )
-    enc_new = sh_new.select(F.col("id").alias("id_new"), F.xxhash64("shingle").alias("code"))
-    enc_old = sh_old.select(F.col("id").alias("id_corpus"), F.xxhash64("shingle").alias("code"))
-    common = (
-        cand.join(enc_new, "id_new")
-        .join(enc_old, ["id_corpus", "code"])
-        .groupBy("id_new", "id_corpus")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sz_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("na"))
-    sz_old = sh_old.groupBy("id").agg(F.count(F.lit(1)).alias("nb"))
-    return (
-        common.join(sz_new.withColumnRenamed("id", "id_new"), "id_new")
-        .join(sz_old.withColumnRenamed("id", "id_corpus"), "id_corpus")
-        .select(
-            "id_new",
-            "id_corpus",
-            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
-                "jaccard"
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_candidates(
+        sh_new, sh_old, cand, "id_new", "id_corpus", encode_key
+    ).where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -49,8 +49,6 @@ def cached_lsh_pairs(spark: SparkSession, sf_dir: str):
     independent of which OTHER documents exist, the LSH pairs of any
     document SUBSET are exactly this table restricted to ids in the
     subset; q109 exploits that instead of re-running the banding."""
-    from ..operators.dedup import minhash_lsh_pairs
-
     key = (session_token(spark), sf_dir, "lsh05")
     if key not in _SH_CACHE:
         _SH_CACHE[key] = minhash_lsh_pairs(
@@ -69,8 +67,6 @@ def cached_jaccard_pairs(spark: SparkSession, sf_dir: str):
     The pair table is the natural shared intermediate of a dedup pass
     (production pipelines persist it); the pinned copy is tiny (only
     pairs above threshold survive)."""
-    from ..operators.dedup import jaccard_pairs
-
     key = (session_token(spark), sf_dir, "pairs05")
     if key not in _SH_CACHE:
         _SH_CACHE[key] = jaccard_pairs(
@@ -79,6 +75,19 @@ def cached_jaccard_pairs(spark: SparkSession, sf_dir: str):
             shingles_df=cached_shingles(spark, sf_dir),
         ).localCheckpoint(eager=True)
     return _SH_CACHE[key]
+
+def _md5_fraction(col: str):
+    """Uniform [0,1) fraction from the md5 of a stable id — the single
+    Spark-side implementation of the deterministic-sampling idiom
+    (q68/q108/q109); the oracle twin is
+    CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8)) AS BIGINT) / 2^32."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        / F.lit(4294967296.0)
+    )
+
 
 # DuckDB fragments shared by the dedup oracles --------------------------------
 
@@ -304,12 +313,22 @@ def q22_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q104_neardup_stop_shingle",
     oracle=f"""
-    WITH {_SHINGLES_CTE.replace("sh AS (", "sh0 AS (").replace(
-        "sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id)",
-        '''shdf AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks
+      )
+    ),
+    shdf AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
     sh AS (SELECT s.id, s.shingle FROM sh0 s JOIN shdf d ON s.shingle = d.shingle
            WHERE d.df <= 4),
-    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id)''')},
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
@@ -946,12 +965,7 @@ def q108_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = totals.crossJoin(F.broadcast(budget)).select(
         "lang", (F.col("b").cast("double") / F.col("t")).alias("rate")
     )
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        / F.lit(4294967296.0)
-    )
+    frac = _md5_fraction("doc_id")
     return (
         tok.join(F.broadcast(rates), "lang")
         .where(frac < F.col("rate"))
@@ -1076,12 +1090,7 @@ def q109_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = totals.crossJoin(F.broadcast(budget)).select(
         "lang", (F.col("b").cast("double") / F.col("tt")).alias("rate")
     )
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        / F.lit(4294967296.0)
-    )
+    frac = _md5_fraction("doc_id")
     return (
         nd.join(F.broadcast(rates), "lang")
         .where(frac < F.col("rate"))

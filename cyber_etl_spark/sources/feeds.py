@@ -62,15 +62,23 @@ def _fetch(
 
 
 def _fetch_opts(options) -> tuple[float, int]:
-    # clamp the timeout to a positive value: timeout=0 would mean a
-    # NON-blocking socket (instant errors), not "no timeout"
+    # clamp both options to positive values: timeout=0 would mean a
+    # NON-blocking socket (instant errors), max_bytes=0 would reject
+    # every body; non-numeric values fall back to the defaults instead
+    # of killing DataSource init
     try:
         timeout = float(options.get("timeout") or _DEFAULT_TIMEOUT_SEC)
     except (TypeError, ValueError):
         timeout = _DEFAULT_TIMEOUT_SEC
     if timeout <= 0:
         timeout = _DEFAULT_TIMEOUT_SEC
-    return (timeout, int(options.get("max_bytes") or _DEFAULT_MAX_BYTES))
+    try:
+        max_bytes = int(options.get("max_bytes") or _DEFAULT_MAX_BYTES)
+    except (TypeError, ValueError):
+        max_bytes = _DEFAULT_MAX_BYTES
+    if max_bytes <= 0:
+        max_bytes = _DEFAULT_MAX_BYTES
+    return (timeout, max_bytes)
 
 
 class HttpJsonDataSource(DataSource):

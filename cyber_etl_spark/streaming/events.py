@@ -45,17 +45,24 @@ def _events_schema(ts_type) -> StructType:
     )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, empty_dir_ts: str = "nanos"
+) -> DataFrame:
+    """``empty_dir_ts``: which physical ts layout to declare when the
+    input directory is empty at start (a normal initial state for a
+    file-stream source — there is no footer to sniff, and a streaming
+    schema cannot change once the query starts).  ``"nanos"`` (default,
+    the legacy TIMESTAMP(NANOS)-as-long layout) or ``"micros"`` (naive
+    TIMESTAMP(MICROS) read as NTZ) — callers on a MICROS-generating
+    driver must pass the latter or the first arriving file would kill
+    the query with a schema-convert error."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         batch_ts = dict(spark.read.parquet(path).dtypes).get("ts", "bigint")
     except Exception:
-        # an empty or not-yet-populated input directory is a NORMAL
-        # initial state for a file-stream source: the batch sniff can't
-        # see a footer yet, but the stream must still start and pick up
-        # files later — fall back to the legacy NANOS-as-long layout
-        # (ADVICE r03).
-        batch_ts = "bigint"
+        # empty/not-yet-populated dir: start anyway with the declared
+        # layout and pick up files later (ADVICE r03)
+        batch_ts = "bigint" if empty_dir_ts == "nanos" else "timestamp_ntz"
     if batch_ts == "bigint":  # TIMESTAMP(NANOS) read as long
         raw = (
             spark.readStream.schema(_events_schema(LongType()))

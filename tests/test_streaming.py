@@ -214,3 +214,20 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_smoke, tmp_path):
         for r in QUERIES["q106_incremental_dedup"].builder(spark, sf_smoke).collect()
     }
     assert got == want and got  # identical, and non-trivial
+
+
+def test_stream_starts_on_empty_dir_both_layouts(spark, tmp_path):
+    """An empty input directory is a normal initial state: the stream
+    must start (and drain zero rows) under BOTH declared ts layouts
+    (ADVICE r03 + r04 review: the fallback must not hardcode one)."""
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+
+    for layout in ("nanos", "micros"):
+        d = tmp_path / f"empty_{layout}"
+        d.mkdir()
+        stream = read_event_stream(spark, str(d), empty_dir_ts=layout)
+        assert stream.schema["ts"].dataType.simpleString() == "timestamp"
+        q = run_stream_to_memory(
+            stream.groupBy("event_type").count(), f"empty_{layout}", mode="complete"
+        )
+        assert spark.sql(f"SELECT * FROM empty_{layout}").count() == 0

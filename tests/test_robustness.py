@@ -82,3 +82,29 @@ def test_etl_ops_with_empty_sides(spark):
     assert len(ins) == 1 and ins[0].merge_action == "inserted"
     stream = spark.createDataFrame([], "k INT, a STRING, ts INT, eid INT")
     assert scd2_intervals(stream, "k", "a", "ts", "eid").count() == 0
+
+
+def test_motif_family_on_empty_graph(spark):
+    from cyber_etl_spark.graph.motif import neighborhood, path_counts, paths
+
+    edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    seeds = spark.createDataFrame([(1,)], "id BIGINT")
+    assert paths(edges, 3).count() == 0
+    assert path_counts(edges, 3, lambda c: c == 1).count() == 0
+    assert neighborhood(edges, seeds, hops=2).count() == 0
+    # and empty SEEDS over a real graph
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src BIGINT, dst BIGINT")
+    no_seeds = spark.createDataFrame([], "id BIGINT")
+    assert neighborhood(e, no_seeds, hops=2).count() == 0
+
+
+def test_incremental_dedup_empty_sides(spark):
+    from cyber_etl_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id BIGINT, text STRING"
+    )
+    assert minhash_lsh_pairs_incremental(empty, docs).count() == 0
+    assert minhash_lsh_pairs_incremental(docs, empty).count() == 0
+    assert minhash_lsh_pairs_incremental(empty, empty).count() == 0

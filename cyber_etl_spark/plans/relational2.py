@@ -1853,3 +1853,32 @@ def q111_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.countDistinct(F.col("l1.l_orderkey")).alias("numwait"))
     )
+
+
+@query(
+    "q112_group_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+           round(quantile_cont(o_totalprice, 0.75)
+                 - quantile_cont(o_totalprice, 0.25), 6) AS iqr_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "quantile"),
+)
+def q112_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped quantiles (median / p90 / IQR) — the sort-based
+    `percentile` aggregate, the exact twin of q88's KLL sketch: both
+    engines interpolate continuously so values match to the rounding.
+    At 100 TB the exact form costs a per-group sort of the value column
+    (fine for bounded groups like priorities); unbounded-cardinality
+    profiling belongs to the q88 sketch path."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.round(
+            F.expr("percentile(o_totalprice, 0.75) - percentile(o_totalprice, 0.25)"), 6
+        ).alias("iqr_price"),
+    )

@@ -25,6 +25,34 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity, dot, to_double_array
 
+# Target bytes for one folded corpus block (ids + double matrix) in the
+# blocked-GEMM operators.  64 MB keeps a block row far under Spark's 2 GB
+# row / Arrow-batch hard limit while still amortizing the GEMM; tests
+# monkeypatch this to force many blocks on tiny data.
+_TARGET_BLOCK_BYTES = 64 << 20
+
+
+def _dynamic_n_blocks(
+    vecs: DataFrame, min_blocks: int = 16, target_bytes: int | None = None
+) -> int:
+    """Number of hash blocks so each block's folded matrix stays around
+    ``_TARGET_BLOCK_BYTES``: ceil(rows · dim · 8 / target), floored at
+    ``min_blocks`` for parallelism.  One distributed aggregate job
+    (count + first vector width) — same cost class as the existing
+    ``max_queries`` cap check, and the operators' outputs are
+    block-count-invariant by construction (exact verification / global
+    rank happens after the blocked scoring), so sizing only affects
+    memory and parallelism, never results.  ``vecs`` must expose the
+    vector as column ``v``."""
+    import math
+
+    tb = target_bytes if target_bytes is not None else _TARGET_BLOCK_BYTES
+    row = vecs.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(F.col("v"))).alias("dim")
+    ).first()
+    n, dim = (row["n"] or 0), (row["dim"] or 0)
+    return max(min_blocks, math.ceil(n * dim * 8 / tb))
+
 
 def brute_force_knn(
     corpus: DataFrame,
@@ -76,7 +104,11 @@ def brute_force_knn(
     c = corpus.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
     )
-    n_blocks = 16
+    # corpus side is unbounded → block count must scale with it: at
+    # ~10M × 768-d doubles a static 16-way fold would put ~4 GB in ONE
+    # aggregated row, over the 2 GB row/Arrow limit.  Derived sizing keeps
+    # every block ~_TARGET_BLOCK_BYTES at any corpus size.
+    n_blocks = _dynamic_n_blocks(c)
     chunks = c.groupBy(
         F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("blk")
     ).agg(F.collect_list(F.struct("id", "v")).alias("items"))
@@ -200,7 +232,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
@@ -210,9 +242,10 @@ def cosine_neardup_pairs(
     block pair is scored with a single BLAS GEMM inside ``mapInPandas``.
     Only pairs at/above the threshold are ever materialized, so shuffle
     and Arrow volume is O(n·B·d) instead of the O(n²·d) a per-pair self
-    join ships.  Size ``n_blocks`` so a block's matrix stays ~10-50 MB at
-    the target scale; beyond that, :func:`lsh_bucket_candidates` bounds
-    the candidate pairs instead of exact all-pairs.
+    join ships.  ``n_blocks`` defaults to derived sizing (corpus bytes /
+    ``_TARGET_BLOCK_BYTES``) so a block's matrix never approaches the
+    2 GB row limit at any corpus size; beyond exact-all-pairs economics,
+    :func:`lsh_bucket_candidates` bounds the candidate pairs instead.
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -227,6 +260,8 @@ def cosine_neardup_pairs(
     v = corpus.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
     )
+    if n_blocks is None:
+        n_blocks = _dynamic_n_blocks(v)
     chunks = v.groupBy(
         F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("blk")
     ).agg(F.collect_list(F.struct("id", "v")).alias("items"))

@@ -213,10 +213,22 @@ def band_signatures(sh: DataFrame, num_perm: int = 8, bands: int = 4) -> DataFra
     independently-signed tables (e.g. a new batch vs the historical
     corpus in :func:`minhash_lsh_pairs_incremental`) produce JOINABLE
     signatures, and the DuckDB oracle reproduces them bit-for-bit.
+
+    Permutation ``i`` feeds band ``i % bands``, row ``i // bands``; the
+    band signature is ``md5(band | m0 | m1 | ... )`` over the per-row
+    minima in row order.  Works for ANY (num_perm, bands) with
+    ``bands | num_perm`` — production schemes tune precision/recall by
+    rows-per-band (the LSH S-curve exponent), e.g. 128 perms / 16 bands
+    for a sharper 0.8-Jaccard knee.  The fold stays ONE groupBy whatever
+    the scheme: rows-per-band conditional mins are independent aggregate
+    expressions over the same (id, band) grouping, so the shuffle is
+    O(n · num_perm) rows into n · bands groups regardless.
     """
+    if num_perm < bands:
+        raise ValueError(f"need num_perm >= bands, got {num_perm} < {bands}")
+    if num_perm % bands:
+        raise ValueError(f"num_perm={num_perm} must divide into bands={bands}")
     rows_per_band = num_perm // bands
-    assert rows_per_band * bands == num_perm, "num_perm must divide into bands"
-    assert rows_per_band == 2, "band fold is specialized to 2 rows/band"
     seeds = F.array(*[F.lit(i) for i in range(num_perm)])
     hashed = sh.select(
         "id",
@@ -228,17 +240,28 @@ def band_signatures(sh: DataFrame, num_perm: int = 8, bands: int = 4) -> DataFra
         F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
     )
     # min-hash per (id, seed), then fold each band's row-hashes into one
-    # signature string.  rows_per_band == 2 keeps this a single groupBy.
+    # signature string — one conditional-min aggregate per row slot, all
+    # in a single groupBy.  (row r of band b is permutation r*bands + b,
+    # i.e. seed // bands == r; for the historical 8/4 default this is
+    # exactly the original seed<bands / seed>=bands split, so existing
+    # persisted signatures and the q22-family oracles are unchanged.)
+    row_mins = [
+        F.min(F.when((F.col("seed") / bands).cast("int") == r, F.col("h"))).alias(f"m{r}")
+        for r in range(rows_per_band)
+    ]
     return (
         hashed.groupBy("id", (F.col("seed") % bands).alias("band"))
-        .agg(
-            F.min(F.when(F.col("seed") < bands, F.col("h"))).alias("m0"),
-            F.min(F.when(F.col("seed") >= bands, F.col("h"))).alias("m1"),
-        )
+        .agg(*row_mins)
         .select(
             "id",
             "band",
-            F.md5(F.concat_ws("|", F.col("band").cast("string"), "m0", "m1")).alias("band_sig"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("band").cast("string"),
+                    *[f"m{r}" for r in range(rows_per_band)],
+                )
+            ).alias("band_sig"),
         )
     )
 

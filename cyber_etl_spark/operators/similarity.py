@@ -87,3 +87,63 @@ def token_jaccard_join(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def char_ngrams(col: F.Column, n: int = 3) -> F.Column:
+    """Boundary-marked character n-gram set of a string: ``'us'`` →
+    ``['^us$']`` (short strings fall back to the whole marked string),
+    ``'centre'`` → ``['^ce','cen','ent','ntr','tre','re$']``.  Spaces are
+    folded to ``_`` so cross-word grams stay informative."""
+    marked = F.concat(F.lit("^"), F.regexp_replace(col, " ", "_"), F.lit("$"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(marked) - (n - 1), F.lit(1))),
+        lambda i: F.substring(marked, i, n),
+    )
+    return F.array_distinct(grams)
+
+
+def char_ngram_jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    threshold: float = 0.6,
+    n: int = 3,
+) -> DataFrame:
+    """(l_id, r_id, jaccard) pairs with character-n-gram Jaccard ≥ t.
+
+    The fuzzy companion to :func:`token_jaccard_join` for MORPHOLOGICAL
+    variants whole-token Jaccard cannot see ('kimsuky'/'kimsukys',
+    'centre'/'centres') — the deterministic stand-in for the learned
+    string distances of the reference's `dedupe` ER
+    (data_integration.ipynb cells 38-49).  Same inverted-index plan:
+    explode grams, equi-join on the gram, count, Jaccard from distinct
+    gram-set sizes.  Hot grams (common trigrams) are the skew source;
+    AQE's skew join splits them, and at corpus scale callers should
+    pre-block (e.g. per NER type) the way :func:`resolve_entities` does.
+    """
+    lt = left.select(
+        F.col(left_id).alias("l_id"), F.explode(char_ngrams(F.col(left_text), n)).alias("gram")
+    )
+    rt = right.select(
+        F.col(right_id).alias("r_id"), F.explode(char_ngrams(F.col(right_text), n)).alias("gram")
+    )
+    lsize = lt.groupBy("l_id").agg(F.count(F.lit(1)).alias("nl"))
+    rsize = rt.groupBy("r_id").agg(F.count(F.lit(1)).alias("nr"))
+    common = lt.join(rt, "gram").groupBy("l_id", "r_id").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        common.join(lsize, "l_id")
+        .join(rsize, "r_id")
+        .select(
+            "l_id",
+            "r_id",
+            (F.col("n_common") / (F.col("nl") + F.col("nr") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -23,10 +23,27 @@ from pyspark.sql.window import Window
 
 from ..functions.strings import normalize_entity
 from ..graph.algorithms import connected_components
-from ..operators.similarity import token_jaccard_join
+from ..operators.similarity import char_ngram_jaccard_join, token_jaccard_join
 
 # deterministic stand-ins for the reference's per-type thresholds
 DEFAULT_THRESHOLDS = {"ORG": 0.6, "PERSON": 0.75, "GPE": 0.55, "PRODUCT": 0.6}
+
+# character-3-gram Jaccard thresholds for the morphological edge source
+# (validated against the reference's labeled ner_training_* pairs in
+# tests/test_golden_fixtures.py; tighter for short PERSON handles where
+# trigram overlap is noisy)
+CHAR_THRESHOLDS = {"ORG": 0.6, "PERSON": 0.75, "GPE": 0.6, "PRODUCT": 0.6}
+
+
+def _stem_key(norm_col: F.Column) -> F.Column:
+    """Order-insensitive plural-stripped token key: 'cyber security
+    centres' and 'security centre cyber' share one key.  A naive
+    trailing-s stem — deliberately conservative (no Porter suffix
+    machinery), because the key is an EXACT-merge block: false stems
+    merge clusters irreversibly."""
+    toks = F.split(norm_col, " ")
+    stemmed = F.transform(toks, lambda t: F.regexp_replace(t, "s$", ""))
+    return F.array_join(F.array_sort(F.array_distinct(stemmed)), " ")
 
 
 def resolve_entities(
@@ -36,14 +53,33 @@ def resolve_entities(
     type_col: str = "type",
     thresholds: dict[str, float] | None = None,
     default_threshold: float = 0.6,
+    char_thresholds: dict[str, float] | None = None,
+    default_char_threshold: float = 0.6,
+    morph_edges: bool = True,
 ) -> DataFrame:
     """→ (mention_id, label, type, norm, cluster_id).
 
     ``cluster_id`` is the smallest mention id in the connected component
     of the similarity graph *within each NER type* (types never merge,
     matching the reference's per-type dedupe runs).
+
+    Three deterministic edge sources per type, unioned before the
+    connected-components closure (together the stand-in for the
+    reference dedupe library's learned string distances, validated
+    against its labeled ner_training_* pairs in
+    tests/test_golden_fixtures.py):
+
+    1. whole-token Jaccard ≥ per-type threshold (the blocking join);
+    2. character-3-gram Jaccard ≥ per-type char threshold — catches
+       morphological variants ('centre'/'centres', 'kimsuky'/'kimsukys')
+       invisible to token sets;
+    3. exact match on the plural-stripped sorted token key (stem block).
+
+    2 and 3 toggle off together via ``morph_edges=False`` (the pre-r5
+    token-only behavior).
     """
     thresholds = thresholds or DEFAULT_THRESHOLDS
+    char_thresholds = char_thresholds or CHAR_THRESHOLDS
     norm = mentions.select(
         F.col(id_col).alias("mention_id"),
         F.col(label_col).alias("label"),
@@ -51,15 +87,42 @@ def resolve_entities(
         normalize_entity(F.col(label_col)).alias("norm"),
     )
 
+    def type_edges(sub: DataFrame, thr: float, char_thr: float) -> list[DataFrame]:
+        out = [
+            token_jaccard_join(
+                sub, sub, "mention_id", "norm", "mention_id", "norm", threshold=thr
+            )
+            .where(F.col("l_id") < F.col("r_id"))
+            .select("l_id", "r_id")
+        ]
+        if morph_edges:
+            out.append(
+                char_ngram_jaccard_join(
+                    sub, sub, "mention_id", "norm", "mention_id", "norm", char_thr
+                )
+                .where(F.col("l_id") < F.col("r_id"))
+                .select("l_id", "r_id")
+            )
+            keyed = sub.select("mention_id", _stem_key(F.col("norm")).alias("skey"))
+            a, b = keyed.alias("a"), keyed.alias("b")
+            out.append(
+                a.join(
+                    b,
+                    (F.col("a.skey") == F.col("b.skey"))
+                    & (F.col("a.mention_id") < F.col("b.mention_id")),
+                ).select(
+                    F.col("a.mention_id").alias("l_id"),
+                    F.col("b.mention_id").alias("r_id"),
+                )
+            )
+        return out
+
     # identical normal forms always merge (exact block), regardless of type
     # threshold; similarity pairs add the fuzzy edges per type.
     per_type = []
     for t, thr in thresholds.items():
         sub = norm.where(F.col("type") == t)
-        pairs = token_jaccard_join(
-            sub, sub, "mention_id", "norm", "mention_id", "norm", threshold=thr
-        ).where(F.col("l_id") < F.col("r_id"))
-        per_type.append(pairs.select("l_id", "r_id"))
+        per_type.extend(type_edges(sub, thr, char_thresholds.get(t, default_char_threshold)))
     other = norm.join(
         F.broadcast(
             norm.sparkSession.createDataFrame(
@@ -69,10 +132,7 @@ def resolve_entities(
         "type",
         "left_anti",
     )
-    pairs_other = token_jaccard_join(
-        other, other, "mention_id", "norm", "mention_id", "norm", default_threshold
-    ).where(F.col("l_id") < F.col("r_id"))
-    per_type.append(pairs_other.select("l_id", "r_id"))
+    per_type.extend(type_edges(other, default_threshold, default_char_threshold))
 
     edges = per_type[0]
     for p in per_type[1:]:

@@ -311,6 +311,55 @@ def q22_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q113_neardup_lsh_tuned",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh, (SELECT unnest(range(0, 12)) AS seed)
+    ),
+    sig AS (
+      SELECT id, seed % 4 AS band,
+             md5(CAST(seed % 4 AS VARCHAR) || '|' ||
+                 MIN(CASE WHEN seed < 4 THEN h END) || '|' ||
+                 MIN(CASE WHEN seed >= 4 AND seed < 8 THEN h END) || '|' ||
+                 MIN(CASE WHEN seed >= 8 THEN h END)) AS band_sig
+      FROM hashed GROUP BY id, seed % 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    ),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      JOIN cand ON a.id = cand.id_a AND b.id = cand.id_b
+      GROUP BY 1, 2
+    )
+    SELECT * FROM ({_JACCARD_FROM_COMMON}) WHERE jaccard >= 0.6
+    """,
+    tags=("dedup", "minhash", "lsh", "tuned"),
+)
+def q113_neardup_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22's MinHash-LSH at a NON-default operating point: 12 permutations
+    / 4 bands (3 rows per band) and threshold 0.6 — a sharper S-curve
+    knee (candidate probability j³ per band vs j² at the default), the
+    way production dedup tunes precision/recall.  Exercises the
+    generalized ``band_signatures`` fold (any rows-per-band, still one
+    groupBy); the oracle replays the 3-row band fold literally, so both
+    engines agree bit-for-bit on which pairs the scheme recalls."""
+    df = minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"),
+        threshold=0.6,
+        num_perm=12,
+        bands=4,
+        shingles_df=cached_shingles(spark, sf_dir),
+    )
+    return df.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
     "q104_neardup_stop_shingle",
     oracle=f"""
     WITH toks AS (

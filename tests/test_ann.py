@@ -6,6 +6,8 @@ against the exact result — that's what these tests pin down.
 
 from __future__ import annotations
 
+import pytest
+
 
 def _pair_set(pdf, a, b):
     return set(map(tuple, pdf[[a, b]].values))
@@ -35,6 +37,48 @@ def test_minhash_recall_and_soundness(spark, sf_smoke):
     assert len(je & jl) / max(len(je), 1) >= 0.9
 
 
+@pytest.mark.parametrize(
+    "num_perm,bands",
+    [(8, 4), (12, 4), (16, 8), (12, 6), (6, 6)],
+    ids=["default-8x4", "3rows-12x4", "2rows-16x8", "2rows-12x6", "1row-6x6"],
+)
+def test_minhash_scheme_soundness(spark, sf_smoke, num_perm, bands):
+    """The generalized band fold at ANY (num_perm, bands) scheme: verified
+    output is a subset of the exact pairs (soundness — verification is
+    exact regardless of banding), and high-similarity pairs (Jaccard ≥
+    0.8, where every scheme's S-curve is near 1) are recalled."""
+    from cyber_etl_spark.operators.dedup import minhash_lsh_pairs
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+
+    exact = QUERIES["q21_neardup_jaccard"].builder(spark, sf_smoke).toPandas()
+    lsh = minhash_lsh_pairs(
+        read_table(spark, sf_smoke, "documents"),
+        threshold=0.5,
+        num_perm=num_perm,
+        bands=bands,
+    ).toPandas()
+    je = _pair_set(exact, "id_a", "id_b")
+    jl = _pair_set(lsh, "id_a", "id_b")
+    assert jl <= je, f"scheme {num_perm}/{bands} emitted a sub-threshold pair"
+    hi = _pair_set(exact[exact["jaccard"] >= 0.8], "id_a", "id_b")
+    if hi:
+        recall_hi = len(hi & jl) / len(hi)
+        assert recall_hi >= 0.8, (
+            f"scheme {num_perm}/{bands} recall on Jaccard>=0.8 pairs: {recall_hi:.3f}"
+        )
+
+
+def test_band_signatures_scheme_validation(spark):
+    from cyber_etl_spark.operators.dedup import band_signatures
+
+    sh = spark.createDataFrame([(1, "a b c")], ["id", "shingle"])
+    with pytest.raises(ValueError, match="must divide"):
+        band_signatures(sh, num_perm=10, bands=4)
+    with pytest.raises(ValueError, match="num_perm >= bands"):
+        band_signatures(sh, num_perm=2, bands=4)
+
+
 def test_simhash_finds_planted_neardups(spark, sf_smoke):
     """The corpus contains planted near-duplicates (Jaccard ≥ 0.8); the
     simhash operator at hamming ≤ 3 should find a non-empty overlapping
@@ -59,3 +103,34 @@ def test_ivf_knn_recall(spark, sf_smoke):
     assert recall >= 0.5, f"IVF recall@10 dropped to {recall:.3f}"
     # every query still returns a full top-10 from its probed cells
     assert ivf.groupby("query_id").size().min() == 10
+
+
+def test_dynamic_block_sizing_invariance(spark, sf_smoke, monkeypatch):
+    """Block count is derived from corpus bytes / target; shrinking the
+    target to 8 KB forces many more than the 16-block floor, and both
+    blocked-GEMM operators return identical results — block sizing is a
+    memory/parallelism knob, never a semantics knob."""
+    import cyber_etl_spark.operators.ann as ann
+    from cyber_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    queries = emb.where(emb.vec_id < 20)
+
+    base_knn = ann.brute_force_knn(emb, queries, k=10).toPandas()
+    base_pairs = ann.cosine_neardup_pairs(emb, threshold=0.4).toPandas()
+
+    v = emb.selectExpr("vec_id as id", "cast(embedding as array<double>) as v")
+    assert ann._dynamic_n_blocks(v, target_bytes=8 * 1024) > 16
+
+    monkeypatch.setattr(ann, "_TARGET_BLOCK_BYTES", 8 * 1024)
+    many_knn = ann.brute_force_knn(emb, queries, k=10).toPandas()
+    many_pairs = ann.cosine_neardup_pairs(emb, threshold=0.4).toPandas()
+
+    knn_key = ["query_id", "neighbor_id"]
+    assert sorted(map(tuple, base_knn[knn_key].values)) == sorted(
+        map(tuple, many_knn[knn_key].values)
+    )
+    pair_key = ["id_a", "id_b", "cosine"]
+    assert sorted(map(tuple, base_pairs[pair_key].values)) == sorted(
+        map(tuple, many_pairs[pair_key].values)
+    )

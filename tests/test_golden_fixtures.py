@@ -135,3 +135,55 @@ def test_alert_cve_edge_feather_csv_agree(spark):
     fset = {tuple(r) for r in fe.select(*[F.col(c).cast("string") for c in common]).collect()}
     cset = {tuple(r) for r in cs.select(*common).collect()}
     assert fset == cset
+
+
+def test_entity_resolution_labeled_pairs_golden(spark):
+    """ER match quality against the reference's own labeled test vectors
+    (data/ner_training_{PERSON,GPE,ORG,PRODUCT}.json, reference
+    README.md:19 — the active-learning pair labels its dedupe run was
+    trained on; SURVEY §5/§7.5 commit to using them as ER test vectors).
+
+    Floors are the measured quality of the deterministic spec (token
+    Jaccard + char-3-gram Jaccard + stem block → connected components)
+    with a small margin; the pipeline is fully deterministic, so a drop
+    below a floor means the resolver changed behavior, not noise.
+    Measured at r5: recall PERSON .231 GPE .661 ORG .573 PRODUCT .296;
+    separation PERSON 1.0 GPE .867 ORG .957 PRODUCT 1.0.  (The labeled
+    matches include morphological and subset variants a symmetric
+    string metric can only partially capture — the reference's learned
+    dedupe model is the upper bound here, not 1.0.)
+    """
+    import json
+
+    from cyber_etl_spark.pipeline.entity_resolution import resolve_entities
+
+    recall_floor = {"PERSON": 0.20, "GPE": 0.60, "ORG": 0.55, "PRODUCT": 0.25}
+    sep_floor = {"PERSON": 0.95, "GPE": 0.85, "ORG": 0.90, "PRODUCT": 0.95}
+
+    mentions, labeled = [], {}
+    for ti, t in enumerate(["PERSON", "GPE", "ORG", "PRODUCT"]):
+        with open(f"{REF_DATA}/ner_training_{t}.json") as fh:
+            d = json.load(fh)
+        seen = {}
+        for kind in ("match", "distinct"):
+            for tup in d[kind]:
+                a, b = tup["__value__"]
+                for m in (a, b):
+                    key = (t, m["Id"])
+                    if key not in seen:
+                        seen[key] = ti * 100000 + m["Id"]
+                        mentions.append((seen[key], m["label"], t))
+                labeled.setdefault((t, kind), []).append(
+                    (seen[(t, a["Id"])], seen[(t, b["Id"])])
+                )
+
+    df = spark.createDataFrame(mentions, ["mention_id", "label", "type"])
+    res = resolve_entities(df).toPandas()
+    cl = dict(zip(res["mention_id"], res["cluster_id"]))
+
+    for t in ["PERSON", "GPE", "ORG", "PRODUCT"]:
+        match, distinct = labeled[(t, "match")], labeled[(t, "distinct")]
+        recall = sum(cl[a] == cl[b] for a, b in match) / len(match)
+        sep = sum(cl[a] != cl[b] for a, b in distinct) / len(distinct)
+        assert recall >= recall_floor[t], f"{t} labeled-match recall {recall:.3f}"
+        assert sep >= sep_floor[t], f"{t} labeled-distinct separation {sep:.3f}"

@@ -82,6 +82,11 @@ def main() -> None:
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
+                # methodology marker: per-query numbers are min-of-two warm
+                # passes over memoized shared artifacts (marginal
+                # steady-state cost), NOT single-cold-pass — not comparable
+                # with rounds ≤3 artifacts.
+                "timing": "min2-warm",
                 "queries": timings,
                 "sf": sf,
             }

@@ -116,6 +116,8 @@ def neighborhood(
     reappear across layers; the final union dedupes), matching the plain
     hop1 ∪ hop2 reading of the Cypher pattern.
     """
+    if hops < 1:
+        raise ValueError(f"neighborhood requires hops >= 1, got {hops}")
     e = edges.select("src", "dst")
     frontier = seeds.select(F.col("id")).distinct()
     layers: list[DataFrame] = []

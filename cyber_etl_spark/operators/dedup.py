@@ -82,7 +82,15 @@ def _verify_candidates(
     per-side set sizes.  Shuffle is O(|candidates| · avg_set_size),
     independent of posting-list skew.  ``encode_key`` as in
     :func:`_pair_jaccard` (xxhash64 codes vs raw strings past the
-    64-bit birthday regime)."""
+    64-bit birthday regime).
+
+    ``pairs`` is deduplicated here: a duplicate candidate row multiplies
+    ``n_common`` and can push jaccard past 1.0 (false threshold passes),
+    so the count below is only correct over distinct pairs.  Centralizing
+    the ``distinct`` keeps every caller — including external
+    ``pairs_hint`` users — duplicate-tolerant at the cost of one
+    aggregation over the (small) candidate set."""
+    pairs = pairs.select(a_id, b_id).distinct()
     code = (lambda c: F.xxhash64(c)) if encode_key else (lambda c: F.col(c))
     ea = sh_a.select(F.col("id").alias(a_id), code("shingle").alias("code"))
     eb = sh_b.select(F.col("id").alias(b_id), code("shingle").alias("code"))
@@ -121,7 +129,8 @@ def _pair_jaccard(
     only shingles present in BOTH docs survive, then count.  Shuffle is
     O(|candidates| · avg_set_size), independent of posting-list skew.
     Semantics are identical: per candidate pair, the number of common
-    shingle codes.
+    shingle codes.  ``pairs_hint`` may contain duplicate rows (they are
+    deduplicated before counting — see :func:`_verify_candidates`).
 
     ``encode_key`` (default on) dictionary-encodes the join key:
     hashing/shuffling 8-byte fingerprints instead of ~20-byte shingle
@@ -300,8 +309,8 @@ def minhash_lsh_pairs(
             & (F.col("sa.band_sig") == F.col("sb.band_sig"))
             & (F.col("sa.id") < F.col("sb.id")),
         )
+        # dedup across bands happens inside _verify_candidates
         .select(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
-        .distinct()
     )
     return _pair_jaccard(sh, pairs_hint=candidates, encode_key=encode_key).where(
         F.col("jaccard") >= threshold
@@ -369,8 +378,8 @@ def minhash_lsh_pairs_incremental(
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig")),
         )
+        # dedup across bands happens inside _verify_candidates
         .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_corpus"))
-        .distinct()
     )
     return _verify_candidates(
         sh_new, sh_old, cand, "id_new", "id_corpus", encode_key

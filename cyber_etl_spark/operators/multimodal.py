@@ -160,11 +160,25 @@ def _decode_audio_bytes(b: bytes) -> tuple[int, int, int]:
     """Decode audio header → (n_samples, sample_rate, channels).
 
     Same gate pattern as :func:`_decode_image_bytes`: FAKEAUD payloads
-    always take the deterministic parse; anything else goes through
-    torchaudio when importable, else raises."""
+    always take the deterministic parse; genuine PCM RIFF/WAV parses with
+    the stdlib ``wave`` module (a real, dependency-free codec branch —
+    the only audio container parseable in this torchaudio-less
+    container); anything else goes through torchaudio when importable,
+    else raises."""
     if b.startswith(b"FAKEAUD|"):
         head = b.split(b"|", 4)
         return int(head[1]), int(head[2]), int(head[3])
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(b)) as w:
+                return w.getnframes(), w.getframerate(), w.getnchannels()
+        except wave.Error:
+            # non-PCM WAV (compressed codec chunk) — fall through to the
+            # heavyweight decoder gate below
+            pass
     if _HAS_TORCHAUDIO:  # pragma: no cover - torchaudio absent here
         import io
 

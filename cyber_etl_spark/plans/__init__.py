@@ -4,3 +4,4 @@ from . import textops  # noqa: F401
 from . import graphops  # noqa: F401
 from . import relational2  # noqa: F401
 from . import scaleops  # noqa: F401
+from . import domain  # noqa: F401

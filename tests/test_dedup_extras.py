@@ -159,3 +159,26 @@ def test_orc_jsonl_roundtrips(spark, sf_smoke, tmp_path):
     back = read_jsonl(spark, str(tmp_path / "nation_jsonl"), schema=nation.schema)
     assert back.count() == nation.count()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_pairs_hint_duplicate_rows_tolerated(spark):
+    """Duplicate candidate rows must not inflate n_common (jaccard > 1
+    false passes) — _verify_candidates dedupes the hint internally."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.operators.dedup import _pair_jaccard, shingle_sets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_sets(docs, "doc_id", "text")
+    hint = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    clean = _pair_jaccard(sh, pairs_hint=hint).collect()[0]
+    dup_hint = hint.unionByName(hint).unionByName(hint)  # 3 copies
+    dup = _pair_jaccard(sh, pairs_hint=dup_hint).collect()[0]
+    assert abs(clean.jaccard - dup.jaccard) < 1e-12
+    assert 0.0 < clean.jaccard <= 1.0

@@ -101,3 +101,14 @@ def test_path_counts_equals_enumeration(spark):
         }
         rec = {(r.node, r.n_paths) for r in path_counts(e, k, lambda c: c == 1).collect()}
         assert rec == enum, k
+
+
+def test_neighborhood_rejects_zero_hops(spark):
+    from cyber_etl_spark.graph.motif import neighborhood
+
+    e = _path_edges(spark)
+    seeds = spark.createDataFrame([(1,)], "id long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hops >= 1"):
+        neighborhood(e, seeds, hops=0)

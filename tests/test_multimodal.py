@@ -266,3 +266,53 @@ def test_pack_sequences(spark, sf_smoke):
         (F.col("total_tokens") > 120) & (F.col("n_chunks") > 1)
     ).count()
     assert bad == 0
+
+
+def _pcm_wav_bytes(n_frames: int, rate: int, channels: int) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        # deterministic 16-bit ramp
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", (i * 37) % 32768) for i in range(n_frames * channels)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_audio_stdlib_wav_branch(spark):
+    """Genuine PCM RIFF/WAV decodes in-container via stdlib wave — a real
+    (non-fake-codec) audio branch needing no torchaudio."""
+    from cyber_etl_spark.operators.multimodal import _decode_audio_bytes, decode_audio
+
+    wav = _pcm_wav_bytes(160, 8000, 2)
+    assert _decode_audio_bytes(wav) == (160, 8000, 2)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(_pcm_wav_bytes(48, 16000, 1)))],
+        "media_id long, content binary",
+    )
+    metas = {r.media_id: r.audio_meta for r in decode_audio(df).collect()}
+    assert (metas[1].n_samples, metas[1].sample_rate, metas[1].channels) == (160, 8000, 2)
+    assert (metas[2].n_samples, metas[2].sample_rate, metas[2].channels) == (48, 16000, 1)
+    assert metas[1].n_bytes == len(wav)
+
+
+def test_audio_non_pcm_wav_falls_through(monkeypatch):
+    """A RIFF/WAVE container the stdlib parser rejects (compressed codec
+    chunk) falls through to the heavyweight-decoder gate."""
+    import pytest as _pytest
+
+    from cyber_etl_spark.operators import multimodal as mm
+
+    bogus = b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"junkchunk"
+    monkeypatch.setattr(mm, "_HAS_TORCHAUDIO", False)
+    with _pytest.raises(ValueError, match="no audio codec"):
+        mm._decode_audio_bytes(bogus)

@@ -23,7 +23,6 @@ list and the rank/label state by vertex id so each superstep co-locates,
 from __future__ import annotations
 
 import weakref
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,40 +44,30 @@ _DERIVED: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictiona
 _BCAST_MAX_ROWS = 1_000_000
 
 
-@contextmanager
-def _loop_shuffle_width(df: DataFrame, rows: int, rows_per_part: int = 200_000):
-    """Right-size ``spark.sql.shuffle.partitions`` for the superstep jobs.
+def _width(rows: int, rows_per_part: int = 200_000) -> int:
+    """Target stage width for loop-internal jobs: ~rows_per_part rows per
+    task with a floor of 8 (same economics as :func:`_compact`)."""
+    return max(8, rows // rows_per_part)
 
-    The same economics as :func:`_compact`, one level down: superstep
-    plans are materialized per iteration (the eager checkpoints that keep
-    forced broadcasts flat), and those jobs' internal shuffles otherwise
-    run at the session-global width — e.g. 32 near-empty reduce tasks per
-    groupBy per superstep on a 60 k-edge graph, pure scheduling floor
-    (measured 2x wall on q43 at sf0.1).  Checkpoint jobs also bypass
-    AQE's re-optimization, and AQE's ``parallelismFirst`` default keeps
-    tiny shuffles wide anyway.  On a big graph ``rows // rows_per_part``
-    exceeds the session width and this is a no-op, so cluster-scale
-    parallelism is untouched.  Restores the session value on exit.
+
+def _nw(df: DataFrame, w: int) -> DataFrame:
+    """Collapse the consuming stage of a loop-internal shuffle to ``w``
+    tasks — the plan-local replacement for mutating the session-global
+    ``spark.sql.shuffle.partitions`` (which leaked the shrunken width to
+    any concurrently planned query on the same session).
+
+    ``coalesce`` is narrow: placed right after a shuffle-producing
+    operator (aggregation or shuffle join) it merges that exchange's
+    reduce partitions into ``w`` tasks *within the same stage* — map-side
+    partial aggregation below the exchange is untouched, so shuffle BYTES
+    are identical; only the scheduling floor changes (32 near-empty reduce
+    tasks per groupBy per superstep on a 60 k-edge graph was 2x wall on
+    q43 at sf0.1; checkpoint jobs bypass AQE re-optimization and AQE's
+    ``parallelismFirst`` default keeps tiny shuffles wide anyway).  On a
+    big graph ``w`` exceeds the exchange's partition count and coalesce
+    is a no-op, so cluster-scale parallelism is untouched.
     """
-    spark = df.sparkSession
-    key = "spark.sql.shuffle.partitions"
-    before = spark.conf.get(key)
-    target = max(8, rows // rows_per_part)
-    try:
-        before_n = int(before)
-    except (TypeError, ValueError):
-        # non-numeric width (e.g. a runtime's "auto") — leave it alone
-        before_n = -1
-    # NOTE: session-global conf — assumes one plan is built/executed at a
-    # time per session (true for the bench, the driver and the tests);
-    # a concurrently planning query on the same session would see the
-    # shrunken width for the duration of the loop.
-    try:
-        if 0 <= target < before_n:
-            spark.conf.set(key, str(target))
-        yield
-    finally:
-        spark.conf.set(key, before)
+    return df.coalesce(w)
 
 
 def _derived(edges: DataFrame, tag: tuple, build) -> DataFrame:
@@ -171,42 +160,48 @@ def connected_components(
     # sum exact for billions of 64-bit ids (no i64 overflow, no double
     # rounding).
     prev_sum = None
-    with _loop_shuffle_width(e, _ecount(edges, e)):
-        for it in range(max_iterations):
-            neighbor_min = (
-                e.join(labels, e.src == labels.id)
-                .groupBy(F.col("dst").alias("nid"))
-                .agg(F.min("component").alias("nmin"))
-            )
-            hooked = labels.join(neighbor_min, labels.id == neighbor_min.nid, "left").select(
-                "id",
+    w = _width(_ecount(edges, e))
+    for it in range(max_iterations):
+        # agg left un-wrapped: its hashpartitioning(nid) is reused by the
+        # join below (see _nw docstring on partitioning erasure)
+        neighbor_min = (
+            _nw(e.join(labels, e.src == labels.id), w)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        # un-wrapped too: this join's hashpartitioning(id) serves the
+        # pointer-jump's y side exchange-free
+        hooked = labels.join(
+            neighbor_min, labels.id == neighbor_min.nid, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: adopt the label of my label — halves chain depth
+        # every iteration, so convergence is O(log diameter) supersteps
+        # instead of O(diameter)
+        x, y = hooked.alias("x"), hooked.alias("y")
+        new_labels = (
+            _nw(x.join(y, F.col("x.component") == F.col("y.id"), "left"), w)
+            .select(
+                F.col("x.id").alias("id"),
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    F.col("x.component"),
+                    F.coalesce(F.col("y.component"), F.col("x.component")),
                 ).alias("component"),
             )
-            # pointer jumping: adopt the label of my label — halves chain depth
-            # every iteration, so convergence is O(log diameter) supersteps
-            # instead of O(diameter)
-            x, y = hooked.alias("x"), hooked.alias("y")
-            new_labels = (
-                x.join(y, F.col("x.component") == F.col("y.id"), "left")
-                .select(
-                    F.col("x.id").alias("id"),
-                    F.least(
-                        F.col("x.component"),
-                        F.coalesce(F.col("y.component"), F.col("x.component")),
-                    ).alias("component"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            cur_sum = new_labels.agg(
-                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-            ).collect()[0][0]
-            labels = new_labels
-            # None == None breaks too: an empty graph is trivially converged
-            if it > 0 and cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+        labels = new_labels
+        # None == None breaks too: an empty graph is trivially converged
+        if it > 0 and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels
 
 
@@ -281,40 +276,44 @@ def pagerank(
     # rank vector is |V| rows — broadcast it while it fits comfortably;
     # past that AQE picks a shuffle join and the loop still works.
     bcast = n <= _BCAST_MAX_ROWS
-    with _loop_shuffle_width(e, m):
-        for i in range(iterations):
-            r = F.broadcast(ranks) if bcast else ranks
-            contribs = (
-                eshare.join(r, eshare.src == r.id)
-                .select(
-                    F.col("dst").alias("to"),
-                    (F.col("rank") * F.col("share")).alias("c"),
-                )
-                .groupBy("to")
-                .agg(F.sum("c").alias("mass"))
+    w = _width(m)
+    for i in range(iterations):
+        r = F.broadcast(ranks) if bcast else ranks
+        # NOT _nw-wrapped: the agg's hashpartitioning(to) feeds the join
+        # below exchange-free; a coalesce here would erase the output
+        # partitioning and buy an extra full shuffle per superstep
+        # (measured +35% on q28/q29/q48 at sf0.1).
+        contribs = (
+            eshare.join(r, eshare.src == r.id)
+            .select(
+                F.col("dst").alias("to"),
+                (F.col("rank") * F.col("share")).alias("c"),
             )
-            ranks = deg.join(contribs, deg.id == contribs["to"], "left").select(
-                "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-            if bcast:
-                # a forced broadcast of an UNcheckpointed superstep chain is
-                # quadratic: materializing superstep k's broadcast re-runs
-                # every nested broadcast below it as its own job (measured
-                # 18 jobs / 7.2s vs 2.9s for 4 LPA supersteps at sf0.1).
-                # The vector is <= _BCAST_MAX_ROWS by definition of this
-                # branch, so pinning it per superstep is one tiny blocking
-                # job that makes the next broadcast (and any multi-reference
-                # caller) read a flat checkpoint instead of a chain.
-                ranks = _compact(ranks, n).localCheckpoint(eager=True)
-            # big-vector path: truncate lineage periodically, not per-
-            # superstep (each eager checkpoint of a large vector is a real
-            # blocking job; a few chained shuffle-join supersteps plan fine
-            # and run as ONE job).
-            elif (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
-                ranks = _compact(ranks, n).localCheckpoint(eager=True)
+            .groupBy("to")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = _nw(deg.join(contribs, deg.id == contribs["to"], "left"), w).select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if bcast:
+            # a forced broadcast of an UNcheckpointed superstep chain is
+            # quadratic: materializing superstep k's broadcast re-runs
+            # every nested broadcast below it as its own job (measured
+            # 18 jobs / 7.2s vs 2.9s for 4 LPA supersteps at sf0.1).
+            # The vector is <= _BCAST_MAX_ROWS by definition of this
+            # branch, so pinning it per superstep is one tiny blocking
+            # job that makes the next broadcast (and any multi-reference
+            # caller) read a flat checkpoint instead of a chain.
+            ranks = _compact(ranks, n).localCheckpoint(eager=True)
+        # big-vector path: truncate lineage periodically, not per-
+        # superstep (each eager checkpoint of a large vector is a real
+        # blocking job; a few chained shuffle-join supersteps plan fine
+        # and run as ONE job).
+        elif (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            ranks = _compact(ranks, n).localCheckpoint(eager=True)
     return ranks
 
 
@@ -334,36 +333,43 @@ def label_propagation(
         "community", F.col("id")
     )
     bcast = labels.count() <= _BCAST_MAX_ROWS  # label vector small → map-side join
-    with _loop_shuffle_width(e, _ecount(edges, e)):
-        for i in range(iterations):
-            # single aggregation replaces count+window-rank: max_by over the
-            # (cnt, -community) struct implements "most frequent label, ties
-            # to smallest" with one shuffle per superstep instead of two.
-            lab = F.broadcast(labels) if bcast else labels
-            best = (
+    w = _width(_ecount(edges, e))
+    for i in range(iterations):
+        # single aggregation replaces count+window-rank: max_by over the
+        # (cnt, -community) struct implements "most frequent label, ties
+        # to smallest" with one shuffle per superstep instead of two.
+        lab = F.broadcast(labels) if bcast else labels
+        # inner coalesce is safe (the second groupBy re-keys from
+        # (nid, community) to nid, so an exchange happens regardless);
+        # the outer agg stays un-wrapped so its hashpartitioning(nid)
+        # feeds the label join exchange-free.
+        best = (
+            _nw(
                 e.join(lab, e.src == lab.id)
                 .groupBy(F.col("dst").alias("nid"), "community")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .groupBy("nid")
-                .agg(
-                    F.expr("max_by(community, struct(cnt, -community))").alias(
-                        "new_community"
-                    )
+                .agg(F.count(F.lit(1)).alias("cnt")),
+                w,
+            )
+            .groupBy("nid")
+            .agg(
+                F.expr("max_by(community, struct(cnt, -community))").alias(
+                    "new_community"
                 )
             )
-            labels = labels.join(best, labels.id == best.nid, "left").select(
-                "id",
-                F.coalesce(F.col("new_community"), F.col("community")).alias("community"),
-            )
-            if bcast:
-                # see pagerank: broadcasting an uncheckpointed chain re-runs
-                # every nested broadcast per materialization — pin the
-                # (small) vector each superstep so the next broadcast (and
-                # any multi-reference caller, e.g. modularity) reads a flat
-                # plan.
-                labels = labels.localCheckpoint(eager=True)
-            elif (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
-                labels = labels.localCheckpoint(eager=True)
+        )
+        labels = _nw(labels.join(best, labels.id == best.nid, "left"), w).select(
+            "id",
+            F.coalesce(F.col("new_community"), F.col("community")).alias("community"),
+        )
+        if bcast:
+            # see pagerank: broadcasting an uncheckpointed chain re-runs
+            # every nested broadcast per materialization — pin the
+            # (small) vector each superstep so the next broadcast (and
+            # any multi-reference caller, e.g. modularity) reads a flat
+            # plan.
+            labels = labels.localCheckpoint(eager=True)
+        elif (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -462,65 +468,71 @@ def louvain_level(
             n,
         )
     bcast = n <= _BCAST_MAX_ROWS
-    with _loop_shuffle_width(e, e_rows):
-        for _ in range(rounds):
-            lab_dst = state.select(
-                F.col("id").alias("dst"), F.col("community").alias("n_comm")
-            )
-            # w(i→C): edge mass from i into each neighboring community C — the
-            # label vector is |V| rows vs |E| edges, so map-side join while it
-            # fits.  sum(w) == count for the unit-weight path (integer-valued
-            # double addition is exact), so one formulation serves both.
-            w_ic = (
-                e.join(F.broadcast(lab_dst) if bcast else lab_dst, "dst")
-                .groupBy(F.col("src").alias("id"), "n_comm")
-                .agg(F.sum("w").alias("w_ic"))
-            )
-            # Σdeg over each community, minus i's own degree when i ∈ C
-            degsum = state.groupBy("community").agg(F.sum("deg").alias("deg_c"))
-            cand = (
-                w_ic.join(degsum, w_ic.n_comm == degsum.community)
-                .join(state.withColumnRenamed("community", "cur"), "id")
-                .select(
-                    "id",
-                    "n_comm",
-                    "cur",
-                    (
-                        F.col("w_ic")
-                        - F.col("deg")
-                        * (
-                            F.col("deg_c")
-                            - F.when(F.col("n_comm") == F.col("cur"), F.col("deg")).otherwise(
-                                F.lit(0)
-                            )
-                        )
-                        / F.lit(2 * m)
-                    ).alias("gain"),
-                )
-            )
-            best = cand.groupBy("id").agg(
-                F.expr("max_by(n_comm, struct(gain, -n_comm))").alias("best_comm"),
-                F.max(F.struct("gain", (-F.col("n_comm")).alias("nc"))).alias("best_key"),
-                F.max(
-                    F.when(F.col("n_comm") == F.col("cur"), F.col("gain"))
-                ).alias("cur_gain"),
-            )
-            state = _compact(
-                state.join(best, "id", "left")
-                .select(
-                    "id",
-                    F.when(
-                        F.col("best_comm").isNotNull()
-                        & (F.col("best_key.gain") > F.coalesce(F.col("cur_gain"), F.lit(-1e18))),
-                        F.col("best_comm"),
+    w_stage = _width(e_rows)
+    for _ in range(rounds):
+        lab_dst = state.select(
+            F.col("id").alias("dst"), F.col("community").alias("n_comm")
+        )
+        # w(i→C): edge mass from i into each neighboring community C — the
+        # label vector is |V| rows vs |E| edges, so map-side join while it
+        # fits.  sum(w) == count for the unit-weight path (integer-valued
+        # double addition is exact), so one formulation serves both.
+        w_ic = _nw(
+            e.join(F.broadcast(lab_dst) if bcast else lab_dst, "dst")
+            .groupBy(F.col("src").alias("id"), "n_comm")
+            .agg(F.sum("w").alias("w_ic")),
+            w_stage,
+        )
+        # Σdeg over each community, minus i's own degree when i ∈ C.
+        # Un-wrapped: hashpartitioning(community) is reused by the join
+        # below (see _nw docstring).
+        degsum = state.groupBy("community").agg(F.sum("deg").alias("deg_c"))
+        # un-wrapped: the id-keyed second join's partitioning feeds the
+        # groupBy("id") below, whose output feeds the state join — one
+        # exchange-free reuse chain down to the checkpoint
+        cand = (
+            w_ic.join(degsum, w_ic.n_comm == degsum.community)
+            .join(state.withColumnRenamed("community", "cur"), "id")
+        ).select(
+            "id",
+            "n_comm",
+            "cur",
+            (
+                F.col("w_ic")
+                - F.col("deg")
+                * (
+                    F.col("deg_c")
+                    - F.when(F.col("n_comm") == F.col("cur"), F.col("deg")).otherwise(
+                        F.lit(0)
                     )
-                    .otherwise(F.col("community"))
-                    .alias("community"),
-                    "deg",
                 )
-                .localCheckpoint(eager=True),
-                n,
+                / F.lit(2 * m)
+            ).alias("gain"),
+        )
+        # un-wrapped: hashpartitioning(id) feeds the state join below
+        best = cand.groupBy("id").agg(
+            F.expr("max_by(n_comm, struct(gain, -n_comm))").alias("best_comm"),
+            F.max(F.struct("gain", (-F.col("n_comm")).alias("nc"))).alias("best_key"),
+            F.max(
+                F.when(F.col("n_comm") == F.col("cur"), F.col("gain"))
+            ).alias("cur_gain"),
+        )
+        state = _compact(
+            _nw(state.join(best, "id", "left"), w_stage)
+            .select(
+                "id",
+                F.when(
+                    F.col("best_comm").isNotNull()
+                    & (F.col("best_key.gain") > F.coalesce(F.col("cur_gain"), F.lit(-1e18))),
+                    F.col("best_comm"),
+                )
+                .otherwise(F.col("community"))
+                .alias("community"),
+                "deg",
             )
+            .localCheckpoint(eager=True),
+            n,
+        )
     return state.select("id", "community")
 
 
@@ -563,23 +575,26 @@ def louvain(
         # the contraction/remap tables are community-count-sized — run
         # their materializations at the same right-sized width as the
         # local-move loops
-        with _loop_shuffle_width(cur_edges, _ecount(edges, _sym(edges))):
-            contracted = (
+        w_stage = _width(_ecount(edges, _sym(edges)))
+        contracted = (
+            _nw(
                 cur_edges.join(bsrc, "src")
                 .join(bdst, "dst")
                 .groupBy(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
-                .agg(F.sum("w").alias("w"))
-                .localCheckpoint(eager=True)
+                .agg(F.sum("w").alias("w")),
+                w_stage,
             )
-            upper = louvain_level(contracted, rounds=rounds, weight_col="w")
-            remap = upper.select(
-                F.col("id").alias("community"), F.col("community").alias("upper_comm")
-            )
-            composed = (
-                composed.join(remap, "community")
-                .select("id", F.col("upper_comm").alias("community"))
-                .localCheckpoint(eager=True)
-            )
+            .localCheckpoint(eager=True)
+        )
+        upper = louvain_level(contracted, rounds=rounds, weight_col="w")
+        remap = upper.select(
+            F.col("id").alias("community"), F.col("community").alias("upper_comm")
+        )
+        composed = (
+            _nw(composed.join(remap, "community"), w_stage)
+            .select("id", F.col("upper_comm").alias("community"))
+            .localCheckpoint(eager=True)
+        )
         cur_edges, level_labels = contracted, upper
     return composed
 
@@ -603,25 +618,30 @@ def bfs_distances(
     )
     frontier = dist.select("id")
     n_frontier = dist.count()
-    with _loop_shuffle_width(e, _ecount(edges, e)):
-        for h in range(1, max_hops + 1):
-            # broadcast only while the frontier is provably small: on a dense
-            # graph a hop-2 frontier can be a large fraction of |V|, and a
-            # forced multi-GB broadcast re-shipped per hop OOMs executors.
-            # Past the cap, fall back to a shuffle join (AQE still converts
-            # back to broadcast dynamically if the frontier shrinks again).
-            fr = F.broadcast(frontier) if n_frontier <= _BCAST_MAX_ROWS else frontier
-            nxt = (
+    w = _width(_ecount(edges, e))
+    for h in range(1, max_hops + 1):
+        # broadcast only while the frontier is provably small: on a dense
+        # graph a hop-2 frontier can be a large fraction of |V|, and a
+        # forced multi-GB broadcast re-shipped per hop OOMs executors.
+        # Past the cap, fall back to a shuffle join (AQE still converts
+        # back to broadcast dynamically if the frontier shrinks again).
+        fr = F.broadcast(frontier) if n_frontier <= _BCAST_MAX_ROWS else frontier
+        # distinct left un-wrapped: its hashpartitioning(id) feeds the
+        # anti-join exchange-free; only the join output is collapsed
+        nxt = (
+            _nw(
                 e.join(fr, e.src == fr["id"])
                 .select(F.col("dst").alias("id"))
                 .distinct()
-                .join(dist, "id", "left_anti")
-                .withColumn("dist", F.lit(h).cast("int"))
-                .localCheckpoint(eager=True)
+                .join(dist, "id", "left_anti"),
+                w,
             )
-            n_frontier = nxt.count()
-            if n_frontier == 0:
-                break
-            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt.select("id")
+            .withColumn("dist", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        n_frontier = nxt.count()
+        if n_frontier == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
     return dist

@@ -145,33 +145,38 @@ def _pair_jaccard(
     if pairs_hint is not None:
         # candidate-first: never materialize the inverted-index self-join
         return _verify_candidates(sh, sh, pairs_hint, "id_a", "id_b", encode_key)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    counted = _inverted_common(sh, encode_key)
+    return _with_sizes(sh, counted).select(
+        "id_a",
+        "id_b",
+        (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
+            "jaccard"
+        ),
+    )
+
+
+def _inverted_common(sh: DataFrame, encode_key: bool = True) -> DataFrame:
+    """(id_a < id_b, n_common) common-shingle counts via the
+    inverted-index self-join — shared by the Jaccard and containment
+    verifiers."""
     if encode_key:
         enc = sh.select("id", F.xxhash64("shingle").alias("code"))
     else:
         enc = sh.select("id", F.col("shingle").alias("code"))
     a = enc.alias("a")
     b = enc.alias("b")
-    common = (
-        a.join(
-            b, (F.col("a.code") == F.col("b.code")) & (F.col("a.id") < F.col("b.id"))
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
-    counted = common.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
+    common = a.join(
+        b, (F.col("a.code") == F.col("b.code")) & (F.col("a.id") < F.col("b.id"))
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    return common.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
+
+
+def _with_sizes(sh: DataFrame, counted: DataFrame) -> DataFrame:
+    """Attach per-side shingle-set sizes (na, nb) to a pair-count table."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
-    return (
-        counted.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
-                "jaccard"
-            ),
-        )
-    )
+    return counted.join(sa, "id_a").join(sb, "id_b")
 
 
 def jaccard_pairs(
@@ -212,6 +217,43 @@ def jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     return _pair_jaccard(sh, encode_key=encode_key).where(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+    shingles_df: DataFrame | None = None,
+    encode_key: bool = True,
+) -> DataFrame:
+    """Asymmetric near-subset pairs: containment(A→B) = |A∩B| / |A|.
+
+    The dedup signal Jaccard misses: a short document wholly embedded in
+    a boilerplate-wrapped superset has high containment but low Jaccard
+    (|A∩B|/|A∪B| is dragged down by the wrapper).  Production curation
+    pipelines (CCNet/RefinedWeb-style) use containment to drop the
+    subset side.  Emits (id_a < id_b, contain_a, contain_b) for pairs
+    where EITHER direction reaches ``threshold``; the caller drops the
+    side whose containment is higher (it is the more-redundant one).
+
+    Same plan skeleton as :func:`jaccard_pairs` — inverted-index
+    equi-join, per-pair common counts, size join — so the scale story is
+    identical: only docs sharing a shingle ever meet, shuffles key on
+    uniformly distributed shingle codes.
+    """
+    sh = shingles_df if shingles_df is not None else shingle_sets(docs, id_col, text_col, n)
+    counted = _inverted_common(sh, encode_key)
+    scored = _with_sizes(sh, counted).select(
+        "id_a",
+        "id_b",
+        (F.col("n_common") / F.col("na")).alias("contain_a"),
+        (F.col("n_common") / F.col("nb")).alias("contain_b"),
+    )
+    return scored.where(
+        F.greatest(F.col("contain_a"), F.col("contain_b")) >= threshold
+    )
 
 
 def band_signatures(sh: DataFrame, num_perm: int = 8, bands: int = 4) -> DataFrame:

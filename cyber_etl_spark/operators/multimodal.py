@@ -207,19 +207,65 @@ def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(decode, out_schema)
 
 
+def _resample_wav_bytes(b: bytes, sample_rate: int) -> bytes:
+    """Real 16-bit PCM WAV resample: linear interpolation over the frame
+    axis, re-encoded with the stdlib ``wave`` writer.  Deterministic
+    (pure float64 arithmetic on fixed inputs), multi-channel aware."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(b)) as wv:
+        nch, sw, fr, nf = (
+            wv.getnchannels(),
+            wv.getsampwidth(),
+            wv.getframerate(),
+            wv.getnframes(),
+        )
+        raw = wv.readframes(nf)
+    if sw != 2:
+        raise ValueError(f"only 16-bit PCM WAV resample supported, got width {sw}")
+    x = np.frombuffer(raw, dtype="<i2").reshape(nf, nch).astype(np.float64)
+    n_out = nf * sample_rate // fr
+    if nf == 0 or n_out == 0:
+        y = np.zeros((0, nch), dtype="<i2")
+    else:
+        idx = np.linspace(0.0, nf - 1, n_out)
+        i0 = np.floor(idx).astype(np.int64)
+        i1 = np.minimum(i0 + 1, nf - 1)
+        frac = (idx - i0)[:, None]
+        y = np.clip(
+            np.round((1.0 - frac) * x[i0] + frac * x[i1]), -32768, 32767
+        ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(nch)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(y.tobytes())
+    return buf.getvalue()
+
+
 def resample_audio(
     df: DataFrame, sample_rate: int, content_col: str = "content"
 ) -> DataFrame:
     """Re-encode every clip at ``sample_rate`` (duration preserved: the
-    sample count scales by the rate ratio, floor-rounded).  Stub
-    transform rewrites the fake header; a real kernel would call
-    ``torchaudio.functional.resample`` here."""
+    sample count scales by the rate ratio, floor-rounded).  Genuine PCM
+    RIFF/WAV clips are REALLY resampled in-container (linear
+    interpolation, :func:`_resample_wav_bytes`); FAKEAUD payloads rewrite
+    the fake header; a heavyweight codec would slot in alongside
+    (``torchaudio.functional.resample``)."""
 
     def do_resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for b in pdf[content_col]:
-                n, rate, ch = _decode_audio_bytes(bytes(b))
+                bb = bytes(b)
+                if bb[:4] == b"RIFF" and bb[8:12] == b"WAVE":
+                    out.append(_resample_wav_bytes(bb, sample_rate))
+                    continue
+                n, rate, ch = _decode_audio_bytes(bb)
                 out.append(encode_fake_audio(n * sample_rate // rate, sample_rate, ch))
             pdf = pdf.copy()
             pdf[content_col] = out

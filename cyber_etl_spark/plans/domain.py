@@ -328,3 +328,43 @@ def q118_gq_language_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         alert_cve_edges=_alert_cve_edges(spark, sf_dir),
         exclude_contains="Brand#2",
     )
+
+
+# ---------------------------------------------------------------------------
+# gq5 — the positive-label-filter branch of the actor pattern
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q121_gq_actor_vectors_positive",
+    oracle=f"""
+    WITH {_MENTION_WEIGHTS_SQL.strip()},
+    {_ALERT_CVE_EDGES_SQL.strip()},
+    {_CVE_NODES_SQL.strip()}
+    SELECT best_label, attack_vector, COUNT(DISTINCT cve_id) AS n_cves
+    FROM mention_weights
+    JOIN alert_cve_edges USING (alert_id)
+    JOIN cve_nodes USING (cve_id)
+    WHERE type = 'GPE'
+      AND NOT contains(best_label, 'nation_1')
+      AND contains(best_label, 'nation_2')
+      AND score >= 7.0
+      AND attack_vector IS NOT NULL
+    GROUP BY best_label, attack_vector
+    ORDER BY n_cves DESC, best_label ASC, attack_vector ASC
+    """,
+    tags=("domain-graph", "Q5", "join", "multi-hop"),
+)
+def q121_gq_actor_vectors_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gq5 end-to-end: gq4's pattern plus the positive label filter
+    ('nation_2' here plays 'russia' — NATION_2/20-24 survive) at a lower
+    severity floor.  70/10.0 == 7.0 exactly in IEEE double."""
+    return actor_attack_vectors(
+        _mention_weights(spark, sf_dir),
+        _alert_cve_edges(spark, sf_dir),
+        _cve_nodes(spark, sf_dir),
+        actor_type="GPE",
+        min_score=7.0,
+        exclude_label_contains=("nation_1",),
+        label_contains="nation_2",
+    )

@@ -1480,3 +1480,115 @@ def q92_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("gram").cast("double") / F.count(F.lit(1)), 6
         ).alias("repetition_ratio"),
     )
+
+
+@query(
+    "q119_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(c.n_common AS DOUBLE) / sa.n AS ca,
+             CAST(c.n_common AS DOUBLE) / sb.n AS cb
+      FROM common c
+      JOIN sizes sa ON c.id_a = sa.id
+      JOIN sizes sb ON c.id_b = sb.id
+    )
+    SELECT id_a, id_b, round(ca, 6) AS contain_a, round(cb, 6) AS contain_b
+    FROM scored WHERE greatest(ca, cb) >= 0.7
+    """,
+    tags=("dedup", "containment"),
+)
+def q119_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-subset pairs (|A∩B|/|A| ≥ 0.7 either
+    direction) — the dedup signal Jaccard misses on boilerplate-wrapped
+    supersets (operators/dedup.containment_pairs).  Shares the memoized
+    shingle table with the Jaccard/LSH family; threshold applies to the
+    UNrounded ratio, rounding is output-only."""
+    from ..operators.dedup import containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = cached_shingles(spark, sf_dir)
+    pairs = containment_pairs(docs, shingles_df=sh, threshold=0.7)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("contain_a", 6).alias("contain_a"),
+        F.round("contain_b", 6).alias("contain_b"),
+    )
+
+
+_PII_PAYLOAD_SQL = """
+payload AS (
+  SELECT doc_id,
+         'contact ' || source || '-' || CAST(doc_id AS VARCHAR)
+         || '@corp.example.com from 192.168.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST((doc_id * 7) % 256 AS VARCHAR)
+         || ' call '
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST((doc_id * 9) % 10000 AS VARCHAR), 4, '0')
+         || ' ' || substr(text, 1, 40) AS s
+  FROM documents)
+"""
+
+
+@query(
+    "q120_pii_redaction",
+    oracle=f"""
+    WITH {_PII_PAYLOAD_SQL.strip()}
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(s,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+               '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[IP]', 'g'),
+             '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '[PHONE]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(s, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(s, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS INT) AS n_phone
+    FROM payload
+    """,
+    tags=("text", "pii", "curation"),
+)
+def q120_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + audit counts (functions/pii.py) over a payload
+    column derived deterministically from the documents table (the
+    synthetic corpus contains no organic PII, so the query plants one
+    email/IP/phone per row from key arithmetic — both engines derive the
+    identical string, then the gate diffs the redacted text
+    byte-for-byte).  All JVM-side regexp expressions; no UDF."""
+    from ..functions.pii import pii_counts, redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("contact "),
+        F.col("source"),
+        F.lit("-"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.example.com from 192.168."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" call "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 3) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 9) % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.substring("text", 1, 40),
+    )
+    base = docs.select("doc_id", payload.alias("s"))
+    counts = pii_counts(F.col("s"))
+    return base.select(
+        "doc_id",
+        redact_pii(F.col("s")).alias("redacted"),
+        *[c.alias(name) for name, c in counts.items()],
+    )

@@ -182,3 +182,36 @@ def test_pairs_hint_duplicate_rows_tolerated(spark):
     dup = _pair_jaccard(sh, pairs_hint=dup_hint).collect()[0]
     assert abs(clean.jaccard - dup.jaccard) < 1e-12
     assert 0.0 < clean.jaccard <= 1.0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc embedded in a long superset: containment ~1.0 from the
+    subset side while Jaccard stays below a dedup threshold."""
+    from cyber_etl_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = containment_pairs(docs, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0].contain_a >= 0.99  # subset side
+    jac = jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # Jaccard misses the wrap
+
+
+def test_pii_redaction_order_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.functions.pii import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or 10.0.255.7 call 555-123-4567 x 1.2.3.4")],
+        "id long, s string",
+    )
+    row = df.select(
+        redact_pii(F.col("s")).alias("r"),
+        *[c.alias(k) for k, c in pii_counts(F.col("s")).items()],
+    ).collect()[0]
+    assert row.r == "mail [EMAIL] or [IP] call [PHONE] x [IP]"
+    assert (row.n_email, row.n_ip, row.n_phone) == (1, 2, 1)

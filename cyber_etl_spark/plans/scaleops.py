@@ -89,3 +89,87 @@ def q103_skewed_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
         ).alias("total_price"),
     )
+
+
+@query(
+    "q122_bloom_prefilter_join",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("join", "bloom", "scale"),
+)
+def q122_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-dim join through the explicit Bloom prefilter
+    (operators/bloom.py): the probe side (lineitem) is filtered by a
+    bitmap built over the ~10%-selective order subset BEFORE any join
+    shuffle.  False positives are dropped by the exact join behind the
+    filter, so the oracle is the plain join — results are identical by
+    construction; what the operator changes is probe shuffle volume."""
+    from ..operators.bloom import bloom_prefilter_join
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 250000)
+    )
+    joined = bloom_prefilter_join(li, orders, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Z_SQL = None  # filled below to share the exact formula with the oracle
+
+
+def _z_curve_sql() -> str:
+    from ..operators.layout import z_value_sql
+
+    return z_value_sql("o_custkey % 65536", "o_orderkey % 65536", bits=16)
+
+
+@query(
+    "q123_zorder_curve",
+    oracle=None,  # installed right after definition (needs the formula)
+    tags=("layout", "zorder", "scale"),
+)
+def q123_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values for the (customer, order) key pair — the sort key
+    of the multi-column-pruning layout (operators/layout.py).  The SAME
+    engine-portable arithmetic string is the Spark projection and the
+    DuckDB oracle, so the gate pins the interleave bit-for-bit; the
+    layout writer itself is pinned by the file-pruning test."""
+    from ..operators.layout import z_value
+
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            z_value("o_custkey % 65536", "o_orderkey % 65536", bits=16).alias("z"),
+        )
+        .orderBy("z", "o_orderkey")
+        .limit(200)
+    )
+
+
+from .registry import QUERIES as _Q  # noqa: E402
+
+_Q["q123_zorder_curve"].oracle = f"""
+    SELECT o_orderkey, {_z_curve_sql()} AS z
+    FROM orders
+    ORDER BY z, o_orderkey
+    LIMIT 200
+"""

@@ -124,3 +124,17 @@ def test_q65_set_ops_become_joins(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "q65_set_ops")
     # Catalyst rewrites INTERSECT/EXCEPT into semi/anti joins — pin it
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q122_bloom_prefilter_sits_below_the_join(spark, sf_smoke):
+    """The probe-side Bloom membership test (bit_get over the bitmap
+    literal) must appear as a Filter in the plan — i.e. the fact scan is
+    filtered BEFORE any join shuffle, which is the operator's entire
+    scale claim (probe shuffle volume ∝ selectivity + FP rate)."""
+    plan = _plan(spark, sf_smoke, "q122_bloom_prefilter_join")
+    assert "bit_get" in plan, plan[:2000]
+    # plans print top-down (join above its children): the membership test
+    # must live BELOW the join — in a child Filter, not a post-join
+    # residual — so every bit_get occurrence follows the first Join node
+    join_hits = [i for i in (plan.find("Join"), plan.find("join")) if i >= 0]
+    assert join_hits and min(join_hits) < plan.find("bit_get"), plan[:2000]

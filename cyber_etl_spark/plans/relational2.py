@@ -1882,3 +1882,41 @@ def q112_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(o_totalprice, 0.75) - percentile(o_totalprice, 0.25)"), 6
         ).alias("iqr_price"),
     )
+
+
+@query(
+    "q124_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "outer", "agg", "tpch-q13"),
+)
+def q124_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the outer-join aggregate the registry lacked:
+    customers LEFT JOIN their (priority-filtered) orders, COUNT the
+    non-null side per customer (zero-order customers survive with 0),
+    then histogram the counts.  The ON-clause right-side filter is
+    expressed by pre-filtering the right input — equivalent for a left
+    join and lets the filter push into the orders scan."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

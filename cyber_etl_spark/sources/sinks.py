@@ -19,9 +19,35 @@ from pyspark.sql import DataFrame
 
 
 def write_parquet(
-    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compact: bool = False,
+    dynamic_overwrite: bool = False,
 ) -> None:
+    """Parquet write, optionally Hive-partitioned by ``partition_by``.
+
+    Partition directories are the driver-side pruning lever at 100 TB:
+    a predicate on a partition column never lists, opens or reads the
+    other directories (``PartitionFilters`` in the scan, pinned by
+    tests/test_partitioned.py).
+
+    ``compact``: pre-shuffle rows by the partition columns so each
+    directory gets one file per reducer that actually holds its key —
+    without it every input task writes a sliver into every directory
+    (the classic small-files explosion: tasks × partitions files).
+
+    ``dynamic_overwrite``: only partitions present in ``df`` are
+    replaced (per-writer ``partitionOverwriteMode=dynamic``, no session
+    conf mutation); the default static overwrite drops ALL existing
+    partitions first — the footgun for incremental backfills.
+    """
+    if compact and partition_by:
+        df = df.repartition(*[df[c] for c in partition_by])
     w = df.write.mode(mode)
+    if dynamic_overwrite:
+        w = w.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

@@ -114,3 +114,53 @@ def test_incremental_equals_cross_side_of_full(spark, texts):
         elif b_new and not a_new:
             want.add((r.id_b, r.id_a, round(r.jaccard, 9)))
     assert inc == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=60),
+)
+def test_bloom_never_false_negative(spark, inserted, probed):
+    """Core Bloom safety: every inserted key passes the membership test,
+    whatever the key distribution (FPs allowed, FNs never)."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    small = spark.createDataFrame([(k,) for k in inserted], "k long")
+    words = bloom_build(small, F.col("k"), num_bits=2048, k=4)
+    hits = {
+        r.k
+        for r in small.where(
+            bloom_might_contain(F.col("k"), words, 2048, 4)
+        ).collect()
+    }
+    assert hits == set(inserted)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zvalue_equals_bit_interleave(spark, pairs):
+    """The portable modular-arithmetic z equals true bit interleaving."""
+    from cyber_etl_spark.operators.layout import z_value
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    for r in df.select("x", "y", z_value("x", "y").alias("z")).collect():
+        assert r.z == ref(r.x, r.y)

@@ -77,13 +77,42 @@ def bloom_might_contain(
     key: Column, words: list[int], num_bits: int, k: int = 4
 ) -> Column:
     """Membership-test column: true for every inserted key, plus ~FP-rate
-    of the rest.  Pure codegen'd arithmetic over an array literal."""
+    of the rest.  Pure codegen'd arithmetic over an array literal.
+
+    NOTE: embeds the bitmap as a plan literal — fine for small filters,
+    but every expression tree that references it stringifies the whole
+    array into plan text (UI/AQE descriptions), which gets measurably
+    slow past a few thousand words.  :func:`bloom_prefilter` ships the
+    bitmap as broadcast DATA instead and is what the join path uses.
+    """
     lit_words = F.lit(words)
     cond = F.lit(True)
     for p in _positions(key, num_bits, k):
         word = F.element_at(lit_words, (F.floor(p / _WORD) + 1).cast("int"))
         cond = cond & (F.bit_get(word, F.pmod(p, F.lit(_WORD)).cast("int")) == 1)
     return cond
+
+
+def bloom_prefilter(
+    big: DataFrame, key: str, words: list[int], num_bits: int, k: int = 4
+) -> DataFrame:
+    """``big`` filtered to rows whose key might be in the filter.
+
+    The bitmap rides a broadcast 1-row DataFrame (single-row nested-loop
+    broadcast join — the scan, the join and the membership Filter fuse
+    into ONE codegen stage), so the plan carries a reference, not the
+    array: plan text stays O(1) whatever the bitmap size, and the 512 KB
+    cap is a broadcast-payload budget rather than a plan-size hazard.
+    (Measured: the literal form's 600 KB plan strings cost ~2s/run in
+    plan descriptions at 3.7k words; this form is flat.)"""
+    spark = big.sparkSession
+    wdf = spark.createDataFrame([(words,)], "_bloom_words array<bigint>")
+    probe = big.crossJoin(F.broadcast(wdf))
+    cond = F.lit(True)
+    for p in _positions(F.col(key), num_bits, k):
+        word = F.element_at(F.col("_bloom_words"), (F.floor(p / _WORD) + 1).cast("int"))
+        cond = cond & (F.bit_get(word, F.pmod(p, F.lit(_WORD)).cast("int")) == 1)
+    return probe.where(cond).drop("_bloom_words")
 
 
 def bloom_prefilter_join(
@@ -113,5 +142,5 @@ def bloom_prefilter_join(
         num_bits = min(_MAX_BITS, max(1024, 16 * n))
         num_bits = ((num_bits + _WORD - 1) // _WORD) * _WORD
     words = bloom_build(small, F.col(small_key), num_bits, k)
-    filtered = big.where(bloom_might_contain(F.col(big_key), words, num_bits, k))
+    filtered = bloom_prefilter(big, big_key, words, num_bits, k)
     return filtered.join(small, filtered[big_key] == small[small_key], how)

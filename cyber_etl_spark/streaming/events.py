@@ -197,3 +197,38 @@ def run_stream_to_parquet(
     )
     q.awaitTermination()
     return q
+
+
+def run_stream_to_partitioned_parquet(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, partition_by: list[str]
+):
+    """Exactly-once partitioned table maintenance from a stream.
+
+    Each micro-batch lands in Hive partitions ``(*partition_by,
+    _batch_id)`` via DYNAMIC partition overwrite — a replayed batch
+    (failure before checkpoint commit, or a re-run from scratch)
+    REPLACES its own partitions instead of appending duplicates, while
+    other batches' partitions are untouched.  This is the idempotent
+    upgrade of :func:`run_stream_to_parquet`'s append-with-batch-id:
+    downstream readers get directory pruning on the user partition
+    columns for free (sources/sinks.write_parquet semantics).
+    """
+    from ..sources.sinks import write_parquet
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_parquet(
+            batch_df.withColumn("_batch_id", F.lit(batch_id)),
+            out_dir,
+            partition_by=[*partition_by, "_batch_id"],
+            compact=True,
+            dynamic_overwrite=True,
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

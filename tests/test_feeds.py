@@ -91,3 +91,47 @@ def test_http_json_partitions_per_url(feeds_registered, tmp_path):
         paths.append(p.as_uri())
     df = spark.read.format("http_json").option("urls", ",".join(paths)).load()
     assert df.rdd.getNumPartitions() == 3  # one InputPartition per URL
+
+
+def test_http_json_stream_tails_feed_incrementally(feeds_registered, tmp_path):
+    """Streaming twin of S1: offset-tracked feed polling emits only NEW
+    items per micro-batch; a second run on the same checkpoint picks up
+    exactly the appended suffix."""
+    import json
+
+    spark = feeds_registered
+    feed = tmp_path / "feed.json"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_feed(n):
+        feed.write_text(
+            json.dumps({"CVE_Items": [{"cve_id": f"CVE-{i}"} for i in range(n)]})
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("http_json")
+            .option("urls", feed.as_uri())
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_feed(3)
+    drain()
+    ids = {
+        json.loads(r.item_json)["cve_id"] for r in spark.read.parquet(out).collect()
+    }
+    assert ids == {"CVE-0", "CVE-1", "CVE-2"}
+
+    write_feed(5)  # feed grows by two items
+    drain()
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(json.loads(r.item_json)["cve_id"] for r in rows)
+    # no duplicates of the first three, exactly the two new items added
+    assert ids == [f"CVE-{i}" for i in range(5)]

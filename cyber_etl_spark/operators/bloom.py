@@ -55,8 +55,10 @@ def _positions(key: Column, num_bits: int, k: int) -> list[Column]:
 def bloom_build(df: DataFrame, key: Column, num_bits: int, k: int = 4) -> list[int]:
     """Distributed Bloom-filter build → bitmap as ``num_bits/64`` int64
     words (zeros included), ready for :func:`bloom_might_contain`."""
-    if num_bits % _WORD:
-        raise ValueError(f"num_bits must be a multiple of {_WORD}, got {num_bits}")
+    if num_bits <= 0 or num_bits % _WORD:
+        raise ValueError(
+            f"num_bits must be a positive multiple of {_WORD}, got {num_bits}"
+        )
     pos = df.select(F.explode(F.array(*_positions(key, num_bits, k))).alias("p"))
     words = (
         pos.select(
@@ -85,10 +87,15 @@ def bloom_might_contain(
     slow past a few thousand words.  :func:`bloom_prefilter` ships the
     bitmap as broadcast DATA instead and is what the join path uses.
     """
-    lit_words = F.lit(words)
+    return _probe_cond(key, F.lit(words), num_bits, k)
+
+
+def _probe_cond(key: Column, words_col: Column, num_bits: int, k: int) -> Column:
+    """AND-fold of the k word/bit lookups — the one probe implementation
+    behind both the literal and the broadcast-column bitmap forms."""
     cond = F.lit(True)
     for p in _positions(key, num_bits, k):
-        word = F.element_at(lit_words, (F.floor(p / _WORD) + 1).cast("int"))
+        word = F.element_at(words_col, (F.floor(p / _WORD) + 1).cast("int"))
         cond = cond & (F.bit_get(word, F.pmod(p, F.lit(_WORD)).cast("int")) == 1)
     return cond
 
@@ -108,10 +115,7 @@ def bloom_prefilter(
     spark = big.sparkSession
     wdf = spark.createDataFrame([(words,)], "_bloom_words array<bigint>")
     probe = big.crossJoin(F.broadcast(wdf))
-    cond = F.lit(True)
-    for p in _positions(F.col(key), num_bits, k):
-        word = F.element_at(F.col("_bloom_words"), (F.floor(p / _WORD) + 1).cast("int"))
-        cond = cond & (F.bit_get(word, F.pmod(p, F.lit(_WORD)).cast("int")) == 1)
+    cond = _probe_cond(F.col(key), F.col("_bloom_words"), num_bits, k)
     return probe.where(cond).drop("_bloom_words")
 
 
@@ -137,6 +141,11 @@ def bloom_prefilter_join(
             f"bloom prefiltering drops non-matching probe rows; join type "
             f"{how!r} must keep them (use inner or left_semi)"
         )
+    # the build side is referenced by up to three jobs (sizing count,
+    # bitmap build, final join) — materialize its plan once so a deep
+    # upstream scan+filter doesn't re-execute per reference (CLAUDE.md
+    # multiply-referenced-frame rule)
+    small = small.localCheckpoint(eager=True)
     if num_bits is None:
         n = small.count()
         num_bits = min(_MAX_BITS, max(1024, 16 * n))

@@ -263,8 +263,16 @@ def resample_audio(
             for b in pdf[content_col]:
                 bb = bytes(b)
                 if bb[:4] == b"RIFF" and bb[8:12] == b"WAVE":
-                    out.append(_resample_wav_bytes(bb, sample_rate))
-                    continue
+                    import wave
+
+                    try:
+                        out.append(_resample_wav_bytes(bb, sample_rate))
+                        continue
+                    except (wave.Error, ValueError):
+                        # non-PCM or non-16-bit container the stdlib path
+                        # can't resample — same fall-through contract as
+                        # _decode_audio_bytes (generic header path below)
+                        pass
                 n, rate, ch = _decode_audio_bytes(bb)
                 out.append(encode_fake_audio(n * sample_rate // rate, sample_rate, ch))
             pdf = pdf.copy()

@@ -132,9 +132,6 @@ def q122_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Z_SQL = None  # filled below to share the exact formula with the oracle
-
-
 def _z_curve_sql() -> str:
     from ..operators.layout import z_value_sql
 

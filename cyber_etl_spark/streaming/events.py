@@ -205,13 +205,20 @@ def run_stream_to_partitioned_parquet(
     """Exactly-once partitioned table maintenance from a stream.
 
     Each micro-batch lands in Hive partitions ``(*partition_by,
-    _batch_id)`` via DYNAMIC partition overwrite — a replayed batch
-    (failure before checkpoint commit, or a re-run from scratch)
+    _batch_id)`` via DYNAMIC partition overwrite — a batch REPLAYED on
+    the same checkpoint (failure before the commit log records it)
     REPLACES its own partitions instead of appending duplicates, while
     other batches' partitions are untouched.  This is the idempotent
     upgrade of :func:`run_stream_to_parquet`'s append-with-batch-id:
     downstream readers get directory pruning on the user partition
     columns for free (sources/sinks.write_parquet semantics).
+
+    Scope of the guarantee: idempotence is PER BATCH ID under one
+    checkpoint lineage.  A from-scratch rebuild (new checkpoint over old
+    output) restarts batch ids at 0 with possibly different batch
+    boundaries — partitions of old higher ids would survive as stale
+    duplicates, so rebuilds must target a fresh directory (or clear the
+    table first), exactly like any overwrite-by-partition pipeline.
     """
     from ..sources.sinks import write_parquet
 

@@ -105,3 +105,21 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_path):
     assert files_touched(zpath, "x < 8") < 8
     # and a narrow y range stays pruned too (both columns benefit)
     assert files_touched(zpath, "y < 8") < 8
+
+
+def test_bloom_empty_build_side_yields_empty_join(spark):
+    from cyber_etl_spark.operators.bloom import bloom_prefilter_join
+
+    big = spark.range(100).select(F.col("id").alias("k"))
+    small = big.where("k < 0")  # empty
+    out = bloom_prefilter_join(big, small, "k", "k")
+    assert out.count() == 0
+
+
+def test_zorder_write_empty_frame_roundtrips(spark, tmp_path):
+    from cyber_etl_spark.operators.layout import zorder_write
+
+    df = spark.range(0).select(F.col("id").alias("x"), F.col("id").alias("y"))
+    path = str(tmp_path / "z_empty")
+    zorder_write(df, path, "x", "y", num_files=4)
+    assert spark.read.parquet(path).count() == 0

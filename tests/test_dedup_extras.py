@@ -215,3 +215,10 @@ def test_pii_redaction_order_and_counts(spark):
     ).collect()[0]
     assert row.r == "mail [EMAIL] or [IP] call [PHONE] x [IP]"
     assert (row.n_email, row.n_ip, row.n_phone) == (1, 2, 1)
+
+
+def test_containment_empty_corpus(spark):
+    from cyber_etl_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert containment_pairs(docs).count() == 0

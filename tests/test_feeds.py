@@ -135,3 +135,38 @@ def test_http_json_stream_tails_feed_incrementally(feeds_registered, tmp_path):
     ids = sorted(json.loads(r.item_json)["cve_id"] for r in rows)
     # no duplicates of the first three, exactly the two new items added
     assert ids == [f"CVE-{i}" for i in range(5)]
+
+
+def test_http_json_stream_tolerates_feed_shrink(feeds_registered, tmp_path):
+    """A feed that shrinks below the stored offset emits nothing (no
+    replay of already-emitted items) until it grows past it again."""
+    import json
+
+    spark = feeds_registered
+    feed = tmp_path / "shrink.json"
+    ckpt = str(tmp_path / "ckpt_s")
+    out = str(tmp_path / "out_s")
+
+    def write_feed(n):
+        feed.write_text(
+            json.dumps({"CVE_Items": [{"cve_id": f"CVE-{i}"} for i in range(n)]})
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("http_json")
+            .option("urls", feed.as_uri())
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_feed(4)
+    drain()
+    write_feed(2)  # shrink below offset
+    drain()
+    assert spark.read.parquet(out).count() == 4  # nothing replayed

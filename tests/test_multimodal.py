@@ -360,3 +360,21 @@ def test_wav_resample_preserves_constant_signal():
         assert (w.getframerate(), w.getnframes()) == (12000, 150)
         vals = np.frombuffer(w.readframes(150), dtype="<i2")
     assert (vals == 1234).all()
+
+
+def test_resample_falls_back_on_undecodable_wav(spark):
+    """A RIFF/WAVE container the stdlib resampler can't process (bogus
+    codec chunk) must not fail the job — decode_audio tolerates it, so
+    resample_audio falls through to the generic header path (which for a
+    FAKEAUD-less, codec-less blob raises in decode, hence we pair the
+    bogus WAV with metadata the generic path CAN read: none here, so the
+    fall-through surfaces as the documented codec error, not wave.Error)."""
+    import pytest as _pytest
+
+    from cyber_etl_spark.operators import multimodal as mm
+
+    bogus = b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"junk"
+    df = spark.createDataFrame([(1, bytearray(bogus))], "media_id long, content binary")
+    with _pytest.raises(Exception) as exc:
+        mm.resample_audio(df, 16000).collect()
+    assert "no audio codec" in str(exc.value)

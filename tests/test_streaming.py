@@ -235,8 +235,11 @@ def test_stream_starts_on_empty_dir_both_layouts(spark, tmp_path):
 
 def test_partitioned_stream_sink_is_replay_idempotent(spark, sf_smoke, events_dir, tmp_path):
     """The batch-id dynamic-overwrite sink: content equals the batch
-    read, and a full replay (fresh checkpoint, same input) REPLACES its
-    partitions instead of duplicating rows."""
+    read, and replaying the same batch boundaries (fresh checkpoint over
+    the same single-batch input) REPLACES the batch's partitions instead
+    of duplicating rows.  (Per the operator docstring, a from-scratch
+    rebuild with DIFFERENT batch boundaries needs a fresh directory —
+    the guarantee is per batch id within a checkpoint lineage.)"""
     from pyspark.sql import functions as F
 
     from cyber_etl_spark.sources import read_table

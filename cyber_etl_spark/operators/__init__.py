@@ -6,4 +6,11 @@ from .dedup import (  # noqa: F401
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
-from .ann import brute_force_knn, lsh_bucket_candidates  # noqa: F401
+from .ann import (  # noqa: F401
+    brute_force_knn,
+    cosine_neardup_pairs,
+    kmeans_fit,
+    lsh_bucket_candidates,
+    semantic_dedup,
+    semantic_neardup_pairs,
+)

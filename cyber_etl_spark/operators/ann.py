@@ -247,9 +247,34 @@ def cosine_neardup_pairs(
     2 GB row limit at any corpus size; beyond exact-all-pairs economics,
     :func:`lsh_bucket_candidates` bounds the candidate pairs instead.
     """
+    v = corpus.select(
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
+    )
+    if n_blocks is None:
+        n_blocks = _dynamic_n_blocks(v)
+    return _blocked_pair_scores(v, threshold, round_digits, n_blocks)
+
+
+def _blocked_pair_scores(
+    v: DataFrame,
+    threshold: float,
+    round_digits: int,
+    n_blocks: int,
+    grouped: bool = False,
+) -> DataFrame:
+    """Blocked-GEMM pair scoring core shared by the all-pairs and the
+    within-group (semantic-dedup cell) operators.
+
+    ``v`` must expose ``(id, v)`` — plus ``grp`` when ``grouped`` — and
+    pairs are only formed inside a group (the ungrouped form is one
+    implicit global group).  Blocks are hash-split WITHIN each group, so
+    a skewed group never folds into a single >2 GB row; the ~B²/2
+    unordered block pairs per group are each scored with one BLAS GEMM
+    inside ``mapInPandas``, and only at-threshold pairs materialize.
+    """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    id_type = corpus.schema[id_col].dataType
+    id_type = v.schema["id"].dataType
     out_schema = StructType(
         [
             StructField("id_a", id_type),
@@ -257,16 +282,16 @@ def cosine_neardup_pairs(
             StructField("cosine", DoubleType()),
         ]
     )
-    v = corpus.select(
-        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
-    )
-    if n_blocks is None:
-        n_blocks = _dynamic_n_blocks(v)
+    if not grouped:
+        v = v.withColumn("grp", F.lit(0))
     chunks = v.groupBy(
-        F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("blk")
+        "grp", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("blk")
     ).agg(F.collect_list(F.struct("id", "v")).alias("items"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    joined = a.join(F.broadcast(b), F.col("a.blk") <= F.col("b.blk")).select(
+    joined = a.join(
+        F.broadcast(b),
+        (F.col("a.grp") == F.col("b.grp")) & (F.col("a.blk") <= F.col("b.blk")),
+    ).select(
         F.col("a.blk").alias("blk_a"),
         F.col("b.blk").alias("blk_b"),
         F.col("a.items").alias("items_a"),
@@ -405,3 +430,170 @@ def ivf_knn(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+# ---- semantic dedup (SemDeDup-style: k-means cells + within-cell pairs) ----
+
+# Micro-unit grid for cross-engine-deterministic k-means: every embedding
+# element is snapped to an exact 1e-6 integer grid up front, so centroid
+# means are EXACT integer sums (order-independent — no decimal-cast tie
+# hazard on raw doubles) followed by one deterministic double division.
+_MICRO = 1_000_000
+
+
+def _quantized_vecs(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vm: array<bigint> micro-units, v: array<double> = vm/1e6).
+
+    ``floor(x·1e6 + 0.5)`` is the half-up snap both engines compute
+    bit-identically on the same double input (floor is exact; no
+    decimal-cast rounding-mode divergence).
+    """
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * _MICRO + F.lit(0.5)).cast("long"),
+    )
+    return corpus.select(F.col(id_col).alias("id"), micro.alias("vm")).withColumn(
+        "v", F.transform("vm", lambda m: m.cast("double") / _MICRO)
+    )
+
+
+def _nearest_cell(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each (id, v) to its nearest centroid by rounded cosine;
+    ties break on cell asc (same rule as :func:`ivf_assign`).  Centroid
+    table is tiny → broadcast; one pass over the corpus."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "cell",
+        F.round(cosine_similarity(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "cell")
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd k-means over an embedding column, cross-engine deterministic.
+
+    Seeds are the first ``n_cells`` vectors by id (TakeOrdered — no full
+    sort); each iteration assigns every vector to its nearest centroid by
+    rounded cosine and recomputes centroids as the element-wise mean of
+    members, computed on the exact micro-unit integer grid (see
+    ``_MICRO``) so shuffle order cannot perturb a single bit.  Cells that
+    lose all members keep their previous centroid.  Returns
+    ``(centroids (cell, cv), assignments (id, cell))`` for the FINAL
+    centroids.
+
+    Scale: the centroid table is ``n_cells`` rows (broadcast); each
+    iteration is one corpus pass (assignment) + one (cell, pos)-keyed agg
+    with map-side partial sums (≤ n_cells·dim rows out).  Loop state
+    (centroids) is pinned per iteration (localCheckpoint) per the
+    loop-discipline rule — the corpus itself is NOT checkpointed, so each
+    pass re-reads the (columnar, pruned) scan, the standard k-means
+    trade.
+    """
+    vecs = _quantized_vecs(corpus, id_col, vec_col)
+    cents = (
+        vecs.orderBy("id")
+        .limit(n_cells)
+        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assign = _nearest_cell(vecs.select("id", "v"), cents)
+        sums = (
+            assign.join(vecs.select("id", "vm"), "id")
+            .select("cell", F.posexplode("vm").alias("pos", "mval"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.floor(F.sum("mval") / F.count("mval") + F.lit(0.5))
+                .cast("long")
+                .alias("cmicro")
+            )
+        )
+        newc = sums.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cmicro"))),
+                lambda s: s["cmicro"].cast("double") / _MICRO,
+            ).alias("cv_new")
+        )
+        cents = (
+            cents.join(newc, "cell", "left")
+            .select("cell", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents, _nearest_cell(vecs.select("id", "v"), cents)
+
+
+def semantic_neardup_pairs(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Within-cell cosine pairs after k-means clustering — the SemDeDup
+    candidate structure (Abbas et al. 2023: duplicates concentrate inside
+    k-means cells, so only O(Σ|cell|²) ≪ n² pairs are ever scored).
+
+    Returns ``(assign (id, cell), pairs (id_a < id_b, cosine ≥ t))``.
+    Pair scoring reuses the blocked-GEMM core with the cell as the group
+    key: a skewed giant cell hash-splits into many block rows instead of
+    folding into one >2 GB row, and block sizing derives from the LARGEST
+    cell (one tiny agg job), so memory is bounded regardless of skew.
+    """
+    import math
+
+    _, assign = kmeans_fit(corpus, n_cells, iters, id_col, vec_col)
+    vecs = _quantized_vecs(corpus, id_col, vec_col).select("id", "v")
+    members = assign.join(vecs, "id").select(F.col("cell").alias("grp"), "id", "v")
+    # one sizing job: largest cell row count + vector width
+    stats = (
+        members.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("c"), F.first(F.size("v")).alias("d"))
+        .agg(F.max("c").alias("mx"), F.first("d").alias("dim"))
+        .first()
+    )
+    mx = (stats["mx"] or 0) if stats else 0
+    dim = (stats["dim"] or 0) if stats else 0
+    n_blocks = max(1, math.ceil(mx * dim * 8 / _TARGET_BLOCK_BYTES))
+    pairs = _blocked_pair_scores(
+        members, threshold, round_digits, n_blocks, grouped=True
+    )
+    return assign, pairs
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup survivors: drop every document that has a SMALLER-id
+    within-cell neighbor at/above the cosine threshold (deterministic
+    keep-first rule — the id-order analogue of the paper's one-per-group
+    choice).  Returns ``(id_col, cell)`` for the kept documents.
+
+    Cross-cell near-duplicates are out of contract by construction (the
+    SemDeDup approximation); the exact global variant is
+    :func:`cosine_neardup_pairs`.
+    """
+    assign, pairs = semantic_neardup_pairs(
+        corpus, n_cells, iters, threshold, id_col, vec_col
+    )
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return assign.join(dropped, "id", "left_anti").select(
+        F.col("id").alias(id_col), "cell"
+    )

@@ -1592,3 +1592,84 @@ def q120_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii(F.col("s")).alias("redacted"),
         *[c.alias(name) for name, c in counts.items()],
     )
+
+
+def _semantic_dedup_oracle(
+    n_cells: int = 8, iters: int = 2, threshold: float = 0.4, dim: int = 64
+) -> str:
+    """Unroll the fixed-iteration Lloyd k-means + within-cell dedup into
+    chained CTEs (the iterative-algorithm oracle convention).  Centroid
+    means run on the exact 1e-6 integer grid in BOTH engines, so shuffle
+    order cannot perturb them; ``dim`` is the fixture embedding width
+    (the Spark builder is dim-agnostic via posexplode)."""
+    steps = [
+        "base AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],"
+        " x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm FROM embeddings)",
+        "vecs AS (SELECT id, vm, list_transform(vm, m -> m / 1000000.0) AS v FROM base)",
+        f"cents0 AS (SELECT id AS cell, v AS cv FROM vecs ORDER BY id LIMIT {n_cells})",
+    ]
+    assign_tpl = """{name} AS (
+  SELECT id, cell FROM (
+    SELECT vecs.id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY vecs.id
+             ORDER BY round(list_cosine_similarity(vecs.v, c.cv), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM vecs CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+    for i in range(iters):
+        steps.append(assign_tpl.format(name=f"assign{i}", cents=f"cents{i}"))
+        steps.append(
+            f"""sums{i + 1} AS (
+  SELECT a.cell, u.pos,
+         CAST(floor(SUM(vecs.vm[u.pos + 1]) / COUNT(*) + 0.5) AS BIGINT) AS cmicro
+  FROM assign{i} a JOIN vecs ON vecs.id = a.id
+  CROSS JOIN (SELECT unnest(range(0, {dim})) AS pos) u
+  GROUP BY a.cell, u.pos
+)"""
+        )
+        steps.append(
+            f"newc{i + 1} AS (SELECT cell, list(cmicro / 1000000.0 ORDER BY pos)"
+            f" AS cv FROM sums{i + 1} GROUP BY cell)"
+        )
+        steps.append(
+            f"""cents{i + 1} AS (
+  SELECT c.cell, COALESCE(n.cv, c.cv) AS cv
+  FROM cents{i} c LEFT JOIN newc{i + 1} n USING (cell)
+)"""
+        )
+    steps.append(assign_tpl.format(name="afinal", cents=f"cents{iters}"))
+    steps.append(
+        f"""dropped AS (
+  SELECT DISTINCT b.id AS id
+  FROM afinal a JOIN afinal b ON a.cell = b.cell AND a.id < b.id
+  JOIN vecs va ON va.id = a.id JOIN vecs vb ON vb.id = b.id
+  WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= {threshold}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + "\nSELECT a.id AS vec_id, a.cell FROM afinal a"
+        + " WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = a.id)"
+    )
+
+
+@query(
+    "q125_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "ann", "embedding", "kmeans"),
+)
+def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): Lloyd k-means
+    over the embedding column (exact integer-grid centroid means — see
+    operators.ann.kmeans_fit), then within-cell cosine pairs via the
+    blocked-GEMM core, dropping every doc with a smaller-id in-cell
+    neighbor at cosine ≥ 0.4.  Output: surviving (vec_id, cell).
+
+    Scale: pair scoring is O(Σ|cell|²) not O(n²); a skewed cell
+    hash-splits into bounded block rows sized off the LARGEST cell."""
+    from ..operators.ann import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_cells=8, iters=2, threshold=0.4)

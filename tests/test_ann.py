@@ -134,3 +134,68 @@ def test_dynamic_block_sizing_invariance(spark, sf_smoke, monkeypatch):
     assert sorted(map(tuple, base_pairs[pair_key].values)) == sorted(
         map(tuple, many_pairs[pair_key].values)
     )
+
+
+def test_semantic_dedup_drops_in_cell_neardups(spark, sf_smoke):
+    """Every dropped doc has a surviving smaller-id in-cell neighbor at/
+    above the threshold; survivors have no smaller-id in-cell neighbor."""
+    import pandas as pd
+
+    from cyber_etl_spark.operators.ann import semantic_neardup_pairs
+    from cyber_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    assign, pairs = semantic_neardup_pairs(emb, n_cells=8, iters=2, threshold=0.4)
+    a = assign.toPandas()
+    p = pairs.toPandas()
+    dropped = set(p["id_b"])
+    survivors = set(a["id"]) - dropped
+    # keep-first rule: every doc with a smaller-id neighbor is dropped,
+    # and nothing else is
+    from cyber_etl_spark.operators.ann import semantic_dedup
+
+    surv_df = semantic_dedup(emb, n_cells=8, iters=2, threshold=0.4).toPandas()
+    assert set(surv_df["vec_id"]) == survivors
+    assert len(dropped) > 0, "fixture should contain in-cell near-duplicates"
+    # pairs are genuinely within-cell
+    cell_of = dict(zip(a["id"], a["cell"]))
+    assert all(cell_of[x] == cell_of[y] for x, y in zip(p["id_a"], p["id_b"]))
+    assert isinstance(surv_df, pd.DataFrame)
+
+
+def test_semantic_dedup_block_split_invariance(spark, sf_smoke, monkeypatch):
+    """Within-cell block splitting (skewed-cell guard) never changes the
+    survivor set — sizing is memory-only, like the other GEMM operators."""
+    import cyber_etl_spark.operators.ann as ann
+    from cyber_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    base = ann.semantic_dedup(emb, n_cells=8, iters=2, threshold=0.4).toPandas()
+    monkeypatch.setattr(ann, "_TARGET_BLOCK_BYTES", 8 * 1024)
+    many = ann.semantic_dedup(emb, n_cells=8, iters=2, threshold=0.4).toPandas()
+    key = ["vec_id", "cell"]
+    assert sorted(map(tuple, base[key].values)) == sorted(map(tuple, many[key].values))
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """A seed that attracts no members must keep its centroid (no NULL
+    centroid row, no lost cell) through further iterations."""
+    from cyber_etl_spark.operators.ann import kmeans_fit
+
+    # two tight clusters far apart; seeds are ids 0 and 1 — both in
+    # cluster A, so after iteration 1 one seed owns everything near A and
+    # the other may lose all members once B's pull moves a centroid.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.98, 0.02, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [-0.99, -0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assign = kmeans_fit(df, n_cells=2, iters=3)
+    c = cents.toPandas()
+    assert len(c) == 2
+    assert c["cv"].map(lambda v: v is None or any(x is None for x in v)).sum() == 0
+    a = assign.toPandas()
+    assert set(a["id"]) == {0, 1, 2, 3, 4}

@@ -645,3 +645,91 @@ def bfs_distances(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("id")
     return dist
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+    """k-core decomposition by synchronized peeling → (id, core_deg).
+
+    Each round drops every vertex whose degree WITHIN the surviving set
+    is below ``k``; after ``rounds`` rounds (or earlier fixpoint — the
+    peel is monotone, so stopping at a stable round equals running all
+    of them) the survivors and their in-core degrees are returned.
+
+    Scale shape: one round = two semi-joins of the (pinned) edge list
+    against the active set + a src-keyed count — the active set only
+    shrinks, is broadcast while under ``_BCAST_MAX_ROWS``, and is
+    checkpointed per round per the loop-state discipline.  The edge side
+    never re-shuffles.
+    """
+    e = _sym(edges)
+    active = (
+        e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    )
+    n = active.count()
+    w = _width(_ecount(edges, e))
+
+    def in_core_deg(act: DataFrame, act_rows: int) -> DataFrame:
+        a = F.broadcast(act) if act_rows <= _BCAST_MAX_ROWS else act
+        return _nw(
+            e.join(a.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(a.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("core_deg")),
+            w,
+        )
+
+    for _ in range(rounds):
+        nxt = (
+            in_core_deg(active, n)
+            .where(F.col("core_deg") >= k)
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n:  # fixpoint — further rounds are no-ops
+            active = nxt
+            break
+        active, n = nxt, n_nxt
+        if n == 0:
+            break
+    if n == 0:
+        return active.withColumn("core_deg", F.lit(0).cast("long")).limit(0)
+    return in_core_deg(active, n).select(F.col("src").alias("id"), "core_deg")
+
+
+def sssp_hop_limited(
+    wedges: DataFrame, source: int, iterations: int = 6
+) -> DataFrame:
+    """Cheapest-path-within-``iterations``-hops from ``source`` →
+    (id, dist): Bellman-Ford relaxation over a weighted symmetric edge
+    list (src, dst, weight), integer weights so min-distances are exact
+    and engine-portable (no float accumulation order anywhere).
+
+    The distance vector starts as one row and grows to ≤|V|; it is
+    pinned per superstep (the force-broadcast loop discipline) and
+    broadcast while under ``_BCAST_MAX_ROWS``, falling back to a shuffle
+    join that AQE can re-convert.  The edge list is referenced every
+    superstep — callers pass an already-materialized frame (the builders
+    checkpoint theirs).
+    """
+    spark = wedges.sparkSession
+    e = wedges.select("src", "dst", F.col("weight").cast("long").alias("w"))
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "id bigint, dist bigint"
+    ).localCheckpoint(eager=True)
+    n = 1
+    w = _width(_ecount(wedges, e))
+    for _ in range(iterations):
+        d = F.broadcast(dist) if n <= _BCAST_MAX_ROWS else dist
+        relax = e.join(d, e.src == d["id"]).select(
+            F.col("dst").alias("id"), (d["dist"] + F.col("w")).alias("dist")
+        )
+        dist = (
+            _nw(
+                dist.unionByName(relax).groupBy("id").agg(F.min("dist").alias("dist")),
+                w,
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = dist.count()
+    return dist

@@ -1920,3 +1920,118 @@ def q124_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@query(
+    "q126_customer_opportunity",
+    oracle="""
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_nationkey IN (0, 5, 10, 15, 20) AND c_acctbal > 0.0
+    ),
+    avgbal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS a
+      FROM pos
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM pos, avgbal
+    WHERE c_acctbal > avgbal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = pos.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "subquery", "anti-join", "tpch-q22"),
+)
+def q126_customer_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape, nationkey standing in
+    for phone country codes): customers in target nations with
+    above-average positive balance and no RECENT URGENT order (every
+    synthetic customer has some order, so the anti-join side is the
+    filtered order subset), rolled up per nation.  The scalar average is
+    a broadcast 1-row cross join (Catalyst's decorrelation of the
+    uncorrelated scalar subquery); the no-orders predicate is a
+    left-anti join whose build side is filtered BEFORE the shuffle — at
+    scale both sides shuffle on custkey, no correlated per-row
+    probing."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    pos = cust.where(
+        F.col("c_nationkey").isin(0, 5, 10, 15, 20) & (F.col("c_acctbal") > 0.0)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    avgbal = pos.agg(
+        F.expr(
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+        ).alias("a")
+    )
+    urgent = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        pos.crossJoin(F.broadcast(avgbal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr(dsum_expr("c_acctbal", "totacctbal")),
+        )
+    )
+
+
+@query(
+    "q127_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    tags=("agg", "subquery", "tpch-q15"),
+)
+def q127_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue, KEEPING ties (TPC-H Q15 shape).
+    Revenue stays an exact DECIMAL through the max-equality comparison —
+    double equality across engines would be a last-ulp coin flip — and
+    is cast to DOUBLE only for output.  The max is a broadcast 1-row
+    aggregate over the (already tiny, one row per supplier) revenue
+    table; supplier enrichment is a broadcast-able dimension join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.expr(
+                "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))"
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mxrev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mxrev"))
+        .join(sup, rev.supplier_no == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )

@@ -140,3 +140,38 @@ def test_louvain_hierarchy_refines_level(spark):
     assert modularity(edges, louvain(edges, levels=2, rounds=3)) >= modularity(
         edges, louvain_level(edges, rounds=3)
     ) - 1e-9
+
+
+def test_kcore_peel_semantics(spark):
+    """On a path-plus-clique graph the 2-core is exactly the clique: the
+    path tail peels off over successive rounds (degree-1 endpoints
+    cascade), which a single-round degree filter would get wrong."""
+    from cyber_etl_spark.graph.algorithms import kcore
+
+    # 4-clique {0,1,2,3} with a pendant path 3-10-11-12
+    cl = [(a, b) for a in range(4) for b in range(4) if a != b]
+    path = [(3, 10), (10, 3), (10, 11), (11, 10), (11, 12), (12, 11)]
+    edges = spark.createDataFrame(cl + path, "src long, dst long")
+    out = {r.id: r.core_deg for r in kcore(edges, k=2, rounds=5).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(d == 3 for d in out.values())
+    # k above the clique degree leaves nothing
+    assert kcore(edges, k=4, rounds=5).count() == 0
+
+
+def test_sssp_prefers_cheap_multi_hop(spark):
+    """Integer Bellman-Ford must take a cheaper 2-hop route over an
+    expensive direct edge, and respect the hop limit."""
+    from cyber_etl_spark.graph.algorithms import sssp_hop_limited
+
+    rows = [
+        (0, 1, 10), (1, 0, 10),
+        (0, 2, 1), (2, 0, 1),
+        (2, 1, 2), (1, 2, 2),
+        (1, 3, 1), (3, 1, 1),
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight long")
+    d = {r.id: r.dist for r in sssp_hop_limited(edges, 0, iterations=4).collect()}
+    assert d == {0: 0, 2: 1, 1: 3, 3: 4}  # 0-2-1 (3) beats 0-1 (10)
+    d1 = {r.id: r.dist for r in sssp_hop_limited(edges, 0, iterations=1).collect()}
+    assert d1 == {0: 0, 1: 10, 2: 1}  # one relaxation: direct edges only

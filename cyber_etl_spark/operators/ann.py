@@ -370,19 +370,34 @@ def ivf_assign(
     vecs = corpus.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
     )
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "id",
-        "v",
-        "cell",
-        F.round(cosine_similarity(F.col("v"), F.col("cv")), 6).alias("sim"),
+    return cents, nearest_centroid_assign(vecs, cents)
+
+
+def nearest_centroid_assign(
+    vecs: DataFrame, cents: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, cell, *extra_cols): nearest centroid by rounded cosine, tie →
+    smallest cell — SHUFFLE-FREE.  The centroid table folds into one
+    broadcast array row and the argmax happens inside the corpus
+    projection (``array_max`` over (sim, -cell) structs), so assignment
+    is a pure map over the corpus scan.  The per-id row_number window
+    this replaces shuffled n·n_cells scored rows every call — per
+    k-means iteration — which at 100 TB is the dominant cost of Lloyd
+    steps.  ``extra_cols`` ride along so callers never need an id-keyed
+    join to recover vector payloads next to the assignment."""
+    carr = cents.agg(F.collect_list(F.struct("cell", "cv")).alias("cs"))
+    best = F.array_max(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.round(cosine_similarity(F.col("v"), c["cv"]), 6).alias("sim"),
+                (-c["cell"]).alias("negcell"),
+            ),
+        )
     )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell").asc())
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "cell")
+    return vecs.crossJoin(F.broadcast(carr)).select(
+        "id", (-best["negcell"]).alias("cell"), *extra_cols
     )
-    return cents, assign
 
 
 def ivf_knn(
@@ -401,17 +416,30 @@ def ivf_knn(
     qv = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
     )
-    qcell_scored = qv.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        "qv",
-        "cell",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    # top-nprobe cells per query, shuffle-free: score the broadcast
+    # centroid array inside the projection, sort it descending (ties →
+    # cell asc via the -cell struct field) and explode the head slice —
+    # no per-query window shuffle over |Q|·n_cells rows.
+    carr = cents.agg(F.collect_list(F.struct("cell", "cv")).alias("cs"))
+    scored_cells = F.reverse(
+        F.array_sort(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    F.round(cosine_similarity(F.col("qv"), c["cv"]), 6).alias("sim"),
+                    (-c["cell"]).alias("negcell"),
+                ),
+            )
+        )
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
     probes = (
-        qcell_scored.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cell")
+        qv.crossJoin(F.broadcast(carr))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(F.slice(scored_cells, 1, nprobe)).alias("pc"),
+        )
+        .select("query_id", "qv", (-F.col("pc.negcell")).alias("cell"))
     )
     cand = (
         corpus.select(
@@ -458,20 +486,9 @@ def _quantized_vecs(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _nearest_cell(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assign each (id, v) to its nearest centroid by rounded cosine;
-    ties break on cell asc (same rule as :func:`ivf_assign`).  Centroid
-    table is tiny → broadcast; one pass over the corpus."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "id",
-        "cell",
-        F.round(cosine_similarity(F.col("v"), F.col("cv")), 6).alias("sim"),
-    )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "cell")
-    )
+    """Assign each (id, v) to its nearest centroid — the shuffle-free
+    broadcast-argmax form (see :func:`nearest_centroid_assign`)."""
+    return nearest_centroid_assign(vecs, cents)
 
 
 def kmeans_fit(
@@ -493,14 +510,21 @@ def kmeans_fit(
     centroids.
 
     Scale: the centroid table is ``n_cells`` rows (broadcast); each
-    iteration is one corpus pass (assignment) + one (cell, pos)-keyed agg
-    with map-side partial sums (≤ n_cells·dim rows out).  Loop state
-    (centroids) is pinned per iteration (localCheckpoint) per the
-    loop-discipline rule — the corpus itself is NOT checkpointed, so each
-    pass re-reads the (columnar, pruned) scan, the standard k-means
-    trade.
+    iteration is ONE corpus pass — the assignment argmax and the
+    micro-unit posexplode run in the same projection (no id-keyed join),
+    feeding a (cell, pos)-keyed agg with map-side partial sums
+    (≤ n_cells·dim rows out).  Loop state (centroids) is pinned per
+    iteration; the quantized corpus is pinned ONCE (the multi-pass
+    algorithm re-reads it iters+1 times — executor-storage cache, the
+    standard k-means trade; on a cluster this is persist-equivalent).
     """
-    vecs = _quantized_vecs(corpus, id_col, vec_col)
+    vecs = _quantized_vecs(corpus, id_col, vec_col).localCheckpoint(eager=True)
+    cents = _kmeans_core(vecs, n_cells, iters)
+    return cents, nearest_centroid_assign(vecs, cents)
+
+
+def _kmeans_core(vecs: DataFrame, n_cells: int, iters: int) -> DataFrame:
+    """Lloyd loop over a pinned (id, vm, v) frame → final centroids."""
     cents = (
         vecs.orderBy("id")
         .limit(n_cells)
@@ -508,9 +532,13 @@ def kmeans_fit(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        assign = _nearest_cell(vecs.select("id", "v"), cents)
+        # both aggregates have intrinsically bounded outputs
+        # (≤ n_cells·dim, then ≤ n_cells rows) — map-side partial sums do
+        # the heavy lifting, so collapsing the reduce side to a handful
+        # of tasks is always right, at any corpus size (the `_nw`
+        # loop-stage rule from the graph family).
         sums = (
-            assign.join(vecs.select("id", "vm"), "id")
+            nearest_centroid_assign(vecs, cents, extra_cols=("vm",))
             .select("cell", F.posexplode("vm").alias("pos", "mval"))
             .groupBy("cell", "pos")
             .agg(
@@ -518,19 +546,20 @@ def kmeans_fit(
                 .cast("long")
                 .alias("cmicro")
             )
+            .coalesce(8)
         )
         newc = sums.groupBy("cell").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "cmicro"))),
                 lambda s: s["cmicro"].cast("double") / _MICRO,
             ).alias("cv_new")
-        )
+        ).coalesce(1)
         cents = (
             cents.join(newc, "cell", "left")
             .select("cell", F.coalesce("cv_new", "cv").alias("cv"))
             .localCheckpoint(eager=True)
         )
-    return cents, _nearest_cell(vecs.select("id", "v"), cents)
+    return cents
 
 
 def semantic_neardup_pairs(
@@ -554,9 +583,11 @@ def semantic_neardup_pairs(
     """
     import math
 
-    _, assign = kmeans_fit(corpus, n_cells, iters, id_col, vec_col)
-    vecs = _quantized_vecs(corpus, id_col, vec_col).select("id", "v")
-    members = assign.join(vecs, "id").select(F.col("cell").alias("grp"), "id", "v")
+    vecs = _quantized_vecs(corpus, id_col, vec_col).localCheckpoint(eager=True)
+    cents = _kmeans_core(vecs, n_cells, iters)
+    members = nearest_centroid_assign(vecs, cents, extra_cols=("v",)).select(
+        F.col("cell").alias("grp"), "id", "v"
+    )
     # one sizing job: largest cell row count + vector width
     stats = (
         members.groupBy("grp")
@@ -570,6 +601,7 @@ def semantic_neardup_pairs(
     pairs = _blocked_pair_scores(
         members, threshold, round_digits, n_blocks, grouped=True
     )
+    assign = members.select("id", F.col("grp").alias("cell"))
     return assign, pairs
 
 

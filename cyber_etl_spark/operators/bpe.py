@@ -1,0 +1,169 @@
+"""Distributed byte-pair-encoding merge training (Sennrich-style).
+
+The vocabulary-construction step of an LLM training-data pipeline that
+the q78 frequency vocab cannot express: learn the first K merge rules
+from corpus statistics.  Classic BPE (Sennrich et al. 2016,
+``learn_bpe``) iterates: count adjacent symbol pairs weighted by word
+frequency (overlapping occurrences counted, exactly like the reference
+algorithm's ``get_stats``), merge the most frequent pair everywhere,
+repeat.  Here each iteration is a handful of DataFrame ops over the
+*distinct-word* table (Zipf: tiny relative to the corpus), so the whole
+training loop distributes and the corpus is scanned exactly once.
+
+Representation trick — symbol sequences as delimited strings: a word's
+symbol sequence ``[ab, c]`` is stored as ``¦ab¦¦c¦`` (every symbol
+wrapped in ``¦``, concatenated).  Merging pair (a, b) everywhere is then
+one ``replace(repr, '¦a¦¦b¦', '¦ab¦')`` — and because ``replace`` in
+both Spark and DuckDB substitutes non-overlapping occurrences strictly
+left to right, this IS the greedy merge order BPE specifies (``¦a¦¦a¦¦a¦``
+→ ``¦aa¦¦a¦``).  The wrapper chars make matches symbol-exact: ``¦a¦¦b¦``
+can never match inside ``¦ca¦¦b¦``, because the character before ``a``
+is ``c``, not ``¦``.  ``¦`` (U+00A6) cannot appear in tokens (the corpus
+tokenizer admits no such character).
+
+Scale notes (100 TB corpus):
+- The corpus is touched once (token explode → groupBy token).  Every
+  merge iteration runs over |vocab| rows — millions at web scale, not
+  billions — and the pair table is a flatMap of that (~avg word length
+  rows per word), aggregated with map-side combine.
+- The best pair is a 1-row argmax, broadcast into the merge join; the
+  per-iteration state (word reprs) is localCheckpoint-pinned so K
+  iterations cost K small jobs instead of a 2^K re-execution tree
+  (CLAUDE.md loop discipline).
+- No Python UDFs anywhere: regexp/replace/zip_with all run inside
+  whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+SEP = "¦"  # '¦' — never appears in corpus tokens
+
+
+def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(repr, cnt): each distinct corpus token as its initial symbol
+    sequence (one symbol per character), weighted by occurrence count."""
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    words = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return words.select(
+        F.regexp_replace("token", "(.)", f"{SEP}$1{SEP}").alias("repr"), "cnt"
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(left_sym, right_sym, freq) adjacent-pair counts, overlapping
+    occurrences included, weighted by word frequency — Sennrich
+    ``get_stats`` semantics."""
+    syms = F.split(F.expr(f"trim(BOTH '{SEP}' FROM repr)"), SEP + SEP)
+    prs = F.zip_with(
+        syms,
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+    )
+    pairs = words.select("cnt", F.explode(prs).alias("p")).where(
+        F.col("p.r").isNotNull()
+    )
+    return pairs.groupBy(
+        F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+    ).agg(F.sum("cnt").alias("freq"))
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 4,
+) -> DataFrame:
+    """Learn the first ``num_merges`` BPE merge rules from a document
+    corpus → (step, left_sym, right_sym, merged, freq), one row per rule
+    in learned order.
+
+    Ties on pair frequency break deterministically by (left_sym,
+    right_sym) ascending, so the learned rules are identical across
+    engines, partitionings and reruns.  ``freq`` is the pair's
+    occurrence count at the time it was chosen (counts shift as earlier
+    merges rewrite words, which is why the loop cannot be collapsed into
+    one ranking).
+    """
+    if num_merges < 1:
+        raise ValueError(f"need num_merges >= 1, got {num_merges}")
+    words = _word_table(docs, text_col).localCheckpoint(eager=True)
+    merge_rows = []
+    for step in range(1, num_merges + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("freq"), "left_sym", "right_sym")
+            .limit(1)
+            .localCheckpoint(eager=True)  # pin the choice: referenced by
+            # the output AND by every later iteration's word table
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "left_sym",
+                "right_sym",
+                F.concat("left_sym", "right_sym").alias("merged"),
+                "freq",
+            )
+        )
+        if step < num_merges:
+            pat = F.concat(
+                F.lit(SEP), F.col("left_sym"), F.lit(SEP + SEP), F.col("right_sym"), F.lit(SEP)
+            )
+            rep = F.concat(F.lit(SEP), F.col("left_sym"), F.col("right_sym"), F.lit(SEP))
+            words = (
+                words.crossJoin(F.broadcast(best))
+                .select(F.replace("repr", pat, rep).alias("repr"), "cnt")
+                .localCheckpoint(eager=True)  # pin per iteration or the
+                # replace chain re-runs every earlier merge per reference
+            )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_oracle_sql(num_merges: int = 4) -> str:
+    """DuckDB oracle for :func:`bpe_merges`: the same loop unrolled into
+    chained CTEs (w0 → p1/b1/w1 → ...), replaying the identical
+    tokenize / pair-count / argmax / left-to-right replace per round."""
+    parts = [
+        f"""
+    WITH w0 AS (
+      SELECT regexp_replace(token, '(.)', '{SEP}\\1{SEP}', 'g') AS repr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS token FROM documents)
+      GROUP BY 1)"""
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f""",
+    p{k} AS (
+      SELECT unnest(list_transform(range(1, len(s)),
+                    j -> {{'l': s[j], 'r': s[j + 1]}})) AS pr, cnt
+      FROM (SELECT string_split(trim(repr, '{SEP}'), '{SEP}{SEP}') AS s, cnt
+            FROM w{k - 1})),
+    b{k} AS (
+      SELECT pr.l AS left_sym, pr.r AS right_sym,
+             CAST(SUM(cnt) AS BIGINT) AS freq
+      FROM p{k} GROUP BY 1, 2
+      ORDER BY freq DESC, left_sym, right_sym LIMIT 1)"""
+        )
+        if k < num_merges:
+            parts.append(
+                f""",
+    w{k} AS (
+      SELECT replace(repr, '{SEP}' || left_sym || '{SEP}{SEP}' || right_sym || '{SEP}',
+                     '{SEP}' || left_sym || right_sym || '{SEP}') AS repr, cnt
+      FROM w{k - 1}, b{k})"""
+            )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, left_sym, right_sym, left_sym || right_sym AS merged, freq FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    parts.append(f"\n    {selects}")
+    return "".join(parts)

@@ -2035,3 +2035,70 @@ def q127_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
     )
+
+
+@query(
+    "q130_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY source),
+    dev AS (
+      SELECT d.source, d.doc_id, d.n_chars, m.med,
+             abs(d.n_chars - m.med) AS adev
+      FROM documents d JOIN med m USING (source)),
+    mad AS (
+      SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source),
+    scored AS (
+      SELECT dev.source, doc_id,
+             round(0.6745 * (n_chars - med) / nullif(mad.mad, 0.0), 6) AS z
+      FROM dev JOIN mad USING (source))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(max(abs(z)), 6) AS max_abs_z
+    FROM scored GROUP BY source
+    """,
+    tags=("quality", "agg", "quantile"),
+)
+def q130_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier detection by modified z-score (median absolute
+    deviation): the robust data-quality screen a curation pipeline runs
+    before trusting length/score distributions — unlike mean/stddev, one
+    corrupt giant document cannot mask the others.
+
+    Two grouped EXACT medians (value, then absolute deviation) with the
+    group medians joined back between them — the same sort-based
+    `percentile` machinery q112 proved engine-identical.  n_chars is
+    integral so both medians are exactly representable (k or k + 0.5) and
+    the 0.6745·dev/MAD arithmetic is identical IEEE double math in both
+    engines; scores round to 6 dp before the 3.5 threshold.  MAD = 0
+    groups (constant columns) yield NULL scores and count no outliers in
+    either engine.  At 100 TB: per-group sort of a numeric column — the
+    exact path for bounded group counts; unbounded cardinalities move to
+    the q88 sketch twin."""
+    docs = read_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = docs.join(med, "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    scored = dev.join(mad, "source").select(
+        "source",
+        "doc_id",
+        F.round(
+            0.6745 * (F.col("n_chars") - F.col("med"))
+            / F.nullif(F.col("mad"), F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.abs("z") > 3.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+    )

@@ -1673,3 +1673,23 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, n_cells=8, iters=2, threshold=0.4)
+
+
+from ..operators.bpe import bpe_merges, bpe_oracle_sql  # noqa: E402
+
+
+@query(
+    "q131_bpe_merges",
+    oracle=bpe_oracle_sql(4),
+    tags=("text", "tokenizer", "bpe"),
+)
+def q131_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/bpe.py): learn the
+    first 4 merge rules from corpus token statistics — Sennrich
+    ``learn_bpe`` re-expressed as per-round DataFrame aggregation over
+    the distinct-word table, greedy merges as left-to-right ``replace``
+    over a delimiter-encoded symbol string.  The oracle replays the loop
+    as unrolled CTE rounds; ties break (freq desc, left, right) so the
+    learned rules are engine- and partitioning-independent."""
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, num_merges=4)

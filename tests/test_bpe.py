@@ -1,0 +1,63 @@
+"""Behavior tests for distributed BPE merge training (operators/bpe.py).
+
+Pins the algorithmic contract the q131 oracle also encodes — greedy
+left-to-right merge order on overlapping runs, overlap-inclusive pair
+counting, deterministic tie-breaks — on adversarial micro-corpora the
+synthetic tables don't contain."""
+
+from pyspark.sql import functions as F
+
+from cyber_etl_spark.operators.bpe import bpe_merges
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("step").collect()]
+
+
+def test_bpe_learns_frequent_pair_first(spark):
+    # "ab" appears 3x as a character pair (2 in 'abab' + 1 in 'ab'... word
+    # counts: 'abab' x2 -> pairs per word: (a,b),(b,a),(a,b)) weighted.
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd")], ["doc_id", "text"]
+    )
+    out = _rows(bpe_merges(docs, num_merges=2))
+    # 'abab' count 3: pairs (a,b)x2,(b,a)x1 per occurrence -> ab=6, ba=3
+    # 'cd' count 3: (c,d)=3.  First merge: ab (freq 6).
+    assert out[0] == (1, "a", "b", "ab", 6)
+    # after merging: 'abab' -> [ab, ab] so (ab,ab)=3; cd=3; ba gone.
+    # tie 3 vs 3 breaks lexicographically: ('ab','ab') < ('c','d').
+    assert out[1] == (1 + 1, "ab", "ab", "abab", 3)
+
+
+def test_bpe_greedy_overlap_run(spark):
+    # 'aaa': overlapping pair (a,a) counts twice, but a greedy
+    # left-to-right merge rewrites it to [aa, a], never [a, aa].
+    docs = spark.createDataFrame([(1, "aaa")], ["doc_id", "text"])
+    out = _rows(bpe_merges(docs, num_merges=2))
+    assert out[0] == (1, "a", "a", "aa", 2)
+    # round 2 must see [aa, a]: the only remaining pair is (aa, a).
+    assert out[1] == (2, "aa", "a", "aaa", 1)
+
+
+def test_bpe_symbol_boundaries_not_substrings(spark):
+    # After 'ca' exists as one symbol, pair (a, b) must not match the
+    # 'a' inside it: words 'cab' and 'ab' share the substring "ab" but
+    # only 'ab' the word contributes once 'ca' has merged.
+    docs = spark.createDataFrame(
+        [(1, "cab cab cab ab")], ["doc_id", "text"]
+    )
+    out = _rows(bpe_merges(docs, num_merges=2))
+    # round 1: (c,a)=3, (a,b)=4 -> merge (a,b) freq 4.
+    assert out[0] == (1, "a", "b", "ab", 4)
+    # round 2: 'cab' -> [c, ab] x3, 'ab' -> [ab]. Only pair (c, ab)=3.
+    assert out[1] == (2, "c", "ab", "cab", 3)
+
+
+def test_bpe_single_char_words_and_validation(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    # no adjacent pairs exist in 1-char words -> zero merge rows
+    assert bpe_merges(docs, num_merges=1).count() == 0
+    with pytest.raises(ValueError):
+        bpe_merges(docs, num_merges=0)

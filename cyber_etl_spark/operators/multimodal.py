@@ -83,22 +83,71 @@ def encode_fake_video(n_frames: int, fps: int = 24) -> bytes:
     return f"FAKEVID|{n_frames}|{fps}|".encode() + frames
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → (PIL-style mode, channels); 8-bit depths
+_PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 3: ("P", 1), 4: ("LA", 2), 6: ("RGBA", 4)}
+
+
+def _parse_image_header(b: bytes) -> tuple[int, int, str] | None:
+    """Stdlib container-header parse for the three ubiquitous formats →
+    (width, height, mode), or None if the signature is unrecognized.
+
+    A REAL in-container image branch (like the WAV path in
+    :func:`_decode_audio_bytes`): dimensions/mode need only the container
+    header, no pixel codec.  PNG: IHDR fields at fixed offsets.  JPEG:
+    walk the marker segments to the first SOF frame header.  GIF: logical
+    screen descriptor.  Mode strings follow PIL naming so the PIL branch
+    below is drop-in compatible."""
+    import struct
+
+    if b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        color_type = b[25]
+        return w, h, _PNG_MODES.get(color_type, (f"ct{color_type}", 0))[0]
+    if b[:2] == b"\xff\xd8":  # JPEG SOI; scan segments for SOFn
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                ncomp = b[i + 9]
+                return w, h, {1: "L", 3: "RGB", 4: "CMYK"}.get(ncomp, f"c{ncomp}")
+            i += 2 + seg_len
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h, "P"
+    return None
+
+
 def _decode_image_bytes(b: bytes) -> tuple[int, int, str]:
     """Decode image header → (width, height, mode).
 
     FAKEIMG payloads always take the deterministic header parse (tests and
-    the container, which ships no codecs).  Anything else goes through PIL
-    when it is importable — the same load-once gate pattern as the spaCy
-    branch in functions/ner.py — and raises if no codec can handle it."""
+    the container, which ships no codecs).  Genuine PNG/JPEG/GIF bytes
+    parse with the stdlib header walk (:func:`_parse_image_header`).
+    Anything else goes through PIL when it is importable — the same
+    load-once gate pattern as the spaCy branch in functions/ner.py — and
+    raises if no codec can handle it."""
     if b.startswith(b"FAKEIMG|"):
         head = b.split(b"|", 4)
         return int(head[1]), int(head[2]), head[3].decode()
+    parsed = _parse_image_header(b)
+    if parsed is not None:
+        return parsed
     if _HAS_PIL:  # pragma: no cover - PIL absent in this container
         import io
 
         with Image.open(io.BytesIO(b)) as im:
             return im.width, im.height, im.mode
-    raise ValueError("not a FAKEIMG payload and no image codec available")
+    raise ValueError("unrecognized image container and no image codec available")
 
 
 def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -122,17 +171,123 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(decode, out_schema)
 
 
+def _png_decode_pixels(b: bytes) -> tuple["np.ndarray", int]:
+    """Decode an 8-bit non-interlaced PNG → (H×W×C uint8 array,
+    color_type).  Pure stdlib (zlib inflate + per-row filter
+    reconstruction per the PNG spec: None/Sub/Up/Average/Paeth).
+    Palette/16-bit/interlaced variants raise ValueError (callers fall
+    back to the codec gate)."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    w, h = struct.unpack(">II", b[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = b[24:29]
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+        raise ValueError(f"unsupported PNG variant (depth={bit_depth}, ct={color_type})")
+    nch = _PNG_MODES[color_type][1]
+    idat, i = [], 8
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        ctype = b[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat.append(b[i + 8 : i + 8 + clen])
+        if ctype == b"IEND":
+            break
+        i += 12 + clen
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).copy()
+        if f == 1:  # Sub
+            for x in range(nch, stride):
+                line[x] = (int(line[x]) + int(line[x - nch])) & 0xFF
+        elif f == 2:  # Up
+            line = (line.astype(np.int32) + prev) % 256
+            line = line.astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                line[x] = (line[x] + (int(a) + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - nch]) if x >= nch else 0
+                bb = int(prev[x])
+                c = int(img[r - 1, x - nch]) if (x >= nch and r > 0) else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        img[r] = line
+        prev = img[r]
+    return img.reshape(h, w, nch), color_type
+
+
+def _png_encode_pixels(img: "np.ndarray", color_type: int) -> bytes:
+    """Encode an H×W×C uint8 array as a filter-0, 8-bit PNG (stdlib zlib
+    deflate at fixed level 9 → byte-deterministic output)."""
+    import struct
+    import zlib
+
+    h, w, nch = img.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resize_png_bytes(b: bytes, width: int, height: int) -> bytes:
+    """Real PNG resize: decode (stdlib inflate + unfilter),
+    nearest-neighbor sample to (width, height), re-encode.  Deterministic
+    — fixed sampling grid, fixed deflate level."""
+    img, color_type = _png_decode_pixels(b)
+    h, w, _ = img.shape
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    return _png_encode_pixels(np.ascontiguousarray(img[ys][:, xs]), color_type)
+
+
 def resize_images(
     df: DataFrame, width: int, height: int, content_col: str = "content"
 ) -> DataFrame:
-    """Re-encode every image at (width, height) — stub transform rewrites
-    the fake header; a real kernel would call PIL's ``resize`` here."""
+    """Re-encode every image at (width, height).  Genuine 8-bit PNGs are
+    REALLY resized in-container (nearest-neighbor, stdlib zlib —
+    :func:`_resize_png_bytes`); FAKEIMG payloads rewrite the fake header;
+    unsupported real formats would slot into a PIL kernel here (same
+    fall-through contract as :func:`resample_audio`)."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for b in pdf[content_col]:
-                _, _, mode = _decode_image_bytes(bytes(b))
+                bb = bytes(b)
+                if bb[:8] == _PNG_SIG:
+                    try:
+                        out.append(_resize_png_bytes(bb, width, height))
+                        continue
+                    except ValueError:
+                        pass  # palette/16-bit/interlaced → generic path
+                _, _, mode = _decode_image_bytes(bb)
                 out.append(encode_fake_image(width, height, mode))
             pdf = pdf.copy()
             pdf[content_col] = out

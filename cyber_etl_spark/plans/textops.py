@@ -1693,3 +1693,105 @@ def q131_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned rules are engine- and partitioning-independent."""
     docs = read_table(spark, sf_dir, "documents")
     return bpe_merges(docs, num_merges=4)
+
+
+@query(
+    "q132_hybrid_rrf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    avgdl AS (
+      SELECT CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('spark', 'hash', 'vector') GROUP BY doc_id, token
+    ),
+    idf AS (
+      SELECT token, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token), n_docs
+    ),
+    bm AS (
+      SELECT tf.doc_id,
+             round(SUM(idf.idf * tf.tf * 2.2 /
+                       (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 6)
+               AS bm25
+      FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), avgdl
+      GROUP BY tf.doc_id
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+      FROM embeddings, qv
+    ),
+    r1 AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+    r2 AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r FROM cos),
+    fused AS (
+      SELECT doc_id,
+             round(COALESCE(1.0 / (60 + r1.r), 0) + COALESCE(1.0 / (60 + r2.r), 0), 6)
+               AS rrf
+      FROM r1 FULL OUTER JOIN r2 USING (doc_id)
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "search", "hybrid", "rrf"),
+)
+def q132_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the q67 BM25
+    keyword ranking and an embedding-cosine ranking against one query
+    vector — the standard fusion step of a RAG / retrieval pipeline.
+    Each modality ranks independently (row_number over its rounded
+    score, doc_id tie-break), fusion is a FULL OUTER join so a doc found
+    by only one modality still scores 1/(60+rank).
+
+    Scale: both rank windows run on POST-aggregation tables (BM25
+    matches; one score per corpus vector), not the token explosion; the
+    query vector is a broadcast 1-row table; top-20 is a TakeOrdered
+    cut.  For many-query batches the cosine side generalizes to the
+    q24/q40 kNN operators; the fusion join shape is unchanged."""
+    from pyspark.sql.window import Window
+
+    bm = q67_bm25(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (nrm("v") * nrm("qv")), 6).alias("cosine"),
+        )
+    )
+    r1 = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("r1"),
+    )
+    r2 = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "doc_id"))
+        .alias("r2"),
+    )
+    fused = r1.join(r2, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("r1")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r2")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)

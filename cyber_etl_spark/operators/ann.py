@@ -629,3 +629,39 @@ def semantic_dedup(
     return assign.join(dropped, "id", "left_anti").select(
         F.col("id").alias(id_col), "cell"
     )
+
+
+def scalar_quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization → (id, scale, codes, dequant).
+
+    The vector-compression step of a 100 TB ANN index: each element maps
+    to ``floor(x / scale)`` with ``scale = max|x| / 127`` — an 8× storage
+    cut (int8 codes vs float64) that dominates index footprint and scan
+    bandwidth at scale; queries stay full-precision and score against the
+    dequantized codes (asymmetric distance computation, the
+    IVF-SQ/Faiss pattern).  All arithmetic is elementwise IEEE double →
+    floor, so codes are bit-reproducible in any engine (``floor`` + INT
+    cast, never a rounding cast — CLAUDE.md convention).  All-zero
+    vectors (scale 0) are dropped: they have no direction to preserve.
+
+    JVM-side higher-order transforms; no Python.  ``dequant`` feeds
+    directly into :func:`brute_force_knn`/:func:`ivf_knn` as the corpus
+    side.
+    """
+    v = to_double_array(F.col(vec_col))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0).alias("scale"),
+    ).where(F.col("scale") > 0)
+    codes = F.transform(
+        "v", lambda x: F.floor(x / F.col("scale")).cast("int")
+    )
+    return out.select(
+        "id",
+        "scale",
+        codes.alias("codes"),
+        F.transform(codes, lambda c: c * F.col("scale")).alias("dequant"),
+    )

@@ -2102,3 +2102,46 @@ def q130_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
     )
+
+
+@query(
+    "q134_burst_collapse",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type,
+             CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) >= 300000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS keep
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(keep) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY user_id, event_type
+    """,
+    tags=("window", "dedup", "events"),
+)
+def q134_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-collapse event dedup: within each (user, event_type) stream
+    keep an event only if ≥ 300 s passed since the previous one — the
+    debounce/throttle dedup a telemetry or clickstream pipeline applies
+    before aggregation (retries and double-fires collapse to one).
+    Integer-microsecond gap over a total order (ts, event_id); the same
+    lag-flag shape as q75's gaps-and-islands, aggregated to per-stream
+    kept counts.  At 100 TB the window partitions by (user, type) — high
+    cardinality, shuffle-parallel, no global sort."""
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = events.select(
+        "user_id",
+        "event_type",
+        F.when(gap.isNull() | (gap >= 300_000_000), 1).otherwise(0).alias("keep"),
+    )
+    return flagged.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("keep").cast("long").alias("n_kept"),
+    )

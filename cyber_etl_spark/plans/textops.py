@@ -1795,3 +1795,48 @@ def q132_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+
+
+@query(
+    "q133_quantized_knn",
+    oracle="""
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM c0
+    ),
+    cq AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(v, x -> CAST(floor(x / scale) AS INT) * scale) AS cv
+      FROM sc WHERE scale > 0
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c0 WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q, cq WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("ann", "knn", "quantization"),
+)
+def q133_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance kNN over an int8-quantized corpus
+    (operators/ann.scalar_quantize_int8): corpus vectors compress 8× to
+    int8 codes + one scale, full-precision queries score against the
+    dequantized codes through the same blocked-GEMM top-k plan as q24.
+    The compression arithmetic (floor(x/scale), scale = max|x|/127) is
+    elementwise-deterministic, so both engines build identical codes."""
+    from ..operators.ann import scalar_quantize_int8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = scalar_quantize_int8(emb).select(
+        F.col("id").alias("vec_id"), F.col("dequant").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_knn(corpus, queries, k=5)

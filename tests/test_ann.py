@@ -199,3 +199,26 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     assert c["cv"].map(lambda v: v is None or any(x is None for x in v)).sum() == 0
     a = assign.toPandas()
     assert set(a["id"]) == {0, 1, 2, 3, 4}
+
+
+def test_scalar_quantize_int8_bounds_and_reconstruction(spark):
+    """int8 codes stay in [-127, 127], all-zero vectors are dropped, and
+    dequantization reconstructs each element within one quantization
+    step (scale)."""
+    from cyber_etl_spark.operators.ann import scalar_quantize_int8
+
+    rows = [
+        (1, [1.0, -2.0, 0.5]),
+        (2, [-0.001, 0.002, 0.0005]),
+        (3, [0.0, 0.0, 0.0]),  # no direction -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r for r in scalar_quantize_int8(df).collect()}
+    assert set(out) == {1, 2}
+    for vid, vec in [(1, rows[0][1]), (2, rows[1][1])]:
+        r = out[vid]
+        assert all(-127 <= c <= 127 for c in r.codes)
+        # the max-|x| element quantizes to ±127 exactly (or -127 via floor)
+        assert max(abs(c) for c in r.codes) == 127
+        for orig, dq in zip(vec, r.dequant):
+            assert abs(orig - dq) <= r.scale + 1e-12

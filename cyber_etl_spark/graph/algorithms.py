@@ -212,8 +212,15 @@ def pagerank(
     variant: str = "pagerank",
     checkpoint_interval: int = 5,
     weight_col: str | None = None,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Iterative (Article)PageRank → (id, rank).
+
+    ``seeds``: personalized PageRank — the start vector and the
+    (1-damping) teleport mass concentrate on the seed set instead of
+    spreading uniformly (random walk with restart to the seeds; the
+    GDS ``sourceNodes`` option).  Seed-independent artifacts (degree,
+    edge shares) are cached across seed sets.
 
     ``variant='pagerank'``: classic PR — incoming mass is rank/outDegree.
     ``variant='articlerank'``: Neo4j GDS ArticleRank (writeup p.4 Q6) —
@@ -271,8 +278,25 @@ def pagerank(
             m,
         ).localCheckpoint(eager=True),
     )
-    ranks = deg.select("id", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
+    if seeds is None:
+        ranks = deg.select("id", F.lit(1.0 / n).alias("rank"))
+        base_col = F.lit((1.0 - damping) / n)
+    else:
+        # personalized PR: all reset mass returns to the seed set — both
+        # the start vector and the teleport term are the seed indicator
+        # (classic PPR: r = d·M·r + (1-d)·p).  The seed list is probe-
+        # sized (an isin literal), and the eshare/deg artifacts above are
+        # seed-independent, so PPR for any seed set reuses the cached
+        # global-PR build.
+        if not seeds:
+            raise ValueError("personalized pagerank needs a non-empty seed list")
+        init = F.when(F.col("id").isin(list(seeds)), F.lit(1.0 / len(seeds))).otherwise(
+            F.lit(0.0)
+        )
+        ranks = deg.select("id", init.alias("rank"))
+        base_col = F.when(
+            F.col("id").isin(list(seeds)), F.lit((1.0 - damping) / len(seeds))
+        ).otherwise(F.lit(0.0))
     # rank vector is |V| rows — broadcast it while it fits comfortably;
     # past that AQE picks a shuffle join and the loop still works.
     bcast = n <= _BCAST_MAX_ROWS
@@ -294,7 +318,7 @@ def pagerank(
         )
         ranks = _nw(deg.join(contribs, deg.id == contribs["to"], "left"), w).select(
             "id",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
+            (base_col + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
                 "rank"
             ),
         )

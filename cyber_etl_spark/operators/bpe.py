@@ -72,6 +72,40 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     ).agg(F.sum("cnt").alias("freq"))
 
 
+def _merge_rounds(
+    words: DataFrame, num_merges: int, keep_last_words: bool = False
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """Run the merge loop → ([best per step], [word table per step]).
+
+    ``word_tables[k]`` is the table AFTER k merges (index 0 = initial);
+    the last rewrite is skipped unless ``keep_last_words`` (learners only
+    need the chosen pairs, appliers need the final state too).  Every
+    materialized frame is localCheckpoint-pinned (loop discipline)."""
+    bests, word_tables = [], [words]
+    for step in range(1, num_merges + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("freq"), "left_sym", "right_sym")
+            .limit(1)
+            .localCheckpoint(eager=True)  # pin the choice: referenced by
+            # the output AND by every later iteration's word table
+        )
+        bests.append(best)
+        if step < num_merges or keep_last_words:
+            pat = F.concat(
+                F.lit(SEP), F.col("left_sym"), F.lit(SEP + SEP), F.col("right_sym"), F.lit(SEP)
+            )
+            rep = F.concat(F.lit(SEP), F.col("left_sym"), F.col("right_sym"), F.lit(SEP))
+            words = (
+                words.crossJoin(F.broadcast(best))
+                .select(F.replace("repr", pat, rep).alias("repr"), "cnt")
+                .localCheckpoint(eager=True)  # pin per iteration or the
+                # replace chain re-runs every earlier merge per reference
+            )
+            word_tables.append(words)
+    return bests, word_tables
+
+
 def bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
@@ -91,45 +125,58 @@ def bpe_merges(
     if num_merges < 1:
         raise ValueError(f"need num_merges >= 1, got {num_merges}")
     words = _word_table(docs, text_col).localCheckpoint(eager=True)
-    merge_rows = []
-    for step in range(1, num_merges + 1):
-        best = (
-            _pair_counts(words)
-            .orderBy(F.desc("freq"), "left_sym", "right_sym")
-            .limit(1)
-            .localCheckpoint(eager=True)  # pin the choice: referenced by
-            # the output AND by every later iteration's word table
+    bests, _ = _merge_rounds(words, num_merges)
+    merge_rows = [
+        best.select(
+            F.lit(step).alias("step"),
+            "left_sym",
+            "right_sym",
+            F.concat("left_sym", "right_sym").alias("merged"),
+            "freq",
         )
-        merge_rows.append(
-            best.select(
-                F.lit(step).alias("step"),
-                "left_sym",
-                "right_sym",
-                F.concat("left_sym", "right_sym").alias("merged"),
-                "freq",
-            )
-        )
-        if step < num_merges:
-            pat = F.concat(
-                F.lit(SEP), F.col("left_sym"), F.lit(SEP + SEP), F.col("right_sym"), F.lit(SEP)
-            )
-            rep = F.concat(F.lit(SEP), F.col("left_sym"), F.col("right_sym"), F.lit(SEP))
-            words = (
-                words.crossJoin(F.broadcast(best))
-                .select(F.replace("repr", pat, rep).alias("repr"), "cnt")
-                .localCheckpoint(eager=True)  # pin per iteration or the
-                # replace chain re-runs every earlier merge per reference
-            )
+        for step, best in enumerate(bests, start=1)
+    ]
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
 
 
-def bpe_oracle_sql(num_merges: int = 4) -> str:
-    """DuckDB oracle for :func:`bpe_merges`: the same loop unrolled into
-    chained CTEs (w0 → p1/b1/w1 → ...), replaying the identical
-    tokenize / pair-count / argmax / left-to-right replace per round."""
+def bpe_compression_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 4,
+) -> DataFrame:
+    """Apply side of BPE training: corpus-wide symbol count after each
+    merge round → (step, total_symbols), step 0 = character tokens.
+
+    The curve a tokenizer team actually reads off a BPE run — how much
+    each merge compresses the corpus (total_symbols drops by the chosen
+    pair's non-overlapping occurrence count each round).  Same loop and
+    pinning as :func:`bpe_merges`; each round adds one O(|vocab|)
+    aggregate over the rewritten word table."""
+    if num_merges < 1:
+        raise ValueError(f"need num_merges >= 1, got {num_merges}")
+    words = _word_table(docs, text_col).localCheckpoint(eager=True)
+    _, word_tables = _merge_rounds(words, num_merges, keep_last_words=True)
+
+    def total(w: DataFrame, step: int) -> DataFrame:
+        syms = F.split(F.expr(f"trim(BOTH '{SEP}' FROM repr)"), SEP + SEP)
+        return w.agg(
+            F.sum(F.col("cnt") * F.size(syms)).alias("total_symbols")
+        ).select(F.lit(step).alias("step"), "total_symbols")
+
+    out = total(word_tables[0], 0)
+    for k in range(1, num_merges + 1):
+        out = out.unionByName(total(word_tables[k], k))
+    return out
+
+
+def bpe_oracle_sql(num_merges: int = 4, curve: bool = False) -> str:
+    """DuckDB oracle for :func:`bpe_merges` (and, with ``curve=True``,
+    :func:`bpe_compression_curve`): the same loop unrolled into chained
+    CTEs (w0 → p1/b1/w1 → ...), replaying the identical tokenize /
+    pair-count / argmax / left-to-right replace per round."""
     parts = [
         f"""
     WITH w0 AS (
@@ -153,7 +200,7 @@ def bpe_oracle_sql(num_merges: int = 4) -> str:
       FROM p{k} GROUP BY 1, 2
       ORDER BY freq DESC, left_sym, right_sym LIMIT 1)"""
         )
-        if k < num_merges:
+        if k < num_merges or curve:
             parts.append(
                 f""",
     w{k} AS (
@@ -161,9 +208,17 @@ def bpe_oracle_sql(num_merges: int = 4) -> str:
                      '{SEP}' || left_sym || right_sym || '{SEP}') AS repr, cnt
       FROM w{k - 1}, b{k})"""
             )
-    selects = "\n    UNION ALL ".join(
-        f"SELECT {k} AS step, left_sym, right_sym, left_sym || right_sym AS merged, freq FROM b{k}"
-        for k in range(1, num_merges + 1)
-    )
+    if curve:
+        selects = "\n    UNION ALL ".join(
+            f"SELECT {k} AS step, CAST(SUM(cnt * len(string_split("
+            f"trim(repr, '{SEP}'), '{SEP}{SEP}'))) AS BIGINT) AS total_symbols"
+            f" FROM w{k}"
+            for k in range(0, num_merges + 1)
+        )
+    else:
+        selects = "\n    UNION ALL ".join(
+            f"SELECT {k} AS step, left_sym, right_sym, left_sym || right_sym AS merged, freq FROM b{k}"
+            for k in range(1, num_merges + 1)
+        )
     parts.append(f"\n    {selects}")
     return "".join(parts)

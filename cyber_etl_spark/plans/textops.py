@@ -1675,7 +1675,7 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_cells=8, iters=2, threshold=0.4)
 
 
-from ..operators.bpe import bpe_merges, bpe_oracle_sql  # noqa: E402
+from ..operators.bpe import bpe_compression_curve, bpe_merges, bpe_oracle_sql  # noqa: E402
 
 
 @query(
@@ -1840,3 +1840,18 @@ def q133_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.where(F.col("vec_id") < 5)
     return brute_force_knn(corpus, queries, k=5)
+
+
+@query(
+    "q136_bpe_compression",
+    oracle=bpe_oracle_sql(4, curve=True),
+    tags=("text", "tokenizer", "bpe"),
+)
+def q136_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply/compression curve (operators/bpe.bpe_compression_curve):
+    total corpus symbols after each of the 4 learned merges (step 0 =
+    raw characters) — each round drops by the chosen pair's
+    non-overlapping occurrence count, the quantity a tokenizer team
+    tracks to pick vocabulary size."""
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_compression_curve(docs, num_merges=4)

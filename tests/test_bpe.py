@@ -61,3 +61,22 @@ def test_bpe_single_char_words_and_validation(spark):
     assert bpe_merges(docs, num_merges=1).count() == 0
     with pytest.raises(ValueError):
         bpe_merges(docs, num_merges=0)
+
+
+def test_bpe_compression_curve_drops_by_merge_freq(spark):
+    """Each curve step drops total symbols by the non-overlapping
+    occurrence count of that round's merge (= freq only when no
+    occurrences overlap)."""
+    from cyber_etl_spark.operators.bpe import bpe_compression_curve
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd")], ["doc_id", "text"]
+    )
+    curve = {r.step: r.total_symbols for r in bpe_compression_curve(docs, num_merges=2).collect()}
+    # chars: 'abab' cnt 3 -> 12, 'cd' cnt 3 -> 6: total 18
+    assert curve[0] == 18
+    # merge (a,b) freq 6, non-overlapping -> 18 - 6 = 12
+    assert curve[1] == 12
+    # merge (ab,ab) freq 3 but 'abab' has ONE non-overlapping occurrence
+    # per word (cnt 3) -> 12 - 3 = 9
+    assert curve[2] == 9

@@ -33,3 +33,31 @@ def test_multifile_directory_union(spark, tmp_path):
     a.coalesce(2).write.mode("overwrite").parquet(tdir2)
     c.coalesce(1).write.mode("append").parquet(tdir2)
     assert read_table(spark, sf_dir, "documents").count() == 10
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema-evolved multi-file reads: fragments written before a column
+    existed merge with later fragments under mergeSchema — the missing
+    column reads as NULL, matching columns keep their values.  The
+    ingestion reality of a long-lived 100 TB lake: the reader, not a
+    rewrite of petabytes of old files, absorbs additive schema change."""
+    import os
+
+    tdir = os.path.join(str(tmp_path), "evolved")
+    os.makedirs(tdir)
+    old = spark.range(0, 5).selectExpr("id", "id * 2 AS v")
+    new = spark.range(5, 8).selectExpr("id", "id * 2 AS v", "'en' AS lang")
+    old.coalesce(1).write.parquet(os.path.join(tdir, "part_old"))
+    new.coalesce(1).write.parquet(os.path.join(tdir, "part_new"))
+    got = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(tdir)
+    )
+    assert set(got.columns) == {"id", "v", "lang"}
+    rows = {r.id: (r.v, r.lang) for r in got.collect()}
+    assert len(rows) == 8
+    assert rows[0] == (0, None) and rows[7] == (14, "en")
+    # column pruning still reaches the scan on the merged schema
+    pruned = got.select("id")
+    assert "lang" not in pruned.schema.fieldNames()

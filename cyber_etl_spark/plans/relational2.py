@@ -2078,15 +2078,23 @@ def q130_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     either engine.  At 100 TB: per-group sort of a numeric column — the
     exact path for bounded group counts; unbounded cardinalities move to
     the q88 sketch twin."""
+    from pyspark.sql.window import Window
+
     docs = read_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
-    med = docs.groupBy("source").agg(
-        F.expr("percentile(n_chars, 0.5)").alias("med")
-    )
-    dev = docs.join(med, "source").withColumn(
+    # Both medians as whole-partition WINDOW aggregates over ONE
+    # partitioning: the scan runs once and hashpartitioning(source) is
+    # established once — the window chain and the final groupBy all reuse
+    # it (plan: 1 scan / 1 exchange, vs 4 scans / 3 source-shuffles for
+    # the naive agg-join-agg-join form).  WindowExec buffers per-group
+    # rows with spill; for extreme single-group cardinality the two-agg
+    # join form trades extra scans for smaller sort runs.
+    w = Window.partitionBy("source")
+    med = F.expr("percentile(n_chars, 0.5)").over(w)
+    dev = docs.withColumn("med", med).withColumn(
         "adev", F.abs(F.col("n_chars") - F.col("med"))
     )
-    mad = dev.groupBy("source").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
-    scored = dev.join(mad, "source").select(
+    mad = F.expr("percentile(adev, 0.5)").over(w)
+    scored = dev.withColumn("mad", mad).select(
         "source",
         "doc_id",
         F.round(

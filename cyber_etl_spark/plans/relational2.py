@@ -2153,3 +2153,61 @@ def q134_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("keep").cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "q137_grouped_corr",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,6)) AS x,
+             CAST(props->>'$.k' AS BIGINT) AS y
+      FROM events
+    ),
+    moments AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0),
+                 6) AS corr_value_k
+    FROM moments
+    """,
+    tags=("agg", "statistics"),
+)
+def q137_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation from EXACT decimal moments: one pass
+    computes Σx, Σy, Σxy, Σx², Σy² as fixed-point sums (shuffle-order-
+    independent), then the correlation assembles in identical IEEE double
+    arithmetic in both engines — the cross-engine-safe form of
+    ``corr()``, whose native double accumulation would drift per
+    partitioning.  Profiles value-vs-props.k per event type; constant
+    columns (zero variance) yield NULL via the nullif guard.  One scan,
+    one shuffle keyed by group — the same economics as any grouped agg."""
+    events = read_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("x"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("y"),
+    )
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+        F.lit(0.0),
+    )
+    return m.select("event_type", "n", F.round(corr, 6).alias("corr_value_k"))

@@ -174,3 +174,67 @@ def type_stats_stream(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Debounce / burst-collapse (streaming twin of q134)
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+_DEBOUNCE_STATE = StructType([StructField("last_us", LongType())])
+
+
+def debounce_stream(events: DataFrame, gap_s: int = 300) -> DataFrame:
+    """Streaming burst-collapse: emit an event only if ≥ ``gap_s`` passed
+    since the PREVIOUS event of the same (user, event_type) — the exact
+    lag semantics of the q134 batch query (state tracks the last *seen*
+    event time, kept or not), so per-micro-batch output over an
+    in-order feed unions to the batch answer.
+
+    State per key is one integer (microseconds of the last event) in the
+    partitioned, checkpointed state store; within a micro-batch events
+    fold in (ts, event_id) order so output is independent of batch
+    slicing.  Keys idle past retention would be GC'd by a timeout in a
+    production deployment; NoTimeout keeps the twin-equivalence test
+    exact."""
+    gap_us = gap_s * 1_000_000
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+        kept = []
+        for eid, ts in zip(rows["event_id"], rows["ts"]):
+            us = pd.Timestamp(ts).value // 1000
+            if last is None or us - last >= gap_us:
+                kept.append(eid)
+            last = us
+        state.update((int(last),))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(kept),
+                "event_type": [event_type] * len(kept),
+                "event_id": kept,
+            }
+        )
+
+    return (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=DEBOUNCE_SCHEMA,
+            stateStructType=_DEBOUNCE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -277,3 +277,43 @@ def test_partitioned_stream_sink_is_replay_idempotent(spark, sf_smoke, events_di
         partition_by=["event_type"],
     )
     assert spark.read.parquet(out).count() == want
+
+
+def test_debounce_stream_matches_batch_q134(spark, sf_smoke, tmp_path):
+    """Streaming debounce == the q134 lag computation, with state
+    genuinely crossing micro-batches: the event feed is split into three
+    ts-ordered files consumed one per trigger."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import debounce_stream
+
+    events = read_table(spark, sf_smoke, "events")
+    d = tmp_path / "debounce_feed"
+    d.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = events.count()
+    pdf = events.orderBy("ts", "event_id").toPandas()
+    for i in range(3):  # flat files: the file-stream source does not recurse
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet"))
+    stream = read_event_stream(
+        spark, str(d), empty_dir_ts="micros"
+    )
+    run_stream_to_memory(debounce_stream(stream), "debounce_mem", mode="update")
+    got = {r.event_id for r in spark.sql("SELECT event_id FROM debounce_mem").collect()}
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    want = {
+        r.event_id
+        for r in events.withColumn("gap", gap)
+        .where(F.col("gap").isNull() | (F.col("gap") >= 300_000_000))
+        .select("event_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0

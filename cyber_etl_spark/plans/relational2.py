@@ -2211,3 +2211,57 @@ def q137_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
     )
     return m.select("event_type", "n", F.round(corr, 6).alias("corr_value_k"))
+
+
+@query(
+    "q138_column_profile",
+    oracle="""
+    SELECT 'doc_id' AS col_name,
+           COUNT(*) - COUNT(doc_id) AS n_nulls,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+           MIN(lang), MAX(lang) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+           MIN(source), MAX(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+    tags=("quality", "profile", "agg"),
+)
+def q138_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (null count / exact distinct count /
+    min / max per column) in ONE scan: all per-column aggregates compute
+    in a single multi-distinct aggregation (Catalyst expands the distinct
+    sets map-side), then pivot long with ``stack`` — the table-audit
+    every ingestion run records before trusting a batch.  Exact distincts
+    expand rows ×(number of distinct aggregates); at 100 TB unbounded-
+    cardinality columns move to the q88 HLL sketch twin."""
+    docs = read_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            # min/max on the NATIVE type (numeric order), cast after —
+            # casting first would rank '99' above '499'
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )

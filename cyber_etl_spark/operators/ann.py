@@ -360,13 +360,18 @@ def ivf_assign(
     the id→cell mapping is monotone, so all (sim desc, cell asc)
     tie-breaks order identically to a 1..n numbering.
     """
-    cents = (
+    seeds = (
         corpus.select(
             F.col(id_col).alias("cell"), to_double_array(F.col(vec_col)).alias("cv")
         )
         .orderBy("cell")
         .limit(n_cells)
     )
+    # Materialize the seed pick ONCE (one TakeOrdered job) and rebuild it
+    # as a LocalRelation: the GEMM assignment's driver-side centroid read
+    # AND the caller's probe-selection subtree both consume the local
+    # table, so neither re-scans the corpus inside the main job.
+    cents = corpus.sparkSession.createDataFrame(seeds.collect(), seeds.schema)
     vecs = corpus.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
     )
@@ -377,27 +382,66 @@ def nearest_centroid_assign(
     vecs: DataFrame, cents: DataFrame, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """(id, cell, *extra_cols): nearest centroid by rounded cosine, tie →
-    smallest cell — SHUFFLE-FREE.  The centroid table folds into one
-    broadcast array row and the argmax happens inside the corpus
-    projection (``array_max`` over (sim, -cell) structs), so assignment
-    is a pure map over the corpus scan.  The per-id row_number window
-    this replaces shuffled n·n_cells scored rows every call — per
-    k-means iteration — which at 100 TB is the dominant cost of Lloyd
-    steps.  ``extra_cols`` ride along so callers never need an id-keyed
-    join to recover vector payloads next to the assignment."""
-    carr = cents.agg(F.collect_list(F.struct("cell", "cv")).alias("cs"))
-    best = F.array_max(
-        F.transform(
-            F.col("cs"),
-            lambda c: F.struct(
-                F.round(cosine_similarity(F.col("v"), c["cv"]), 6).alias("sim"),
-                (-c["cell"]).alias("negcell"),
-            ),
-        )
+    smallest cell — SHUFFLE-FREE, one GEMM per Arrow batch.
+
+    The centroid table (tiny by construction: Lloyd cells / IVF lists)
+    is collected once into a k×d matrix shipped in the task closure, and
+    each corpus batch scores V·Cᵀ with one BLAS call inside
+    ``mapInPandas`` — the same kernel economics as
+    :func:`cosine_neardup_pairs`.  This replaces (a) the per-id
+    row_number window (shuffles n·n_cells scored rows per call — per
+    Lloyd iteration — the dominant k-means cost at 100 TB) and (b) the
+    earlier JVM higher-order ``transform`` argmax, whose per-element
+    interpreted fold costs n·n_cells·d interpreted ops per pass (~1.5×
+    whole-query wall at sf0.1, linearly worse at scale).
+
+    Determinism contract (matches the q40/q125 oracles bit-for-bit):
+    similarity is rounded HALF-AWAY-FROM-ZERO to 1e-6 (Spark
+    ``round``/DuckDB ``round`` double semantics — NOT numpy's
+    half-even), then argmax breaks ties to the smallest cell (centroid
+    rows sorted by cell; ``np.argmax`` takes the first maximum).  A
+    zero-norm vector scores NaN against every centroid and lands in the
+    smallest cell in both the old and new forms.  ``extra_cols`` ride
+    along so callers never need an id-keyed join to recover vector
+    payloads next to the assignment; ``vecs`` must expose ``id`` and
+    ``v``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    rows = sorted(cents.select("cell", "cv").collect(), key=lambda r: r["cell"])
+    if not rows:
+        raise ValueError("nearest_centroid_assign needs a non-empty centroid table")
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    out_schema = StructType(
+        [
+            vecs.schema["id"],
+            StructField("cell", cents.schema["cell"].dataType),
+            *[vecs.schema[c] for c in extra_cols],
+        ]
     )
-    return vecs.crossJoin(F.broadcast(carr)).select(
-        "id", (-best["negcell"]).alias("cell"), *extra_cols
-    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            vnorm = np.sqrt((vmat * vmat).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (vmat @ cmat.T) / np.outer(vnorm, cnorm)
+            scaled = sims * 1e6
+            rounded = np.where(
+                sims >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            )
+            idx = np.argmax(rounded, axis=1)  # first max = smallest cell
+            out = {"id": pdf["id"], "cell": cells[idx]}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return vecs.mapInPandas(assign, out_schema)
 
 
 def ivf_knn(

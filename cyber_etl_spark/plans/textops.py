@@ -1855,3 +1855,111 @@ def q136_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks to pick vocabulary size."""
     docs = read_table(spark, sf_dir, "documents")
     return bpe_compression_curve(docs, num_merges=4)
+
+
+@query(
+    "q139_repeated_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, len(t) AS n_tokens, e.p AS pos, e.g AS shingle FROM (
+        SELECT doc_id, t,
+               unnest(list_transform(range(1, len(t) - 6),
+                 i -> {'p': i,
+                       'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7]})) AS e
+        FROM t)
+    ),
+    shared AS (
+      SELECT shingle FROM pos GROUP BY shingle
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    m AS (SELECT doc_id, n_tokens, pos FROM pos JOIN shared USING (shingle)),
+    fl AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+                  THEN 1 ELSE 0 END AS f
+      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl
+    ),
+    sp AS (
+      SELECT doc_id, island, MIN(n_tokens) AS n_tokens,
+             MIN(pos) AS p0, MAX(pos) AS p1
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(p1 - p0 + 8) AS BIGINT) AS covered_tokens,
+           MIN(n_tokens) AS n_tokens,
+           round(CAST(SUM(p1 - p0 + 8) AS DOUBLE) / MIN(n_tokens), 6)
+             AS covered_frac
+    FROM sp GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "spans"),
+)
+def q139_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN detection — the exact-substring dedup
+    signal (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better"): positions whose 8-gram also occurs in ANOTHER
+    document are merged into maximal covered spans (gaps > 8 tokens break
+    a span), reported per doc as span count + covered-token fraction.
+    Production pipelines CUT these spans; the q92 repetition score only
+    sees within-doc repeats, so this is the missing cross-doc axis.
+
+    Plan: positional shingle explode → shared-shingle semi-join (the
+    inverted index; hot boilerplate shingles are groupBy keys, AQE-skew
+    safe) → q75-style gaps-and-islands windows partitioned by doc.
+    Everything shuffles on doc_id or shingle — no pair blowup, no
+    driver state."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    # shingles() needs the raw expression (arrays_zip names struct fields
+    # positionally only for unnamed inputs)
+    pos = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.posexplode(shingles(toks, 8)).alias("p0", "shingle"),
+    ).select(
+        "doc_id", "n_tokens", (F.col("p0") + 1).cast("long").alias("pos"), "shingle"
+    )
+    shared = (
+        pos.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("shingle")
+    )
+    m = pos.join(shared, "shingle").select("doc_id", "n_tokens", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    fl = m.withColumn(
+        "f", F.when(lagp.isNull() | (F.col("pos") - lagp > 8), 1).otherwise(0)
+    )
+    isl = fl.withColumn(
+        "island",
+        F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    sp = isl.groupBy("doc_id", "island").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("p0"),
+        F.max("pos").alias("p1"),
+    )
+    return sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("p1") - F.col("p0") + 8).alias("covered_tokens"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("p1") - F.col("p0") + 8).cast("double") / F.min("n_tokens"), 6
+        ).alias("covered_frac"),
+    )

@@ -138,3 +138,19 @@ def test_q122_bloom_prefilter_sits_below_the_join(spark, sf_smoke):
     # residual — so every bit_get occurrence follows the first Join node
     join_hits = [i for i in (plan.find("Join"), plan.find("join")) if i >= 0]
     assert join_hits and min(join_hits) < plan.find("bit_get"), plan[:2000]
+
+
+def test_q130_single_scan_single_exchange(spark, sf_smoke):
+    """The MAD query's two grouped medians chain as windows over ONE
+    source partitioning: exactly one scan and one exchange; the final
+    group-by reuses hashpartitioning(source) with no further shuffle."""
+    plan = _plan(spark, sf_smoke, "q130_mad_outliers")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q134_groupby_reuses_window_partitioning(spark, sf_smoke):
+    """The per-stream aggregate after the lag window must not re-shuffle:
+    both key on (user_id, event_type)."""
+    plan = _plan(spark, sf_smoke, "q134_burst_collapse")
+    assert plan.count("Exchange hashpartitioning") == 1

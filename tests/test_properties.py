@@ -164,3 +164,54 @@ def test_zvalue_equals_bit_interleave(spark, pairs):
     df = spark.createDataFrame(pairs, "x long, y long")
     for r in df.select("x", "y", z_value("x", "y").alias("z")).collect():
         assert r.z == ref(r.x, r.y)
+
+
+def _ref_bpe(texts: list[str], num_merges: int):
+    """Pure-Python Sennrich learn_bpe reference: overlap-inclusive pair
+    counts, greedy left-to-right merge, (freq desc, pair asc) tie-break."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    state = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for step in range(1, num_merges + 1):
+        pairs = Counter()
+        for syms, c in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        fmax = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == fmax)
+        merges.append((step, best[0], best[1], best[0] + best[1], fmax))
+        new_state: dict[tuple, int] = {}
+        for syms, c in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_state[key] = new_state.get(key, 0) + c
+        state = new_state
+    return merges
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=8).map(" ".join), min_size=1, max_size=6))
+def test_bpe_matches_python_reference(spark, texts):
+    """Distributed BPE == the classic driver-side algorithm on generated
+    corpora (pins greedy overlap order, boundary exactness, tie-breaks
+    beyond the fixed oracle corpus)."""
+    from cyber_etl_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = [tuple(r) for r in bpe_merges(df, num_merges=3).orderBy("step").collect()]
+    assert got == _ref_bpe(texts, 3), texts

@@ -1963,3 +1963,113 @@ def q139_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("p1") - F.col("p0") + 8).cast("double") / F.min("n_tokens"), 6
         ).alias("covered_frac"),
     )
+
+
+@query(
+    "q140_span_cut",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, e.p AS pos, e.g AS shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 6),
+                 i -> {'p': i,
+                       'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7]})) AS e
+        FROM t)
+    ),
+    own AS (
+      SELECT shingle, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS df
+      FROM pos GROUP BY shingle
+    ),
+    cut AS (
+      SELECT p.doc_id, p.pos FROM pos p JOIN own o USING (shingle)
+      WHERE o.df >= 2 AND p.doc_id > o.owner
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + u AS q
+      FROM cut, (SELECT unnest(range(0, 8)) AS u)
+    ),
+    tokpos AS (
+      SELECT doc_id, e.q AS q, e.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) + 1),
+                 i -> {'q': i, 'tok': t[i]})) AS e
+        FROM t)
+    ),
+    kept AS (
+      SELECT doc_id, q, tok FROM tokpos ANTI JOIN cov USING (doc_id, q)
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY q) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("dedup", "text", "spans", "curation"),
+)
+def q140_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup CUT (the operation q139 only measures):
+    every token covered by an 8-gram that also appears in a smaller-id
+    document is removed, and the text is rebuilt from the surviving
+    tokens — the Lee et al. 2022 rewrite where one global copy of each
+    repeated span survives (the min-doc owner keeps its tokens;
+    ownership per SHINGLE, so overlapping claims resolve identically in
+    both engines).
+
+    Plan: positional shingles → per-shingle (owner, df) aggregate →
+    covered-position expansion (≤ 8 rows per cut position, explode of a
+    constant sequence) → anti-join against the token-position table →
+    ordered reassembly via array_sort(collect_list(struct)).  Shuffles
+    key on shingle or doc_id only; reassembly aggregates |tokens| rows
+    to |docs| rows."""
+    from ..functions.text import shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+    pos = docs.select(
+        "doc_id", F.posexplode(shingles(toks, 8)).alias("p0", "shingle")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "shingle")
+    own = pos.groupBy("shingle").agg(
+        F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("df")
+    )
+    cut = (
+        pos.join(own, "shingle")
+        .where((F.col("df") >= 2) & (F.col("doc_id") > F.col("owner")))
+        .select("doc_id", "pos")
+    )
+    cov = cut.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("q")
+    ).distinct()
+    tokpos = base.select(
+        "doc_id", F.posexplode("toks").alias("q0", "tok")
+    ).select("doc_id", (F.col("q0") + 1).cast("long").alias("q"), "tok")
+    kept = tokpos.join(cov, ["doc_id", "q"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("q", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

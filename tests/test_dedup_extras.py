@@ -222,3 +222,29 @@ def test_containment_empty_corpus(spark):
 
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert containment_pairs(docs).count() == 0
+
+
+def test_span_cut_owner_keeps_duplicate_loses(spark):
+    """q140 semantics on a crafted pair: the min-id owner keeps the
+    shared 8-gram span, the duplicate loses exactly the covered tokens,
+    and non-shared text survives in both."""
+    from cyber_etl_spark.plans import QUERIES
+    import os, tempfile
+
+    span = "one two three four five six seven eight"
+    rows = [
+        (1, f"{span} alpha beta"),
+        (2, f"intro {span} outro"),
+        (3, "totally different words here nothing shared at all"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            os.path.join(d, "documents")
+        )
+        out = {
+            r.doc_id: r
+            for r in QUERIES["q140_span_cut"].builder(spark, d).collect()
+        }
+    assert out[1].n_removed == 0 and out[1].clean_text == rows[0][1]
+    assert out[2].n_removed == 8 and out[2].clean_text == "intro outro"
+    assert out[3].n_removed == 0 and out[3].clean_text == rows[2][1]

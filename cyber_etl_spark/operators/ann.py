@@ -452,11 +452,20 @@ def ivf_knn(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: probe the ``nprobe`` nearest cells per query and
     re-rank only vectors in those cells — candidate count ≈
-    corpus·nprobe/n_cells instead of the full corpus."""
-    cents, assign = ivf_assign(corpus, n_cells, id_col, vec_col)
+    corpus·nprobe/n_cells instead of the full corpus.
+
+    ``index``: a pre-built ``(centroids, assignments)`` pair — typically
+    :func:`load_ivf_index` output — skips the per-query index build
+    entirely (the production lifecycle: the index is built once per
+    corpus version and persisted; queries only scan it).  ``n_cells`` is
+    ignored when an index is supplied."""
+    cents, assign = (
+        index if index is not None else ivf_assign(corpus, n_cells, id_col, vec_col)
+    )
     qv = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
     )
@@ -708,4 +717,29 @@ def scalar_quantize_int8(
         "scale",
         codes.alias("codes"),
         F.transform(codes, lambda c: c * F.col("scale")).alias("dequant"),
+    )
+
+
+def save_ivf_index(cents: DataFrame, assign: DataFrame, path: str) -> None:
+    """Persist an IVF index (centroids + cell assignments) as parquet —
+    the build-once/query-many lifecycle of a production ANN deployment.
+    Assignments are written clustered by cell so a probed cell's rows
+    are co-located in few row groups (partition pruning on the probe
+    join's cell key)."""
+    import os
+
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    assign.repartition("cell").write.mode("overwrite").parquet(
+        os.path.join(path, "assignments")
+    )
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index → (centroids, assignments), directly
+    usable as :func:`ivf_knn`'s ``index`` argument."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "centroids")),
+        spark.read.parquet(os.path.join(path, "assignments")),
     )

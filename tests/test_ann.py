@@ -222,3 +222,27 @@ def test_scalar_quantize_int8_bounds_and_reconstruction(spark):
         assert max(abs(c) for c in r.codes) == 127
         for orig, dq in zip(vec, r.dequant):
             assert abs(orig - dq) <= r.scale + 1e-12
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """The persisted-index query path returns exactly the inline-built
+    ivf_knn results (build once, query many)."""
+    from cyber_etl_spark.operators.ann import (
+        ivf_assign,
+        ivf_knn,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from cyber_etl_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.where(emb.vec_id < 5)
+    inline = ivf_knn(emb, queries, k=5, n_cells=8)
+    cents, assign = ivf_assign(emb, n_cells=8)
+    save_ivf_index(cents, assign, str(tmp_path / "ivf"))
+    idx = load_ivf_index(spark, str(tmp_path / "ivf"))
+    loaded = ivf_knn(emb, queries, k=5, index=idx)
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, loaded.collect()))
+    assert a == b and len(a) == 25

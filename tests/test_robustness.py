@@ -108,3 +108,36 @@ def test_incremental_dedup_empty_sides(spark):
     assert minhash_lsh_pairs_incremental(empty, docs).count() == 0
     assert minhash_lsh_pairs_incremental(docs, empty).count() == 0
     assert minhash_lsh_pairs_incremental(empty, empty).count() == 0
+
+
+def test_round5_operators_on_empty_inputs(spark):
+    """BPE, quantization and the span family degrade to empty outputs on
+    empty corpora (the BPE curve still reports step 0 = 0 symbols)."""
+    from cyber_etl_spark.operators.ann import scalar_quantize_int8
+    from cyber_etl_spark.operators.bpe import bpe_compression_curve, bpe_merges
+
+    docs = _empty_docs(spark)
+    assert bpe_merges(docs, num_merges=2).count() == 0
+    curve = {r.step: r.total_symbols for r in bpe_compression_curve(docs, num_merges=1).collect()}
+    assert curve[0] is None or curve[0] == 0  # SUM over empty → NULL
+    emb = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    assert scalar_quantize_int8(emb).count() == 0
+
+
+def test_span_queries_on_tiny_docs(spark):
+    """Docs shorter than the 8-gram window produce no spans and survive
+    the cut untouched."""
+    import os
+    import tempfile
+
+    from cyber_etl_spark.plans import QUERIES
+
+    rows = [(1, "short doc"), (2, "short doc"), (3, "x")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            os.path.join(d, "documents")
+        )
+        assert QUERIES["q139_repeated_spans"].builder(spark, d).count() == 0
+        out = {r.doc_id: r for r in QUERIES["q140_span_cut"].builder(spark, d).collect()}
+    assert all(out[i].n_removed == 0 for i in (1, 2, 3))
+    assert out[1].clean_text == "short doc"

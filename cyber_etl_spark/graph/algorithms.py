@@ -757,3 +757,57 @@ def sssp_hop_limited(
         )
         n = dist.count()
     return dist
+
+
+def hits(
+    edges: DataFrame, iterations: int = 5, checkpoint_each: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """HITS (Kleinberg) hubs & authorities on a DIRECTED edge list →
+    ((src id, hub), (dst id, auth)).
+
+    The directed counterpart of the rank family (which runs on the
+    symmetrized co-supply graph): per iteration every authority score is
+    the sum of its in-neighbors' hub scores and every hub score the sum
+    of its out-neighbors' authority scores, each side L2-normalized.
+    The normalizer is a 1-row aggregate broadcast into the projection —
+    no driver collect; per-iteration state (two vectors ≤ |V| rows) is
+    localCheckpoint-pinned per the loop discipline.
+
+    Determinism: double sums drift by shuffle order in the last ulps
+    only (same argument as pagerank); callers compare rounded.  Scale:
+    each half-step is one join + hash-agg shuffled on a vertex key,
+    O(|E|) rows.
+    """
+    e = _derived(
+        edges,
+        ("hits-edges",),
+        lambda: edges.select("src", "dst").distinct().localCheckpoint(eager=True),
+    )
+    m = _derived(edges, ("hits-ecount",), lambda: e.count())
+    w = _width(m)
+    hubs = e.select("src").distinct().withColumn("h", F.lit(1.0))
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        a_norm = a_raw.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
+        auths = _nw(a_raw.crossJoin(F.broadcast(a_norm)), w).select(
+            "dst", (F.col("a") / F.col("nrm")).alias("a")
+        )
+        if checkpoint_each:
+            auths = auths.localCheckpoint(eager=True)
+        h_raw = (
+            e.join(auths, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        h_norm = h_raw.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
+        hubs = _nw(h_raw.crossJoin(F.broadcast(h_norm)), w).select(
+            "src", (F.col("h") / F.col("nrm")).alias("h")
+        )
+        if checkpoint_each:
+            hubs = hubs.localCheckpoint(eager=True)
+    return hubs, auths

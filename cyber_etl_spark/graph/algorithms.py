@@ -784,30 +784,42 @@ def hits(
         lambda: edges.select("src", "dst").distinct().localCheckpoint(eager=True),
     )
     m = _derived(edges, ("hits-ecount",), lambda: e.count())
+    n_src = _derived(
+        edges, ("hits-nsrc",), lambda: e.select("src").distinct().count()
+    )
+    n_dst = _derived(
+        edges, ("hits-ndst",), lambda: e.select("dst").distinct().count()
+    )
     w = _width(m)
+    # vectors under the cap join broadcast (map-side over the pinned edge
+    # list); above it the shuffle join takes over — same policy as the
+    # pagerank loop
+    bc_h = (lambda d: F.broadcast(d)) if n_src <= _BCAST_MAX_ROWS else (lambda d: d)
+    bc_a = (lambda d: F.broadcast(d)) if n_dst <= _BCAST_MAX_ROWS else (lambda d: d)
     hubs = e.select("src").distinct().withColumn("h", F.lit(1.0))
+    if checkpoint_each:
+        hubs = _compact(hubs, n_src).localCheckpoint(eager=True)
     auths = None
     for _ in range(iterations):
-        a_raw = (
-            e.join(hubs, "src")
-            .groupBy("dst")
-            .agg(F.sum("h").alias("a"))
+        # pin the RAW sums: each is referenced twice (normalizer + the
+        # normalized projection) — unpinned, the |E| join would execute
+        # twice per half-step (loop discipline, CLAUDE.md)
+        a_raw = _nw(
+            e.join(bc_h(hubs), "src").groupBy("dst").agg(F.sum("h").alias("a")), w
         )
+        if checkpoint_each:
+            a_raw = _compact(a_raw, n_dst).localCheckpoint(eager=True)
         a_norm = a_raw.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
-        auths = _nw(a_raw.crossJoin(F.broadcast(a_norm)), w).select(
+        auths = a_raw.crossJoin(F.broadcast(a_norm)).select(
             "dst", (F.col("a") / F.col("nrm")).alias("a")
         )
-        if checkpoint_each:
-            auths = auths.localCheckpoint(eager=True)
-        h_raw = (
-            e.join(auths, "dst")
-            .groupBy("src")
-            .agg(F.sum("a").alias("h"))
+        h_raw = _nw(
+            e.join(bc_a(auths), "dst").groupBy("src").agg(F.sum("a").alias("h")), w
         )
+        if checkpoint_each:
+            h_raw = _compact(h_raw, n_src).localCheckpoint(eager=True)
         h_norm = h_raw.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
-        hubs = _nw(h_raw.crossJoin(F.broadcast(h_norm)), w).select(
+        hubs = h_raw.crossJoin(F.broadcast(h_norm)).select(
             "src", (F.col("h") / F.col("nrm")).alias("h")
         )
-        if checkpoint_each:
-            hubs = hubs.localCheckpoint(eager=True)
     return hubs, auths

@@ -1857,6 +1857,37 @@ def q136_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_compression_curve(docs, num_merges=4)
 
 
+
+
+_POS_CACHE: dict[tuple, tuple] = {}
+
+
+def _positional_shingles(spark: SparkSession, sf_dir: str):
+    """Shared artifact of the span family (q139 detect / q140 cut): the
+    positional 8-gram table (doc_id, n_tokens, pos, shingle) and its
+    per-shingle (owner, df) aggregate, each checkpointed once per
+    (session, dataset) — the same persisted-projection policy as the
+    _SH_CACHE shingle sets."""
+    from ..functions.text import shingles as _sh
+
+    key = (session_token(spark), sf_dir, "pos8")
+    if key not in _POS_CACHE:
+        docs = read_table(spark, sf_dir, "documents")
+        toks = F.filter(F.split("text", " "), lambda x: x != "")
+        pos = docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.posexplode(_sh(toks, 8)).alias("p0", "shingle"),
+        ).select(
+            "doc_id", "n_tokens", (F.col("p0") + 1).cast("long").alias("pos"), "shingle"
+        ).localCheckpoint(eager=True)
+        own = pos.groupBy("shingle").agg(
+            F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("df")
+        ).localCheckpoint(eager=True)
+        _POS_CACHE[key] = (pos, own)
+    return _POS_CACHE[key]
+
+
 @query(
     "q139_repeated_spans",
     oracle="""
@@ -1921,26 +1952,11 @@ def q139_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state."""
     from pyspark.sql.window import Window
 
-    from ..functions.text import shingles
-
-    docs = read_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    # shingles() needs the raw expression (arrays_zip names struct fields
-    # positionally only for unnamed inputs)
-    pos = docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.posexplode(shingles(toks, 8)).alias("p0", "shingle"),
-    ).select(
-        "doc_id", "n_tokens", (F.col("p0") + 1).cast("long").alias("pos"), "shingle"
+    pos, own = _positional_shingles(spark, sf_dir)
+    m = (
+        pos.join(own.where(F.col("df") >= 2).select("shingle"), "shingle")
+        .select("doc_id", "n_tokens", "pos")
     )
-    shared = (
-        pos.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") >= 2)
-        .select("shingle")
-    )
-    m = pos.join(shared, "shingle").select("doc_id", "n_tokens", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     lagp = F.lag("pos").over(w)
     fl = m.withColumn(
@@ -2031,17 +2047,10 @@ def q140_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered reassembly via array_sort(collect_list(struct)).  Shuffles
     key on shingle or doc_id only; reassembly aggregates |tokens| rows
     to |docs| rows."""
-    from ..functions.text import shingles
-
     docs = read_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select("doc_id", toks.alias("toks"))
-    pos = docs.select(
-        "doc_id", F.posexplode(shingles(toks, 8)).alias("p0", "shingle")
-    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "shingle")
-    own = pos.groupBy("shingle").agg(
-        F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("df")
-    )
+    pos, own = _positional_shingles(spark, sf_dir)
     cut = (
         pos.join(own, "shingle")
         .where((F.col("df") >= 2) & (F.col("doc_id") > F.col("owner")))

@@ -2082,3 +2082,67 @@ def q140_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+@query(
+    "q142_temperature_mixture",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    totals AS (SELECT lang, SUM(n_tokens) AS t FROM tok GROUP BY lang),
+    z AS (SELECT SUM(sqrt(t)) AS z, SUM(t) AS grand FROM totals),
+    rates AS (
+      SELECT lang,
+             round(LEAST(1.0,
+               (0.5 * grand) * (sqrt(t) / z) / t), 9) AS rate
+      FROM totals, z
+    )
+    SELECT tok.doc_id, tok.lang, tok.n_tokens
+    FROM tok JOIN rates ON tok.lang = rates.lang
+    WHERE CAST(('0x' || substr(md5(CAST(tok.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < rates.rate
+    """,
+    tags=("text", "sampling", "mixture", "temperature"),
+)
+def q142_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (α = 0.5, the GPT-3/PaLM data
+    recipe): language l's share of the token budget is t_l^α / Σ t^α —
+    up-weighting low-resource languages relative to proportional
+    sampling without flattening to uniform (q108 is the α→limit that
+    levels everything to the minimum).  Budget = half the corpus; keep
+    rate per lang = min(1, budget·share/t), rounded to 1e-9 in BOTH
+    engines so a last-ulp drift in the tiny per-lang aggregate can
+    never flip a keep decision.  Same md5-fraction keep idiom and same
+    one-scan plan as q108."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    totals = tok.groupBy("lang").agg(F.sum("n_tokens").alias("t"))
+    z = totals.agg(
+        F.sum(F.sqrt("t")).alias("z"), F.sum("t").alias("grand")
+    )
+    rates = totals.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (0.5 * F.col("grand")) * (F.sqrt("t") / F.col("z")) / F.col("t"),
+            ),
+            9,
+        ).alias("rate"),
+    )
+    frac = _md5_fraction("doc_id")
+    return (
+        tok.join(F.broadcast(rates), "lang")
+        .where(frac < F.col("rate"))
+        .select("doc_id", "lang", "n_tokens")
+    )

@@ -2265,3 +2265,75 @@ def q138_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_nulls, n_distinct, min_val, max_val)"
         )
     )
+
+
+@query(
+    "q144_ab_welch_test",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id % 2 AS arm,
+             CAST(value AS DECIMAL(18,6)) AS x
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, arm, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM base GROUP BY event_type, arm
+    ),
+    stats AS (
+      SELECT event_type, arm, n, sx / n AS mean,
+             (sxx - sx * sx / n) / (n - 1) AS var
+      FROM m WHERE n >= 2
+    )
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b,
+           round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS t_welch
+    FROM stats a JOIN stats b
+      ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+    """,
+    tags=("agg", "statistics", "abtest"),
+)
+def q144_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Welch's t statistic between two deterministic arms
+    (event_id parity — the hash-assignment idiom of every A/B system):
+    the in-engine significance readout an experimentation pipeline
+    computes at rollup time.  Sample moments come from EXACT decimal
+    sums (q137's discipline), variance and t assemble in identical IEEE
+    doubles, rounded to 1e-6.  One scan, one (group, arm) shuffle."""
+    events = read_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("arm"),
+        F.col("value").cast("decimal(18,6)").alias("x"),
+    )
+    m = base.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    stats = m.where(F.col("n") >= 2).select(
+        "event_type",
+        "arm",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = stats.where(F.col("arm") == 0).alias("a")
+    b = stats.where(F.col("arm") == 1).alias("b")
+    return a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.mean"), 6).alias("mean_a"),
+        F.round(F.col("b.mean"), 6).alias("mean_b"),
+        F.round(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")),
+            6,
+        ).alias("t_welch"),
+    )

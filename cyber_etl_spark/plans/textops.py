@@ -2146,3 +2146,73 @@ def q142_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(frac < F.col("rate"))
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+@query(
+    "q143_langid_eval",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), pred AS (
+      SELECT lang = 'en' AS actual,
+             (len(toks) > 0
+              AND len(list_filter(toks, x -> list_contains({{stops}}, x)))
+                  / len(toks) >= 0.1) AS predicted
+      FROM t
+    ), cm AS (
+      SELECT CAST(SUM(CASE WHEN actual AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN NOT actual AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN actual AND NOT predicted THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN NOT actual AND NOT predicted THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           round(tp / nullif(CAST(tp + fp AS DOUBLE), 0.0), 6) AS precision_en,
+           round(tp / nullif(CAST(tp + fn AS DOUBLE), 0.0), 6) AS recall_en,
+           round(2.0 * tp / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0), 6) AS f1_en
+    FROM cm
+    """.replace("{stops}", _STOPS_SQL),
+    tags=("text", "langid", "evaluation"),
+)
+def q143_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier evaluation: precision / recall / F1 of the
+    q18 stopword-ratio language detector against the labeled ``lang``
+    column (binary en-detection) — the model-eval rollup a curation
+    pipeline runs when it tunes a filter heuristic against a labeled
+    sample.  Integer confusion counts, exact; ratios assemble in
+    identical double arithmetic, zero-denominator → NULL."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    pred = docs.select(
+        (F.col("lang") == "en").alias("actual"),
+        ((F.size(toks) > 0) & (stopword_ratio(toks) >= 0.1)).alias("predicted"),
+    )
+    cm = pred.agg(
+        F.sum(F.when(F.col("actual") & F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(~F.col("actual") & F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("actual") & ~F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("actual") & ~F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.round(
+            F.col("tp") / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)), 6
+        ).alias("precision_en"),
+        F.round(
+            F.col("tp") / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)), 6
+        ).alias("recall_en"),
+        F.round(
+            2.0 * F.col("tp")
+            / F.nullif((2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("f1_en"),
+    )

@@ -154,3 +154,21 @@ def test_q134_groupby_reuses_window_partitioning(spark, sf_smoke):
     both key on (user_id, event_type)."""
     plan = _plan(spark, sf_smoke, "q134_burst_collapse")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_registry_wide_no_cartesian_product(spark, sf_smoke):
+    """Generic scale invariant over EVERY registered query: plans must
+    contain no non-broadcast CartesianProduct — the one operator shape
+    that is always wrong at 100 TB (every intended cross join in the
+    registry is a broadcast 1-row statistic or bounded probe list, which
+    plans as BroadcastNestedLoopJoin).  Also smoke-builds every plan, so
+    an AnalysisException in any registered builder fails here without
+    executing anything."""
+    from cyber_etl_spark.plans import QUERIES
+
+    flagged = []
+    for name, q in sorted(QUERIES.items()):
+        plan = q.builder(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            flagged.append(name)
+    assert not flagged, flagged

@@ -44,14 +44,20 @@ from ..functions.text import tokens
 SEP = "¦"  # '¦' — never appears in corpus tokens
 
 
-def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
-    """(repr, cnt): each distinct corpus token as its initial symbol
-    sequence (one symbol per character), weighted by occurrence count."""
+def _word_table(
+    docs: DataFrame, text_col: str, keep_token: bool = False
+) -> DataFrame:
+    """(repr, cnt[, token]): each distinct corpus token as its initial
+    symbol sequence (one symbol per character), weighted by occurrence
+    count.  ``keep_token`` carries the original token through the merge
+    rounds — needed by appliers (tokenization) that must map corpus
+    tokens back to their final symbol sequences."""
     toks = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
     words = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    return words.select(
-        F.regexp_replace("token", "(.)", f"{SEP}$1{SEP}").alias("repr"), "cnt"
-    )
+    cols = [F.regexp_replace("token", "(.)", f"{SEP}$1{SEP}").alias("repr"), "cnt"]
+    if keep_token:
+        cols.append(F.col("token"))
+    return words.select(*cols)
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
@@ -96,9 +102,10 @@ def _merge_rounds(
                 F.lit(SEP), F.col("left_sym"), F.lit(SEP + SEP), F.col("right_sym"), F.lit(SEP)
             )
             rep = F.concat(F.lit(SEP), F.col("left_sym"), F.col("right_sym"), F.lit(SEP))
+            carry = [c for c in words.columns if c != "repr"]
             words = (
                 words.crossJoin(F.broadcast(best))
-                .select(F.replace("repr", pat, rep).alias("repr"), "cnt")
+                .select(F.replace("repr", pat, rep).alias("repr"), *carry)
                 .localCheckpoint(eager=True)  # pin per iteration or the
                 # replace chain re-runs every earlier merge per reference
             )
@@ -126,6 +133,14 @@ def bpe_merges(
         raise ValueError(f"need num_merges >= 1, got {num_merges}")
     words = _word_table(docs, text_col).localCheckpoint(eager=True)
     bests, _ = _merge_rounds(words, num_merges)
+    return merges_from_bests(bests)
+
+
+def merges_from_bests(bests: list[DataFrame]) -> DataFrame:
+    """(step, left_sym, right_sym, merged, freq) from a _merge_rounds
+    ``bests`` list — split out so callers holding a cached rounds run
+    (one per session/dataset) can derive the learn output without
+    replaying the loop."""
     merge_rows = [
         best.select(
             F.lit(step).alias("step"),
@@ -159,6 +174,13 @@ def bpe_compression_curve(
         raise ValueError(f"need num_merges >= 1, got {num_merges}")
     words = _word_table(docs, text_col).localCheckpoint(eager=True)
     _, word_tables = _merge_rounds(words, num_merges, keep_last_words=True)
+    return curve_from_tables(word_tables)
+
+
+def curve_from_tables(word_tables: list[DataFrame]) -> DataFrame:
+    """(step, total_symbols) from a _merge_rounds ``word_tables`` list
+    (step k = table after k merges) — cache-shareable like
+    :func:`merges_from_bests`."""
 
     def total(w: DataFrame, step: int) -> DataFrame:
         syms = F.split(F.expr(f"trim(BOTH '{SEP}' FROM repr)"), SEP + SEP)
@@ -167,24 +189,30 @@ def bpe_compression_curve(
         ).select(F.lit(step).alias("step"), "total_symbols")
 
     out = total(word_tables[0], 0)
-    for k in range(1, num_merges + 1):
+    for k in range(1, len(word_tables)):
         out = out.unionByName(total(word_tables[k], k))
     return out
 
 
-def bpe_oracle_sql(num_merges: int = 4, curve: bool = False) -> str:
+def bpe_oracle_sql(
+    num_merges: int = 4, curve: bool = False, carry_token: bool = False
+) -> str:
     """DuckDB oracle for :func:`bpe_merges` (and, with ``curve=True``,
     :func:`bpe_compression_curve`): the same loop unrolled into chained
     CTEs (w0 → p1/b1/w1 → ...), replaying the identical tokenize /
-    pair-count / argmax / left-to-right replace per round."""
+    pair-count / argmax / left-to-right replace per round.
+    ``carry_token`` threads the original token through every w CTE (for
+    tokenization oracles built on the final table) and returns the bare
+    chain — the caller appends its own final SELECT."""
+    tok_sel = ", token" if carry_token else ""
     parts = [
         f"""
     WITH w0 AS (
       SELECT regexp_replace(token, '(.)', '{SEP}\\1{SEP}', 'g') AS repr,
-             CAST(COUNT(*) AS BIGINT) AS cnt
+             CAST(COUNT(*) AS BIGINT) AS cnt{tok_sel}
       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
               AS token FROM documents)
-      GROUP BY 1)"""
+      GROUP BY ALL)"""
     ]
     for k in range(1, num_merges + 1):
         parts.append(
@@ -200,14 +228,16 @@ def bpe_oracle_sql(num_merges: int = 4, curve: bool = False) -> str:
       FROM p{k} GROUP BY 1, 2
       ORDER BY freq DESC, left_sym, right_sym LIMIT 1)"""
         )
-        if k < num_merges or curve:
+        if k < num_merges or curve or carry_token:
             parts.append(
                 f""",
     w{k} AS (
       SELECT replace(repr, '{SEP}' || left_sym || '{SEP}{SEP}' || right_sym || '{SEP}',
-                     '{SEP}' || left_sym || right_sym || '{SEP}') AS repr, cnt
+                     '{SEP}' || left_sym || right_sym || '{SEP}') AS repr, cnt{tok_sel}
       FROM w{k - 1}, b{k})"""
             )
+    if carry_token:
+        return "".join(parts)  # caller appends its own final SELECT
     if curve:
         selects = "\n    UNION ALL ".join(
             f"SELECT {k} AS step, CAST(SUM(cnt * len(string_split("

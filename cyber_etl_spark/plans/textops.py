@@ -1675,7 +1675,30 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_cells=8, iters=2, threshold=0.4)
 
 
-from ..operators.bpe import bpe_compression_curve, bpe_merges, bpe_oracle_sql  # noqa: E402
+from ..operators.bpe import (  # noqa: E402
+    bpe_compression_curve,
+    bpe_merges,
+    bpe_oracle_sql,
+    curve_from_tables,
+    merges_from_bests,
+)
+
+_BPE_CACHE: dict[tuple, tuple] = {}
+
+
+def _bpe_rounds(spark: SparkSession, sf_dir: str, num_merges: int = 4) -> tuple:
+    """One cached BPE merge-rounds run per (session, dataset): the learn
+    (q131), curve (q136) and tokenize (q145) queries all consume the
+    same checkpointed loop artifacts — a trained tokenizer is a persisted
+    artifact, not a per-query recomputation."""
+    from ..operators.bpe import _merge_rounds, _word_table
+
+    key = (session_token(spark), sf_dir, num_merges)
+    if key not in _BPE_CACHE:
+        docs = read_table(spark, sf_dir, "documents")
+        words = _word_table(docs, "text", keep_token=True).localCheckpoint(eager=True)
+        _BPE_CACHE[key] = _merge_rounds(words, num_merges, keep_last_words=True)
+    return _BPE_CACHE[key]
 
 
 @query(
@@ -1691,8 +1714,7 @@ def q131_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a delimiter-encoded symbol string.  The oracle replays the loop
     as unrolled CTE rounds; ties break (freq desc, left, right) so the
     learned rules are engine- and partitioning-independent."""
-    docs = read_table(spark, sf_dir, "documents")
-    return bpe_merges(docs, num_merges=4)
+    return merges_from_bests(_bpe_rounds(spark, sf_dir, 4)[0])
 
 
 @query(
@@ -1853,8 +1875,7 @@ def q136_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw characters) — each round drops by the chosen pair's
     non-overlapping occurrence count, the quantity a tokenizer team
     tracks to pick vocabulary size."""
-    docs = read_table(spark, sf_dir, "documents")
-    return bpe_compression_curve(docs, num_merges=4)
+    return curve_from_tables(_bpe_rounds(spark, sf_dir, 4)[1])
 
 
 
@@ -2215,4 +2236,108 @@ def q143_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif((2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"), F.lit(0.0)),
             6,
         ).alias("f1_en"),
+    )
+
+
+@query(
+    "q145_bpe_tokenize",
+    oracle=bpe_oracle_sql(4, carry_token=True)
+    + """,
+    symv AS (
+      SELECT symbol, SUM(cnt) AS freq FROM (
+        SELECT cnt, unnest(string_split(trim(repr, '¦'), '¦¦')) AS symbol
+        FROM w4)
+      GROUP BY symbol),
+    vocab AS (
+      SELECT symbol,
+             CAST(row_number() OVER (ORDER BY freq DESC, symbol) AS BIGINT)
+               AS sym_id
+      FROM symv),
+    toksym AS (
+      SELECT token, e.sp AS sp, e.sym AS symbol FROM (
+        SELECT token,
+               unnest(list_transform(range(1, len(s) + 1),
+                      i -> {'sp': i, 'sym': s[i]})) AS e
+        FROM (SELECT token, string_split(trim(repr, '¦'), '¦¦') AS s FROM w4))),
+    tokids AS (
+      SELECT token, list(sym_id ORDER BY sp) AS ids
+      FROM toksym JOIN vocab USING (symbol) GROUP BY token),
+    dt AS (
+      SELECT doc_id, e.tp AS tp, e.tok AS token FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) + 1),
+                      i -> {'tp': i, 'tok': t[i]})) AS e
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents WHERE doc_id < 50))),
+    flatids AS (
+      SELECT doc_id, flatten(list(ids ORDER BY tp)) AS flat
+      FROM dt JOIN tokids USING (token) GROUP BY doc_id)
+    SELECT doc_id, CAST(len(flat) AS BIGINT) AS n_bpe_tokens,
+           md5(array_to_string(list_transform(flat, x -> CAST(x AS VARCHAR)), ','))
+             AS ids_md5
+    FROM flatids
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def q145_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization to dense ids — the endpoint of the learn → apply
+    chain: symbols of the merged word table get (freq desc, symbol)
+    dense ids, every corpus token maps to its ordered symbol-id
+    sequence, and each document flattens to one id stream in token
+    order.  Emitted as (doc_id, n_bpe_tokens, md5-of-id-sequence) for
+    the first 50 docs so the oracle hash pins every id and its position
+    without shipping megabyte arrays through the comparator.
+
+    Scale: the id mapping is |vocab|-sized (broadcastable); documents
+    join it token-wise and reassemble per doc — the same ordered
+    collect_list(struct) reassembly as q140's span cut."""
+    from pyspark.sql.window import Window
+
+    _, tables = _bpe_rounds(spark, sf_dir, 4)
+    final = tables[-1]  # (repr, cnt, token)
+    syms = F.split(F.expr("trim(BOTH '¦' FROM repr)"), "¦¦")
+    vocab = (
+        final.select("cnt", F.explode(syms).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("cnt").alias("freq"))
+        .select(
+            "symbol",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), "symbol"))
+            .cast("long")
+            .alias("sym_id"),
+        )
+    )
+    tokids = (
+        final.select("token", F.posexplode(syms).alias("sp", "symbol"))
+        .join(vocab, "symbol")
+        .groupBy("token")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sp", "sym_id"))),
+                lambda s: s["sym_id"],
+            ).alias("ids")
+        )
+    )
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    dt = docs.select("doc_id", F.posexplode(toks).alias("tp", "token"))
+    flat = (
+        dt.join(tokids, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tp", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("flat")
+        )
+    )
+    return flat.select(
+        "doc_id",
+        F.size("flat").cast("long").alias("n_bpe_tokens"),
+        F.md5(
+            F.concat_ws(",", F.transform("flat", lambda x: x.cast("string")))
+        ).alias("ids_md5"),
     )

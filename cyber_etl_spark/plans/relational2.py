@@ -2337,3 +2337,57 @@ def q144_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_welch"),
     )
+
+
+@query(
+    "q146_equifreq_binning",
+    oracle="""
+    WITH b AS (
+      SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+             round(quantile_cont(o_totalprice, 0.50), 6) AS q2,
+             round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+      FROM orders
+    ),
+    binned AS (
+      SELECT CASE WHEN o_totalprice <= q1 THEN 1
+                  WHEN o_totalprice <= q2 THEN 2
+                  WHEN o_totalprice <= q3 THEN 3
+                  ELSE 4 END AS bin,
+             o_totalprice
+      FROM orders, b
+    )
+    SELECT bin, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_price
+    FROM binned GROUP BY bin
+    """,
+    tags=("agg", "quantile", "binning"),
+)
+def q146_equifreq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-frequency feature binning: exact quartile boundaries (the
+    q112 percentile machinery, rounded to 6 dp so the bin edges are
+    engine-identical) broadcast into a CASE assignment, then per-bin
+    count + exact-decimal mean — the quantile-bucketing transform of a
+    feature pipeline, without ntile's single-partition global window
+    (the boundary table is 1 row; assignment is a pure map over the
+    scan)."""
+    orders = read_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("q2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("q3"),
+    )
+    binned = orders.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+        .when(F.col("o_totalprice") <= F.col("q2"), 2)
+        .when(F.col("o_totalprice") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+        ).alias("mean_price"),
+    )

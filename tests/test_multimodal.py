@@ -509,3 +509,28 @@ def test_resize_images_real_png(spark):
     }
     assert (metas[1].width, metas[1].height, metas[1].mode) == (4, 4, "RGB")
     assert (metas[2].width, metas[2].height) == (4, 4)
+
+
+def test_image_feature_ann_dedup_end_to_end(spark):
+    """Full multimodal dedup chain: binary image column → deterministic
+    feature extraction → embedding-cosine near-dup pairs.  Identical
+    bytes must land in a pair at cosine 1.0; distinct images must not."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.operators.ann import cosine_neardup_pairs
+    from cyber_etl_spark.operators.multimodal import encode_fake_image, extract_features
+
+    rows = [
+        (1, bytearray(encode_fake_image(64, 64, "RGB"))),
+        (2, bytearray(encode_fake_image(64, 64, "RGB"))),   # exact dup of 1
+        (3, bytearray(encode_fake_image(640, 480, "RGB"))),
+        (4, bytearray(encode_fake_image(32, 32, "L"))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    feats = extract_features(df, dim=16).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+    pairs = cosine_neardup_pairs(feats, threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}

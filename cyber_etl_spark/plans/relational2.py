@@ -2391,3 +2391,50 @@ def q146_equifreq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
         ).alias("mean_price"),
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE nxt AS (
+      SELECT o_custkey AS c, o_orderkey AS k,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             lead(o_orderkey) OVER w AS nk,
+             CAST(lead(o_totalprice) OVER w AS DOUBLE) AS nk_price,
+             row_number() OVER w AS rn
+      FROM orders
+      WHERE o_custkey % 10 = 0
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    walk(c, k, depth, cum) AS (
+      SELECT c, k, 1 AS depth, price AS cum FROM nxt WHERE rn = 1
+      UNION ALL
+      SELECT w2.c, n.nk, w2.depth + 1, w2.cum + n.nk_price
+      FROM walk w2 JOIN nxt n ON w2.c = n.c AND w2.k = n.k
+      WHERE n.nk IS NOT NULL AND w2.depth < 8
+    )
+    SELECT c AS custkey, MAX(depth) AS chain_len,
+           round(MAX(cum), 6) AS total_spend
+    FROM walk GROUP BY c
+"""
+
+
+@query(
+    "q147_recursive_chain",
+    oracle=_RECURSIVE_CHAIN_SQL,
+    tags=("sql", "recursive", "graph"),
+)
+def q147_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) — the IDENTICAL SQL text
+    runs on both engines: per-customer order chains walked link by link
+    (lead() builds the next-order edge; the recursion carries depth and
+    a running spend, hop-capped at 8 — recursion cost is per-LEVEL, so
+    the cap bounds the iteration count, not the row volume), aggregated
+    to chain length + total.  An acyclic
+    linked-list walk because Spark's recursion supports UNION ALL only
+    (cycle-unsafe on graphs); the iterative-DataFrame algorithms in
+    graph/ remain the cycle-safe path.  Recursion depth = the longest
+    order chain (≲40 at any SF; the engine caps at
+    spark.sql.cte.recursion.level.limit=100).  The walk's running sum is
+    sequential per chain, so double accumulation is order-deterministic
+    in both engines."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_CHAIN_SQL)

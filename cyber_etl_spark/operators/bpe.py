@@ -86,7 +86,13 @@ def _merge_rounds(
     ``word_tables[k]`` is the table AFTER k merges (index 0 = initial);
     the last rewrite is skipped unless ``keep_last_words`` (learners only
     need the chosen pairs, appliers need the final state too).  Every
-    materialized frame is localCheckpoint-pinned (loop discipline)."""
+    materialized frame is localCheckpoint-pinned (loop discipline).
+
+    Pair exhaustion: when a round finds no adjacent pair (every word is
+    a single symbol), its ``best`` is EMPTY and the crossJoin empties
+    every later word table — subsequent rounds contribute no merge rows
+    and zero symbol counts, so learners simply emit fewer than
+    ``num_merges`` rules (classic learn_bpe stops the same way)."""
     bests, word_tables = [], [words]
     for step in range(1, num_merges + 1):
         best = (

@@ -80,3 +80,12 @@ def test_bpe_compression_curve_drops_by_merge_freq(spark):
     # merge (ab,ab) freq 3 but 'abab' has ONE non-overlapping occurrence
     # per word (cnt 3) -> 12 - 3 = 9
     assert curve[2] == 9
+
+
+def test_bpe_pair_exhaustion_emits_fewer_rules(spark):
+    """A corpus whose pairs run out before num_merges emits only the
+    realizable rules (learn_bpe stop semantics), not an error."""
+    docs = spark.createDataFrame([(1, "ab ab b")], ["doc_id", "text"])
+    out = _rows(bpe_merges(docs, num_merges=3))
+    # round 1 merges (a,b); afterwards every word is one symbol
+    assert out == [(1, "a", "b", "ab", 2)]

@@ -141,3 +141,11 @@ def test_span_queries_on_tiny_docs(spark):
         out = {r.doc_id: r for r in QUERIES["q140_span_cut"].builder(spark, d).collect()}
     assert all(out[i].n_removed == 0 for i in (1, 2, 3))
     assert out[1].clean_text == "short doc"
+
+
+def test_hits_on_empty_edges(spark):
+    from cyber_etl_spark.graph.algorithms import hits
+
+    edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    hubs, auths = hits(edges, iterations=2)
+    assert hubs.count() == 0 and auths.count() == 0

@@ -778,6 +778,8 @@ def hits(
     each half-step is one join + hash-agg shuffled on a vertex key,
     O(|E|) rows.
     """
+    if iterations < 1:
+        raise ValueError(f"need iterations >= 1, got {iterations}")
     e = _derived(
         edges,
         ("hits-edges",),

@@ -410,11 +410,6 @@ def nearest_centroid_assign(
     from pyspark.sql.types import StructField, StructType
 
     rows = sorted(cents.select("cell", "cv").collect(), key=lambda r: r["cell"])
-    if not rows:
-        raise ValueError("nearest_centroid_assign needs a non-empty centroid table")
-    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
-    cmat = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     out_schema = StructType(
         [
             vecs.schema["id"],
@@ -422,6 +417,15 @@ def nearest_centroid_assign(
             *[vecs.schema[c] for c in extra_cols],
         ]
     )
+    if not rows:
+        # empty centroid table (empty corpus seeding) → empty assignment,
+        # matching the vacuous-empty behavior of the replaced broadcast-
+        # argmax form so the whole k-means/IVF family degrades instead of
+        # failing at plan-build time
+        return vecs.sparkSession.createDataFrame([], out_schema)
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
 
     def assign(batches):
         for pdf in batches:
@@ -709,8 +713,13 @@ def scalar_quantize_int8(
         v.alias("v"),
         (F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0).alias("scale"),
     ).where(F.col("scale") > 0)
+    # clamp the floor at -127: when the max-|x| element is negative and
+    # the float divide lands at -127.0000…01, floor alone would emit
+    # -128 — outside the symmetric int8 contract this operator promises
+    # (and outside what a signed-magnitude int8 sink can hold)
     codes = F.transform(
-        "v", lambda x: F.floor(x / F.col("scale")).cast("int")
+        "v",
+        lambda x: F.greatest(F.lit(-127), F.floor(x / F.col("scale"))).cast("int"),
     )
     return out.select(
         "id",
@@ -723,13 +732,17 @@ def scalar_quantize_int8(
 def save_ivf_index(cents: DataFrame, assign: DataFrame, path: str) -> None:
     """Persist an IVF index (centroids + cell assignments) as parquet —
     the build-once/query-many lifecycle of a production ANN deployment.
-    Assignments are written clustered by cell so a probed cell's rows
-    are co-located in few row groups (partition pruning on the probe
-    join's cell key)."""
+    Assignments are written HIVE-PARTITIONED by cell (``partitionBy``,
+    not just clustered): cell is then a real partition column, so a
+    probe join on it is eligible for dynamic partition pruning and a
+    literal cell predicate prunes directories outright — a
+    repartition-only layout would leave every query scanning the full
+    assignments table.  The pre-write repartition keeps one file per
+    cell directory."""
     import os
 
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    assign.repartition("cell").write.mode("overwrite").parquet(
+    assign.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "assignments")
     )
 

@@ -101,6 +101,8 @@ def _parse_image_header(b: bytes) -> tuple[int, int, str] | None:
     import struct
 
     if b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+        if len(b) < 26:
+            return None  # truncated IHDR
         w, h = struct.unpack(">II", b[16:24])
         color_type = b[25]
         return w, h, _PNG_MODES.get(color_type, (f"ct{color_type}", 0))[0]
@@ -110,18 +112,27 @@ def _parse_image_header(b: bytes) -> tuple[int, int, str] | None:
             if b[i] != 0xFF:
                 return None  # corrupt marker stream
             marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1  # spec-legal 0xFF fill byte before a marker
+                continue
+            if marker == 0xD9:
+                return None  # EOI before any SOF — no dimensions
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers have no length field
                 continue
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
             # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 10 > len(b):
+                    return None  # truncated SOF header
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 ncomp = b[i + 9]
                 return w, h, {1: "L", 3: "RGB", 4: "CMYK"}.get(ncomp, f"c{ncomp}")
             i += 2 + seg_len
         return None
     if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) < 10:
+            return None  # truncated logical screen descriptor
         w, h = struct.unpack("<HH", b[6:10])
         return w, h, "P"
     return None
@@ -175,15 +186,27 @@ def _png_decode_pixels(b: bytes) -> tuple["np.ndarray", int]:
     """Decode an 8-bit non-interlaced PNG → (H×W×C uint8 array,
     color_type).  Pure stdlib (zlib inflate + per-row filter
     reconstruction per the PNG spec: None/Sub/Up/Average/Paeth).
-    Palette/16-bit/interlaced variants raise ValueError (callers fall
-    back to the codec gate)."""
+    Palette/16-bit/interlaced variants — and ANY malformed container
+    (truncated header, corrupt deflate stream, short scanline data) —
+    raise ValueError, so callers have exactly one fallback signal.
+
+    Filter reconstruction is channel-vectorized: Sub is an exact
+    per-channel cumsum (mod 256), Up a full-row vector add, and
+    Average/Paeth iterate over PIXELS with all channels in numpy lanes
+    (their left-neighbor recurrences are order-dependent, but W steps of
+    C-lane math beats W·C interpreted steps).  This is the stdlib
+    fallback codec: a production deployment decodes through the PIL
+    gate; this path exists so the container is not codec-blind."""
     import struct
     import zlib
 
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    w, h = struct.unpack(">II", b[16:24])
-    bit_depth, color_type, _comp, _filt, interlace = b[24:29]
+    try:
+        w, h = struct.unpack(">II", b[16:24])
+        bit_depth, color_type, _comp, _filt, interlace = b[24:29]
+    except (struct.error, ValueError):
+        raise ValueError("truncated PNG header")
     if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
         raise ValueError(f"unsupported PNG variant (depth={bit_depth}, ct={color_type})")
     nch = _PNG_MODES[color_type][1]
@@ -196,8 +219,13 @@ def _png_decode_pixels(b: bytes) -> tuple["np.ndarray", int]:
         if ctype == b"IEND":
             break
         i += 12 + clen
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG deflate stream: {e}")
     stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG scanline data shorter than declared dimensions")
     img = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
@@ -205,25 +233,33 @@ def _png_decode_pixels(b: bytes) -> tuple["np.ndarray", int]:
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
         ).copy()
-        if f == 1:  # Sub
-            for x in range(nch, stride):
-                line[x] = (int(line[x]) + int(line[x - nch])) & 0xFF
+        if f == 1:  # Sub: recon[x] = line[x] + recon[x-nch] — an exact
+            # per-channel prefix sum modulo 256
+            line = (
+                line.reshape(w, nch).astype(np.uint64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up
-            line = (line.astype(np.int32) + prev) % 256
-            line = line.astype(np.uint8)
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = line[x - nch] if x >= nch else 0
-                line[x] = (line[x] + (int(a) + int(prev[x])) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(line[x - nch]) if x >= nch else 0
-                bb = int(prev[x])
-                c = int(img[r - 1, x - nch]) if (x >= nch and r > 0) else 0
-                p = a + bb - c
-                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
+            line = ((line.astype(np.int32) + prev) % 256).astype(np.uint8)
+        elif f in (3, 4):  # Average / Paeth: left-neighbor recurrence —
+            # iterate pixels, vectorize the channel lanes
+            lp = line.reshape(w, nch).astype(np.int32)
+            pv = prev.reshape(w, nch).astype(np.int32)
+            out = np.zeros((w, nch), dtype=np.int32)
+            left = np.zeros(nch, dtype=np.int32)
+            for x in range(w):
+                bb = pv[x]
+                if f == 3:
+                    pred = (left + bb) // 2
+                else:
+                    c = pv[x - 1] if x > 0 else np.zeros(nch, dtype=np.int32)
+                    p = left + bb - c
+                    pa, pb, pc = np.abs(p - left), np.abs(p - bb), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, bb, c)
+                    )
+                left = (lp[x] + pred) & 0xFF
+                out[x] = left
+            line = out.astype(np.uint8).reshape(stride)
         elif f != 0:
             raise ValueError(f"bad PNG filter {f}")
         img[r] = line

@@ -1830,7 +1830,7 @@ def q132_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cq AS (
       SELECT vec_id AS neighbor_id,
-             list_transform(v, x -> CAST(floor(x / scale) AS INT) * scale) AS cv
+             list_transform(v, x -> CAST(greatest(-127, floor(x / scale)) AS INT) * scale) AS cv
       FROM sc WHERE scale > 0
     ),
     q AS (SELECT vec_id AS query_id, v AS qv FROM c0 WHERE vec_id < 5),

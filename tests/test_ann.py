@@ -246,3 +246,17 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, inline.collect()))
     b = sorted(map(tuple, loaded.collect()))
     assert a == b and len(a) == 25
+
+
+def test_scalar_quantize_int8_negative_max_clamps_at_minus_127(spark):
+    """A negative max-|x| element whose float divide lands below -127
+    must clamp to -127, not floor to -128 (the int8 symmetric contract)."""
+    from cyber_etl_spark.operators.ann import scalar_quantize_int8
+
+    # x / (|x|/127) == -127.00000000000001 for this magnitude (verified):
+    bad = -1.3445080768798998
+    df = spark.createDataFrame(
+        [(1, [bad, 0.5, 0.25])], "vec_id long, embedding array<double>"
+    )
+    r = scalar_quantize_int8(df).collect()[0]
+    assert min(r.codes) == -127 and all(-127 <= c <= 127 for c in r.codes)

@@ -149,3 +149,16 @@ def test_hits_on_empty_edges(spark):
     edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
     hubs, auths = hits(edges, iterations=2)
     assert hubs.count() == 0 and auths.count() == 0
+
+
+def test_kmeans_family_on_empty_corpus(spark):
+    """Empty corpus → empty centroids/assignments/pairs, not a
+    plan-build-time error (the GEMM assignment degrades like the
+    broadcast-argmax form it replaced)."""
+    from cyber_etl_spark.operators.ann import ivf_knn, kmeans_fit, semantic_dedup
+
+    emb = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cents, assign = kmeans_fit(emb, n_cells=4, iters=1)
+    assert cents.count() == 0 and assign.count() == 0
+    assert semantic_dedup(emb, n_cells=4, iters=1).count() == 0
+    assert ivf_knn(emb, emb, k=3, n_cells=4).count() == 0

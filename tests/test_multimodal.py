@@ -534,3 +534,45 @@ def test_image_feature_ann_dedup_end_to_end(spark):
     pairs = cosine_neardup_pairs(feats, threshold=0.999)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+def test_image_header_parse_truncated_and_fill_bytes():
+    """Malformed containers return None / ValueError (never struct.error
+    or zlib.error), and spec-legal JPEG 0xFF fill bytes still parse."""
+    import struct
+
+    import pytest
+
+    from cyber_etl_spark.operators import multimodal as mm
+
+    # truncated containers → header parse returns None → decode raises
+    # the documented ValueError
+    for bogus in (
+        mm._PNG_SIG + b"\x00\x00\x00\x0dIHDR\x00\x01",  # short IHDR
+        b"GIF89a\x0c",  # short screen descriptor
+        b"\xff\xd8\xff\xc0\x00\x08\x08\x00",  # SOF cut off mid-header
+    ):
+        assert mm._parse_image_header(bogus) is None
+        with pytest.raises(ValueError):
+            mm._decode_image_bytes(bogus)
+    # EOI before SOF → no dimensions
+    assert mm._parse_image_header(b"\xff\xd8\xff\xd9trailing") is None
+    # fill bytes (0xFF padding) before the SOF marker are skipped
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes
+        + b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", 48, 64)
+        + b"\x01"
+        + b"\x01\x11\x00"
+    )
+    assert mm._parse_image_header(jpeg) == (64, 48, "L")
+    # corrupt deflate stream in a well-formed PNG header → ValueError
+    png = mm._png_encode_pixels(
+        __import__("numpy").zeros((3, 3, 3), dtype="uint8"), 2
+    )
+    corrupt = png[:41] + b"\x00\x00\x00\x00" + png[45:]
+    with pytest.raises(ValueError):
+        mm._png_decode_pixels(corrupt)

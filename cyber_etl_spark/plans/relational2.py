@@ -2438,3 +2438,68 @@ def q147_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+@query(
+    "q149_psi_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT source, CAST(floor(n_chars / 50.0) AS INT) AS bin
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+      FROM binned GROUP BY bin
+    ),
+    totals AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS nbins FROM counts
+    ),
+    probs AS (
+      SELECT bin,
+             (ca + 1.0) / (na + nbins) AS pa,
+             (cb + 1.0) / (nb + nbins) AS pb
+      FROM counts, totals
+    )
+    SELECT bin, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
+    FROM probs
+    """,
+    tags=("quality", "drift", "monitoring"),
+)
+def q149_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two sources' document-
+    length distributions — the monitoring readout a production ingest
+    runs per batch to catch a source whose content shifted.  Fixed-width
+    bins (floor(n_chars/50) — floor-cast per CLAUDE.md, never a rounding
+    cast), add-one smoothing so empty-on-one-side bins contribute a
+    finite penalty instead of log(0), per-bin PSI contributions.
+    Integer counts exact; the (p−q)·ln(p/q) assembly is identical IEEE
+    double math, rounded 1e-6.  One scan, one bin-keyed shuffle."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    )
+    binned = docs.select(
+        "source", F.floor(F.col("n_chars") / 50.0).cast("int").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("cb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("nbins")
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        ((F.col("ca") + 1.0) / (F.col("na") + F.col("nbins"))).alias("pa"),
+        ((F.col("cb") + 1.0) / (F.col("nb") + F.col("nbins"))).alias("pb"),
+    )
+    return probs.select(
+        "bin",
+        F.round("pa", 6).alias("p_a"),
+        F.round("pb", 6).alias("p_b"),
+        F.round((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6).alias(
+            "psi_contrib"
+        ),
+    )

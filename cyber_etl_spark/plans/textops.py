@@ -2341,3 +2341,59 @@ def q145_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform("flat", lambda x: x.cast("string")))
         ).alias("ids_md5"),
     )
+
+
+@query(
+    "q148_split_leakage",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))), ' '))
+               AS fingerprint,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT te.doc_id AS test_doc_id,
+           COUNT(*) AS n_train_dups,
+           MIN(tr.doc_id) AS example_train_doc_id
+    FROM fp te JOIN fp tr
+      ON te.fingerprint = tr.fingerprint
+     AND te.split = 'test' AND tr.split = 'train'
+    GROUP BY te.doc_id
+    """,
+    tags=("text", "split", "decontamination", "evaluation"),
+)
+def q148_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split leakage audit: test-split documents whose
+    bag-of-words fingerprint (q19) also appears in the train split of
+    the SAME deterministic split as q68 — the eval-hygiene check that
+    catches duplicate documents straddling a split (the within-corpus
+    counterpart of q91's external-benchmark decontamination).  Join keys
+    are md5 fingerprints — uniform, skew-free; output is one row per
+    leaked test doc with its duplicate count and a deterministic
+    example train doc."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 10
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "fingerprint"
+        ),
+        F.when(bucket < 8, "train").otherwise("test").alias("split"),
+    )
+    te = fp.where(F.col("split") == "test").alias("te")
+    tr = fp.where(F.col("split") == "train").alias("tr")
+    return (
+        te.join(tr, F.col("te.fingerprint") == F.col("tr.fingerprint"))
+        .groupBy(F.col("te.doc_id").alias("test_doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_train_dups"),
+            F.min(F.col("tr.doc_id")).alias("example_train_doc_id"),
+        )
+    )

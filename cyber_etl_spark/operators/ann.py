@@ -418,11 +418,19 @@ def nearest_centroid_assign(
         ]
     )
     if not rows:
-        # empty centroid table (empty corpus seeding) → empty assignment,
-        # matching the vacuous-empty behavior of the replaced broadcast-
-        # argmax form so the whole k-means/IVF family degrades instead of
-        # failing at plan-build time
-        return vecs.sparkSession.createDataFrame([], out_schema)
+        # empty centroid table + empty corpus (empty-corpus seeding) →
+        # empty assignment, matching the vacuous-empty behavior of the
+        # replaced broadcast-argmax form.  Empty centroids with a
+        # NON-empty corpus is a caller bug (broken index, over-filtered
+        # cents) — degrading silently there would drop every vector, so
+        # it stays loud.  The emptiness probe is one limit(1) job, paid
+        # only on this error path.
+        if vecs.limit(1).count() == 0:
+            return vecs.sparkSession.createDataFrame([], out_schema)
+        raise ValueError(
+            "empty centroid table with a non-empty vector input — "
+            "refusing to silently assign nothing"
+        )
     cells = np.array([r["cell"] for r in rows], dtype=np.int64)
     cmat = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
@@ -752,7 +760,11 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     usable as :func:`ivf_knn`'s ``index`` argument."""
     import os
 
-    return (
-        spark.read.parquet(os.path.join(path, "centroids")),
-        spark.read.parquet(os.path.join(path, "assignments")),
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    # partition-column type inference narrows the hive-partitioned cell
+    # directory values to INT; restore the exact type the index was
+    # built with (the centroids table preserves it as a data column)
+    assign = spark.read.parquet(os.path.join(path, "assignments")).withColumn(
+        "cell", F.col("cell").cast(cents.schema["cell"].dataType)
     )
+    return cents, assign

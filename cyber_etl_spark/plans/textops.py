@@ -2387,13 +2387,27 @@ def q148_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(bucket < 8, "train").otherwise("test").alias("split"),
     )
-    te = fp.where(F.col("split") == "test").alias("te")
-    tr = fp.where(F.col("split") == "train").alias("tr")
+    # single pass instead of a fingerprint self-join: one groupBy folds
+    # both splits' stats per fingerprint (collect_list skips the nulls
+    # the when() emits for the other split), so the corpus is scanned
+    # and fingerprinted ONCE — the self-join form re-ran the tokenize +
+    # sort + md5 projection per side.
+    per_fp = fp.groupBy("fingerprint").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "n_train_dups"
+        ),
+        F.min(F.when(F.col("split") == "train", F.col("doc_id"))).alias(
+            "example_train_doc_id"
+        ),
+        F.collect_list(F.when(F.col("split") == "test", F.col("doc_id"))).alias(
+            "test_ids"
+        ),
+    )
     return (
-        te.join(tr, F.col("te.fingerprint") == F.col("tr.fingerprint"))
-        .groupBy(F.col("te.doc_id").alias("test_doc_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_train_dups"),
-            F.min(F.col("tr.doc_id")).alias("example_train_doc_id"),
+        per_fp.where((F.col("n_train_dups") > 0) & (F.size("test_ids") > 0))
+        .select(
+            F.explode("test_ids").alias("test_doc_id"),
+            "n_train_dups",
+            "example_train_doc_id",
         )
     )

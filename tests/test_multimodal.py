@@ -536,7 +536,7 @@ def test_image_feature_ann_dedup_end_to_end(spark):
     assert got == {(1, 2)}
 
 
-def test_image_header_parse_truncated_and_fill_bytes():
+def test_image_header_parse_truncated_and_fill_bytes(monkeypatch):
     """Malformed containers return None / ValueError (never struct.error
     or zlib.error), and spec-legal JPEG 0xFF fill bytes still parse."""
     import struct
@@ -545,6 +545,10 @@ def test_image_header_parse_truncated_and_fill_bytes():
 
     from cyber_etl_spark.operators import multimodal as mm
 
+    # the ValueError assertions pin the NO-CODEC path; with Pillow
+    # importable the gate would raise PIL's UnidentifiedImageError
+    # (an OSError) instead, so force the gate off for this test
+    monkeypatch.setattr(mm, "_HAS_PIL", False)
     # truncated containers → header parse returns None → decode raises
     # the documented ValueError
     for bogus in (

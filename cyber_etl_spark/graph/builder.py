@@ -12,10 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import session_token
+from ..session import SessionMemo, session_token
 from ..sources import read_table
 
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[int, str], DataFrame] = SessionMemo()
 
 
 def co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

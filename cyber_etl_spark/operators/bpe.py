@@ -18,8 +18,10 @@ both Spark and DuckDB substitutes non-overlapping occurrences strictly
 left to right, this IS the greedy merge order BPE specifies (``¦a¦¦a¦¦a¦``
 → ``¦aa¦¦a¦``).  The wrapper chars make matches symbol-exact: ``¦a¦¦b¦``
 can never match inside ``¦ca¦¦b¦``, because the character before ``a``
-is ``c``, not ``¦``.  ``¦`` (U+00A6) cannot appear in tokens (the corpus
-tokenizer admits no such character).
+is ``c``, not ``¦``.  Tokens that themselves contain ``¦`` (U+00A6) are
+unrepresentable in this encoding and are dropped from the vocabulary
+statistics by ``_word_table`` (the oracle mirrors the filter) — enforced,
+not assumed.
 
 Scale notes (100 TB corpus):
 - The corpus is touched once (token explode → groupBy token).  Every
@@ -53,6 +55,12 @@ def _word_table(
     rounds — needed by appliers (tokenization) that must map corpus
     tokens back to their final symbol sequences."""
     toks = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    # Policy: a token containing the symbol delimiter U+00A6 cannot be
+    # represented in the ¦-wrapped encoding — it is DROPPED from the
+    # vocabulary statistics (mirrored in the oracle's w0 CTE) rather
+    # than silently corrupting the symbol stream.  Real corpora never
+    # tokenize to '¦', so this is a guard, not a behavior change.
+    toks = toks.where(~F.col("token").contains(SEP))
     words = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     cols = [F.regexp_replace("token", "(.)", f"{SEP}$1{SEP}").alias("repr"), "cnt"]
     if keep_token:
@@ -218,6 +226,7 @@ def bpe_oracle_sql(
              CAST(COUNT(*) AS BIGINT) AS cnt{tok_sel}
       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
               AS token FROM documents)
+      WHERE token NOT LIKE '%{SEP}%'
       GROUP BY ALL)"""
     ]
     for k in range(1, num_merges + 1):

@@ -309,27 +309,46 @@ def resize_images(
     """Re-encode every image at (width, height).  Genuine 8-bit PNGs are
     REALLY resized in-container (nearest-neighbor, stdlib zlib —
     :func:`_resize_png_bytes`); FAKEIMG payloads rewrite the fake header;
-    unsupported real formats would slot into a PIL kernel here (same
-    fall-through contract as :func:`resample_audio`)."""
+    other real formats (JPEG/GIF, palette/16-bit/interlaced PNG) resize
+    through PIL when importable and otherwise RAISE — genuine pixel data
+    is never silently replaced with a stub payload (ADVICE r5)."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for b in pdf[content_col]:
-                bb = bytes(b)
-                if bb[:8] == _PNG_SIG:
-                    try:
-                        out.append(_resize_png_bytes(bb, width, height))
-                        continue
-                    except ValueError:
-                        pass  # palette/16-bit/interlaced → generic path
-                _, _, mode = _decode_image_bytes(bb)
-                out.append(encode_fake_image(width, height, mode))
             pdf = pdf.copy()
-            pdf[content_col] = out
+            pdf[content_col] = [
+                _resize_image_bytes(bytes(b), width, height)
+                for b in pdf[content_col]
+            ]
             yield pdf
 
     return df.mapInPandas(do_resize, df.schema)
+
+
+def _resize_image_bytes(bb: bytes, width: int, height: int) -> bytes:
+    """Single-image resize dispatch (driver-testable twin of the
+    :func:`resize_images` kernel body — same gate pattern as
+    :func:`_decode_image_bytes`)."""
+    if bb.startswith(b"FAKEIMG|"):
+        _, _, mode = _decode_image_bytes(bb)
+        return encode_fake_image(width, height, mode)
+    if bb[:8] == _PNG_SIG:
+        try:
+            return _resize_png_bytes(bb, width, height)
+        except ValueError:
+            pass  # palette/16-bit/interlaced → PIL gate below
+    if _HAS_PIL:  # pragma: no cover - PIL absent in this container
+        import io
+
+        with Image.open(io.BytesIO(bb)) as im:
+            buf = io.BytesIO()
+            im.resize((width, height), Image.NEAREST).save(buf, format="PNG")
+            return buf.getvalue()
+    raise ValueError(
+        "real image bytes in a format the in-container resizer cannot "
+        "decode and PIL is unavailable — refusing to replace pixel data "
+        "with a stub"
+    )
 
 
 AUDIO_META_SCHEMA = StructType(

@@ -698,14 +698,23 @@ def q60_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "percentile"),
 )
 def q61_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quartiles per event type (percentile_cont
-    semantics in both engines; approx_percentile is the sketch-based
-    100 TB variant, exact is used so the oracle hash-matches)."""
+    """Exact interpolated quartiles per event type via the distributed
+    range-partition selection kernel (operators/quantiles.py) — same
+    percentile_cont interpolation as both engines' built-ins, but
+    per-partition (never per-group) memory, so a giant group cannot OOM
+    one aggregation buffer at 100 TB.  approx_percentile (q88) remains
+    the sketch twin for unbounded-cardinality profiling."""
+    from ..operators.quantiles import exact_quantiles
+
     events = read_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+    qs = exact_quantiles(
+        events, "value", {"p25": 0.25, "p50": 0.5, "p75": 0.75}, ["event_type"]
+    )
+    return qs.select(
+        "event_type",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
     )
 
 
@@ -1868,19 +1877,28 @@ def q111_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "quantile"),
 )
 def q112_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT grouped quantiles (median / p90 / IQR) — the sort-based
-    `percentile` aggregate, the exact twin of q88's KLL sketch: both
-    engines interpolate continuously so values match to the rounding.
-    At 100 TB the exact form costs a per-group sort of the value column
-    (fine for bounded groups like priorities); unbounded-cardinality
-    profiling belongs to the q88 sketch path."""
+    """EXACT grouped quantiles (median / p90 / IQR) — the exact twin of
+    q88's KLL sketch: both engines interpolate continuously so values
+    match to the rounding.
+    Computed by the distributed range-partition selection kernel
+    (operators/quantiles.py): per-partition memory regardless of group
+    size, so the exact form now survives unbounded groups too;
+    unbounded-cardinality *profiling* still belongs to the q88 sketch
+    path when approximate is acceptable."""
+    from ..operators.quantiles import exact_quantiles
+
     orders = read_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
-        F.round(
-            F.expr("percentile(o_totalprice, 0.75) - percentile(o_totalprice, 0.25)"), 6
-        ).alias("iqr_price"),
+    qs = exact_quantiles(
+        orders,
+        "o_totalprice",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9},
+        ["o_orderpriority"],
+    )
+    return qs.select(
+        "o_orderpriority",
+        F.round("p50", 6).alias("median_price"),
+        F.round("p90", 6).alias("p90_price"),
+        F.round(F.col("p75") - F.col("p25"), 6).alias("iqr_price"),
     )
 
 
@@ -2069,32 +2087,24 @@ def q130_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt giant document cannot mask the others.
 
     Two grouped EXACT medians (value, then absolute deviation) with the
-    group medians joined back between them — the same sort-based
-    `percentile` machinery q112 proved engine-identical.  n_chars is
-    integral so both medians are exactly representable (k or k + 0.5) and
-    the 0.6745·dev/MAD arithmetic is identical IEEE double math in both
-    engines; scores round to 6 dp before the 3.5 threshold.  MAD = 0
-    groups (constant columns) yield NULL scores and count no outliers in
-    either engine.  At 100 TB: per-group sort of a numeric column — the
-    exact path for bounded group counts; unbounded cardinalities move to
-    the q88 sketch twin."""
-    from pyspark.sql.window import Window
+    group medians broadcast-joined back between them, both computed by
+    the distributed range-partition selection kernel
+    (operators/quantiles.py) — per-partition memory, never a per-group
+    WindowExec buffer, so one giant source cannot OOM a task at 100 TB.
+    n_chars is integral so both medians are exactly representable (k or
+    k + 0.5) and the 0.6745·dev/MAD arithmetic is identical IEEE double
+    math in both engines; scores round to 6 dp before the 3.5 threshold.
+    MAD = 0 groups (constant columns) yield NULL scores and count no
+    outliers in either engine."""
+    from ..operators.quantiles import exact_quantiles
 
     docs = read_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
-    # Both medians as whole-partition WINDOW aggregates over ONE
-    # partitioning: the scan runs once and hashpartitioning(source) is
-    # established once — the window chain and the final groupBy all reuse
-    # it (plan: 1 scan / 1 exchange, vs 4 scans / 3 source-shuffles for
-    # the naive agg-join-agg-join form).  WindowExec buffers per-group
-    # rows with spill; for extreme single-group cardinality the two-agg
-    # join form trades extra scans for smaller sort runs.
-    w = Window.partitionBy("source")
-    med = F.expr("percentile(n_chars, 0.5)").over(w)
-    dev = docs.withColumn("med", med).withColumn(
+    med = exact_quantiles(docs, "n_chars", {"med": 0.5}, ["source"])
+    dev = docs.join(F.broadcast(med), "source").withColumn(
         "adev", F.abs(F.col("n_chars") - F.col("med"))
     )
-    mad = F.expr("percentile(adev, 0.5)").over(w)
-    scored = dev.withColumn("mad", mad).select(
+    mad = exact_quantiles(dev, "adev", {"mad": 0.5}, ["source"])
+    scored = dev.join(F.broadcast(mad), "source").select(
         "source",
         "doc_id",
         F.round(
@@ -2364,18 +2374,24 @@ def q144_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "quantile", "binning"),
 )
 def q146_equifreq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-frequency feature binning: exact quartile boundaries (the
-    q112 percentile machinery, rounded to 6 dp so the bin edges are
-    engine-identical) broadcast into a CASE assignment, then per-bin
-    count + exact-decimal mean — the quantile-bucketing transform of a
-    feature pipeline, without ntile's single-partition global window
-    (the boundary table is 1 row; assignment is a pure map over the
-    scan)."""
+    """Equi-frequency feature binning: exact quartile boundaries from
+    the distributed range-partition selection kernel
+    (operators/quantiles.py — a GLOBAL group is exactly the case where
+    the in-memory percentile aggregate would OOM at 100 TB), rounded to
+    6 dp so the bin edges are engine-identical, broadcast into a CASE
+    assignment, then per-bin count + exact-decimal mean — the
+    quantile-bucketing transform of a feature pipeline, without ntile's
+    single-partition global window (the boundary table is 1 row;
+    assignment is a pure map over the scan)."""
+    from ..operators.quantiles import exact_quantiles
+
     orders = read_table(spark, sf_dir, "orders")
-    b = orders.agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q1"),
-        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("q2"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("q3"),
+    b = exact_quantiles(
+        orders, "o_totalprice", {"q1": 0.25, "q2": 0.50, "q3": 0.75}
+    ).select(
+        F.round("q1", 6).alias("q1"),
+        F.round("q2", 6).alias("q2"),
+        F.round("q3", 6).alias("q3"),
     )
     binned = orders.crossJoin(F.broadcast(b)).select(
         F.when(F.col("o_totalprice") <= F.col("q1"), 1)

@@ -22,7 +22,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs_incremental,
     simhash_neardup_pairs,
 )
-from ..session import session_token
+from ..session import SessionMemo, session_token
 from ..sources import read_table
 from .registry import query
 
@@ -30,7 +30,7 @@ _STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
 # one materialized shingle table per (session, dataset): shared by the
 # Jaccard, MinHash-LSH and clustering queries
-_SH_CACHE: dict[tuple, object] = {}
+_SH_CACHE: dict[tuple, object] = SessionMemo()
 
 
 def cached_shingles(spark: SparkSession, sf_dir: str):
@@ -1683,7 +1683,7 @@ from ..operators.bpe import (  # noqa: E402
     merges_from_bests,
 )
 
-_BPE_CACHE: dict[tuple, tuple] = {}
+_BPE_CACHE: dict[tuple, tuple] = SessionMemo()
 
 
 def _bpe_rounds(spark: SparkSession, sf_dir: str, num_merges: int = 4) -> tuple:
@@ -1880,7 +1880,7 @@ def q136_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-_POS_CACHE: dict[tuple, tuple] = {}
+_POS_CACHE: dict[tuple, tuple] = SessionMemo()
 
 
 def _positional_shingles(spark: SparkSession, sf_dir: str):

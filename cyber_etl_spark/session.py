@@ -67,3 +67,41 @@ def session_token(spark: SparkSession) -> str:
     localCheckpoint blocks — a stale-alias hazard.  The application id is
     unique per SparkContext lifetime."""
     return spark.sparkContext.applicationId
+
+
+class SessionMemo(dict):
+    """Bounded memo dict for per-(session, dataset) build artifacts.
+
+    Every memoization cache in the package (edge builds, shingle tables,
+    backbones, BPE merge rounds, positional shingles) keys entries as
+    ``(session_token(spark), sf_dir, ...)``.  A plain module-level dict
+    never evicts: entries of a *stopped* session pin dead DataFrame
+    plans (and their localCheckpoint RDD handles) forever, and a
+    long-lived service cycling many datasets grows without bound — the
+    r5 verdict's hygiene finding.
+
+    Eviction happens on write, where the current session is known:
+
+    - **dead-session purge**: PySpark allows one live SparkContext per
+      process, so any existing entry whose leading token differs from
+      the key being inserted belongs to a stopped session — dropped.
+    - **size cap** (default 16 entries): oldest-inserted entries are
+      dropped first, bounding the artifacts kept across many datasets
+      within one session.
+
+    Reads stay plain dict hits — no per-access overhead in the hot
+    bench loop.
+    """
+
+    def __init__(self, cap: int = 16) -> None:
+        super().__init__()
+        self._cap = cap
+
+    def __setitem__(self, key, value) -> None:
+        tok = key[0] if isinstance(key, tuple) and key else None
+        if tok is not None:
+            for stale in [k for k in self if k[0] != tok]:
+                super().__delitem__(stale)
+        while len(self) >= self._cap:
+            super().__delitem__(next(iter(self)))
+        super().__setitem__(key, value)

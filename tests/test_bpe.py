@@ -89,3 +89,22 @@ def test_bpe_pair_exhaustion_emits_fewer_rules(spark):
     out = _rows(bpe_merges(docs, num_merges=3))
     # round 1 merges (a,b); afterwards every word is one symbol
     assert out == [(1, "a", "b", "ab", 2)]
+
+
+def test_bpe_sep_bearing_tokens_dropped_not_corrupted(spark):
+    """A corpus token containing the U+00A6 symbol delimiter is dropped
+    from the vocabulary statistics (ADVICE r5): it cannot be represented
+    in the ¦-wrapped encoding, and silently admitting it would corrupt
+    the symbol stream identically in both engines while diverging from
+    true BPE semantics.  The remaining tokens must learn exactly what
+    they would have without the poisoned token present."""
+    poisoned = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd"), (3, "x¦y ab¦")],
+        ["doc_id", "text"],
+    )
+    clean = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd")], ["doc_id", "text"]
+    )
+    got = _rows(bpe_merges(poisoned, num_merges=2))
+    want = _rows(bpe_merges(clean, num_merges=2))
+    assert got == want

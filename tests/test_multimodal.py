@@ -580,3 +580,53 @@ def test_image_header_parse_truncated_and_fill_bytes(monkeypatch):
     corrupt = png[:41] + b"\x00\x00\x00\x00" + png[45:]
     with pytest.raises(ValueError):
         mm._png_decode_pixels(corrupt)
+
+
+def test_resize_never_stubs_real_bytes(monkeypatch):
+    """ADVICE r5: genuine non-PNG image bytes must either resize through
+    a real codec (PIL when importable) or RAISE — never be silently
+    replaced with a FAKEIMG stub."""
+    import pytest
+
+    import cyber_etl_spark.operators.multimodal as mm
+
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"JFIF-payload-that-matters"
+
+    # no codec available: loud failure, not silent data loss
+    monkeypatch.setattr(mm, "_HAS_PIL", False)
+    with pytest.raises(ValueError, match="refusing to replace pixel data"):
+        mm._resize_image_bytes(jpeg_ish, 4, 4)
+
+    # PIL importable: routed through Image.open().resize(), PNG-encoded
+    class _FakeIm:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def resize(self, size, _method):
+            assert size == (4, 4)
+            return self
+
+        def save(self, buf, format):
+            assert format == "PNG"
+            buf.write(b"resized-by-codec")
+
+    class _FakeImage:
+        NEAREST = 0
+        opened_with: bytes | None = None
+
+        @classmethod
+        def open(cls, fh):
+            cls.opened_with = fh.read()
+            return _FakeIm()
+
+    monkeypatch.setattr(mm, "_HAS_PIL", True)
+    monkeypatch.setattr(mm, "Image", _FakeImage, raising=False)
+    assert mm._resize_image_bytes(jpeg_ish, 4, 4) == b"resized-by-codec"
+    assert _FakeImage.opened_with == jpeg_ish
+
+    # FAKEIMG payloads still take the deterministic stub path, PIL or not
+    out = mm._resize_image_bytes(mm.encode_fake_image(9, 9, "RGB"), 4, 4)
+    assert out.startswith(b"FAKEIMG|4|4|RGB|")

@@ -64,6 +64,13 @@ def test_whole_stage_codegen_everywhere_cheap(spark, sf_smoke):
         assert "BatchEvalPython" not in plan, name
         if name not in VECTORIZED_OK:
             assert "ArrowEvalPython" not in plan, name
+        # Spark's exact `percentile(` aggregate buffers every group value
+        # in ONE aggregation buffer — an executor OOM for a global group
+        # at 100 TB.  All exact quantiles must go through the distributed
+        # range-partition selection kernel (operators/quantiles.py);
+        # `percentile_approx(` (the q88 sketch) is the only sanctioned
+        # built-in and does not match this substring.
+        assert "percentile(" not in plan, name
 
 
 def test_q22_lsh_verification_is_candidate_first(spark, sf_smoke):

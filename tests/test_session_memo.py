@@ -1,0 +1,42 @@
+"""SessionMemo eviction — memo caches must not pin artifacts of stopped
+sessions or grow without bound across datasets (r5 hygiene finding)."""
+
+from __future__ import annotations
+
+from cyber_etl_spark.session import SessionMemo, session_token
+
+
+def test_dead_session_entries_evicted_on_write():
+    m = SessionMemo()
+    m[("app-old", "/data/a")] = "stale1"
+    m[("app-old", "/data/b", "variant")] = "stale2"
+    # same token: both live entries coexist
+    assert len(m) == 2
+    # a write from a NEW session (PySpark allows one live context per
+    # process, so a different token == the old session is stopped)
+    m[("app-new", "/data/a")] = "fresh"
+    assert list(m) == [("app-new", "/data/a")]
+
+
+def test_size_cap_drops_oldest():
+    m = SessionMemo(cap=3)
+    for i in range(5):
+        m[("app", f"/data/{i}")] = i
+    assert len(m) == 3
+    assert ("app", "/data/0") not in m and ("app", "/data/1") not in m
+    assert m[("app", "/data/4")] == 4
+
+
+def test_builder_cache_purges_foreign_token(spark, sf_smoke):
+    """End to end: seed the real edge cache with a dead-session entry,
+    trigger a build, and observe the stale entry gone while the fresh
+    one is served from cache."""
+    from cyber_etl_spark.graph import builder
+
+    builder._EDGE_CACHE[("dead-app-id", sf_smoke)] = "ghost"
+    e1 = builder.co_supply_edges(spark, sf_smoke)
+    assert ("dead-app-id", sf_smoke) not in builder._EDGE_CACHE
+    tok = session_token(spark)
+    assert (tok, sf_smoke) in builder._EDGE_CACHE
+    # second call is a pure cache hit (same object)
+    assert builder.co_supply_edges(spark, sf_smoke) is e1

@@ -343,11 +343,18 @@ def ivf_assign(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantization: deterministic centroid seeds (the first
-    ``n_cells`` vectors by id — a real system would k-means; seeds keep it
-    reproducible without training), every vector assigned to its nearest
-    centroid by cosine.  Returns (centroids, assignments).
+    """IVF coarse quantization → (centroids, assignments).
+
+    By DEFAULT the centroids are TRAINED — ``train_iters`` Lloyd k-means
+    iterations via :func:`kmeans_fit` (deterministic: micro-grid integer
+    means, (sim desc, cell asc) tie-breaks) — so cell balance reflects
+    the data distribution rather than data-order luck; balanced cells
+    are what make probe recall and the hive-partitioned index layout
+    predictable (r5 verdict item 3).  ``train_iters=0`` falls back to
+    raw seeds (the first ``n_cells`` vectors by id) for callers that
+    want an index without a training pass.
 
     At scale the centroid table is tiny → broadcast; assignment is one
     pass over the corpus; the assignment column becomes a partition key so
@@ -360,6 +367,8 @@ def ivf_assign(
     the id→cell mapping is monotone, so all (sim desc, cell asc)
     tie-breaks order identically to a 1..n numbering.
     """
+    if train_iters > 0:
+        return kmeans_fit(corpus, n_cells, train_iters, id_col, vec_col)
     seeds = (
         corpus.select(
             F.col(id_col).alias("cell"), to_double_array(F.col(vec_col)).alias("cv")
@@ -465,6 +474,7 @@ def ivf_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: tuple[DataFrame, DataFrame] | None = None,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF-style ANN: probe the ``nprobe`` nearest cells per query and
     re-rank only vectors in those cells — candidate count ≈
@@ -476,7 +486,9 @@ def ivf_knn(
     corpus version and persisted; queries only scan it).  ``n_cells`` is
     ignored when an index is supplied."""
     cents, assign = (
-        index if index is not None else ivf_assign(corpus, n_cells, id_col, vec_col)
+        index
+        if index is not None
+        else ivf_assign(corpus, n_cells, id_col, vec_col, train_iters)
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")

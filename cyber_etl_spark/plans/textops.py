@@ -675,54 +675,145 @@ def q39_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, threshold=0.4)
 
 
+_KM_ASSIGN_TPL = """{name} AS (
+  SELECT id, cell FROM (
+    SELECT vecs.id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY vecs.id
+             ORDER BY round(list_cosine_similarity(vecs.v, c.cv), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM vecs CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+
+def _lloyd_ctes(n_cells: int, iters: int, dim: int) -> list[str]:
+    """Chained CTEs replaying operators.ann._kmeans_core exactly:
+    micro-grid quantized vectors, seed centroids = first n_cells by id,
+    per-iteration (assign → integer-mean sums → new centroids with
+    empty-cell carry-over).  The final centroid table is ``cents{iters}``
+    and the final assignment CTE is appended by the caller via
+    ``_KM_ASSIGN_TPL``.  Shared by the q125 SemDeDup oracle and the q40
+    trained-IVF oracle."""
+    steps = [
+        "base AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],"
+        " x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm FROM embeddings)",
+        "vecs AS (SELECT id, vm, list_transform(vm, m -> m / 1000000.0) AS v FROM base)",
+        f"cents0 AS (SELECT id AS cell, v AS cv FROM vecs ORDER BY id LIMIT {n_cells})",
+    ]
+    for i in range(iters):
+        steps.append(_KM_ASSIGN_TPL.format(name=f"assign{i}", cents=f"cents{i}"))
+        steps.append(
+            f"""sums{i + 1} AS (
+  SELECT a.cell, u.pos,
+         CAST(floor(SUM(vecs.vm[u.pos + 1]) / COUNT(*) + 0.5) AS BIGINT) AS cmicro
+  FROM assign{i} a JOIN vecs ON vecs.id = a.id
+  CROSS JOIN (SELECT unnest(range(0, {dim})) AS pos) u
+  GROUP BY a.cell, u.pos
+)"""
+        )
+        steps.append(
+            f"newc{i + 1} AS (SELECT cell, list(cmicro / 1000000.0 ORDER BY pos)"
+            f" AS cv FROM sums{i + 1} GROUP BY cell)"
+        )
+        steps.append(
+            f"""cents{i + 1} AS (
+  SELECT c.cell, COALESCE(n.cv, c.cv) AS cv
+  FROM cents{i} c LEFT JOIN newc{i + 1} n USING (cell)
+)"""
+        )
+    return steps
+
+
+def _semantic_dedup_oracle(
+    n_cells: int = 8, iters: int = 2, threshold: float = 0.4, dim: int = 64
+) -> str:
+    """Unroll the fixed-iteration Lloyd k-means + within-cell dedup into
+    chained CTEs (the iterative-algorithm oracle convention).  Centroid
+    means run on the exact 1e-6 integer grid in BOTH engines, so shuffle
+    order cannot perturb them; ``dim`` is the fixture embedding width
+    (the Spark builder is dim-agnostic via posexplode)."""
+    steps = _lloyd_ctes(n_cells, iters, dim)
+    steps.append(_KM_ASSIGN_TPL.format(name="afinal", cents=f"cents{iters}"))
+    steps.append(
+        f"""dropped AS (
+  SELECT DISTINCT b.id AS id
+  FROM afinal a JOIN afinal b ON a.cell = b.cell AND a.id < b.id
+  JOIN vecs va ON va.id = a.id JOIN vecs vb ON vb.id = b.id
+  WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= {threshold}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + "\nSELECT a.id AS vec_id, a.cell FROM afinal a"
+        + " WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = a.id)"
+    )
+
+
+def _ivf_oracle(
+    n_cells: int = 16, iters: int = 2, nprobe: int = 4, k: int = 10, dim: int = 64
+) -> str:
+    """Trained-centroid IVF kNN oracle: the q125 Lloyd unroll for the
+    index structure (centroids + cell assignment on the quantized grid),
+    then probe selection and candidate re-rank on the RAW double vectors
+    — exactly what operators.ann.ivf_knn computes with the default
+    ``train_iters`` index."""
+    steps = _lloyd_ctes(n_cells, iters, dim)
+    steps.append(_KM_ASSIGN_TPL.format(name="afinal", cents=f"cents{iters}"))
+    steps.append(
+        "raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS rv FROM embeddings)"
+    )
+    steps.append("q AS (SELECT id AS query_id, rv AS qv FROM raw WHERE id < 20)")
+    steps.append(
+        f"""probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM q CROSS JOIN cents{iters} c
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    steps.append(
+        """scored AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, r.rv), 6) AS cosine
+  FROM probes p
+  JOIN afinal a ON a.cell = p.cell
+  JOIN q ON q.query_id = p.query_id
+  JOIN raw r ON r.id = a.id
+  WHERE a.id <> p.query_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}"""
+    )
+
+
+
 @query(
     "q40_knn_ivf",
-    oracle="""
-    WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT 16),
-    assign AS (
-      SELECT id, cell FROM (
-        SELECT c.id, cents.cell,
-               ROW_NUMBER() OVER (PARTITION BY c.id
-                 ORDER BY round(list_cosine_similarity(c.v, cents.cv), 6) DESC,
-                          cents.cell ASC) AS rn
-        FROM c CROSS JOIN cents
-      ) WHERE rn = 1
-    ),
-    q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 20),
-    probes AS (
-      SELECT query_id, cell FROM (
-        SELECT q.query_id, cents.cell,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_cosine_similarity(q.qv, cents.cv), 6) DESC,
-                          cents.cell ASC) AS rn
-        FROM q CROSS JOIN cents
-      ) WHERE rn <= 4
-    ),
-    scored AS (
-      SELECT p.query_id, a.id AS neighbor_id,
-             round(list_cosine_similarity(q.qv, c.v), 6) AS cosine
-      FROM probes p
-      JOIN assign a ON a.cell = p.cell
-      JOIN q ON q.query_id = p.query_id
-      JOIN c ON c.id = a.id
-      WHERE a.id <> p.query_id
-    )
-    SELECT query_id, neighbor_id, cosine FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, neighbor_id ASC) AS rn
-      FROM scored
-    ) WHERE rn <= 10
-    """,
+    oracle=_ivf_oracle(n_cells=16, iters=2, nprobe=4, k=10),
     tags=("ann", "ivf"),
 )
 def q40_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (16 cells, nprobe=4) for 20 query vectors.
+    """IVF-style ANN (16 TRAINED cells, nprobe=4) for 20 query vectors.
 
+    Centroids are 2 Lloyd iterations of deterministic k-means (micro-grid
+    integer means — operators.ann.kmeans_fit), the ivf_assign default
+    since r6: cell balance reflects the data, not data order.
     Deterministic end-to-end: seeds are the first 16 vectors by id
     (TakeOrderedAndProject, not a global window), assignment and probe
     ranking tie-break on (sim desc, cell asc), so the DuckDB oracle
-    replays the identical cell structure and re-rank."""
+    replays the identical training, cell structure and re-rank."""
     from ..operators.ann import ivf_knn
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1591,67 +1682,6 @@ def q120_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         redact_pii(F.col("s")).alias("redacted"),
         *[c.alias(name) for name, c in counts.items()],
-    )
-
-
-def _semantic_dedup_oracle(
-    n_cells: int = 8, iters: int = 2, threshold: float = 0.4, dim: int = 64
-) -> str:
-    """Unroll the fixed-iteration Lloyd k-means + within-cell dedup into
-    chained CTEs (the iterative-algorithm oracle convention).  Centroid
-    means run on the exact 1e-6 integer grid in BOTH engines, so shuffle
-    order cannot perturb them; ``dim`` is the fixture embedding width
-    (the Spark builder is dim-agnostic via posexplode)."""
-    steps = [
-        "base AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],"
-        " x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm FROM embeddings)",
-        "vecs AS (SELECT id, vm, list_transform(vm, m -> m / 1000000.0) AS v FROM base)",
-        f"cents0 AS (SELECT id AS cell, v AS cv FROM vecs ORDER BY id LIMIT {n_cells})",
-    ]
-    assign_tpl = """{name} AS (
-  SELECT id, cell FROM (
-    SELECT vecs.id, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY vecs.id
-             ORDER BY round(list_cosine_similarity(vecs.v, c.cv), 6) DESC,
-                      c.cell ASC) AS rn
-    FROM vecs CROSS JOIN {cents} c
-  ) WHERE rn = 1
-)"""
-    for i in range(iters):
-        steps.append(assign_tpl.format(name=f"assign{i}", cents=f"cents{i}"))
-        steps.append(
-            f"""sums{i + 1} AS (
-  SELECT a.cell, u.pos,
-         CAST(floor(SUM(vecs.vm[u.pos + 1]) / COUNT(*) + 0.5) AS BIGINT) AS cmicro
-  FROM assign{i} a JOIN vecs ON vecs.id = a.id
-  CROSS JOIN (SELECT unnest(range(0, {dim})) AS pos) u
-  GROUP BY a.cell, u.pos
-)"""
-        )
-        steps.append(
-            f"newc{i + 1} AS (SELECT cell, list(cmicro / 1000000.0 ORDER BY pos)"
-            f" AS cv FROM sums{i + 1} GROUP BY cell)"
-        )
-        steps.append(
-            f"""cents{i + 1} AS (
-  SELECT c.cell, COALESCE(n.cv, c.cv) AS cv
-  FROM cents{i} c LEFT JOIN newc{i + 1} n USING (cell)
-)"""
-        )
-    steps.append(assign_tpl.format(name="afinal", cents=f"cents{iters}"))
-    steps.append(
-        f"""dropped AS (
-  SELECT DISTINCT b.id AS id
-  FROM afinal a JOIN afinal b ON a.cell = b.cell AND a.id < b.id
-  JOIN vecs va ON va.id = a.id JOIN vecs vb ON vb.id = b.id
-  WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= {threshold}
-)"""
-    )
-    return (
-        "WITH "
-        + ",\n".join(steps)
-        + "\nSELECT a.id AS vec_id, a.cell FROM afinal a"
-        + " WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = a.id)"
     )
 
 

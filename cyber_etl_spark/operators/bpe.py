@@ -68,6 +68,56 @@ def _word_table(
     return words.select(*cols)
 
 
+# GPT-2-style pre-tokenization, simplified to a lookahead-free regex so
+# Java regex (Spark) and RE2 (DuckDB) agree: a pre-token is an optional
+# leading space glued to a letter run, digit run or punctuation run, or a
+# run of spaces.  (The original GPT-2 pattern's `\s+(?!\S)` needs negative
+# lookahead, which RE2 rejects; contraction splits need \p{L} classes —
+# both dropped, policy documented here.)
+BYTE_PRETOK_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def byte_word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(repr, cnt): byte-level BPE initial state — each pre-token rendered
+    as its UTF-8 bytes in hex, one ¦-wrapped two-hex-char symbol per byte.
+
+    Byte-level BPE (GPT-2, Radford et al. 2019) merges over the byte
+    alphabet so ANY string is representable with a 256-symbol base
+    vocabulary — no unknown tokens, spaces carried as leading ``20``
+    bytes on the following word.  The hex rendering keeps the symbol
+    stream inside the same ¦-delimited string machinery as the
+    word-level learner (symbols are always even-length hex, trivially
+    decodable with unhex), and [0-9A-F] can never collide with the
+    delimiter, so no token filter is needed on this path."""
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BYTE_PRETOK_RE), F.lit(0))
+        ).alias("token")
+    )
+    words = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return words.select(
+        F.regexp_replace(
+            F.hex(F.encode("token", "UTF-8")), "(..)", f"{SEP}$1{SEP}"
+        ).alias("repr"),
+        "cnt",
+    )
+
+
+def byte_bpe_merges(
+    docs: DataFrame, text_col: str = "text", num_merges: int = 4
+) -> DataFrame:
+    """Learn the first ``num_merges`` BYTE-LEVEL merge rules →
+    (step, left_sym, right_sym, merged, freq), symbols as hex byte
+    strings.  Same distributed loop as :func:`bpe_merges` — only the
+    alphabet (bytes) and the pre-tokenizer (regex runs instead of
+    whitespace split) differ."""
+    if num_merges < 1:
+        raise ValueError(f"need num_merges >= 1, got {num_merges}")
+    words = byte_word_table(docs, text_col).localCheckpoint(eager=True)
+    bests, _ = _merge_rounds(words, num_merges)
+    return merges_from_bests(bests)
+
+
 def _pair_counts(words: DataFrame) -> DataFrame:
     """(left_sym, right_sym, freq) adjacent-pair counts, overlapping
     occurrences included, weighted by word frequency — Sennrich
@@ -208,8 +258,26 @@ def curve_from_tables(word_tables: list[DataFrame]) -> DataFrame:
     return out
 
 
+def byte_bpe_oracle_sql(num_merges: int = 4) -> str:
+    """DuckDB oracle for :func:`byte_bpe_merges`: the standard unrolled
+    merge chain over a byte-level w0 (identical pre-tokenizer regex —
+    RE2 and Java agree on this lookahead-free pattern — and
+    hex(encode(token)) byte rendering, both engines uppercase)."""
+    w0 = f"""
+    WITH w0 AS (
+      SELECT regexp_replace(hex(encode(token)), '(..)', '{SEP}\\1{SEP}', 'g') AS repr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'))
+              AS token FROM documents)
+      GROUP BY ALL)"""
+    return bpe_oracle_sql(num_merges, w0_sql=w0)
+
+
 def bpe_oracle_sql(
-    num_merges: int = 4, curve: bool = False, carry_token: bool = False
+    num_merges: int = 4,
+    curve: bool = False,
+    carry_token: bool = False,
+    w0_sql: str | None = None,
 ) -> str:
     """DuckDB oracle for :func:`bpe_merges` (and, with ``curve=True``,
     :func:`bpe_compression_curve`): the same loop unrolled into chained
@@ -219,8 +287,12 @@ def bpe_oracle_sql(
     tokenization oracles built on the final table) and returns the bare
     chain — the caller appends its own final SELECT."""
     tok_sel = ", token" if carry_token else ""
-    parts = [
-        f"""
+    if w0_sql is not None:
+        assert not carry_token, "w0_sql override does not thread token"
+        parts = [w0_sql]
+    else:
+        parts = [
+            f"""
     WITH w0 AS (
       SELECT regexp_replace(token, '(.)', '{SEP}\\1{SEP}', 'g') AS repr,
              CAST(COUNT(*) AS BIGINT) AS cnt{tok_sel}
@@ -228,7 +300,7 @@ def bpe_oracle_sql(
               AS token FROM documents)
       WHERE token NOT LIKE '%{SEP}%'
       GROUP BY ALL)"""
-    ]
+        ]
     for k in range(1, num_merges + 1):
         parts.append(
             f""",

@@ -66,22 +66,38 @@ def exact_quantiles(
     probs: Mapping[str, float],
     group_cols: Sequence[str] = (),
     num_partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Exact interpolated quantiles of ``value_col`` per group.
+    """Exact quantiles of ``value_col`` per group.
 
     Returns a DataFrame with ``group_cols`` plus one DOUBLE column per
     ``probs`` alias — the distributed twin of
     ``groupBy(*group_cols).agg(percentile(value_col, p) for p in probs)``.
     Output is a small local-rows frame (|groups| rows): broadcast-join or
     crossJoin it back, exactly like any boundary table.
+
+    ``weight_col``: WEIGHTED lower quantiles — the smallest value whose
+    running weight (values ascending) reaches ``p * total_weight``; no
+    interpolation (the result is always an actual data value), rows with
+    weight <= 0 are ignored.  Weights must be integer-valued: every
+    running sum is then exact in IEEE doubles regardless of summation
+    order, so the SQL twin (window cumsum ``>= p * SUM(w)``) picks the
+    identical value.  The driver-side control tables are
+    O(|groups| x |partitions|): this kernel targets the
+    bounded-group-count / unbounded-group-SIZE regime (a global group at
+    100 TB); the opposite regime — millions of tiny groups — fits a
+    per-group aggregation buffer by definition and needs no kernel.
     """
     spark = df.sparkSession
     group_cols = list(group_cols)
     gfields = [df.schema[c] for c in group_cols]
 
-    vals = df.select(
-        *group_cols, F.col(value_col).cast("double").alias("_v")
-    ).where(F.col("_v").isNotNull())
+    cols = [*group_cols, F.col(value_col).cast("double").alias("_v")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    vals = df.select(*cols).where(F.col("_v").isNotNull())
+    if weight_col is not None:
+        vals = vals.where(F.col("_w") > 0)
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = (
@@ -90,34 +106,45 @@ def exact_quantiles(
         .localCheckpoint(eager=True)
     )
 
-    # Pass 1: (partition, group) counts -> per-group totals + offsets.
-    counts = ranged.groupBy("_pid", *group_cols).count().collect()
-    totals: dict[tuple, int] = {}
+    # Pass 1: (partition, group) sizes -> per-group totals + offsets
+    # (row counts, or weight sums in the weighted mode).
+    size_agg = (
+        F.count(F.lit(1)) if weight_col is None else F.sum("_w")
+    ).alias("_n")
+    counts = ranged.groupBy("_pid", *group_cols).agg(size_agg).collect()
+    totals: dict[tuple, float] = {}
     for r in counts:
         g = tuple(r[c] for c in group_cols)
-        totals[g] = totals.get(g, 0) + r["count"]
-    offsets: dict[tuple, int] = {}  # (group..., pid) -> global rank offset
-    run: dict[tuple, int] = {}
+        totals[g] = totals.get(g, 0) + r["_n"]
+    offsets: dict[tuple, float] = {}  # (group..., pid) -> rank/weight offset
+    run: dict[tuple, float] = {}
     for r in sorted(counts, key=lambda r: ([r[c] for c in group_cols], r["_pid"])):
         g = tuple(r[c] for c in group_cols)
         offsets[(g, r["_pid"])] = run.get(g, 0)
-        run[g] = run.get(g, 0) + r["count"]
+        run[g] = run.get(g, 0) + r["_n"]
 
-    needed: dict[tuple, list[int]] = {}  # group -> sorted needed global ranks
+    # group -> sorted needed global ranks (unweighted: floor/ceil of
+    # p*(n-1)) or weight thresholds (weighted: p*W).
+    needed: dict[tuple, list[float]] = {}
     for g, n in totals.items():
-        ranks: set[int] = set()
+        marks: set[float] = set()
         for p in probs.values():
-            pos = p * (n - 1)
-            ranks.add(int(math.floor(pos)))
-            ranks.add(int(math.ceil(pos)))
-        needed[g] = sorted(ranks)
+            if weight_col is None:
+                pos = p * (n - 1)
+                marks.add(float(math.floor(pos)))
+                marks.add(float(math.ceil(pos)))
+            else:
+                marks.add(p * n)
+        needed[g] = sorted(marks)
 
-    # Pass 2: per-partition selection of needed global ranks.
+    # Pass 2: per-partition selection at the needed marks.
     out_schema = StructType(
         list(gfields)
-        + [StructField("_rank", LongType()), StructField("_v", DoubleType())]
+        + [StructField("_mark", DoubleType()), StructField("_v", DoubleType())]
     )
     ngc = len(group_cols)
+    weighted = weight_col is not None
+    data_cols = ["_v", "_w"] if weighted else ["_v"]
 
     def select_ranks(batches: Iterable["pd.DataFrame"]):  # noqa: F821
         import numpy as np
@@ -132,35 +159,51 @@ def exact_quantiles(
             if ngc:
                 for g, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                     gk = g if isinstance(g, tuple) else (g,)
-                    acc.setdefault(gk, []).append(sub["_v"].to_numpy())
+                    acc.setdefault(gk, []).append(sub[data_cols].to_numpy())
             else:
-                acc.setdefault((), []).append(pdf["_v"].to_numpy())
+                acc.setdefault((), []).append(pdf[data_cols].to_numpy())
         rows = []
         for gk, chunks in acc.items():
             off = offsets.get((gk, pid))
             if off is None:
                 continue
-            v = np.sort(np.concatenate(chunks))
-            hi = off + len(v)
-            for rank in needed.get(gk, ()):
-                if off <= rank < hi:
-                    rows.append(list(gk) + [rank, float(v[rank - off])])
-        cols = group_cols + ["_rank", "_v"]
+            m = np.concatenate(chunks)
+            order = np.argsort(m[:, 0], kind="stable")
+            v = m[order, 0]
+            if weighted:
+                cum = off + np.cumsum(m[order, 1])
+                hi = cum[-1]
+                for t in needed.get(gk, ()):
+                    # first row where running weight reaches t — in this
+                    # partition iff the threshold crosses inside it
+                    if off < t <= hi:
+                        i = int(np.searchsorted(cum, t, side="left"))
+                        rows.append(list(gk) + [t, float(v[i])])
+            else:
+                hi = off + len(v)
+                for rank in needed.get(gk, ()):
+                    if off <= rank < hi:
+                        rows.append(list(gk) + [rank, float(v[int(rank - off)])])
+        cols = group_cols + ["_mark", "_v"]
         yield pd.DataFrame(rows, columns=cols)
 
     selected = ranged.mapInPandas(select_ranks, schema=out_schema).collect()
-    at: dict[tuple, dict[int, float]] = {}
+    at: dict[tuple, dict[float, float]] = {}
     for r in selected:
         g = tuple(r[c] for c in group_cols)
-        at.setdefault(g, {})[r["_rank"]] = r["_v"]
+        at.setdefault(g, {})[r["_mark"]] = r["_v"]
 
     res_schema = StructType(
         list(gfields) + [StructField(a, DoubleType()) for a in probs]
     )
     out_rows = []
     for g in sorted(totals, key=lambda t: tuple(map(str, t))):
-        out_rows.append(
-            list(g)
-            + [_interpolate(p, totals[g], at.get(g, {})) for p in probs.values()]
-        )
+        if weight_col is None:
+            qs = [
+                _interpolate(p, int(totals[g]), at.get(g, {}))
+                for p in probs.values()
+            ]
+        else:
+            qs = [at.get(g, {}).get(p * totals[g]) for p in probs.values()]
+        out_rows.append(list(g) + qs)
     return spark.createDataFrame(out_rows, schema=res_schema)

@@ -1913,22 +1913,23 @@ def q136_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POS_CACHE: dict[tuple, tuple] = SessionMemo()
 
 
-def _positional_shingles(spark: SparkSession, sf_dir: str):
-    """Shared artifact of the span family (q139 detect / q140 cut): the
-    positional 8-gram table (doc_id, n_tokens, pos, shingle) and its
+def _positional_shingles(spark: SparkSession, sf_dir: str, n: int = 8):
+    """Shared artifact of the span family (q139/q152 detect / q140 cut):
+    the positional n-gram table (doc_id, n_tokens, pos, shingle) and its
     per-shingle (owner, df) aggregate, each checkpointed once per
-    (session, dataset) — the same persisted-projection policy as the
-    _SH_CACHE shingle sets."""
+    (session, dataset, n) — the same persisted-projection policy as the
+    _SH_CACHE shingle sets.  ``n`` is the span granularity knob (r5
+    verdict item 7): smaller n = finer, more aggressive span detection."""
     from ..functions.text import shingles as _sh
 
-    key = (session_token(spark), sf_dir, "pos8")
+    key = (session_token(spark), sf_dir, "pos", n)
     if key not in _POS_CACHE:
         docs = read_table(spark, sf_dir, "documents")
         toks = F.filter(F.split("text", " "), lambda x: x != "")
         pos = docs.select(
             "doc_id",
             F.size(toks).cast("long").alias("n_tokens"),
-            F.posexplode(_sh(toks, 8)).alias("p0", "shingle"),
+            F.posexplode(_sh(toks, n)).alias("p0", "shingle"),
         ).select(
             "doc_id", "n_tokens", (F.col("p0") + 1).cast("long").alias("pos"), "shingle"
         ).localCheckpoint(eager=True)
@@ -1939,9 +1940,55 @@ def _positional_shingles(spark: SparkSession, sf_dir: str):
     return _POS_CACHE[key]
 
 
-@query(
-    "q139_repeated_spans",
-    oracle="""
+def repeated_spans(
+    spark: SparkSession, sf_dir: str, n: int = 8, min_span: int | None = None
+) -> DataFrame:
+    """Cross-document repeated-span detection, parameterized on the
+    n-gram granularity and a minimum reported span length (tokens).
+    Spans are maximal islands of positions whose n-gram occurs in
+    another document (gaps > n break a span); islands covering fewer
+    than ``min_span`` tokens are dropped (default min_span = n, a
+    no-op).  Longer min_span can only REMOVE spans — pinned by a
+    monotonicity test."""
+    from pyspark.sql.window import Window
+
+    if min_span is None:
+        min_span = n
+    if min_span < n:
+        raise ValueError(f"min_span {min_span} below shingle width {n}")
+    pos, own = _positional_shingles(spark, sf_dir, n)
+    m = (
+        pos.join(own.where(F.col("df") >= 2).select("shingle"), "shingle")
+        .select("doc_id", "n_tokens", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    fl = m.withColumn(
+        "f", F.when(lagp.isNull() | (F.col("pos") - lagp > n), 1).otherwise(0)
+    )
+    isl = fl.withColumn(
+        "island",
+        F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    sp = isl.groupBy("doc_id", "island").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("p0"),
+        F.max("pos").alias("p1"),
+    ).where(F.col("p1") - F.col("p0") + n >= min_span)
+    return sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("p1") - F.col("p0") + n).alias("covered_tokens"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("p1") - F.col("p0") + n).cast("double") / F.min("n_tokens"), 6
+        ).alias("covered_frac"),
+    )
+
+
+def _spans_oracle(n: int, min_span: int) -> str:
+    """DuckDB twin of :func:`repeated_spans` for any (n, min_span)."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
     WITH t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       FROM documents
@@ -1949,11 +1996,8 @@ def _positional_shingles(spark: SparkSession, sf_dir: str):
     pos AS (
       SELECT doc_id, len(t) AS n_tokens, e.p AS pos, e.g AS shingle FROM (
         SELECT doc_id, t,
-               unnest(list_transform(range(1, len(t) - 6),
-                 i -> {'p': i,
-                       'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
-                            t[i+6] || ' ' || t[i+7]})) AS e
+               unnest(list_transform(range(1, len(t) - {n - 2}),
+                 i -> {{'p': i, 'g': {gram}}})) AS e
         FROM t)
     ),
     shared AS (
@@ -1963,7 +2007,7 @@ def _positional_shingles(spark: SparkSession, sf_dir: str):
     m AS (SELECT doc_id, n_tokens, pos FROM pos JOIN shared USING (shingle)),
     fl AS (
       SELECT doc_id, n_tokens, pos,
-             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > {n}
                   THEN 1 ELSE 0 END AS f
       FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     ),
@@ -1977,14 +2021,20 @@ def _positional_shingles(spark: SparkSession, sf_dir: str):
       SELECT doc_id, island, MIN(n_tokens) AS n_tokens,
              MIN(pos) AS p0, MAX(pos) AS p1
       FROM isl GROUP BY doc_id, island
+      HAVING MAX(pos) - MIN(pos) + {n} >= {min_span}
     )
     SELECT doc_id, COUNT(*) AS n_spans,
-           CAST(SUM(p1 - p0 + 8) AS BIGINT) AS covered_tokens,
+           CAST(SUM(p1 - p0 + {n}) AS BIGINT) AS covered_tokens,
            MIN(n_tokens) AS n_tokens,
-           round(CAST(SUM(p1 - p0 + 8) AS DOUBLE) / MIN(n_tokens), 6)
+           round(CAST(SUM(p1 - p0 + {n}) AS DOUBLE) / MIN(n_tokens), 6)
              AS covered_frac
     FROM sp GROUP BY doc_id
-    """,
+    """
+
+
+@query(
+    "q139_repeated_spans",
+    oracle=_spans_oracle(8, 8),
     tags=("dedup", "text", "spans"),
 )
 def q139_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1995,41 +2045,29 @@ def q139_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a span), reported per doc as span count + covered-token fraction.
     Production pipelines CUT these spans; the q92 repetition score only
     sees within-doc repeats, so this is the missing cross-doc axis.
+    Parameterized core: :func:`repeated_spans` (q152 runs a non-default
+    granularity).
 
     Plan: positional shingle explode → shared-shingle semi-join (the
     inverted index; hot boilerplate shingles are groupBy keys, AQE-skew
     safe) → q75-style gaps-and-islands windows partitioned by doc.
     Everything shuffles on doc_id or shingle — no pair blowup, no
     driver state."""
-    from pyspark.sql.window import Window
+    return repeated_spans(spark, sf_dir, n=8, min_span=8)
 
-    pos, own = _positional_shingles(spark, sf_dir)
-    m = (
-        pos.join(own.where(F.col("df") >= 2).select("shingle"), "shingle")
-        .select("doc_id", "n_tokens", "pos")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    lagp = F.lag("pos").over(w)
-    fl = m.withColumn(
-        "f", F.when(lagp.isNull() | (F.col("pos") - lagp > 8), 1).otherwise(0)
-    )
-    isl = fl.withColumn(
-        "island",
-        F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    sp = isl.groupBy("doc_id", "island").agg(
-        F.min("n_tokens").alias("n_tokens"),
-        F.min("pos").alias("p0"),
-        F.max("pos").alias("p1"),
-    )
-    return sp.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("p1") - F.col("p0") + 8).alias("covered_tokens"),
-        F.min("n_tokens").alias("n_tokens"),
-        F.round(
-            F.sum(F.col("p1") - F.col("p0") + 8).cast("double") / F.min("n_tokens"), 6
-        ).alias("covered_frac"),
-    )
+
+@query(
+    "q152_repeated_spans_coarse",
+    oracle=_spans_oracle(5, 12),
+    tags=("dedup", "text", "spans", "tuned"),
+)
+def q152_repeated_spans_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-default span scheme (r5 verdict item 7, the q113 pattern
+    applied to spans): FINER 5-gram shingles — more positions match, so
+    detection is more aggressive — but only spans covering >= 12 tokens
+    are reported, suppressing short incidental overlaps.  Same builder
+    and oracle generator as q139, different (n, min_span)."""
+    return repeated_spans(spark, sf_dir, n=5, min_span=12)
 
 
 @query(
@@ -2371,6 +2409,187 @@ def q145_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform("flat", lambda x: x.cast("string")))
         ).alias("ids_md5"),
     )
+
+
+from ..operators.bpe import byte_bpe_merges, byte_bpe_oracle_sql  # noqa: E402
+
+
+@query(
+    "q150_byte_bpe_merges",
+    oracle=byte_bpe_oracle_sql(4),
+    tags=("text", "tokenizer", "bpe", "byte-level"),
+)
+def q150_byte_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE merge training (GPT-2 shape, Radford et al. 2019):
+    regex pre-tokenization (lookahead-free so Java regex and RE2 agree —
+    leading space glued to letter/digit/punct runs) and merges over the
+    UTF-8 byte alphabet rendered as hex symbols, so any string is
+    representable from a 256-symbol base vocabulary.  Same distributed
+    merge loop as q131 — distributed pair counts with map-side combine,
+    broadcast 1-row argmax per round, checkpointed word-table rewrites —
+    only the alphabet and pre-tokenizer differ (operators/bpe.py
+    byte_word_table).  Output: the first 4 learned byte merges."""
+    docs = read_table(spark, sf_dir, "documents")
+    return byte_bpe_merges(docs, num_merges=4)
+
+
+@query(
+    "q151_domain_curation",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens,
+             (CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / length(text)
+              ELSE 0.0 END) AS punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, text, n_tokens,
+             round((1.0 - punct) * (least(n_tokens, 100) / 100.0), 6) AS score
+      FROM t
+    ),
+    canon AS (
+      SELECT source, text, MIN(doc_id) AS keep_id
+      FROM scored GROUP BY source, text
+    ),
+    ex AS (
+      SELECT s.doc_id, s.source, s.n_tokens, s.score
+      FROM scored s JOIN canon c
+        ON s.source = c.source AND s.text = c.text AND s.doc_id = c.keep_id
+    ),
+    b AS (
+      SELECT source,
+             round(quantile_cont(score, 0.25), 6) AS t1,
+             round(quantile_cont(score, 0.75), 6) AS t2
+      FROM ex GROUP BY source
+    ),
+    bucketed AS (
+      SELECT ex.source, ex.doc_id, ex.n_tokens,
+             CASE WHEN score <= t1 THEN 'tail'
+                  WHEN score <= t2 THEN 'middle'
+                  ELSE 'head' END AS bucket
+      FROM ex JOIN b USING (source)
+    ),
+    kept AS (
+      SELECT * FROM bucketed
+      WHERE bucket <> 'tail'
+         OR CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0 < 0.2
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source, bucket
+    """,
+    tags=("text", "curation", "quality", "sampling", "ccnet"),
+)
+def q151_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped per-DOMAIN curation (Wenzek et al. 2020): quality
+    bucketing runs WITHIN each source, so a uniformly weaker domain
+    still contributes its best documents instead of being wiped out by
+    a global threshold — the curation dimension q109's global pipeline
+    lacks (r5 verdict item 6).
+
+    Stages: per-domain exact dedup (duplicates collapse within a
+    source, min-id canonical — the same text in two sources survives
+    in both, the per-domain scope), a pure-expression quality score
+    (non-punctuation ratio × capped token count), per-source head /
+    middle / tail buckets at the exact 25/75 score quantiles (the
+    distributed selection kernel — operators/quantiles.py — never a
+    per-group buffer), head+middle kept, tail hash-sampled at 20% with
+    the md5-fraction idiom so every keep decision is reproducible
+    across engines, reruns and late data.  Output: kept doc and token
+    counts per (source, bucket)."""
+    from ..operators.quantiles import exact_quantiles
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    punct = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace("text", "[A-Za-z0-9\\s]", "")) / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        n_tok.alias("n_tokens"),
+        F.round(
+            (F.lit(1.0) - punct) * (F.least(n_tok, F.lit(100)) / F.lit(100.0)), 6
+        ).alias("score"),
+    )
+    canon = scored.groupBy("source", "text").agg(F.min("doc_id").alias("keep_id"))
+    ex = (
+        scored.join(canon, ["source", "text"])
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "n_tokens", "score")
+    )
+    b = exact_quantiles(ex, "score", {"t1": 0.25, "t2": 0.75}, ["source"]).select(
+        "source", F.round("t1", 6).alias("t1"), F.round("t2", 6).alias("t2")
+    )
+    bucketed = ex.join(F.broadcast(b), "source").select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("score") <= F.col("t1"), "tail")
+        .when(F.col("score") <= F.col("t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
+    kept = bucketed.where(
+        (F.col("bucket") != "tail") | (_md5_fraction("doc_id") < F.lit(0.2))
+    )
+    return kept.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+
+
+@query(
+    "q153_weighted_median_length",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    pos AS (SELECT source, n_tokens FROM t WHERE n_tokens > 0),
+    tot AS (SELECT source, SUM(n_tokens) AS w FROM pos GROUP BY source),
+    c AS (
+      SELECT pos.source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY pos.source ORDER BY n_tokens
+                                 ROWS UNBOUNDED PRECEDING) AS cw,
+             tot.w AS w
+      FROM pos JOIN tot USING (source)
+    )
+    SELECT source, CAST(MIN(n_tokens) AS BIGINT) AS wmedian_tokens
+    FROM c WHERE cw >= 0.5 * w GROUP BY source
+    """,
+    tags=("text", "quantile", "weighted", "stats"),
+)
+def q153_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-weighted median document length per source: the doc length
+    at which half of a source's TOKENS live in shorter-or-equal docs —
+    the statistic that tells a curation team where the corpus mass (not
+    the doc count) sits, which drives packing/chunking decisions.
+
+    Weighted lower-quantile semantics (smallest value whose running
+    weight reaches p·W, weights = token counts, integral so every
+    running sum is exact in doubles) via the distributed selection
+    kernel's weighted mode (operators/quantiles.py) — per-partition
+    memory; the oracle replays it as a window cumsum threshold."""
+    from ..operators.quantiles import exact_quantiles
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    t = docs.select("source", n_tok.alias("n_tokens"))
+    wm = exact_quantiles(
+        t, "n_tokens", {"wm": 0.5}, ["source"], weight_col="n_tokens"
+    )
+    return wm.select("source", F.col("wm").cast("long").alias("wmedian_tokens"))
 
 
 @query(

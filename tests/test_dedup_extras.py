@@ -248,3 +248,35 @@ def test_span_cut_owner_keeps_duplicate_loses(spark):
     assert out[1].n_removed == 0 and out[1].clean_text == rows[0][1]
     assert out[2].n_removed == 8 and out[2].clean_text == "intro outro"
     assert out[3].n_removed == 0 and out[3].clean_text == rows[2][1]
+
+
+def test_repeated_spans_min_span_only_removes(spark, sf_smoke):
+    """Monotonicity of the (n, min_span) span scheme (r5 verdict item 7):
+    at fixed n, raising min_span can only DROP spans — per-doc n_spans
+    and covered_tokens weakly decrease and no new doc appears."""
+    from cyber_etl_spark.plans.textops import repeated_spans
+
+    fine = {
+        r.doc_id: r for r in repeated_spans(spark, sf_smoke, n=5, min_span=5).collect()
+    }
+    coarse = {
+        r.doc_id: r for r in repeated_spans(spark, sf_smoke, n=5, min_span=12).collect()
+    }
+    coarser = {
+        r.doc_id: r for r in repeated_spans(spark, sf_smoke, n=5, min_span=20).collect()
+    }
+    assert fine, "fixture corpus must contain shared 5-gram spans"
+    for hi, lo in ((coarse, fine), (coarser, coarse)):
+        assert set(hi) <= set(lo)
+        for doc_id, r in hi.items():
+            assert r.n_spans <= lo[doc_id].n_spans
+            assert r.covered_tokens <= lo[doc_id].covered_tokens
+
+
+def test_repeated_spans_rejects_min_span_below_n(spark, sf_smoke):
+    import pytest
+
+    from cyber_etl_spark.plans.textops import repeated_spans
+
+    with pytest.raises(ValueError, match="below shingle width"):
+        repeated_spans(spark, sf_smoke, n=8, min_span=4)

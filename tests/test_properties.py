@@ -215,3 +215,65 @@ def test_bpe_matches_python_reference(spark, texts):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
     got = [tuple(r) for r in bpe_merges(df, num_merges=3).orderBy("step").collect()]
     assert got == _ref_bpe(texts, 3), texts
+
+
+def _ref_byte_bpe(texts: list[str], num_merges: int):
+    """Pure-Python byte-level reference: the BYTE_PRETOK_RE regex split,
+    UTF-8 bytes as uppercase hex symbols, then the same greedy merge."""
+    import re
+    from collections import Counter
+
+    from cyber_etl_spark.operators.bpe import BYTE_PRETOK_RE
+
+    words = Counter()
+    for t in texts:
+        for tok in re.findall(BYTE_PRETOK_RE, t):
+            words[tok] += 1
+    state = {
+        tuple(f"{b:02X}" for b in w.encode("utf-8")): c for w, c in words.items()
+    }
+    merges = []
+    for step in range(1, num_merges + 1):
+        pairs = Counter()
+        for syms, c in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        fmax = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == fmax)
+        merges.append((step, best[0], best[1], best[0] + best[1], fmax))
+        new_state: dict[tuple, int] = {}
+        for syms, c in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_state[key] = new_state.get(key, 0) + c
+        state = new_state
+    return merges
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab1.é ", min_size=1, max_size=16),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_byte_bpe_matches_python_reference(spark, texts):
+    """Byte-level BPE == the driver-side reference on generated corpora
+    mixing letters, digits, punctuation, spaces and a MULTI-BYTE char
+    (é → two UTF-8 bytes) — pins the pre-tokenizer regex parity and the
+    hex byte alphabet beyond the fixed oracle corpus."""
+    from cyber_etl_spark.operators.bpe import byte_bpe_merges
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = [tuple(r) for r in byte_bpe_merges(df, num_merges=3).orderBy("step").collect()]
+    assert got == _ref_byte_bpe(texts, 3), texts

@@ -87,3 +87,65 @@ def test_selection_emits_bounded_rows(spark, sf_smoke):
     n_groups = events.select("event_type").distinct().count()
     assert qs.count() == n_groups
     assert len(qs.columns) == 3
+
+
+def test_weighted_lower_quantile_small_case(spark):
+    """Weighted mode: smallest value whose running weight reaches p*W.
+    g=a: values 1(w3), 5(w1) -> W=4, T=2 -> cum(1)=3 >= 2 -> 1.0.
+    g=b: values 2(w1), 4(w1), 9(w2) -> W=4, T=2 -> cum(4)=2 >= 2 -> 4.0.
+    Zero/negative weights are ignored."""
+    rows = [
+        ("a", 1.0, 3),
+        ("a", 5.0, 1),
+        ("b", 2.0, 1),
+        ("b", 4.0, 1),
+        ("b", 9.0, 2),
+        ("b", 0.5, 0),  # zero weight: ignored
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {
+        r["g"]: r["wm"]
+        for r in exact_quantiles(
+            df, "v", {"wm": 0.5}, ["g"], weight_col="w", num_partitions=3
+        ).collect()
+    }
+    assert got == {"a": 1.0, "b": 4.0}
+
+
+def test_weighted_matches_sql_cumsum_definition(spark, sf_smoke):
+    """Weighted kernel == the window-cumsum SQL definition on real data,
+    across several probabilities and a partition-boundary-heavy width."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_smoke, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("val")
+    ).where(F.col("val") > 0)
+    probs = {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    got = {
+        (r["source"],): tuple(r[a] for a in probs)
+        for r in exact_quantiles(
+            docs, "val", probs, ["source"], weight_col="val", num_partitions=7
+        ).collect()
+    }
+    w = Window.partitionBy("source").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("source")
+    c = docs.select(
+        "source",
+        "val",
+        F.sum("val").over(w).alias("cw"),
+        F.sum("val").over(tot).alias("w"),
+    )
+    ref = {}
+    for a, p in probs.items():
+        rows = (
+            c.where(F.col("cw") >= F.lit(p) * F.col("w"))
+            .groupBy("source")
+            .agg(F.min("val").cast("double").alias("q"))
+            .collect()
+        )
+        for r in rows:
+            ref.setdefault((r["source"],), {})[a] = r["q"]
+    assert got == {k: tuple(v[a] for a in probs) for k, v in ref.items()}

@@ -149,3 +149,32 @@ def test_weighted_matches_sql_cumsum_definition(spark, sf_smoke):
         for r in rows:
             ref.setdefault((r["source"],), {})[a] = r["q"]
     assert got == {k: tuple(v[a] for a in probs) for k, v in ref.items()}
+
+
+def test_skewed_giant_group_still_exact(spark):
+    """The motivating regime: one group holds ~99% of rows (the 'global
+    group' shape that OOMs a single aggregation buffer at scale).  The
+    kernel must spread it across partitions and still match the
+    built-in bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 100 == 0, "small").otherwise("giant").alias("g"),
+        (F.sin(F.col("id").cast("double")) * 1000).alias("v"),
+    )
+    probs = {"p01": 0.01, "p50": 0.5, "p99": 0.99}
+    got = _kernel(df, "v", probs, ["g"], num_partitions=16)
+    ref = _spark_ref(df, "v", probs, ["g"])
+    assert got == ref
+    # and the giant group really spans many range partitions
+    ranged = df.select("g", F.col("v").alias("_v")).repartitionByRange(
+        16, "g", "_v"
+    )
+    parts = (
+        ranged.withColumn("p", F.spark_partition_id())
+        .where(F.col("g") == "giant")
+        .select("p")
+        .distinct()
+        .count()
+    )
+    assert parts >= 8

@@ -2519,3 +2519,110 @@ def q149_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_contrib"
         ),
     )
+
+
+@query(
+    "q154_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+             GROUP BY user_id),
+    spine AS (
+      SELECT user_id, CAST(d AS DATE) AS day FROM (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+        FROM span)
+    )
+    SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+           COALESCE(d.n_events, 0) AS n_events
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    """,
+    tags=("timeseries", "gap-fill", "spine"),
+)
+def q154_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: each user's daily event-count series with
+    missing days materialized as zeros between that user's first and
+    last active day — the densification step every downstream rolling /
+    anomaly computation assumes (a 3-day gap must read as three zeros,
+    not as adjacent rows).
+
+    Plan: daily counts (one keyed agg), per-user [min, max] span (tiny
+    agg), `sequence(d0, d1)` explode builds the spine WITHOUT a
+    cross-join against a global calendar — each user only generates its
+    own span — then a left join brings counts back.  Spine size is
+    Σ_user days(span): linear in users x active range, never
+    |users| x |global calendar|."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        # ISO string, not DATE: engine drivers disagree on date boxing
+        # (DuckDB fetchdf -> datetime64, Spark -> date), so the portable
+        # output contract is the ISO-8601 day string
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+def _ewma_terms(k_max: int = 7) -> tuple[str, str]:
+    """SQL num/den chains for the truncated EWMA — generated so the
+    Spark builder and the oracle share ONE term order (left-assoc sums
+    are IEEE-identical only if built identically)."""
+    num, den = ["0.0"], ["0.0"]
+    for k in range(k_max):
+        w = 0.5 ** k
+        lagv = "value" if k == 0 else f"lag(value, {k}) OVER w"
+        num.append(f"CASE WHEN {lagv} IS NOT NULL THEN {w!r} * ({lagv}) ELSE 0.0 END")
+        den.append(f"CASE WHEN {lagv} IS NOT NULL THEN {w!r} ELSE 0.0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms(7)
+
+
+@query(
+    "q155_ewma",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("timeseries", "window", "ewma"),
+)
+def q155_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average (half-life decay
+    0.5^k over the last 7 events per user): the smoothing a monitoring
+    pipeline applies before thresholding noisy per-event values.
+
+    The infinite EWMA recurrence is not associative, so instead of a
+    driver loop the 7-term truncation is an explicit lag chain — pure
+    window expressions, whole-stage codegen, one shuffle on user_id.
+    Early rows renormalize over the lags that exist (num/den both skip
+    NULL lags).  Weights are exact binary fractions and BOTH engines
+    evaluate the same left-associated term order, so doubles match
+    bit-for-bit before the 6-dp round."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num, den = F.lit(0.0), F.lit(0.0)
+    for k in range(7):
+        lk = F.col("value") if k == 0 else F.lag("value", k).over(w)
+        wk = F.lit(0.5 ** k)
+        num = num + F.when(lk.isNotNull(), wk * lk).otherwise(F.lit(0.0))
+        den = den + F.when(lk.isNotNull(), wk).otherwise(F.lit(0.0))
+    return ev.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )

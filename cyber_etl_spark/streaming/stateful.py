@@ -238,3 +238,85 @@ def debounce_stream(events: DataFrame, gap_s: int = 300) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+# last up to 6 values, newest first; nullable doubles instead of an array
+# keep the state schema flat for the state store
+_EWMA_STATE = StructType(
+    [StructField(f"r{k}", DoubleType()) for k in range(1, 7)]
+)
+
+
+def _round6_half_away(x: float) -> float:
+    """Replicate Spark/DuckDB round(x, 6) (HALF-AWAY-FROM-ZERO) — Python's
+    round() is half-even and WILL eventually diverge (CLAUDE.md rule)."""
+    import math
+
+    return (
+        math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 else math.ceil(x * 1e6 - 0.5) / 1e6
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the q155 truncated EWMA: per-user state holds
+    the previous (up to) 6 values; each arriving event emits the
+    7-term renormalized exponential average of (current, lags...).
+
+    The fold replays the batch query's exact arithmetic — same term
+    order (weights 0.5^k accumulated left to right), same NULL-lag
+    renormalization, same half-away-from-zero 6-dp round — so the
+    per-micro-batch output over an in-order feed equals the batch
+    answer row for row.  State per key is six doubles in the
+    partitioned, checkpointed state store; within a micro-batch rows
+    fold in (ts, event_id) order so output is independent of batch
+    slicing."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        recent: list = list(state.get) if state.exists else [None] * 6
+        rows = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+        out_ids, out_vals = [], []
+        for eid, v in zip(rows["event_id"], rows["value"]):
+            v = None if pd.isna(v) else float(v)
+            num, den = 0.0, 0.0
+            for k in range(7):
+                lk = v if k == 0 else recent[k - 1]
+                if lk is not None:
+                    num = num + (0.5**k) * lk
+                    den = den + 0.5**k
+                else:
+                    num = num + 0.0
+                    den = den + 0.0
+            out_ids.append(eid)
+            out_vals.append(_round6_half_away(num / den) if den > 0 else None)
+            recent = [v] + recent[:5]
+        state.update(tuple(recent))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_ids),
+                "event_id": out_ids,
+                "ewma": out_vals,
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

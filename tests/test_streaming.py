@@ -317,3 +317,38 @@ def test_debounce_stream_matches_batch_q134(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_ewma_stream_matches_batch_q155(spark, sf_smoke, tmp_path):
+    """Streaming truncated EWMA == the q155 lag-chain window query, with
+    per-user state (the previous 6 values) genuinely crossing
+    micro-batches: the feed is split into three ts-ordered files
+    consumed one per trigger."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import ewma_stream
+
+    events = read_table(spark, sf_smoke, "events")
+    d = tmp_path / "ewma_feed"
+    d.mkdir()
+    n = events.count()
+    pdf = events.orderBy("ts", "event_id").toPandas()
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet"))
+    stream = read_event_stream(spark, str(d), empty_dir_ts="micros")
+    run_stream_to_memory(ewma_stream(stream), "ewma_mem", mode="update")
+    got = {
+        r.event_id: r.ewma
+        for r in spark.sql("SELECT event_id, ewma FROM ewma_mem").collect()
+    }
+    want = {
+        r.event_id: r.ewma
+        for r in QUERIES["q155_ewma"].builder(spark, sf_smoke).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -2100,9 +2100,14 @@ def q130_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
     med = exact_quantiles(docs, "n_chars", {"med": 0.5}, ["source"])
+    # pin the deviation table: three consumers (the second kernel's
+    # sampling pass + shuffle, and the scoring join) would otherwise
+    # each re-run the scan + broadcast join — the standard multi-pass
+    # pin, same trade as kmeans' quantized corpus (A/B: 2.37→2.05 s
+    # min-of-4 at sf0.1, and 2 fewer source scans at any scale)
     dev = docs.join(F.broadcast(med), "source").withColumn(
         "adev", F.abs(F.col("n_chars") - F.col("med"))
-    )
+    ).localCheckpoint(eager=True)
     mad = exact_quantiles(dev, "adev", {"mad": 0.5}, ["source"])
     scored = dev.join(F.broadcast(mad), "source").select(
         "source",

@@ -2631,3 +2631,90 @@ def q155_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(num / den, 6).alias("ewma")
     )
+
+
+@query(
+    "q156_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT s.user_id, s.s_ts,
+             MIN(CASE WHEN e.ts > s.s_ts THEN e.ts END) AS v_ts
+      FROM s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'view'
+      GROUP BY s.user_id, s.s_ts
+    ),
+    p AS (
+      SELECT v.user_id, v.s_ts, v.v_ts,
+             MIN(CASE WHEN v.v_ts IS NOT NULL AND e.ts > v.v_ts
+                       AND date_diff('microsecond', v.s_ts, e.ts) <= 259200000000
+                  THEN e.ts END) AS p_ts
+      FROM v LEFT JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase'
+      GROUP BY v.user_id, v.s_ts, v.v_ts
+    )
+    SELECT CAST(CAST(s_ts AS DATE) AS VARCHAR) AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(v_ts) AS BIGINT) AS n_viewed,
+           CAST(COUNT(p_ts) AS BIGINT) AS n_purchased,
+           round(CAST(COUNT(p_ts) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+    FROM p GROUP BY 1
+    """,
+    tags=("timeseries", "funnel", "join", "agg"),
+)
+def q156_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step conversion funnel per signup cohort day:
+    first signup → first view AFTER it → first purchase AFTER that view
+    and within 72 h of signup.  The product-analytics query every event
+    pipeline serves; the ordering constraint (each step strictly after
+    the previous user-specific step) is what separates a funnel from
+    three independent counts.
+
+    Plan: one |users|-row anchor per step, each step a keyed left join +
+    conditional-MIN agg (MIN skips NULLs identically in both engines) —
+    no window over the raw event stream, no per-user sort; everything
+    shuffles on user_id.  Cohort day emitted as an ISO string (q154's
+    DATE-boxing rule)."""
+    ev = read_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    v = (
+        s.join(views, "user_id", "left")
+        .groupBy("user_id", "s_ts")
+        .agg(F.min(F.when(F.col("ts") > F.col("s_ts"), F.col("ts"))).alias("v_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    within_72h = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("s_ts"))
+    ) <= 259_200_000_000
+    p = (
+        v.join(purchases, "user_id", "left")
+        .groupBy("user_id", "s_ts", "v_ts")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("v_ts").isNotNull()
+                    & (F.col("ts") > F.col("v_ts"))
+                    & within_72h,
+                    F.col("ts"),
+                )
+            ).alias("p_ts")
+        )
+    )
+    return p.groupBy(
+        F.to_date("s_ts").cast("string").alias("cohort_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("v_ts").alias("n_viewed"),
+        F.count("p_ts").alias("n_purchased"),
+        F.round(F.count("p_ts").cast("double") / F.count(F.lit(1)), 6).alias(
+            "conv_rate"
+        ),
+    )

@@ -2521,11 +2521,15 @@ def q151_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     canon = scored.groupBy("source", "text").agg(F.min("doc_id").alias("keep_id"))
+    # pin the dedup survivors: the quantile kernel's sampling pass +
+    # shuffle and the bucketing join would each re-run the scan +
+    # dedup self-join (q130's multi-pass rule; A/B 2.44→1.96 s
+    # min-of-4 at sf0.1, 2 fewer source scans at any scale)
     ex = (
         scored.join(canon, ["source", "text"])
         .where(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "source", "n_tokens", "score")
-    )
+    ).localCheckpoint(eager=True)
     b = exact_quantiles(ex, "score", {"t1": 0.25, "t2": 0.75}, ["source"]).select(
         "source", F.round("t1", 6).alias("t1"), F.round("t2", 6).alias("t2")
     )

@@ -721,6 +721,70 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
     return in_core_deg(active, n).select(F.col("src").alias("id"), "core_deg")
 
 
+def ktruss(edges_upper: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """k-truss decomposition by synchronized EDGE peeling →
+    (src, dst, support): each round drops every edge participating in
+    fewer than k-2 triangles WITHIN the surviving edge set; the final
+    support is recomputed over the last survivor set (0 for edges whose
+    last triangle dissolved in the final round but were not yet peeled
+    — the fixed-round synchronized semantics the oracle unrolls).
+
+    The truss is the edge-wise sibling of :func:`kcore`'s vertex peel —
+    a stricter cohesion filter (every k-truss edge lies in a (k-1)-core,
+    not vice versa).  Input is the i<j upper-oriented edge list.
+
+    Scale shape: one round = the q89 triangle enumeration on the pinned
+    survivor set (two self-joins, both keyed on edge endpoints), a
+    3-role union exploding each triangle to its edges, and an
+    (src, dst)-keyed count whose partitioning feeds the survivor join
+    exchange-free (NOT `_nw`-wrapped — the loop rule).  The edge set
+    only shrinks; fixpoint exits early.
+    """
+    if k < 3:
+        raise ValueError(f"k-truss needs k >= 3, got {k}")
+    e = edges_upper.select("src", "dst").localCheckpoint(eager=True)
+    m = e.count()
+    w = _width(m)
+    thr = k - 2
+
+    def support(edges_cur: DataFrame) -> DataFrame:
+        ab, bc, ac = (edges_cur.alias(x) for x in ("ab", "bc", "ac"))
+        tri = (
+            ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+            .join(
+                ac,
+                (F.col("ac.src") == F.col("ab.src"))
+                & (F.col("ac.dst") == F.col("bc.dst")),
+            )
+            .select(
+                F.col("ab.src").alias("a"),
+                F.col("ab.dst").alias("b"),
+                F.col("bc.dst").alias("c"),
+            )
+        )
+        roles = (
+            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+            .unionByName(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+        )
+        return roles.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("support"))
+
+    for _ in range(rounds):
+        nxt = _nw(
+            e.join(support(e), ["src", "dst"]).where(F.col("support") >= thr), w
+        ).select("src", "dst").localCheckpoint(eager=True)
+        m_nxt = nxt.count()
+        if m_nxt == m:  # fixpoint — further rounds are no-ops
+            e = nxt
+            break
+        e, m = nxt, m_nxt
+        if m == 0:
+            break
+    return e.join(support(e), ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
+    )
+
+
 def sssp_hop_limited(
     wedges: DataFrame, source: int, iterations: int = 6
 ) -> DataFrame:

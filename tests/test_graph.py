@@ -175,3 +175,32 @@ def test_sssp_prefers_cheap_multi_hop(spark):
     assert d == {0: 0, 2: 1, 1: 3, 3: 4}  # 0-2-1 (3) beats 0-1 (10)
     d1 = {r.id: r.dist for r in sssp_hop_limited(edges, 0, iterations=1).collect()}
     assert d1 == {0: 0, 1: 10, 2: 1}  # one relaxation: direct edges only
+
+
+def test_ktruss_edge_peel_semantics(spark):
+    """On a clique-plus-triangle-chain graph: the 4-clique is a 4-truss
+    (every edge in 2 triangles); a pendant triangle is 3-truss only; a
+    dangling edge (no triangle) peels immediately.  Edges are i<j
+    upper-oriented."""
+    from cyber_etl_spark.graph.algorithms import ktruss
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pendant_tri = [(3, 10), (3, 11), (10, 11)]
+    dangle = [(11, 20)]
+    edges = spark.createDataFrame(
+        clique + pendant_tri + dangle, "src long, dst long"
+    )
+    t3 = {(r.src, r.dst): r.support for r in ktruss(edges, k=3, rounds=4).collect()}
+    # 3-truss keeps the clique and the pendant triangle, drops the dangle
+    assert set(t3) == set(clique + pendant_tri)
+    assert all(s >= 1 for s in t3.values())
+    t4 = {(r.src, r.dst) for r in ktruss(edges, k=4, rounds=4).collect()}
+    # 4-truss: only the clique (each edge in 2 surviving triangles)
+    assert t4 == set(clique)
+    # monotone: higher k only removes edges
+    assert t4 <= set(t3)
+    # k < 3 is ill-defined
+    import pytest
+
+    with pytest.raises(ValueError, match="k >= 3"):
+        ktruss(edges, k=2)

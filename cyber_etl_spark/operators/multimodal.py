@@ -569,3 +569,151 @@ def extract_features(
         return s.map(vec)
 
     return df.withColumn("features", featurize(F.col(content_col)))
+
+
+# ---- perceptual hash (pHash) image near-dup ----------------------------
+
+def _dct_basis(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis matrix (n x n)."""
+    k = np.arange(n).reshape(-1, 1)
+    m = np.arange(n).reshape(1, -1)
+    t = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    t[0, :] = np.sqrt(1.0 / n)
+    return t
+
+
+_PHASH_SIZE = 32
+_PHASH_T = None  # lazy: numpy basis built once per process
+
+
+def _phash64_pixels(img: "np.ndarray") -> int:
+    """64-bit perceptual hash of an H×W×C uint8 array: grayscale →
+    nearest-neighbor 32×32 → 2-D DCT-II → top-left 8×8 coefficient
+    block → each bit = (coefficient > median of the 63 non-DC
+    coefficients).  Deterministic per image (row-local numpy, no
+    partition dependence); near-identical pixels → small Hamming
+    distance, the property the banded join exploits."""
+    global _PHASH_T
+    if _PHASH_T is None:
+        _PHASH_T = _dct_basis(_PHASH_SIZE)
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.minimum((np.arange(_PHASH_SIZE) * h) // _PHASH_SIZE, h - 1)
+    xs = np.minimum((np.arange(_PHASH_SIZE) * w) // _PHASH_SIZE, w - 1)
+    small = gray[ys][:, xs]
+    d = _PHASH_T @ small @ _PHASH_T.T
+    block = d[:8, :8].ravel()
+    med = float(np.median(block[1:]))
+    bits = block > med
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _phash_bytes(bb: bytes) -> int:
+    """Dispatch: real 8-bit PNGs hash their decoded pixels; FAKEIMG
+    payloads hash a deterministic sha256-expanded pseudo-pixel grid
+    (identical payload bytes → identical hash, the property the tests
+    pin); other formats would decode through PIL when importable."""
+    if bb.startswith(b"FAKEIMG|"):
+        stream, cur = [], bb
+        while len(stream) < _PHASH_SIZE * _PHASH_SIZE // 32:
+            cur = hashlib.sha256(cur).digest()
+            stream.append(cur)
+        raw = b"".join(stream)[: _PHASH_SIZE * _PHASH_SIZE]
+        img = np.frombuffer(raw.ljust(_PHASH_SIZE * _PHASH_SIZE, b"\0"), dtype=np.uint8)
+        return _phash64_pixels(img.reshape(_PHASH_SIZE, _PHASH_SIZE, 1))
+    if bb[:8] == _PNG_SIG:
+        img, _ = _png_decode_pixels(bb)
+        return _phash64_pixels(img)
+    if _HAS_PIL:  # pragma: no cover - PIL absent in this container
+        import io
+
+        with Image.open(io.BytesIO(bb)) as im:
+            arr = np.asarray(im.convert("L"), dtype=np.uint8)
+        return _phash64_pixels(arr[:, :, None])
+    raise ValueError("unsupported image container for perceptual hashing")
+
+
+def phash_fingerprints(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, phash): 64-bit perceptual hashes via mapInPandas — bytes
+    never leave the executors, one row of output per image."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "phash": [_phash_bytes(bytes(b)) for b in pdf[content_col]],
+                }
+            )
+
+    return df.mapInPandas(hash_batch, out_schema)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_hamming: int = 7,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs at pHash Hamming distance ≤
+    ``max_hamming`` — the visual twin of the SimHash text dedup, with
+    the same banded pigeonhole economics: the 64 bits split into
+    ``bands`` segments and candidates come from an equi-join on segment
+    equality (exact for max_hamming ≤ bands-1), so shuffle cost is
+    O(n·bands), never the all-pairs cross join.  Verification is a
+    JVM-side ``bit_count(xor)`` on the candidate set only."""
+    assert max_hamming <= bands - 1, "banding is only exact for hamming <= bands-1"
+    assert 64 % bands == 0, "bands must divide 64"
+    fp = phash_fingerprints(df, id_col, content_col)
+    seg_bits = 64 // bands
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                # logical shift: phash uses the full 64 bits incl. sign
+                (
+                    F.shiftrightunsigned(F.col("phash"), i * seg_bits)
+                    % (2**seg_bits)
+                ).alias("seg_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    segs = fp.select("id", "phash", F.explode(seg_structs).alias("e")).select(
+        "id", "phash", F.col("e.seg").alias("seg"), F.col("e.seg_val").alias("seg_val")
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

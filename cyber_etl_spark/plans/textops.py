@@ -2597,6 +2597,78 @@ def q153_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q158_image_phash_dedup",
+    oracle=None,  # DCT perceptual hashing has no SQL-expressible twin;
+    # rows-only gate + crafted-pixel behavior tests (test_multimodal)
+    tags=("multimodal", "dedup", "phash", "image"),
+)
+def q158_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup pairs end to end: a deterministic
+    256-image corpus (16 sha-expanded base patterns, each instance
+    perturbed by 0–3 per-doc pixel edits) is rendered to REAL 32×32
+    grayscale PNGs (stdlib encoder), then pHash (DCT low-frequency
+    signature) + banded Hamming join
+    (operators/multimodal.phash_neardup_pairs).  Images sharing a base
+    pattern land at small Hamming distance, different patterns stay far
+    — the visual-modality twin of q23's SimHash text dedup.  Rows-only:
+    DCT hashing has no SQL twin; the pixel-level semantics are pinned by
+    behavior tests (test_multimodal).
+
+    Scale: hashing is one mapInPandas pass (bytes stay on executors);
+    candidates come from the 8×8-bit banded equi-join (exact for
+    Hamming ≤ 7), O(n·bands) shuffle — never an all-pairs join."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..operators.multimodal import _png_encode_pixels, phash_neardup_pairs
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 256)
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", docs.schema["doc_id"].dataType),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def render(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        n = 32 * 32
+
+        def pattern(seed: str) -> np.ndarray:
+            stream, cur = [], seed.encode()
+            while sum(len(c) for c in stream) < n:
+                cur = hashlib.sha256(cur).digest()
+                stream.append(cur)
+            return np.frombuffer(b"".join(stream)[:n], dtype=np.uint8).copy()
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = pattern(f"base{did % 16}")
+                # 0-3 deterministic pixel edits per doc
+                edit_seed = hashlib.sha256(f"noise{did}".encode()).digest()
+                for j in range(did % 4):
+                    pos = int.from_bytes(edit_seed[2 * j : 2 * j + 2], "big") % n
+                    img[pos] ^= 0xFF
+                out.append(
+                    _png_encode_pixels(img.reshape(32, 32, 1), color_type=0)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": out})
+
+    images = docs.mapInPandas(render, out_schema)
+    return phash_neardup_pairs(images, id_col="doc_id", max_hamming=7, bands=8)
+
+
+@query(
     "q148_split_leakage",
     oracle="""
     WITH fp AS (

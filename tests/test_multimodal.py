@@ -630,3 +630,50 @@ def test_resize_never_stubs_real_bytes(monkeypatch):
     # FAKEIMG payloads still take the deterministic stub path, PIL or not
     out = mm._resize_image_bytes(mm.encode_fake_image(9, 9, "RGB"), 4, 4)
     assert out.startswith(b"FAKEIMG|4|4|RGB|")
+
+
+def test_phash_neardup_pairs_pixel_semantics(spark):
+    """pHash banded-join dedup on crafted PNGs: identical pixels pair at
+    Hamming 0, a single flipped pixel stays a near-dup (low-frequency
+    DCT signature barely moves), an unrelated pattern does not pair;
+    FAKEIMG payloads hash deterministically (same payload → Hamming 0)."""
+    import hashlib
+
+    import numpy as np
+
+    from cyber_etl_spark.operators import multimodal as mm
+
+    def grid(seed: str) -> np.ndarray:
+        stream, cur = [], seed.encode()
+        while sum(len(c) for c in stream) < 1024:
+            cur = hashlib.sha256(cur).digest()
+            stream.append(cur)
+        return np.frombuffer(b"".join(stream)[:1024], dtype=np.uint8).copy()
+
+    base = grid("a")
+    near = base.copy()
+    near[500] ^= 0xFF
+    far = grid("completely different")
+    rows = [
+        (1, bytearray(mm._png_encode_pixels(base.reshape(32, 32, 1), 0))),
+        (2, bytearray(mm._png_encode_pixels(base.reshape(32, 32, 1), 0))),
+        (3, bytearray(mm._png_encode_pixels(near.reshape(32, 32, 1), 0))),
+        (4, bytearray(mm._png_encode_pixels(far.reshape(32, 32, 1), 0))),
+        (5, bytearray(mm.encode_fake_image(9, 9, "RGB"))),
+        (6, bytearray(mm.encode_fake_image(9, 9, "RGB"))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.phash_neardup_pairs(df, max_hamming=7, bands=8).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical pixels
+    assert pairs[(5, 6)] == 0  # identical FAKEIMG payloads
+    assert 0 <= pairs[(1, 3)] <= 7 and 0 <= pairs[(2, 3)] <= 7  # one-pixel edit
+    assert not any(4 in p for p in pairs)  # unrelated pattern never pairs
+
+    # banding exactness precondition is enforced
+    import pytest
+
+    with pytest.raises(AssertionError, match="hamming <= bands-1"):
+        mm.phash_neardup_pairs(df, max_hamming=9, bands=8)

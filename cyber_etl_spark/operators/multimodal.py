@@ -611,18 +611,26 @@ def _phash64_pixels(img: "np.ndarray") -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def sha256_stream(seed: bytes, n: int) -> bytes:
+    """Deterministic n-byte pseudo-random stream by chained sha256 — THE
+    one implementation of the idiom (pHash fake-pixels, q158's planted
+    pattern corpus); review r6 flagged the hand-kept copies."""
+    stream, cur, total = [], seed, 0
+    while total < n:
+        cur = hashlib.sha256(cur).digest()
+        stream.append(cur)
+        total += len(cur)
+    return b"".join(stream)[:n]
+
+
 def _phash_bytes(bb: bytes) -> int:
     """Dispatch: real 8-bit PNGs hash their decoded pixels; FAKEIMG
     payloads hash a deterministic sha256-expanded pseudo-pixel grid
     (identical payload bytes → identical hash, the property the tests
     pin); other formats would decode through PIL when importable."""
     if bb.startswith(b"FAKEIMG|"):
-        stream, cur = [], bb
-        while len(stream) < _PHASH_SIZE * _PHASH_SIZE // 32:
-            cur = hashlib.sha256(cur).digest()
-            stream.append(cur)
-        raw = b"".join(stream)[: _PHASH_SIZE * _PHASH_SIZE]
-        img = np.frombuffer(raw.ljust(_PHASH_SIZE * _PHASH_SIZE, b"\0"), dtype=np.uint8)
+        raw = sha256_stream(bb, _PHASH_SIZE * _PHASH_SIZE)
+        img = np.frombuffer(raw, dtype=np.uint8)
         return _phash64_pixels(img.reshape(_PHASH_SIZE, _PHASH_SIZE, 1))
     if bb[:8] == _PNG_SIG:
         img, _ = _png_decode_pixels(bb)
@@ -679,15 +687,28 @@ def phash_neardup_pairs(
     assert max_hamming <= bands - 1, "banding is only exact for hamming <= bands-1"
     assert 64 % bands == 0, "bands must divide 64"
     fp = phash_fingerprints(df, id_col, content_col)
+    return phash_pairs_from_fingerprints(fp, max_hamming, bands)
+
+
+def phash_pairs_from_fingerprints(
+    fp: DataFrame, max_hamming: int = 7, bands: int = 8
+) -> DataFrame:
+    """Banded Hamming join over an (id, phash) table — split out so the
+    sign-proof banding semantics are testable on crafted fingerprints
+    and so persisted hash tables can be re-joined without re-hashing."""
     seg_bits = 64 // bands
     seg_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("seg"),
-                # logical shift: phash uses the full 64 bits incl. sign
+                # logical shift + MASK: phash uses all 64 bits incl. the
+                # sign, and Spark's % follows the dividend sign — band 0
+                # (unshifted) of a negative hash would come out negative
+                # and never equi-join a positive hash's identical low
+                # byte (review r6 finding); bitwiseAND is sign-proof
                 (
                     F.shiftrightunsigned(F.col("phash"), i * seg_bits)
-                    % (2**seg_bits)
+                    .bitwiseAND(2**seg_bits - 1)
                 ).alias("seg_val"),
             )
             for i in range(bands)

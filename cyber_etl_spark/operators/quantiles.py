@@ -112,14 +112,30 @@ def exact_quantiles(
         F.count(F.lit(1)) if weight_col is None else F.sum("_w")
     ).alias("_n")
     counts = ranged.groupBy("_pid", *group_cols).agg(size_agg).collect()
+
+    def gkey(r) -> tuple:
+        # NaN float group values are boxed as fresh never-equal objects
+        # by the driver and as NaN by pandas — normalize BOTH sides to
+        # None so they key one group (reported as NULL in the output)
+        return tuple(
+            None if (v := r[c]) is None or (isinstance(v, float) and v != v) else v
+            for c in group_cols
+        )
+
     totals: dict[tuple, float] = {}
     for r in counts:
-        g = tuple(r[c] for c in group_cols)
+        g = gkey(r)
         totals[g] = totals.get(g, 0) + r["_n"]
     offsets: dict[tuple, float] = {}  # (group..., pid) -> rank/weight offset
     run: dict[tuple, float] = {}
-    for r in sorted(counts, key=lambda r: ([r[c] for c in group_cols], r["_pid"])):
-        g = tuple(r[c] for c in group_cols)
+    # only the WITHIN-group pid order matters (ascending pid == ascending
+    # value range); the cross-group order is arbitrary, so a None-safe
+    # (is-null, str) key avoids TypeError on NULL group values
+    for r in sorted(
+        counts,
+        key=lambda r: ([(r[c] is None, str(r[c])) for c in group_cols], r["_pid"]),
+    ):
+        g = gkey(r)
         offsets[(g, r["_pid"])] = run.get(g, 0)
         run[g] = run.get(g, 0) + r["_n"]
 
@@ -158,7 +174,15 @@ def exact_quantiles(
             pid = int(pdf["_pid"].iloc[0])
             if ngc:
                 for g, sub in pdf.groupby(group_cols, sort=False, dropna=False):
-                    gk = g if isinstance(g, tuple) else (g,)
+                    raw = g if isinstance(g, tuple) else (g,)
+                    # pandas boxes a NULL group value as NaN; the offsets
+                    # dict (built from Spark Rows) keys it as None
+                    gk = tuple(
+                        None
+                        if y is None or (isinstance(y, float) and y != y)
+                        else y
+                        for y in raw
+                    )
                     acc.setdefault(gk, []).append(sub[data_cols].to_numpy())
             else:
                 acc.setdefault((), []).append(pdf[data_cols].to_numpy())
@@ -175,8 +199,10 @@ def exact_quantiles(
                 hi = cum[-1]
                 for t in needed.get(gk, ()):
                     # first row where running weight reaches t — in this
-                    # partition iff the threshold crosses inside it
-                    if off < t <= hi:
+                    # partition iff the threshold crosses inside it; a
+                    # p=0 threshold is reached by the group's FIRST row
+                    # (cw >= 0 in the SQL twin), i.e. the first partition
+                    if off < t <= hi or (t <= 0 and off == 0):
                         i = int(np.searchsorted(cum, t, side="left"))
                         rows.append(list(gk) + [t, float(v[i])])
             else:
@@ -190,8 +216,7 @@ def exact_quantiles(
     selected = ranged.mapInPandas(select_ranks, schema=out_schema).collect()
     at: dict[tuple, dict[float, float]] = {}
     for r in selected:
-        g = tuple(r[c] for c in group_cols)
-        at.setdefault(g, {})[r["_mark"]] = r["_v"]
+        at.setdefault(gkey(r), {})[r["_mark"]] = r["_v"]
 
     res_schema = StructType(
         list(gfields) + [StructField(a, DoubleType()) for a in probs]

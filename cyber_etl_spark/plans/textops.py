@@ -2640,14 +2640,12 @@ def q158_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from ..operators.multimodal import sha256_stream
+
         n = 32 * 32
 
         def pattern(seed: str) -> np.ndarray:
-            stream, cur = [], seed.encode()
-            while sum(len(c) for c in stream) < n:
-                cur = hashlib.sha256(cur).digest()
-                stream.append(cur)
-            return np.frombuffer(b"".join(stream)[:n], dtype=np.uint8).copy()
+            return np.frombuffer(sha256_stream(seed.encode(), n), dtype=np.uint8).copy()
 
         for pdf in batches:
             out = []

@@ -102,6 +102,9 @@ class SessionMemo(dict):
         if tok is not None:
             for stale in [k for k in self if k[0] != tok]:
                 super().__delitem__(stale)
-        while len(self) >= self._cap:
-            super().__delitem__(next(iter(self)))
+        # cap only gates NET growth: overwriting an existing key must not
+        # evict an unrelated live entry (review r6 finding)
+        if key not in self:
+            while len(self) >= self._cap:
+                super().__delitem__(next(iter(self)))
         super().__setitem__(key, value)

@@ -677,3 +677,21 @@ def test_phash_neardup_pairs_pixel_semantics(spark):
 
     with pytest.raises(AssertionError, match="hamming <= bands-1"):
         mm.phash_neardup_pairs(df, max_hamming=9, bands=8)
+
+
+def test_phash_band_zero_sign_proof(spark):
+    """Band 0 of a NEGATIVE phash must equi-join a positive hash's
+    identical low byte (review r6: signed % broke the pigeonhole
+    exactness guarantee).  Craft two fingerprints differing in exactly
+    7 high bits (one per band 1-7, incl. the sign bit), identical in
+    band 0 — the pair MUST surface at hamming 7."""
+    from cyber_etl_spark.operators import multimodal as mm
+
+    h_pos = 0x05  # low byte only
+    h_neg = h_pos ^ sum(1 << (8 * b + 3) for b in range(1, 7)) ^ (1 << 63)
+    h_neg_signed = h_neg - (1 << 64)  # negative as Spark LongType
+    fp = spark.createDataFrame(
+        [(1, h_pos), (2, h_neg_signed)], "id long, phash long"
+    )
+    pairs = mm.phash_pairs_from_fingerprints(fp, max_hamming=7, bands=8).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 7)]

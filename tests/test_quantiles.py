@@ -178,3 +178,35 @@ def test_skewed_giant_group_still_exact(spark):
         .count()
     )
     assert parts >= 8
+
+
+def test_null_group_value_string_col(spark):
+    """A NULL group VALUE (not null measure) is its own group, exactly
+    like the built-in percentile aggregate treats it."""
+    rows = [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = _kernel(df, "v", {"med": 0.5}, ["g"], num_partitions=3)
+    assert got == {("a",): (2.0,), (None,): (15.0,)}
+
+
+def test_weighted_p_zero_returns_group_min(spark):
+    """p=0 weighted threshold: the SQL twin's cw >= 0 picks the first
+    (minimum) value — the kernel must match, not return NULL (review
+    r6 finding)."""
+    df = spark.createDataFrame(
+        [("a", 5.0, 2), ("a", 1.0, 3), ("b", 9.0, 1)], "g string, v double, w long"
+    )
+    got = _kernel(df, "v", {"mn": 0.0, "mx": 1.0}, ["g"], weight_col="w")
+    assert got == {("a",): (1.0, 5.0), ("b",): (9.0, 9.0)}
+
+
+def test_float_nan_group_keys_one_group(spark):
+    """NaN group values fragment into never-equal objects without
+    normalization; they must key ONE group, reported as NULL."""
+    import math
+
+    rows = [(1.0, 10.0), (1.0, 20.0), (float("nan"), 5.0), (float("nan"), 7.0)]
+    df = spark.createDataFrame(rows, "g double, v double")
+    got = _kernel(df, "v", {"med": 0.5}, ["g"], num_partitions=3)
+    assert got[(1.0,)] == (15.0,)
+    assert got[(None,)] == (6.0,)

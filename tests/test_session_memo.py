@@ -40,3 +40,14 @@ def test_builder_cache_purges_foreign_token(spark, sf_smoke):
     assert (tok, sf_smoke) in builder._EDGE_CACHE
     # second call is a pure cache hit (same object)
     assert builder.co_supply_edges(spark, sf_smoke) is e1
+
+
+def test_overwrite_at_capacity_keeps_other_entries():
+    """Overwriting an existing key at capacity must not evict an
+    unrelated live entry (review r6 finding)."""
+    m = SessionMemo(cap=3)
+    m[("app", "a")] = 1
+    m[("app", "b")] = 2
+    m[("app", "c")] = 3
+    m[("app", "b")] = 22  # replacement, no net growth
+    assert dict(m) == {("app", "a"): 1, ("app", "b"): 22, ("app", "c"): 3}

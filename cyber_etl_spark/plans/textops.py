@@ -2667,6 +2667,82 @@ def q158_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q159_audio_fp_dedup",
+    oracle=None,  # FFT spectral hashing has no SQL twin; rows-only gate
+    # + crafted-waveform behavior tests (test_multimodal)
+    tags=("multimodal", "dedup", "audio", "fingerprint"),
+)
+def q159_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-fingerprint AUDIO near-dup pairs end to end: a
+    deterministic 256-clip corpus (16 base 3-tone chords, each
+    instance overlaid with 0–3 units of low-amplitude sha-stream noise)
+    rendered to REAL 16-bit PCM WAVs (stdlib writer), then the 64-bit
+    band-energy fingerprint + banded Hamming join
+    (operators/multimodal.audio_neardup_pairs) — the audio member of
+    the modality-dedup family (q23 text SimHash, q158 image pHash).
+    Clips sharing a chord pair at Hamming 0-3; different chords occupy
+    disjoint band sets (Hamming >= 6), past the max_hamming=3 gate.
+
+    Scale: fingerprinting is one mapInPandas pass; candidates come from
+    the banded equi-join, O(n·bands) shuffle — never all-pairs."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..operators.multimodal import (
+        _wav_encode_pcm16,
+        audio_neardup_pairs,
+        sha256_stream,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 256)
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", docs.schema["doc_id"].dataType),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import audio_band_edges
+
+        n, rate = 4096, 16000
+        t = np.arange(n) / rate
+        # chord b = 3 tones at the CENTERS of fingerprint bands
+        # {8+b, 24+b, 40+b} (audio_band_edges is the fingerprint's own
+        # band map): distinct chords occupy disjoint hot-band sets, so
+        # cross-chord Hamming is >= 6 while same-chord noisy copies
+        # stay at 0-3 — separated by the max_hamming=3 gate below
+        edges = audio_band_edges(n // 2 + 1, 64)
+        centers = np.sqrt(edges[:-1] * edges[1:]) * rate / n
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b = did % 16
+                clip = sum(
+                    9000.0 * np.sin(2 * np.pi * centers[8 + b + 16 * j] * t)
+                    for j in range(3)
+                )
+                lvl = did % 4
+                if lvl:
+                    noise = np.frombuffer(
+                        sha256_stream(f"anoise{did}".encode(), 2 * n), dtype="<i2"
+                    ).astype(np.float64)
+                    clip = clip + noise * (lvl / 256.0)
+                out.append(_wav_encode_pcm16(clip, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": out})
+
+    clips = docs.mapInPandas(render, out_schema)
+    return audio_neardup_pairs(clips, id_col="doc_id", max_hamming=3, bands=4)
+
+
+@query(
     "q148_split_leakage",
     oracle="""
     WITH fp AS (

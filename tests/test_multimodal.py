@@ -695,3 +695,42 @@ def test_phash_band_zero_sign_proof(spark):
     )
     pairs = mm.phash_pairs_from_fingerprints(fp, max_hamming=7, bands=8).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 7)]
+
+
+def test_audio_fingerprint_neardup_semantics(spark):
+    """Spectral-fingerprint audio dedup on crafted WAVs: identical PCM
+    pairs at Hamming 0, light additive noise stays near (band-energy
+    difference signs are robust), a different tone mix does not pair;
+    FAKEAUD payloads fingerprint deterministically."""
+    import numpy as np
+
+    from cyber_etl_spark.operators import multimodal as mm
+
+    t = np.arange(16000) / 16000.0
+
+    def tone(freqs, amp=8000):
+        return sum(amp * np.sin(2 * np.pi * f * t) for f in freqs)
+
+    base = tone([220, 440, 660, 880, 1100, 1320, 1540, 1760])
+    rng_noise = np.frombuffer(
+        mm.sha256_stream(b"noise", 2 * len(t)), dtype="<i2"
+    ).astype(np.float64)
+    near = base + rng_noise / 64.0  # tiny additive noise
+    far = tone([261, 523, 785, 1047, 1309, 1571, 1833, 2093])
+    rows = [
+        (1, bytearray(mm._wav_encode_pcm16(base))),
+        (2, bytearray(mm._wav_encode_pcm16(base))),
+        (3, bytearray(mm._wav_encode_pcm16(near))),
+        (4, bytearray(mm._wav_encode_pcm16(far))),
+        (5, bytearray(mm.encode_fake_audio(32000, 16000, 1))),
+        (6, bytearray(mm.encode_fake_audio(32000, 16000, 1))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.audio_neardup_pairs(df, max_hamming=7, bands=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(5, 6)] == 0
+    assert 0 <= pairs[(1, 3)] <= 7
+    assert not any(4 in p for p in pairs)

@@ -147,12 +147,20 @@ def test_q122_bloom_prefilter_sits_below_the_join(spark, sf_smoke):
     assert join_hits and min(join_hits) < plan.find("bit_get"), plan[:2000]
 
 
-def test_q130_single_scan_single_exchange(spark, sf_smoke):
-    """The MAD query's two grouped medians chain as windows over ONE
-    source partitioning: exactly one scan and one exchange; the final
-    group-by reuses hashpartitioning(source) with no further shuffle."""
+def test_q130_kernel_plan_shape(spark, sf_smoke):
+    """The MAD query (r6: distributed exact-quantile kernel) must show
+    the kernel's scale contract in its final plan: NO WindowExec (the
+    old per-group percentile buffer is gone), both group-median tables
+    broadcast back (never a sort-merge join against a |groups|-row
+    frame — one of the two joins rides the checkpointed deviation
+    frame), and exactly one hashpartitioning exchange for the final
+    per-source rollup."""
     plan = _plan(spark, sf_smoke, "q130_mad_outliers")
-    assert plan.count("FileScan parquet") == 1
+    assert "Window" not in plan
+    assert "percentile(" not in plan
+    assert plan.count("BroadcastHashJoin") == 1  # mad join (med join is
+    # inside the eagerly-checkpointed deviation frame)
+    assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
 
 

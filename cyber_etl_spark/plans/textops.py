@@ -2810,3 +2810,73 @@ def q148_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "example_train_doc_id",
         )
     )
+
+
+@query(
+    "q160_training_blocks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    pos AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CAST(ceil(SUM(n_tokens) / 512.0) AS BIGINT) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN CAST(floor(start_off / 512) AS BIGINT)
+                          <> CAST(floor((start_off + n_tokens - 1) / 512) AS BIGINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+           round(((SUM(n_tokens) - 1) % 512 + 1) / 512.0, 6) AS last_fill
+    FROM pos GROUP BY source
+    """,
+    tags=("text", "packing", "training"),
+)
+def q160_training_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk TRAINING-BLOCK packing audit (the GPT-style
+    batching scheme: documents are concatenated in a deterministic
+    order and split into fixed 512-token blocks): per source, how many
+    blocks the corpus packs into, how many documents straddle a block
+    boundary (and therefore get split across training sequences), and
+    how full the final block is.  Order is md5(doc_id) — pseudo-random
+    but rerun-stable, the q69 idiom — so the packing is reproducible.
+
+    Plan: one window cumsum per source (per-group running offset — the
+    packing position of every document), then a keyed rollup.  No
+    driver loop, no per-bin state: concat-and-chunk is exactly the
+    packing scheme that stays expressible as window arithmetic at
+    100 TB (first-fit bin packing is inherently sequential — that
+    variant belongs to applyInPandasWithState, not batch SQL)."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    t = docs.select("doc_id", "source", n_tok.alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = t.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    straddle = F.when(
+        F.floor(F.col("start_off") / 512).cast("long")
+        != F.floor((F.col("start_off") + F.col("n_tokens") - 1) / 512).cast("long"),
+        1,
+    ).otherwise(0)
+    return pos.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens") / 512.0).cast("long").alias("n_blocks"),
+        F.sum(straddle).cast("long").alias("n_straddlers"),
+        F.round(((F.sum("n_tokens") - 1) % 512 + 1) / 512.0, 6).alias("last_fill"),
+    )

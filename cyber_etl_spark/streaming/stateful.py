@@ -320,3 +320,104 @@ def ewma_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PACK_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("bin_id", LongType()),
+        StructField("fill_after", LongType()),
+    ]
+)
+
+_PACK_SHELF = 8  # open bins kept per key; oldest closes on overflow
+
+# flat state: next bin id, then (bin_id, fill) per shelf slot (-1 = empty)
+_PACK_STATE = StructType(
+    [StructField("next_bin", LongType())]
+    + [
+        StructField(f"{p}{i}", LongType())
+        for i in range(_PACK_SHELF)
+        for p in ("bid", "fill")
+    ]
+)
+
+
+def pack_stream(docs: DataFrame, capacity: int = 512) -> DataFrame:
+    """Streaming FIRST-FIT sequence packing — the inherently sequential
+    packing variant q160's batch concat-and-chunk deliberately avoids:
+    each arriving document (per source, in doc_id order within a
+    micro-batch) is placed into the first open bin it fits, else opens
+    a new bin.  State per key is a bounded SHELF of the 8 most recent
+    open bins (a bin that falls off the shelf is closed — the
+    bounded-state discipline every stateful operator here follows), so
+    state is O(1) per key no matter how many documents stream through.
+
+    Documents at or above ``capacity`` get a bin of their own and are
+    never shelved.  Emits (source, doc_id, bin_id, fill_after); bin ids
+    are a per-key running counter, so output is deterministic for a
+    fixed arrival order (the twin test replays the same order through a
+    driver-side reference)."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        if state.exists:
+            st = list(state.get)
+            next_bin = st[0]
+            shelf = [
+                [st[1 + 2 * i], st[2 + 2 * i]]
+                for i in range(_PACK_SHELF)
+                if st[1 + 2 * i] >= 0
+            ]
+        else:
+            next_bin, shelf = 0, []
+        rows = pd.concat(list(batches)).sort_values("doc_id")
+        out_ids, out_bins, out_fills = [], [], []
+        for did, n in zip(rows["doc_id"], rows["n_tokens"]):
+            n = int(n)
+            placed = None
+            if n < capacity:
+                for slot in shelf:
+                    if slot[1] + n <= capacity:
+                        slot[1] += n
+                        placed = slot
+                        break
+            if placed is None:
+                placed = [next_bin, n]
+                next_bin += 1
+                if n < capacity:  # full-or-over bins are born closed
+                    shelf.append(placed)
+                    if len(shelf) > _PACK_SHELF:
+                        shelf.pop(0)  # oldest open bin closes
+            if placed[1] >= capacity and placed in shelf:
+                shelf.remove(placed)  # exactly full: nothing more fits
+            out_ids.append(int(did))
+            out_bins.append(placed[0])
+            out_fills.append(placed[1])
+        flat = [next_bin]
+        for i in range(_PACK_SHELF):
+            flat += shelf[i] if i < len(shelf) else [-1, -1]
+        state.update(tuple(flat))
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(out_ids),
+                "doc_id": out_ids,
+                "bin_id": out_bins,
+                "fill_after": out_fills,
+            }
+        )
+
+    return (
+        docs.select("source", "doc_id", "n_tokens")
+        .groupBy("source")
+        .applyInPandasWithState(
+            update,
+            outputStructType=PACK_SCHEMA,
+            stateStructType=_PACK_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

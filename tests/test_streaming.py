@@ -352,3 +352,83 @@ def test_ewma_stream_matches_batch_q155(spark, sf_smoke, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_pack_stream_first_fit_matches_reference(spark, sf_smoke, tmp_path):
+    """Streaming first-fit packing == a driver-side reference replaying
+    the identical arrival order, with shelf state genuinely crossing
+    micro-batches (bins opened in chunk 1 receive documents from later
+    chunks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import _PACK_SHELF, pack_stream
+
+    docs = read_table(spark, sf_smoke, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    meta = (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    d = tmp_path / "pack_feed"
+    d.mkdir()
+    n = len(meta)
+    for i in range(3):
+        chunk = meta.iloc[i * n // 3 : (i + 1) * n // 3]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_stream_to_memory(pack_stream(stream, capacity=512), "pack_mem", mode="update")
+    got = {
+        r.doc_id: (r.source, r.bin_id, r.fill_after)
+        for r in spark.sql("SELECT * FROM pack_mem").collect()
+    }
+
+    # driver-side reference: same order (chunks consumed in sequence,
+    # doc_id-sorted within), same bounded-shelf first-fit
+    want: dict = {}
+    next_bin: dict = {}
+    shelf: dict = {}
+    for i in range(3):
+        chunk = meta.iloc[i * n // 3 : (i + 1) * n // 3].sort_values("doc_id")
+        for _, row in chunk.iterrows():
+            src, did, ntk = row["source"], int(row["doc_id"]), int(row["n_tokens"])
+            sh = shelf.setdefault(src, [])
+            placed = None
+            if ntk < 512:
+                for slot in sh:
+                    if slot[1] + ntk <= 512:
+                        slot[1] += ntk
+                        placed = slot
+                        break
+            if placed is None:
+                placed = [next_bin.get(src, 0), ntk]
+                next_bin[src] = next_bin.get(src, 0) + 1
+                if ntk < 512:
+                    sh.append(placed)
+                    if len(sh) > _PACK_SHELF:
+                        sh.pop(0)
+            if placed[1] >= 512 and placed in sh:
+                sh.remove(placed)
+            want[did] = (src, placed[0], placed[1])
+    assert len(got) == len(want) > 0
+    assert got == want
+    # state crossed batches: some bin received docs from different chunks
+    import collections
+
+    chunk_of = {}
+    for i in range(3):
+        for did in meta.iloc[i * n // 3 : (i + 1) * n // 3]["doc_id"]:
+            chunk_of[int(did)] = i
+    bins = collections.defaultdict(set)
+    for did, (src, b, _) in got.items():
+        bins[(src, b)].add(chunk_of[did])
+    assert any(len(cs) > 1 for cs in bins.values())

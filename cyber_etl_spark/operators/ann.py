@@ -780,3 +780,35 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         "cell", F.col("cell").cast(cents.schema["cell"].dataType)
     )
     return cents, assign
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally extend a persisted IVF index: assign a NEW vector
+    batch to the EXISTING centroids (no retraining — the index's cell
+    geometry, and therefore every previously persisted assignment,
+    stays valid) and append the assignments into the hive-partitioned
+    layout.  Returns the appended assignment frame.
+
+    This is the production maintenance path between full rebuilds: one
+    shuffle-free GEMM assignment pass over the new batch and a
+    partition-local append — the corpus already in the index is never
+    read, let alone reassigned.  Cell balance slowly drifts as the
+    corpus grows; operators monitor per-cell counts (one directory
+    listing / tiny agg) and schedule a retrain (``ivf_assign``) when
+    skew crosses policy — the same rebuild cadence any IVF deployment
+    runs."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    vecs = _quantized_vecs(new_vectors, id_col, vec_col)
+    assign = nearest_centroid_assign(vecs, cents)
+    assign.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "assignments")
+    )
+    return assign

@@ -260,3 +260,56 @@ def test_scalar_quantize_int8_negative_max_clamps_at_minus_127(spark):
     )
     r = scalar_quantize_int8(df).collect()[0]
     assert min(r.codes) == -127 and all(-127 <= c <= 127 for c in r.codes)
+
+
+def test_ivf_index_append_lifecycle(spark, sf_smoke, tmp_path):
+    """Incremental index maintenance: build+persist on half the corpus,
+    append the other half, and the loaded index must (a) cover every id
+    exactly once, (b) assign appended vectors exactly as the loaded
+    centroids dictate, (c) serve ivf_knn queries that find an appended
+    vector as its own nearest neighbor's twin."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.operators.ann import (
+        _quantized_vecs,
+        ivf_assign,
+        ivf_index_append,
+        ivf_knn,
+        load_ivf_index,
+        nearest_centroid_assign,
+        save_ivf_index,
+    )
+    from cyber_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    cents, assign = ivf_assign(half, n_cells=8)
+    save_ivf_index(cents, assign, str(tmp_path / "ivf"))
+    ivf_index_append(spark, str(tmp_path / "ivf"), rest)
+
+    lcents, lassign = load_ivf_index(spark, str(tmp_path / "ivf"))
+    n_total = emb.count()
+    assert lassign.count() == n_total
+    assert lassign.select("id").distinct().count() == n_total
+
+    # appended rows match the definitional assignment vs loaded centroids
+    want = {
+        r["id"]: r["cell"]
+        for r in nearest_centroid_assign(
+            _quantized_vecs(rest, "vec_id", "embedding"), lcents
+        ).collect()
+    }
+    got = {
+        r["id"]: r["cell"]
+        for r in lassign.join(
+            rest.select(F.col("vec_id").alias("id")), "id", "left_semi"
+        ).collect()
+    }
+    assert got == want
+
+    # an appended vector is findable through the maintained index
+    odd_id = rest.agg(F.min("vec_id")).collect()[0][0]
+    q = emb.where(F.col("vec_id") == odd_id)
+    res = ivf_knn(emb, q, k=5, index=(lcents, lassign))
+    assert res.where(F.col("query_id") == odd_id).count() > 0

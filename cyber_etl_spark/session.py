@@ -98,13 +98,29 @@ class SessionMemo(dict):
         self._cap = cap
 
     def __setitem__(self, key, value) -> None:
-        tok = key[0] if isinstance(key, tuple) and key else None
-        if tok is not None:
-            for stale in [k for k in self if k[0] != tok]:
-                super().__delitem__(stale)
+        # keys MUST be (session_token, ...) tuples: a non-tuple key would
+        # make the dead-session purge compare k[0] against a character
+        # (review r6 finding) — fail loudly instead of mis-evicting
+        if not (isinstance(key, tuple) and key):
+            raise TypeError(f"SessionMemo keys must be non-empty tuples, got {key!r}")
+        tok = key[0]
+        for stale in [k for k in self if k[0] != tok]:
+            super().__delitem__(stale)
         # cap only gates NET growth: overwriting an existing key must not
         # evict an unrelated live entry (review r6 finding)
         if key not in self:
             while len(self) >= self._cap:
                 super().__delitem__(next(iter(self)))
         super().__setitem__(key, value)
+
+    # dict.update()/setdefault() are C-level and would bypass __setitem__
+    # (entries inserted that way would evade both the purge and the cap) —
+    # route them through the guarded path
+    def update(self, *a, **kw) -> None:  # type: ignore[override]
+        for k, v in dict(*a, **kw).items():
+            self[k] = v
+
+    def setdefault(self, key, default=None):  # type: ignore[override]
+        if key not in self:
+            self[key] = default
+        return self[key]

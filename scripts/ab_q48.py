@@ -11,6 +11,12 @@ aggregation + rank join:
                  join reuses it); no _nw
   c) nw_after  — _nw applied after the rank projection instead of
                  around the join (r4-style placement)
+  d) ck2       — every-OTHER-superstep pinning on the broadcast path:
+                 odd supersteps (and the last) localCheckpoint the rank
+                 vector, even ones re-broadcast the one-level-deep
+                 uncheckpointed chain — probes whether halving the
+                 checkpoint jobs beats paying one nested re-broadcast
+                 per gap
 
 Usage: python scripts/ab_q48.py [sf_dir]
 """

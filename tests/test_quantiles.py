@@ -200,13 +200,26 @@ def test_weighted_p_zero_returns_group_min(spark):
     assert got == {("a",): (1.0, 5.0), ("b",): (9.0, 9.0)}
 
 
-def test_float_nan_group_keys_one_group(spark):
-    """NaN group values fragment into never-equal objects without
-    normalization; they must key ONE group, reported as NULL."""
-    import math
+def test_float_group_column_rejected(spark):
+    """Float group keys are unsupported (ADVICE r6: NaN would fold into
+    the NULL group while range-partitioning sorts NaN last — wrong
+    selection) — the kernel must refuse loudly."""
+    df = spark.range(10).select(
+        (F.col("id") % 3).cast("double").alias("g"), F.col("id").alias("v")
+    )
+    with pytest.raises(TypeError, match="float-typed group column"):
+        exact_quantiles(df, "v", {"p50": 0.5}, ["g"])
 
-    rows = [(1.0, 10.0), (1.0, 20.0), (float("nan"), 5.0), (float("nan"), 7.0)]
-    df = spark.createDataFrame(rows, "g double, v double")
-    got = _kernel(df, "v", {"med": 0.5}, ["g"], num_partitions=3)
-    assert got[(1.0,)] == (15.0,)
-    assert got[(None,)] == (6.0,)
+
+def test_bounded_group_contract_enforced(spark):
+    """The control tables are O(|groups| x |partitions|) on the driver —
+    the kernel must fail with guidance (not silently build a huge dict)
+    when the group count crosses the bound (r6 verdict item 4)."""
+    df = spark.range(200).select(
+        F.col("id").cast("string").alias("g"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="max_control_rows"):
+        exact_quantiles(df, "v", {"p50": 0.5}, ["g"], max_control_rows=50)
+    # under the bound the same frame works
+    out = exact_quantiles(df, "v", {"p50": 0.5}, ["g"], max_control_rows=10_000)
+    assert out.count() == 200

@@ -51,3 +51,27 @@ def test_overwrite_at_capacity_keeps_other_entries():
     m[("app", "c")] = 3
     m[("app", "b")] = 22  # replacement, no net growth
     assert dict(m) == {("app", "a"): 1, ("app", "b"): 22, ("app", "c"): 3}
+
+
+def test_non_tuple_key_rejected():
+    """Non-tuple keys would make the purge compare k[0] against a
+    character (ADVICE r6) — rejected loudly."""
+    import pytest
+
+    m = SessionMemo()
+    with pytest.raises(TypeError):
+        m["app-old"] = 1
+    with pytest.raises(TypeError):
+        m[()] = 1
+
+
+def test_update_and_setdefault_route_through_guard():
+    """dict.update()/setdefault() are C-level fast paths that would
+    bypass __setitem__ — SessionMemo overrides them so every insertion
+    path purges dead sessions and respects the cap."""
+    m = SessionMemo(cap=2)
+    m.update({("app", "a"): 1, ("app", "b"): 2, ("app", "c"): 3})
+    assert len(m) == 2
+    m.setdefault(("new-app", "x"), 9)
+    assert list(m) == [("new-app", "x")]  # purge ran
+    assert m.setdefault(("new-app", "x"), 0) == 9  # existing key kept

@@ -2849,25 +2849,30 @@ def q160_training_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     how full the final block is.  Order is md5(doc_id) — pseudo-random
     but rerun-stable, the q69 idiom — so the packing is reproducible.
 
-    Plan: one window cumsum per source (per-group running offset — the
-    packing position of every document), then a keyed rollup.  No
-    driver loop, no per-bin state: concat-and-chunk is exactly the
-    packing scheme that stays expressible as window arithmetic at
-    100 TB (first-fit bin packing is inherently sequential — that
-    variant belongs to applyInPandasWithState, not batch SQL)."""
-    from pyspark.sql.window import Window
+    Plan: the per-source running offset (the packing position of every
+    document) comes from the distributed prefix-sum kernel
+    (operators/prefix.running_total): range-partition by
+    (source, md5, doc_id) → tiny per-(partition, source) partial sums →
+    broadcast offset table → partition-local cumsum.  A plain
+    ``Window.partitionBy("source")`` cumsum would funnel each source's
+    ENTIRE corpus through one window task (the r6 verdict's
+    single-reducer finding); the kernel keeps per-task memory at one
+    range-partition regardless of how few sources exist.  First-fit bin
+    packing is inherently sequential — that variant belongs to
+    applyInPandasWithState, not batch SQL."""
+    from ..operators.prefix import running_total
 
     docs = read_table(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
-    t = docs.select("doc_id", "source", n_tok.alias("n_tokens")).where(
-        F.col("n_tokens") > 0
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    pos = t.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    t = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("_ord"),
+    ).where(F.col("n_tokens") > 0)
+    pos = running_total(
+        t, "n_tokens", ["_ord", "doc_id"], ["source"], out_col="_run"
+    ).withColumn("start_off", F.col("_run") - F.col("n_tokens"))
     straddle = F.when(
         F.floor(F.col("start_off") / 512).cast("long")
         != F.floor((F.col("start_off") + F.col("n_tokens") - 1) / 512).cast("long"),
@@ -2879,4 +2884,216 @@ def q160_training_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.sum("n_tokens") / 512.0).cast("long").alias("n_blocks"),
         F.sum(straddle).cast("long").alias("n_straddlers"),
         F.round(((F.sum("n_tokens") - 1) % 512 + 1) / 512.0, 6).alias("last_fill"),
+    )
+
+
+def _planted_fingerprints(
+    spark: SparkSession,
+    sf_dir: str,
+    base_seed: str,
+    flip_seed: str,
+    n_flip_mod: int,
+    max_doc_id: int = 1024,
+) -> DataFrame:
+    """Deterministic 64-bit fingerprint table over ``documents`` doc_ids:
+    16 md5-derived base signatures (full signed-64 range, so ~half are
+    NEGATIVE — the sign-proof banding path), each doc perturbed by
+    ``doc_id % n_flip_mod`` single-bit flips at md5-derived positions
+    (< 63, so ``1 << pos`` never overflows).  Every step is native
+    integer/string arithmetic expressible identically in DuckDB —
+    the SQL-twin fingerprint source for the pair-stage oracles
+    (q163/q164), which pin the BANDED Hamming join against a
+    brute-force all-pairs oracle (the r6 verdict's item 2: the join +
+    verify stage is where the subtle bugs live — the r6 sign-banding
+    fix was exactly there — and it IS SQL-expressible even though the
+    DCT/FFT fingerprinting of q158/q159 is not)."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < max_doc_id)
+    )
+    bmd = F.md5(F.concat(F.lit(base_seed), (F.col("doc_id") % 16).cast("string")))
+    hb = F.conv(F.substring(bmd, 1, 8), 16, 10).cast("long")
+    lb = F.conv(F.substring(bmd, 9, 8), 16, 10).cast("long")
+    h0 = (
+        hb - F.when(hb >= F.lit(2**31), F.lit(2**32)).otherwise(F.lit(0))
+    ) * F.lit(2**32) + lb
+    fmd = F.md5(F.concat(F.lit(flip_seed), F.col("doc_id").cast("string")))
+    t = docs.select(
+        "doc_id",
+        h0.alias("h0"),
+        (F.col("doc_id") % n_flip_mod).alias("m"),
+        *[
+            (F.conv(F.substring(fmd, 2 * j + 1, 2), 16, 10).cast("long") % 63).alias(
+                f"p{j}"
+            )
+            for j in range(n_flip_mod - 1)
+        ],
+    )
+    h = "h0"
+    for j in range(n_flip_mod - 1):
+        h = (
+            f"({h} ^ IF(m > {j}, "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p{j} AS INT)), CAST(0 AS BIGINT)))"
+        )
+    return t.select(F.col("doc_id").alias("id"), F.expr(h).alias("phash"))
+
+
+def _pair_stage_oracle(flips: int, base_seed: str, flip_seed: str, h: int) -> str:
+    """Brute-force all-pairs DuckDB twin of the banded Hamming join over
+    the planted fingerprint table — the banded join is EXACT for
+    hamming <= bands-1, so its result must equal the O(n²) scan."""
+    flip_cols = ",\n             ".join(
+        f"CAST('0x' || substr(md5('{flip_seed}' || CAST(doc_id AS VARCHAR)),"
+        f" {2 * j + 1}, 2) AS BIGINT) % 63 AS p{j}"
+        for j in range(flips)
+    )
+    hexpr = "(hb - CASE WHEN hb >= 2147483648 THEN 4294967296 ELSE 0 END)" \
+        " * 4294967296 + lb"
+    for j in range(flips):
+        hexpr = (
+            f"xor({hexpr}, CASE WHEN m > {j} THEN (CAST(1 AS BIGINT) << p{j})"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('{base_seed}' || CAST(doc_id % 16 AS VARCHAR)), 1, 8) AS BIGINT) AS hb,
+             CAST('0x' || substr(md5('{base_seed}' || CAST(doc_id % 16 AS VARCHAR)), 9, 8) AS BIGINT) AS lb,
+             doc_id % {flips + 1} AS m,
+             {flip_cols}
+      FROM documents WHERE doc_id < 1024
+    ),
+    fp AS (SELECT doc_id, {hexpr} AS h FROM seeded)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= {h}
+    """
+
+
+@query(
+    "q163_phash_pair_stage",
+    oracle=_pair_stage_oracle(3, "pb", "pf", 7),
+    tags=("multimodal", "dedup", "phash", "pair-stage"),
+)
+def q163_phash_pair_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded Hamming JOIN stage of image pHash dedup (q158) under
+    the full hash oracle: 8 bands × 8 bits, max_hamming=7 (the exact
+    regime), over a deterministic planted fingerprint table both
+    engines derive from md5 arithmetic.  DuckDB brute-forces all pairs;
+    the banded pigeonhole join must produce the identical pair set —
+    including across NEGATIVE hashes, the sign-proof
+    shiftrightunsigned+mask path the r6 review fixed.
+
+    Scale: the Spark side is the production O(n·bands) shuffle; the
+    O(n²) scan exists only inside the oracle at sf0.01."""
+    from ..operators.multimodal import phash_pairs_from_fingerprints
+
+    fp = _planted_fingerprints(spark, sf_dir, "pb", "pf", 4)
+    return phash_pairs_from_fingerprints(fp, max_hamming=7, bands=8)
+
+
+@query(
+    "q164_audio_pair_stage",
+    oracle=_pair_stage_oracle(1, "ab", "af", 3),
+    tags=("multimodal", "dedup", "audio", "pair-stage"),
+)
+def q164_audio_pair_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded join stage of audio fingerprint dedup (q159) under the
+    hash oracle: 4 bands × 16 bits, max_hamming=3 — the wide-segment
+    configuration q159 runs (16-bit masks exercise a different
+    segment-width path than q163's 8-bit bands).  Fingerprints are a
+    differently-seeded planted table with ≤1 flip per doc, so same-base
+    pairs sit at Hamming ≤ 2 and survive the tighter gate."""
+    from ..operators.multimodal import phash_pairs_from_fingerprints
+
+    fp = _planted_fingerprints(spark, sf_dir, "ab", "af", 2)
+    return phash_pairs_from_fingerprints(fp, max_hamming=3, bands=4)
+
+
+@query(
+    "q165_video_phash_dedup",
+    oracle=None,  # frame DCT hashing has no SQL twin (like q158/q159);
+    # the banded PAIR stage is oracled by q163/q164 over the shared
+    # phash_pairs_from_fingerprints, and frame-sampling/majority
+    # semantics are pinned by behavior tests (test_multimodal)
+    tags=("multimodal", "dedup", "video", "phash"),
+)
+def q165_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup pairs end to end — the last member of the modality
+    dedup family (q23 text, q158 image, q159 audio): a deterministic
+    256-video corpus (16 base scenes of 24 FAKEVID frames — a dominant
+    scene frame with a scene change every 6th frame — each copy
+    perturbed by 0–3 frame replacements) is fingerprinted by sampling
+    every 2nd frame, pHashing each frame's pixel grid, and
+    majority-voting the 64 bits per video
+    (operators/multimodal.video_neardup_pairs).  Copies of a base scene
+    COLLAPSE to Hamming 0 — the majority vote is exactly that stable
+    under ≤3 replaced frames (pinned by test_multimodal) — while
+    different scenes diverge to ~32 bits, far past the gate; the
+    intermediate 1..7 regime of the shared banded join is hash-gated by
+    q163/q164.
+
+    Scale: fingerprinting is one mapInPandas pass over the video bytes
+    (frames never leave the executors, state is one 64-entry bit-count
+    per video); candidates come from the shared banded equi-join —
+    O(n·bands) shuffle, never all-pairs — whose join/verify logic is
+    hash-gated by q163/q164."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..operators.multimodal import video_neardup_pairs
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 256)
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", docs.schema["doc_id"].dataType),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def render(batches):
+        import hashlib
+
+        import pandas as pd
+
+        n_frames = 24
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b = did % 16
+                base = hashlib.sha256(f"vscene{b}".encode()).digest()[:16]
+                frames = []
+                for i in range(n_frames):
+                    if i % 6 == 5:  # scene change every 6th frame
+                        frames.append(
+                            hashlib.sha256(f"vcut{b}:{i}".encode()).digest()[:16]
+                        )
+                    else:
+                        frames.append(base)
+                # 0-3 deterministic frame replacements per copy
+                for j in range(did % 4):
+                    pos = (
+                        int.from_bytes(
+                            hashlib.sha256(f"vnoise{did}:{j}".encode()).digest()[:2],
+                            "big",
+                        )
+                        % n_frames
+                    )
+                    frames[pos] = hashlib.sha256(
+                        f"vrepl{did}:{j}".encode()
+                    ).digest()[:16]
+                out.append(
+                    f"FAKEVID|{n_frames}|24|".encode() + b"".join(frames)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": out})
+
+    videos = docs.mapInPandas(render, out_schema)
+    return video_neardup_pairs(
+        videos, id_col="doc_id", max_hamming=7, bands=8, every_n=2
     )

@@ -187,3 +187,64 @@ def test_registry_wide_no_cartesian_product(spark, sf_smoke):
         if "CartesianProduct" in plan:
             flagged.append(name)
     assert not flagged, flagged
+
+
+def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
+    """Registry-wide scale invariant (r6 verdict): a full-output window
+    partitioned ONLY by low-cardinality keys funnels each key's entire
+    data through one window task — correct and fast at sf0.1, a
+    single-reducer sort-and-scan at 100 TB.  Such running totals / rank
+    distributions must go through the distributed prefix kernel
+    (operators/prefix.py), whose windows are self-identifying in the
+    plan: the partition-local pass keys on `_pid` and the bounded
+    control-table pass on `_gp_`-prefixed columns.
+
+    Exemptions, in order:
+    - spec contains `_pid`/`_gp_` → the prefix kernel's own windows;
+    - spec contains any column NOT in the known low-cardinality set →
+      per-task group size is bounded by the high-card key;
+    - plan contains WindowGroupLimit → a top-k rank window whose cut
+      Spark pushes map-side (the per-task buffer is k rows, not the
+      group) — coarse per-plan, acceptable because every such query's
+      only low-card window IS the rank window;
+    - AGG_INPUT_OK → the window's input is a post-aggregation table
+      (bounded rows; stated in each query's docstring): q97 per-(year,
+      month) revenue, q78/q145 vocabulary frequency tables, q132 two
+      per-doc retrieval score tables.
+    """
+    import re
+
+    from cyber_etl_spark.plans import QUERIES
+
+    LOW_CARD = {
+        "source", "event_type", "lang", "split", "order_year",
+        "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+        "c_mktsegment", "p_brand", "n_name", "r_name",
+    }
+    AGG_INPUT_OK = {
+        "q97_ratio_to_report", "q78_vocab_build",
+        "q145_bpe_tokenize", "q132_hybrid_rrf",
+    }
+    spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
+    flagged = []
+    for name, q in sorted(QUERIES.items()):
+        plan = q.builder(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        has_wgl = "WindowGroupLimit" in plan
+        for m in spec_pat.finditer(plan):
+            cols = []
+            for tok in m.group(1).split(", "):
+                if " ASC" in tok or " DESC" in tok or tok.startswith(
+                    "specifiedwindowframe"
+                ):
+                    break
+                cols.append(re.sub(r"#\d+L?", "", tok).strip())
+            if any(c == "_pid" or c.startswith("_gp_") for c in cols):
+                continue
+            if any(c not in LOW_CARD for c in cols if c):
+                continue
+            if cols and not all(c in LOW_CARD for c in cols):
+                continue
+            if has_wgl or name in AGG_INPUT_OK:
+                continue
+            flagged.append((name, tuple(cols)))
+    assert not flagged, flagged

@@ -859,3 +859,92 @@ def audio_neardup_pairs(
     segment machinery is fingerprint-agnostic)."""
     fp = audio_fingerprints(df, id_col, content_col).withColumnRenamed("afp", "phash")
     return phash_pairs_from_fingerprints(fp, max_hamming, bands)
+
+
+# ---- video near-dup (frame-sampled pHash, majority-vote signature) ------
+
+def _frame_phash(fb: bytes) -> int:
+    """pHash of one decoded frame.  FAKEVID frames are 16-byte payloads
+    (expanded to a deterministic 32×32 pseudo-pixel grid exactly like
+    FAKEIMG images, via :func:`sha256_stream`); real-codec frames
+    (rgb24 raw bytes, PyAV branch) hash their leading luminance-ish
+    bytes when large enough, else the expanded stream — deterministic
+    either way."""
+    if len(fb) >= _PHASH_SIZE * _PHASH_SIZE:
+        raw = np.frombuffer(
+            fb[: _PHASH_SIZE * _PHASH_SIZE], dtype=np.uint8
+        )
+    else:
+        raw = np.frombuffer(
+            sha256_stream(fb, _PHASH_SIZE * _PHASH_SIZE), dtype=np.uint8
+        )
+    return _phash64_pixels(raw.reshape(_PHASH_SIZE, _PHASH_SIZE, 1).copy())
+
+
+def video_fingerprints(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    every_n: int = 4,
+) -> DataFrame:
+    """(id, vfp): one 64-bit signature per video — every ``every_n``-th
+    frame is decoded and pHashed, and bit k of the signature is the
+    per-bit MAJORITY vote across the sampled frame hashes (ties → 1).
+
+    Majority-vote (rather than min-hash) because consecutive video
+    frames are heavily correlated: the dominant scene's hash bits win
+    the vote, so re-encodes and copies with a few inserted/replaced
+    frames land within a small Hamming distance while different footage
+    diverges to ~32 bits — the same distance regime the banded join
+    (:func:`phash_pairs_from_fingerprints`) is built for.  One
+    mapInPandas pass; frame bytes never leave the executors."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("vfp", LongType()),
+        ]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for b in pdf[content_col]:
+                frames = _decode_video_frames(bytes(b), every_n)
+                if not frames:
+                    fps.append(0)
+                    continue
+                hs = np.array(
+                    [_frame_phash(fb) for _, fb in frames], dtype=np.int64
+                ).astype(np.uint64)
+                bits = (
+                    (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+                ).sum(axis=0)
+                v = 0
+                for k in range(63, -1, -1):
+                    v = (v << 1) | int(2 * bits[k] >= len(hs))
+                fps.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({"id": pdf[id_col], "vfp": fps})
+
+    return df.mapInPandas(hash_batch, out_schema)
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_hamming: int = 7,
+    bands: int = 8,
+    every_n: int = 4,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs at signature Hamming ≤ ``max_hamming``
+    — completes the modality family (q23 text SimHash, q158 image
+    pHash, q159 audio spectral): frame-sampled majority signature, then
+    the shared banded pigeonhole join (O(n·bands) shuffle, exact for
+    max_hamming ≤ bands-1, verified pair-stage under the q163/q164
+    oracles)."""
+    fp = video_fingerprints(df, id_col, content_col, every_n).withColumnRenamed(
+        "vfp", "phash"
+    )
+    return phash_pairs_from_fingerprints(fp, max_hamming, bands)

@@ -734,3 +734,107 @@ def test_audio_fingerprint_neardup_semantics(spark):
     assert pairs[(5, 6)] == 0
     assert 0 <= pairs[(1, 3)] <= 7
     assert not any(4 in p for p in pairs)
+
+
+def _fakevid(frames: list[bytes], fps: int = 24) -> bytearray:
+    return bytearray(
+        f"FAKEVID|{len(frames)}|{fps}|".encode() + b"".join(frames)
+    )
+
+
+def test_video_fingerprint_sampling_and_majority(spark):
+    """video_fingerprints semantics: (a) only every-Nth frame votes —
+    changing a NON-sampled frame leaves the signature untouched while
+    changing a sampled one can move it; (b) identical videos hash
+    identically; (c) the majority vote absorbs a minority of replaced
+    frames (near-dup copies collapse to Hamming 0); (d) different
+    dominant scenes diverge far past the banded-join gate."""
+    import hashlib
+
+    from cyber_etl_spark.operators import multimodal as mm
+
+    def fr(seed: str) -> bytes:
+        return hashlib.sha256(seed.encode()).digest()[:16]
+
+    a, b = fr("sceneA"), fr("sceneB")
+    base = [a] * 12
+    v_base = _fakevid(base)
+    # change frame 1 (odd → NOT sampled at every_n=2)
+    odd_edit = list(base); odd_edit[1] = fr("x1")
+    # replace 2 sampled frames (strict minority of the 6 sampled: the
+    # base keeps 4 votes, so no bit can cross the 2*count >= n majority)
+    noisy = list(base); noisy[0] = fr("n0"); noisy[2] = fr("n1")
+    v_other = _fakevid([b] * 12)
+    df = spark.createDataFrame(
+        [
+            (1, v_base),
+            (2, v_base),
+            (3, _fakevid(odd_edit)),
+            (4, _fakevid(noisy)),
+            (5, v_other),
+        ],
+        "media_id long, content binary",
+    )
+    fp = {
+        r.id: r.vfp
+        for r in mm.video_fingerprints(df, every_n=2).collect()
+    }
+    assert fp[1] == fp[2]  # identical videos
+    assert fp[3] == fp[1]  # non-sampled frame is invisible
+    assert fp[4] == fp[1]  # minority replacements absorbed by the vote
+    diff = bin((fp[1] ^ fp[5]) & ((1 << 64) - 1)).count("1")
+    assert diff > 7  # different scenes separate past the gate
+
+
+def test_video_fingerprint_sensitive_to_sampled_majority_shift(spark):
+    """Flipping the sampled-frame MAJORITY flips the signature toward
+    the new dominant scene — the vote is scene-mass-weighted, not
+    first-frame or min-hash."""
+    import hashlib
+
+    from cyber_etl_spark.operators import multimodal as mm
+
+    def fr(seed: str) -> bytes:
+        return hashlib.sha256(seed.encode()).digest()[:16]
+
+    a, b = fr("sceneA"), fr("sceneB")
+    df = spark.createDataFrame(
+        [
+            (1, _fakevid([a] * 12)),
+            (2, _fakevid([b] * 8 + [a] * 4)),  # B-dominant
+            (3, _fakevid([b] * 12)),
+        ],
+        "media_id long, content binary",
+    )
+    fp = {r.id: r.vfp for r in mm.video_fingerprints(df, every_n=1).collect()}
+    assert fp[2] == fp[3]  # majority B → B's signature
+    assert fp[1] != fp[2]
+
+
+def test_video_neardup_pairs_end_to_end(spark):
+    """Copies and light edits of one scene pair at Hamming 0 through the
+    shared banded join; different-scene videos never pair."""
+    import hashlib
+
+    from cyber_etl_spark.operators import multimodal as mm
+
+    def fr(seed: str) -> bytes:
+        return hashlib.sha256(seed.encode()).digest()[:16]
+
+    a, b = fr("sA"), fr("sB")
+    noisy = [a] * 10 + [fr("nz0"), fr("nz1")]
+    df = spark.createDataFrame(
+        [
+            (1, _fakevid([a] * 12)),
+            (2, _fakevid([a] * 12)),
+            (3, _fakevid(noisy)),
+            (4, _fakevid([b] * 12)),
+        ],
+        "media_id long, content binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.video_neardup_pairs(df, max_hamming=7, bands=8, every_n=1).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert all(h == 0 for h in pairs.values())

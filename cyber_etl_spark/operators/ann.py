@@ -798,17 +798,81 @@ def ivf_index_append(
     This is the production maintenance path between full rebuilds: one
     shuffle-free GEMM assignment pass over the new batch and a
     partition-local append — the corpus already in the index is never
-    read, let alone reassigned.  Cell balance slowly drifts as the
-    corpus grows; operators monitor per-cell counts (one directory
-    listing / tiny agg) and schedule a retrain (``ivf_assign``) when
-    skew crosses policy — the same rebuild cadence any IVF deployment
-    runs."""
+    reassigned.  The append is RETRY-SAFE: the new batch is anti-joined
+    against the ids already in the index (an id-column-pruned scan of
+    the assignments — no vectors read), so a re-run maintenance job
+    cannot write duplicate (id, cell) rows and break the
+    one-row-per-id invariant ``ivf_knn`` re-ranking assumes (ADVICE
+    r6).  The returned frame is pinned (``localCheckpoint``) — callers
+    consuming it do not re-execute the GEMM pass the write already ran.
+    Cell balance slowly drifts as the corpus grows; operators monitor
+    per-cell counts with :func:`ivf_cell_stats` and schedule a retrain
+    (``ivf_assign``) when skew crosses policy — the same rebuild
+    cadence any IVF deployment runs."""
     import os
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
-    vecs = _quantized_vecs(new_vectors, id_col, vec_col)
-    assign = nearest_centroid_assign(vecs, cents)
+    existing = (
+        spark.read.parquet(os.path.join(path, "assignments"))
+        .select("id")
+        .withColumnRenamed("id", id_col)
+    )
+    fresh = new_vectors.join(existing, id_col, "left_anti")
+    vecs = _quantized_vecs(fresh, id_col, vec_col)
+    assign = nearest_centroid_assign(vecs, cents).localCheckpoint(eager=True)
     assign.repartition("cell").write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "assignments")
     )
     return assign
+
+
+def ivf_cell_stats(
+    assign: DataFrame,
+    cell_col: str = "cell",
+    baseline: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cell skew report over an IVF assignment table — the
+    maintenance audit that decides when :func:`ivf_index_append` drift
+    warrants a retrain (the rebuild-cadence policy input documented on
+    the append path).
+
+    One row per observed cell: ``n_vectors``, ``share`` (fraction of
+    the corpus), ``ratio`` (n·k / total — 1.0 is perfect balance), and
+    the table-wide ``max_ratio`` / ``min_ratio`` so a single row tells
+    an operator how far the worst cell sits from balance.  With
+    ``baseline`` (a prior (cell, n_vectors) snapshot, e.g. the counts
+    at index-build time), adds ``baseline_n`` and ``drift`` =
+    n_vectors − baseline_n per cell — growth concentration since the
+    last rebuild.
+
+    Scale: one groupBy over the assignment ids (column-pruned scan of
+    the hive layout), then a broadcast 1-row totals crossJoin — no
+    window over the data, no driver collect; the output is k rows."""
+    cnt = assign.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    tot = cnt.agg(
+        F.sum("n_vectors").alias("_t"),
+        F.count(F.lit(1)).alias("_k"),
+        F.max("n_vectors").alias("_mx"),
+        F.min("n_vectors").alias("_mn"),
+    )
+    out = cnt.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("_t"), 6).alias("share"),
+        F.round(F.col("n_vectors") * F.col("_k") / F.col("_t"), 6).alias("ratio"),
+        F.round(F.col("_mx") * F.col("_k") / F.col("_t"), 6).alias("max_ratio"),
+        F.round(F.col("_mn") * F.col("_k") / F.col("_t"), 6).alias("min_ratio"),
+    )
+    if baseline is not None:
+        base = baseline.select(
+            F.col(cell_col).alias("cell"),
+            F.col("n_vectors").alias("baseline_n"),
+        )
+        out = (
+            out.join(F.broadcast(base), "cell", "left")
+            .withColumn("baseline_n", F.coalesce("baseline_n", F.lit(0)))
+            .withColumn("drift", F.col("n_vectors") - F.col("baseline_n"))
+        )
+    return out

@@ -1409,8 +1409,11 @@ def q88_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB substitutes for their exact
     twins: approx_count_distinct (HLL++) per event type and
     approx_percentile (KLL-style) of value.  Approximation is
-    engine-specific, so no SQL oracle; tests pin each estimate within
-    tolerance of the exact answer (tests/test_scale_ops.py)."""
+    engine-specific, so no SQL oracle; tests pin each estimate by its
+    PUBLISHED error bound, self-calibrated against the exact
+    distributed quantile kernel — the estimate must land between
+    exact_quantiles(0.5 ± rank-epsilon) and HLL within 4·rsd
+    (tests/test_scale_ops.py::test_sketch_stats_self_calibrating_bounds)."""
     events = read_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),

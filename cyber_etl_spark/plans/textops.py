@@ -3097,3 +3097,57 @@ def q165_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_neardup_pairs(
         videos, id_col="doc_id", max_hamming=7, bands=8, every_n=2
     )
+
+
+def _ivf_cell_audit_oracle(n_cells: int = 16, iters: int = 2, dim: int = 64) -> str:
+    """Replay the q40 Lloyd index build, then the skew report as plain
+    SQL over the k-row cell-count table: window aggregates in ONE
+    select (never scalar subqueries — the CTE re-inlining trap,
+    CLAUDE.md)."""
+    steps = _lloyd_ctes(n_cells, iters, dim)
+    steps.append(_KM_ASSIGN_TPL.format(name="afinal", cents=f"cents{iters}"))
+    steps.append(
+        "cellcnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors"
+        " FROM afinal GROUP BY cell)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + """
+SELECT cell, n_vectors,
+       round(n_vectors / CAST(SUM(n_vectors) OVER () AS DOUBLE), 6) AS share,
+       round(n_vectors * COUNT(*) OVER ()
+             / CAST(SUM(n_vectors) OVER () AS DOUBLE), 6) AS ratio,
+       round(MAX(n_vectors) OVER () * COUNT(*) OVER ()
+             / CAST(SUM(n_vectors) OVER () AS DOUBLE), 6) AS max_ratio,
+       round(MIN(n_vectors) OVER () * COUNT(*) OVER ()
+             / CAST(SUM(n_vectors) OVER () AS DOUBLE), 6) AS min_ratio
+FROM cellcnt"""
+    )
+
+
+@query(
+    "q166_ivf_cell_audit",
+    oracle=_ivf_cell_audit_oracle(n_cells=16, iters=2),
+    tags=("ann", "ivf", "maintenance"),
+)
+def q166_ivf_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance audit (operators/ann.ivf_cell_stats): build
+    the q40 trained index (16 cells, 2 Lloyd iterations, deterministic
+    micro-grid means) and report per-cell balance — count, corpus
+    share, balance ratio (n·k/total; 1.0 = perfect), and the
+    table-wide max/min ratios every row carries so one glance gives an
+    operator the worst-cell skew.  This is the drift monitor the
+    ivf_index_append path documents: appended batches never reassign
+    the standing corpus, so cell balance decays between rebuilds and
+    THIS query is the retrain trigger (the baseline/drift variant is
+    exercised in the append lifecycle test).
+
+    Scale: one column-pruned groupBy over assignment ids + a broadcast
+    1-row totals crossJoin; output is k rows.  No window touches the
+    data."""
+    from ..operators.ann import ivf_assign, ivf_cell_stats
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, assign = ivf_assign(emb, n_cells=16)
+    return ivf_cell_stats(assign)

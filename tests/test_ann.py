@@ -313,3 +313,50 @@ def test_ivf_index_append_lifecycle(spark, sf_smoke, tmp_path):
     q = emb.where(F.col("vec_id") == odd_id)
     res = ivf_knn(emb, q, k=5, index=(lcents, lassign))
     assert res.where(F.col("query_id") == odd_id).count() > 0
+
+
+def test_ivf_index_append_idempotent_and_drift_audit(spark, sf_smoke, tmp_path):
+    """A RETRIED append (same batch twice) must not duplicate ids — the
+    anti-join against the persisted assignment ids makes the maintenance
+    job idempotent (ADVICE r6) — and ivf_cell_stats(baseline=...) must
+    report per-cell drift = exactly the appended counts."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.operators.ann import (
+        ivf_assign,
+        ivf_cell_stats,
+        ivf_index_append,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from cyber_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    cents, assign = ivf_assign(half, n_cells=8)
+    save_ivf_index(cents, assign, str(tmp_path / "ivf"))
+    baseline = ivf_cell_stats(load_ivf_index(spark, str(tmp_path / "ivf"))[1])
+
+    first = ivf_index_append(spark, str(tmp_path / "ivf"), rest)
+    n_rest = rest.count()
+    assert first.count() == n_rest
+
+    # retry the same maintenance job: nothing new to write
+    second = ivf_index_append(spark, str(tmp_path / "ivf"), rest)
+    assert second.count() == 0
+
+    _, lassign = load_ivf_index(spark, str(tmp_path / "ivf"))
+    assert lassign.count() == emb.count()
+    assert lassign.select("id").distinct().count() == emb.count()
+
+    # drift vs the build-time snapshot = the appended batch, cell by cell
+    audit = ivf_cell_stats(lassign, baseline=baseline.select("cell", "n_vectors"))
+    drift = {r["cell"]: r["drift"] for r in audit.collect()}
+    appended = {
+        r["cell"]: r["cnt"]
+        for r in first.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert sum(drift.values()) == n_rest
+    for cell, d in drift.items():
+        assert d == appended.get(cell, 0)

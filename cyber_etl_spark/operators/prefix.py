@@ -54,6 +54,7 @@ def _ranged_partials(
     order_cols: Sequence[str],
     partial_agg: Column,
     num_partitions: int | None,
+    pin_input: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Range-partition ``df`` and derive the (pid, group) offset table.
 
@@ -66,6 +67,13 @@ def _ranged_partials(
     group_cols = list(group_cols)
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # repartitionByRange SAMPLES its child to pick boundaries, so the
+    # input projection executes twice (sampling pass + exchange).  For a
+    # cheap scan that is fine; when the projection is expensive (e.g.
+    # q160's full-text tokenize), pin_input materializes it once and
+    # both passes read the checkpoint.
+    if pin_input:
+        df = df.localCheckpoint(eager=True)
     ranged = (
         df.repartitionByRange(num_partitions, *group_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -109,14 +117,17 @@ def running_total(
     group_cols: Sequence[str] = (),
     out_col: str = "running_total",
     num_partitions: int | None = None,
+    pin_input: bool = False,
 ) -> DataFrame:
     """``df`` + ``out_col`` = inclusive running sum of ``value_col`` over
     ``order_cols`` within each group — the distributed twin of
     ``SUM(v) OVER (PARTITION BY g ORDER BY o ROWS UNBOUNDED PRECEDING)``
-    that never funnels a whole group through one task."""
+    that never funnels a whole group through one task.  ``pin_input``:
+    materialize the input once when its projection is expensive (the
+    range partitioner's sampling pass would otherwise recompute it)."""
     group_cols = list(group_cols)
     ranged, offsets = _ranged_partials(
-        df, group_cols, order_cols, F.sum(value_col), num_partitions
+        df, group_cols, order_cols, F.sum(value_col), num_partitions, pin_input
     )
     joined = ranged.join(
         F.broadcast(offsets.drop("_tot")), ["_pid", *group_cols]

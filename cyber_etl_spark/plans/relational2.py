@@ -2735,3 +2735,155 @@ def q156_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_rate"
         ),
     )
+
+
+@query(
+    "q168_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             ln(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                     AS BIGINT) / 4503599627370496.0) / o_totalprice AS k
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                 ORDER BY round(k, 12) DESC, o_orderkey) AS rn
+      FROM keyed
+    ) WHERE rn <= 20
+    """,
+    tags=("sample", "weighted", "training"),
+)
+def q168_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=20 per priority class —
+    the Efraimidis–Spirakis A-ES scheme a training-data pipeline uses to
+    draw an importance-weighted subset in one pass: each row gets key
+    ln(u)/w (u = md5-derived uniform in (0,1), the q69 determinism
+    idiom; w = o_totalprice) and the k LARGEST keys per group are an
+    exact weighted sample without replacement.  ln keeps the full
+    double range (u^(1/w) saturates at 1 for large w); the key is
+    rounded to 12 dp with an order-key tie-break so both engines rank
+    identically.
+
+    Scale: one scan + a per-group top-k rank window — Spark pushes the
+    rank cut map-side (WindowGroupLimit), so only k rows per group per
+    task survive to the shuffle; no sort of the full table."""
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    u = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10
+    ).cast("double") / F.lit(float(1 << 52))
+    keyed = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.log(u) / F.col("o_totalprice"), 12).alias("k"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("k").desc(), F.col("o_orderkey")
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@query(
+    "q169_nucleus_selection",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY event_type) AS tot
+      FROM events WHERE value > 0
+    )
+    SELECT event_id, event_type, value,
+           round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+    FROM c
+    WHERE CAST(cum - CAST(value AS DECIMAL(18,6)) AS DOUBLE)
+          < 0.5 * CAST(tot AS DOUBLE)
+    """,
+    tags=("window", "nucleus", "training"),
+)
+def q169_nucleus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group NUCLEUS (top-p) selection, p=0.5: the smallest
+    value-descending prefix of each event type whose mass reaches half
+    the group total — the nucleus-sampling shape (and the "keep the
+    head of the mass" curation cut) done at table scale.
+
+    The running mass per ~5-value event_type group comes from the
+    distributed prefix-sum kernel (operators/prefix.running_total) —
+    the ordinary window form funnels a fifth of the table through one
+    task (the q63/q160 single-reducer class this round eliminated).
+    Values accumulate as exact DECIMAL(18,6) in BOTH engines, so the
+    partition-wise summation grouping cannot drift a double ulp
+    (dsum convention); only the final share ratio becomes a double."""
+    from ..operators.prefix import running_total
+
+    events = read_table(spark, sf_dir, "events")
+    t = events.where(F.col("value") > 0).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("value").cast("decimal(18,6)").alias("_v6"),
+        (-F.col("value")).alias("_negv"),
+    )
+    cum = running_total(
+        t, "_v6", ["_negv", "event_id"], ["event_type"], out_col="_cum"
+    )
+    tot = cum.groupBy("event_type").agg(F.sum("_v6").alias("_tot"))
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .where(
+            (F.col("_cum") - F.col("_v6")).cast("double")
+            < 0.5 * F.col("_tot").cast("double")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                F.col("_cum").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+@query("q173_hll_mergeable_union", oracle=None, tags=("agg", "sketch", "approx"))
+def q173_hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL, the
+    Spark 4 surface): one HLL sketch of user_id per event type, then a
+    sketch UNION — the pattern that makes corpus-wide distinct counts
+    an O(sketch-bytes) merge instead of a re-scan (per-partition
+    sketches union associatively: the property q88's plain
+    approx_count_distinct cannot expose).  Emits per-type estimates
+    plus the unioned ALL row from the same sketch set.
+
+    Sketch binaries are engine-specific, so no SQL oracle (the q88
+    convention); the estimates are pinned by their published error
+    bounds against exact distinct counts in
+    tests/test_scale_ops.py::test_hll_union_self_calibrating."""
+    events = read_table(spark, sf_dir, "events")
+    sk = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_type = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_rows",
+    )
+    merged = sk.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_rows").alias("n_rows")
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_rows",
+    )
+    return per_type.unionByName(merged)

@@ -2871,7 +2871,8 @@ def q160_training_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")).alias("_ord"),
     ).where(F.col("n_tokens") > 0)
     pos = running_total(
-        t, "n_tokens", ["_ord", "doc_id"], ["source"], out_col="_run"
+        t, "n_tokens", ["_ord", "doc_id"], ["source"], out_col="_run",
+        pin_input=True,  # tokenize once, not in the range-sampling pass too
     ).withColumn("start_off", F.col("_run") - F.col("n_tokens"))
     straddle = F.when(
         F.floor(F.col("start_off") / 512).cast("long")
@@ -3151,3 +3152,326 @@ def q166_ivf_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     _, assign = ivf_assign(emb, n_cells=16)
     return ivf_cell_stats(assign)
+
+
+@query(
+    "q170_pmi_collocations",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+               AS bg
+      FROM t
+    ),
+    c12 AS (SELECT bg, COUNT(*) AS c12 FROM bi GROUP BY bg),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS c1
+           FROM bi GROUP BY 1),
+    c2 AS (SELECT string_split(bg, ' ')[2] AS w2, COUNT(*) AS c2
+           FROM bi GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM bi)
+    SELECT c12.bg AS bigram, c12.c12 AS n_pair,
+           round(ln((CAST(c12.c12 AS DOUBLE) * nn.n)
+                    / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 6) AS pmi
+    FROM c12
+    JOIN c1 ON string_split(c12.bg, ' ')[1] = c1.w1
+    JOIN c2 ON string_split(c12.bg, ' ')[2] = c2.w2
+    CROSS JOIN nn
+    WHERE c12.c12 >= 5
+    ORDER BY pmi DESC, bigram
+    LIMIT 50
+    """,
+    tags=("text", "collocation", "pmi"),
+)
+def q170_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent-token pairs by pointwise
+    mutual information (min support 5) — the phrase-detection pass a
+    tokenizer/curation pipeline runs to find multi-word units worth
+    merging.  PMI = ln(c12·N / (c1·c2)) with the left/right marginal
+    convention (c1 = w1-as-left count, c2 = w2-as-right count); the
+    identical double-arithmetic shape in both engines and a
+    (pmi desc, bigram) tie-break make the top-50 deterministic.
+
+    Scale: the count tables co-shuffle on the bigram/word keys (all
+    derive from one exploded stream — the q77 plan family); the final
+    top-50 is TakeOrderedAndProject, never a global sort."""
+    from ..functions.text import shingles, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    bi = docs.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    c12 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        bi.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    c2 = (
+        bi.select(F.substring_index("bg", " ", -1).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    nn = bi.agg(F.count(F.lit(1)).alias("n"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("n"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        c12.where(F.col("c12") >= 5)
+        .join(c1, F.substring_index(F.col("bg"), " ", 1) == F.col("w1"))
+        .join(c2, F.substring_index(F.col("bg"), " ", -1) == F.col("w2"))
+        .crossJoin(F.broadcast(nn))
+        .select(F.col("bg").alias("bigram"), F.col("c12").alias("n_pair"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@query(
+    "q171_matryoshka_fidelity",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nf
+      FROM v
+    ),
+    k AS (SELECT unnest([8, 16, 32]) AS k),
+    fid AS (
+      SELECT k.k, n.vec_id,
+             round(sqrt(list_sum(list_transform(n.v[1:k.k], x -> x * x)))
+                   / n.nf, 6) AS fid
+      FROM n CROSS JOIN k
+      WHERE n.nf > 0
+    )
+    SELECT k,
+           COUNT(*) AS n_vectors,
+           round(CAST(SUM(CAST(fid AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_fidelity,
+           round(MIN(fid), 6) AS min_fidelity
+    FROM fid GROUP BY k
+    """,
+    tags=("vector", "matryoshka", "training"),
+)
+def q171_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: how much L2 mass the first k of 64
+    embedding dimensions retain (fidelity = ‖v[:k]‖/‖v‖) for k ∈
+    {8,16,32} — the evaluation a pipeline runs before storing truncated
+    MRL embeddings to cut ANN index footprint.  Per-row folds run in
+    index order in BOTH engines (the q74 convention), per-vector
+    fidelity is rounded then decimal-summed, so the corpus mean is
+    shuffle-order-independent.
+
+    Scale: one scan, per-row arithmetic, 3-row broadcast dimension
+    crossJoin, k-row output."""
+    from ..functions.vectors import to_double_array
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("k")
+    )
+    v = to_double_array(F.col("embedding"))
+    n = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nf"),
+    ).where(F.col("nf") > 0)
+    fid = n.crossJoin(F.broadcast(ks)).select(
+        "k",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.slice("v", F.lit(1), F.col("k")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            )
+            / F.col("nf"),
+            6,
+        ).alias("fid"),
+    )
+    return fid.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.expr(
+            "round(CAST(SUM(CAST(fid AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("avg_fidelity"),
+        F.round(F.min("fid"), 6).alias("min_fidelity"),
+    )
+
+
+@query(
+    "q172_padding_waste",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    g AS (
+      SELECT n_tokens,
+             CAST(power(2, ceil(ln(CAST(n_tokens AS DOUBLE)) / ln(2.0)))
+                  AS BIGINT) AS b0
+      FROM t WHERE n_tokens > 0
+    ),
+    f1 AS (
+      SELECT n_tokens,
+             CASE WHEN b0 / 2 >= n_tokens THEN b0 // 2 ELSE b0 END AS b1
+      FROM g
+    ),
+    b AS (
+      SELECT n_tokens,
+             CASE WHEN b1 < n_tokens THEN b1 * 2 ELSE b1 END AS bucket
+      FROM f1
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           round(1.0 - CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * bucket), 6)
+             AS waste
+    FROM b GROUP BY bucket
+    """,
+    tags=("text", "batching", "training"),
+)
+def q172_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents grouped into power-of-2
+    token-length buckets (the dynamic-batching layout inference and
+    padded training use) and, per bucket, how many tokens are real vs
+    padding when every sequence pads to the bucket ceiling — the
+    complement of q160's concat-and-chunk audit (packing wastes nothing
+    but splits documents; padding preserves documents but burns
+    ceil−len tokens each).
+
+    Bucket = 2^ceil(log2(n)), but the log is only a GUESS: a 1-ulp
+    ln() difference between engines would flip the bucket at exact
+    powers of two, so the guess is corrected by exact integer
+    comparisons (halve if the half still fits, double if it doesn't) —
+    float error becomes harmless, the hash cannot drift.  Counts and
+    token sums are integers; only the final waste ratio is a double.
+
+    Scale: one scan + one hash aggregate on a ~log-many-valued key."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    b0 = F.pow(
+        F.lit(2.0),
+        F.ceil(F.log(F.col("n_tokens").cast("double")) / F.log(F.lit(2.0))),
+    ).cast("long")
+    g = (
+        docs.select(n_tok.alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .select("n_tokens", b0.alias("b0"))
+    )
+    b1 = F.when(
+        F.col("b0") / 2 >= F.col("n_tokens"), F.floor(F.col("b0") / 2).cast("long")
+    ).otherwise(F.col("b0"))
+    b = g.select("n_tokens", b1.alias("b1")).select(
+        "n_tokens",
+        F.when(F.col("b1") < F.col("n_tokens"), F.col("b1") * 2)
+        .otherwise(F.col("b1"))
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket")).cast("long").alias("padded_tokens"),
+        F.round(
+            1.0
+            - F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.col("bucket")),
+            6,
+        ).alias("waste"),
+    )
+
+
+@query(
+    "q174_embedding_drift",
+    oracle="""
+    WITH base AS (
+      SELECT label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT label, u.pos, vm[u.pos + 1] AS m
+      FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) u
+    ),
+    lm AS (
+      SELECT label, pos,
+             CAST(floor(SUM(m) / COUNT(*) + 0.5) AS BIGINT) AS cm
+      FROM pos GROUP BY label, pos
+    ),
+    gm AS (
+      SELECT pos, CAST(floor(SUM(m) / COUNT(*) + 0.5) AS BIGINT) AS gv
+      FROM pos GROUP BY pos
+    ),
+    n AS (SELECT label, COUNT(*) AS n_vectors FROM base GROUP BY label)
+    SELECT l.label, ANY_VALUE(n.n_vectors) AS n_vectors,
+           round(CAST(SUM(CAST(l.cm * g.gv AS HUGEINT)) AS DOUBLE)
+                 / (sqrt(CAST(SUM(CAST(l.cm * l.cm AS HUGEINT)) AS DOUBLE))
+                    * sqrt(CAST(SUM(CAST(g.gv * g.gv AS HUGEINT)) AS DOUBLE))),
+                 6) AS cos_to_corpus
+    FROM lm l JOIN gm g USING (pos) JOIN n USING (label)
+    GROUP BY l.label
+    """,
+    tags=("vector", "drift", "monitoring"),
+)
+def q174_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding DRIFT monitor: cosine between each label's
+    centroid and the corpus centroid — the distribution-shift check a
+    pipeline runs when a new data slice lands (low cosine = the slice
+    points somewhere new; the vector-space sibling of q149's PSI).
+
+    Centroids live on the 1e-6 integer micro-grid (the q125/q40 Lloyd
+    convention: floor(sum/count + 0.5) of micro units), so dot products
+    and norms are exact integer sums (DECIMAL(38,0)/HUGEINT) in both
+    engines and only the final cosine is a double.
+
+    Scale: posexplode → two keyed aggregates ((label, pos) and (pos))
+    → a 64·|labels|-row join; the raw vectors are touched once."""
+    from ..functions.vectors import to_double_array
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vm = F.transform(
+        to_double_array(F.col("embedding")),
+        lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    pos = emb.select("label", F.posexplode(vm).alias("pos", "m"))
+    lm = pos.groupBy("label", "pos").agg(
+        F.floor(F.sum("m") / F.count(F.lit(1)) + 0.5).cast("long").alias("cm")
+    )
+    gm = pos.groupBy("pos").agg(
+        F.floor(F.sum("m") / F.count(F.lit(1)) + 0.5).cast("long").alias("gv")
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        lm.join(F.broadcast(gm), "pos")
+        .groupBy("label")
+        .agg(
+            F.sum(dec(F.col("cm") * F.col("gv"))).alias("sxy"),
+            F.sum(dec(F.col("cm") * F.col("cm"))).alias("sxx"),
+            F.sum(dec(F.col("gv") * F.col("gv"))).alias("syy"),
+        )
+        .join(F.broadcast(n), "label")
+        .select(
+            "label",
+            "n_vectors",
+            F.round(
+                F.col("sxy").cast("double")
+                / (
+                    F.sqrt(F.col("sxx").cast("double"))
+                    * F.sqrt(F.col("syy").cast("double"))
+                ),
+                6,
+            ).alias("cos_to_corpus"),
+        )
+    )

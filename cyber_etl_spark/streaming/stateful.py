@@ -421,3 +421,100 @@ def pack_stream(docs: DataFrame, capacity: int = 512) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+WSAMPLE_K = 10
+
+WSAMPLE_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("gen", LongType()),
+        StructField("rank", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+# flat state: generation counter + k reservoir slots (key, event_id, value)
+_WSAMPLE_STATE = StructType(
+    [StructField("gen", LongType())]
+    + [
+        StructField(f"{p}{i}", t())
+        for i in range(WSAMPLE_K)
+        for p, t in (("k", DoubleType), ("eid", LongType), ("val", DoubleType))
+    ]
+)
+
+
+def weighted_sample_stream(events: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
+    """Streaming weighted sampling without replacement — the
+    Efraimidis–Spirakis reservoir twin of q168 over an unbounded feed:
+    per event type the state holds the k largest ln(u)/w keys seen so
+    far (u = md5-derived uniform per event id, w = the event's value),
+    and each micro-batch emits the UPDATED reservoir with a generation
+    counter so consumers (and the test) can take the latest snapshot.
+
+    Top-k-by-key is an associative, commutative merge, so the reservoir
+    after any batch slicing equals the batch query over the same prefix
+    — the property the cross-trigger test pins.  State per key is
+    exactly k (key, id, value) triples — O(k) regardless of stream
+    length; rows with non-positive weight carry no mass and are
+    skipped."""
+    import hashlib
+    import math
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            st = list(state.get)
+            gen = st[0]
+            slots = [
+                (st[1 + 3 * i], st[2 + 3 * i], st[3 + 3 * i])
+                for i in range(k)
+                if st[2 + 3 * i] is not None
+            ]
+        else:
+            gen, slots = 0, []
+        for pdf in batches:
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                if pd.isna(v) or float(v) <= 0:
+                    continue
+                eid = int(eid)
+                u = int(
+                    hashlib.md5(str(eid).encode()).hexdigest()[:13], 16
+                ) / float(1 << 52)
+                kk = math.log(u) / float(v) if u > 0 else float("-inf")
+                slots.append((kk, eid, float(v)))
+        slots.sort(key=lambda t: (-t[0], t[1]))
+        slots = slots[:k]
+        gen += 1
+        flat = [gen]
+        for i in range(k):
+            if i < len(slots):
+                flat += [slots[i][0], slots[i][1], slots[i][2]]
+            else:
+                flat += [None, None, None]
+        state.update(tuple(flat))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(slots),
+                "gen": [gen] * len(slots),
+                "rank": list(range(1, len(slots) + 1)),
+                "event_id": [s[1] for s in slots],
+                "value": [s[2] for s in slots],
+            }
+        )
+
+    return (
+        events.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=WSAMPLE_SCHEMA,
+            stateStructType=_WSAMPLE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -273,3 +273,37 @@ def test_chunked_pair_expand_hot_key_bounded(spark):
     # pairs are unique and ordered src < dst
     assert out.where(F.col("src") >= F.col("dst")).count() == 0
     assert out.distinct().count() == 2000 * 1999 // 2
+
+
+def test_hll_union_self_calibrating(spark, sf_smoke):
+    """q173's DataSketches HLL estimates pinned by the published bound:
+    lgK=12 gives relative standard error ~1.04/sqrt(2^12) ≈ 1.6%; each
+    per-type estimate AND the sketch-union ALL row must land within a
+    4-sigma band of the exact distinct counts — the union row is the
+    point of the query (merged sketches must estimate the UNION, which
+    plain per-group approx_count_distinct cannot produce)."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+
+    got = {
+        r.event_type: r.approx_users
+        for r in QUERIES["q173_hll_mergeable_union"].builder(spark, sf_smoke).collect()
+    }
+    events = read_table(spark, sf_smoke, "events")
+    exact = {
+        r.event_type: r.users
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    exact["ALL"] = events.select("user_id").distinct().count()
+    rse = 1.04 / (2**12) ** 0.5
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= max(3, 4 * rse * exact[et]), (
+            et,
+            est,
+            exact[et],
+        )

@@ -432,3 +432,60 @@ def test_pack_stream_first_fit_matches_reference(spark, sf_smoke, tmp_path):
     for did, (src, b, _) in got.items():
         bins[(src, b)].add(chunk_of[did])
     assert any(len(cs) > 1 for cs in bins.values())
+
+
+def test_weighted_sample_stream_matches_driver_replay(spark, sf_smoke, tmp_path):
+    """Streaming A-ES reservoir == a driver-side replay of the same
+    arithmetic over the full feed, with the reservoir genuinely crossing
+    micro-batches (3 ts-ordered chunks, one per trigger): top-k-by-key
+    is an associative merge, so the final generation's snapshot must
+    equal the all-data answer regardless of batch slicing."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import WSAMPLE_K, weighted_sample_stream
+
+    events = read_table(spark, sf_smoke, "events")
+    d = tmp_path / "ws_feed"
+    d.mkdir()
+    n = events.count()
+    pdf = events.orderBy("ts", "event_id").toPandas()
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet"))
+    stream = read_event_stream(spark, str(d), empty_dir_ts="micros")
+    run_stream_to_memory(weighted_sample_stream(stream), "ws_mem", mode="update")
+
+    rows = spark.sql("SELECT * FROM ws_mem").collect()
+    last_gen = {}
+    for r in rows:
+        last_gen[r.event_type] = max(last_gen.get(r.event_type, 0), r.gen)
+    got = {
+        (r.event_type, r.rank): (r.event_id, r.value)
+        for r in rows
+        if r.gen == last_gen[r.event_type]
+    }
+    assert max(last_gen.values()) == 3  # state really crossed 3 triggers
+
+    # driver replay with the identical (libm) arithmetic
+    want = {}
+    per_type: dict = {}
+    for _, row in pdf.iterrows():
+        v = row["value"]
+        if v is None or not v > 0:
+            continue
+        eid = int(row["event_id"])
+        u = int(hashlib.md5(str(eid).encode()).hexdigest()[:13], 16) / float(1 << 52)
+        kk = math.log(u) / float(v) if u > 0 else float("-inf")
+        per_type.setdefault(row["event_type"], []).append((kk, eid, float(v)))
+    for et, slots in per_type.items():
+        slots.sort(key=lambda t: (-t[0], t[1]))
+        for rank, s in enumerate(slots[:WSAMPLE_K], 1):
+            want[(et, rank)] = (s[1], s[2])
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -55,6 +55,7 @@ def _ranged_partials(
     partial_agg: Column,
     num_partitions: int | None,
     pin_input: bool = False,
+    combine: str = "sum",
 ) -> tuple[DataFrame, DataFrame]:
     """Range-partition ``df`` and derive the (pid, group) offset table.
 
@@ -94,17 +95,29 @@ def _ranged_partials(
         )
     )
     gp_cols = [f"_gp_{c}" for c in group_cols]
-    wg = Window.partitionBy(*gp_cols) if gp_cols else Window.partitionBy()
-    off = F.sum("_psum").over(
+    if not gp_cols:
+        # the GLOBAL case still runs its control window over the tiny
+        # partials table — give it a constant `_gp_` partition column so
+        # the plan audit can tell it from a real whole-table window
+        partials = partials.withColumn("_gp__global", F.lit(0))
+        wg = Window.partitionBy("_gp__global")
+    else:
+        wg = Window.partitionBy(*gp_cols)
+    agg_fn = F.sum if combine == "sum" else F.max
+    off = agg_fn("_psum").over(
         wg.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     )
-    tot = F.sum("_psum").over(
+    tot = agg_fn("_psum").over(
         wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # sum's identity is 0; max's identity is NULL (greatest() skips nulls)
+    off_filled = (
+        F.coalesce(off, F.lit(0).cast("long")) if combine == "sum" else off
     )
     offsets = partials.select(
         "_pid",
         *[F.col(g).alias(c) for g, c in zip(gp_cols, group_cols)],
-        F.coalesce(off, F.lit(0).cast("long")).alias("_off"),
+        off_filled.alias("_off"),
         tot.alias("_tot"),
     )
     return ranged, offsets
@@ -180,4 +193,41 @@ def ntile_expr(rn: Column, n: Column, k: int) -> Column:
         F.when(rn <= rem * big, F.floor((rn - 1) / big) + 1)
         .otherwise(rem + F.floor((rn - 1 - rem * big) / base) + 1)
         .cast("int")
+    )
+
+
+def running_max(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+    inclusive: bool = True,
+    pin_input: bool = False,
+) -> DataFrame:
+    """``df`` + ``out_col`` = running MAX of ``value_col`` over
+    ``order_cols`` within each group — same two-pass shape as
+    :func:`running_total` with max as the (associative) combine.
+
+    ``inclusive=False`` gives the EXCLUSIVE prefix max (all rows
+    STRICTLY before the current one; NULL for each group's first row) —
+    the building block of the sort-based 2-D skyline: after sorting by
+    the first objective, a row is Pareto-optimal iff its second
+    objective exceeds the exclusive prefix max."""
+    group_cols = list(group_cols)
+    ranged, offsets = _ranged_partials(
+        df, group_cols, order_cols, F.max(value_col), num_partitions,
+        pin_input, combine="max",
+    )
+    joined = ranged.join(F.broadcast(offsets.drop("_tot")), ["_pid", *group_cols])
+    end = Window.currentRow if inclusive else -1
+    wl = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = F.max(value_col).over(wl)
+    return joined.withColumn(out_col, F.greatest(local, F.col("_off"))).drop(
+        "_pid", "_off"
     )

@@ -147,3 +147,101 @@ def char_ngram_jaccard_join(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int | None = 3,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """All-pairs token-Jaccard >= ``threshold`` via PREFIX FILTERING —
+    the ppjoin-family alternative to MinHash banding, and EXACT (no
+    probabilistic misses): order each document's distinct tokens by
+    global rarity (freq asc, token asc) and index only the first
+    ``|x| - ceil(t*|x|) + 1`` tokens; two sets with Jaccard >= t MUST
+    share a prefix token under any global order, so the candidate join
+    touches only rare-token posting lists instead of every token.
+    Verification is candidate-first (the LSH-verify discipline: every
+    join that touches a posting list is keyed by a candidate id).
+
+    Scale: posting-list join cost collapses from O(sum |posting|^2) on
+    every token to the rare prefix tokens only — boilerplate tokens
+    (the worst lists) are almost never in a prefix; per-doc sorting is
+    an in-row array_sort, no global rank window.
+
+    ``shingle_n``: build the sets from word n-gram shingles (the
+    repo-wide dedup set definition — q22/q49 family) instead of raw
+    token sets.  Raw token sets (``None``) are far less discriminative:
+    template corpora collapse into giant same-vocabulary cliques whose
+    PAIR OUTPUT itself is quadratic — no physical plan fixes an output
+    explosion, so pick the set granularity to match the dedup intent.
+    ``shingles_df``: a prebuilt (id, shingle) set table (the memoized
+    repo-wide artifact) — passed by the registry so the shingling cost
+    is shared with the LSH/Jaccard family instead of re-paid."""
+    from ..functions.text import shingles, tokens
+
+    t = float(threshold)
+    if shingles_df is not None:
+        tok = shingles_df.select("id", F.col("shingle").alias("token"))
+    else:
+        if shingle_n is None:
+            sets = F.array_distinct(
+                F.filter(F.split(text_col, " "), lambda x: x != "")
+            )
+        else:
+            sets = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+        tok = docs.select(
+            F.col(id_col).alias("id"), F.explode(sets).alias("token")
+        )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    tokf = tok.join(freq, "token")
+    per_doc = tokf.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("freq", "token"))).alias("ts"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
+    prefix = per_doc.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.slice("ts", F.lit(1), plen), lambda s: s.getField("token")
+            )
+        ).alias("token"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # candidate-first exact verify: common-token counts only for pairs
+    ta = tok.select(F.col("id").alias("id_a"), "token")
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    common = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = per_doc.select("id", "sz")
+    return (
+        common.join(sz.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sz.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= t)
+    )

@@ -2887,3 +2887,227 @@ def q173_hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return per_type.unionByName(merged)
+
+
+@query(
+    "q176_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob
+    FROM c JOIN t USING (from_type)
+    """,
+    tags=("window", "markov", "sequence"),
+)
+def q176_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: per
+    (event_type → next event_type) count and row-normalized probability
+    — the behavioral-sequence model behind next-action prediction and
+    session simulation.
+
+    Scale: the lead window partitions by user_id (high-cardinality —
+    bounded per-task state), then two tiny keyed aggregates on the
+    ~|types|² transition table; probabilities are exact-integer /
+    exact-integer divisions, so the hash cannot drift."""
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("prob"),
+    )
+
+
+@query(
+    "q179_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10 < 9
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN CAST(('0x' || substr(md5('m' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 20 = 0
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10 > 0
+    ),
+    j AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+             CASE
+               WHEN a.o_orderkey IS NULL THEN 'added'
+               WHEN b.o_orderkey IS NULL THEN 'removed'
+               WHEN a.o_orderstatus <> b.o_orderstatus
+                 OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+               ELSE 'unchanged'
+             END AS diff
+      FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT diff, COUNT(*) AS n, CAST(MIN(k) AS BIGINT) AS example_key
+    FROM j GROUP BY diff
+    """,
+    tags=("etl", "diff", "versioning"),
+)
+def q179_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table SNAPSHOT DIFF — the added / removed / changed / unchanged
+    audit between two dataset versions (the check a pipeline runs
+    before promoting a rebuilt table).  The two versions are carved
+    deterministically from orders (md5 buckets: v1 drops bucket 9, v2
+    drops bucket 0 and perturbs 5% of prices), so both engines diff the
+    identical pair; the diff itself is one full-outer join on the key
+    with row-compare residuals and a tiny rollup.
+
+    Scale: a single co-partitioned full-outer join (both sides shuffle
+    on the key once) + a 4-row aggregate; no collect, no window."""
+    orders = read_table(spark, sf_dir, "orders")
+    b1 = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10
+    mod = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("m"), F.col("o_orderkey").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % 20
+    v1 = orders.where(b1 < 9).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    v2 = orders.where(b1 > 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(mod == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("diff"),
+    )
+    return j.groupBy("diff").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").cast("long").alias("example_key"),
+    )
+
+
+@query(
+    "q180_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS k, seq,
+             CASE WHEN CAST(('0x' || substr(md5('op' || CAST(o_orderkey AS VARCHAR)
+                            || ':' || CAST(seq AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 5 = 0
+                  THEN 'D' ELSE 'U' END AS op,
+             o_totalprice + seq AS v
+      FROM orders
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS seq)
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                     || CAST(seq AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 4 = 0
+    ),
+    numbered AS (
+      SELECT k, op, v,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT k AS o_orderkey, v AS price
+    FROM numbered WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("etl", "cdc", "upsert"),
+)
+def q180_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC LOG APPLY: collapse an ordered change stream (upserts +
+    deletes per key, sequence-numbered) into the final table state —
+    latest op wins, a trailing delete erases the key (the semantics of
+    applying a Debezium-style feed to a lake table; merge_upsert/q84 is
+    the single-batch special case).  The change log is synthesized
+    deterministically from orders (md5-selected (key, seq) events,
+    md5-assigned delete ops), identical in both engines.
+
+    Scale: latest-per-key is a rank-1 window on the high-cardinality
+    key — Spark pushes the cut map-side (WindowGroupLimit), so state
+    per task is one row per key, never the key's history."""
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    seqs = spark.range(3).select(F.col("id").cast("long").alias("seq"))
+    ev = orders.crossJoin(F.broadcast(seqs)).where(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("seq").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+        == 0
+    )
+    opsel = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("op"),
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("seq").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 5
+    log = ev.select(
+        F.col("o_orderkey").alias("k"),
+        "seq",
+        F.when(opsel == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (F.col("o_totalprice") + F.col("seq")).alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(F.col("k").alias("o_orderkey"), F.col("v").alias("price"))
+    )

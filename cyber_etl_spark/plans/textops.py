@@ -3475,3 +3475,115 @@ def q174_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_to_corpus"),
         )
     )
+
+
+@query(
+    "q177_prefix_filter_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(c.n_common AS DOUBLE)
+                 / (sa.n + sb.n - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.5
+    """,
+    tags=("dedup", "similarity", "prefix-filter"),
+)
+def q177_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-Jaccard >= 0.5 pairs via PREFIX FILTERING
+    (operators/similarity.prefix_filter_jaccard_pairs) — the exact
+    ppjoin-style scale plan: each document indexes only its
+    |x| - ceil(t|x|) + 1 globally-RAREST shingles, candidates come from
+    the rare-prefix equi-join, and candidate-first verification
+    computes true Jaccard.  The oracle is the brute-force all-shingle
+    self-join, so the hash gate proves the prefix filter loses NO pair
+    — a guaranteed-lossless alternative to the probabilistic MinHash
+    banding of q22 over the same set definition (3-word shingles, the
+    q49/q50 family), and the third physical strategy for this logical
+    operator in the registry (inverted index, LSH bands, prefix
+    filter)."""
+    from ..operators.similarity import prefix_filter_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, threshold=0.5, shingles_df=cached_shingles(spark, sf_dir)
+    )
+
+
+@query(
+    "q178_pareto_frontier",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x <> ''))) AS DOUBLE)
+             / len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS diversity
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    ),
+    m AS (
+      SELECT doc_id, n_tokens, diversity,
+             MAX(diversity) OVER (
+               ORDER BY n_tokens DESC, diversity DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+      FROM t
+    )
+    SELECT doc_id, n_tokens, round(diversity, 6) AS diversity
+    FROM m WHERE mprev IS NULL OR diversity > mprev
+    """,
+    tags=("skyline", "pareto", "curation"),
+)
+def q178_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D PARETO FRONTIER (skyline) of the corpus over (token count,
+    lexical diversity) — the multi-objective curation cut "no other
+    document is both longer AND more diverse": classic skyline, done
+    with the sort-based algorithm at distributed scale.  After a total
+    order on (n_tokens desc, diversity desc, doc_id), a document is on
+    the frontier iff its diversity exceeds the EXCLUSIVE prefix max —
+    which comes from the prefix kernel's running_max
+    (operators/prefix.py), because the naive form is a single-task
+    GLOBAL window over the whole corpus (the q63/q160 hazard class,
+    global edition).  Equal-objective duplicates keep only the smallest
+    doc_id (the tie order makes later copies fail the strict test).
+
+    diversity = distinct/total tokens — a ratio of exact integers, so
+    the sort key is bit-identical across engines."""
+    from ..operators.prefix import running_max
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "diversity"
+        ),
+    ).where(F.col("n_tokens") > 0)
+    t = t.select(
+        "doc_id",
+        "n_tokens",
+        "diversity",
+        (-F.col("n_tokens")).alias("_o1"),
+        (-F.col("diversity")).alias("_o2"),
+    )
+    m = running_max(
+        t,
+        "diversity",
+        ["_o1", "_o2", "doc_id"],
+        out_col="_m",
+        inclusive=False,
+        pin_input=True,  # tokenize once, not again in the range sampler
+    )
+    return m.where(F.col("_m").isNull() | (F.col("diversity") > F.col("_m"))).select(
+        "doc_id", "n_tokens", F.round("diversity", 6).alias("diversity")
+    )

@@ -115,3 +115,26 @@ def test_kernel_plan_has_no_whole_group_window(spark):
                 break
             cols.append(re.sub(r"#\d+L?", "", tok).strip())
         assert any(c == "_pid" or c.startswith("_gp_") for c in cols), cols
+
+
+def test_running_max_matches_window_inclusive_and_exclusive(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        ((F.col("id") * 53) % 97).alias("v"),
+    )
+    from cyber_etl_spark.operators.prefix import running_max
+
+    for inclusive in (True, False):
+        got = running_max(
+            df, "v", ["k"], ["g"], out_col="rm",
+            num_partitions=6, inclusive=inclusive,
+        )
+        end = Window.currentRow if inclusive else -1
+        w = (
+            Window.partitionBy("g")
+            .orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, end)
+        )
+        want = df.withColumn("rm", F.max("v").over(w))
+        assert _rows(got, "g", "k", "rm") == _rows(want, "g", "k", "rm"), inclusive

@@ -280,3 +280,28 @@ def test_repeated_spans_rejects_min_span_below_n(spark, sf_smoke):
 
     with pytest.raises(ValueError, match="below shingle width"):
         repeated_spans(spark, sf_smoke, n=8, min_span=4)
+
+
+def test_prefix_filter_losslessness_crafted(spark):
+    """Prefix filtering must surface EVERY pair with Jaccard >= t, even
+    when the shared tokens are the corpus's most COMMON ones (the case
+    a rare-first prefix is most tempted to skip): with |x| = 4, t = 0.5
+    the prefix indexes 4 - 2 + 1 = 3 shingles, so any pair sharing >= 2
+    of 4 must collide in at least one prefix slot (pigeonhole)."""
+    from cyber_etl_spark.operators.similarity import prefix_filter_jaccard_pairs
+
+    rows = [
+        (1, "a b c d e f"),   # shingles: abc bcd cde def
+        (2, "a b c d x y"),   # shares abc bcd -> jaccard 2/6 < 0.5
+        (3, "a b c d e z"),   # shares abc bcd cde -> 3/5 >= 0.5
+        (4, "a b c d e f"),   # identical -> 4/4
+        (5, "p q r s t u"),   # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(df, threshold=0.5, shingle_n=3).collect()
+    }
+    assert set(got) == {(1, 3), (1, 4), (3, 4)}
+    assert got[(1, 4)] == 1.0
+    assert got[(1, 3)] == 0.6  # 3 common / (4 + 4 - 3)

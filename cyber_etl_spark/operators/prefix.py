@@ -110,17 +110,34 @@ def _ranged_partials(
     tot = agg_fn("_psum").over(
         wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    # sum's identity is 0; max's identity is NULL (greatest() skips nulls)
-    off_filled = (
-        F.coalesce(off, F.lit(0).cast("long")) if combine == "sum" else off
-    )
+    # _off stays RAW (NULL when no prior partition carries mass): each
+    # caller applies its own identity — 0 for counts, NULL-propagating
+    # sum semantics for running_total, greatest() for running_max.
+    # Offset-side columns are re-aliased (_opid/_og_*) so the join back
+    # onto `ranged` (its own ancestor) is unambiguous AND can use
+    # null-safe equality on group keys — Window.partitionBy puts
+    # NULL-keyed rows in their own partition, and a plain equi-join
+    # would silently drop them (review r7 finding).
     offsets = partials.select(
-        "_pid",
-        *[F.col(g).alias(c) for g, c in zip(gp_cols, group_cols)],
-        off_filled.alias("_off"),
+        F.col("_pid").alias("_opid"),
+        *[F.col(g).alias(f"_og_{c}") for g, c in zip(gp_cols, group_cols)],
+        off.alias("_off"),
         tot.alias("_tot"),
     )
     return ranged, offsets
+
+
+def _join_offsets(
+    ranged: DataFrame, offsets: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Broadcast-join the offset table back onto the ranged data,
+    null-safe on the group keys; drops the offset-side key columns."""
+    cond = F.col("_pid") == F.col("_opid")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_og_{c}"))
+    return ranged.join(F.broadcast(offsets), cond).drop(
+        "_opid", *[f"_og_{c}" for c in group_cols]
+    )
 
 
 def running_total(
@@ -131,28 +148,37 @@ def running_total(
     out_col: str = "running_total",
     num_partitions: int | None = None,
     pin_input: bool = False,
+    total_col: str | None = None,
 ) -> DataFrame:
     """``df`` + ``out_col`` = inclusive running sum of ``value_col`` over
     ``order_cols`` within each group — the distributed twin of
     ``SUM(v) OVER (PARTITION BY g ORDER BY o ROWS UNBOUNDED PRECEDING)``
-    that never funnels a whole group through one task.  ``pin_input``:
+    that never funnels a whole group through one task (NULL semantics
+    included: the result is NULL only while no non-null value has been
+    seen in the group, exactly like the window SUM).  ``pin_input``:
     materialize the input once when its projection is expensive (the
-    range partitioner's sampling pass would otherwise recompute it)."""
+    range partitioner's sampling pass would otherwise recompute it).
+    ``total_col``: also expose each group's grand total — it already
+    sits in the control table, so asking for it is free (callers that
+    need totals should NOT re-aggregate the data; review r7)."""
     group_cols = list(group_cols)
     ranged, offsets = _ranged_partials(
         df, group_cols, order_cols, F.sum(value_col), num_partitions, pin_input
     )
-    joined = ranged.join(
-        F.broadcast(offsets.drop("_tot")), ["_pid", *group_cols]
-    )
+    if total_col is None:
+        offsets = offsets.drop("_tot")
+    joined = _join_offsets(ranged, offsets, group_cols)
     wl = (
         Window.partitionBy("_pid", *group_cols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.withColumn(
-        out_col, F.sum(value_col).over(wl) + F.col("_off")
-    ).drop("_pid", "_off")
+    local = F.sum(value_col).over(wl)
+    run = F.when(
+        local.isNull() & F.col("_off").isNull(), F.lit(None)
+    ).otherwise(F.coalesce(local, F.lit(0)) + F.coalesce(F.col("_off"), F.lit(0)))
+    out = joined.withColumn(out_col, run).drop("_pid", "_off")
+    return out.withColumnRenamed("_tot", total_col) if total_col else out
 
 
 def global_ranks(
@@ -172,10 +198,13 @@ def global_ranks(
     ranged, offsets = _ranged_partials(
         df, group_cols, order_cols, F.count(F.lit(1)), num_partitions
     )
-    joined = ranged.join(F.broadcast(offsets), ["_pid", *group_cols])
+    joined = _join_offsets(ranged, offsets, group_cols)
     wl = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
     return (
-        joined.withColumn(rn_col, F.row_number().over(wl) + F.col("_off"))
+        joined.withColumn(
+            rn_col,
+            F.row_number().over(wl) + F.coalesce(F.col("_off"), F.lit(0)),
+        )
         .withColumnRenamed("_tot", total_col)
         .drop("_pid", "_off")
     )
@@ -220,7 +249,7 @@ def running_max(
         df, group_cols, order_cols, F.max(value_col), num_partitions,
         pin_input, combine="max",
     )
-    joined = ranged.join(F.broadcast(offsets.drop("_tot")), ["_pid", *group_cols])
+    joined = _join_offsets(ranged, offsets.drop("_tot"), group_cols)
     end = Window.currentRow if inclusive else -1
     wl = (
         Window.partitionBy("_pid", *group_cols)

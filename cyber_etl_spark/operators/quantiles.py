@@ -132,17 +132,25 @@ def exact_quantiles(
     size_agg = (
         F.count(F.lit(1)) if weight_col is None else F.sum("_w")
     ).alias("_n")
-    counts = ranged.groupBy("_pid", *group_cols).agg(size_agg).collect()
-    # Enforce the bounded-group contract (r6 verdict item 4): the control
-    # tables are O(|groups| × |partitions|) on the driver.  This kernel
-    # targets FEW groups of UNBOUNDED size (a global group at 100 TB);
-    # the opposite regime — millions of tiny groups — fits a per-group
-    # aggregation buffer by definition and needs no kernel.  Fail with
-    # guidance instead of silently building a multi-GB driver dict.
+    # Enforce the bounded-group contract (r6 verdict item 4) AT the
+    # collect: the LIMIT caps what can ever reach the driver, so an
+    # unbounded group cardinality raises below instead of OOM-ing
+    # inside collect() (review r7: a post-collect length check cannot
+    # prevent the blow-up it documents).  Within the bound, limit(N+1)
+    # returns the complete control table.  This kernel targets FEW
+    # groups of UNBOUNDED size (a global group at 100 TB); the opposite
+    # regime — millions of tiny groups — fits a per-group aggregation
+    # buffer by definition and needs no kernel.
+    counts = (
+        ranged.groupBy("_pid", *group_cols)
+        .agg(size_agg)
+        .limit(max_control_rows + 1)
+        .collect()
+    )
     if len(counts) > max_control_rows:
         raise ValueError(
-            f"exact_quantiles: control table has {len(counts)} "
-            f"(partition × group) rows > max_control_rows={max_control_rows}."
+            f"exact_quantiles: control table exceeds max_control_rows="
+            f"{max_control_rows} (partition × group) rows."
             " This kernel is for few groups of unbounded size; with this"
             " many groups each group fits one aggregation buffer — use a"
             " plain per-group aggregate (e.g. groupBy().agg(percentile_"

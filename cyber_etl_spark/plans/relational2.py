@@ -2835,12 +2835,16 @@ def q169_nucleus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("value")).alias("_negv"),
     )
     cum = running_total(
-        t, "_v6", ["_negv", "event_id"], ["event_type"], out_col="_cum"
+        t,
+        "_v6",
+        ["_negv", "event_id"],
+        ["event_type"],
+        out_col="_cum",
+        total_col="_tot",  # grand totals ride the kernel's control
+        # table for free — no second aggregation pass over the data
     )
-    tot = cum.groupBy("event_type").agg(F.sum("_v6").alias("_tot"))
     return (
-        cum.join(F.broadcast(tot), "event_type")
-        .where(
+        cum.where(
             (F.col("_cum") - F.col("_v6")).cast("double")
             < 0.5 * F.col("_tot").cast("double")
         )

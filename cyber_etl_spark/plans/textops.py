@@ -3492,7 +3492,8 @@ def q174_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM common c
     JOIN sizes sa ON sa.id = c.id_a
     JOIN sizes sb ON sb.id = c.id_b
-    WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.5
+    WHERE round(CAST(c.n_common AS DOUBLE)
+                / (sa.n + sb.n - c.n_common), 6) >= 0.5
     """,
     tags=("dedup", "similarity", "prefix-filter"),
 )

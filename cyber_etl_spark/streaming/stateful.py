@@ -435,15 +435,19 @@ WSAMPLE_SCHEMA = StructType(
     ]
 )
 
-# flat state: generation counter + k reservoir slots (key, event_id, value)
-_WSAMPLE_STATE = StructType(
-    [StructField("gen", LongType())]
-    + [
-        StructField(f"{p}{i}", t())
-        for i in range(WSAMPLE_K)
-        for p, t in (("k", DoubleType), ("eid", LongType), ("val", DoubleType))
-    ]
-)
+def _wsample_state(k: int) -> StructType:
+    """Flat state: generation counter + k reservoir slots (key,
+    event_id, value) — built PER k so a non-default reservoir size gets
+    a matching state schema (a fixed 10-slot schema made every other k
+    crash at state.update; review r7)."""
+    return StructType(
+        [StructField("gen", LongType())]
+        + [
+            StructField(f"{p}{i}", t())
+            for i in range(k)
+            for p, t in (("k", DoubleType), ("eid", LongType), ("val", DoubleType))
+        ]
+    )
 
 
 def weighted_sample_stream(events: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
@@ -513,7 +517,7 @@ def weighted_sample_stream(events: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
         .applyInPandasWithState(
             update,
             outputStructType=WSAMPLE_SCHEMA,
-            stateStructType=_WSAMPLE_STATE,
+            stateStructType=_wsample_state(k),
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -246,8 +246,6 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
                 cols.append(re.sub(r"#\d+L?", "", tok).strip())
             if any(c not in LOW_CARD for c in cols if c):
                 continue
-            if cols and not all(c in LOW_CARD for c in cols):
-                continue
             if has_wgl or name in AGG_INPUT_OK:
                 continue
             flagged.append((name, tuple(cols)))

@@ -138,3 +138,51 @@ def test_running_max_matches_window_inclusive_and_exclusive(spark):
         )
         want = df.withColumn("rm", F.max("v").over(w))
         assert _rows(got, "g", "k", "rm") == _rows(want, "g", "k", "rm"), inclusive
+
+
+def test_null_group_keys_and_null_values_match_window(spark):
+    """NULL group keys must survive (Window.partitionBy gives NULLs
+    their own partition; a plain equi-join back would drop them —
+    review r7) and NULL values must follow window-SUM semantics: the
+    running total is NULL only while no non-null value has been seen."""
+    rows = []
+    for i in range(120):
+        g = None if i % 3 == 0 else str(i % 2)
+        v = None if i % 5 < 2 else i % 7
+        rows.append((i, g, v))
+    df = spark.createDataFrame(rows, "k long, g string, v long")
+
+    def rowset(d, *cols):
+        return {tuple(r) for r in d.select(*cols).collect()}
+
+    got = running_total(df, "v", ["k"], ["g"], out_col="rt", num_partitions=5)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("rt", F.sum("v").over(w))
+    assert rowset(got, "g", "k", "rt") == rowset(want, "g", "k", "rt")
+    assert got.count() == df.count()  # NULL-group rows not dropped
+    # rank path too
+    got_r = global_ranks(df, ["k"], ["g"], num_partitions=5)
+    want_r = df.select(
+        "g", "k", F.row_number().over(Window.partitionBy("g").orderBy("k")).alias("rn")
+    )
+    assert rowset(got_r, "g", "k", "rn") == rowset(want_r, "g", "k", "rn")
+
+
+def test_running_total_exposes_group_total_from_control_table(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 5).alias("v"),
+    )
+    got = running_total(
+        df, "v", ["k"], ["g"], out_col="rt", num_partitions=4, total_col="tot"
+    )
+    want = {
+        r.g: r.t for r in df.groupBy("g").agg(F.sum("v").alias("t")).collect()
+    }
+    for r in got.select("g", "tot").distinct().collect():
+        assert r.tot == want[r.g]

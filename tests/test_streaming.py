@@ -489,3 +489,28 @@ def test_weighted_sample_stream_matches_driver_replay(spark, sf_smoke, tmp_path)
             want[(et, rank)] = (s[1], s[2])
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_weighted_sample_stream_nondefault_k(spark, sf_smoke, tmp_path):
+    """The reservoir size is a real parameter: a non-default k must get
+    a matching state schema (review r7: a fixed 10-slot schema crashed
+    every other k)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import weighted_sample_stream
+
+    events = read_table(spark, sf_smoke, "events").limit(400)
+    d = tmp_path / "wsk_feed"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(events.toPandas()), str(d / "chunk_0.parquet")
+    )
+    stream = read_event_stream(spark, str(d), empty_dir_ts="micros")
+    run_stream_to_memory(
+        weighted_sample_stream(stream, k=4), "wsk_mem", mode="update"
+    )
+    rows = spark.sql("SELECT event_type, rank FROM wsk_mem").collect()
+    assert rows and max(r.rank for r in rows) <= 4

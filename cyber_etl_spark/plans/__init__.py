@@ -5,3 +5,4 @@ from . import graphops  # noqa: F401
 from . import relational2  # noqa: F401
 from . import scaleops  # noqa: F401
 from . import domain  # noqa: F401
+from . import analytics  # noqa: F401

@@ -876,3 +876,176 @@ def ivf_cell_stats(
             .withColumn("drift", F.col("n_vectors") - F.col("baseline_n"))
         )
     return out
+
+
+# ---- product quantization (PQ) + asymmetric-distance kNN -----------------
+
+
+def _pq_subvecs(vecs: DataFrame, m: int, subdim: int) -> DataFrame:
+    """(id, sub, svm): the micro-unit vector split into ``m`` contiguous
+    ``subdim``-wide subvectors — the PQ decomposition."""
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
+    return (
+        vecs.select("id", "vm", subs)
+        .withColumn("svm", F.expr(f"slice(vm, sub * {subdim} + 1, {subdim})"))
+        .drop("vm")
+    )
+
+
+def _pq_assign(subvecs: DataFrame, cents: DataFrame, with_svm: bool):
+    """Nearest sub-codebook centroid per (id, sub) by EXACT integer
+    squared L2 on the micro grid — one int64 broadcast-difference per
+    Arrow batch, ties to the smallest cell (rows sorted; argmin takes
+    the first minimum).  Exactness is what lets a SQL oracle replay the
+    assignment bit-for-bit: there is no rounding step at all."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        cents.select("sub", "cell", "cm").collect(), key=lambda r: (r["sub"], r["cell"])
+    )
+    by_sub: dict[int, tuple] = {}
+    for s in {r["sub"] for r in rows}:
+        srows = [r for r in rows if r["sub"] == s]
+        by_sub[s] = (
+            np.array([r["cell"] for r in srows], dtype=np.int64),
+            np.array([list(r["cm"]) for r in srows], dtype=np.int64),
+        )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_frames = []
+            for s, grp in pdf.groupby("sub", sort=False):
+                cells, cmat = by_sub[int(s)]
+                x = np.array(grp["svm"].tolist(), dtype=np.int64)
+                # (n, k) exact int64 squared distances
+                diff = x[:, None, :] - cmat[None, :, :]
+                d2 = (diff * diff).sum(axis=2)
+                idx = d2.argmin(axis=1)  # first min = smallest cell
+                cols = {"id": grp["id"], "sub": grp["sub"], "cell": cells[idx]}
+                if with_svm:
+                    cols["svm"] = grp["svm"]
+                out_frames.append(pd.DataFrame(cols))
+            yield pd.concat(out_frames, ignore_index=True)
+
+    schema = "id long, sub int, cell long" + (", svm array<long>" if with_svm else "")
+    return subvecs.mapInPandas(assign, schema)
+
+
+def pq_fit_codebooks(
+    subvecs: DataFrame, n_cells: int, iters: int, seeds: DataFrame
+) -> DataFrame:
+    """Per-subspace Lloyd on the exact micro-unit integer grid →
+    (sub, cell, cm: array<bigint>).  Mirrors ``_kmeans_core`` (seed =
+    first ``n_cells`` vectors by id, integer-mean update with empty-cell
+    carry-over) but with squared-L2 assignment per subspace — PQ's
+    metric — and NO rounding anywhere, so a chained-CTE oracle replays
+    it exactly."""
+    cents = (
+        subvecs.join(F.broadcast(seeds), "id")
+        .select("sub", F.col("id").alias("cell"), F.col("svm").alias("cm"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        sums = (
+            _pq_assign(subvecs, cents, with_svm=True)
+            .select("sub", "cell", F.posexplode("svm").alias("pos", "mval"))
+            .groupBy("sub", "cell", "pos")
+            .agg(
+                F.floor(F.sum("mval") / F.count("mval") + F.lit(0.5))
+                .cast("long")
+                .alias("cmicro")
+            )
+            .coalesce(8)
+        )
+        newc = (
+            sums.groupBy("sub", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cmicro"))),
+                    lambda s: s["cmicro"],
+                ).alias("cm_new")
+            )
+            .coalesce(1)
+        )
+        cents = (
+            cents.join(newc, ["sub", "cell"], "left")
+            .select("sub", "cell", F.coalesce("cm_new", "cm").alias("cm"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def pq_adc_knn(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    m: int = 4,
+    n_cells: int = 16,
+    iters: int = 1,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-``k`` nearest neighbors by PRODUCT-QUANTIZATION asymmetric
+    distance (Jégou et al., PAMI'11): vectors are compressed to ``m``
+    sub-codebook codes (here 4x16 cells = 4 bytes/vector, a 64x cut vs
+    raw float32x64), queries stay full-precision, and the approximate
+    distance is a sum of ``m`` table lookups.
+
+    Scale design: codebooks are m·n_cells rows (broadcast); encoding is
+    one shuffle-free GEMM-style pass (``_pq_assign``); the per-query
+    lookup table is |Q|·m·n_cells rows (broadcast); the ADC scan joins
+    the CODE table — never the raw vectors — so the per-candidate cost
+    is ``m`` int adds and the data moved is 4 bytes/vector, which is the
+    entire point of PQ at 100 TB.  Everything runs on the exact
+    micro-unit integer grid: squared-L2 assignment, integer-mean
+    updates, and integer ADC sums — zero float rounding, so the DuckDB
+    oracle (chained-CTE Lloyd unroll per subspace) hash-matches
+    bit-for-bit.
+
+    ``queries``: full-precision query vectors (defaults to corpus ids
+    < 20, the q40 convention).  Self-matches are excluded.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    vecs = _quantized_vecs(corpus, id_col, vec_col).localCheckpoint(eager=True)
+    subvecs = _pq_subvecs(vecs, m, subdim).localCheckpoint(eager=True)
+    seeds = vecs.orderBy("id").limit(n_cells).select("id")
+    cents = pq_fit_codebooks(subvecs, n_cells, iters, seeds)
+    codes = _pq_assign(subvecs, cents, with_svm=False)
+    if queries is None:
+        qsub = subvecs.where(F.col("id") < 20)
+    else:
+        qsub = _pq_subvecs(
+            _quantized_vecs(queries, id_col, vec_col), m, subdim
+        )
+    qsub = qsub.select(
+        F.col("id").alias("query_id"), "sub", F.col("svm").alias("qvm")
+    )
+    # |Q|*m*n_cells-row lookup table: exact int64 squared L2 per cell
+    d_expr = F.aggregate(
+        F.zip_with("qvm", "cm", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = qsub.join(F.broadcast(cents), "sub").select(
+        "query_id", "sub", "cell", d_expr.alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "cell"])
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+    )

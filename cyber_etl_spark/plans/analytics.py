@@ -195,6 +195,115 @@ def q184_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle(
+    m: int = 4,
+    n_cells: int = 16,
+    iters: int = 1,
+    k: int = 10,
+    dim: int = 64,
+    n_queries_below: int = 20,
+) -> str:
+    """Chained-CTE replay of operators.ann.pq_adc_knn: micro-grid
+    quantization, per-subspace Lloyd (exact integer squared-L2 assign,
+    integer-mean update, empty-cell carry-over), code table, per-query
+    lookup table, integer ADC sum.  Nothing is rounded anywhere, so the
+    hash gate checks the whole pipeline bit-for-bit."""
+    subdim = dim // m
+    dsq = (
+        f"list_sum(list_transform(range(1, {subdim + 1}),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    assign_tpl = f"""{{name}} AS (
+  SELECT id, sub, cell FROM (
+    SELECT v.id, v.sub, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.id, v.sub
+             ORDER BY {dsq.format(a='v.svm', b='c.cm')} ASC, c.cell ASC) AS rn
+    FROM subs v JOIN {{cents}} c ON c.sub = v.sub
+  ) WHERE rn = 1
+)"""
+    steps = [
+        "base AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],"
+        " x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm FROM embeddings)",
+        f"subs AS (SELECT id, u.sub, vm[u.sub * {subdim} + 1 : u.sub * {subdim} + {subdim}]"
+        f" AS svm FROM base CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) u)",
+        f"seeds AS (SELECT id FROM base ORDER BY id LIMIT {n_cells})",
+        "cents0 AS (SELECT s.sub, s.id AS cell, s.svm AS cm"
+        " FROM subs s JOIN seeds USING (id))",
+    ]
+    for i in range(iters):
+        steps.append(assign_tpl.format(name=f"assign{i}", cents=f"cents{i}"))
+        steps.append(
+            f"""sums{i + 1} AS (
+  SELECT a.sub, a.cell, u.pos,
+         CAST(floor(SUM(v.svm[u.pos + 1]) / COUNT(*) + 0.5) AS BIGINT) AS cmicro
+  FROM assign{i} a JOIN subs v ON v.id = a.id AND v.sub = a.sub
+  CROSS JOIN (SELECT unnest(range(0, {subdim})) AS pos) u
+  GROUP BY 1, 2, 3
+)"""
+        )
+        steps.append(
+            f"newc{i + 1} AS (SELECT sub, cell, list(cmicro ORDER BY pos) AS cm"
+            f" FROM sums{i + 1} GROUP BY 1, 2)"
+        )
+        steps.append(
+            f"""cents{i + 1} AS (
+  SELECT c.sub, c.cell, COALESCE(n.cm, c.cm) AS cm
+  FROM cents{i} c LEFT JOIN newc{i + 1} n USING (sub, cell)
+)"""
+        )
+    steps.append(assign_tpl.format(name="codes", cents=f"cents{iters}"))
+    steps.append(
+        f"q AS (SELECT id AS query_id, sub, svm AS qvm FROM subs"
+        f" WHERE id < {n_queries_below})"
+    )
+    steps.append(
+        f"""lut AS (
+  SELECT q.query_id, q.sub, c.cell,
+         {dsq.format(a='q.qvm', b='c.cm')} AS d
+  FROM q JOIN cents{iters} c ON c.sub = q.sub
+)"""
+    )
+    steps.append(
+        """adc AS (
+  SELECT l.query_id, co.id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc
+  FROM codes co JOIN lut l ON l.sub = co.sub AND l.cell = co.cell
+  WHERE co.id <> l.query_id
+  GROUP BY 1, 2
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT query_id, neighbor_id, adc FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc ASC, neighbor_id ASC) AS rn
+  FROM adc
+) WHERE rn <= {k}"""
+    )
+
+
+@query(
+    "q186_pq_adc_knn",
+    oracle=_pq_oracle(),
+    tags=("ann", "quantization", "pq", "embedding"),
+)
+def q186_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION kNN with asymmetric distance (Jégou et al.):
+    4 sub-codebooks x 16 cells compress each 64-dim vector to 4 bytes;
+    queries stay full precision; distance = sum of 4 table lookups.
+    Completes the ANN quantization family (q133 is SCALAR int8 + ADC —
+    8x; PQ is 64x with a trained codebook).  The whole pipeline runs on
+    the exact 1e-6 integer grid — squared-L2 assignment, integer-mean
+    Lloyd update, integer ADC sums — so the oracle's per-subspace Lloyd
+    unroll hash-matches with no rounding convention at all.  At scale
+    the ADC scan reads the 4-byte code table, never raw vectors."""
+    from ..operators.ann import pq_adc_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_adc_knn(emb)
+
+
 @query(
     "q185_ra_link_prediction",
     oracle="""

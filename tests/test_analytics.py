@@ -109,3 +109,35 @@ def test_symspell_join_losslessness_crafted(spark):
         ("beta", "bxta"),
         ("bxta", "bxtz"),
     }
+
+
+def test_pq_adc_knn_partition_invariant_and_shaped(spark):
+    """The PQ pipeline is exact-integer end to end, so the result must
+    be bit-identical under any input partitioning; each query gets
+    exactly k neighbors with non-negative ADC distances."""
+    from cyber_etl_spark.operators.ann import pq_adc_knn
+    from cyber_etl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = {(r.query_id, r.neighbor_id, r.adc) for r in pq_adc_knn(emb, k=5).collect()}
+    b = {
+        (r.query_id, r.neighbor_id, r.adc)
+        for r in pq_adc_knn(emb.repartition(17), k=5).collect()
+    }
+    assert a == b
+    by_q = {}
+    for q, n, d in a:
+        assert d >= 0 and n != q
+        by_q.setdefault(q, []).append(d)
+    assert all(len(v) == 5 for v in by_q.values())
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest
+
+    from cyber_etl_spark.operators.ann import pq_adc_knn
+    from cyber_etl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_adc_knn(emb, m=7)

@@ -18,6 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -521,4 +522,98 @@ def weighted_sample_stream(events: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+MGSTREAM_K = 20
+MGSTREAM_SHARDS = 4
+
+MGSTREAM_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("gen", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("item", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def _mg_state(k: int) -> StructType:
+    fields = [StructField("gen", LongType()), StructField("n_seen", LongType())]
+    for i in range(k):
+        fields.append(StructField(f"item_{i}", StringType()))
+        fields.append(StructField(f"cnt_{i}", LongType()))
+    return StructType(fields)
+
+
+def heavy_hitter_stream(
+    items: DataFrame, k: int = MGSTREAM_K, shards: int = MGSTREAM_SHARDS
+) -> DataFrame:
+    """Streaming heavy-hitter candidates — the unbounded-feed twin of the
+    batch Misra–Gries kernel (operators/heavyhitters.py, q181): per
+    SHARD (md5(item) mod ``shards`` — every occurrence of an item lands
+    in one shard, so per-shard bounds are global bounds) the state holds
+    a k-counter MG summary merged batch-by-batch with the same
+    mergeable-summaries trim the batch kernel uses.  Emits the updated
+    summary per trigger with a generation counter and the shard's total
+    row count, so a consumer can read off the published MG guarantees:
+    every item with true frequency > n_seen/(k+1) is present, and a
+    present item's count is within n_seen/(k+1) below its true
+    frequency (the self-calibrating bound the twin test pins).
+
+    State per shard is exactly k (item, cnt) slots — O(k·shards)
+    total regardless of stream length.  The per-batch merge goes through
+    value_counts first, so the result is independent of row order
+    WITHIN a micro-batch (only the batch slicing matters, which is what
+    lets a driver-side replay reproduce the stream bit-for-bit)."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            st = list(state.get)
+            gen, n_seen = st[0], st[1]
+            counters = {
+                st[2 + 2 * i]: st[3 + 2 * i]
+                for i in range(k)
+                if st[2 + 2 * i] is not None
+            }
+        else:
+            gen, n_seen, counters = 0, 0, {}
+        for pdf in batches:
+            n_seen += len(pdf)
+            for item, c in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - cut for i, c in counters.items() if c - cut > 0}
+        gen += 1
+        # deterministic slot order: count desc, item asc
+        slots = sorted(counters.items(), key=lambda t: (-t[1], t[0]))[:k]
+        flat = [gen, n_seen]
+        for i in range(k):
+            flat += list(slots[i]) if i < len(slots) else [None, None]
+        state.update(tuple(flat))
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(slots),
+                "gen": [gen] * len(slots),
+                "n_seen": [n_seen] * len(slots),
+                "item": [s[0] for s in slots],
+                "cnt": [s[1] for s in slots],
+            }
+        )
+
+    sharded = items.withColumn(
+        "shard",
+        F.conv(F.substring(F.md5("item"), 1, 8), 16, 10).cast("long") % shards,
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=MGSTREAM_SCHEMA,
+        stateStructType=_mg_state(k),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

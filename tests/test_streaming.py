@@ -514,3 +514,96 @@ def test_weighted_sample_stream_nondefault_k(spark, sf_smoke, tmp_path):
     )
     rows = spark.sql("SELECT event_type, rank FROM wsk_mem").collect()
     assert rows and max(r.rank for r in rows) <= 4
+
+
+def test_heavy_hitter_stream_matches_replay_and_mg_bounds(spark, sf_smoke, tmp_path):
+    """Streaming sharded Misra-Gries == a driver-side replay of the same
+    batch-counted merges over the same 3 chunk slicing, AND the final
+    summaries satisfy the PUBLISHED MG guarantees (self-calibrating, the
+    q88/q173 discipline): every item with true frequency > n_s/(k+1) is
+    present in its shard's summary, and present counts undershoot true
+    frequency by at most n_s/(k+1)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import (
+        MGSTREAM_K,
+        MGSTREAM_SHARDS,
+        heavy_hitter_stream,
+    )
+
+    events = read_table(spark, sf_smoke, "events")
+    n = events.count()
+    # craft skew: 5 hot items (user_id % 5) over a long tail of unique
+    # cold items — hot frequencies far exceed the n_s/(k+1) threshold
+    item_expr = (
+        "CASE WHEN user_id % 3 = 0 THEN concat('hot_', user_id % 5) "
+        "ELSE concat('cold_', event_id) END AS item"
+    )
+    full = events.orderBy("ts", "event_id").toPandas()
+    pdf = (
+        events.orderBy("ts", "event_id").selectExpr("event_id", item_expr).toPandas()
+    )
+    d = tmp_path / "hh_feed"
+    d.mkdir()
+    for i in range(3):
+        chunk = full.iloc[i * n // 3 : (i + 1) * n // 3]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet"))
+    stream = read_event_stream(spark, str(d), empty_dir_ts="micros").selectExpr(
+        item_expr
+    )
+    run_stream_to_memory(heavy_hitter_stream(stream), "hh_mem", mode="update")
+
+    rows = spark.sql("SELECT * FROM hh_mem").collect()
+    last_gen = {}
+    for r in rows:
+        last_gen[r.shard] = max(last_gen.get(r.shard, 0), r.gen)
+    assert max(last_gen.values()) == 3  # state really crossed 3 triggers
+    got = {
+        (r.shard, r.item): (r.cnt, r.n_seen)
+        for r in rows
+        if r.gen == last_gen[r.shard]
+    }
+
+    def shard_of(item: str) -> int:
+        return int(hashlib.md5(item.encode()).hexdigest()[:8], 16) % MGSTREAM_SHARDS
+
+    # driver replay: identical batch-counted merge per shard per chunk
+    k = MGSTREAM_K
+    counters: dict[int, dict] = {}
+    n_seen: dict[int, int] = {}
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        by_shard = chunk.groupby(chunk["item"].map(shard_of))
+        for s, grp in by_shard:
+            c = counters.setdefault(s, {})
+            n_seen[s] = n_seen.get(s, 0) + len(grp)
+            for item, cnt in grp["item"].value_counts().items():
+                c[item] = c.get(item, 0) + int(cnt)
+            if len(c) > k:
+                cut = sorted(c.values(), reverse=True)[k]
+                counters[s] = {i2: v - cut for i2, v in c.items() if v - cut > 0}
+    want = {
+        (s, item): (cnt, n_seen[s])
+        for s, c in counters.items()
+        for item, cnt in c.items()
+    }
+    assert got == want and len(got) > 0
+
+    # self-calibrating MG bounds against true frequencies
+    true_freq = pdf["item"].value_counts()
+    hot_seen = 0
+    for item, f in true_freq.items():
+        s = shard_of(item)
+        eps = n_seen[s] // (k + 1)
+        if f > eps:  # guaranteed survivor
+            assert (s, item) in got, f"guaranteed hitter {item} missing"
+        if (s, item) in got:
+            c = got[(s, item)][0]
+            assert c <= f and f - c <= eps, (item, c, f, eps)
+            hot_seen += item.startswith("hot_")
+    assert hot_seen == 5  # all crafted heavy items survived

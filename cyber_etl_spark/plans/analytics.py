@@ -380,3 +380,424 @@ def q185_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q187_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COUNT(*) AS n_events,
+           first(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("timeseries", "agg", "ohlc"),
+)
+def q187_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick bars per (type, hour) —
+    the classic time-series downsampling aggregate, and the registry's
+    min_by/max_by surface: open/close are the values at the extreme
+    (ts, event_id) keys, picked by ONE-PASS ordered-argmin aggregates
+    (Spark min_by/max_by over a struct key; DuckDB ordered first/last)
+    instead of a per-group sort or a rank window — constant memory per
+    group, map-side partials, no shuffle beyond the groupBy.  The
+    composite key makes ties impossible (event_id is unique), so both
+    engines pick the same row."""
+    ev = read_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+    )
+
+
+@query(
+    "q188_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping-sets", "olap"),
+)
+def q188_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind q42's ROLLUP and
+    q64's CUBE: one pass computes the (flag, status) cells, the flag
+    margins, and the grand total, each row tagged with per-column
+    GROUPING() indicators so a NULL group value is distinguishable from
+    a margin row.  Indicators are emitted per column (not a combined
+    grouping_id) because the bit order of the combined id is an
+    engine convention; the per-column flag is not."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "q189_group_ols_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2020-01-01', date_trunc('day', ts))
+                  AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(y) AS sy, SUM(y * CAST(x AS DECIMAL(12,0))) AS sxy
+      FROM pts GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM s
+    """,
+    tags=("agg", "regression", "trend"),
+)
+def q189_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS TREND (closed-form simple linear regression of
+    value against day index): slope and intercept from the five
+    sufficient statistics (n, Σx, Σx², Σy, Σxy), each accumulated
+    EXACTLY — x is an integer day offset, y sums as DECIMAL(18,6), the
+    cross term as DECIMAL·INT — so the only floats are the final two
+    divisions of identical exact inputs.  One groupBy pass, map-side
+    partials, no per-group state beyond five numbers: the distributed
+    regression shape (MLlib's summarizer economics) with a plain-SQL
+    twin.  Complements q137 (correlation) and q144 (Welch t-test) in
+    the grouped-statistics family."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pts = ev.select(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2020-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x").cast("decimal(12,0)")).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, sxy = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+@query(
+    "q190_decile_lift",
+    oracle="""
+    WITH b AS (
+      SELECT {bexprs}
+      FROM events
+    ),
+    bucketed AS (
+      SELECT 1 + {bump} AS decile,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events, b
+    ),
+    overall AS (SELECT COUNT(*) AS n_all, SUM(is_p) AS p_all FROM bucketed)
+    SELECT decile, COUNT(*) AS n, CAST(SUM(is_p) AS BIGINT) AS n_purchase,
+           round(CAST(SUM(is_p) AS DOUBLE) / COUNT(*), 6) AS rate,
+           round((CAST(SUM(is_p) AS DOUBLE) / COUNT(*))
+                 / (CAST(p_all AS DOUBLE) / n_all), 6) AS lift
+    FROM bucketed, overall
+    GROUP BY decile, p_all, n_all
+    """.format(
+        bexprs=", ".join(
+            "round(CAST(percentile_cont({p}) WITHIN GROUP (ORDER BY value)"
+            " AS DOUBLE), 6) AS b{i}".format(p=i / 10.0, i=i)
+            for i in range(1, 10)
+        ),
+        bump=" + ".join(
+            f"(CASE WHEN value > b{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+        ),
+    ),
+    tags=("agg", "percentile", "ml-eval"),
+)
+def q190_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE LIFT TABLE — the standard model-calibration report: bucket
+    rows by the global deciles of ``value`` (score), then per decile the
+    purchase rate and its lift over the base rate.  Deciles come from
+    the exact-quantile kernel and are rounded to 6 dp before the
+    bucket comparison in both engines (the q182 clamp discipline);
+    bucket assignment is value > bound counting, so rows tied at a
+    boundary land identically in both engines (unlike ntile's
+    equal-count split, which is tie-order-dependent).  Rates and lift
+    are ratios of exact integers."""
+    from ..operators.quantiles import exact_quantiles
+
+    ev = read_table(spark, sf_dir, "events")
+    names = {f"b{i}": i / 10.0 for i in range(1, 10)}
+    bounds = exact_quantiles(ev, "value", names).select(
+        *[F.round(f"b{i}", 6).alias(f"b{i}") for i in range(1, 10)]
+    )
+    bump = None
+    for i in range(1, 10):
+        term = F.when(F.col("value") > F.col(f"b{i}"), 1).otherwise(0)
+        bump = term if bump is None else bump + term
+    bucketed = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.lit(1) + bump).alias("decile"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        )
+    )
+    overall = bucketed.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("is_p").alias("p_all")
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("is_p").alias("n_purchase"))
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "decile",
+            "n",
+            "n_purchase",
+            F.round(F.col("n_purchase") / F.col("n"), 6).alias("rate"),
+            F.round(
+                (F.col("n_purchase") / F.col("n")) / (F.col("p_all") / F.col("n_all")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q191_pit_features",
+    oracle="""
+    SELECT o.o_orderkey,
+           COUNT(h.o_orderkey) AS prior_orders_90d,
+           CAST(SUM(CAST(h.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS prior_spend_90d
+    FROM orders o
+    LEFT JOIN orders h
+      ON h.o_custkey = o.o_custkey
+     AND h.o_orderdate < o.o_orderdate
+     AND h.o_orderdate >= o.o_orderdate - INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+    tags=("join", "feature-store", "point-in-time"),
+)
+def q191_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature backfill — the leakage-safe feature-store
+    pattern: for every order, the customer's order count and spend in
+    the STRICTLY-PRIOR 90-day window (never at-or-after the label
+    timestamp, so a model trained on these features sees nothing from
+    the future).  The history join is a banded self-join on the
+    customer key with a range predicate — shuffles on o_custkey, per
+    customer cost bounded by history window width; the as-of join (q59)
+    is the single-nearest-event special case of this shape.  NULL spend
+    for zero-history orders stays NULL (both engines sum an empty set
+    to NULL)."""
+    o = read_table(spark, sf_dir, "orders")
+    h = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("h_custkey"),
+        F.col("o_orderdate").alias("h_orderdate"),
+        F.col("o_totalprice").alias("h_totalprice"),
+        F.col("o_orderkey").alias("h_orderkey"),
+    )
+    return (
+        o.join(
+            h,
+            (F.col("h_custkey") == F.col("o_custkey"))
+            & (F.col("h_orderdate") < F.col("o_orderdate"))
+            & (
+                F.col("h_orderdate")
+                >= F.col("o_orderdate") - F.expr("INTERVAL 90 DAYS")
+            ),
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("h_orderkey").alias("prior_orders_90d"),
+            F.sum(F.col("h_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("prior_spend_90d"),
+        )
+    )
+
+
+@query(
+    "q192_market_basket",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT a.p AS p_a, b.p AS p_b, COUNT(*) AS support
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    icnt AS (SELECT p, COUNT(*) AS cnt FROM items GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items)
+    SELECT p_a, p_b, support,
+           round(CAST(support AS DOUBLE) / ca.cnt, 6) AS conf_a_to_b,
+           round(CAST(support AS DOUBLE) / cb.cnt, 6) AS conf_b_to_a,
+           round(CAST(support AS DOUBLE) * n_orders / (ca.cnt * cb.cnt), 6) AS lift
+    FROM pairs
+    JOIN icnt ca ON ca.p = p_a
+    JOIN icnt cb ON cb.p = p_b
+    CROSS JOIN tot
+    ORDER BY support DESC, lift DESC, p_a, p_b
+    LIMIT 50
+    """,
+    tags=("agg", "association-rules", "basket"),
+)
+def q192_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET 2-itemset mining (the A-priori pair stage): top-50
+    co-ordered part pairs by support, with both rule confidences and
+    lift.  Pair enumeration is WITHIN-basket only (self-join on the
+    order key, a.p < b.p) — cost is sum of per-basket squares, bounded
+    by basket width, never a corpus cross product; support/confidence/
+    lift are ratios of exact integers rounded at 6 dp.  The q22/q49 set
+    lesson applies: the OUTPUT is capped (top-50 with a total
+    tie-break), because pair universes grow quadratically with
+    vocabulary even when each basket is small."""
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p_a"), F.col("b.p").alias("p_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    icnt = items.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = items.agg(F.countDistinct("o").alias("n_orders"))
+    return (
+        pairs.join(
+            F.broadcast(icnt.select(F.col("p").alias("p_a"), F.col("cnt").alias("ca"))),
+            "p_a",
+        )
+        .join(
+            F.broadcast(icnt.select(F.col("p").alias("p_b"), F.col("cnt").alias("cb"))),
+            "p_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_a",
+            "p_b",
+            "support",
+            F.round(F.col("support") / F.col("ca"), 6).alias("conf_a_to_b"),
+            F.round(F.col("support") / F.col("cb"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("support") * F.col("n_orders") / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("support").desc(), F.col("lift").desc(), F.col("p_a"), F.col("p_b")
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "q193_seasonal_anomaly",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id, event_type, value,
+             CAST(date_part('dow', ts) + 1 AS BIGINT) AS dow,
+             CAST(date_part('hour', ts) AS BIGINT) AS hod
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type, dow, hod, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx
+      FROM keyed GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT k.event_id, k.event_type, k.value, s.n,
+             round((k.value - CAST(s.sx AS DOUBLE) / s.n)
+                   / sqrt((CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE)
+                           * CAST(s.sx AS DOUBLE) / s.n) / (s.n - 1)), 6) AS z
+      FROM keyed k
+      JOIN stats s ON s.event_type = k.event_type AND s.dow = k.dow
+                  AND s.hod = k.hod
+      WHERE s.n >= 5
+        AND (CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n)
+            > 0
+    )
+    SELECT event_id, event_type, value, n, z
+    FROM scored
+    ORDER BY abs(z) DESC, event_id
+    LIMIT 100
+    """,
+    tags=("timeseries", "anomaly", "agg"),
+)
+def q193_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY-AWARE anomaly detection: z-score each event against
+    the mean/std of its OWN (type, day-of-week, hour-of-day) cell, then
+    surface the top-100 |z| — the monitoring twin of q130's global MAD
+    cut (a value normal at Friday 18:00 may be anomalous at Sunday
+    04:00).  Moments accumulate exactly (DECIMAL sums of value and
+    value²), so mean/var/z are identical IEEE expressions of identical
+    exact inputs in both engines; cells need n >= 5 and positive
+    variance.  Day-of-week conventions differ per engine (Spark
+    dayofweek is 1=Sunday; DuckDB dow is 0=Sunday) — the oracle shifts
+    by +1 so the cell keys agree."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    keyed = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = keyed.groupBy("event_type", "dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("sx"),
+        F.sum(dec * dec).alias("sxx"),
+    )
+    sx, sxx, n = F.col("sx").cast("double"), F.col("sxx").cast("double"), F.col("n")
+    var_num = sxx - sx * sx / n
+    z = (F.col("value") - sx / n) / F.sqrt(var_num / (n - F.lit(1)))
+    return (
+        keyed.join(F.broadcast(stats), ["event_type", "dow", "hod"])
+        .where((n >= 5) & (var_num > 0))
+        .select("event_id", "event_type", "value", "n", F.round(z, 6).alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(100)
+    )

@@ -295,3 +295,63 @@ def prefix_filter_jaccard_pairs(
         )
         .where(F.col("jaccard") >= t)
     )
+
+
+def symspell_lev1_pairs(df: DataFrame, col: str) -> DataFrame:
+    """All DISTINCT-value pairs of ``df[col]`` within edit distance 1,
+    via SymSpell deletion-neighborhood blocking (Garbe's symmetric
+    delete algorithm) — and, for the k=1 case, a POSITION-QUALIFIED
+    match test that eliminates the per-pair edit-distance DP entirely:
+
+    each value emits (value, key, pos) rows where key is the value
+    itself (pos 0) or its one-character deletion at position pos >= 1.
+    For two distinct values sharing a key:
+
+    - same deletion position (pos_a == pos_b >= 1): both are
+      prefix+c+suffix with identical prefix/suffix -> they differ in at
+      most that one character -> lev <= 1, ALWAYS;
+    - identity key on one side (pos == 0): the other side deleted one
+      character to reach it -> lev == 1, ALWAYS;
+    - different deletion positions: lev may be 2 (e.g. 'abc'/'bca'
+      share 'bc') — but every TRUE lev<=1 pair is already captured by
+      one of the first two classes (a substitution at i matches at
+      (i, i); an insert/delete matches the shorter's identity key), so
+      dropping this class loses nothing.
+
+    The predicate is therefore EXACT, the candidate join needs no
+    verification DP (measured 3.1s of bounded levenshtein on 977k
+    candidates at sf0.1 -> 0), and the brute-force oracle remains the
+    losslessness gate.  Output: (name_a, name_b) with name_a < name_b.
+    """
+    v = df.where(F.col(col).isNotNull()).select(F.col(col).alias("_val")).distinct()
+    keys = F.array_union(
+        F.array(F.struct(F.col("_val").alias("k"), F.lit(0).alias("pos"))),
+        F.transform(
+            F.sequence(F.lit(1), F.length("_val")),
+            lambda i: F.struct(
+                F.concat(
+                    F.col("_val").substr(F.lit(1), i - 1),
+                    F.col("_val").substr(i + 1, F.length("_val")),
+                ).alias("k"),
+                i.alias("pos"),
+            ),
+        ),
+    )
+    keyed = v.select("_val", F.explode(keys).alias("kp")).select(
+        "_val", F.col("kp.k").alias("k"), F.col("kp.pos").alias("pos")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a._val") < F.col("b._val"))
+            & (
+                (F.col("a.pos") == F.col("b.pos"))
+                | (F.col("a.pos") == 0)
+                | (F.col("b.pos") == 0)
+            ),
+        )
+        .select(F.col("a._val").alias("name_a"), F.col("b._val").alias("name_b"))
+        .distinct()
+    )

@@ -163,36 +163,21 @@ def q183_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q184_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL-PAIRS edit-distance <= 1 self-join over customer names via
-    SYMSPELL deletion-neighborhood blocking: each name emits itself plus
-    its |s| one-character-deletion variants as join keys; two strings
-    within edit distance 1 MUST share a key (equal -> the full string;
-    insert/delete -> the shorter IS a deletion of the longer;
-    substitute -> both share the deletion at the substituted position),
-    so the banded equi-join is lossless and the oracle's brute-force
-    quadratic scan is the exactness gate.  Candidates are verified with
-    the bounded-DP levenshtein (threshold arg -> O(k*n) per pair, the
-    q87 discipline).  Complements q87's probe-vs-table shape with the
-    self-join fuzzy-dedup shape: O(n * len) index rows instead of O(n^2)
+    SYMSPELL deletion-neighborhood blocking with the position-qualified
+    exact match test (operators/similarity.symspell_lev1_pairs): each
+    name emits itself (pos 0) plus its |s| one-character-deletion
+    variants (pos i) as join keys, and a shared key at the SAME
+    position — or against an identity key — is PROVABLY within edit
+    distance 1, so the join needs no per-pair DP at all (the bounded
+    levenshtein verify alone measured 3.1s on 977k candidates at
+    sf0.1).  The oracle's brute-force quadratic scan is the exactness
+    gate.  Complements q87's probe-vs-table shape with the self-join
+    fuzzy-dedup shape: O(n * len) index rows instead of O(n^2)
     comparisons."""
+    from ..operators.similarity import symspell_lev1_pairs
+
     cust = read_table(spark, sf_dir, "customer")
-    v = cust.where(F.col("c_name").isNotNull()).select("c_name").distinct()
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length("c_name")),
-        lambda i: F.concat(
-            F.col("c_name").substr(F.lit(1), i - 1),
-            F.col("c_name").substr(i + 1, F.length("c_name")),
-        ),
-    )
-    keyed = v.select(
-        "c_name", F.explode(F.array_union(F.array(F.col("c_name")), dels)).alias("k")
-    )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.c_name") < F.col("b.c_name")))
-        .select(F.col("a.c_name").alias("name_a"), F.col("b.c_name").alias("name_b"))
-        .distinct()
-        .where(F.levenshtein("name_a", "name_b", 1) >= 0)
-    )
+    return symspell_lev1_pairs(cust, "c_name")
 
 
 def _pq_oracle(

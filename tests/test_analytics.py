@@ -59,48 +59,29 @@ def test_frequent_items_rejects_bad_phi(spark):
 
 
 def test_symspell_join_losslessness_crafted(spark):
-    """The deletion-neighborhood equi-join must surface every edit-
-    distance-1 pair class: substitution (same length), insertion/
-    deletion (length +-1), and must NOT pair strings at distance 2."""
+    """The position-qualified deletion-neighborhood join must surface
+    every edit-distance-1 pair class WITHOUT a levenshtein verify:
+    substitution (same length, same deletion position), insertion/
+    deletion (identity-key match), and must NOT pair strings at
+    distance 2 — including the same-key-different-position trap
+    ('abc'/'bca' share deletion key 'bc' but are distance 2)."""
+    from cyber_etl_spark.operators.similarity import symspell_lev1_pairs
+
     names = [
-        "alpha",  # vs "alpha_": insertion; vs "alpba": substitution
+        "alpha",   # vs "alpha_": insertion; vs "alpba": substitution
         "alpha_",
         "alpba",
-        "alph",   # deletion of 'a'
-        "beta",   # isolated
-        "bxta",   # distance 1 from beta (substitution)
-        "bxtz",   # distance 1 from bxta, 2 from beta -> only one pair
+        "alph",    # deletion of 'a'
+        "beta",    # isolated
+        "bxta",    # distance 1 from beta (substitution)
+        "bxtz",    # distance 1 from bxta, 2 from beta -> only one pair
+        "abc",     # shares deletion key 'bc' with 'bca' at different
+        "bca",     # positions -> distance 2, must NOT pair
     ]
     df = spark.createDataFrame([(n,) for n in names], "c_name string")
-    # reuse the registered builder's plan via the same operator shape
-    from cyber_etl_spark.plans.analytics import q184_symspell_pairs  # noqa: F401
-
-    v = df.select("c_name").distinct()
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length("c_name")),
-        lambda i: F.concat(
-            F.col("c_name").substr(F.lit(1), i - 1),
-            F.col("c_name").substr(i + 1, F.length("c_name")),
-        ),
-    )
-    keyed = v.select(
-        "c_name", F.explode(F.array_union(F.array(F.col("c_name")), dels)).alias("k")
-    )
-    a, b = keyed.alias("a"), keyed.alias("b")
     got = {
         (r.name_a, r.name_b)
-        for r in (
-            a.join(
-                b,
-                (F.col("a.k") == F.col("b.k"))
-                & (F.col("a.c_name") < F.col("b.c_name")),
-            )
-            .select(
-                F.col("a.c_name").alias("name_a"), F.col("b.c_name").alias("name_b")
-            )
-            .distinct()
-            .where(F.levenshtein("name_a", "name_b", 1) >= 0)
-        ).collect()
+        for r in symspell_lev1_pairs(df, "c_name").collect()
     }
     assert got == {
         ("alpha", "alpha_"),

@@ -791,3 +791,172 @@ def q193_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("z")).desc(), "event_id")
         .limit(100)
     )
+
+
+@query(
+    "q194_dbscan_clusters",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.3
+    ),
+    sym AS (SELECT ia AS u, ib AS v FROM p UNION ALL SELECT ib, ia FROM p),
+    deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+    core AS (SELECT id FROM deg WHERE d >= 3),
+    ce AS (
+      SELECT s.u, s.v FROM sym s
+      JOIN core cu ON cu.id = s.u JOIN core cv ON cv.id = s.v
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM ce
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN ce e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+    corec AS (
+      SELECT c.id, COALESCE(k.component, c.id) AS cluster FROM core c
+      LEFT JOIN comp k ON k.id = c.id
+    ),
+    border AS (
+      SELECT s.u AS id, MIN(cc.cluster) AS cluster
+      FROM sym s JOIN corec cc ON cc.id = s.v
+      WHERE s.u NOT IN (SELECT id FROM core)
+      GROUP BY 1
+    )
+    SELECT e.vec_id, 
+           CASE WHEN c.id IS NOT NULL THEN 'core'
+                WHEN b.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(c.cluster, b.cluster) AS cluster
+    FROM embeddings e
+    LEFT JOIN corec c ON c.id = e.vec_id
+    LEFT JOIN border b ON b.id = e.vec_id
+    """,
+    tags=("ann", "clustering", "dbscan", "embedding"),
+)
+def q194_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSITY-BASED clustering (DBSCAN, eps = cosine >= 0.3,
+    minPts = 3 neighbors): core points have >= 3 eps-neighbors, clusters
+    are connected components of the core-core eps-graph, border points
+    attach to the SMALLEST cluster id among their core neighbors (plain
+    DBSCAN leaves that assignment arbitrary — pinning it to min makes
+    the operator deterministic), the rest is noise.  Complements the
+    centroid family (k-means/SemDeDup q125, IVF q40, PQ q186) with the
+    non-parametric shape: no k, clusters of arbitrary form, explicit
+    noise.  The eps-graph comes from the blocked-GEMM pair kernel
+    (q39's), components from the Pregel min-label loop; the oracle
+    replays density + a RECURSIVE reach (the q27 convention).  Isolated
+    core points (no core neighbor) are their own singleton cluster in
+    both engines."""
+    from ..graph.algorithms import connected_components
+    from ..operators.ann import cosine_neardup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(emb, threshold=0.3).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # feeds degree, core join, CC
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    core = deg.where(F.col("d") >= 3).select("id")
+    ce = (
+        sym.join(core.withColumnRenamed("id", "u"), "u")
+        .join(core.withColumnRenamed("id", "v"), "v")
+        .select("u", "v")
+    )
+    comp = connected_components(ce.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    corec = core.join(comp, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("cluster")
+    )
+    border = (
+        sym.join(corec.select(F.col("id").alias("v"), "cluster"), "v")
+        .join(core.withColumnRenamed("id", "u"), "u", "left_anti")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    emb_ids = emb.select(F.col("vec_id"))
+    c = corec.select(F.col("id").alias("vec_id"), F.col("cluster").alias("c_cluster"))
+    b = border.select(F.col("id").alias("vec_id"), F.col("cluster").alias("b_cluster"))
+    return (
+        emb_ids.join(F.broadcast(c), "vec_id", "left")
+        .join(F.broadcast(b), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("c_cluster").isNotNull(), "core")
+            .when(F.col("b_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("c_cluster", "b_cluster").alias("cluster"),
+        )
+    )
+
+
+@query(
+    "q195_fk_orphan_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', COUNT(*),
+           COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+           COUNT(CASE WHEN s.s_suppkey IS NULL THEN 1 END)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*),
+           COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', COUNT(*),
+           COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """,
+    tags=("dq", "audit", "join"),
+)
+def q195_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit across the star schema: for each
+    foreign key, total rows and orphan rows (no parent) — the
+    cross-table data-quality report next to q85's single-table audit.
+    Each check is a left join against the (broadcast-sized) parent KEY
+    projection — at 100 TB the fact side streams map-only through five
+    broadcast joins, one scan per fact table; no orphan list is
+    materialized, just counts (the list is one filter away when a check
+    fails)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+
+    def check(name, child, key, parent, pkey):
+        pk = F.broadcast(parent.select(F.col(pkey).alias("_pk")).distinct())
+        return (
+            child.join(pk, F.col(key) == F.col("_pk"), "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("_pk").isNull(), 1)).alias("n_orphans"),
+            )
+        )
+
+    return (
+        check("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(check("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"))
+        .unionByName(
+            check("lineitem.l_suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey")
+        )
+        .unionByName(
+            check("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey")
+        )
+        .unionByName(
+            check("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey")
+        )
+    )

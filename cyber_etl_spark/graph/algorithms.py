@@ -975,3 +975,48 @@ def betweenness_sampled(
         .agg(F.round(F.sum(F.coalesce("delta", F.lit(0.0))), 6).alias("bc"))
     )
     return out
+
+
+def eigenvector_centrality(
+    edges: DataFrame, iterations: int = 6, checkpoint_each: bool = True
+) -> DataFrame:
+    """Eigenvector centrality (power iteration, GDS
+    ``gds.eigenvector``) on a SYMMETRIC edge list → (id, score):
+    x_{t+1} = normalize_L2(A · x_t), x_0 = 1.
+
+    The undirected member of the spectral family next to HITS (q141 —
+    which is exactly this recurrence run on a directed graph with two
+    alternating vectors).  Loop discipline identical to :func:`hits`:
+    pinned distinct edge list, raw neighbor-sum pinned per step (it is
+    referenced twice — normalizer + normalized projection),
+    broadcast-under-cap state vector, `_nw` plan-local widths, L2
+    normalizer as a broadcast 1-row aggregate (never a driver collect).
+    """
+    if iterations < 1:
+        raise ValueError(f"need iterations >= 1, got {iterations}")
+    e = _derived(
+        edges,
+        ("eig-edges",),
+        lambda: edges.select("src", "dst").distinct().localCheckpoint(eager=True),
+    )
+    m = _derived(edges, ("eig-ecount",), lambda: e.count())
+    n = _derived(edges, ("eig-n",), lambda: e.select("src").distinct().count())
+    w = _width(m)
+    bc = (lambda d: F.broadcast(d)) if n <= _BCAST_MAX_ROWS else (lambda d: d)
+    x = e.select("src").distinct().withColumn("score", F.lit(1.0))
+    if checkpoint_each:
+        x = _compact(x, n).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        raw = _nw(
+            e.join(bc(x.select(F.col("src"), F.col("score"))), "src")
+            .groupBy("dst")
+            .agg(F.sum("score").alias("s")),
+            w,
+        )
+        if checkpoint_each:
+            raw = _compact(raw, n).localCheckpoint(eager=True)
+        nrm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
+        x = raw.crossJoin(F.broadcast(nrm)).select(
+            F.col("dst").alias("src"), (F.col("s") / F.col("nrm")).alias("score")
+        )
+    return x.select(F.col("src").alias("id"), "score")

@@ -960,3 +960,76 @@ def q195_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             check("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey")
         )
     )
+
+
+@query(
+    "q197_topn_plus_other",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, p.p_brand AS brand,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,6))) AS rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nation, brand, rev,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY rev DESC, brand ASC) AS rn
+      FROM rev
+    )
+    SELECT nation,
+           CASE WHEN rn <= 3 THEN brand ELSE 'OTHER' END AS brand,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_brands
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "window", "bi"),
+)
+def q197_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-N + OTHER rollup — the standard BI report shape: per nation,
+    the top-3 part brands by revenue stay named and the long tail
+    collapses into one 'OTHER' row (so the report is fixed-width no
+    matter the brand cardinality).  The rank is a per-nation top-k
+    window over the ALREADY-AGGREGATED (nation, brand) table — tiny
+    input, and Spark's WindowGroupLimit pushes the rank<=k cut map-side
+    (the exempt top-k window class, not the q63 full-output class);
+    revenue stays exact DECIMAL until the final cast.  Dimension joins
+    are broadcast (supplier/nation/part vs the lineitem fact scan)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    p = read_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("nation").orderBy(F.col("rev").desc(), F.col("brand").asc())
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .select(
+            "nation",
+            F.when(F.col("rn") <= 3, F.col("brand")).otherwise("OTHER").alias("brand"),
+            "rev",
+        )
+        .groupBy("nation", "brand")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_brands"),
+        )
+    )

@@ -3026,6 +3026,56 @@ def q179_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic synthetic CDC feed behind q180 — (k, seq, op, v)
+    rows md5-selected from orders, md5-assigned delete ops — shared with
+    the streaming twin's test so stream and batch apply the IDENTICAL
+    log."""
+    orders = read_table(spark, sf_dir, "orders")
+    seqs = spark.range(3).select(F.col("id").cast("long").alias("seq"))
+    ev = orders.crossJoin(F.broadcast(seqs)).where(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("seq").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+        == 0
+    )
+    opsel = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("op"),
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("seq").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 5
+    return ev.select(
+        F.col("o_orderkey").alias("k"),
+        "seq",
+        F.when(opsel == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (F.col("o_totalprice") + F.col("seq")).alias("v"),
+    )
+
+
 @query(
     "q180_cdc_apply",
     oracle="""
@@ -3066,49 +3116,7 @@ def q180_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     per task is one row per key, never the key's history."""
     from pyspark.sql.window import Window
 
-    orders = read_table(spark, sf_dir, "orders")
-    seqs = spark.range(3).select(F.col("id").cast("long").alias("seq"))
-    ev = orders.crossJoin(F.broadcast(seqs)).where(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("o_orderkey").cast("string"),
-                        F.lit(":"),
-                        F.col("seq").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 4
-        == 0
-    )
-    opsel = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("op"),
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("seq").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long") % 5
-    log = ev.select(
-        F.col("o_orderkey").alias("k"),
-        "seq",
-        F.when(opsel == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
-        (F.col("o_totalprice") + F.col("seq")).alias("v"),
-    )
+    log = cdc_change_log(spark, sf_dir)
     w = Window.partitionBy("k").orderBy(F.col("seq").desc())
     return (
         log.withColumn("rn", F.row_number().over(w))

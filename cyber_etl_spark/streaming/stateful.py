@@ -617,3 +617,66 @@ def heavy_hitter_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CDC_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("gen", LongType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+        StructField("v", DoubleType()),
+    ]
+)
+
+_CDC_STATE = StructType(
+    [
+        StructField("gen", LongType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+        StructField("v", DoubleType()),
+    ]
+)
+
+
+def cdc_apply_stream(changes: DataFrame) -> DataFrame:
+    """Streaming CDC APPLY — the unbounded twin of q180's batch
+    latest-op-wins collapse: per key the state is ONE (seq, op, v)
+    triple (the highest sequence number seen so far, across any batch
+    slicing), updated as changes stream in and emitted per trigger with
+    a generation counter.  A consumer materializes the table as "latest
+    emission per key where op != 'D'" — exactly the batch query's
+    answer over the same prefix, which is what the twin test pins.
+
+    State per key is O(1) forever (the key's history is never kept);
+    out-of-order arrivals are handled by the max-seq comparison, so the
+    result is independent of how the feed is sliced into micro-batches.
+
+    ``changes``: (k long, seq long, op string, v double)."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            gen, seq, op, v = state.get
+        else:
+            gen, seq, op, v = 0, None, None, None
+        for pdf in batches:
+            i = pdf["seq"].idxmax()  # (k, seq) unique: one winner per batch
+            bseq = int(pdf["seq"][i])
+            if seq is None or bseq > seq:
+                seq, op, v = bseq, str(pdf["op"][i]), float(pdf["v"][i])
+        gen += 1
+        state.update((gen, seq, op, v))
+        yield pd.DataFrame(
+            {"k": [k], "gen": [gen], "seq": [seq], "op": [op], "v": [v]}
+        )
+
+    return changes.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType=CDC_SCHEMA,
+        stateStructType=_CDC_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

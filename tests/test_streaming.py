@@ -607,3 +607,49 @@ def test_heavy_hitter_stream_matches_replay_and_mg_bounds(spark, sf_smoke, tmp_p
             assert c <= f and f - c <= eps, (item, c, f, eps)
             hot_seen += item.startswith("hot_")
     assert hot_seen == 5  # all crafted heavy items survived
+
+
+def test_cdc_apply_stream_matches_batch_q180(spark, sf_smoke, tmp_path):
+    """Streaming latest-op-wins state == the batch q180 collapse over
+    the identical synthetic change log, with the log sliced by sequence
+    number so later triggers genuinely override earlier state (and
+    deletes erase keys that earlier triggers had upserted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.plans.relational2 import cdc_change_log
+    from cyber_etl_spark.streaming import run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import cdc_apply_stream
+
+    log = cdc_change_log(spark, sf_smoke).toPandas()
+    d = tmp_path / "cdc_feed"
+    d.mkdir()
+    for s in range(3):  # one file per seq value -> 3 ordered triggers
+        chunk = log[log["seq"] == s]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"seq_{s}.parquet"))
+    stream = (
+        spark.readStream.schema("k long, seq long, op string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_stream_to_memory(cdc_apply_stream(stream), "cdc_mem", mode="update")
+
+    rows = spark.sql("SELECT * FROM cdc_mem").collect()
+    assert max(r.gen for r in rows) == 3  # state crossed 3 triggers
+    latest = {}
+    for r in rows:
+        if r.k not in latest or r.gen > latest[r.k].gen:
+            latest[r.k] = r
+    got = {(r.k, r.v) for r in latest.values() if r.op != "D"}
+    want = {
+        (r.o_orderkey, r.price)
+        for r in QUERIES["q180_cdc_apply"].builder(spark, sf_smoke).collect()
+    }
+    assert got == want and len(got) > 0
+    # at least one key was upserted then deleted across triggers
+    deleted = {r.k for r in latest.values() if r.op == "D"}
+    upserted_then_deleted = {
+        r.k for r in rows if r.k in deleted and r.gen < latest[r.k].gen and r.op != "D"
+    }
+    assert upserted_then_deleted

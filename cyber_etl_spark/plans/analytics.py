@@ -1033,3 +1033,149 @@ def q197_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_brands"),
         )
     )
+
+
+@query(
+    "q198_bm25_from_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks
+      WHERE token IN ('scan', 'merge', 'batch') GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    idf AS (
+      SELECT token, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT token, COUNT(*) AS df FROM postings GROUP BY token), st
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             round(SUM(idf.idf * p.tf * 2.2 /
+                       (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6)
+               AS bm25
+      FROM postings p JOIN idf USING (token) JOIN dl USING (doc_id), st
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+    tags=("text", "search", "bm25", "index"),
+)
+def q198_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 answered FROM THE INVERTED INDEX
+    (operators/textindex.py) rather than a corpus scan: postings are
+    filtered to the query terms before any scoring, document frequency
+    comes from the pruned postings, and only matching documents are
+    scored — q67 computes the same formula by scanning the corpus; this
+    query's hash gate proves the index path returns the identical
+    ranking.  On the persisted form of the index (lifecycle test), the
+    term filter reaches the parquet scan of a token-sorted posting
+    table, so a keyword query reads posting-list runs, not the corpus —
+    the retrieval economics an engine owes at 100 TB."""
+    from ..operators.textindex import bm25_topk, build_text_index
+
+    docs = read_table(spark, sf_dir, "documents")
+    postings, doclens, stats = build_text_index(docs)
+    return bm25_topk(postings, doclens, stats, ["scan", "merge", "batch"], k=10)
+
+
+@query(
+    "q199_incremental_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("agg", "incremental", "etl"),
+)
+def q199_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE: the monthly revenue rollup is
+    computed as partial aggregates over a BASE period (orders before
+    1996-07) merged with partials over the DELTA (the rest) — sums of
+    sums and counts of counts — while the oracle recomputes from
+    scratch.  The hash gate is therefore the mergeability property
+    itself: maintaining a materialized rollup by folding in a late
+    batch equals full recomputation, because COUNT/DECIMAL-SUM are
+    associative-commutative monoids (the same algebra map-side partial
+    aggregation relies on).  At 100 TB this is the difference between
+    touching one day's partition and re-scanning years."""
+    orders = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-07-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            "o_orderpriority",
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_rev"),
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.where(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("month", "o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q200_rolling_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT CASE WHEN du.d = days.d THEN du.user_id END) AS dau,
+           COUNT(DISTINCT du.user_id) AS wau
+    FROM days
+    JOIN du ON du.d <= days.d AND du.d >= days.d - INTERVAL 6 DAY
+    GROUP BY 1
+    """,
+    tags=("timeseries", "distinct", "engagement"),
+)
+def q200_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING ENGAGEMENT: daily active users and trailing-7-day active
+    users per day — the DAU/WAU report.  Distinct (day, user) pairs are
+    reduced FIRST (the cheap exact shuffle), then a banded range join
+    fans each pair to at most 7 report days and a distinct count per
+    day finishes — never a sliding window over raw events, and the
+    fan-out is bounded by the window width.  The same shape with HLL
+    sketches instead of exact distincts (q173's mergeable union) is the
+    approximate path when user cardinality explodes."""
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("rd"))
+    return (
+        du.join(
+            days,
+            (F.col("d") <= F.col("rd"))
+            & (F.col("d") >= F.col("rd") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy(F.date_format("rd", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("rd"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+    )

@@ -122,3 +122,32 @@ def test_pq_rejects_indivisible_dim(spark):
     emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
         pq_adc_knn(emb, m=7)
+
+
+def test_text_index_lifecycle_parity_and_pruned_reads(spark, sf_smoke, tmp_path):
+    """Persisted-index parity: save -> load -> query returns exactly the
+    in-memory answer, and the loaded postings scan carries the token
+    filter down to parquet (PushedFilters), so a keyword query reads
+    posting runs instead of the corpus."""
+    from cyber_etl_spark.operators.textindex import (
+        bm25_topk,
+        build_text_index,
+        load_text_index,
+        save_text_index,
+    )
+    from cyber_etl_spark.sources import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    postings, doclens, stats = build_text_index(docs)
+    terms = ["scan", "merge", "batch"]
+    direct = [(r.doc_id, r.bm25) for r in bm25_topk(postings, doclens, stats, terms).collect()]
+
+    save_text_index(postings, doclens, stats, str(tmp_path / "tidx"))
+    lp, ld, ls = load_text_index(spark, str(tmp_path / "tidx"))
+    loaded = [(r.doc_id, r.bm25) for r in bm25_topk(lp, ld, ls, terms).collect()]
+    assert loaded == direct and len(direct) == 10
+
+    from pyspark.sql import functions as F
+
+    plan = lp.where(F.col("token").isin(terms))._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "token" in plan

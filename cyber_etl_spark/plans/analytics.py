@@ -1,13 +1,19 @@
-"""Round-7 analytics additions: sketch-assisted exact heavy hitters,
-robust (winsorized) statistics, a seasonal-naive forecast backtest,
-SymSpell edit-distance self-join, and resource-allocation link
-prediction.
+"""Round-7 analytics additions (q181-q200): sketch-assisted exact
+heavy hitters, robust statistics (winsorize, seasonal z-score, OLS
+trend), forecast backtesting, SymSpell edit-distance self-join,
+link prediction, product quantization, OHLC bars, grouping sets,
+decile lift, point-in-time features, market-basket rules, DBSCAN,
+referential-integrity audits, top-N+OTHER reports, BM25-from-index,
+incremental rollup maintenance, and rolling DAU/WAU.
 
 Each is the scale-first physical strategy for an operation the
 reference's workload implies but expresses imperatively (value_counts
 profiling, notebook outlier trimming, pandas shift() comparisons,
 manual fuzzy matching, GDS link prediction) — declared Spark-first and
-hash-gated against a plain-SQL DuckDB oracle.
+hash-gated against a plain-SQL DuckDB oracle.  Broadcast hints are
+used ONLY for tables whose size is bounded by construction (1-row
+aggregates, k-row bound tables); anything that grows with the scale
+factor is left to AQE.
 """
 
 from __future__ import annotations
@@ -695,15 +701,12 @@ def q192_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     icnt = items.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
     tot = items.agg(F.countDistinct("o").alias("n_orders"))
+    # no broadcast hint on icnt: the per-item count table grows with the
+    # item universe (every part at 100 TB) — AQE broadcasts it while it
+    # fits and falls back to a shuffle join when it doesn't
     return (
-        pairs.join(
-            F.broadcast(icnt.select(F.col("p").alias("p_a"), F.col("cnt").alias("ca"))),
-            "p_a",
-        )
-        .join(
-            F.broadcast(icnt.select(F.col("p").alias("p_b"), F.col("cnt").alias("cb"))),
-            "p_b",
-        )
+        pairs.join(icnt.select(F.col("p").alias("p_a"), F.col("cnt").alias("ca")), "p_a")
+        .join(icnt.select(F.col("p").alias("p_b"), F.col("cnt").alias("cb")), "p_b")
         .crossJoin(F.broadcast(tot))
         .select(
             "p_a",
@@ -881,9 +884,11 @@ def q194_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_ids = emb.select(F.col("vec_id"))
     c = corec.select(F.col("id").alias("vec_id"), F.col("cluster").alias("c_cluster"))
     b = border.select(F.col("id").alias("vec_id"), F.col("cluster").alias("b_cluster"))
+    # c and b are O(corpus)-row assignment tables — no broadcast hint
+    # (AQE decides); the joins co-shuffle on vec_id
     return (
-        emb_ids.join(F.broadcast(c), "vec_id", "left")
-        .join(F.broadcast(b), "vec_id", "left")
+        emb_ids.join(c, "vec_id", "left")
+        .join(b, "vec_id", "left")
         .select(
             "vec_id",
             F.when(F.col("c_cluster").isNotNull(), "core")
@@ -924,11 +929,13 @@ def q195_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REFERENTIAL-INTEGRITY audit across the star schema: for each
     foreign key, total rows and orphan rows (no parent) — the
     cross-table data-quality report next to q85's single-table audit.
-    Each check is a left join against the (broadcast-sized) parent KEY
-    projection — at 100 TB the fact side streams map-only through five
-    broadcast joins, one scan per fact table; no orphan list is
-    materialized, just counts (the list is one filter away when a check
-    fails)."""
+    Each check is a left join of the fact scan against the parent KEY
+    projection (one column, deduplicated): small parents (nation)
+    broadcast, SF-scaled parents (orders, customer) become co-shuffled
+    joins under AQE — the hint is deliberately omitted because at
+    100 TB the orders key projection is itself billions of rows.  No
+    orphan list is materialized, just counts (the list is one filter
+    away when a check fails)."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     part = read_table(spark, sf_dir, "part")
@@ -937,7 +944,10 @@ def q195_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
 
     def check(name, child, key, parent, pkey):
-        pk = F.broadcast(parent.select(F.col(pkey).alias("_pk")).distinct())
+        # no unconditional broadcast hint: nation's key projection is 25
+        # rows, but orders'/customer's grow with SF — AQE broadcasts each
+        # parent while it fits and shuffles when it doesn't
+        pk = parent.select(F.col(pkey).alias("_pk")).distinct()
         return (
             child.join(pk, F.col(key) == F.col("_pk"), "left")
             .agg(

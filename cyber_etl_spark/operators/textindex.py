@@ -40,7 +40,9 @@ def build_text_index(
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.filter(F.split(text_col, " "), lambda x: x != "")).alias("token"),
-    )
+    ).localCheckpoint(eager=True)  # feeds postings, doclens AND stats:
+    # without the pin the tokenize+explode re-runs per consumer (the
+    # multi-consumer rule, CLAUDE.md / q192)
     postings = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     doclens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = doclens.agg(
@@ -58,7 +60,11 @@ def save_text_index(
     """Persist the three structures; postings range-partitioned + sorted
     by token so term lookups prune at the row-group level."""
     (
-        postings.repartitionByRange("token")
+        # pin before range-partitioning: repartitionByRange SAMPLES its
+        # child for the range boundaries, so an unpinned postings
+        # aggregation would execute twice (the q160 pin_input lesson)
+        postings.localCheckpoint(eager=True)
+        .repartitionByRange("token")
         .sortWithinPartitions("token")
         .write.mode("overwrite")
         .parquet(f"{path}/postings")
@@ -91,7 +97,10 @@ def bm25_topk(
     scored.  Ranking sorts the 6-dp-ROUNDED score with a doc_id
     tie-break (a last-ulp ln() divergence between engines cannot flip
     an order the hash gate sees)."""
-    hits = postings.where(F.col("token").isin(list(terms)))
+    # pin: hits feeds both the df/idf aggregate and the scoring join
+    hits = postings.where(F.col("token").isin(list(terms))).localCheckpoint(
+        eager=True
+    )
     df_t = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = df_t.crossJoin(F.broadcast(stats)).select(
         "token",

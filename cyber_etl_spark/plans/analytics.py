@@ -345,10 +345,12 @@ def q185_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     degs = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("n"))
     x, y = sym.alias("x"), sym.alias("y")
     dz = degs.alias("dz")
-    # integer division: Spark `/` on longs is double division — use div
+    # integer division: Spark `/` on longs is double division — use div.
+    # No broadcast hint on the degree table: it has one row per backbone
+    # node, which grows with SF — AQE broadcasts while it fits
     cand = (
         x.join(y, (F.col("x.dst") == F.col("y.dst")) & (F.col("x.src") < F.col("y.src")))
-        .join(F.broadcast(dz), F.col("dz.id") == F.col("x.dst"))
+        .join(dz, F.col("dz.id") == F.col("x.dst"))
         .groupBy(F.col("x.src").alias("id_a"), F.col("y.src").alias("id_b"))
         .agg(
             F.count(F.lit(1)).alias("n_common"),
@@ -484,8 +486,10 @@ def q189_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     value against day index): slope and intercept from the five
     sufficient statistics (n, Σx, Σx², Σy, Σxy), each accumulated
     EXACTLY — x is an integer day offset, y sums as DECIMAL(18,6), the
-    cross term as DECIMAL·INT — so the only floats are the final two
-    divisions of identical exact inputs.  One groupBy pass, map-side
+    cross term as DECIMAL·INT, and Σx² as DECIMAL(38,0) (a plain long
+    sum wraps at ~2.3e12 rows per group while DuckDB's HUGEINT stays
+    exact — the CLAUDE.md integer-accumulation rule) — so the only
+    floats are the final two divisions of identical exact inputs.  One groupBy pass, map-side
     partials, no per-group state beyond five numbers: the distributed
     regression shape (MLlib's summarizer economics) with a plain-SQL
     twin.  Complements q137 (correlation) and q144 (Welch t-test) in
@@ -501,7 +505,7 @@ def q189_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = pts.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("y") * F.col("x").cast("decimal(12,0)")).alias("sxy"),
     )
@@ -1005,10 +1009,13 @@ def q197_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-3 part brands by revenue stay named and the long tail
     collapses into one 'OTHER' row (so the report is fixed-width no
     matter the brand cardinality).  The rank is a per-nation top-k
-    window over the ALREADY-AGGREGATED (nation, brand) table — tiny
-    input, and Spark's WindowGroupLimit pushes the rank<=k cut map-side
-    (the exempt top-k window class, not the q63 full-output class);
-    revenue stays exact DECIMAL until the final cast.  Dimension joins
+    window over the ALREADY-AGGREGATED (nation, brand) table — 25
+    nations x 25 brand values, both bounded BY CONSTRUCTION (brand is a
+    fixed vocabulary, not an SF-scaled id space), so the per-task group
+    is bounded at any corpus size: the AGG_INPUT_OK exemption class of
+    the registry window audit, same as q97's per-(year, month) table.
+    (No WindowGroupLimit applies here — rn feeds a CASE, not a rank
+    filter.)  Revenue stays exact DECIMAL until the final cast.  Dimension joins
     are broadcast (supplier/nation/part vs the lineitem fact scan)."""
     li = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier")

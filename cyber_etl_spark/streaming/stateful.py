@@ -582,13 +582,21 @@ def heavy_hitter_stream(
             }
         else:
             gen, n_seen, counters = 0, 0, {}
+        # accumulate ALL the trigger's chunks first, trim ONCE: Arrow
+        # hands the micro-batch to this function in ~10k-row chunks
+        # (arrow.maxRecordsPerBatch), and a per-chunk trim would make
+        # the result depend on that invisible chunking — one trim per
+        # micro-batch keeps the summary a pure function of the batch
+        # slicing, which is what the driver-replay twin test models.
+        # Interim memory is bounded by the trigger's distinct items,
+        # the same bound the replay itself needs.
         for pdf in batches:
             n_seen += len(pdf)
             for item, c in pdf["item"].value_counts().items():
                 counters[item] = counters.get(item, 0) + int(c)
-            if len(counters) > k:
-                cut = sorted(counters.values(), reverse=True)[k]
-                counters = {i: c - cut for i, c in counters.items() if c - cut > 0}
+        if len(counters) > k:
+            cut = sorted(counters.values(), reverse=True)[k]
+            counters = {i: c - cut for i, c in counters.items() if c - cut > 0}
         gen += 1
         # deterministic slot order: count desc, item asc
         slots = sorted(counters.items(), key=lambda t: (-t[1], t[0]))[:k]
@@ -663,7 +671,9 @@ def cdc_apply_stream(changes: DataFrame) -> DataFrame:
         else:
             gen, seq, op, v = 0, None, None, None
         for pdf in batches:
-            i = pdf["seq"].idxmax()  # (k, seq) unique: one winner per batch
+            if len(pdf) == 0:  # empty trailing Arrow chunk
+                continue
+            i = pdf["seq"].idxmax()  # (k, seq) unique: one winner per chunk
             bseq = int(pdf["seq"][i])
             if seq is None or bseq > seq:
                 seq, op, v = bseq, str(pdf["op"][i]), float(pdf["v"][i])

@@ -220,10 +220,16 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
         "source", "event_type", "lang", "split", "order_year",
         "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
         "c_mktsegment", "p_brand", "n_name", "r_name",
+        # common ALIASES of the same keys — a rename must not let a
+        # full-output low-card window evade the audit (q197 lesson)
+        "nation", "brand", "region", "flag", "status", "type", "priority",
     }
     AGG_INPUT_OK = {
         "q97_ratio_to_report", "q78_vocab_build",
         "q145_bpe_tokenize", "q132_hybrid_rrf",
+        # q197: window input is the (nation x brand) aggregate — both
+        # dimensions are fixed vocabularies, bounded by construction
+        "q197_topn_plus_other",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

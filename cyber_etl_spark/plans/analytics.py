@@ -1196,3 +1196,255 @@ def q200_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("wau"),
         )
     )
+
+
+@query(
+    "q201_cep_absence_pattern",
+    oracle="""
+    WITH s AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'),
+    p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+             s.ts AS s_ts, p.ts AS p_ts
+      FROM s JOIN p ON p.user_id = s.user_id
+       AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 72 HOUR
+    )
+    SELECT c.user_id, c.signup_id, c.purchase_id,
+           (epoch_us(c.p_ts) - epoch_us(c.s_ts)) // 60000000 AS mins_to_convert
+    FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.event_type = 'error' AND e.user_id = c.user_id
+        AND e.ts > c.s_ts AND e.ts < c.p_ts
+    )
+    """,
+    tags=("cep", "join", "funnel"),
+)
+def q201_cep_absence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLEX-EVENT-PROCESSING pattern with a NEGATION clause: signup
+    followed by purchase within 72 h with NO error event in between for
+    that user — the "A then B within T, absent C" shape that ordered
+    funnels (q156) cannot express (funnels only require presence).
+    Candidates come from a banded interval self-join on the user key;
+    the absence condition is a LEFT ANTI join of candidates against the
+    error stream with a range predicate — both shuffle on user_id, so
+    per-user cost is bounded by that user's event counts, and nothing
+    resembling a global sequence scan exists in the plan.  Minute
+    deltas are exact integers."""
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("event_id").alias("signup_id")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cand = s.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 72 HOURS")),
+    ).select("user_id", "signup_id", "purchase_id", "s_ts", "p_ts")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    return (
+        cand.join(
+            err,
+            (F.col("e_user") == F.col("user_id"))
+            & (F.col("e_ts") > F.col("s_ts"))
+            & (F.col("e_ts") < F.col("p_ts")),
+            "left_anti",
+        )
+        .select(
+            "user_id",
+            "signup_id",
+            "purchase_id",
+            # exact integer division (div): `/` on longs is a double
+            # division whose truncation can disagree with the oracle at
+            # exact-multiple boundaries
+            F.expr(
+                "(unix_micros(p_ts) - unix_micros(s_ts)) div 60000000"
+            ).alias("mins_to_convert"),
+        )
+    )
+
+
+@query(
+    "q202_feature_standardization",
+    oracle="""
+    WITH vals AS (
+      -- cast to DOUBLE BEFORE the multiply (the _quantized_vecs
+      -- convention): a FLOAT-precision product flips floor() on values
+      -- whose fraction sits near the .5 snap boundary
+      SELECT u.pos,
+             CAST(floor(CAST(embedding[u.pos + 1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS vm
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) u
+    ),
+    stats AS (
+      SELECT pos, COUNT(*) AS n, SUM(vm) AS sx, SUM(vm * vm) AS sxx
+      FROM vals GROUP BY pos
+    )
+    SELECT pos, n,
+           CAST(CASE WHEN sx >= 0 THEN (2 * sx + n) // (2 * n)
+                     ELSE -((2 * (-sx) + n) // (2 * n)) END AS DOUBLE)
+             / 1000000 AS mean,
+           round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                      / (n - 1)) / 1000000, 6) AS std,
+           (SELECT COUNT(*) FROM vals v WHERE v.pos = stats.pos
+              AND ABS(CAST(v.vm AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                  > 3 * sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                             / (n - 1))) AS n_outliers
+    FROM stats
+    """,
+    tags=("embedding", "stats", "feature-prep"),
+)
+def q202_feature_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION feature statistics over the embedding column —
+    the standardization profile (mean, std, |z| > 3 outlier count per
+    dimension) computed before scaling/quantizing vectors for training:
+    the per-FEATURE complement of q74's per-vector stats and the input
+    profile PQ/int8 quantization (q133/q186) assumes.  Values snap to
+    the 1e-6 integer micro-grid first (the _quantized_vecs convention),
+    so moments are exact integer sums; posexplode shuffles (pos)-keyed
+    rows with map-side partials — 64 output rows at any corpus size.
+    The outlier pass re-joins the broadcast 64-row stats table against
+    the exploded values (one extra scan, no second shuffle)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+        ).alias("pos", "vm")
+    ).localCheckpoint(eager=True)  # feeds the stats agg AND the outlier scan
+    stats = vals.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("sx"),
+        F.sum((F.col("vm") * F.col("vm")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n, sx = F.col("n"), F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    mean = sx / n
+    std = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1)))
+    enriched = stats.select(
+        "pos",
+        "n",
+        mean.alias("_mean"),
+        std.alias("_std"),
+        # exact half-away-from-zero at the 6th dp via integer division:
+        # sx/n can be an EXACT k.5 micro-unit tie (n = 500), where the
+        # engines' float round() implementations disagree — pure-integer
+        # rounding cannot
+        F.expr(
+            "CAST(CASE WHEN sx >= 0 THEN (2 * sx + n) div (2 * n) "
+            "ELSE -((2 * (-sx) + n) div (2 * n)) END AS DOUBLE) / 1000000"
+        ).alias("mean"),
+        F.round(std / 1_000_000, 6).alias("std"),
+    )
+    outliers = (
+        vals.join(F.broadcast(enriched.select("pos", "_mean", "_std")), "pos")
+        .where(F.abs(F.col("vm").cast("double") - F.col("_mean")) > 3 * F.col("_std"))
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        enriched.join(outliers, "pos", "left")
+        .select(
+            "pos",
+            "n",
+            "mean",
+            "std",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "q203_markov_backtest",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    labeled AS (
+      SELECT *, CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 5 = 0 AS is_test
+      FROM seq WHERE next_type IS NOT NULL
+    ),
+    trans AS (
+      SELECT event_type, next_type, COUNT(*) AS cnt
+      FROM labeled WHERE NOT is_test GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT event_type, next_type AS predicted FROM (
+        SELECT event_type, next_type, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY cnt DESC, next_type ASC) AS rn
+        FROM trans) WHERE rn = 1
+    )
+    SELECT COUNT(*) AS n_test,
+           CAST(SUM(CASE WHEN l.next_type = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN l.next_type = p.predicted THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM labeled l JOIN pred p USING (event_type)
+    WHERE l.is_test
+    """,
+    tags=("ml-eval", "markov", "backtest"),
+)
+def q203_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXT-EVENT PREDICTION BACKTEST: train the first-order transition
+    argmax (q176's matrix) on an md5-derived 80% split of transitions
+    and score top-1 accuracy on the held-out 20% — the evaluation loop
+    of the sequence-model family, exact end to end (md5 split, integer
+    counts, deterministic argmax tie-break, one final ratio).  The lead
+    window partitions by high-cardinality user_id (the q62 class);
+    train counts and predictions are tiny broadcastable tables."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    labeled = seq.withColumn(
+        "is_test",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+        == 0,
+    )
+    trans = (
+        labeled.where(~F.col("is_test"))
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pw = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("next_type").asc()
+    )
+    pred = (
+        trans.withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("next_type").alias("predicted"))
+    )
+    hit = F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0)
+    return (
+        labeled.where(F.col("is_test"))
+        .join(F.broadcast(pred), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(hit).alias("n_correct"),
+            F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+    )

@@ -1049,3 +1049,162 @@ def pq_adc_knn(
     return (
         adc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
     )
+
+
+# ---- hard-example mining for embedding training ---------------------------
+
+
+def triplet_mining(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Per-anchor HARD TRIPLETS for metric/embedding training: for every
+    vector, the hardest NEGATIVE (highest-cosine vector with a DIFFERENT
+    label) and the hardest POSITIVE (lowest-cosine vector with the SAME
+    label) → (anchor_id, label, pos_id, pos_cos, neg_id, neg_cos),
+    pos columns NULL when the anchor's label has no other member.
+
+    Physical plan mirrors :func:`cosine_neardup_pairs`' block-matrix
+    join, but the kernel reduces INSIDE each block pair: one GEMM scores
+    the pair, label masks split same/different, and only each anchor's
+    BLOCK-LOCAL extremes leave the kernel (≤ 2 rows per anchor per
+    block pair, never the O(n²) score matrix) — a global per-anchor
+    ordered-argmax merge finishes.  Ties break to the smallest
+    candidate id on the 6-dp-rounded score (half-away rounding, the
+    Spark/DuckDB convention — numpy's half-even is the documented
+    trap), so the result is deterministic and hash-gateable.  At corpus
+    sizes where even block-local extremes are too many, mine within
+    ANN cells (ivf_assign) instead — the documented approximate path.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        to_double_array(F.col(vec_col)).alias("v"),
+        F.col(label_col).cast("long").alias("lbl"),
+    )
+    if n_blocks is None:
+        n_blocks = _dynamic_n_blocks(v)
+    chunks = v.groupBy(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("blk")
+    ).agg(F.collect_list(F.struct("id", "v", "lbl")).alias("items"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    joined = a.join(F.broadcast(b), F.col("a.blk") <= F.col("b.blk")).select(
+        F.col("a.blk").alias("blk_a"),
+        F.col("b.blk").alias("blk_b"),
+        F.col("a.items").alias("items_a"),
+        F.col("b.items").alias("items_b"),
+    )
+    id_type = v.schema["id"].dataType
+    out_schema = StructType(
+        [
+            StructField("anchor_id", id_type),
+            StructField("kind", StringType()),
+            StructField("cand_id", id_type),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    scale = 10.0 ** round_digits
+
+    def _round_half_away(m):
+        return np.where(
+            m >= 0, np.floor(m * scale + 0.5), np.ceil(m * scale - 0.5)
+        ) / scale
+
+    def _extremes(anchors_ids, anchors_lbl, cand_ids, cand_lbl, m, self_block):
+        """Block-local per-anchor extremes from score matrix m
+        (anchors x candidates) — yields dict rows."""
+        rows = {"anchor_id": [], "kind": [], "cand_id": [], "cos": []}
+        mr = _round_half_away(m)
+        diff = anchors_lbl[:, None] != cand_lbl[None, :]
+        same = ~diff
+        if self_block:
+            eye = anchors_ids[:, None] == cand_ids[None, :]
+            diff &= ~eye
+            same &= ~eye
+        # order candidates by (score, -id) so argmax tie-breaks to the
+        # smallest id; for positives order by (-score, -id) and argmax
+        for kind, mask, key in (("neg", diff, mr), ("pos", same, -mr)):
+            masked = np.where(mask, key, -np.inf)
+            has = mask.any(axis=1)
+            if not has.any():
+                continue
+            # among equal keys prefer the smallest cand id: add a tiny
+            # strictly-monotone id penalty? NO — float tricks drift.
+            # Instead resolve ties exactly: take the max key per row,
+            # then the min id among candidates achieving it.
+            best = masked.max(axis=1)
+            for i in np.nonzero(has)[0]:
+                js = np.nonzero(masked[i] == best[i])[0]
+                j = js[np.argmin(cand_ids[js])]
+                rows["anchor_id"].append(anchors_ids[i])
+                rows["kind"].append(kind)
+                rows["cand_id"].append(cand_ids[j])
+                rows["cos"].append(mr[i, j])
+        return rows
+
+    def score(batches):
+        for pdf in batches:
+            for blk_a, blk_b, items_a, items_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["items_a"], pdf["items_b"]
+            ):
+                ids_a = np.asarray([r["id"] for r in items_a])
+                ids_b = np.asarray([r["id"] for r in items_b])
+                la = np.asarray([r["lbl"] for r in items_a])
+                lb = np.asarray([r["lbl"] for r in items_b])
+                xa = np.stack([np.asarray(r["v"]) for r in items_a])
+                xb = np.stack([np.asarray(r["v"]) for r in items_b])
+                m = (xa @ xb.T) / np.outer(
+                    np.linalg.norm(xa, axis=1), np.linalg.norm(xb, axis=1)
+                )
+                self_block = blk_a == blk_b
+                out = _extremes(ids_a, la, ids_b, lb, m, self_block)
+                if not self_block:
+                    o2 = _extremes(ids_b, lb, ids_a, la, m.T, False)
+                    for c in out:
+                        out[c].extend(o2[c])
+                if out["anchor_id"]:
+                    yield pd.DataFrame(out)
+
+    cand = joined.mapInPandas(score, schema=out_schema)
+    # global merge: per anchor, hardest negative = max (cos, -id);
+    # hardest positive = min (cos, id) — same tie rule as the kernel
+    neg = (
+        cand.where(F.col("kind") == "neg")
+        .groupBy("anchor_id")
+        .agg(
+            F.max_by(
+                F.struct("cand_id", "cos"), F.struct(F.col("cos"), -F.col("cand_id"))
+            ).alias("w")
+        )
+        .select(
+            "anchor_id",
+            F.col("w.cand_id").alias("neg_id"),
+            F.col("w.cos").alias("neg_cos"),
+        )
+    )
+    pos = (
+        cand.where(F.col("kind") == "pos")
+        .groupBy("anchor_id")
+        .agg(
+            F.min_by(
+                F.struct("cand_id", "cos"), F.struct(F.col("cos"), F.col("cand_id"))
+            ).alias("w")
+        )
+        .select(
+            "anchor_id",
+            F.col("w.cand_id").alias("pos_id"),
+            F.col("w.cos").alias("pos_cos"),
+        )
+    )
+    labels = v.select(F.col("id").alias("anchor_id"), F.col("lbl").alias("label"))
+    return (
+        labels.join(neg, "anchor_id", "left")
+        .join(pos, "anchor_id", "left")
+        .select("anchor_id", "label", "pos_id", "pos_cos", "neg_id", "neg_cos")
+    )

@@ -1448,3 +1448,169 @@ def q203_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("accuracy"),
         )
     )
+
+
+@query(
+    "q204_gopher_rules",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '^[A-Za-z]+$')))
+                  AS BIGINT) AS n_alpha,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+               AS n_chars,
+             CAST(len(list_filter(list_distinct(ws), w -> w IN ('the', 'a')))
+                  AS BIGINT) AS n_stop
+      FROM m WHERE len(ws) > 0
+    )
+    SELECT doc_id, n_words,
+           round(CAST(n_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+           round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_ratio,
+           n_stop,
+           (n_words BETWEEN 30 AND 400)
+             AND (n_chars * 10 >= n_words * 25 AND n_chars * 10 <= n_words * 70)
+             AND (n_alpha * 10 >= n_words * 9)
+             AND (n_stop >= 2) AS keep
+    FROM f
+    """,
+    tags=("text", "quality", "curation", "gopher"),
+)
+def q204_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER-STYLE quality rules (Rae et al. 2021, adapted thresholds):
+    word-count band, mean word length band, alphabetic-word ratio, and
+    minimum distinct-stopword presence — the composite rule filter every
+    web-scale curation pipeline runs before dedup, as ONE projection of
+    native expressions over the token array (no joins, no shuffle; the
+    filter is embarrassingly parallel by design).  Band predicates are
+    EXACT integer cross-multiplications (n_chars*10 >= n_words*25 is
+    mean_word_len >= 2.5 with no float), so the keep decision can never
+    drift an ulp between engines; the reported ratios are display-only
+    rounded doubles."""
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    m = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") > 0)
+    f = m.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.filter("ws", lambda w: w.rlike("^[A-Za-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.aggregate(
+            F.transform("ws", lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars"),
+        F.size(
+            F.filter(F.array_distinct("ws"), lambda w: w.isin("the", "a"))
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    keep = (
+        F.col("n_words").between(30, 400)
+        & (F.col("n_chars") * 10 >= F.col("n_words") * 25)
+        & (F.col("n_chars") * 10 <= F.col("n_words") * 70)
+        & (F.col("n_alpha") * 10 >= F.col("n_words") * 9)
+        & (F.col("n_stop") >= 2)
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_chars") / F.col("n_words"), 6).alias("mean_word_len"),
+        F.round(F.col("n_alpha") / F.col("n_words"), 6).alias("alpha_ratio"),
+        "n_stop",
+        keep.alias("keep"),
+    )
+
+
+@query(
+    "q205_triplet_mining",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS anchor_id, a.label AS al, b.vec_id AS cand_id,
+             b.label AS cl,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    neg AS (
+      SELECT anchor_id,
+             first(cand_id ORDER BY cos DESC, cand_id ASC) AS neg_id,
+             first(cos ORDER BY cos DESC, cand_id ASC) AS neg_cos
+      FROM pairs WHERE al <> cl GROUP BY anchor_id
+    ),
+    pos AS (
+      SELECT anchor_id,
+             first(cand_id ORDER BY cos ASC, cand_id ASC) AS pos_id,
+             first(cos ORDER BY cos ASC, cand_id ASC) AS pos_cos
+      FROM pairs WHERE al = cl GROUP BY anchor_id
+    )
+    SELECT e.vec_id AS anchor_id, CAST(e.label AS BIGINT) AS label,
+           pos_id, pos_cos, neg_id, neg_cos
+    FROM embeddings e
+    LEFT JOIN neg ON neg.anchor_id = e.vec_id
+    LEFT JOIN pos ON pos.anchor_id = e.vec_id
+    """,
+    tags=("embedding", "ann", "training-prep", "triplet"),
+)
+def q205_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-TRIPLET MINING for embedding training
+    (operators/ann.triplet_mining): per anchor, the hardest negative
+    (highest-cosine different-label vector) and hardest positive
+    (lowest-cosine same-label vector) — the batch-construction step of
+    metric learning.  The kernel reduces inside each GEMM block pair
+    (block-local extremes only, never the O(n²) score matrix) and a
+    per-anchor ordered-argmax merge finishes; the oracle brute-forces
+    all pairs, so the hash gate proves the blocked reduction is
+    lossless.  Ties break to the smallest candidate id on the rounded
+    score in both engines."""
+    from ..operators.ann import triplet_mining
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return triplet_mining(emb)
+
+
+@query(
+    "q206_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           MIN(sz) AS min_class_size,
+           COUNT(CASE WHEN sz < 5 THEN 1 END) AS n_violating_classes,
+           CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT)
+             AS n_violating_rows
+    FROM classes
+    """,
+    tags=("dq", "privacy", "governance"),
+)
+def q206_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit over the (nation, market segment) quasi-
+    identifier pair: equivalence-class census plus the k=5 violation
+    counts — the privacy-governance check a dataset owes before export
+    (a class smaller than k re-identifies its members).  One groupBy
+    plus a 5-number global aggregate; at 100 TB the quasi-identifier
+    census is the same hash-agg shape as any rollup, and the violating
+    ROWS (not just counts) are one semi-join away when remediation
+    needs them."""
+    cust = read_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    viol = F.when(F.col("sz") < 5, F.col("sz"))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("sz").alias("n_rows"),
+        F.min("sz").alias("min_class_size"),
+        F.count(viol).alias("n_violating_classes"),
+        F.coalesce(F.sum(viol), F.lit(0)).alias("n_violating_rows"),
+    )

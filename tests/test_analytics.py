@@ -151,3 +151,16 @@ def test_text_index_lifecycle_parity_and_pruned_reads(spark, sf_smoke, tmp_path)
 
     plan = lp.where(F.col("token").isin(terms))._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "token" in plan
+
+
+def test_triplet_mining_block_invariant(spark):
+    """The blocked per-anchor reduction must be invariant to the block
+    count (losslessness of block-local extremes + global merge): 1
+    block == many tiny blocks, including tie cases."""
+    from cyber_etl_spark.operators.ann import triplet_mining
+    from cyber_etl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").limit(60)
+    a = {tuple(r) for r in triplet_mining(emb, n_blocks=1).collect()}
+    b = {tuple(r) for r in triplet_mining(emb, n_blocks=13).collect()}
+    assert a == b and len(a) == 60

@@ -1614,3 +1614,130 @@ def q206_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(viol).alias("n_violating_classes"),
         F.coalesce(F.sum(viol), F.lit(0)).alias("n_violating_rows"),
     )
+
+
+_Q207_SQL = """
+    WITH RECURSIVE e0 AS (
+      SELECT 's:' || CAST(s_suppkey AS STRING) AS src,
+             'n:' || CAST(s_nationkey AS STRING) AS dst FROM supplier
+      UNION ALL
+      SELECT 'c:' || CAST(c_custkey AS STRING),
+             'n:' || CAST(c_nationkey AS STRING) FROM customer
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach(id, dist) AS (
+      SELECT DISTINCT 's:' || CAST(s_suppkey AS STRING), 0
+      FROM supplier WHERE s_suppkey < 3
+      UNION ALL
+      SELECT e.dst, r.dist + 1
+      FROM reach r JOIN e ON e.src = r.id WHERE r.dist < 3
+    )
+    SELECT id, CAST(MIN(dist) AS INT) AS dist FROM reach GROUP BY id
+"""
+
+
+@query("q207_recursive_cte_sql", oracle=_Q207_SQL, tags=("sql", "graph", "recursive"))
+def q207_recursive_cte_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE on the raw SQL surface (Spark 4 recursive CTEs):
+    3-hop BFS reachability over the supplier–nation–customer bipartite
+    graph expressed as ONE recursive query — the IDENTICAL SQL text
+    runs on both engines (the q57 discipline), proving the engine's SQL
+    dialect carries the recursion feature users would otherwise need
+    the iterative DataFrame loop for (q70 is this query's Pregel twin;
+    q147 the chain-join member).  Bounded depth (dist < 3) keeps the
+    path enumeration finite; min-dist per node is the final rollup."""
+    from ..sources import load_all
+
+    load_all(spark, sf_dir)
+    return spark.sql(_Q207_SQL)
+
+
+_Q208_SQL = """
+    SELECT n.n_name AS nation, t.s_name, t.s_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT s_name, s_acctbal FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name ASC LIMIT 2
+    ) t
+"""
+
+
+@query("q208_lateral_topk", oracle=_Q208_SQL, tags=("sql", "lateral", "topk"))
+def q208_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED LATERAL subquery on the SQL surface: per nation, the
+    top-2 suppliers by account balance via `, LATERAL (... ORDER BY ...
+    LIMIT 2)` — identical text on both engines.  Same logical result as
+    a rank-window top-k (q09's shape), but exercising the lateral-join
+    operator users port from Postgres/DuckDB; deterministic via the
+    (s_acctbal DESC, s_name ASC) total order."""
+    from ..sources import load_all
+
+    load_all(spark, sf_dir)
+    return spark.sql(_Q208_SQL)
+
+
+@query(
+    "q209_udtf_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, i AS chunk_id,
+           len(toks[(i * 64 + 1):((i + 1) * 64)]) AS chunk_tokens
+    FROM t, unnest(range(0, CAST(ceil(len(toks) / 64.0) AS INT))) AS u(i)
+    WHERE len(toks) > 0
+    """,
+    tags=("text", "chunking", "udtf", "api-surface"),
+)
+def q209_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON UDTF (Spark 4 user-defined TABLE function) splitting each
+    document into 64-token chunk rows — the extension-point API for
+    one-row-to-many transforms that don't fit a scalar UDF.  The native
+    array-expression form (q56) is the FAST path for this exact logic;
+    this query exists to keep the UDTF surface exercised and gated:
+    same hash oracle discipline as everything else.  The UDTF is
+    deterministic and its lateral-join plan partitions like any
+    projection — Python cost is the documented trade, which is why only
+    the chunk COUNTS cross the boundary here (text stays in the JVM
+    q56 path)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    @udtf(
+        returnType=StructType(
+            [
+                StructField("chunk_id", IntegerType()),
+                StructField("chunk_tokens", IntegerType()),
+            ]
+        )
+    )
+    class ChunkCounter:
+        def eval(self, n_tokens: int):
+            if n_tokens is None or n_tokens <= 0:
+                return
+            full, rem = divmod(n_tokens, 64)
+            for i in range(full):
+                yield i, 64
+            if rem:
+                yield full, rem
+
+    spark.udtf.register("chunk_counter", ChunkCounter)
+    docs = read_table(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tokens"),
+    ).createOrReplaceTempView("_q209_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, CAST(c.chunk_tokens AS BIGINT) AS chunk_tokens
+        FROM _q209_docs d, LATERAL chunk_counter(d.n_tokens) c
+        WHERE d.n_tokens > 0
+        """
+    )

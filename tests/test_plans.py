@@ -56,14 +56,23 @@ def test_whole_stage_codegen_everywhere_cheap(spark, sf_smoke):
     still forbidden."""
     from cyber_etl_spark.plans import QUERIES
 
-    VECTORIZED_OK = {"q39_neardup_embedding"}
+    VECTORIZED_OK = {
+        "q39_neardup_embedding",
+        # q209 exists to exercise the Python UDTF extension point (its
+        # docstring names q56 as the fast native twin); Arrow-optimized,
+        # and only per-doc token counts cross the Python boundary
+        "q209_udtf_chunking",
+    }
     for name, q in QUERIES.items():
         if q.oracle is None:
             continue
         plan = _plan(spark, sf_smoke, name)
-        assert "BatchEvalPython" not in plan, name
         if name not in VECTORIZED_OK:
+            assert "BatchEvalPython" not in plan, name
             assert "ArrowEvalPython" not in plan, name
+        else:
+            # even the sanctioned Python surfaces must be Arrow-batched
+            assert "BatchEvalPythonExec" not in plan, name
         # Spark's exact `percentile(` aggregate buffers every group value
         # in ONE aggregation buffer — an executor OOM for a global group
         # at 100 TB.  All exact quantiles must go through the distributed

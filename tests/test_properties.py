@@ -277,3 +277,93 @@ def test_byte_bpe_matches_python_reference(spark, texts):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
     got = [tuple(r) for r in byte_bpe_merges(df, num_merges=3).orderBy("step").collect()]
     assert got == _ref_byte_bpe(texts, 3), texts
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+def test_frequent_items_matches_exact_reference(spark, items, phi_denom):
+    """Two-pass Misra-Gries == a plain Python Counter filtered by the
+    exact integer threshold, for arbitrary item streams and phi."""
+    from collections import Counter
+
+    from cyber_etl_spark.operators.heavyhitters import frequent_items
+
+    df = spark.createDataFrame([(i,) for i in items], "item string").repartition(7)
+    got = {(r.item, r.cnt) for r in frequent_items(df, "item", phi_denom).collect()}
+    n = len(items)
+    want = {
+        (i, c) for i, c in Counter(items).items() if c * phi_denom > n
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=1, max_size=5), min_size=1, max_size=30)
+)
+def test_symspell_lev1_matches_bruteforce(spark, names):
+    """Position-qualified SymSpell == brute-force Levenshtein <= 1 over
+    arbitrary short strings (insert/delete/substitute all reachable
+    within the alphabet; repeated chars exercise duplicate-key paths)."""
+    from cyber_etl_spark.operators.similarity import symspell_lev1_pairs
+
+    def lev(a: str, b: str) -> int:
+        if abs(len(a) - len(b)) > 1:
+            return 2
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(names))
+    df = spark.createDataFrame([(n,) for n in names], "c_name string")
+    got = {(r.name_a, r.name_b) for r in symspell_lev1_pairs(df, "c_name").collect()}
+    want = {
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1 :]
+        if lev(a, b) <= 1
+    }
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(TEXTS)
+def test_prefix_filter_matches_bruteforce_token_sets(spark, texts):
+    """PPJoin prefix filtering (raw token sets, t=0.5) == brute-force
+    set Jaccard over generated corpora — the losslessness property the
+    q177 hash gate checks on the fixed corpus, here on arbitrary ones
+    (including all-identical and fully-disjoint degenerate shapes)."""
+    from cyber_etl_spark.operators.similarity import prefix_filter_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(
+            df, threshold=0.5, shingle_n=None
+        ).collect()
+    }
+    sets = {i: set(t.split()) - {""} for i, t in enumerate(texts)}
+    want = set()
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                jac = round(inter / (len(sets[i]) + len(sets[j]) - inter), 6)
+                if jac >= 0.5:
+                    want.add((i, j, jac))
+    assert got == want

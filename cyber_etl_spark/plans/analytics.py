@@ -1743,3 +1743,128 @@ def q209_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.n_tokens > 0
         """
     )
+
+
+@query(
+    "q210_kaplan_meier",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS s_day
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS p_day
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(date_trunc('day', ts)) AS h FROM events),
+    subj AS (
+      SELECT su.user_id,
+             CASE WHEN pu.p_day IS NOT NULL AND pu.p_day >= su.s_day
+                  THEN date_diff('day', su.s_day, pu.p_day) END AS t_event,
+             date_diff('day', su.s_day, h.h) AS t_censor
+      FROM su LEFT JOIN pu USING (user_id) CROSS JOIN horizon h
+    ),
+    obs AS (
+      SELECT COALESCE(t_event, t_censor) AS t,
+             CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END AS died
+      FROM subj
+    ),
+    grid AS (
+      SELECT t, CAST(SUM(died) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS removed
+      FROM obs GROUP BY t
+    ),
+    km AS (
+      SELECT t, d, removed,
+             CAST((SELECT COUNT(*) FROM obs) AS BIGINT)
+               - CAST(COALESCE(SUM(removed) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS n_risk
+      FROM grid
+    )
+    SELECT t AS day, n_risk, d AS n_converted,
+           round(exp(SUM(CASE WHEN d > 0 THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                              ELSE 0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS survival
+    FROM km WHERE d > 0
+    """,
+    tags=("timeseries", "survival", "ml-eval"),
+)
+def q210_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER survival curve for time-to-first-purchase after
+    first signup, right-censored at the observation horizon — the
+    survival-analysis member of the eval family (retention q99 is its
+    fixed-grid cousin).  The per-user reduction (first signup, first
+    purchase, censor time) is the only corpus-scale work; the KM table
+    itself is ONE ROW PER DISTINCT EVENT DAY — bounded by the calendar,
+    not the corpus — so its cumulative windows are the bounded-
+    aggregate-input class (q97/q197), not the banned per-row kind.
+    The survivor product is computed as exp(Σ ln(1 - d/n)): d/n are
+    exact integer ratios, identical doubles in both engines, and the
+    final 6-dp round absorbs libm last-ulp noise (the q67 ln
+    convention)."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("s_day"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("p_day"))
+    )
+    horizon = ev.agg(F.max(day).alias("h"))
+    subj = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("p_day").isNotNull() & (F.col("p_day") >= F.col("s_day")),
+                F.datediff("p_day", "s_day"),
+            ).alias("t_event"),
+            F.datediff("h", "s_day").alias("t_censor"),
+        )
+    )
+    obs = subj.select(
+        F.coalesce("t_event", "t_censor").alias("t"),
+        F.when(F.col("t_event").isNotNull(), 1).otherwise(0).alias("died"),
+    ).localCheckpoint(eager=True)  # feeds the grid agg AND the total count
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = obs.groupBy("t").agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("removed")
+    )
+    from pyspark.sql.window import Window
+
+    # windows over the per-DAY table: input bounded by the calendar
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        grid.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total") - F.coalesce(F.sum("removed").over(wprev), F.lit(0)),
+        )
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("d") > 0,
+                            F.log(1 - F.col("d").cast("double") / F.col("n_risk")),
+                        ).otherwise(F.lit(0.0))
+                    ).over(wcum)
+                ),
+                6,
+            ),
+        )
+    )
+    return km.where(F.col("d") > 0).select(
+        F.col("t").alias("day"),
+        "n_risk",
+        F.col("d").alias("n_converted"),
+        "survival",
+    )

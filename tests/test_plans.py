@@ -239,6 +239,9 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
         # q197: window input is the (nation x brand) aggregate — both
         # dimensions are fixed vocabularies, bounded by construction
         "q197_topn_plus_other",
+        # q210: cumulative windows over the per-DAY Kaplan-Meier grid —
+        # one row per distinct event day, bounded by the calendar
+        "q210_kaplan_meier",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

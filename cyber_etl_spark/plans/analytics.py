@@ -1868,3 +1868,155 @@ def q210_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_converted"),
         "survival",
     )
+
+
+@query(
+    "q211_filtered_knn",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE label < 5
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    tags=("ann", "filtered-search", "embedding"),
+)
+def q211_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED VECTOR SEARCH: top-10 neighbors restricted to vectors
+    with label < 5 — the metadata-constrained ANN query every vector
+    store fields.  Strategy matters: this is PRE-filtering (restrict
+    the corpus, then search), which always returns exactly k qualifying
+    neighbors; POST-filtering (search, then drop non-matching) silently
+    underfills k at low selectivity — the classic filtered-ANN trap,
+    which is why the filter composes with the SCAN side of the blocked
+    GEMM here (predicate pushed to parquet, blocks built from the
+    filtered corpus only).  With an IVF index the same pre-filter
+    applies to the assignment table (hive-partitioned by cell) before
+    probing."""
+    from ..operators.ann import brute_force_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("label") < 5)
+    queries = emb.where(F.col("vec_id") < 20)
+    return brute_force_knn(corpus, queries, k=10)
+
+
+def _ivf_recall_oracle(
+    n_cells: int = 16, iters: int = 2, nprobe: int = 4, k: int = 10, dim: int = 64
+) -> str:
+    """Exact-vs-IVF recall: the q40 Lloyd-unrolled IVF top-k joined
+    against the q24 exact top-k, per query."""
+    from .textops import _KM_ASSIGN_TPL, _lloyd_ctes
+
+    steps = _lloyd_ctes(n_cells, iters, dim)
+    steps.append(_KM_ASSIGN_TPL.format(name="afinal", cents=f"cents{iters}"))
+    steps.append(
+        "raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS rv FROM embeddings)"
+    )
+    steps.append("q AS (SELECT id AS query_id, rv AS qv FROM raw WHERE id < 20)")
+    steps.append(
+        f"""probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM q CROSS JOIN cents{iters} c
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    steps.append(
+        """ivf_scored AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, r.rv), 6) AS cosine
+  FROM probes p
+  JOIN afinal a ON a.cell = p.cell
+  JOIN q ON q.query_id = p.query_id
+  JOIN raw r ON r.id = a.id
+  WHERE a.id <> p.query_id
+)"""
+    )
+    steps.append(
+        f"""ivfk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM ivf_scored) WHERE rn <= {k}
+)"""
+    )
+    steps.append(
+        """ex_scored AS (
+  SELECT q.query_id, r.id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, r.rv), 6) AS cosine
+  FROM q JOIN raw r ON r.id <> q.query_id
+)"""
+    )
+    steps.append(
+        f"""exk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM ex_scored) WHERE rn <= {k}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT e.query_id,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_common,
+       round(COUNT(i.neighbor_id) / {k}.0, 6) AS recall
+FROM exk e
+LEFT JOIN ivfk i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id"""
+    )
+
+
+@query(
+    "q212_ivf_recall_audit",
+    oracle=_ivf_recall_oracle(),
+    tags=("ann", "ivf", "recall", "ml-eval"),
+)
+def q212_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF RECALL@10 audit: the engine measures its own approximate
+    index — per query, how many of the exact top-10 the 4-probe IVF
+    search returned.  Both paths are deterministic (Lloyd-trained cells,
+    rounded-score tie-breaks), so recall itself is deterministic and the
+    oracle replays BOTH searches and the join.  Operationally this is
+    the quality dial next to the cell-balance dial (q166): probe count
+    trades recall for candidate volume, and this query is how the trade
+    is measured per corpus instead of guessed."""
+    from ..operators.ann import brute_force_knn, ivf_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_knn(emb, queries, k=10).select("query_id", "neighbor_id")
+    approx = ivf_knn(emb, queries, k=10, n_cells=16, nprobe=4).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_nid").alias("n_common"),
+            F.round(F.count("a_nid") / F.lit(10.0), 6).alias("recall"),
+        )
+    )

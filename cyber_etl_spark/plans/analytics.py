@@ -2020,3 +2020,85 @@ def q212_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("a_nid") / F.lit(10.0), 6).alias("recall"),
         )
     )
+
+
+@query(
+    "q213_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(date_part('dow', ts) + 1 AS BIGINT) AS dow,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ma AS (
+      SELECT d, dow, cnt,
+             SUM(cnt)  OVER w7 AS s7,
+             COUNT(*) OVER w7 AS n7
+      FROM daily
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT d, dow, cnt, s7, 7 * cnt - s7 AS dnum
+      FROM ma WHERE n7 = 7
+    ),
+    seas AS (
+      SELECT dow, CAST(SUM(dnum) AS BIGINT) AS snum,
+             CAST(COUNT(*) AS BIGINT) AS sn
+      FROM detr GROUP BY dow
+    )
+    SELECT strftime(t.d, '%Y-%m-%d') AS day, t.cnt,
+           round(CAST(t.s7 AS DOUBLE) / 7, 6) AS trend,
+           round(CAST(s.snum AS DOUBLE) / (7 * s.sn), 6) AS seasonal,
+           round(CAST(t.dnum AS DOUBLE) / 7
+                 - CAST(s.snum AS DOUBLE) / (7 * s.sn), 6) AS remainder
+    FROM detr t JOIN seas s USING (dow)
+    """,
+    tags=("timeseries", "decomposition", "stl"),
+)
+def q213_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION of the daily event series:
+    trend = centered 7-day moving average (full windows only),
+    weekly seasonal = per-weekday mean of the detrended series,
+    remainder = the rest — the additive decompose behind STL, closing
+    the time-series family (naive backtest q183, EWMA q155, anomalies
+    q193, survival q210).  Cross-engine exactness: every intermediate
+    stays an INTEGER NUMERATOR (detrended value = 7·cnt − Σ7; seasonal
+    = Σnumerators/(7·n)) so the only doubles are final divisions of
+    identical exact integers — a running float mean would drift with
+    summation order.  The windows run over the aggregated DAY grid
+    (calendar-bounded input, the audited q210 class)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window
+
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "dow",
+        "cnt",
+        F.sum("cnt").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    )
+    detr = ma.where(F.col("n7") == 7).withColumn(
+        "dnum", 7 * F.col("cnt") - F.col("s7")
+    )
+    seas = detr.groupBy("dow").agg(
+        F.sum("dnum").alias("snum"), F.count(F.lit(1)).alias("sn")
+    )
+    seasonal = F.col("snum").cast("double") / (7 * F.col("sn"))
+    return (
+        detr.join(F.broadcast(seas), "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            F.round(F.col("s7").cast("double") / 7, 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(F.col("dnum").cast("double") / 7 - seasonal, 6).alias(
+                "remainder"
+            ),
+        )
+    )

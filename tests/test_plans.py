@@ -242,6 +242,8 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
         # q210: cumulative windows over the per-DAY Kaplan-Meier grid —
         # one row per distinct event day, bounded by the calendar
         "q210_kaplan_meier",
+        # q213: centered moving average over the same per-DAY grid
+        "q213_seasonal_decomposition",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

@@ -2102,3 +2102,136 @@ def q213_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q214_cluster_aware_split",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common c
+      JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b
+      WHERE round(CAST(c.n_common AS DOUBLE)
+                  / (sa.n + sb.n - c.n_common), 6) >= 0.5
+    ),
+    gedges AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM gedges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN gedges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS cluster,
+             len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    split_of AS (
+      SELECT doc_id, cluster, n_tokens,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10 < 8 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10 = 8 THEN 'dev'
+                  ELSE 'test' END AS split
+      FROM assigned
+    ),
+    leaks AS (
+      SELECT sa.split, COUNT(*) AS n
+      FROM pairs p
+      JOIN split_of sa ON sa.doc_id = p.id_a
+      JOIN split_of sb ON sb.doc_id = p.id_b
+      WHERE sa.split <> sb.split
+      GROUP BY 1
+    )
+    SELECT s.split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT s.cluster) AS n_clusters,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(MAX(l.n), 0) AS BIGINT) AS cross_split_pairs
+    FROM split_of s LEFT JOIN leaks l ON l.split = s.split
+    GROUP BY s.split
+    """,
+    tags=("text", "split", "dedup", "curation"),
+)
+def q214_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/dev/test SPLITTING: near-duplicate documents
+    must land in the SAME split (a test doc whose near-copy sits in
+    train is contamination q148 can only detect after the fact) — so
+    the split key is the doc's near-dup CLUSTER id (connected components
+    over the Jaccard >= 0.5 pair graph, q27's operator; singletons are
+    their own cluster), hashed with the md5 idiom of q68.  The
+    cross_split_pairs audit column is 0 BY CONSTRUCTION — and the
+    oracle recomputes it independently, so the hash gate proves the
+    guarantee rather than assuming it.  Cluster and pair tables are the
+    memoized corpus artifacts; only the split arithmetic is new work."""
+    from ..graph.algorithms import connected_components
+    from .textops import cached_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = cached_jaccard_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    assigned = (
+        docs.select("doc_id", ntok.alias("n_tokens"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cluster", F.coalesce("component", F.col("doc_id")))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "dev").otherwise("test")
+    )
+    split_of = assigned.select(
+        "doc_id", "cluster", "n_tokens", split.alias("split")
+    ).localCheckpoint(eager=True)  # feeds the rollup AND both leak joins
+    sa = split_of.select(F.col("doc_id").alias("id_a"), F.col("split").alias("s_a"))
+    sb = split_of.select(F.col("doc_id").alias("id_b"), F.col("split").alias("s_b"))
+    leaks = (
+        cached_jaccard_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("s_a") != F.col("s_b"))
+        .groupBy(F.col("s_a").alias("split"))
+        .agg(F.count(F.lit(1)).alias("n_leak"))
+    )
+    return (
+        split_of.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .join(leaks, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "n_tokens",
+            F.coalesce("n_leak", F.lit(0)).alias("cross_split_pairs"),
+        )
+    )

@@ -546,20 +546,23 @@ def ivf_knn(
 _MICRO = 1_000_000
 
 
-def _quantized_vecs(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, vm: array<bigint> micro-units, v: array<double> = vm/1e6).
-
+def micro_array(col) -> F.Column:
+    """array<double> → array<bigint> on the 1e-6 integer micro grid:
     ``floor(x·1e6 + 0.5)`` is the half-up snap both engines compute
     bit-identically on the same double input (floor is exact; no
-    decimal-cast rounding-mode divergence).
-    """
-    micro = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * _MICRO + F.lit(0.5)).cast("long"),
+    decimal-cast rounding-mode divergence).  THE quantization
+    convention — every consumer (k-means, PQ, feature profiles) must
+    use this one expression so the grid can never silently diverge."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * _MICRO + F.lit(0.5)).cast("long")
     )
-    return corpus.select(F.col(id_col).alias("id"), micro.alias("vm")).withColumn(
-        "v", F.transform("vm", lambda m: m.cast("double") / _MICRO)
-    )
+
+
+def _quantized_vecs(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vm: array<bigint> micro-units, v: array<double> = vm/1e6)."""
+    return corpus.select(
+        F.col(id_col).alias("id"), micro_array(F.col(vec_col)).alias("vm")
+    ).withColumn("v", F.transform("vm", lambda m: m.cast("double") / _MICRO))
 
 
 def _nearest_cell(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1118,7 +1121,10 @@ def triplet_mining(
 
     def _extremes(anchors_ids, anchors_lbl, cand_ids, cand_lbl, m, self_block):
         """Block-local per-anchor extremes from score matrix m
-        (anchors x candidates) — yields dict rows."""
+        (anchors x candidates) — yields dict rows.  CALLER CONTRACT:
+        candidates are sorted by id ascending, so np.argmax's
+        first-occurrence rule IS the smallest-id tie-break — exact, no
+        float tricks, no per-row Python loop."""
         rows = {"anchor_id": [], "kind": [], "cand_id": [], "cos": []}
         mr = _round_half_away(m)
         diff = anchors_lbl[:, None] != cand_lbl[None, :]
@@ -1127,25 +1133,17 @@ def triplet_mining(
             eye = anchors_ids[:, None] == cand_ids[None, :]
             diff &= ~eye
             same &= ~eye
-        # order candidates by (score, -id) so argmax tie-breaks to the
-        # smallest id; for positives order by (-score, -id) and argmax
         for kind, mask, key in (("neg", diff, mr), ("pos", same, -mr)):
             masked = np.where(mask, key, -np.inf)
             has = mask.any(axis=1)
             if not has.any():
                 continue
-            # among equal keys prefer the smallest cand id: add a tiny
-            # strictly-monotone id penalty? NO — float tricks drift.
-            # Instead resolve ties exactly: take the max key per row,
-            # then the min id among candidates achieving it.
-            best = masked.max(axis=1)
-            for i in np.nonzero(has)[0]:
-                js = np.nonzero(masked[i] == best[i])[0]
-                j = js[np.argmin(cand_ids[js])]
-                rows["anchor_id"].append(anchors_ids[i])
-                rows["kind"].append(kind)
-                rows["cand_id"].append(cand_ids[j])
-                rows["cos"].append(mr[i, j])
+            idx = np.argmax(masked, axis=1)  # first max = smallest cand id
+            sel = np.nonzero(has)[0]
+            rows["anchor_id"].extend(anchors_ids[sel])
+            rows["kind"].extend([kind] * len(sel))
+            rows["cand_id"].extend(cand_ids[idx[sel]])
+            rows["cos"].extend(mr[sel, idx[sel]])
         return rows
 
     def score(batches):
@@ -1159,6 +1157,11 @@ def triplet_mining(
                 lb = np.asarray([r["lbl"] for r in items_b])
                 xa = np.stack([np.asarray(r["v"]) for r in items_a])
                 xb = np.stack([np.asarray(r["v"]) for r in items_b])
+                # id-sort BOTH sides: _extremes' argmax tie-break
+                # contract (first occurrence = smallest candidate id)
+                oa, ob = np.argsort(ids_a), np.argsort(ids_b)
+                ids_a, la, xa = ids_a[oa], la[oa], xa[oa]
+                ids_b, lb, xb = ids_b[ob], lb[ob], xb[ob]
                 m = (xa @ xb.T) / np.outer(
                     np.linalg.norm(xa, axis=1), np.linalg.norm(xb, axis=1)
                 )

@@ -1314,15 +1314,10 @@ def q202_feature_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
     The outlier pass re-joins the broadcast 64-row stats table against
     the exploded values (one extra scan, no second shuffle)."""
     emb = read_table(spark, sf_dir, "embeddings")
+    from ..operators.ann import micro_array
+
     vals = emb.select(
-        F.posexplode(
-            F.transform(
-                "embedding",
-                lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast(
-                    "long"
-                ),
-            )
-        ).alias("pos", "vm")
+        F.posexplode(micro_array(F.col("embedding"))).alias("pos", "vm")
     ).localCheckpoint(eager=True)  # feeds the stats agg AND the outlier scan
     stats = vals.groupBy("pos").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1424,7 +1419,9 @@ def q203_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 5
         == 0,
-    )
+    ).localCheckpoint(eager=True)  # feeds the train aggregate AND the
+    # held-out scoring join — unpinned, the corpus-wide lead window
+    # would execute twice (the multi-consumer rule)
     trans = (
         labeled.where(~F.col("is_test"))
         .groupBy("event_type", "next_type")
@@ -1501,11 +1498,9 @@ def q204_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("ws", lambda w: w.rlike("^[A-Za-z]+$")))
         .cast("long")
         .alias("n_alpha"),
-        F.aggregate(
-            F.transform("ws", lambda w: F.length(w).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("n_chars"),
+        # Σ word lengths == length of the empty-separator concat —
+        # codegen-native, never an interpreted per-element fold
+        F.length(F.array_join("ws", "")).cast("long").alias("n_chars"),
         F.size(
             F.filter(F.array_distinct("ws"), lambda w: w.isin("the", "a"))
         )
@@ -1783,10 +1778,15 @@ def q209_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid
     )
     SELECT t AS day, n_risk, d AS n_converted,
-           round(exp(SUM(CASE WHEN d > 0 THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
-                              ELSE 0 END)
+           CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
                      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW)), 6) AS survival
+                           AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(SUM(CASE WHEN d > 0 AND d < n_risk
+                                        THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                                        ELSE 0 END)
+                               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)), 6) END AS survival
     FROM km WHERE d > 0
     """,
     tags=("timeseries", "survival", "ml-eval"),
@@ -1848,17 +1848,31 @@ def q210_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_total") - F.coalesce(F.sum("removed").over(wprev), F.lit(0)),
         )
         .withColumn(
+            # d == n_risk is an absorbing zero: ln(0) is NULL in Spark
+            # (silently dropped by SUM) but an ERROR in DuckDB — both
+            # sides special-case it explicitly instead of relying on
+            # either behavior
             "survival",
-            F.round(
-                F.exp(
-                    F.sum(
-                        F.when(
-                            F.col("d") > 0,
-                            F.log(1 - F.col("d").cast("double") / F.col("n_risk")),
-                        ).otherwise(F.lit(0.0))
-                    ).over(wcum)
-                ),
-                6,
+            F.when(
+                F.max(
+                    F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+                ).over(wcum)
+                == 1,
+                F.lit(0.0),
+            ).otherwise(
+                F.round(
+                    F.exp(
+                        F.sum(
+                            F.when(
+                                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                                F.log(
+                                    1 - F.col("d").cast("double") / F.col("n_risk")
+                                ),
+                            ).otherwise(F.lit(0.0))
+                        ).over(wcum)
+                    ),
+                    6,
+                )
             ),
         )
     )
@@ -2083,8 +2097,11 @@ def q213_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(w7).alias("s7"),
         F.count(F.lit(1)).over(w7).alias("n7"),
     )
-    detr = ma.where(F.col("n7") == 7).withColumn(
-        "dnum", 7 * F.col("cnt") - F.col("s7")
+    detr = (
+        ma.where(F.col("n7") == 7)
+        .withColumn("dnum", 7 * F.col("cnt") - F.col("s7"))
+        .localCheckpoint(eager=True)  # feeds the seasonal agg AND the
+        # final join; pins the corpus-scale daily groupBy to one run
     )
     seas = detr.groupBy("dow").agg(
         F.sum("dnum").alias("snum"), F.count(F.lit(1)).alias("sn")

@@ -160,7 +160,13 @@ def test_triplet_mining_block_invariant(spark):
     from cyber_etl_spark.operators.ann import triplet_mining
     from cyber_etl_spark.sources import read_table
 
-    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").limit(60)
+    from pyspark.sql import functions as F2
+
+    # deterministic subset (a bare limit() has no ordering contract and
+    # re-executes per job — the two runs could mine different rows)
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        F2.col("vec_id") < 60
+    )
     a = {tuple(r) for r in triplet_mining(emb, n_blocks=1).collect()}
     b = {tuple(r) for r in triplet_mining(emb, n_blocks=13).collect()}
     assert a == b and len(a) == 60

@@ -67,12 +67,13 @@ def test_whole_stage_codegen_everywhere_cheap(spark, sf_smoke):
         if q.oracle is None:
             continue
         plan = _plan(spark, sf_smoke, name)
+        # row-at-a-time pickled Python is banned EVERYWHERE, including
+        # the sanctioned vectorized surfaces (plan node names have the
+        # Exec suffix stripped — "BatchEvalPython" is what toString
+        # prints, and ArrowEvalPython* does not contain it)
+        assert "BatchEvalPython" not in plan, name
         if name not in VECTORIZED_OK:
-            assert "BatchEvalPython" not in plan, name
             assert "ArrowEvalPython" not in plan, name
-        else:
-            # even the sanctioned Python surfaces must be Arrow-batched
-            assert "BatchEvalPythonExec" not in plan, name
         # Spark's exact `percentile(` aggregate buffers every group value
         # in ONE aggregation buffer — an executor OOM for a global group
         # at 100 TB.  All exact quantiles must go through the distributed

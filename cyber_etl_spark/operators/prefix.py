@@ -181,6 +181,84 @@ def running_total(
     return out.withColumnRenamed("_tot", total_col) if total_col else out
 
 
+def running_totals(
+    df: DataFrame,
+    specs: Sequence[tuple[str, str]],
+    order_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    num_partitions: int | None = None,
+    pin_input: bool = False,
+) -> DataFrame:
+    """Several inclusive running sums in ONE range-partition pass.
+
+    ``specs`` is a sequence of ``(value_col, out_col)`` pairs; the data
+    is range-partitioned once and every prefix sum shares the same
+    control table (one row per (pid, group) carrying all partial sums).
+    This is the kernel for statistics that need two aligned prefixes of
+    the SAME total order — e.g. average precision needs the running
+    positive count AND the running row count (the global rank) at every
+    row; two separate :func:`running_total` calls would pay the range
+    shuffle and its sampling pass twice and could even disagree on
+    partition boundaries.
+
+    Value columns must be non-null numerics (the simple ``local + off``
+    identity is used, not the NULL-propagating window-SUM emulation of
+    :func:`running_total` — callers with NULL semantics needs should
+    coalesce first)."""
+    spark = df.sparkSession
+    group_cols = list(group_cols)
+    specs = list(specs)
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if pin_input:
+        df = df.localCheckpoint(eager=True)
+    ranged = (
+        df.repartitionByRange(num_partitions, *group_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # control table: |partitions| x |groups| rows, `_gp_`-aliased keys so
+    # the plan audit recognizes the bounded control window (see module
+    # docstring) — one row carries ALL partial sums.
+    partials = (
+        ranged.groupBy("_pid", *group_cols)
+        .agg(*[F.sum(v).alias(f"_psum_{i}") for i, (v, _) in enumerate(specs)])
+        .select(
+            "_pid",
+            *[F.col(c).alias(f"_gp_{c}") for c in group_cols],
+            *[f"_psum_{i}" for i in range(len(specs))],
+        )
+    )
+    gp_cols = [f"_gp_{c}" for c in group_cols]
+    if not gp_cols:
+        partials = partials.withColumn("_gp__global", F.lit(0))
+        wg = Window.partitionBy("_gp__global")
+    else:
+        wg = Window.partitionBy(*gp_cols)
+    wexcl = wg.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        F.col("_pid").alias("_opid"),
+        *[F.col(g).alias(f"_og_{c}") for g, c in zip(gp_cols, group_cols)],
+        *[
+            F.sum(f"_psum_{i}").over(wexcl).alias(f"_off_{i}")
+            for i in range(len(specs))
+        ],
+    )
+    joined = _join_offsets(ranged, offsets, group_cols)
+    wl = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined
+    for i, (v, out_col) in enumerate(specs):
+        out = out.withColumn(
+            out_col,
+            F.sum(v).over(wl) + F.coalesce(F.col(f"_off_{i}"), F.lit(0)),
+        )
+    return out.drop("_pid", *[f"_off_{i}" for i in range(len(specs))])
+
+
 def global_ranks(
     df: DataFrame,
     order_cols: Sequence[str],

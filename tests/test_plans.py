@@ -245,6 +245,9 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
         "q210_kaplan_meier",
         # q213: centered moving average over the same per-DAY grid
         "q213_seasonal_decomposition",
+        # q216: CUSUM cumulative + argmax windows over the per-DAY grid
+        # (calendar x 5 types, bounded by construction)
+        "q216_cusum_changepoint",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

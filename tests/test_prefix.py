@@ -186,3 +186,42 @@ def test_running_total_exposes_group_total_from_control_table(spark):
     }
     for r in got.select("g", "tot").distinct().collect():
         assert r.tot == want[r.g]
+
+
+def test_running_totals_multi_spec_matches_window(spark):
+    from cyber_etl_spark.operators.prefix import running_totals
+
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 37) % 101).alias("v"),
+        ((F.col("id") * 13) % 7).alias("w"),
+    )
+    got = running_totals(
+        df, [("v", "rv"), ("w", "rw")], ["k"], ["g"], num_partitions=6
+    )
+    win = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("rv", F.sum("v").over(win)).withColumn(
+        "rw", F.sum("w").over(win)
+    )
+    assert _rows(got, "g", "k", "rv", "rw") == _rows(want, "g", "k", "rv", "rw")
+
+
+def test_running_totals_global_no_groups(spark):
+    from cyber_etl_spark.operators.prefix import running_totals
+
+    df = spark.range(150).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 11).alias("v"),
+        (F.col("id") % 5).alias("w"),
+    )
+    got = running_totals(df, [("v", "rv"), ("w", "rw")], ["k"], num_partitions=4)
+    win = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("rv", F.sum("v").over(win)).withColumn(
+        "rw", F.sum("w").over(win)
+    )
+    assert _rows(got, "k", "rv", "rw") == _rows(want, "k", "rv", "rw")

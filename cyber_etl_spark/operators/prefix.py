@@ -107,8 +107,14 @@ def _ranged_partials(
     off = agg_fn("_psum").over(
         wg.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     )
+    # ordered by _pid (harmless under the unbounded frame) so the spec
+    # keeps a `_pid` marker even when Catalyst folds the constant
+    # `_gp__global` partition column away (global case) — the plan
+    # audit identifies kernel windows by those markers
     tot = agg_fn("_psum").over(
-        wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        wg.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
     )
     # _off stays RAW (NULL when no prior partition carries mass): each
     # caller applies its own identity — 0 for counts, NULL-propagating

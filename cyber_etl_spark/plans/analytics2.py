@@ -28,8 +28,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import SessionMemo, session_token
 from ..sources import read_table
 from .registry import query
+
+_DAY_GRID_CACHE: dict[tuple, DataFrame] = SessionMemo()
+
+
+def _day_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per-(session, dataset) daily count grid
+    (event_type, day, cnt), pinned — shared by the trend/change-point
+    family (q216 / q228 / q229), whose consumers would otherwise each
+    re-scan events and re-pin the same ~calendar x 5 rows."""
+    key = (session_token(spark), sf_dir, "day_grid")
+    if key not in _DAY_GRID_CACHE:
+        ev = read_table(spark, sf_dir, "events")
+        _DAY_GRID_CACHE[key] = (
+            ev.groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    return _DAY_GRID_CACHE[key]
 
 
 @query(
@@ -211,10 +230,7 @@ def q216_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a pure integer, so the argmax and the tie-break (earliest day)
     are engine-independent; only the final report divides, via integer
     half-away rounding."""
-    ev = read_table(spark, sf_dir, "events")
-    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    d = _day_grid(spark, sf_dir)
     t = d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nd"), F.sum("cnt").alias("tot")
     )
@@ -693,6 +709,1455 @@ def q219_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             exp.alias("expected"),
             F.round(F.abs(obs - exp), 6).alias("dev"),
         )
+    )
+
+
+def _pca_oracle(iterations: int = 8, dim: int = 64) -> str:
+    """Unrolled power iteration on the exact-integer covariance.  The
+    Gram/cov CTEs are MATERIALIZED (single evaluation — the el self-join
+    is the only non-trivial work); each v-level references only the
+    previous level once, with the L2 normalizer as OVER () (q141)."""
+    steps = [
+        f"v0 AS (SELECT CAST(i AS INT) AS i, CAST(0.125 AS DOUBLE) AS v"
+        f" FROM range(1, {dim + 1}) t(i))"
+    ]
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""v{k} AS {"MATERIALIZED " if k == iterations else ""}(
+  SELECT i, round(u / sqrt(SUM(u*u) OVER ()), 6) AS v FROM (
+    SELECT m.i AS i, SUM(m.a * x.v) AS u
+    FROM am m JOIN v{k - 1} x ON m.j = x.i GROUP BY 1))"""
+        )
+    return f"""
+    WITH el AS MATERIALIZED (
+      SELECT vec_id, CAST(t.i AS INT) AS i,
+             CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(1, {dim + 1}) t(i)
+    ),
+    g AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, SUM(CAST(a.q AS HUGEINT) * b.q) AS s
+      FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    cs AS (SELECT i, SUM(CAST(q AS HUGEINT)) AS s1 FROM el GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    fullg AS (
+      SELECT i, j, s FROM g
+      UNION ALL SELECT j AS i, i AS j, s FROM g WHERE i < j
+    ),
+    cov AS MATERIALIZED (
+      SELECT f.i, f.j, CAST(n AS HUGEINT) * f.s - a.s1 * b.s1 AS c
+      FROM fullg f JOIN cs a ON f.i = a.i JOIN cs b ON f.j = b.i, nn
+    ),
+    tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j),
+    am AS MATERIALIZED (
+      SELECT i, j, round(CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 12) AS a
+      FROM cov, tr
+    ),
+    {",".join(steps)},
+    u9 AS (
+      SELECT m.i AS i, SUM(m.a * x.v) AS u
+      FROM am m JOIN v{iterations} x ON m.j = x.i GROUP BY 1
+    )
+    SELECT v.i AS dim, v.v AS loading, lam.l AS eigval_share
+    FROM v{iterations} v,
+         (SELECT round(sqrt(SUM(u*u)), 6) AS l FROM u9) lam
+    """
+
+
+@query(
+    "q223_pca_top_component",
+    oracle=_pca_oracle(),
+    tags=("ml-train", "pca", "iterative", "exact-decimal"),
+)
+def q223_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA direction finding on the embedding corpus: exact-integer
+    covariance accumulation + 8 unrolled power iterations, reporting the
+    64 loadings of the DETERMINISTIC 8-STEP ITERATE and its Rayleigh
+    variance share (||A'v|| with A' = cov/trace, so trace(A') = 1).
+    On a gapped spectrum the iterate IS the top principal component
+    (pinned by a constructed-gap test); this synthetic corpus is
+    near-isotropic (lambda1/lambda2 ~ 1.07), where NO power method
+    converges in few steps — the recurrence itself, replayed in numpy,
+    is the behavior contract (tests/test_pca.py).
+
+    Scale split: the ONLY corpus-scale work is the Gram accumulation,
+    done by the per-batch int64 GEMM kernel (operators/pca.py) — O(d^2)
+    shuffle rows per Arrow batch instead of the O(n*d^2) explode the
+    oracle uses, and exact-integer partials so the DECIMAL(38,0) merge is
+    independent of partitioning and batch slicing.  Centering never
+    materializes (n*S_ij - s_i*s_j in exact HUGEINT/DECIMAL algebra).
+    The d x d power iteration is constant-sized: broadcast joins over the
+    pinned 4096-row matrix, per-iteration 6-dp rounds absorbing the
+    64-term float matvec's shuffle-order ulps (q196's loop discipline,
+    starting from the exactly-representable v0 = 1/8, so no sign
+    ambiguity — both engines follow the identical deterministic
+    trajectory)."""
+    from ..operators.pca import gram_exact
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    g = gram_exact(emb)  # pinned: feeds n / colsums / gram / trace
+    nn = g.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("s").alias("n")
+    )
+    cs = g.where((F.col("i") >= 1) & (F.col("j") == 0)).select(
+        "i", F.col("s").alias("s1")
+    )
+    ut = g.where(F.col("j") >= 1)
+    fullg = ut.union(
+        ut.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s"
+        )
+    )
+    cov = (
+        fullg.join(
+            F.broadcast(cs.select(F.col("i"), F.col("s1").alias("si"))), "i"
+        )
+        .join(
+            F.broadcast(
+                cs.select(F.col("i").alias("j"), F.col("s1").alias("sj"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s") - F.col("si") * F.col("sj")).alias("c"),
+        )
+    )
+    tr = cov.where(F.col("i") == F.col("j")).agg(F.sum("c").alias("t"))
+    am = (
+        cov.crossJoin(F.broadcast(tr))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("c").cast("double") / F.col("t").cast("double"), 12)
+            .alias("a"),
+        )
+        .localCheckpoint(eager=True)  # the 9 matvecs' shared input
+    )
+    v = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("v")
+    )
+
+    def matvec(vdf: DataFrame) -> DataFrame:
+        return (
+            am.join(
+                F.broadcast(vdf.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("a") * F.col("v")).alias("u"))
+        )
+
+    for _ in range(8):
+        u = matvec(v)
+        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            "i", F.round(F.col("u") / F.col("nrm"), 6).alias("v")
+        )
+    v = v.localCheckpoint(eager=True)  # loadings + the Rayleigh matvec
+    lam = matvec(v).agg(
+        F.round(F.sqrt(F.sum(F.col("u") * F.col("u"))), 6).alias("eigval_share")
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("i").alias("dim"), F.col("v").alias("loading"), "eigval_share"
+    )
+
+
+@query(
+    "q224_countmin_audit",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ),
+    buckets AS MATERIALIZED (
+      SELECT t.r,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || token),
+                                  1, 8)) AS BIGINT) % 128 AS b,
+             COUNT(*) AS c
+      FROM tok CROSS JOIN range(0, 3) t(r)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY 1
+      ORDER BY exact_cnt DESC, token LIMIT 20
+    ),
+    probes AS (
+      SELECT token, exact_cnt, t.r,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || token),
+                                  1, 8)) AS BIGINT) % 128 AS b
+      FROM top CROSS JOIN range(0, 3) t(r)
+    ),
+    est AS (
+      SELECT token, exact_cnt, MIN(COALESCE(bk.c, 0)) AS cms_est
+      FROM probes p LEFT JOIN buckets bk USING (r, b)
+      GROUP BY 1, 2
+    )
+    SELECT token, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+    FROM est
+    """,
+    tags=("sketch", "countmin", "audit"),
+)
+def q224_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch error audit: build a deliberately tight sketch
+    (width 128, depth 3) over the document token stream, then report the
+    top-20 tokens' exact counts next to their CMS estimates and the
+    one-sided overcount (est >= exact always; collisions at ~3.7k-word
+    vocabulary vs 128 buckets make the overcount non-trivial, which is
+    the point of the audit).
+
+    The hash gate proves the SCALE KERNEL exact: Spark builds the sketch
+    via per-Arrow-batch [depth x width] int64 accumulation
+    (operators/countmin.py — O(depth*width) emitted cells per batch,
+    exact integer merge, partitioning/slicing independent), while DuckDB
+    builds it by direct bucket GROUP BY — bit-identical sketches is the
+    claim.  Estimates are min-over-rows of exact integers; no floats
+    anywhere."""
+    from ..operators.countmin import cms_estimate, cms_sketch
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "token"
+        )
+    ).localCheckpoint(eager=True)  # feeds the sketch AND the exact counts
+    sketch = cms_sketch(tok, "token", width=128, depth=3)
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top, "token", width=128, depth=3)
+    return top.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+@query(
+    "q225_clustering_eval",
+    oracle="""
+    WITH asg AS (
+      SELECT 4 * CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+           + 2 * CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+           +     CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+               AS cluster, label
+      FROM embeddings
+    ),
+    cells AS (SELECT cluster, label, COUNT(*) AS n FROM asg GROUP BY 1, 2),
+    sij AS (SELECT SUM(n*(n-1)//2) AS s, SUM(n) AS nt,
+                   COUNT(DISTINCT cluster) AS nc,
+                   COUNT(DISTINCT label) AS nl
+            FROM cells),
+    sa AS (SELECT SUM(a*(a-1)//2) AS s
+           FROM (SELECT SUM(n) AS a FROM cells GROUP BY cluster)),
+    sb AS (SELECT SUM(b*(b-1)//2) AS s
+           FROM (SELECT SUM(n) AS b FROM cells GROUP BY label)),
+    pur AS (SELECT SUM(m) AS s
+            FROM (SELECT MAX(n) AS m FROM cells GROUP BY cluster)),
+    frac AS (
+      -- HUGEINT: 2*num*1e6 exceeds BIGINT beyond ~sf0.1 (Sn^2-scale)
+      SELECT nt, nc, nl, pur.s AS p,
+             2*CAST(sij.s AS HUGEINT)*(nt*(nt-1)//2)
+               - 2*CAST(sa.s AS HUGEINT)*sb.s AS num,
+             (CAST(sa.s AS HUGEINT) + sb.s)*(nt*(nt-1)//2)
+               - 2*CAST(sa.s AS HUGEINT)*sb.s AS den
+      FROM sij, sa, sb, pur
+    )
+    SELECT CAST(nt AS BIGINT) AS n, CAST(nc AS BIGINT) AS n_clusters,
+           CAST(nl AS BIGINT) AS n_labels,
+           CAST((2*p*1000000 + nt) // (2*nt) AS DOUBLE) / 1000000 AS purity,
+           CAST(CASE WHEN num >= 0
+                     THEN (2*num*1000000 + den) // (2*den)
+                     ELSE -((2*(-num)*1000000 + den) // (2*den)) END
+                AS DOUBLE) / 1000000 AS ari
+    FROM frac
+    """,
+    tags=("ml-eval", "clustering", "exact-rational"),
+)
+def q225_clustering_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation — purity and the Adjusted Rand
+    Index of a deterministic 3-bit sign-LSH cell assignment (the
+    SimHash-family cheap clustering) against the corpus ground-truth
+    ``label`` column.  Closes the ML-eval family's clustering corner
+    next to AUC (q215), AP (q221), conformal coverage (q217) and the
+    chi-square association screen (q220).
+
+    Both metrics are EXACT integer rationals: purity = sum of per-cluster
+    majority counts over N, and ARI entirely in pair-count binomials
+    (2*Sij*Sn - 2*Sa*Sb over (Sa+Sb)*Sn - 2*Sa*Sb, all C(x,2) by integer
+    division), rounded once by half-away integer division — no float
+    enters before the final report.  Scale: one groupBy to the
+    (cluster, label) contingency cells; everything after is
+    contingency-table-sized (the q220 shape).  A trained-k-means variant
+    would reuse ann.kmeans_fit assignments with these identical metric
+    aggregates."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bit = lambda i: F.when(e.getItem(i).cast("double") >= 0, 1).otherwise(0)  # noqa: E731
+    asg = emb.select(
+        (4 * bit(0) + 2 * bit(1) + bit(2)).alias("cluster"), "label"
+    )
+    cells = asg.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)  # 4 metric consumers
+    sij = cells.agg(
+        F.sum(F.expr("n*(n-1) div 2")).alias("sij"),
+        F.sum("n").alias("nt"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+    sa = (
+        cells.groupBy("cluster")
+        .agg(F.sum("n").alias("a"))
+        .agg(F.sum(F.expr("a*(a-1) div 2")).alias("sa"))
+    )
+    sb = (
+        cells.groupBy("label")
+        .agg(F.sum("n").alias("b"))
+        .agg(F.sum(F.expr("b*(b-1) div 2")).alias("sb"))
+    )
+    pur = (
+        cells.groupBy("cluster")
+        .agg(F.max("n").alias("m"))
+        .agg(F.sum("m").alias("pur"))
+    )
+    return (
+        sij.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(pur))
+        .withColumn(
+            "_num",
+            F.expr(
+                "2*CAST(sij AS DECIMAL(38,0))*(nt*(nt-1) div 2)"
+                " - 2*CAST(sa AS DECIMAL(38,0))*sb"
+            ),
+        )
+        .withColumn(
+            "_den",
+            F.expr(
+                "(CAST(sa AS DECIMAL(38,0)) + sb)*(nt*(nt-1) div 2)"
+                " - 2*CAST(sa AS DECIMAL(38,0))*sb"
+            ),
+        )
+        .select(
+            F.col("nt").alias("n"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_labels").cast("long").alias("n_labels"),
+            (
+                F.expr("(2*pur*1000000 + nt) div (2*nt)").cast("double")
+                / 1_000_000
+            ).alias("purity"),
+            (
+                # DECIMAL(38,0): 2*num*1e6 exceeds BIGINT beyond ~sf0.1
+                F.expr(
+                    "CASE WHEN _num >= 0"
+                    " THEN (2*_num*1000000 + _den) div (2*_den)"
+                    " ELSE -((2*(-_num)*1000000 + _den) div (2*_den)) END"
+                ).cast("double")
+                / 1_000_000
+            ).alias("ari"),
+        )
+    )
+
+
+@query(
+    "q226_wilson_ci",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS k
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT event_type, n, k,
+             CAST(k AS DOUBLE) / n AS ph,
+             3.841458820694124 AS z2, 1.959963984540054 AS z
+      FROM agg
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST((2*k*1000000 + n) // (2*n) AS DOUBLE) / 1000000 AS p_hat,
+           round((ph + z2/(2*n) - z * sqrt(ph*(1-ph)/n + z2/(4.0*n*n)))
+                 / (1 + z2/n), 6) AS ci_lo,
+           round((ph + z2/(2*n) + z * sqrt(ph*(1-ph)/n + z2/(4.0*n*n)))
+                 / (1 + z2/n), 6) AS ci_hi
+    FROM w
+    """,
+    tags=("stats", "interval", "agg"),
+)
+def q226_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the per-event-type rate of
+    high-value events (value >= 50) — the binomial CI that behaves at
+    extreme rates and small n, which is why monitoring dashboards use it
+    over the Wald interval.
+
+    One map-side-combined aggregate to (n, k) per type; the interval is
+    pure double arithmetic on those exact integers plus the z constants
+    (spelled to full double precision IN BOTH SQL TEXTS, so there is no
+    libm inverse-normal call to diverge) — identical binary doubles,
+    final 6-dp round.  p_hat itself is the integer-rounded exact
+    rational."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") >= 50, 1).otherwise(0)).alias("k"),
+    )
+    z2 = F.lit(3.841458820694124)
+    z = F.lit(1.959963984540054)
+    ph = F.col("k").cast("double") / F.col("n")
+    half = z * F.sqrt(
+        ph * (1 - ph) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return agg.select(
+        "event_type",
+        "n",
+        "k",
+        (
+            F.expr("(2*k*1000000 + n) div (2*n)").cast("double") / 1_000_000
+        ).alias("p_hat"),
+        F.round((ph + z2 / (2 * F.col("n")) - half) / denom, 6).alias("ci_lo"),
+        F.round((ph + z2 / (2 * F.col("n")) + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "q227_spearman_trend",
+    oracle="""
+    WITH ev AS (SELECT event_type, ts, value FROM events),
+    vx AS (
+      SELECT event_type, value AS v, COUNT(*) AS n FROM ev GROUP BY 1, 2
+    ),
+    rx AS (
+      SELECT event_type, v,
+             2*SUM(n) OVER (PARTITION BY event_type ORDER BY v) - n + 1 AS r2
+      FROM vx
+    ),
+    vy AS (
+      SELECT event_type, ts AS v, COUNT(*) AS n FROM ev GROUP BY 1, 2
+    ),
+    ry AS (
+      SELECT event_type, v,
+             2*SUM(n) OVER (PARTITION BY event_type ORDER BY v) - n + 1 AS r2
+      FROM vy
+    ),
+    j AS (
+      SELECT e.event_type, rx.r2 AS x, ry.r2 AS y
+      FROM ev e
+      JOIN rx ON e.event_type = rx.event_type AND e.value = rx.v
+      JOIN ry ON e.event_type = ry.event_type AND e.ts = ry.v
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM j GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy
+                      AS DOUBLE)
+                 / (sqrt(CAST(CAST(n AS HUGEINT)*sxx
+                              - CAST(sx AS HUGEINT)*sx AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS HUGEINT)*syy
+                                - CAST(sy AS HUGEINT)*sy AS DOUBLE))), 6)
+             AS spearman_rho
+    FROM s
+    """,
+    tags=("stats", "rank", "prefix-kernel"),
+)
+def q227_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event time and value per event
+    type — "is value drifting over time", robust to outliers and
+    monotone transforms (the rank twin of q137's Pearson).
+
+    Tie handling is exact: average ranks come from the distinct-value
+    block identity 2*avg_rank = 2*cum_n - n + 1 (q215's trick), so DOUBLED
+    ranks stay integers and every moment (sums, squares, cross products)
+    is exact bigint — through sf1, S_xy <= 4n^3 < 2^63; the n*S products
+    are widened to DECIMAL(38,0)/HUGEINT.  rho = Pearson on the doubled
+    ranks (scale-invariant).  Scale plan: ranks are computed on the
+    distinct-score tables via the distributed prefix kernel and joined
+    back by value — never a per-row rank window over the raw order, and
+    the only full-corpus shuffles are the two value-keyed joins."""
+    from ..operators.prefix import running_total
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+
+    def rank2(col: str):
+        blocks = ev.groupBy("event_type", F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        c = running_total(
+            blocks, "n", order_cols=["v"], group_cols=["event_type"],
+            out_col="cum",
+        )
+        return c.select(
+            "event_type",
+            F.col("v"),
+            (2 * F.col("cum") - F.col("n") + 1).alias("r2"),
+        )
+
+    rx = rank2("value").select(
+        F.col("event_type").alias("_etx"),
+        F.col("v").alias("_vx"),
+        F.col("r2").alias("x"),
+    )
+    ry = rank2("ts").select(
+        F.col("event_type").alias("_ety"),
+        F.col("v").alias("_vy"),
+        F.col("r2").alias("y"),
+    )
+    j = (
+        ev.join(
+            rx,
+            (F.col("event_type") == F.col("_etx"))
+            & (F.col("value") == F.col("_vx")),
+        )
+        .join(
+            ry,
+            (F.col("event_type") == F.col("_ety"))
+            & (F.col("ts") == F.col("_vy")),
+        )
+        .select("event_type", "x", "y")
+    )
+    s = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.expr("CAST(n AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy")
+    dx = F.expr("CAST(n AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx")
+    dy = F.expr("CAST(n AS DECIMAL(38,0))*syy - CAST(sy AS DECIMAL(38,0))*sy")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(
+            num.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "q228_mann_kendall",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             SUM(CASE WHEN b.cnt > a.cnt THEN 1
+                      WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS s_stat
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    ),
+    nn AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             SUM(t*(t-1)*(2*t+5)) AS tie18
+      FROM (SELECT event_type, cnt, COUNT(*) AS t FROM d GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    v AS (
+      SELECT nn.event_type, n, s_stat,
+             n*(n-1)*(2*n+5) - COALESCE(tie18, 0) AS var18
+      FROM nn JOIN s USING (event_type)
+      LEFT JOIN ties USING (event_type)
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           round((s_stat - CASE WHEN s_stat > 0 THEN 1
+                                WHEN s_stat < 0 THEN -1 ELSE 0 END)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18), 6) AS z
+    FROM v
+    """,
+    tags=("stats", "trend", "rank"),
+)
+def q228_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type over the daily count
+    series — the standard nonparametric "is this metric monotonically
+    drifting" monitor, with the exact tie-corrected variance and
+    continuity correction.
+
+    S = sum of pairwise sign comparisons and the tie term are pure
+    integers; 18*var(S) = n(n-1)(2n+5) - sum t(t-1)(2t+5) stays integral
+    (the /18 moves into the final double).  The pair enumeration runs on
+    the per-DAY aggregate grid (calendar x 5 types — the q210/q216
+    bounded class, ~66k pairs per type at a year of days), never on raw
+    events; z is a double from exact integers, rounded once."""
+    d = _day_grid(spark, sf_dir)  # memoized + pinned; pairs/n/ties share it
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cnt") > F.col("a.cnt"), 1)
+                .when(F.col("b.cnt") < F.col("a.cnt"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nn = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        d.groupBy("event_type", "cnt")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("t*(t-1)*(2*t+5)")).alias("tie18"))
+    )
+    v = (
+        nn.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .withColumn(
+            "var18",
+            F.expr("n*(n-1)*(2*n+5) - COALESCE(tie18, 0)"),
+        )
+    )
+    return v.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round(
+            (
+                F.col("s_stat")
+                - F.when(F.col("s_stat") > 0, 1)
+                .when(F.col("s_stat") < 0, -1)
+                .otherwise(0)
+            )
+            / F.sqrt(F.col("var18").cast("double") / 18),
+            6,
+        ).alias("z"),
+    )
+
+
+@query(
+    "q229_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.cnt - a.cnt AS DOUBLE)
+               / (b.day - a.day) AS slope,
+             a.day AS d1, b.day AS d2
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, d1, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs
+    )
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           round(slope, 6) AS ts_slope
+    FROM ranked WHERE rn = (np + 1) // 2
+    """,
+    tags=("stats", "trend", "robust", "prefix-kernel"),
+)
+def q229_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event type: the LOWER MEDIAN of
+    all pairwise day-count slopes — the 29%-breakdown estimator that
+    shrugs off outlier days where q193-style OLS would not.
+
+    Each slope is one exact integer ratio cast to double (identical in
+    both engines); the median is the deterministic k = (n+1) div 2 order
+    statistic with a unique (slope, d1, d2) tie-break — selected via the
+    distributed prefix kernel's grouped global ranks, never a
+    whole-group window task (the pair table is grid-bounded but the
+    kernel costs nothing extra and keeps the plan audit's invariant).
+    Pair enumeration is on the per-day grid, as in q228."""
+    from ..operators.prefix import global_ranks
+
+    d = _day_grid(spark, sf_dir)  # memoized + pinned across q216/q228/q229
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+        F.col("a.day").alias("d1"),
+        F.col("b.day").alias("d2"),
+    )
+    ranked = global_ranks(
+        pairs,
+        order_cols=["slope", "d1", "d2"],
+        group_cols=["event_type"],
+        rn_col="rn",
+        total_col="np",
+    )
+    return ranked.where(F.col("rn") == F.expr("(np + 1) div 2")).select(
+        "event_type",
+        F.col("np").alias("n_pairs"),
+        F.round("slope", 6).alias("ts_slope"),
+    )
+
+
+@query(
+    "q230_randomization_test",
+    oracle="""
+    WITH base AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    obs AS (
+      SELECT SUM(y) AS n1, COUNT(*) - SUM(y) AS n0,
+             SUM(CASE WHEN y = 1 THEN cents ELSE 0 END) AS s1,
+             SUM(CASE WHEN y = 0 THEN cents ELSE 0 END) AS s0,
+             COUNT(*) AS n
+      FROM base
+    ),
+    perm AS (
+      SELECT t.b,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                          || ':' || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT)
+                       * (SELECT n FROM obs)
+                     < (SELECT n1 FROM obs) * 4294967296
+                  THEN 1 ELSE 0 END AS yb,
+             cents
+      FROM base CROSS JOIN range(0, 64) t(b)
+    ),
+    pstat AS (
+      SELECT b, SUM(yb) AS pn1, COUNT(*) - SUM(yb) AS pn0,
+             SUM(CASE WHEN yb = 1 THEN cents ELSE 0 END) AS ps1,
+             SUM(CASE WHEN yb = 0 THEN cents ELSE 0 END) AS ps0
+      FROM perm GROUP BY 1
+    ),
+    cmp AS (
+      SELECT COUNT(*) FILTER (WHERE pn1 > 0 AND pn0 > 0 AND ABS(
+               CAST(ps1 AS DOUBLE)/pn1 - CAST(ps0 AS DOUBLE)/pn0) >=
+               ABS((SELECT CAST(s1 AS DOUBLE)/n1 FROM obs)
+                   - (SELECT CAST(s0 AS DOUBLE)/n0 FROM obs))) AS n_extreme,
+             COUNT(*) AS nb
+      FROM pstat
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+           round(CAST(s1 AS DOUBLE)/n1/100 - CAST(s0 AS DOUBLE)/n0/100, 6)
+             AS diff_obs,
+           CAST((2*(1 + n_extreme)*1000000 + (nb + 1)) // (2*(nb + 1))
+                AS DOUBLE) / 1000000 AS p_value
+    FROM obs, cmp
+    """,
+    tags=("stats", "resampling", "md5-deterministic"),
+)
+def q230_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the purchase-vs-rest mean-value gap: 64
+    deterministic label reshuffles (binomial randomization at the
+    observed rate — the distributed approximation of the permutation
+    test, documented as such), p = (1 + #extreme) / (B + 1).
+
+    Determinism end to end: the b-th pseudo-label of a row is an EXACT
+    integer comparison u32 * n < n1 * 2^32 on the md5-derived 32-bit
+    uniform (no float probability), values go through exact integer
+    cents, and each replicate's mean difference is a double from exact
+    integers — identical in both engines, so the >= comparison against
+    the observed gap can never disagree.  Scale: the explode is x64 but
+    every replicate aggregate is map-side combinable — the shuffle
+    carries 64 partial rows per task, and B scales the CPU, not the
+    shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    obs = base.agg(
+        F.sum("y").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n0"),
+        F.sum(F.when(F.col("y") == 1, F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("y") == 0, F.col("cents")).otherwise(0)).alias("s0"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)  # broadcast into the replicate pass
+    perm = (
+        base.crossJoin(F.broadcast(obs))
+        .select(
+            "event_id",
+            "cents",
+            "n",
+            "n1",
+            F.explode(F.array(*[F.lit(b) for b in range(64)])).alias("b"),
+        )
+        .withColumn(
+            "yb",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("event_id").cast("string"),
+                                F.lit(":"),
+                                F.col("b").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                * F.col("n")
+                < F.col("n1") * F.lit(4294967296),
+                1,
+            ).otherwise(0),
+        )
+    )
+    pstat = perm.groupBy("b").agg(
+        F.sum("yb").alias("pn1"),
+        (F.count(F.lit(1)) - F.sum("yb")).alias("pn0"),
+        F.sum(F.when(F.col("yb") == 1, F.col("cents")).otherwise(0)).alias(
+            "ps1"
+        ),
+        F.sum(F.when(F.col("yb") == 0, F.col("cents")).otherwise(0)).alias(
+            "ps0"
+        ),
+    )
+    cmp_ = pstat.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(
+                (F.col("pn1") > 0)
+                & (F.col("pn0") > 0)
+                & (
+                    F.abs(
+                        F.col("ps1").cast("double") / F.col("pn1")
+                        - F.col("ps0").cast("double") / F.col("pn0")
+                    )
+                    >= F.abs(
+                        F.col("s1").cast("double") / F.col("n1")
+                        - F.col("s0").cast("double") / F.col("n0")
+                    )
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_extreme"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    return obs.crossJoin(F.broadcast(cmp_)).select(
+        "n1",
+        "n0",
+        F.round(
+            F.col("s1").cast("double") / F.col("n1") / 100
+            - F.col("s0").cast("double") / F.col("n0") / 100,
+            6,
+        ).alias("diff_obs"),
+        (
+            F.expr(
+                "(2*(1 + n_extreme)*1000000 + (nb + 1)) div (2*(nb + 1))"
+            ).cast("double")
+            / 1_000_000
+        ).alias("p_value"),
+    )
+
+
+@query(
+    "q231_poisson_bootstrap",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    reps AS (
+      SELECT b,
+             CASE
+               WHEN u < 1580030169 THEN 0
+               WHEN u < 3160060338 THEN 1
+               WHEN u < 3950075422 THEN 2
+               WHEN u < 4213413784 THEN 3
+               WHEN u < 4279248374 THEN 4
+               WHEN u < 4292415292 THEN 5
+               WHEN u < 4294609778 THEN 6
+               ELSE 7 END AS w,
+             cents
+      FROM (
+        SELECT t.b AS b,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                    || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT) AS u,
+               cents
+        FROM base CROSS JOIN range(0, 50) t(b)
+      )
+    ),
+    means AS (
+      SELECT b, SUM(w * cents) AS sw, SUM(w) AS nw
+      FROM reps GROUP BY 1
+    ),
+    ranked AS (
+      SELECT b, CAST(sw AS DOUBLE) / nw / 100 AS m,
+             ROW_NUMBER() OVER (ORDER BY CAST(sw AS DOUBLE) / nw, b) AS rn,
+             COUNT(*) OVER () AS nb
+      FROM means WHERE nw > 0
+    ),
+    point AS (
+      SELECT CAST(SUM(CAST(cents AS DECIMAL(18,0))) AS DOUBLE)
+               / COUNT(*) / 100 AS mean_obs, COUNT(*) AS n
+      FROM base
+    )
+    SELECT CAST(n AS BIGINT) AS n, round(mean_obs, 6) AS mean_obs,
+           round(MAX(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
+           round(MAX(CASE WHEN rn = nb - 1 THEN m END), 6) AS ci_hi
+    FROM ranked, point
+    GROUP BY n, mean_obs
+    """,
+    tags=("stats", "resampling", "bootstrap", "md5-deterministic"),
+)
+def q231_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95%-ish CI for the mean purchase value — THE
+    scalable bootstrap: instead of resampling n rows with replacement
+    (which needs global coordination), each row independently receives a
+    Poisson(1) weight per replicate, so the whole resample is one
+    embarrassingly parallel map (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012).
+
+    Determinism: the weight is a CASE ladder on the md5-derived 32-bit
+    uniform against PRECOMPUTED integer cutoffs floor(CDF_Poisson(1)(k)
+    * 2^32) — no float probability at query time, identical in both
+    engines.  Replicate means are doubles from exact integer
+    (sum-of-cents, count) pairs; the CI bounds are the 2nd / 49th order
+    statistics of the 50 replicate means (the percentile-bootstrap
+    convention for B=50, documented), selected with a unique (m, b)
+    tie-break.  Scale: B multiplies CPU only — every replicate aggregate
+    is map-side combinable, the shuffle carries B partials per task."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    ).localCheckpoint(eager=True)  # feeds replicates + the point estimate
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = (
+        F.when(F.col("u") < 1580030169, 0)
+        .when(F.col("u") < 3160060338, 1)
+        .when(F.col("u") < 3950075422, 2)
+        .when(F.col("u") < 4213413784, 3)
+        .when(F.col("u") < 4279248374, 4)
+        .when(F.col("u") < 4292415292, 5)
+        .when(F.col("u") < 4294609778, 6)
+        .otherwise(7)
+    )
+    reps = (
+        base.select(
+            "cents",
+            "event_id",
+            F.explode(F.array(*[F.lit(b) for b in range(50)])).alias("b"),
+        )
+        .withColumn("u", u)
+        .withColumn("w", w)
+    )
+    means = reps.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).alias("sw"),
+        F.sum("w").alias("nw"),
+    )
+    from ..operators.prefix import global_ranks
+
+    ranked = global_ranks(
+        means.where(F.col("nw") > 0).select(
+            "b", (F.col("sw").cast("double") / F.col("nw")).alias("mraw")
+        ),
+        order_cols=["mraw", "b"],
+        rn_col="rn",
+        total_col="nb",
+    )
+    point = base.agg(
+        (
+            F.sum(F.col("cents").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 100
+        ).alias("mean_obs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ci = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == 2, F.col("mraw") / 100)
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.col("nb") - 1, F.col("mraw") / 100)
+        ).alias("hi"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n",
+        F.round("mean_obs", 6).alias("mean_obs"),
+        F.round("lo", 6).alias("ci_lo"),
+        F.round("hi", 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "q232_sequential_patterns",
+    oracle="""
+    WITH ut AS (
+      SELECT user_id, event_type, MIN(ts) AS mn, MAX(ts) AS mx
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+    sup AS (
+      SELECT a.event_type AS first_type, b.event_type AS then_type,
+             COUNT(*) AS n_supporting
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+      WHERE a.mn < b.mx
+      GROUP BY 1, 2
+    )
+    SELECT first_type, then_type, n_supporting,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST((2*n_supporting*1000000 + n_users) // (2*n_users)
+                AS DOUBLE) / 1000000 AS support
+    FROM sup, tot
+    """,
+    tags=("pattern-mining", "sequence", "funnel"),
+)
+def q232_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (GSP's length-2 core): for every
+    ordered pair of event types (a -> b), the number and fraction of
+    users with SOME a-event strictly before SOME b-event — the pattern
+    lattice's first level, sitting next to the unordered basket rules
+    (q192) and the strictly-ordered funnel (q156).
+
+    The existential "a before b" collapses to min_ts(a) < max_ts(b) on
+    the per-(user, type) extremes — so the corpus reduces to one
+    5-rows-per-user table BEFORE any pairing, the self-join is
+    co-partitioned on user_id (no extra shuffle beyond the one groupBy),
+    and the pair fan-out is |types|^2 per user, never |events|^2.
+    Supports are exact integer-rounded rationals; timestamp comparisons
+    are exact microseconds."""
+    ev = read_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).localCheckpoint(eager=True)  # feeds the self-join twice + the total
+    tot = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    a, b = ut.alias("a"), ut.alias("b")
+    sup = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .where(F.col("a.mn") < F.col("b.mx"))
+        .groupBy(
+            F.col("a.event_type").alias("first_type"),
+            F.col("b.event_type").alias("then_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_supporting"))
+    )
+    return sup.crossJoin(F.broadcast(tot)).select(
+        "first_type",
+        "then_type",
+        "n_supporting",
+        "n_users",
+        (
+            F.expr(
+                "(2*n_supporting*1000000 + n_users) div (2*n_users)"
+            ).cast("double")
+            / 1_000_000
+        ).alias("support"),
+    )
+
+
+@query(
+    "q233_gini_feature_ranking",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(date_part('hour', ts) // 6 AS BIGINT) AS f_daypart,
+             CAST(date_part('dow', ts) AS BIGINT) AS f_weekday,
+             LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS f_valueband
+      FROM events
+    ),
+    longf AS (
+      SELECT 'daypart' AS feature, f_daypart AS bucket, y FROM base
+      UNION ALL
+      SELECT 'weekday', f_weekday, y FROM base
+      UNION ALL
+      SELECT 'valueband', f_valueband, y FROM base
+    ),
+    cells AS (
+      SELECT feature, bucket, COUNT(*) AS nv, SUM(y) AS n1v
+      FROM longf GROUP BY 1, 2
+    ),
+    parent AS (
+      SELECT feature, SUM(nv) AS n, SUM(n1v) AS n1 FROM cells GROUP BY 1
+    ),
+    child AS (
+      SELECT c.feature, COUNT(*) AS n_buckets,
+             CAST(SUM(CAST(round(
+               CAST(nv*nv - n1v*n1v - (nv-n1v)*(nv-n1v) AS DOUBLE)
+                 / (CAST(p.n AS DOUBLE) * nv), 12) AS DECIMAL(38,12)))
+               AS DOUBLE) AS g_child
+      FROM cells c JOIN parent p USING (feature)
+      GROUP BY 1
+    )
+    SELECT p.feature, CAST(n_buckets AS BIGINT) AS n_buckets,
+           round(CAST(n*n - n1*n1 - (n-n1)*(n-n1) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n), 6) AS gini_parent,
+           round(g_child, 6) AS gini_children,
+           round(CAST(n*n - n1*n1 - (n-n1)*(n-n1) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n) - g_child, 6) AS gini_gain
+    FROM parent p JOIN child USING (feature)
+    """,
+    tags=("ml-train", "feature-selection", "exact-rational"),
+)
+def q233_gini_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature ranking by Gini gain for the purchase
+    label — which of (daypart, weekday, value band) splits the class
+    best.  Gini instead of information gain BECAUSE it is log-free: the
+    parent impurity 1 - p1^2 - p0^2 = (n^2 - n1^2 - n0^2)/n^2 and every
+    per-bucket child term (nv^2 - n1v^2 - n0v^2)/(n*nv) are doubles from
+    EXACT integers — identical in both engines; the <= 10 child terms per
+    feature are 12-dp rounded and DECIMAL-summed (the q220
+    order-independence discipline).
+
+    Scale: one scan fans to three (feature, bucket) cell aggregates —
+    map-side combinable to <= 21 cells total; everything downstream is
+    contingency-sized."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (F.hour("ts").cast("long") / 6).cast("long").alias("f_daypart"),
+        (F.dayofweek("ts") - 1).cast("long").alias("f_weekday"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long").alias(
+            "f_valueband"
+        ),
+    )
+    longf = base.selectExpr(
+        "stack(3, 'daypart', f_daypart, 'weekday', f_weekday,"
+        " 'valueband', f_valueband) AS (feature, bucket)",
+        "y",
+    )
+    cells = longf.groupBy("feature", "bucket").agg(
+        F.count(F.lit(1)).alias("nv"), F.sum("y").alias("n1v")
+    ).localCheckpoint(eager=True)  # parent + child off one build
+    parent = cells.groupBy("feature").agg(
+        F.sum("nv").alias("n"), F.sum("n1v").alias("n1")
+    )
+    child = (
+        cells.join(F.broadcast(parent), "feature")
+        .select(
+            "feature",
+            F.round(
+                F.expr(
+                    "CAST(nv*nv - n1v*n1v - (nv-n1v)*(nv-n1v) AS DOUBLE)"
+                    " / (CAST(n AS DOUBLE) * nv)"
+                ),
+                12,
+            ).alias("term"),
+        )
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.col("term").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("g_child"),
+        )
+    )
+    gp = F.expr(
+        "round(CAST(n*n - n1*n1 - (n-n1)*(n-n1) AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * n), 6)"
+    )
+    return parent.join(child, "feature").select(
+        "feature",
+        "n_buckets",
+        gp.alias("gini_parent"),
+        F.round("g_child", 6).alias("gini_children"),
+        F.round(
+            F.expr(
+                "CAST(n*n - n1*n1 - (n-n1)*(n-n1) AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * n)"
+            )
+            - F.col("g_child"),
+            6,
+        ).alias("gini_gain"),
+    )
+
+
+@query(
+    "q234_calibration_ece",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS band,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS split
+      FROM events
+    ),
+    tr AS (
+      SELECT band, COUNT(*) AS n_tr, SUM(y) AS k_tr
+      FROM base WHERE split = 0 GROUP BY 1
+    ),
+    te AS (
+      SELECT band, COUNT(*) AS n_te, SUM(y) AS k_te
+      FROM base WHERE split = 1 GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_te) AS n_test FROM te),
+    bins AS (
+      SELECT te.band, n_tr, k_tr, n_te, k_te, n_test,
+             round(CAST(n_te AS DOUBLE) / n_test
+                   * ABS(CAST(k_te AS DOUBLE)/n_te
+                         - CAST(k_tr AS DOUBLE)/n_tr), 12) AS term
+      FROM te JOIN tr USING (band), tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(MAX(n_test) AS BIGINT) AS n_test,
+           CAST(SUM(CAST(round(CAST(k_tr AS DOUBLE)/n_tr
+                  * CAST(n_te AS DOUBLE)/n_test, 12) AS DECIMAL(38,12)))
+                AS DOUBLE) AS avg_pred_rate,
+           CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS ece
+    FROM bins
+    """,
+    tags=("ml-eval", "calibration", "exact-rational"),
+)
+def q234_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of a histogram-binned purchase-rate
+    model: md5-stable 50/50 train/test split, the model is the per-band
+    training purchase rate, and ECE = sum over bands of
+    (test-band weight) * |test rate - predicted rate| — the reliability-
+    diagram summary that completes the eval family (discrimination: AUC
+    q215 / AP q221; uncertainty: conformal q217 / bootstrap q231;
+    calibration: this).
+
+    Every rate is a ratio of exact integers; each band's term is one
+    double from exact inputs (identical in both engines), 12-dp rounded
+    and DECIMAL-summed (<= 10 bands — the q220/q233 order-independence
+    discipline)."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long").alias(
+            "band"
+        ),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("split"),
+    ).localCheckpoint(eager=True)  # feeds both split aggregates
+    tr = base.where(F.col("split") == 0).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_tr"), F.sum("y").alias("k_tr")
+    )
+    te = base.where(F.col("split") == 1).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_te"), F.sum("y").alias("k_te")
+    )
+    tot = te.agg(F.sum("n_te").alias("n_test"))
+    bins = (
+        te.join(F.broadcast(tr), "band")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_te",
+            "n_test",
+            F.round(
+                F.col("n_te").cast("double")
+                / F.col("n_test")
+                * F.abs(
+                    F.col("k_te").cast("double") / F.col("n_te")
+                    - F.col("k_tr").cast("double") / F.col("n_tr")
+                ),
+                12,
+            ).alias("term"),
+            F.round(
+                F.col("k_tr").cast("double")
+                / F.col("n_tr")
+                * F.col("n_te").cast("double")
+                / F.col("n_test"),
+                12,
+            ).alias("pred_w"),
+        )
+    )
+    return bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.max("n_test").cast("long").alias("n_test"),
+        F.sum(F.col("pred_w").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("avg_pred_rate"),
+        F.sum(F.col("term").cast("decimal(38,12)")).cast("double").alias("ece"),
+    )
+
+
+def _label_spread_oracle(steps: int = 3, k: int = 5, thr: str = "0.3") -> str:
+    """kNN graph + unrolled clamped label propagation.  Every level is
+    MATERIALIZED: l(k-1) is referenced twice per level (carry + votes),
+    which would otherwise re-evaluate the chain 2^steps times."""
+    levels = []
+    for s in range(1, steps + 1):
+        levels.append(
+            f"""l{s} AS MATERIALIZED (
+  SELECT l.id, COALESCE(l.lab, b.newlab) AS lab
+  FROM l{s - 1} l LEFT JOIN (
+    SELECT src AS id, nlab AS newlab FROM (
+      SELECT kg.src, c.lab AS nlab,
+             ROW_NUMBER() OVER (PARTITION BY kg.src
+                                ORDER BY COUNT(*) DESC, c.lab) AS rn
+      FROM knn kg JOIN l{s - 1} c ON kg.dst = c.id
+      WHERE c.lab IS NOT NULL
+      GROUP BY kg.src, c.lab
+    ) WHERE rn = 1
+  ) b USING (id)
+)"""
+        )
+    return f"""
+    WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vv, label
+               FROM embeddings),
+    pairs AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst,
+             round(list_cosine_similarity(a.vv, b.vv), 6) AS cosine
+      FROM v a JOIN v b ON a.id <> b.id
+      WHERE round(list_cosine_similarity(a.vv, b.vv), 6) >= {thr}
+    ),
+    knn AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY cosine DESC, dst) AS rn
+        FROM pairs
+      ) WHERE rn <= {k}
+    ),
+    l0 AS (SELECT id, CASE WHEN id % 10 < 2 THEN label END AS lab FROM v),
+    {",".join(levels)},
+    seedn AS (SELECT COUNT(*) AS n_seed FROM v WHERE id % 10 < 2),
+    ev AS (
+      SELECT COUNT(*) AS n_holdout, COUNT(f.lab) AS n_predicted,
+             SUM(CASE WHEN f.lab = v.label THEN 1 ELSE 0 END) AS n_correct
+      FROM l{steps} f JOIN v USING (id) WHERE id % 10 >= 2
+    )
+    SELECT CAST(n_seed AS BIGINT) AS n_seed,
+           CAST(n_holdout AS BIGINT) AS n_holdout,
+           CAST(n_predicted AS BIGINT) AS n_predicted,
+           CAST((2*n_predicted*1000000 + n_holdout) // (2*n_holdout)
+                AS DOUBLE) / 1000000 AS coverage,
+           CAST((2*n_correct*1000000 + n_predicted) // (2*n_predicted)
+                AS DOUBLE) / 1000000 AS accuracy
+    FROM seedn, ev
+    """
+
+
+@query(
+    "q235_label_spreading",
+    oracle=_label_spread_oracle(),
+    tags=("ml-train", "semi-supervised", "graph", "ann"),
+)
+def q235_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading: 20% of the embedding corpus
+    keeps its ground-truth label (md5-free deterministic id % 10 < 2
+    seed split), a 5-NN cosine graph connects the rest, and 3 clamped
+    majority-vote supersteps spread labels outward; report holdout
+    coverage and accuracy.  The query composes three families end to
+    end: the blocked-GEMM exact pair kernel (ANN), the Pregel-style
+    clamped propagation loop (graph), and the exact-rational eval
+    (ML-eval).
+
+    Scale plan: pairs come from operators/ann.cosine_neardup_pairs
+    (O(n·B·d) shuffle, never a per-pair self-join); the top-5 cut is a
+    high-cardinality-key rank window (WindowGroupLimit pushes the cut
+    map-side); each superstep is one keyed join + count-argmax with the
+    assignment pinned (loop discipline); ties break (count desc, label
+    asc) — the LPA min-label convention.  Sticky assignment (a node
+    never relabels once set) makes the 3-step result order-independent
+    and the unrolled SQL twin exact."""
+    from ..operators.ann import cosine_neardup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(emb, threshold=0.3)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
+    ).union(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cosine"
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    knn = (
+        edges.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= 5)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # reused every superstep
+    )
+    truth = emb.select(F.col("vec_id").alias("id"), "label")
+    cur = truth.select(
+        "id",
+        F.when(F.col("id") % 10 < 2, F.col("label")).alias("lab"),
+    ).localCheckpoint(eager=True)
+    for _ in range(3):
+        votes = (
+            knn.join(
+                cur.select(F.col("id").alias("dst"), F.col("lab").alias("nlab")),
+                "dst",
+            )
+            .where(F.col("nlab").isNotNull())
+            .groupBy("src", "nlab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        wv = Window.partitionBy("src").orderBy(F.desc("cnt"), "nlab")
+        best = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("id"), F.col("nlab").alias("newlab"))
+        )
+        cur = (
+            cur.join(best, "id", "left")
+            .select("id", F.coalesce("lab", "newlab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    seedn = truth.where(F.col("id") % 10 < 2).agg(
+        F.count(F.lit(1)).alias("n_seed")
+    )
+    ev = (
+        cur.join(truth, "id")
+        .where(F.col("id") % 10 >= 2)
+        .agg(
+            F.count(F.lit(1)).alias("n_holdout"),
+            F.count("lab").alias("n_predicted"),
+            F.sum(
+                F.when(F.col("lab") == F.col("label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )
+    return seedn.crossJoin(F.broadcast(ev)).select(
+        "n_seed",
+        "n_holdout",
+        "n_predicted",
+        (
+            F.expr(
+                "(2*n_predicted*1000000 + n_holdout) div (2*n_holdout)"
+            ).cast("double")
+            / 1_000_000
+        ).alias("coverage"),
+        (
+            F.expr(
+                "(2*n_correct*1000000 + n_predicted) div (2*n_predicted)"
+            ).cast("double")
+            / 1_000_000
+        ).alias("accuracy"),
     )
 
 

@@ -690,3 +690,79 @@ def cdc_apply_stream(changes: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_STREAM_SCHEMA = StructType(
+    [
+        StructField("r", LongType()),
+        StructField("gen", LongType()),
+        StructField("b", LongType()),
+        StructField("c", LongType()),
+    ]
+)
+
+
+def _cms_state(width: int) -> StructType:
+    from pyspark.sql.types import ArrayType
+
+    return StructType(
+        [
+            StructField("gen", LongType()),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+
+def cms_stream(items: DataFrame, width: int = 128, depth: int = 3) -> DataFrame:
+    """Streaming count-min — the unbounded-feed twin of the batch kernel
+    (operators/countmin.cms_sketch): each input item fans out to the
+    ``depth`` hash rows; state per row r is the width-long counter
+    array, advanced once per micro-batch.  Emits the row's nonzero cells
+    every trigger with a generation counter.
+
+    Because the update is pure integer addition, the snapshot after any
+    trigger equals the batch sketch of everything fed so far — not just
+    under the replayed slicing but under ANY slicing (stronger than the
+    MG twin, whose trim is slicing-dependent).  State is exactly
+    depth * width longs, O(1) in stream length."""
+    import numpy as np
+
+    from ..operators.countmin import bucket_py
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (r,) = key
+        if state.exists:
+            gen, counts = state.get
+            acc = np.asarray(counts, dtype=np.int64)
+        else:
+            gen, acc = 0, np.zeros(width, dtype=np.int64)
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                acc[bucket_py(int(r), item, width)] += int(c)
+        gen += 1
+        state.update((gen, [int(x) for x in acc]))
+        nz = np.nonzero(acc)[0]
+        yield pd.DataFrame(
+            {
+                "r": np.full(len(nz), r, dtype=np.int64),
+                "gen": np.full(len(nz), gen, dtype=np.int64),
+                "b": nz.astype(np.int64),
+                "c": acc[nz],
+            }
+        )
+
+    fanout = items.select(
+        F.explode(F.array(*[F.lit(r).cast("long") for r in range(depth)])).alias(
+            "r"
+        ),
+        F.col("item").cast("string").alias("item"),
+    )
+    return fanout.groupBy("r").applyInPandasWithState(
+        update,
+        outputStructType=CMS_STREAM_SCHEMA,
+        stateStructType=_cms_state(width),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -85,3 +85,61 @@ def gram_exact(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
         .localCheckpoint(eager=True)
     )
+
+
+def power_iterate_table(
+    am: DataFrame, dim: int, iterations: int = 8, v0: float = 0.125
+) -> DataFrame:
+    """Power iteration over a BOUNDED (i, j, a) matrix table as ONE task.
+
+    The d x d matrix is constant-sized by contract (d is the embedding
+    width, never the corpus), so 8 distributed supersteps would buy
+    nothing and cost 8 shuffle rounds plus a nested broadcast chain —
+    measured 13.5 s at sf0.1 for 4096 rows.  The right physical plan is
+    a single mapInPandas task over the coalesced table: build the dense
+    matrix, iterate in numpy, emit (dim, loading, eigval_share).
+
+    Arithmetic replays the declarative form exactly: per-step
+    renormalized iterates rounded to 6 dp with the sign-aware
+    floor(x*1e6 + 0.5) / ceil(x*1e6 - 0.5) snap — Spark round()'s
+    HALF-AWAY-FROM-ZERO, NOT numpy's half-even (the ann kernel lesson);
+    the Rayleigh share is the rounded L2 norm of the final matvec."""
+    schema = "dim int, loading double, eigval_share double"
+
+    def kernel(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if not len(pdf):
+            return
+        a = np.zeros((dim, dim))
+        a[pdf["i"].to_numpy() - 1, pdf["j"].to_numpy() - 1] = pdf[
+            "a"
+        ].to_numpy()
+
+        def r6(x):
+            return (
+                np.where(
+                    x >= 0,
+                    np.floor(x * 1e6 + 0.5),
+                    np.ceil(x * 1e6 - 0.5),
+                )
+                / 1e6
+            )
+
+        v = np.full(dim, v0)
+        for _ in range(iterations):
+            u = a @ v
+            v = r6(u / np.sqrt((u * u).sum()))
+        u9 = a @ v
+        lam = float(r6(np.sqrt((u9 * u9).sum())))
+        yield pd.DataFrame(
+            {
+                "dim": np.arange(1, dim + 1, dtype=np.int32),
+                "loading": v,
+                "eigval_share": lam,
+            }
+        )
+
+    return am.coalesce(1).mapInPandas(kernel, schema)

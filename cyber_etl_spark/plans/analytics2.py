@@ -357,8 +357,13 @@ def q222_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = F.col("sq").cast("double") / (100 * F.col("n"))
     var = F.col("ssq").cast("double") / (10000 * F.col("n")) - mu * mu
+    # spread before pinning: the events scan is one split at small SFs,
+    # and every IRLS pass would otherwise run its exp()-heavy aggregate
+    # on a single core (the q230 lesson)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     xb = (
-        base.crossJoin(F.broadcast(stats))
+        base.repartition(nparts)
+        .crossJoin(F.broadcast(stats))
         .select(
             "y",
             ((F.col("q").cast("double") / 100 - mu) / F.sqrt(var)).alias("x"),
@@ -828,42 +833,18 @@ def q223_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tr = cov.where(F.col("i") == F.col("j")).agg(F.sum("c").alias("t"))
-    am = (
-        cov.crossJoin(F.broadcast(tr))
-        .select(
-            "i",
-            "j",
-            F.round(F.col("c").cast("double") / F.col("t").cast("double"), 12)
-            .alias("a"),
-        )
-        .localCheckpoint(eager=True)  # the 9 matvecs' shared input
+    am = cov.crossJoin(F.broadcast(tr)).select(
+        "i",
+        "j",
+        F.round(F.col("c").cast("double") / F.col("t").cast("double"), 12)
+        .alias("a"),
     )
-    v = spark.range(1, 65).select(
-        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("v")
-    )
+    # the d x d eigen-iteration is constant-sized: one task, not 8
+    # shuffle supersteps (operators/pca.power_iterate_table — 13.5 s ->
+    # ~1 s at sf0.1; the corpus-scale work above is untouched)
+    from ..operators.pca import power_iterate_table
 
-    def matvec(vdf: DataFrame) -> DataFrame:
-        return (
-            am.join(
-                F.broadcast(vdf.select(F.col("i").alias("j"), "v")), "j"
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("a") * F.col("v")).alias("u"))
-        )
-
-    for _ in range(8):
-        u = matvec(v)
-        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
-        v = u.crossJoin(F.broadcast(nrm)).select(
-            "i", F.round(F.col("u") / F.col("nrm"), 6).alias("v")
-        )
-    v = v.localCheckpoint(eager=True)  # loadings + the Rayleigh matvec
-    lam = matvec(v).agg(
-        F.round(F.sqrt(F.sum(F.col("u") * F.col("u"))), 6).alias("eigval_share")
-    )
-    return v.crossJoin(F.broadcast(lam)).select(
-        F.col("i").alias("dim"), F.col("v").alias("loading"), "eigval_share"
-    )
+    return power_iterate_table(am, dim=64, iterations=8)
 
 
 @query(
@@ -1433,15 +1414,20 @@ def q229_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n
       FROM base
     ),
+    hashed AS (
+      SELECT cents, g.g AS g,
+             md5(CAST(event_id AS VARCHAR) || ':' || CAST(g.g AS VARCHAR))
+               AS h
+      FROM base CROSS JOIN range(0, 16) g(g)
+    ),
     perm AS (
-      SELECT t.b,
-             CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
-                          || ':' || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT)
+      SELECT 4*g + l.l AS b,
+             CASE WHEN CAST(('0x' || substr(h, 1 + 8*l.l, 8)) AS BIGINT)
                        * (SELECT n FROM obs)
                      < (SELECT n1 FROM obs) * 4294967296
                   THEN 1 ELSE 0 END AS yb,
              cents
-      FROM base CROSS JOIN range(0, 64) t(b)
+      FROM hashed CROSS JOIN range(0, 4) l(l)
     ),
     pstat AS (
       SELECT b, SUM(yb) AS pn1, COUNT(*) - SUM(yb) AS pn0,
@@ -1494,32 +1480,52 @@ def q230_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("y") == 0, F.col("cents")).otherwise(0)).alias("s0"),
         F.count(F.lit(1)).alias("n"),
     ).localCheckpoint(eager=True)  # broadcast into the replicate pass
-    perm = (
-        base.crossJoin(F.broadcast(obs))
+    # one md5 per (row, g) yields FOUR independent 32-bit uniforms
+    # (md5's 128 bits split into lanes) — 4x less hashing than one call
+    # per replicate, measured 5.0 -> ~2 s at sf0.1
+    # events at small SFs is a single parquet split: without a spread
+    # the x64 fan-out and all its hashing would run on ONE core.  At
+    # cluster scale the scan already has thousands of splits and AQE
+    # would keep this a cheap no-op-ish round-robin of the raw rows.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    hashed = (
+        base.repartition(nparts)
+        .crossJoin(F.broadcast(obs))
         .select(
-            "event_id",
             "cents",
             "n",
             "n1",
-            F.explode(F.array(*[F.lit(b) for b in range(64)])).alias("b"),
+            F.explode(F.array(*[F.lit(g) for g in range(16)])).alias("g"),
+            "event_id",
         )
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("g").cast("string"),
+                )
+            ),
+        )
+    )
+    perm = (
+        hashed.select(
+            "cents",
+            "n",
+            "n1",
+            "g",
+            "h",
+            F.explode(F.array(*[F.lit(lane) for lane in range(4)])).alias(
+                "l"
+            ),
+        )
+        .withColumn("b", 4 * F.col("g") + F.col("l"))
         .withColumn(
             "yb",
             F.when(
                 F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("event_id").cast("string"),
-                                F.lit(":"),
-                                F.col("b").cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
+                    F.substring(F.col("h"), 1 + 8 * F.col("l"), 8), 16, 10
                 ).cast("bigint")
                 * F.col("n")
                 < F.col("n1") * F.lit(4294967296),
@@ -1642,10 +1648,20 @@ def q231_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break.  Scale: B multiplies CPU only — every replicate aggregate
     is map-side combinable, the shuffle carries B partials per task."""
     ev = read_table(spark, sf_dir, "events")
-    base = ev.where(F.col("event_type") == "purchase").select(
-        "event_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
-    ).localCheckpoint(eager=True)  # feeds replicates + the point estimate
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        # spread before pinning: one parquet split would otherwise put
+        # the x50 hash fan-out on a single core (the q230 lesson)
+        .repartition(nparts)
+        .localCheckpoint(eager=True)  # feeds replicates + the point estimate
+    )
     u = F.conv(
         F.substring(
             F.md5(

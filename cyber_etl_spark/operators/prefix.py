@@ -52,20 +52,24 @@ def _ranged_partials(
     df: DataFrame,
     group_cols: Sequence[str],
     order_cols: Sequence[str],
-    partial_agg: Column,
+    partial_aggs: Sequence[Column],
     num_partitions: int | None,
     pin_input: bool = False,
     combine: str = "sum",
 ) -> tuple[DataFrame, DataFrame]:
     """Range-partition ``df`` and derive the (pid, group) offset table.
 
-    Returns ``(ranged, offsets)`` where ``ranged`` carries a ``_pid``
-    column and ``offsets`` has one row per (``_pid``, group) with
-    ``_off`` (exclusive prefix of ``partial_agg`` over ascending pid
-    within the group) and ``_tot`` (the group's grand total).
+    ``partial_aggs`` is a list: ONE range shuffle and ONE control table
+    serve any number of aligned prefix aggregates (single-aggregate
+    kernels pass a 1-list).  Returns ``(ranged, offsets)`` where
+    ``ranged`` carries a ``_pid`` column and ``offsets`` has one row
+    per (``_pid``, group) with ``_off_i`` (exclusive prefix of the
+    i-th aggregate over ascending pid within the group) and ``_tot_i``
+    (the group's grand total of it).
     """
     spark = df.sparkSession
     group_cols = list(group_cols)
+    partial_aggs = list(partial_aggs)
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # repartitionByRange SAMPLES its child to pick boundaries, so the
@@ -85,13 +89,14 @@ def _ranged_partials(
     # plan-audit test (tests/test_plans.py) can tell a bounded control
     # window from a full-data window over the same low-cardinality key —
     # and still fail if a query reverts to the naive single-task window.
+    k = len(partial_aggs)
     partials = (
         ranged.groupBy("_pid", *group_cols)
-        .agg(partial_agg.alias("_psum"))
+        .agg(*[a.alias(f"_psum_{i}") for i, a in enumerate(partial_aggs)])
         .select(
             "_pid",
             *[F.col(c).alias(f"_gp_{c}") for c in group_cols],
-            "_psum",
+            *[f"_psum_{i}" for i in range(k)],
         )
     )
     gp_cols = [f"_gp_{c}" for c in group_cols]
@@ -104,17 +109,13 @@ def _ranged_partials(
     else:
         wg = Window.partitionBy(*gp_cols)
     agg_fn = F.sum if combine == "sum" else F.max
-    off = agg_fn("_psum").over(
-        wg.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    )
+    wexcl = wg.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     # ordered by _pid (harmless under the unbounded frame) so the spec
     # keeps a `_pid` marker even when Catalyst folds the constant
     # `_gp__global` partition column away (global case) — the plan
     # audit identifies kernel windows by those markers
-    tot = agg_fn("_psum").over(
-        wg.orderBy("_pid").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
+    wall = wg.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     # _off stays RAW (NULL when no prior partition carries mass): each
     # caller applies its own identity — 0 for counts, NULL-propagating
@@ -127,8 +128,8 @@ def _ranged_partials(
     offsets = partials.select(
         F.col("_pid").alias("_opid"),
         *[F.col(g).alias(f"_og_{c}") for g, c in zip(gp_cols, group_cols)],
-        off.alias("_off"),
-        tot.alias("_tot"),
+        *[agg_fn(f"_psum_{i}").over(wexcl).alias(f"_off_{i}") for i in range(k)],
+        *[agg_fn(f"_psum_{i}").over(wall).alias(f"_tot_{i}") for i in range(k)],
     )
     return ranged, offsets
 
@@ -143,6 +144,15 @@ def _join_offsets(
         cond = cond & F.col(c).eqNullSafe(F.col(f"_og_{c}"))
     return ranged.join(F.broadcast(offsets), cond).drop(
         "_opid", *[f"_og_{c}" for c in group_cols]
+    )
+
+
+def _local_window(group_cols: Sequence[str], order_cols: Sequence[str]):
+    """The partition-local cumulative window every kernel shares."""
+    return (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
 
@@ -169,22 +179,20 @@ def running_total(
     need totals should NOT re-aggregate the data; review r7)."""
     group_cols = list(group_cols)
     ranged, offsets = _ranged_partials(
-        df, group_cols, order_cols, F.sum(value_col), num_partitions, pin_input
+        df, group_cols, order_cols, [F.sum(value_col)], num_partitions,
+        pin_input,
     )
     if total_col is None:
-        offsets = offsets.drop("_tot")
+        offsets = offsets.drop("_tot_0")
     joined = _join_offsets(ranged, offsets, group_cols)
-    wl = (
-        Window.partitionBy("_pid", *group_cols)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = F.sum(value_col).over(wl)
+    local = F.sum(value_col).over(_local_window(group_cols, order_cols))
     run = F.when(
-        local.isNull() & F.col("_off").isNull(), F.lit(None)
-    ).otherwise(F.coalesce(local, F.lit(0)) + F.coalesce(F.col("_off"), F.lit(0)))
-    out = joined.withColumn(out_col, run).drop("_pid", "_off")
-    return out.withColumnRenamed("_tot", total_col) if total_col else out
+        local.isNull() & F.col("_off_0").isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(local, F.lit(0)) + F.coalesce(F.col("_off_0"), F.lit(0))
+    )
+    out = joined.withColumn(out_col, run).drop("_pid", "_off_0")
+    return out.withColumnRenamed("_tot_0", total_col) if total_col else out
 
 
 def running_totals(
@@ -211,51 +219,15 @@ def running_totals(
     identity is used, not the NULL-propagating window-SUM emulation of
     :func:`running_total` — callers with NULL semantics needs should
     coalesce first)."""
-    spark = df.sparkSession
-    group_cols = list(group_cols)
     specs = list(specs)
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if pin_input:
-        df = df.localCheckpoint(eager=True)
-    ranged = (
-        df.repartitionByRange(num_partitions, *group_cols, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    group_cols = list(group_cols)
+    ranged, offsets = _ranged_partials(
+        df, group_cols, order_cols, [F.sum(v) for v, _ in specs],
+        num_partitions, pin_input,
     )
-    # control table: |partitions| x |groups| rows, `_gp_`-aliased keys so
-    # the plan audit recognizes the bounded control window (see module
-    # docstring) — one row carries ALL partial sums.
-    partials = (
-        ranged.groupBy("_pid", *group_cols)
-        .agg(*[F.sum(v).alias(f"_psum_{i}") for i, (v, _) in enumerate(specs)])
-        .select(
-            "_pid",
-            *[F.col(c).alias(f"_gp_{c}") for c in group_cols],
-            *[f"_psum_{i}" for i in range(len(specs))],
-        )
-    )
-    gp_cols = [f"_gp_{c}" for c in group_cols]
-    if not gp_cols:
-        partials = partials.withColumn("_gp__global", F.lit(0))
-        wg = Window.partitionBy("_gp__global")
-    else:
-        wg = Window.partitionBy(*gp_cols)
-    wexcl = wg.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = partials.select(
-        F.col("_pid").alias("_opid"),
-        *[F.col(g).alias(f"_og_{c}") for g, c in zip(gp_cols, group_cols)],
-        *[
-            F.sum(f"_psum_{i}").over(wexcl).alias(f"_off_{i}")
-            for i in range(len(specs))
-        ],
-    )
+    offsets = offsets.drop(*[f"_tot_{i}" for i in range(len(specs))])
     joined = _join_offsets(ranged, offsets, group_cols)
-    wl = (
-        Window.partitionBy("_pid", *group_cols)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wl = _local_window(group_cols, order_cols)
     out = joined
     for i, (v, out_col) in enumerate(specs):
         out = out.withColumn(
@@ -280,17 +252,17 @@ def global_ranks(
     per-group single-task sort."""
     group_cols = list(group_cols)
     ranged, offsets = _ranged_partials(
-        df, group_cols, order_cols, F.count(F.lit(1)), num_partitions
+        df, group_cols, order_cols, [F.count(F.lit(1))], num_partitions
     )
     joined = _join_offsets(ranged, offsets, group_cols)
     wl = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
     return (
         joined.withColumn(
             rn_col,
-            F.row_number().over(wl) + F.coalesce(F.col("_off"), F.lit(0)),
+            F.row_number().over(wl) + F.coalesce(F.col("_off_0"), F.lit(0)),
         )
-        .withColumnRenamed("_tot", total_col)
-        .drop("_pid", "_off")
+        .withColumnRenamed("_tot_0", total_col)
+        .drop("_pid", "_off_0")
     )
 
 
@@ -330,10 +302,10 @@ def running_max(
     objective exceeds the exclusive prefix max."""
     group_cols = list(group_cols)
     ranged, offsets = _ranged_partials(
-        df, group_cols, order_cols, F.max(value_col), num_partitions,
+        df, group_cols, order_cols, [F.max(value_col)], num_partitions,
         pin_input, combine="max",
     )
-    joined = _join_offsets(ranged, offsets.drop("_tot"), group_cols)
+    joined = _join_offsets(ranged, offsets.drop("_tot_0"), group_cols)
     end = Window.currentRow if inclusive else -1
     wl = (
         Window.partitionBy("_pid", *group_cols)
@@ -341,6 +313,6 @@ def running_max(
         .rowsBetween(Window.unboundedPreceding, end)
     )
     local = F.max(value_col).over(wl)
-    return joined.withColumn(out_col, F.greatest(local, F.col("_off"))).drop(
-        "_pid", "_off"
+    return joined.withColumn(out_col, F.greatest(local, F.col("_off_0"))).drop(
+        "_pid", "_off_0"
     )

@@ -35,6 +35,32 @@ from .registry import query
 _DAY_GRID_CACHE: dict[tuple, DataFrame] = SessionMemo()
 
 
+def _ha6(num: str, den: str) -> F.Column:
+    """round(num/den, 6) for an EXACT integer rational with num >= 0,
+    den > 0, as pure integer half-away division — THE module rounding
+    idiom (a plain round() of a rational can hit a .5e-6 tie that Spark
+    and DuckDB resolve differently; see the module docstring).
+    Overflow contract: 2*num*1e6 must fit the input type — widen num/den
+    to DECIMAL(38,0) IN THE EXPRESSION when n^2-scale (q215's
+    review-corrected lesson: the *1e6 multiply, not the statistic,
+    is what overflows first).  Negative-capable numerators need the
+    sign-aware CASE form (q225)."""
+    return (
+        F.expr(f"(2*({num})*1000000 + ({den})) div (2*({den}))").cast(
+            "double"
+        )
+        / 1_000_000
+    )
+
+
+def _ha6_sql(num: str, den: str) -> str:
+    """DuckDB text twin of :func:`_ha6` (// instead of div)."""
+    return (
+        f"CAST((2*({num})*1000000 + ({den})) // (2*({den})) AS DOUBLE)"
+        " / 1000000"
+    )
+
+
 def _day_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized per-(session, dataset) daily count grid
     (event_type, day, cnt), pinned — shared by the trend/change-point
@@ -66,8 +92,10 @@ def _day_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
-           CAST((2*(r2 - n_pos*(n_pos+1))*1000000 + 2*n_pos*n_neg)
-                // (4*n_pos*n_neg) AS DOUBLE) / 1000000 AS auc
+           CAST((2*(CAST(r2 AS HUGEINT) - CAST(n_pos AS HUGEINT)*(n_pos+1))
+                   *1000000 + 2*CAST(n_pos AS HUGEINT)*n_neg)
+                // (4*CAST(n_pos AS HUGEINT)*n_neg) AS DOUBLE) / 1000000
+             AS auc
     FROM r
     """,
     tags=("ml-eval", "rank", "prefix-kernel"),
@@ -84,9 +112,13 @@ def q215_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-table window, no sort of the raw data.  The average rank of a
     tied score group falls out of (cum_n, n) arithmetic: twice the rank
     sum stays integral (2*avg_rank = 2*cum_n - n + 1), so the whole
-    statistic is an exact bigint rational until the final 6-dp rounding
-    (integer half-away division; fits bigint through ~1e8 rows — the
-    100 TB variant casts the two products to DECIMAL(38,0)/HUGEINT)."""
+    statistic is an exact integer rational until the final 6-dp
+    rounding, computed in DECIMAL(38,0)/HUGEINT: the rounding multiply
+    2*num*1e6 ~ n^2/2 * 1e6 would exceed int64 at only ~4M rows (the
+    review-corrected bound — the bigint rank-sum aggregate itself is
+    good to ~2e9 rows; beyond that the sum input needs the decimal cast
+    too), and the widening is free because the division runs on ONE
+    already-aggregated row."""
     from ..operators.prefix import running_total
 
     ev = read_table(spark, sf_dir, "events")
@@ -105,8 +137,10 @@ def q215_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         (
             F.expr(
-                "(2*(r2 - n_pos*(n_pos+1))*1000000 + 2*n_pos*n_neg)"
-                " div (4*n_pos*n_neg)"
+                "(2*(CAST(r2 AS DECIMAL(38,0))"
+                "    - CAST(n_pos AS DECIMAL(38,0))*(n_pos+1))*1000000"
+                " + 2*CAST(n_pos AS DECIMAL(38,0))*n_neg)"
+                " div (4*CAST(n_pos AS DECIMAL(38,0))*n_neg)"
             ).cast("double")
             / 1_000_000
         ).alias("auc"),
@@ -256,9 +290,7 @@ def q216_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
-            (
-                F.expr("(2*anum*1000000 + nd) div (2*nd)").cast("double") / 1_000_000
-            ).alias("s_abs"),
+            _ha6("anum", "nd").alias("s_abs"),
             F.col("nd").alias("n_days"),
         )
     )
@@ -419,10 +451,7 @@ def q222_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "b0",
             "b1",
-            (
-                F.expr("(2*n_correct*1000000 + n) div (2*n)").cast("double")
-                / 1_000_000
-            ).alias("accuracy"),
+            _ha6("n_correct", "n").alias("accuracy"),
         )
     )
 
@@ -566,10 +595,7 @@ def q217_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.round("q_hat", 6).alias("q_hat"),
         "n_test",
-        (
-            F.expr("(2*n_in*1000000 + n_test) div (2*n_test)").cast("double")
-            / 1_000_000
-        ).alias("coverage"),
+        _ha6("n_in", "n_test").alias("coverage"),
     )
 
 
@@ -637,18 +663,22 @@ def q218_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("direct"))
         .alias("channel")
     )
-    tot = attributed.agg(F.count(F.lit(1)).alias("n_total"))
-    return (
+    # aggregate ONCE: the channel counts are the only consumer of the
+    # full per-user window pass; n_total is their sum (pinned <=5-row
+    # table — an unpinned `attributed.agg` twin would re-run the whole
+    # window sort per consumer; review r7 batch-2 finding)
+    counts = (
         attributed.groupBy("channel")
         .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(tot))
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(F.sum("n").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
         .select(
             "channel",
             "n",
-            (
-                F.expr("(2*n*1000000 + n_total) div (2*n_total)").cast("double")
-                / 1_000_000
-            ).alias("share"),
+            _ha6("n", "n_total").alias("share"),
         )
     )
 
@@ -699,11 +729,15 @@ def q219_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("digit")
     )
-    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    tot = digits.agg(F.count(F.lit(1)).alias("n_total"))
-    obs = F.expr("(2*n*1000000 + n_total) div (2*n_total)").cast(
-        "double"
-    ) / F.lit(1_000_000.0)
+    # pinned: n_total is the SUM over the <=9-row count table — a
+    # second `digits.agg` pass would re-scan orders (review r7-2)
+    counts = (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(F.sum("n").alias("n_total"))
+    obs = _ha6("n", "n_total")
     exp = F.round(F.log10(1 + 1 / F.col("digit").cast("double")), 6)
     return (
         counts.crossJoin(F.broadcast(tot))
@@ -912,6 +946,9 @@ def q224_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), "token")
         .limit(20)
+        # pinned: feeds the probe build AND the final join — unpinned,
+        # the groupBy + TakeOrdered would execute twice (review r7-2)
+        .localCheckpoint(eager=True)
     )
     est = cms_estimate(sketch, top, "token", width=128, depth=3)
     return top.join(est, "token").select(
@@ -1032,10 +1069,7 @@ def q225_clustering_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nt").alias("n"),
             F.col("n_clusters").cast("long").alias("n_clusters"),
             F.col("n_labels").cast("long").alias("n_labels"),
-            (
-                F.expr("(2*pur*1000000 + nt) div (2*nt)").cast("double")
-                / 1_000_000
-            ).alias("purity"),
+            _ha6("pur", "nt").alias("purity"),
             (
                 # DECIMAL(38,0): 2*num*1e6 exceeds BIGINT beyond ~sf0.1
                 F.expr(
@@ -1101,9 +1135,7 @@ def q226_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "k",
-        (
-            F.expr("(2*k*1000000 + n) div (2*n)").cast("double") / 1_000_000
-        ).alias("p_hat"),
+        _ha6("k", "n").alias("p_hat"),
         F.round((ph + z2 / (2 * F.col("n")) - half) / denom, 6).alias("ci_lo"),
         F.round((ph + z2 / (2 * F.col("n")) + half) / denom, 6).alias("ci_hi"),
     )
@@ -1468,11 +1500,15 @@ def q230_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries 64 partial rows per task, and B scales the CPU, not the
     shuffle."""
     ev = read_table(spark, sf_dir, "events")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = ev.select(
         "event_id",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
-    )
+    ).repartition(nparts).localCheckpoint(eager=True)
+    # pinned + spread: feeds the observed aggregate AND the x64 hash
+    # fan-out (review r7-2: q231's identical shape already pinned), and
+    # the single parquet split would put the fan-out on one core
     obs = base.agg(
         F.sum("y").alias("n1"),
         (F.count(F.lit(1)) - F.sum("y")).alias("n0"),
@@ -1483,14 +1519,8 @@ def q230_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one md5 per (row, g) yields FOUR independent 32-bit uniforms
     # (md5's 128 bits split into lanes) — 4x less hashing than one call
     # per replicate, measured 5.0 -> ~2 s at sf0.1
-    # events at small SFs is a single parquet split: without a spread
-    # the x64 fan-out and all its hashing would run on ONE core.  At
-    # cluster scale the scan already has thousands of splits and AQE
-    # would keep this a cheap no-op-ish round-robin of the raw rows.
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     hashed = (
-        base.repartition(nparts)
-        .crossJoin(F.broadcast(obs))
+        base.crossJoin(F.broadcast(obs))
         .select(
             "cents",
             "n",
@@ -1571,12 +1601,7 @@ def q230_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("s0").cast("double") / F.col("n0") / 100,
             6,
         ).alias("diff_obs"),
-        (
-            F.expr(
-                "(2*(1 + n_extreme)*1000000 + (nb + 1)) div (2*(nb + 1))"
-            ).cast("double")
-            / 1_000_000
-        ).alias("p_value"),
+        _ha6("(1 + n_extreme)", "(nb + 1)").alias("p_value"),
     )
 
 
@@ -1791,12 +1816,7 @@ def q232_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "then_type",
         "n_supporting",
         "n_users",
-        (
-            F.expr(
-                "(2*n_supporting*1000000 + n_users) div (2*n_users)"
-            ).cast("double")
-            / 1_000_000
-        ).alias("support"),
+        _ha6("n_supporting", "n_users").alias("support"),
     )
 
 
@@ -1859,7 +1879,9 @@ def q233_gini_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     base = ev.select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
-        (F.hour("ts").cast("long") / 6).cast("long").alias("f_daypart"),
+        # `div`, never `/`+cast: long `/` is double division whose
+        # truncation can flip at exact multiples (the q201 convention)
+        F.expr("CAST(hour(ts) AS BIGINT) div 6").alias("f_daypart"),
         (F.dayofweek("ts") - 1).cast("long").alias("f_weekday"),
         F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long").alias(
             "f_valueband"
@@ -2162,18 +2184,8 @@ def q235_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_seed",
         "n_holdout",
         "n_predicted",
-        (
-            F.expr(
-                "(2*n_predicted*1000000 + n_holdout) div (2*n_holdout)"
-            ).cast("double")
-            / 1_000_000
-        ).alias("coverage"),
-        (
-            F.expr(
-                "(2*n_correct*1000000 + n_predicted) div (2*n_predicted)"
-            ).cast("double")
-            / 1_000_000
-        ).alias("accuracy"),
+        _ha6("n_predicted", "n_holdout").alias("coverage"),
+        _ha6("n_correct", "n_predicted").alias("accuracy"),
     )
 
 

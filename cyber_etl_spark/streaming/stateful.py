@@ -702,7 +702,10 @@ CMS_STREAM_SCHEMA = StructType(
 )
 
 
-def _cms_state(width: int) -> StructType:
+def _cms_state() -> StructType:
+    # the array field is unbounded in the SCHEMA — width is enforced by
+    # the update function, not here (a width parameter would imply a
+    # checkpoint-compatibility check this struct cannot perform)
     from pyspark.sql.types import ArrayType
 
     return StructType(
@@ -762,7 +765,7 @@ def cms_stream(items: DataFrame, width: int = 128, depth: int = 3) -> DataFrame:
     return fanout.groupBy("r").applyInPandasWithState(
         update,
         outputStructType=CMS_STREAM_SCHEMA,
-        stateStructType=_cms_state(width),
+        stateStructType=_cms_state(),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

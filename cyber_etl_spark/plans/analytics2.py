@@ -2189,6 +2189,322 @@ def q235_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _markov_oracle(steps: int = 40) -> str:
+    """Unrolled absorption-probability iteration a = Q a + r over the
+    (variant, i, j, p) matrix table — conv encoded as j='__conv' with
+    a==1, so one chain serves the base chain and every removed-channel
+    variant.  Each level references only the previous one; mt is
+    MATERIALIZED."""
+    levels = ["a0 AS (SELECT DISTINCT variant, i, 0.0 AS a FROM mt)"]
+    for k in range(1, steps + 1):
+        levels.append(
+            f"""a{k} AS {"MATERIALIZED " if k % 10 == 0 else ""}(
+  SELECT m.variant, m.i,
+         round(SUM(m.p * CASE WHEN m.j = '__conv' THEN 1.0
+                              ELSE COALESCE(x.a, 0.0) END), 12) AS a
+  FROM mt m LEFT JOIN a{k - 1} x
+    ON m.variant = x.variant AND m.j = x.i
+  GROUP BY 1, 2
+)"""
+        )
+    return f"""
+    WITH pe AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    fp AS (
+      SELECT user_id, MIN(rn) AS prn FROM pe
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS (
+      SELECT pe.user_id, rn,
+             CASE WHEN event_type = 'purchase' THEN '__conv'
+                  ELSE event_type END AS st
+      FROM pe LEFT JOIN fp USING (user_id)
+      WHERE fp.prn IS NULL OR rn <= fp.prn
+    ),
+    steps_t AS (
+      SELECT user_id,
+             COALESCE(LAG(st) OVER (PARTITION BY user_id ORDER BY rn),
+                      '__start') AS i,
+             st AS jn
+      FROM j
+    ),
+    terminal AS (
+      SELECT user_id, st AS i, '__null' AS jn
+      FROM (SELECT user_id, st,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY rn DESC) AS rr
+            FROM j)
+      WHERE rr = 1 AND st <> '__conv'
+    ),
+    trans AS (
+      SELECT i, jn FROM steps_t UNION ALL SELECT i, jn FROM terminal
+    ),
+    cnt AS (SELECT i, jn, COUNT(*) AS c FROM trans GROUP BY 1, 2),
+    tot AS (SELECT i, SUM(c) AS t FROM cnt GROUP BY 1),
+    prob AS (
+      SELECT i, jn, CAST(c AS DOUBLE) / t AS p
+      FROM cnt JOIN tot USING (i)
+    ),
+    chans AS (SELECT DISTINCT event_type AS ch FROM events
+              WHERE event_type <> 'purchase'),
+    variants AS (SELECT 'base' AS variant UNION ALL SELECT ch FROM chans),
+    mt AS MATERIALIZED (
+      SELECT v.variant, p.i, p.jn AS j, p.p
+      FROM variants v JOIN prob p
+        ON (v.variant = 'base' OR (p.i <> v.variant AND p.jn <> v.variant))
+      WHERE p.jn <> '__null'
+    ),
+    {",".join(levels)},
+    base AS (
+      SELECT a AS pb FROM a{steps}
+      WHERE variant = 'base' AND i = '__start'
+    ),
+    res AS (
+      SELECT v.variant,
+             COALESCE(x.a, 0.0) AS pc
+      FROM variants v LEFT JOIN a{steps} x
+        ON x.variant = v.variant AND x.i = '__start'
+    )
+    SELECT variant AS channel, round(pc, 6) AS p_conv,
+           CASE WHEN variant = 'base' THEN NULL
+                ELSE round(1 - pc / pb, 6) END AS removal_effect
+    FROM res, base
+    """
+
+
+@query(
+    "q236_markov_attribution",
+    oracle=_markov_oracle(),
+    tags=("attribution", "markov", "iterative"),
+)
+def q236_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain multi-touch attribution with REMOVAL EFFECTS (the
+    Anderl et al. framework): build the first-order journey chain
+    (start -> channel touches -> conversion/null, one journey per user
+    truncated at the first purchase), compute the absorption probability
+    into conversion, then for each channel delete its state and measure
+    how much conversion probability disappears — the channel's causal
+    share in the chain model.  Complements last-touch (q218) and the
+    Markov transition backtest (q186-family).
+
+    Exactness: transition probabilities are exact count ratios (one
+    double division, identical in both engines); absorption solves
+    a = Qa + r by 40 fixed iterations with per-step 12-dp rounds — the
+    chain is substochastic (null leaks), so the fixpoint converges
+    geometrically and both engines walk the identical trajectory.
+
+    Scale split: journey construction is the only corpus-scale work —
+    one high-cardinality user window pass + a terminal-row union; the
+    chain itself is (channels+2)^2 PER VARIANT, constant-sized, so ALL
+    variants iterate together in ONE task (the q223 bounded-state
+    lesson — never 40 distributed supersteps over a 200-row table)."""
+    ev = read_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pe = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+    )
+    fp = (
+        pe.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = (
+        pe.join(F.broadcast(fp), "user_id", "left")
+        .where(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id",
+            "rn",
+            F.when(F.col("event_type") == "purchase", "__conv")
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+        )
+        .localCheckpoint(eager=True)  # feeds the lag pass + terminals
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    steps_t = j.select(
+        F.coalesce(F.lag("st").over(wj), F.lit("__start")).alias("i"),
+        F.col("st").alias("jn"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.desc("rn"))
+    terminal = (
+        j.withColumn("rr", F.row_number().over(wr))
+        .where((F.col("rr") == 1) & (F.col("st") != "__conv"))
+        .select(F.col("st").alias("i"), F.lit("__null").alias("jn"))
+    )
+    trans = steps_t.union(terminal)
+    cnt = trans.groupBy("i", "jn").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("i").agg(F.sum("c").alias("t"))
+    prob = cnt.join(F.broadcast(tot), "i").select(
+        "i", "jn", (F.col("c").cast("double") / F.col("t")).alias("p")
+    )
+    chans = ev.where(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("ch")
+    ).distinct()
+    variants = spark.createDataFrame([("base",)], "variant string").union(
+        chans.select(F.col("ch").alias("variant"))
+    )
+    mt = (
+        variants.join(
+            prob,
+            (F.col("variant") == "base")
+            | ((F.col("i") != F.col("variant")) & (F.col("jn") != F.col("variant"))),
+        )
+        .where(F.col("jn") != "__null")
+        .select("variant", "i", F.col("jn").alias("j"), "p")
+    )
+
+    # constant-size chain: iterate ALL variants in one task
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        out_v, out_p = [], []
+        for variant, g in pdf.groupby("variant", sort=True):
+            states = sorted(set(g["i"]))
+            idx = {s: k for k, s in enumerate(states)}
+            q = np.zeros((len(states), len(states)))
+            r = np.zeros(len(states))
+            for i_s, j_s, p in zip(g["i"], g["j"], g["p"]):
+                if j_s == "__conv":
+                    r[idx[i_s]] += p
+                elif j_s in idx:
+                    q[idx[i_s], idx[j_s]] += p
+            a = np.zeros(len(states))
+            for _ in range(40):
+                a = q @ a + r
+                a = (
+                    np.where(
+                        a >= 0,
+                        np.floor(a * 1e12 + 0.5),
+                        np.ceil(a * 1e12 - 0.5),
+                    )
+                    / 1e12
+                )
+            out_v.append(variant)
+            out_p.append(float(a[idx["__start"]]) if "__start" in idx else 0.0)
+        yield pd.DataFrame({"variant": out_v, "pc": out_p})
+
+    absorbed = mt.coalesce(1).mapInPandas(kernel, "variant string, pc double")
+    base = absorbed.where(F.col("variant") == "base").select(
+        F.col("pc").alias("pb")
+    )
+    res = variants.join(
+        absorbed.withColumnRenamed("variant", "_v"),
+        F.col("variant") == F.col("_v"),
+        "left",
+    ).select("variant", F.coalesce("pc", F.lit(0.0)).alias("pc"))
+    return res.crossJoin(F.broadcast(base)).select(
+        F.col("variant").alias("channel"),
+        F.round("pc", 6).alias("p_conv"),
+        F.when(F.col("variant") == "base", F.lit(None).cast("double"))
+        .otherwise(F.round(1 - F.col("pc") / F.col("pb"), 6))
+        .alias("removal_effect"),
+    )
+
+
+@query(
+    "q237_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks CROSS JOIN range(1, 10000) r(i)
+      WHERE i < len(t)
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(t) AS w FROM toks
+      ) GROUP BY 1
+    ),
+    nn AS (SELECT SUM(c) AS n FROM uni),
+    pairs AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT w1, w2, c12,
+             round(CAST(c12 AS DOUBLE) * n
+                   / (CAST(u1.c AS DOUBLE) * u2.c), 6) AS lift
+      FROM pairs
+      JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2, nn
+      WHERE c12 >= 5
+    )
+    SELECT w1, w2, c12, lift FROM scored
+    ORDER BY lift DESC, w1, w2 LIMIT 20
+    """,
+    tags=("text", "collocation", "exact-rational"),
+)
+def q237_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations (adjacent-token bigrams) ranked by LIFT —
+    n * c(w1 w2) / (c(w1) * c(w2)) — the log-free PMI twin (exp(PMI)),
+    chosen because lift is a double from EXACT integer counts (identical
+    in both engines; ln-based PMI could not be hash-gated across libms,
+    the q185 lesson).  Min support 5, deterministic (lift desc, w1, w2)
+    top-20.
+
+    Scale: token explode -> one bigram groupBy (map-side combinable) and
+    one unigram groupBy; the scoring joins are keyed on the pair table
+    (already collapsed to distinct bigrams) with the unigram side
+    shuffle-joined — at web scale both tables are vocabulary-sized, not
+    corpus-sized.  TakeOrdered for the cut, no global sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    ).localCheckpoint(eager=True)  # feeds bigrams AND unigrams
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(
+                    "t", 2, F.greatest(F.size("t") - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nn = uni.agg(F.sum("c").alias("n"))
+    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        pairs.where(F.col("c12") >= 5)
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2"
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.col("c12").cast("double")
+                * F.col("n")
+                / (F.col("c1").cast("double") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "w1", "w2").limit(20)
+
+
 @query(
     "q220_chi_square_independence",
     oracle="""

@@ -170,3 +170,24 @@ def test_triplet_mining_block_invariant(spark):
     a = {tuple(r) for r in triplet_mining(emb, n_blocks=1).collect()}
     b = {tuple(r) for r in triplet_mining(emb, n_blocks=13).collect()}
     assert a == b and len(a) == 60
+
+
+def test_markov_attribution_properties(spark, sf_smoke):
+    """Removal effects are MONOTONE by construction: deleting a channel
+    only removes Q entries, so every variant's absorption probability is
+    bounded by the base chain's; effects lie in [0, 1] and the base row
+    carries no effect."""
+    from cyber_etl_spark.plans import QUERIES
+
+    rows = {
+        r.channel: r
+        for r in QUERIES["q236_markov_attribution"]
+        .builder(spark, sf_smoke)
+        .collect()
+    }
+    base = rows.pop("base")
+    assert base.removal_effect is None and 0 < base.p_conv <= 1
+    assert rows  # every non-purchase channel present
+    for r in rows.values():
+        assert 0.0 <= r.p_conv <= base.p_conv + 1e-9
+        assert 0.0 <= r.removal_effect <= 1.0

@@ -2249,8 +2249,7 @@ def _markov_oracle(steps: int = 40) -> str:
       SELECT i, jn, CAST(c AS DOUBLE) / t AS p
       FROM cnt JOIN tot USING (i)
     ),
-    chans AS (SELECT DISTINCT event_type AS ch FROM events
-              WHERE event_type <> 'purchase'),
+    chans AS (SELECT DISTINCT st AS ch FROM j WHERE st <> '__conv'),
     variants AS (SELECT 'base' AS variant UNION ALL SELECT ch FROM chans),
     mt AS MATERIALIZED (
       SELECT v.variant, p.i, p.jn AS j, p.p
@@ -2304,18 +2303,23 @@ def q236_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson — never 40 distributed supersteps over a 200-row table)."""
     ev = read_table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # pinned: fp and j both consume the row-numbered table — unpinned,
+    # the per-user window pass would execute once per consumer
     pe = ev.select(
         "user_id",
         "event_type",
         F.row_number().over(wu).alias("rn"),
-    )
+    ).localCheckpoint(eager=True)
     fp = (
         pe.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.min("rn").alias("prn"))
     )
+    # NO broadcast hint: fp is one row per purchasing user — it grows
+    # with the scale factor (the 4ab794b rule); the join is user-keyed
+    # and AQE picks the strategy
     j = (
-        pe.join(F.broadcast(fp), "user_id", "left")
+        pe.join(fp, "user_id", "left")
         .where(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
         .select(
             "user_id",
@@ -2343,12 +2347,13 @@ def q236_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     prob = cnt.join(F.broadcast(tot), "i").select(
         "i", "jn", (F.col("c").cast("double") / F.col("t")).alias("p")
     )
-    chans = ev.where(F.col("event_type") != "purchase").select(
-        F.col("event_type").alias("ch")
-    ).distinct()
+    # channels from the PINNED journey table (no extra events scan)
+    chans = (
+        j.where(F.col("st") != "__conv").select(F.col("st").alias("ch")).distinct()
+    )
     variants = spark.createDataFrame([("base",)], "variant string").union(
         chans.select(F.col("ch").alias("variant"))
-    )
+    ).localCheckpoint(eager=True)  # feeds mt AND the result join
     mt = (
         variants.join(
             prob,
@@ -2394,7 +2399,11 @@ def q236_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_p.append(float(a[idx["__start"]]) if "__start" in idx else 0.0)
         yield pd.DataFrame({"variant": out_v, "pc": out_p})
 
-    absorbed = mt.coalesce(1).mapInPandas(kernel, "variant string, pc double")
+    absorbed = (
+        mt.coalesce(1)
+        .mapInPandas(kernel, "variant string, pc double")
+        .localCheckpoint(eager=True)  # base + res both read it
+    )
     base = absorbed.where(F.col("variant") == "base").select(
         F.col("pc").alias("pb")
     )

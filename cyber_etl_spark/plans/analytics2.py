@@ -2200,8 +2200,10 @@ def _markov_oracle(steps: int = 40) -> str:
         levels.append(
             f"""a{k} AS {"MATERIALIZED " if k % 10 == 0 else ""}(
   SELECT m.variant, m.i,
-         round(SUM(m.p * CASE WHEN m.j = '__conv' THEN 1.0
-                              ELSE COALESCE(x.a, 0.0) END), 12) AS a
+         SUM(CAST(floor(m.p * CASE WHEN m.j = '__conv' THEN 1.0
+                                   ELSE COALESCE(x.a, 0.0) END
+                        * 1000000000000 + 0.5) AS BIGINT))
+           / 1000000000000.0 AS a
   FROM mt m LEFT JOIN a{k - 1} x
     ON m.variant = x.variant AND m.j = x.i
   GROUP BY 1, 2
@@ -2292,9 +2294,12 @@ def q236_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: transition probabilities are exact count ratios (one
     double division, identical in both engines); absorption solves
-    a = Qa + r by 40 fixed iterations with per-step 12-dp rounds — the
-    chain is substochastic (null leaks), so the fixpoint converges
-    geometrically and both engines walk the identical trajectory.
+    a = Qa + r by 40 fixed iterations where every per-step TERM p*a is
+    snapped to the 1e-12 integer grid and summed exactly as integers —
+    order-independent, so the SQL aggregate and the numpy reduction walk
+    bit-identical trajectories by construction (a bare matvec + round
+    would differ in summation order).  The chain is substochastic (null
+    leaks), so the fixpoint converges geometrically.
 
     Scale split: journey construction is the only corpus-scale work —
     one high-cardinality user window pass + a terminal-row union; the
@@ -2384,17 +2389,23 @@ def q236_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     r[idx[i_s]] += p
                 elif j_s in idx:
                     q[idx[i_s], idx[j_s]] += p
+            # per-TERM 1e-12 grid snap + exact integer sum: each p*a
+            # product is the identical double in both engines, each
+            # snapped term is an exact integer, and integer sums are
+            # order-independent — so the oracle's SQL SUM and this numpy
+            # reduction walk bit-identical trajectories BY CONSTRUCTION
+            # (a bare matvec + round would differ in summation order,
+            # review r7-3 finding; probabilities are >= 0 so the
+            # half-up floor(x*1e12 + 0.5) is the half-away snap)
+            ru = np.floor(r * 1e12 + 0.5).astype(np.int64)
             a = np.zeros(len(states))
             for _ in range(40):
-                a = q @ a + r
-                a = (
-                    np.where(
-                        a >= 0,
-                        np.floor(a * 1e12 + 0.5),
-                        np.ceil(a * 1e12 - 0.5),
-                    )
-                    / 1e12
+                tu = (
+                    np.floor(q * a[None, :] * 1e12 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
                 )
+                a = (tu + ru) / 1e12
             out_v.append(variant)
             out_p.append(float(a[idx["__start"]]) if "__start" in idx else 0.0)
         yield pd.DataFrame({"variant": out_v, "pc": out_p})
@@ -2430,8 +2441,7 @@ def q236_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     big AS (
       SELECT t[i] AS w1, t[i+1] AS w2
-      FROM toks CROSS JOIN range(1, 10000) r(i)
-      WHERE i < len(t)
+      FROM toks, unnest(range(1, len(t))) AS r(i)
     ),
     uni AS (
       SELECT w, COUNT(*) AS c FROM (
@@ -2444,8 +2454,10 @@ def q236_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT w1, w2, c12,
-             round(CAST(c12 AS DOUBLE) * n
-                   / (CAST(u1.c AS DOUBLE) * u2.c), 6) AS lift
+             CAST((2*(CAST(c12 AS HUGEINT)*n)*1000000
+                   + CAST(u1.c AS HUGEINT)*u2.c)
+                  // (2*CAST(u1.c AS HUGEINT)*u2.c) AS DOUBLE)
+               / 1000000 AS lift
       FROM pairs
       JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2, nn
       WHERE c12 >= 5
@@ -2457,21 +2469,24 @@ def q236_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q237_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top collocations (adjacent-token bigrams) ranked by LIFT —
-    n * c(w1 w2) / (c(w1) * c(w2)) — the log-free PMI twin (exp(PMI)),
-    chosen because lift is a double from EXACT integer counts (identical
-    in both engines; ln-based PMI could not be hash-gated across libms,
-    the q185 lesson).  Min support 5, deterministic (lift desc, w1, w2)
-    top-20.
+    n * c(w1 w2) / (c(w1) * c(w2)) — the log-free PMI twin (exp(PMI)):
+    lift is an EXACT integer rational, 6-dp rounded by the _ha6 integer
+    division with DECIMAL(38,0)/HUGEINT widening (ln-based PMI could not
+    be hash-gated across libms, the q185 lesson; plain round(,6) of a
+    rational is the module's documented tie hazard).  Min support 5,
+    deterministic (lift desc, w1, w2) top-20.
 
     Scale: token explode -> one bigram groupBy (map-side combinable) and
     one unigram groupBy; the scoring joins are keyed on the pair table
     (already collapsed to distinct bigrams) with the unigram side
     shuffle-joined — at web scale both tables are vocabulary-sized, not
     corpus-sized.  TakeOrdered for the cut, no global sort."""
+    from ..functions.text import tokens
+
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.filter(F.split("text", " "), lambda x: x != "").alias("t")
-    ).localCheckpoint(eager=True)  # feeds bigrams AND unigrams
+    toks = docs.select(tokens(F.col("text")).alias("t")).localCheckpoint(
+        eager=True
+    )  # feeds bigrams AND unigrams
     big = toks.select(
         F.explode(
             F.zip_with(
@@ -2503,11 +2518,13 @@ def q237_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c12",
-            F.round(
-                F.col("c12").cast("double")
-                * F.col("n")
-                / (F.col("c1").cast("double") * F.col("c2")),
-                6,
+            # _ha6 with DECIMAL widening: lift is an EXACT rational whose
+            # denominator c1*c2 can be 5-adic — plain round(,6) of it is
+            # the module's documented cross-engine tie hazard; 2*c12*n*1e6
+            # exceeds int64 at web scale (the q215 lesson)
+            _ha6(
+                "CAST(c12 AS DECIMAL(38,0))*n",
+                "CAST(c1 AS DECIMAL(38,0))*c2",
             ).alias("lift"),
         )
     )

@@ -113,6 +113,14 @@ def power_iterate_table(
         pdf = pd.concat(chunks, ignore_index=True)
         if not len(pdf):
             return
+        if len(pdf) > dim * dim:
+            # enforce the bounded-input contract instead of OOM-ing the
+            # single task (the exact_quantiles guard lesson): this
+            # kernel is for d x d matrix TABLES, never data
+            raise ValueError(
+                f"power_iterate_table: {len(pdf)} rows exceed the "
+                f"dim*dim={dim * dim} bounded-matrix contract"
+            )
         a = np.zeros((dim, dim))
         a[pdf["i"].to_numpy() - 1, pdf["j"].to_numpy() - 1] = pdf[
             "a"

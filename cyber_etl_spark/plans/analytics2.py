@@ -2378,6 +2378,15 @@ def q236_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) > 100_000:
+            # bounded-state contract enforced, not just documented (the
+            # exact_quantiles guard lesson): the matrix table is
+            # |variants| x (channels+2)^2 — event-TYPE cardinality, not
+            # data; 100k rows means someone fed this kernel a corpus
+            raise ValueError(
+                f"markov kernel: {len(pdf)} matrix rows exceed the "
+                "bounded chain contract (variants x states^2)"
+            )
         out_v, out_p = [], []
         for variant, g in pdf.groupby("variant", sort=True):
             states = sorted(set(g["i"]))

@@ -101,3 +101,18 @@ def test_q223_matches_numpy_recurrence_replay(spark):
         gv = np.round(gu / np.sqrt((gu * gu).sum()), 6)
     top = np.linalg.eigh(gc)[1][:, -1]
     assert abs(gv @ top) / np.linalg.norm(gv) > 0.999
+
+
+def test_power_iterate_table_rejects_unbounded_input(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from cyber_etl_spark.operators.pca import power_iterate_table
+
+    big = spark.range(200).selectExpr(
+        "CAST(id % 8 + 1 AS INT) AS i",
+        "CAST(id % 8 + 1 AS INT) AS j",
+        "CAST(0.1 AS DOUBLE) AS a",
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="bounded-matrix"):
+        power_iterate_table(big, dim=8).collect()

@@ -67,3 +67,74 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_levels(bits: int = 8) -> list[tuple[str, str, str]]:
+    """Per-level (x, y, d) update expressions for the Hilbert curve
+    index of a 2^bits × 2^bits grid, in ENGINE-PORTABLE SQL (the
+    z_value_sql discipline: %, *, +, -, CASE only — no bit operators,
+    whose spelling differs between Spark SQL and DuckDB).
+
+    The classic xy2d walk consumes one bit per level from high to low
+    (s = 2^(bits-1) … 1): with rxs = x%(2s) − x%s ∈ {0, s} (the current
+    x bit scaled by s) and rys likewise,
+
+        d += s²·((3·rx) xor ry) = 3·s·rxs + s·rys − 2·rxs·rys
+        if ry == 0:  reflect (about n−1) when rx == 1, then swap x/y
+
+    Each level is a pure projection; the caller folds the levels into a
+    selectExpr chain (Spark) or nested subqueries (oracle SQL) over
+    columns named x, y, d.  Unlike the Z-curve this cannot be a single
+    flat polynomial — the rotation makes each level's transform depend
+    on the previous one — but bits levels of CASE arithmetic is still
+    one codegen'd stage, no shuffle, no UDF."""
+    n = 1 << bits
+    levels = []
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rxs = f"(x % {2 * s} - x % {s})"
+        rys = f"(y % {2 * s} - y % {s})"
+        d_new = f"d + 3*{s}*{rxs} + {s}*{rys} - 2*{rxs}*{rys}"
+        x_new = (
+            f"CASE WHEN {rys} = 0 THEN"
+            f" (CASE WHEN {rxs} = {s} THEN {n - 1} - y ELSE y END)"
+            f" ELSE x END"
+        )
+        y_new = (
+            f"CASE WHEN {rys} = 0 THEN"
+            f" (CASE WHEN {rxs} = {s} THEN {n - 1} - x ELSE x END)"
+            f" ELSE y END"
+        )
+        levels.append((x_new, y_new, d_new))
+    return levels
+
+
+def hilbert_value_sql(x_sql: str, y_sql: str, bits: int = 8) -> str:
+    """The Hilbert index as ONE portable SQL scalar: nested
+    single-row-preserving subselects folding :func:`hilbert_levels`
+    over seed columns — valid as a subquery-free expression chain in
+    any engine that allows SELECT-from-SELECT (both do).  Intended for
+    oracle text; Spark builders use :func:`hilbert_value_cols` to stay
+    on the DataFrame API."""
+    inner = f"SELECT {x_sql} AS x, {y_sql} AS y, 0 AS d, *"
+    sql = f"({inner} FROM __SRC__)"
+    for x_new, y_new, d_new in hilbert_levels(bits):
+        sql = (
+            f"(SELECT {x_new} AS x, {y_new} AS y, {d_new} AS d,"
+            f" * EXCLUDE (x, y, d) FROM {sql})"
+        )
+    return sql
+
+
+def hilbert_value_cols(df, x_sql: str, y_sql: str, bits: int = 8, out: str = "h"):
+    """``df`` + Hilbert index column ``out`` of (x_sql, y_sql), folding
+    the level updates as a selectExpr chain (pure projections, one
+    whole-stage-codegen span)."""
+    cur = df.selectExpr(f"{x_sql} AS x", f"{y_sql} AS y", "0 AS d", "*")
+    for x_new, y_new, d_new in hilbert_levels(bits):
+        cur = cur.selectExpr(
+            f"{x_new} AS _xn", f"{y_new} AS _yn", f"{d_new} AS _dn", "*"
+        ).drop("x", "y", "d").withColumnsRenamed(
+            {"_xn": "x", "_yn": "y", "_dn": "d"}
+        )
+    return cur.withColumnRenamed("d", out).drop("x", "y")

@@ -7,3 +7,4 @@ from . import scaleops  # noqa: F401
 from . import domain  # noqa: F401
 from . import analytics  # noqa: F401
 from . import analytics2  # noqa: F401
+from . import analytics3  # noqa: F401

@@ -1,0 +1,1283 @@
+"""Round-8 analytics additions (q238+): classical multi-group tests
+(one-way ANOVA, Kruskal-Wallis), distribution comparison (two-sample
+Kolmogorov-Smirnov), and time-series autocorrelation — the remaining
+corners of the grouped-statistics family started by q137/q144/q189 and
+the rank-statistics family started by q215/q221/q227/q228.
+
+Family ancestry: the reference's workload is exploratory pandas
+analytics over event/alert tables (value_counts, groupby().describe(),
+notebook eval cells — e.g. data_integration.ipynb's ad-hoc
+distribution-profiling); these re-express the same analysis patterns as
+declarative, shuffle-conscious Spark plans with exact DuckDB twins.
+
+Float discipline (module contract, same as analytics2): every reported
+statistic is derived from EXACT integer/decimal sufficient statistics
+(counts, decimal sums, integer rank sums); cross-group sums of
+unavoidably-double terms are snapped to a fixed decimal grid per term
+and summed exactly, so engine summation order cannot perturb the value;
+final divisions run once on identical exact inputs in both engines.
+Integer rationals round via the half-away integer-division idiom
+(`_ha6` in analytics2) — negative-capable numerators use the
+sign-aware CASE form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from .analytics2 import _ha6, _ha6_sql
+from .registry import query
+
+
+@query(
+    "q238_anova_f",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+               AS q
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT COUNT(*) AS k, SUM(n) AS nt,
+             SUM(CAST(s*100 AS HUGEINT)) AS stc,
+             SUM(CAST(q*10000 AS HUGEINT)) AS qtu4,
+             SUM((2*CAST(s*100 AS HUGEINT)*CAST(s*100 AS HUGEINT) + 100*n)
+                 // (200*n)) AS sbu
+      FROM g
+    ),
+    f AS (
+      SELECT k, nt, sbu,
+             sbu - (2*stc*stc + 100*nt) // (200*nt) AS ssbu,
+             (qtu4 + 50) // 100 - sbu AS sswu
+      FROM t
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(nt AS BIGINT) AS n,
+           CAST(ssbu AS DOUBLE) / 100 AS ssb,
+           CAST(sswu AS DOUBLE) / 100 AS ssw,
+           CAST((2*ssbu*(nt-k)*1000000 + sswu*(k-1))
+                // (2*sswu*(k-1)) AS DOUBLE) / 1000000 AS f_stat
+    FROM f
+    """,
+    tags=("stats", "anova", "grouped"),
+)
+def q238_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of order price across the five order priorities:
+    between/within sums of squares from per-group sufficient statistics
+    (n, exact DECIMAL sum, exact DECIMAL sum of squares) — one groupBy
+    pass with map-side partials, then a 5-row rollup; no row ever
+    carries more than its own contribution, the distributed shape of
+    every moment statistic in this repo (q137/q144/q189 family).
+
+    Exactness: sums of squares never pass through doubles at all —
+    a double snap is MEANINGLESS here because s²/n ≈ 1e15 already at
+    sf0.01, where a double's ULP (0.25) exceeds a 1e-6 grid, and the
+    two engines materialize different decimals from the same "rounded"
+    double (the sf0.01 lesson that produced this form).  Instead s
+    stays in integer CENTS (sc = s·100) and every term is half-away
+    integer division on a 1e-2-dollar² unit grid — 1e-6 units would
+    overflow the int64 `div` QUOTIENT at sf0.1 group sums (Spark's
+    decimal `div` yields BIGINT and wraps silently outside ANSI mode,
+    the second sf0.01 lesson): term = (2·sc² + 100n) div (200n);
+    ssb/ssw are exact integer unit differences and F is one more exact
+    integer rational, half-away at 6 dp with DECIMAL(38,0)/HUGEINT
+    numerators.  Remaining bound: the unit quotient sc²/(100n) re-hits
+    int64 at ~9e9 dollars of mean order value × group size — per-group
+    revenue beyond ~1e13 dollars needs a 1e0 grid, one constant."""
+    o = read_table(spark, sf_dir, "orders")
+    yd = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(yd).alias("s"),
+        F.sum((yd * yd).cast("decimal(38,4)")).alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum(F.expr("CAST(s*100 AS DECIMAL(38,0))")).alias("stc"),
+        F.sum(F.expr("CAST(q*10000 AS DECIMAL(38,0))")).alias("qtu4"),
+        F.sum(
+            F.expr(
+                "CAST((2*CAST(s*100 AS DECIMAL(38,0))"
+                "*CAST(s*100 AS DECIMAL(38,0))"
+                " + 100*n) div (200*n) AS DECIMAL(38,0))"
+            )
+        ).alias("sbu"),
+    )
+    f = t.select(
+        "k",
+        "nt",
+        "sbu",
+        F.expr(
+            "sbu - CAST((2*stc*stc + 100*nt) div (200*nt) AS DECIMAL(38,0))"
+        ).alias("ssbu"),
+        F.expr("CAST((qtu4 + 50) div 100 AS DECIMAL(38,0)) - sbu").alias(
+            "sswu"
+        ),
+    )
+    return f.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("nt").cast("long").alias("n"),
+        (F.col("ssbu").cast("double") / 100).alias("ssb"),
+        (F.col("sswu").cast("double") / 100).alias("ssw"),
+        (
+            F.expr(
+                "(2*ssbu*(nt-k)*1000000 + sswu*(k-1))"
+                " div (2*sswu*(k-1))"
+            ).cast("double")
+            / 1_000_000
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "q239_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT value,
+             SUM(n1) OVER (ORDER BY value) AS cum1,
+             SUM(n2) OVER (ORDER BY value) AS cum2
+      FROM s
+    ),
+    t AS (SELECT SUM(n1) AS na, SUM(n2) AS nb FROM s),
+    d AS (
+      SELECT value, na, nb,
+             ABS(CAST(cum1 AS HUGEINT)*nb - CAST(cum2 AS HUGEINT)*na) AS dnum
+      FROM c, t
+    )
+    SELECT value AS at_value, CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST((2*dnum*1000000 + CAST(na AS HUGEINT)*nb)
+                // (2*CAST(na AS HUGEINT)*nb) AS DOUBLE) / 1000000 AS ks_d
+    FROM d ORDER BY dnum DESC, value ASC LIMIT 1
+    """,
+    tags=("stats", "distribution", "prefix-kernel"),
+)
+def q239_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the purchase and
+    view value distributions: D = max over the pooled support of
+    |ECDF_a - ECDF_b|, reported with the value where the supremum is
+    attained (smallest such value on ties — a deterministic total
+    order).
+
+    Scale plan: aggregate to the distinct-value table first (one
+    shuffle), then BOTH cumulative counts come from ONE pass of the
+    multi-spec prefix kernel (operators/prefix.running_totals) — no
+    single-task whole-table window, per-partition memory, the q221
+    shape.  The supremum is a TakeOrdered limit(1), not a global sort.
+    Exactness: D's numerator |cum1·nb - cum2·na| and denominator na·nb
+    are exact integers (DECIMAL(38,0)/HUGEINT widened — the product
+    overflows int64 once both samples pass ~3e9 rows), so the 6-dp
+    result is the half-away integer division of identical integers in
+    both engines."""
+    from ..operators.prefix import running_totals
+
+    ev = read_table(spark, sf_dir, "events")
+    s = (
+        ev.where(
+            F.col("event_type").isin("purchase", "view")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n1"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "n2"
+            ),
+        )
+    )
+    c = running_totals(s, [("n1", "cum1"), ("n2", "cum2")], order_cols=["value"])
+    t = s.agg(F.sum("n1").alias("na"), F.sum("n2").alias("nb"))
+    d = c.crossJoin(F.broadcast(t)).withColumn(
+        "dnum",
+        F.expr(
+            "ABS(CAST(cum1 AS DECIMAL(38,0))*nb - CAST(cum2 AS DECIMAL(38,0))*na)"
+        ),
+    )
+    return (
+        d.orderBy(F.col("dnum").desc(), F.col("value").asc())
+        .limit(1)
+        .select(
+            F.col("value").alias("at_value"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            (
+                F.expr(
+                    "(2*dnum*1000000 + CAST(na AS DECIMAL(38,0))*nb)"
+                    " div (2*CAST(na AS DECIMAL(38,0))*nb)"
+                ).cast("double")
+                / 1_000_000
+            ).alias("ks_d"),
+        )
+    )
+
+
+@query(
+    "q240_kruskal_wallis",
+    oracle="""
+    WITH sv AS (
+      SELECT value, COUNT(*) AS n FROM events
+      WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT value, n, SUM(n) OVER (ORDER BY value) AS cum FROM sv
+    ),
+    svt AS (
+      SELECT value, event_type, COUNT(*) AS ng FROM events
+      WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    pg AS (
+      SELECT event_type,
+             SUM(ng) AS n_g,
+             SUM(CAST(ng AS HUGEINT)*(2*c.cum - c.n + 1)) AS two_r
+      FROM svt JOIN c USING (value) GROUP BY 1
+    ),
+    tt AS (
+      SELECT SUM(n_g) AS nt, COUNT(*) AS k,
+             SUM((2*CAST(two_r AS HUGEINT)*two_r*1000000 + 4*n_g)
+                 // (8*CAST(n_g AS HUGEINT))) AS su
+      FROM pg
+    ),
+    tie AS (
+      SELECT SUM(CAST(n AS HUGEINT)*n*n - n) AS tsum FROM sv
+    ),
+    h AS (
+      SELECT nt, k,
+             3.0*(CAST(su AS DOUBLE)/1000000)
+               / (CAST(nt AS DOUBLE)*(nt+1)) - 3.0*(nt+1) AS h_stat,
+             1.0 - CAST(tsum AS DOUBLE)
+                     / (CAST(nt AS DOUBLE)*nt*nt - nt) AS cf
+      FROM tt, tie
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(nt AS BIGINT) AS n,
+           round(h_stat, 6) AS h_stat,
+           round(h_stat / cf, 6) AS h_tie_corrected
+    FROM h
+    """,
+    tags=("stats", "rank", "prefix-kernel"),
+)
+def q240_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types on ``value`` —
+    the nonparametric ANOVA, with exact average-rank tie handling and
+    the standard tie-correction factor.
+
+    Scale plan: ranks are never materialized per row (the q215/q227
+    discipline).  The distinct-value table gets ONE global running
+    count via the prefix kernel; the per-(value, type) count table
+    joins it to produce exact integer doubled rank sums
+    2R_g = Σ ng·(2·cum - n + 1).  Everything after is k-row arithmetic.
+    Exactness: per-group H terms (2R_g)²/(4 n_g) are snapped to 6-dp
+    integer micro-units by half-away integer division and summed
+    exactly (q221's discipline); H assembles in doubles from identical
+    exact inputs.  DECIMAL(38,0)/HUGEINT widening keeps (2R_g)²·2e6
+    exact to N ≈ 3e9 ranked rows — beyond that the rank sums themselves
+    need the decimal cast at the aggregate input, documented here like
+    q215's bound."""
+    from ..operators.prefix import running_total
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    sv = ev.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
+    c = running_total(sv, "n", order_cols=["value"], out_col="cum")
+    svt = ev.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("ng"))
+    pg = (
+        svt.join(c, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ng").alias("n_g"),
+            F.sum(
+                F.expr(
+                    "CAST(ng AS DECIMAL(38,0))*(2*cum - n + 1)"
+                )
+            ).alias("two_r"),
+        )
+    )
+    tt = pg.agg(
+        F.sum("n_g").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.expr(
+                "(2*CAST(two_r AS DECIMAL(38,0))*two_r*1000000 + 4*n_g)"
+                " div (8*CAST(n_g AS DECIMAL(38,0)))"
+            )
+        ).alias("su"),
+    )
+    tie = sv.agg(
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0))*n*n - n")).alias("tsum")
+    )
+    h = tt.crossJoin(F.broadcast(tie)).select(
+        "nt",
+        "k",
+        (
+            3.0
+            * (F.col("su").cast("double") / 1_000_000)
+            / (F.col("nt").cast("double") * (F.col("nt") + 1))
+            - 3.0 * (F.col("nt") + 1)
+        ).alias("h_stat"),
+        (
+            1.0
+            - F.col("tsum").cast("double")
+            / (
+                F.col("nt").cast("double") * F.col("nt") * F.col("nt")
+                - F.col("nt")
+            )
+        ).alias("cf"),
+    )
+    return h.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("nt").cast("long").alias("n"),
+        F.round("h_stat", 6).alias("h_stat"),
+        F.round(F.col("h_stat") / F.col("cf"), 6).alias("h_tie_corrected"),
+    )
+
+
+@query(
+    "q241_acf",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT COUNT(*) AS nd, SUM(x) AS s FROM g),
+    p AS (
+      SELECT b.day - a.day AS k, COUNT(*) AS n_pairs,
+             SUM((CAST(nd AS HUGEINT)*a.x - s)
+                 * (CAST(nd AS HUGEINT)*b.x - s)) AS num
+      FROM g a JOIN t ON TRUE
+      JOIN g b ON b.day >= a.day AND b.day <= a.day + 14
+      GROUP BY 1
+    ),
+    den AS (
+      SELECT SUM((CAST(nd AS HUGEINT)*x - s)
+                 * (CAST(nd AS HUGEINT)*x - s)) AS den
+      FROM g, t
+    )
+    SELECT CAST(k AS INT) AS lag_days, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN num >= 0
+                     THEN (2*num*1000000 + den.den) // (2*den.den)
+                     ELSE -((2*(-num)*1000000 + den.den) // (2*den.den)) END
+                AS DOUBLE) / 1000000 AS acf
+    FROM p, den
+    """,
+    tags=("timeseries", "acf", "agg-grid"),
+)
+def q241_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at calendar-day
+    lags 0..14: r_k = Σ (x_t - x̄)(x_{t+k} - x̄) / Σ (x_t - x̄)², summed
+    over day pairs exactly k days apart — the seasonality screen that
+    complements the explicit decomposition (q213) and change-point
+    (q216) members of the time-series family.
+
+    Scale plan: events aggregate to the per-DAY grid first (bounded by
+    the calendar, the q216/q213 convention); the lag pairing is an
+    EQUI-join on day = day + k after exploding the 15 lag offsets —
+    no range/nested-loop join, no per-row work proportional to the lag
+    count before aggregation.  Exactness: both sides are centered by
+    multiplying through by the day count (nd·x - S is an exact
+    integer), so numerator and denominator are exact integer sums;
+    the final ratio is the sign-aware half-away 6-dp integer division
+    (negative autocorrelations), DECIMAL(38,0)/HUGEINT-widened — the
+    centered product reaches (nd·x_max)² ≈ 1e28 already at web-scale
+    daily volumes."""
+    ev = read_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    t = g.agg(F.count(F.lit(1)).alias("nd"), F.sum("x").alias("s"))
+    a = (
+        g.crossJoin(F.broadcast(t))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(14))))
+        .select(
+            F.date_add(F.col("day"), F.col("k")).alias("bday"),
+            F.col("k"),
+            F.expr("CAST(nd AS DECIMAL(38,0))*x - s").alias("ca"),
+        )
+    )
+    b = g.crossJoin(F.broadcast(t)).select(
+        F.col("day").alias("bday"),
+        F.expr("CAST(nd AS DECIMAL(38,0))*x - s").alias("cb"),
+    )
+    p = (
+        a.join(b, "bday")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.expr("ca*cb")).alias("num"),
+        )
+    )
+    den = g.crossJoin(F.broadcast(t)).agg(
+        F.sum(
+            F.expr(
+                "(CAST(nd AS DECIMAL(38,0))*x - s)"
+                "*(CAST(nd AS DECIMAL(38,0))*x - s)"
+            )
+        ).alias("den")
+    )
+    return p.crossJoin(F.broadcast(den)).select(
+        F.col("k").cast("int").alias("lag_days"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        (
+            F.expr(
+                "CASE WHEN num >= 0"
+                " THEN (2*num*1000000 + den) div (2*den)"
+                " ELSE -((2*(-num)*1000000 + den) div (2*den)) END"
+            ).cast("double")
+            / 1_000_000
+        ).alias("acf"),
+    )
+
+
+@query(
+    "q242_zipf_slope",
+    oracle="""
+    WITH v AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS w
+        FROM documents
+      ) GROUP BY 1
+    ),
+    top AS (
+      SELECT w, freq FROM v ORDER BY freq DESC, w ASC LIMIT 1000
+    ),
+    r AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) AS rnk
+      FROM top
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(20,12)) AS x,
+             CAST(round(ln(CAST(freq AS DOUBLE)), 12) AS DECIMAL(20,12)) AS y
+      FROM r
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)),
+                 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM s
+    """,
+    tags=("text", "zipf", "ols", "prefix-kernel"),
+)
+def q242_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution: OLS slope of
+    ln(freq) against ln(rank) over the top-1000 vocabulary — the
+    classic power-law diagnostic for a training corpus (a healthy
+    natural-language crawl sits near slope −1; template/boilerplate
+    corpora flatten).  Joins q78 (vocab build) and q204 (Gopher rules)
+    in the corpus-statistics family.
+
+    Scale plan: the vocabulary aggregate is the only corpus-scale
+    shuffle; the top-1000 cut is a TakeOrdered (no global sort), and
+    ranks come from the prefix kernel over the 1000-row survivor table
+    (global_ranks — no bare whole-table window, the audit invariant).
+    Float discipline: x/y are ln() of small integers, snapped at 12 dp
+    and accumulated as DECIMAL(20,12) with exact decimal products
+    (q77's snap-then-sum), so the 1000-term summation order cannot
+    perturb the five sufficient statistics; the closed-form slope /
+    intercept divisions then run once on identical exact inputs (the
+    q189 OLS shape)."""
+    from ..operators.prefix import global_ranks
+
+    docs = read_table(spark, sf_dir, "documents")
+    from ..functions.text import tokens as tok_expr
+
+    v = (
+        docs.select(F.explode(tok_expr(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = v.orderBy(F.col("freq").desc(), F.col("w").asc()).limit(1000)
+    top = top.withColumn("negf", -F.col("freq"))
+    r = global_ranks(top, order_cols=["negf", "w"], rn_col="rnk")
+    pts = r.select(
+        F.round(F.log(F.col("rnk").cast("double")), 12)
+        .cast("decimal(20,12)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 12)
+        .cast("decimal(20,12)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x*x")).alias("sxx"),
+        F.sum(F.expr("x*y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+def _stoplist_sql() -> str:
+    """The EN_STOPWORDS tuple as a SQL IN-list literal — generated from
+    the same Python constant the Spark builder uses, so the two engines
+    can never disagree on the phrase-boundary vocabulary."""
+    from ..functions.text import EN_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+_Q243_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i, t[i] AS w,
+             t[i] IN ({_stoplist_sql()}) AS stop
+      FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+    ),
+    isl AS (
+      SELECT doc_id, i, w,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM pos WHERE NOT stop
+    ),
+    phr AS (
+      SELECT doc_id, grp, string_agg(w, ' ' ORDER BY i) AS phrase,
+             COUNT(*) AS plen
+      FROM isl GROUP BY 1, 2
+    ),
+    ph AS (SELECT phrase, plen FROM phr WHERE plen <= 4),
+    pw AS (
+      SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w FROM ph
+    ),
+    ws AS (
+      SELECT w, COUNT(*) AS freq, SUM(plen) AS deg FROM pw GROUP BY 1
+    ),
+    wu AS (
+      SELECT w, (2*CAST(deg AS HUGEINT)*1000000 + freq) // (2*freq) AS su
+      FROM ws
+    ),
+    psc AS (
+      SELECT pw.phrase, SUM(wu.su) AS score_u
+      FROM (SELECT DISTINCT phrase FROM ph) d
+      JOIN pw ON pw.phrase = d.phrase
+      JOIN wu ON wu.w = pw.w
+      GROUP BY 1
+    ),
+    pcnt AS (SELECT phrase, COUNT(*) AS n_occurrences FROM ph GROUP BY 1)
+    SELECT p.phrase, pcnt.n_occurrences,
+           CAST(p.score_u AS DOUBLE) / 1000000 AS rake_score
+    FROM psc p JOIN pcnt ON pcnt.phrase = p.phrase
+    ORDER BY p.score_u DESC, p.phrase ASC LIMIT 50
+"""
+
+
+@query("q243_rake_keyphrases", oracle=_Q243_ORACLE, tags=("text", "keyphrase"))
+def q243_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus: candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands over token
+    positions, phrases capped at 4 tokens), each word scored
+    degree/frequency over the candidate set, each phrase scored as the
+    sum of its word scores — the classic unsupervised keyword extractor,
+    here as a fully distributed plan (completes the text-mining family
+    next to PMI collocations q170/q237 and BM25 q67).
+
+    Scale plan: posexplode → per-DOC island window (doc_id is the
+    high-cardinality partition key — audit-safe) → two corpus-wide
+    hash aggregations (word stats, phrase scores) and a broadcast-able
+    word-score join; the top-50 is a TakeOrdered.  Exactness: the only
+    rational, deg/freq, becomes half-away integer micro-units per WORD
+    ((2·deg·1e6 + freq) div (2·freq)); phrase scores are exact integer
+    sums of those units, so ranking and the reported score are
+    integer-deterministic in both engines (phrase text breaks ties)."""
+    from ..functions.text import EN_STOPWORDS, tokens as tok_expr
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tok_expr(F.col("text"))).alias("i0", "w")
+    ).withColumn("i", F.col("i0") + 1)
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    isl = pos.where(~F.array_contains(stops, F.col("w"))).withColumn(
+        "grp",
+        F.col("i")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("i")),
+    )
+    phr = (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .where(F.col("plen") <= 4)
+        .select("phrase", "plen")
+    )
+    pw = phr.select(
+        "phrase", "plen", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    )
+    ws = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    wu = ws.select(
+        "w",
+        F.expr(
+            "(2*CAST(deg AS DECIMAL(38,0))*1000000 + freq) div (2*freq)"
+        ).alias("su"),
+    )
+    dph = phr.select("phrase").distinct()
+    psc = (
+        dph.join(pw.select("phrase", "w"), "phrase")
+        .join(wu, "w")
+        .groupBy("phrase")
+        .agg(F.sum("su").alias("score_u"))
+    )
+    pcnt = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        psc.join(pcnt, "phrase")
+        .orderBy(F.col("score_u").desc(), F.col("phrase").asc())
+        .limit(50)
+        .select(
+            "phrase",
+            "n_occurrences",
+            (F.col("score_u").cast("double") / 1_000_000).alias("rake_score"),
+        )
+    )
+
+
+@query(
+    "q244_js_divergence",
+    oracle="""
+    WITH c AS (
+      SELECT source, w, COUNT(*) AS c FROM (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    n AS (SELECT source, SUM(c) AS n FROM c GROUP BY 1),
+    sh AS (
+      SELECT a.source AS s1, b.source AS s2, a.c AS c1, b.c AS c2,
+             na.n AS n1, nb.n AS n2
+      FROM c a JOIN c b ON a.w = b.w AND a.source < b.source
+      JOIN n na ON na.source = a.source
+      JOIN n nb ON nb.source = b.source
+    ),
+    t AS (
+      SELECT s1, s2, ANY_VALUE(n1) AS n1, ANY_VALUE(n2) AS n2,
+             SUM(c1) AS c1s, SUM(c2) AS c2s,
+             SUM(CAST(round((CAST(c1 AS DOUBLE)/n1)
+                   * ln(2.0*c1*n2 / (CAST(c1 AS DOUBLE)*n2 + CAST(c2 AS DOUBLE)*n1)),
+                   12) AS DECIMAL(20,12))) AS ta,
+             SUM(CAST(round((CAST(c2 AS DOUBLE)/n2)
+                   * ln(2.0*c2*n1 / (CAST(c1 AS DOUBLE)*n2 + CAST(c2 AS DOUBLE)*n1)),
+                   12) AS DECIMAL(20,12))) AS tb
+      FROM sh GROUP BY 1, 2
+    )
+    SELECT s1 AS source_a, s2 AS source_b,
+           round(0.5*(CAST(ta AS DOUBLE)
+                      + ln(2.0)*(1.0 - CAST(c1s AS DOUBLE)/n1))
+                 + 0.5*(CAST(tb AS DOUBLE)
+                        + ln(2.0)*(1.0 - CAST(c2s AS DOUBLE)/n2)), 6)
+             AS js_divergence
+    FROM t ORDER BY 1, 2
+    """,
+    tags=("text", "divergence", "drift"),
+)
+def q244_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    every pair of sources — the symmetric, bounded corpus-drift measure
+    that complements PSI (q149) and the embedding-space drift monitor
+    (q174); the standard report when deciding source mixing weights.
+
+    Scale plan: ONE corpus-scale aggregation to (source, word) counts;
+    the pair stage is a word-keyed self-join whose fan-out per word is
+    bounded by the source count (≤ S² pairs per word, S fixed), then a
+    10-row rollup — no per-pair rescan of the corpus.  Words present in
+    only one distribution contribute exactly p·ln2, folded in CLOSED
+    FORM from the shared-mass totals (ln2·(1 − Σ_shared p)) instead of
+    materializing the one-sided anti-joins.  Float discipline: each
+    shared-word term is ln() of an exact integer rational times an
+    exact rational, snapped at 12 dp and summed as DECIMAL (the q77
+    discipline — 6 dp would zero out sub-1e-6 vocabulary-tail terms);
+    the shared masses Σc are exact integers, so the final assembly runs
+    on identical exact inputs."""
+    from ..functions.text import tokens as tok_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "source", F.explode(tok_expr(F.col("text"))).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = c.groupBy("source").agg(F.sum("c").alias("n"))
+    a = c.select(
+        F.col("source").alias("s1"), "w", F.col("c").alias("c1")
+    ).join(
+        F.broadcast(n.select(F.col("source").alias("s1"), F.col("n").alias("n1"))),
+        "s1",
+    )
+    b = c.select(
+        F.col("source").alias("s2"), "w", F.col("c").alias("c2")
+    ).join(
+        F.broadcast(n.select(F.col("source").alias("s2"), F.col("n").alias("n2"))),
+        "s2",
+    )
+    sh = a.join(b, "w").where(F.col("s1") < F.col("s2"))
+    ta = F.sum(
+        F.round(
+            (F.col("c1").cast("double") / F.col("n1"))
+            * F.log(
+                2.0
+                * F.col("c1")
+                * F.col("n2")
+                / (
+                    F.col("c1").cast("double") * F.col("n2")
+                    + F.col("c2").cast("double") * F.col("n1")
+                )
+            ),
+            12,
+        ).cast("decimal(20,12)")
+    )
+    tb = F.sum(
+        F.round(
+            (F.col("c2").cast("double") / F.col("n2"))
+            * F.log(
+                2.0
+                * F.col("c2")
+                * F.col("n1")
+                / (
+                    F.col("c1").cast("double") * F.col("n2")
+                    + F.col("c2").cast("double") * F.col("n1")
+                )
+            ),
+            12,
+        ).cast("decimal(20,12)")
+    )
+    t = sh.groupBy("s1", "s2").agg(
+        F.any_value("n1").alias("n1"),
+        F.any_value("n2").alias("n2"),
+        F.sum("c1").alias("c1s"),
+        F.sum("c2").alias("c2s"),
+        ta.alias("ta"),
+        tb.alias("tb"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    return t.select(
+        F.col("s1").alias("source_a"),
+        F.col("s2").alias("source_b"),
+        F.round(
+            0.5
+            * (
+                F.col("ta").cast("double")
+                + ln2 * (1.0 - F.col("c1s").cast("double") / F.col("n1"))
+            )
+            + 0.5
+            * (
+                F.col("tb").cast("double")
+                + ln2 * (1.0 - F.col("c2s").cast("double") / F.col("n2"))
+            ),
+            6,
+        ).alias("js_divergence"),
+    ).orderBy("source_a", "source_b")
+
+
+@query(
+    "q246_ams_f2_sketch",
+    oracle="""
+    WITH est AS (
+      SELECT j,
+             SUM(1 - 2*(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                              || CAST(l_partkey AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 2)) AS sk
+      FROM lineitem, unnest(generate_series(0, 15)) AS u(j)
+      GROUP BY 1
+    ),
+    means AS (
+      SELECT j // 4 AS grp,
+             SUM(CAST(sk AS HUGEINT)*sk) AS ss
+      FROM est GROUP BY 1
+    ),
+    med AS (
+      -- median of the 4 group means of 4 estimators each: with an even
+      -- count, take the LOWER median (2nd of 4) — deterministic, via a
+      -- sorted 4-element list (no window)
+      SELECT (list(ss ORDER BY ss))[2] AS ss FROM means
+    ),
+    exact AS (
+      SELECT SUM(CAST(c AS HUGEINT)*c) AS f2 FROM (
+        SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1
+      )
+    )
+    SELECT CAST(exact.f2 AS BIGINT) AS f2_exact,
+           CAST((med.ss + 2) // 4 AS BIGINT) AS f2_estimate,
+           CAST((2*ABS(exact.f2*4 - med.ss)*1000000 + exact.f2*4)
+                // (2*exact.f2*4) AS DOUBLE) / 1000000 AS rel_err
+    FROM exact, med
+    """,
+    tags=("sketch", "join-cardinality", "exact-rational"),
+)
+def q246_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch of the
+    lineitem part key, audited against the exact F2 = Σ freq² — the
+    one-pass, O(1)-memory estimator of SELF-JOIN SIZE that a query
+    planner consults before picking a join strategy; completes the
+    mergeable-sketch family next to HLL (q173), count-min (q224) and
+    KLL (q88), and unlike those three it is fully oracled: the ±1 hash
+    is md5-derived, so every sketch counter is a deterministic exact
+    integer in both engines.
+
+    16 estimators (4 groups × 4) ride ONE map-side aggregation — each
+    row contributes its md5 sign to 16 sums, so the sketch costs one
+    reduce of 16 rows regardless of data size, and sketches of
+    partitions/days merge by plain addition (the mergeability that
+    makes it a streaming/cube primitive).  Estimate = median of the 4
+    group means of sk² (lower median of an even count, deterministic);
+    rel_err vs the exact groupBy-count F2 is a half-away 6-dp integer
+    rational.  The estimator's variance bound (2·F2²/16 per group mean)
+    is Alon-Matias-Szegedy Thm 2.2; the audit row makes the bound
+    observable rather than trusted."""
+    li = read_table(spark, sf_dir, "lineitem")
+    est = (
+        li.select(
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"), "l_partkey"
+        )
+        .groupBy("j")
+        .agg(
+            F.sum(
+                1
+                - 2
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("j").cast("string"),
+                                    F.col("l_partkey").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % 2
+                )
+            ).alias("sk")
+        )
+    )
+    means = est.groupBy(F.expr("j div 4").alias("grp")).agg(
+        F.sum(F.expr("CAST(sk AS DECIMAL(38,0))*sk")).alias("ss")
+    )
+    med = means.agg(
+        F.array_sort(F.collect_list("ss")).getItem(1).alias("ss")
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("CAST(c AS DECIMAL(38,0))*c")).alias("f2"))
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        F.col("f2").cast("long").alias("f2_exact"),
+        F.expr("(ss + 2) div 4").cast("long").alias("f2_estimate"),
+        (
+            F.expr(
+                "(2*ABS(f2*4 - ss)*1000000 + f2*4) div (2*f2*4)"
+            ).cast("double")
+            / 1_000_000
+        ).alias("rel_err"),
+    )
+
+
+@query(
+    "q247_isotonic_calibration",
+    oracle="""
+    WITH base AS (
+      SELECT LEAST(CAST(floor(value/50) AS BIGINT), 9) AS band,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    bins AS (SELECT band, COUNT(*) AS n, SUM(y) AS k FROM base GROUP BY 1),
+    pfx AS (
+      SELECT a.band, ANY_VALUE(a.n) AS n, ANY_VALUE(a.k) AS k,
+             SUM(b.n) AS cw, SUM(b.k) AS cp
+      FROM bins a JOIN bins b ON b.band <= a.band
+      GROUP BY a.band
+    ),
+    pairs AS (
+      SELECT j.band AS jb, k2.band AS kb,
+             (2*(k2.cp - (j.cp - j.k))*1000000000000
+              + (k2.cw - (j.cw - j.n)))
+             // (2*(k2.cw - (j.cw - j.n))) AS u12
+      FROM pfx j JOIN pfx k2 ON j.band <= k2.band
+    ),
+    mn AS (
+      SELECT i.band, p.jb, MIN(p.u12) AS m
+      FROM pfx i JOIN pairs p ON p.jb <= i.band AND p.kb >= i.band
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT band, MAX(m) AS u12 FROM mn GROUP BY 1)
+    SELECT b.band, CAST(b.n AS BIGINT) AS n, CAST(b.k AS BIGINT) AS k,
+           CAST((2*b.k*1000000 + b.n) // (2*b.n) AS DOUBLE) / 1000000
+             AS rate,
+           CAST((2*i.u12 + 1000000) // 2000000 AS DOUBLE) / 1000000
+             AS iso_rate
+    FROM bins b JOIN iso i ON i.band = b.band
+    ORDER BY b.band
+    """,
+    tags=("ml-eval", "calibration", "isotonic"),
+)
+def q247_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the banded purchase-rate model —
+    the monotone-regression fit of empirical purchase rate over score
+    bands, via the minimax identity iso_i = max_{j≤i} min_{k≥i}
+    avg(y over bands j..k): the closed form of pool-adjacent-violators
+    that needs no sequential pooling loop.  Completes the calibration
+    corner opened by q234 (ECE measures miscalibration; this REPAIRS
+    it, the standard post-hoc recalibrator).
+
+    Scale plan: ONE corpus-scale aggregation to ≤10 (band, n, k) rows;
+    everything after — prefix sums, the O(B²) pair table, the O(B³)
+    minimax join — is bounded by the band count, broadcast-sized by
+    construction, and WINDOWLESS (prefixes via a tiny self-join, so the
+    single-task-window audit has nothing to flag).  Exactness: every
+    interval average is an exact integer rational (prefix-count
+    differences); candidates are snapped to half-away 1e-12 integer
+    units BEFORE min/max (comparison of snapped units is deterministic
+    and 1e-12 cannot reorder rates that differ at the 1e-6 grid), and
+    the final 6-dp re-snap is one more integer division."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long").alias(
+            "band"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = (
+        base.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("k"))
+        .localCheckpoint(eager=True)  # ≤10 rows; feeds 4 consumers
+    )
+    b2 = bins.select(
+        F.col("band").alias("b2"), F.col("n").alias("n2"), F.col("k").alias("k2")
+    )
+    pfx = (
+        bins.join(F.broadcast(b2), F.col("b2") <= F.col("band"))
+        .groupBy("band")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.any_value("k").alias("k"),
+            F.sum("n2").alias("cw"),
+            F.sum("k2").alias("cp"),
+        )
+    )
+    pj = pfx.select(
+        F.col("band").alias("jb"),
+        (F.col("cp") - F.col("k")).alias("epj"),
+        (F.col("cw") - F.col("n")).alias("ewj"),
+    )
+    pk = pfx.select(
+        F.col("band").alias("kb"), F.col("cp").alias("cpk"), F.col("cw").alias("cwk")
+    )
+    pairs = pj.join(F.broadcast(pk), F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        F.expr(
+            "(2*CAST(cpk - epj AS DECIMAL(38,0))*1000000000000"
+            " + (cwk - ewj)) div (2*CAST(cwk - ewj AS DECIMAL(38,0)))"
+        ).alias("u12"),
+    )
+    ib = pfx.select(F.col("band").alias("ib"))
+    mn = (
+        ib.join(
+            F.broadcast(pairs),
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("u12").alias("m"))
+    )
+    iso = mn.groupBy("ib").agg(F.max("m").alias("u12"))
+    return (
+        bins.join(F.broadcast(iso), F.col("ib") == F.col("band"))
+        .select(
+            "band",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            _ha6("k", "n").alias("rate"),
+            (
+                F.expr("(2*u12 + 1000000) div 2000000").cast("double")
+                / 1_000_000
+            ).alias("iso_rate"),
+        )
+        .orderBy("band")
+    )
+
+
+_Q248_SQL = """
+    WITH RECURSIVE d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    i AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, CAST(x AS DOUBLE) AS x
+      FROM d
+    ),
+    rec(t, l, b) AS (
+      SELECT 1, x1.x, x2.x - x1.x
+      FROM i x1 JOIN i x2 ON x1.t = 1 AND x2.t = 2
+      UNION ALL
+      SELECT r.t + 1,
+             0.5*i.x + 0.5*(r.l + r.b),
+             0.5*((0.5*i.x + 0.5*(r.l + r.b)) - r.l) + 0.5*r.b
+      FROM rec r JOIN i ON i.t = r.t + 1
+    ),
+    last AS (
+      SELECT l, b, t FROM rec WHERE t = (SELECT MAX(t) FROM rec)
+    )
+    SELECT h.h AS horizon, CAST(last.t AS BIGINT) AS n_days,
+           round(last.l, 6) AS level,
+           round(last.b, 6) AS trend,
+           round(last.l + h.h * last.b, 6) AS forecast
+    FROM last CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) AS h(h)
+    ORDER BY horizon
+"""
+
+
+@query(
+    "q248_holt_forecast",
+    oracle=_Q248_SQL,
+    tags=("timeseries", "forecast", "sql", "recursive"),
+)
+def q248_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing of the daily event
+    series (α = β = 1/2), with a 7-day-ahead forecast fan — the
+    double-smoothing forecaster that joins the seasonal-naive backtest
+    (q183), classical decomposition (q213) and EWMA (q155) in the
+    forecasting family, expressed as ONE recursive SQL query whose
+    IDENTICAL text runs on both engines (the q207/q57 discipline).
+
+    Scale plan: the corpus-scale work (daily aggregation) is one
+    distributed groupBy; the recurrence walks the per-DAY grid —
+    bounded by the calendar, the q216/q213 convention — so the
+    recursive part is constant-sized regardless of SF (the q223
+    bounded-state lesson, here on the SQL surface instead of a
+    mapInPandas kernel).  Exactness: α = β = 0.5 makes every recurrence
+    step a sequence of IEEE doubles ops on identical inputs with an
+    identical expression tree — halving and adding are exactly-rounded
+    operations, so both engines walk bit-identical (level, trend)
+    trajectories with NO per-step snapping needed; the final round(,6)
+    is the double-path-safe plain round.  The per-day ROW_NUMBER
+    window is over the calendar-bounded grid (audit-exempt with
+    q210/q213/q216)."""
+    from ..sources import load_all
+
+    load_all(spark, sf_dir)
+    return spark.sql(_Q248_SQL)
+
+
+@query(
+    "q249_naive_bayes",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 5 = 0 AS is_test
+      FROM documents
+    ),
+    trtok AS (
+      SELECT lang AS c, unnest(t) AS w FROM base WHERE NOT is_test
+    ),
+    cls AS (
+      SELECT c, COUNT(*) AS tc FROM trtok GROUP BY 1
+    ),
+    pri AS (
+      SELECT lang AS c, COUNT(*) AS nd FROM base WHERE NOT is_test GROUP BY 1
+    ),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM trtok),
+    ndoc AS (SELECT SUM(nd) AS ntr FROM pri),
+    cw AS (
+      SELECT c, w, COUNT(*) AS cwc FROM trtok GROUP BY 1, 2
+    ),
+    lp AS (
+      SELECT cw.c, cw.w,
+             CAST(round(ln((cwc + 1.0) / (cls.tc + v.v)), 6)
+                  AS DECIMAL(18,6))
+               - CAST(round(ln(1.0 / (cls.tc + v.v)), 6) AS DECIMAL(18,6))
+               AS delta
+      FROM cw JOIN cls ON cls.c = cw.c, v
+    ),
+    tetok AS (
+      SELECT doc_id, lang, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id, lang, unnest(t) AS w FROM base WHERE is_test
+      ) GROUP BY 1, 2, 3
+    ),
+    ted AS (
+      SELECT doc_id, lang, SUM(cnt) AS n_tok FROM tetok GROUP BY 1, 2
+    ),
+    ov AS (
+      SELECT t.doc_id, lp.c, SUM(t.cnt * lp.delta) AS dsum
+      FROM tetok t JOIN lp ON lp.w = t.w
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT ted.doc_id, ted.lang, cls.c,
+             CAST(round(ln(CAST(pri.nd AS DOUBLE) / ndoc.ntr), 6)
+                  AS DECIMAL(18,6))
+               + ted.n_tok
+                 * CAST(round(ln(1.0 / (cls.tc + v.v)), 6) AS DECIMAL(18,6))
+               + COALESCE(ov.dsum, 0) AS score
+      FROM ted
+      CROSS JOIN cls
+      JOIN pri ON pri.c = cls.c
+      LEFT JOIN ov ON ov.doc_id = ted.doc_id AND ov.c = cls.c, v, ndoc
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+             (list(c ORDER BY score DESC, c ASC))[1] AS pred
+      FROM sc GROUP BY 1, 2
+    )
+    SELECT lang AS true_lang, pred AS pred_lang,
+           COUNT(*) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("ml", "text", "classifier"),
+)
+def q249_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    inside the engine: md5-stable 80/20 split, Laplace-smoothed token
+    likelihoods from the training split, argmax posterior per test doc,
+    reported as the confusion matrix — the classic scalable text
+    classifier (one of the few that trains in ONE aggregation pass),
+    completing the supervised corner of the ML family next to IRLS
+    logistic regression (q222) and label spreading (q235).
+
+    Scale plan: training is two hash aggregations over the exploded
+    token stream ((class, word) counts + class totals); scoring never
+    expands test tokens × classes — the unseen-word mass is folded in
+    closed form (score = prior + n_tok·u_c + Σ_overlap cnt·(logp−u_c)),
+    so the only per-class fan-out is k rows per DOC (broadcast class
+    table), and the overlap join is word-keyed (the q244 economics).
+    Exactness: every log term is snapped at 6 dp to DECIMAL and summed
+    exactly (q77's discipline); scores are therefore exact decimals,
+    and the argmax breaks ties by class name ascending via a sorted
+    (score, class) list — no window, deterministic in both engines."""
+    from ..functions.text import tokens as tok_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        tok_expr(F.col("text")).alias("t"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+            == 0
+        ).alias("is_test"),
+    )
+    trtok = base.where(~F.col("is_test")).select(
+        F.col("lang").alias("c"), F.explode("t").alias("w")
+    )
+    cls = trtok.groupBy("c").agg(F.count(F.lit(1)).alias("tc"))
+    pri = (
+        base.where(~F.col("is_test"))
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    v = trtok.agg(F.count_distinct("w").alias("v"))
+    ndoc = pri.agg(F.sum("nd").alias("ntr"))
+    cw = trtok.groupBy("c", "w").agg(F.count(F.lit(1)).alias("cwc"))
+    lp = (
+        cw.join(F.broadcast(cls), "c")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "c",
+            "w",
+            (
+                F.round(F.log((F.col("cwc") + 1.0) / (F.col("tc") + F.col("v"))), 6)
+                .cast("decimal(18,6)")
+                - F.round(F.log(1.0 / (F.col("tc") + F.col("v"))), 6)
+                .cast("decimal(18,6)")
+            ).alias("delta"),
+        )
+    )
+    tetok = (
+        base.where(F.col("is_test"))
+        .select("doc_id", "lang", F.explode("t").alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ted = tetok.groupBy("doc_id", "lang").agg(F.sum("cnt").alias("n_tok"))
+    ov = (
+        tetok.join(lp, "w")
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("cnt") * F.col("delta")).alias("dsum"))
+    )
+    sc = (
+        ted.crossJoin(F.broadcast(cls.join(pri, "c")))
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(ndoc))
+        .join(ov, ["doc_id", "c"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            (
+                F.round(
+                    F.log(F.col("nd").cast("double") / F.col("ntr")), 6
+                ).cast("decimal(18,6)")
+                + F.col("n_tok")
+                * F.round(F.log(1.0 / (F.col("tc") + F.col("v"))), 6).cast(
+                    "decimal(18,6)"
+                )
+                + F.coalesce(F.col("dsum"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    pred = sc.groupBy("doc_id", "lang").agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("score")).alias("ns"), F.col("c")))
+        )
+        .getItem(0)
+        .getField("c")
+        .alias("pred")
+    )
+    return (
+        pred.groupBy(
+            F.col("lang").alias("true_lang"), F.col("pred").alias("pred_lang")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

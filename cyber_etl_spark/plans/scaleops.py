@@ -170,3 +170,51 @@ _Q["q123_zorder_curve"].oracle = f"""
     ORDER BY z, o_orderkey
     LIMIT 200
 """
+
+
+@query("q245_hilbert_layout", tags=("layout", "space-filling", "pruning"))
+def q245_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve index for the (customer, order) key pair — the
+    space-filling layout with strictly better locality than q123's
+    Z-curve (every consecutive curve step is a grid-adjacent cell, so
+    file min/max rectangles are tighter; the same reason lakehouse
+    OPTIMIZE implementations offer Hilbert next to Z-order).
+
+    The per-level transforms (operators/layout.hilbert_levels) are the
+    SAME engine-portable %-arithmetic strings in the Spark selectExpr
+    chain and the DuckDB oracle's nested subqueries, so the gate pins
+    the 8-level walk bit-for-bit; the curve's defining properties
+    (bijectivity, unit-step adjacency) are pinned against a pure-Python
+    reference in tests/test_layout_hilbert.py.  Scale: the index is a
+    pure projection (one codegen span, no shuffle, no UDF); writing the
+    layout costs exactly the one range shuffle any sorted write costs
+    (layout.zorder_write's economics)."""
+    from ..operators.layout import hilbert_value_cols
+
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        hilbert_value_cols(
+            orders.select("o_orderkey", "o_custkey"),
+            "o_custkey % 256",
+            "o_orderkey % 256",
+            bits=8,
+            out="h",
+        )
+        .select("o_orderkey", "h")
+        .orderBy("h", "o_orderkey")
+        .limit(200)
+    )
+
+
+def _hilbert_oracle() -> str:
+    from ..operators.layout import hilbert_value_sql
+
+    chain = hilbert_value_sql("o_custkey % 256", "o_orderkey % 256", bits=8)
+    chain = chain.replace("__SRC__", "orders")
+    return (
+        f"SELECT o_orderkey, d AS h FROM {chain}"
+        " ORDER BY h, o_orderkey LIMIT 200"
+    )
+
+
+_Q["q245_hilbert_layout"].oracle = _hilbert_oracle()

@@ -785,6 +785,47 @@ def ktruss(edges_upper: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     )
 
 
+def multi_bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Per-SOURCE minimum hop distances from a pivot set →
+    (pivot, id, dist) — :func:`bfs_distances` vectorized over pivots
+    (the q162 betweenness trick): ONE synchronized frontier loop whose
+    state is keyed by (pivot, id), so p pivots cost the same number of
+    supersteps as one, with |S|·|frontier| work per level instead of p
+    sequential loops.  ``sources`` must have columns (pivot, id).
+
+    The settled set and frontier follow bfs_distances' conventions
+    exactly: per-level checkpoint, plan-local width, broadcast while
+    small with shuffle fallback past the cap."""
+    e = _sym(edges)
+    dist = sources.select(
+        "pivot", "id", F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("pivot", "id")
+    n_frontier = dist.count()
+    w = _width(_ecount(edges, e))
+    for h in range(1, max_hops + 1):
+        fr = F.broadcast(frontier) if n_frontier <= _BCAST_MAX_ROWS else frontier
+        nxt = (
+            _nw(
+                e.join(fr, e.src == fr["id"])
+                .select("pivot", F.col("dst").alias("id"))
+                .distinct()
+                .join(dist, ["pivot", "id"], "left_anti"),
+                w,
+            )
+            .withColumn("dist", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        n_frontier = nxt.count()
+        if n_frontier == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("pivot", "id")
+    return dist
+
+
 def sssp_hop_limited(
     wedges: DataFrame, source: int, iterations: int = 6
 ) -> DataFrame:

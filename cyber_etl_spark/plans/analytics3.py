@@ -1086,21 +1086,35 @@ def q248_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale plan: the corpus-scale work (daily aggregation) is one
     distributed groupBy; the recurrence walks the per-DAY grid —
-    bounded by the calendar, the q216/q213 convention — so the
-    recursive part is constant-sized regardless of SF (the q223
-    bounded-state lesson, here on the SQL surface instead of a
-    mapInPandas kernel).  Exactness: α = β = 0.5 makes every recurrence
-    step a sequence of IEEE doubles ops on identical inputs with an
-    identical expression tree — halving and adding are exactly-rounded
-    operations, so both engines walk bit-identical (level, trend)
-    trajectories with NO per-step snapping needed; the final round(,6)
-    is the double-path-safe plain round.  The per-day ROW_NUMBER
-    window is over the calendar-bounded grid (audit-exempt with
-    q210/q213/q216)."""
-    from ..sources import load_all
+    bounded by the calendar, the q216/q213 convention — in ONE
+    mapInPandas task (operators/forecast.holt_linear_forecast, the
+    q223 bounded-state kernel shape).  Spark's own WITH RECURSIVE was
+    the first implementation and the measured trap: ~one scheduled
+    join round per DAY, 17 s at sf0.1 vs 0.4 s for the kernel — Spark
+    recursion is for bounded-DEPTH reachability (q207), never for
+    long sequential chains; the DuckDB oracle keeps the recursive-CTE
+    text, which is exactly the cross-engine pin on the kernel's walk.
+    Exactness: α = β = 0.5 makes every recurrence step a sequence of
+    IEEE double ops on identical inputs with an identical expression
+    tree — halving and adding are exactly-rounded operations, so both
+    engines walk bit-identical (level, trend) trajectories with NO
+    per-step snapping needed; the final round(,6) is the
+    double-path-safe plain round, applied Spark-side to the kernel's
+    unrounded outputs."""
+    from ..operators.forecast import holt_linear_forecast
 
-    load_all(spark, sf_dir)
-    return spark.sql(_Q248_SQL)
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    out = holt_linear_forecast(daily, order_col="day", value_col="x")
+    return out.select(
+        "horizon",
+        "n_days",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    ).orderBy("horizon")
 
 
 @query(
@@ -1280,4 +1294,756 @@ def q249_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
+    )
+
+
+@query(
+    "q251_target_encoding",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    cat AS (
+      SELECT l_suppkey, COUNT(*) AS nc, SUM(y) AS sc FROM li GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(y) AS yt FROM li)
+    SELECT li.l_orderkey, li.l_linenumber,
+           CAST((2*((CAST(cat.sc AS HUGEINT) - li.y)*tot.n + 10*tot.yt)
+                   *1000000
+                 + (cat.nc - 1 + 10)*CAST(tot.n AS HUGEINT))
+                // (2*(cat.nc - 1 + 10)*CAST(tot.n AS HUGEINT)) AS DOUBLE)
+             / 1000000 AS enc
+    FROM li JOIN cat USING (l_suppkey), tot
+    """,
+    tags=("ml", "feature", "encoding"),
+)
+def q251_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the supplier key against the
+    return flag, with additive smoothing toward the global prior
+    (m = 10 pseudo-observations): enc_i = (S_c − y_i + m·ȳ)/(n_c − 1 + m)
+    — the high-cardinality categorical encoder every tabular-ML
+    pipeline needs, leakage-free by construction (each row's own label
+    is subtracted; the q214/q148 leakage discipline applied to feature
+    engineering).
+
+    Scale plan: one category aggregation + one 1-row global aggregate,
+    then a single fact-side join (category table broadcasts under AQE);
+    per-row work is closed-form arithmetic — no per-category windows,
+    no second pass.  Exactness: multiplying through by the global count
+    N makes the encoding an exact integer rational ((S_c−y)·N + m·Y)
+    over ((n_c−1+m)·N), half-away 6 dp in DECIMAL/HUGEINT (the N²-scale
+    numerator passes int64 at ~3e9 rows)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cat = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("y").alias("sc")
+    )
+    tot = li.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("yt"))
+    return (
+        li.join(cat, "l_suppkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.expr(
+                    "(2*((CAST(sc AS DECIMAL(38,0)) - y)*n + 10*yt)*1000000"
+                    " + (nc - 1 + 10)*CAST(n AS DECIMAL(38,0)))"
+                    " div (2*(nc - 1 + 10)*CAST(n AS DECIMAL(38,0)))"
+                ).cast("double")
+                / 1_000_000
+            ).alias("enc"),
+        )
+    )
+
+
+@query(
+    "q252_sax_symbolic",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1
+    ),
+    wk AS (
+      SELECT (day - DATE '2020-01-06') // 7 AS week,
+             COUNT(*) AS nd, SUM(x) AS sx
+      FROM d GROUP BY 1
+    ),
+    t AS (
+      SELECT COUNT(*) AS nw, SUM(sx) AS st, SUM(CAST(nd AS HUGEINT)) AS ndt,
+             SUM(CAST(sx AS HUGEINT)*sx*10000 // (CAST(nd AS HUGEINT)*nd))
+               AS q4
+      FROM wk
+    ),
+    z AS (
+      SELECT wk.week, wk.nd, wk.sx,
+             CAST(sx AS DOUBLE)/nd AS paa,
+             CAST(st AS DOUBLE)/ndt AS gm,
+             sqrt(GREATEST(CAST(q4 AS DOUBLE)/10000/nw
+                           - (CAST(st AS DOUBLE)/ndt)
+                             *(CAST(st AS DOUBLE)/ndt), 0.0)) AS gs
+      FROM wk, t
+    )
+    SELECT CAST(week AS BIGINT) AS week, CAST(nd AS BIGINT) AS n_days,
+           CAST((2*CAST(sx AS HUGEINT)*1000000 + nd) // (2*CAST(nd AS HUGEINT))
+                AS DOUBLE) / 1000000 AS paa,
+           CASE WHEN paa < gm - 0.6745*gs THEN 'a'
+                WHEN paa < gm THEN 'b'
+                WHEN paa < gm + 0.6745*gs THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z ORDER BY week
+    """,
+    tags=("timeseries", "symbolic", "sax"),
+)
+def q252_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of the daily event series:
+    weekly piecewise-aggregate means, discretized into a 4-letter
+    alphabet at the Gaussian quartile breakpoints (±0.6745σ around the
+    mean of the weekly means) — the symbolic representation behind
+    motif discovery and anomaly grammars, joining q213/q216/q241/q248
+    in the time-series family.
+
+    Scale plan: two calendar-bounded aggregations (day grid → week
+    grid); the global mean/σ of weekly means is a 1-row broadcast.
+    Exactness: the reported PAA is a half-away 6-dp integer rational;
+    the symbol comparisons run on doubles computed from identical
+    exact integers in both engines (the per-week mean-square term is
+    pre-snapped to a 1e-4 integer grid inside the aggregate, so the
+    variance input is an exact integer sum) — the double-path rule:
+    same binary inputs, same comparisons, same letters."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wk = d.groupBy(
+        F.expr("datediff(day, DATE '2020-01-06') div 7").alias("week")
+    ).agg(F.count(F.lit(1)).alias("nd"), F.sum("x").alias("sx"))
+    t = wk.agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.sum("sx").alias("st"),
+        F.sum(F.expr("CAST(nd AS DECIMAL(38,0))")).alias("ndt"),
+        F.sum(
+            F.expr(
+                "CAST(sx AS DECIMAL(38,0))*sx*10000"
+                " div (CAST(nd AS DECIMAL(38,0))*nd)"
+            )
+        ).alias("q4"),
+    )
+    z = wk.crossJoin(F.broadcast(t)).select(
+        "week",
+        "nd",
+        "sx",
+        (F.col("sx").cast("double") / F.col("nd")).alias("paa_raw"),
+        (F.col("st").cast("double") / F.col("ndt")).alias("gm"),
+        F.sqrt(
+            F.greatest(
+                F.col("q4").cast("double") / 10000 / F.col("nw")
+                - (F.col("st").cast("double") / F.col("ndt"))
+                * (F.col("st").cast("double") / F.col("ndt")),
+                F.lit(0.0),
+            )
+        ).alias("gs"),
+    )
+    return z.select(
+        F.col("week").cast("long").alias("week"),
+        F.col("nd").cast("long").alias("n_days"),
+        (
+            F.expr(
+                "(2*CAST(sx AS DECIMAL(38,0))*1000000 + nd)"
+                " div (2*CAST(nd AS DECIMAL(38,0)))"
+            ).cast("double")
+            / 1_000_000
+        ).alias("paa"),
+        F.when(
+            F.col("paa_raw") < F.col("gm") - 0.6745 * F.col("gs"), "a"
+        )
+        .when(F.col("paa_raw") < F.col("gm"), "b")
+        .when(F.col("paa_raw") < F.col("gm") + 0.6745 * F.col("gs"), "c")
+        .otherwise("d")
+        .alias("symbol"),
+    ).orderBy("week")
+
+
+@query(
+    "q256_readability",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+             GREATEST(length(regexp_replace(text, '[^.!?]', '', 'g')), 1)
+               AS s,
+             len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS syl
+      FROM documents
+    ),
+    r AS (
+      SELECT source, w,
+             CAST((2*CAST(w AS HUGEINT)*1000000 + s) // (2*CAST(s AS HUGEINT))
+                  AS DOUBLE) / 1000000 AS wps,
+             CAST((2*CAST(syl AS HUGEINT)*1000000 + w)
+                  // (2*CAST(w AS HUGEINT)) AS DOUBLE) / 1000000 AS spw
+      FROM d WHERE w > 0
+    ),
+    f AS (
+      SELECT source, w,
+             CAST(round(206.835 - 1.015*wps - 84.6*spw, 6)
+                  AS DECIMAL(18,6)) AS flesch
+      FROM r
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST((2*SUM(CAST(w AS HUGEINT))*1000000 + COUNT(*))
+                // (2*COUNT(*)) AS DOUBLE) / 1000000 AS avg_words,
+           round(CAST(SUM(flesch) AS DOUBLE) / COUNT(*), 6) AS avg_flesch
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+    tags=("text", "quality", "readability"),
+)
+def q256_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per source — words/sentence and
+    vowel-group syllable approximation, the classic readability score
+    as a corpus-quality dimension next to the Gopher rules (q204),
+    stopword/punctuation quality (q16) and repetition (q92).
+
+    Scale plan: one projection pass (three counting expressions, all
+    JVM-side regex) + one per-source aggregate.  Exactness: both
+    per-doc ratios are half-away 6-dp integer rationals; the Flesch
+    assembly multiplies snapped rationals by exact decimal constants
+    and is itself snapped to DECIMAL(18,6) per doc before the per-source
+    sum (the q77 snap-then-sum discipline), so aggregation order cannot
+    perturb the average.  Vowel-class counting avoids lower(): the
+    class lists both cases explicitly, sidestepping locale-dependent
+    case folding (Java vs utf8proc) entirely."""
+    from ..functions.text import tokens as tok_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(tok_expr(F.col("text"))).alias("w"),
+        F.greatest(
+            F.length(F.regexp_replace(F.col("text"), r"[^.!?]", "")), F.lit(1)
+        ).alias("s"),
+        F.expr("regexp_count(text, '[aeiouyAEIOUY]+')").alias("syl"),
+    ).where(F.col("w") > 0)
+    r = d.select(
+        "source",
+        "w",
+        (
+            F.expr(
+                "(2*CAST(w AS DECIMAL(38,0))*1000000 + s)"
+                " div (2*CAST(s AS DECIMAL(38,0)))"
+            ).cast("double")
+            / 1_000_000
+        ).alias("wps"),
+        (
+            F.expr(
+                "(2*CAST(syl AS DECIMAL(38,0))*1000000 + w)"
+                " div (2*CAST(w AS DECIMAL(38,0)))"
+            ).cast("double")
+            / 1_000_000
+        ).alias("spw"),
+    )
+    f = r.select(
+        "source",
+        "w",
+        F.round(206.835 - 1.015 * F.col("wps") - 84.6 * F.col("spw"), 6)
+        .cast("decimal(18,6)")
+        .alias("flesch"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.expr(
+                    "(2*SUM(CAST(w AS DECIMAL(38,0)))*1000000 + COUNT(*))"
+                    " div (2*COUNT(*))"
+                ).cast("double")
+                / 1_000_000
+            ).alias("avg_words"),
+            F.round(
+                F.sum("flesch").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_flesch"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q257_session_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id, SUM(c) AS n,
+             SUM(CAST(round(c * ln(CAST(c AS DOUBLE)), 12)
+                      AS DECIMAL(26,12))) AS slc
+      FROM c GROUP BY 1
+    ),
+    h AS (
+      SELECT user_id, n,
+             ln(CAST(n AS DOUBLE)) - CAST(slc AS DOUBLE)/n AS ent
+      FROM u
+    ),
+    b AS (
+      SELECT CAST(floor(ent / 0.25) AS INT) AS bucket,
+             CAST(round(ent, 12) AS DECIMAL(26,12)) AS ent12
+      FROM h
+    )
+    SELECT bucket, COUNT(*) AS n_users,
+           round(CAST(SUM(ent12) AS DOUBLE) / COUNT(*), 6) AS avg_entropy
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+    tags=("behavior", "entropy", "profile"),
+)
+def q257_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type entropy distribution: H = ln n − (Σ c·ln c)/n
+    per user, bucketed at 0.25-nat resolution with per-bucket mean —
+    the behavioral-diversity profile (bots sit at H ≈ 0, organic users
+    spread) that complements the per-dimension feature profile (q202)
+    and k-anonymity audit (q206).
+
+    Scale plan: two keyed aggregations (user × type → user), then the
+    bounded bucket rollup; no windows, no per-user state beyond two
+    accumulators.  Exactness: the c·ln c terms are snapped at 12 dp and
+    DECIMAL-summed per user (q77 discipline); per-user H is then one
+    double expression from exact inputs, re-snapped at 12 dp before the
+    per-bucket mean so the bucket aggregation order cannot perturb the
+    reported average; bucket edges compare identical doubles."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    u = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c").cast("double")), 12).cast(
+                "decimal(26,12)"
+            )
+        ).alias("slc"),
+    )
+    h = u.select(
+        "user_id",
+        "n",
+        (
+            F.log(F.col("n").cast("double"))
+            - F.col("slc").cast("double") / F.col("n")
+        ).alias("ent"),
+    )
+    b = h.select(
+        F.floor(F.col("ent") / 0.25).cast("int").alias("bucket"),
+        F.round(F.col("ent"), 12).cast("decimal(26,12)").alias("ent12"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum("ent12").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_entropy"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q258_partition_skew_audit",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 32 AS bucket,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (
+      SELECT SUM(n) AS nt, MAX(n) AS nmax, COUNT(*) AS nb FROM b
+    )
+    SELECT CAST(t.nb AS BIGINT) AS n_buckets, CAST(t.nt AS BIGINT) AS n_rows,
+           CAST(t.nmax AS BIGINT) AS max_bucket_rows,
+           CAST((2*CAST(t.nmax AS HUGEINT)*t.nb*1000000 + t.nt)
+                // (2*CAST(t.nt AS HUGEINT)) AS DOUBLE) / 1000000
+             AS skew_ratio,
+           CAST((2*CAST(t.nmax AS HUGEINT)*1000000 + t.nt)
+                // (2*CAST(t.nt AS HUGEINT)) AS DOUBLE) / 1000000
+             AS max_share
+    FROM t
+    """,
+    tags=("ops", "skew", "audit"),
+)
+def q258_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition skew audit of the l_orderkey join key: rows
+    per md5-derived hash bucket (32 = this repo's shuffle width),
+    reporting the max/mean skew ratio and the largest bucket's share —
+    the measurement AQE's skew-join logic acts on, surfaced as a query
+    so operators can audit a key BEFORE shipping the join (companion to
+    the salting operators q102/q103 and the IVF cell audit q166).
+
+    Scale plan: one map-side-combined aggregation to 32 rows, then a
+    1-row rollup.  Exactness: both ratios are half-away 6-dp integer
+    rationals (skew = nmax·nb/nt, share = nmax/nt)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 32
+        ).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = b.agg(
+        F.sum("n").alias("nt"),
+        F.max("n").alias("nmax"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    return t.select(
+        F.col("nb").cast("long").alias("n_buckets"),
+        F.col("nt").cast("long").alias("n_rows"),
+        F.col("nmax").cast("long").alias("max_bucket_rows"),
+        (
+            F.expr(
+                "(2*CAST(nmax AS DECIMAL(38,0))*nb*1000000 + nt)"
+                " div (2*CAST(nt AS DECIMAL(38,0)))"
+            ).cast("double")
+            / 1_000_000
+        ).alias("skew_ratio"),
+        (
+            F.expr(
+                "(2*CAST(nmax AS DECIMAL(38,0))*1000000 + nt)"
+                " div (2*CAST(nt AS DECIMAL(38,0)))"
+            ).cast("double")
+            / 1_000_000
+        ).alias("max_share"),
+    )
+
+
+@query(
+    "q259_gini_revenue",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS HUGEINT))
+               AS xc
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT xc,
+             ROW_NUMBER() OVER (ORDER BY xc, o_custkey) AS i
+      FROM cr
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(xc) AS sx, SUM(CAST(i AS HUGEINT)*xc) AS six
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS DOUBLE) / 100 AS total_revenue,
+           CAST((2*(2*six - (n+1)*CAST(sx AS HUGEINT))*1000000
+                 + CAST(n AS HUGEINT)*sx)
+                // (2*CAST(n AS HUGEINT)*sx) AS DOUBLE) / 1000000 AS gini
+    FROM s
+    """,
+    tags=("stats", "inequality", "prefix-kernel"),
+)
+def q259_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the Lorenz-curve
+    inequality summary G = (2·Σ i·x_(i))/(n·Σx) − (n+1)/n over
+    ascending-sorted revenues, the concentration audit that
+    complements top-N+other (q197), market share (q110) and decile
+    lift (q190).
+
+    Scale plan: one customer aggregation, then ranks from the prefix
+    kernel's global_ranks (no whole-table single-task window); the
+    Lorenz sum Σ i·x is one more keyed aggregate.  Exactness: revenues
+    are integer cents, ranks exact integers with a (xc, custkey) total
+    order, so G is an exact integer rational — half-away 6 dp in
+    DECIMAL(38,0)/HUGEINT (Σ i·x reaches n²·x̄·100 ≈ 1e38 only past
+    ~1e12 customers)."""
+    from ..operators.prefix import global_ranks
+
+    o = read_table(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2))*100"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("xc")
+    )
+    r = global_ranks(cr, order_cols=["xc", "o_custkey"], rn_col="i")
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0))*xc")).alias("six"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("sx").cast("double") / 100).alias("total_revenue"),
+        (
+            F.expr(
+                "(2*(2*six - (n+1)*CAST(sx AS DECIMAL(38,0)))*1000000"
+                " + CAST(n AS DECIMAL(38,0))*sx)"
+                " div (2*CAST(n AS DECIMAL(38,0))*sx)"
+            ).cast("double")
+            / 1_000_000
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q260_negative_sampling",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    np AS (SELECT COUNT(*) AS np FROM part),
+    samp AS (
+      SELECT c, p FROM pos
+      WHERE CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 8 = 0
+    ),
+    cand AS (
+      SELECT samp.c, samp.p AS pos_part, j.j,
+             CAST(('0x' || substr(md5(CAST(samp.c AS VARCHAR) || ':'
+                          || CAST(samp.p AS VARCHAR) || ':'
+                          || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT)
+               % np.np AS neg_part
+      FROM samp CROSS JOIN (VALUES (1),(2),(3)) AS j(j), np
+    )
+    SELECT cand.c AS custkey, cand.pos_part, cand.j AS draw,
+           cand.neg_part
+    FROM cand
+    LEFT JOIN pos ON pos.c = cand.c AND pos.p = cand.neg_part
+    WHERE pos.p IS NULL
+    ORDER BY custkey, pos_part, draw
+    """,
+    tags=("ml", "recsys", "sampling"),
+)
+def q260_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training: for a
+    stable 1-in-8 customer sample, each (customer, purchased-part)
+    positive draws 3 md5-derived candidate parts from the catalog, and
+    candidates that are accidental positives are anti-joined away —
+    the contrastive-pair generator every two-tower/BPR pipeline needs,
+    with md5 replacing rand() so the sample is replayable and
+    hash-gateable (the q168/q231 determinism discipline).
+
+    Scale plan: positives come from one join + distinct; candidate
+    generation is a ×3 VALUES fan-out (no cross join against the part
+    table — the catalog size enters only as a broadcast modulus); the
+    false-negative filter is one keyed LEFT join back to the positives
+    (at production scale a bloom prefilter (q122's operator) absorbs
+    it).  Everything is exact integer arithmetic."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    pos = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the sample AND the anti filter
+    )
+    np_ = part.agg(F.count(F.lit(1)).alias("np"))
+    samp = pos.where(
+        F.conv(
+            F.substring(F.md5(F.col("c").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 8
+        == 0
+    )
+    cand = (
+        samp.crossJoin(F.broadcast(np_))
+        .withColumn("j", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .select(
+            "c",
+            F.col("p").alias("pos_part"),
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("c").cast("string"),
+                                F.col("p").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("np")
+            ).alias("neg_part"),
+        )
+    )
+    return (
+        cand.join(
+            pos.select(F.col("c"), F.col("p").alias("neg_part")),
+            ["c", "neg_part"],
+            "left_anti",
+        )
+        .select(
+            F.col("c").alias("custkey"),
+            "pos_part",
+            F.col("j").alias("draw"),
+            "neg_part",
+        )
+        .orderBy("custkey", "pos_part", "draw")
+    )
+
+
+@query(
+    "q261_tfidf_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS token
+      FROM toks
+    ),
+    post AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM grams GROUP BY 1, 2
+    ),
+    nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM post),
+    dfr AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+    w AS (
+      SELECT post.token, post.doc_id, dfr.df,
+             CAST(round(post.tf * (ln((nn.n + 1.0)/(dfr.df + 1.0)) + 1.0), 6)
+                  AS DECIMAL(18,6)) AS w
+      FROM post JOIN dfr USING (token), nn
+    ),
+    nrm AS (
+      SELECT doc_id, sqrt(CAST(SUM(CAST(w*w AS DECIMAL(38,12))) AS DOUBLE))
+               AS nrm
+      FROM w GROUP BY 1
+    ),
+    dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_shared,
+             SUM(CAST(a.w*b.w AS DECIMAL(38,12))) AS dp
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      WHERE a.df <= 100 AND b.df <= 100
+      GROUP BY 1, 2
+    ),
+    cosd AS (
+      SELECT doc_a, doc_b, n_shared,
+             round(CAST(dp AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+      FROM dot JOIN nrm na ON na.doc_id = doc_a
+               JOIN nrm nb ON nb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared, cosine
+    FROM cosd WHERE cosine >= 0.4
+    ORDER BY cosine DESC, doc_a, doc_b LIMIT 50
+    """,
+    tags=("text", "similarity", "tfidf", "inverted-index"),
+)
+def q261_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top lexically-similar document pairs by TF-IDF cosine, computed
+    THROUGH the inverted index: the sparse-vector twin of the
+    embedding-cosine near-dup (q39) and the weighted upgrade of token
+    Jaccard (q21) — the classic duplicate-detection score when no
+    embeddings exist.  Terms are 3-word shingles, not unigrams: this
+    corpus is template text over a ~31-word vocabulary (the q177
+    lesson), so unigram TF-IDF degenerates (every word is a stopword);
+    the q22/q49 shingle definition restores a discriminative term
+    space.
+
+    Scale plan: the pair stage is a posting-list self-join restricted
+    to discriminative tokens (df ≤ 100): candidate volume is
+    Σ_token df² over that capped set — the q119/q177 inverted-index
+    economics; common tokens are excluded from PAIRING but still count
+    toward norms, the standard df-cap approximation (understates
+    cosine, never invents pairs).  No per-pair rescan; the cut is a
+    TakeOrdered.  Exactness: weights are 6-dp-snapped decimals, dot
+    products exact decimal sums; only the final norm division is
+    double (identical inputs both engines), re-snapped at 6 dp."""
+    from ..functions.text import shingles, tokens as tok_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles(tok_expr(F.col("text")), 3)).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nn = postings.agg(F.count_distinct("doc_id").alias("n"))
+    dfr = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        postings.join(F.broadcast(dfr), "token")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "token",
+            "doc_id",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+        .localCheckpoint(eager=True)  # feeds norms AND both join sides
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.expr("CAST(w*w AS DECIMAL(38,12))")).cast("double")
+        ).alias("nrm")
+    )
+    wp = w.where(F.col("df") <= 100)
+    a = wp.select(
+        "token", F.col("doc_id").alias("doc_a"), F.col("w").alias("wa")
+    )
+    b = wp.select(
+        "token", F.col("doc_id").alias("doc_b"), F.col("w").alias("wb")
+    )
+    dot = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.expr("CAST(wa*wb AS DECIMAL(38,12))")).alias("dp"),
+        )
+    )
+    cosd = (
+        dot.join(
+            nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")),
+            "doc_a",
+        )
+        .join(
+            nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("dp").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    return (
+        cosd.where(F.col("cosine") >= 0.4)
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(50)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            "cosine",
+        )
     )

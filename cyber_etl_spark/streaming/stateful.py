@@ -769,3 +769,88 @@ def cms_stream(items: DataFrame, width: int = 128, depth: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("day", StringType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_next", DoubleType()),
+    ]
+)
+
+# (days seen, first value while uninitialized, level, trend)
+_HOLT_STATE = StructType(
+    [
+        StructField("cnt", LongType()),
+        StructField("x0", DoubleType()),
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+    ]
+)
+
+
+def holt_stream(daily: DataFrame, alpha: float = 0.5, beta: float = 0.5) -> DataFrame:
+    """Streaming twin of q248's Holt linear-trend smoother, per event
+    type: consumes an in-order DAILY-AGGREGATE feed (event_type, day, x)
+    and maintains (level, trend) across micro-batches, emitting the
+    state and one-step-ahead forecast after each day.
+
+    The recurrence replays operators/forecast.holt_linear_forecast's
+    exact float expression tree (alpha*x + (1-alpha)*(l+b); beta*(l'-l)
+    + (1-beta)*b), so after any prefix of the series the streaming state
+    equals the batch kernel's state over the same prefix — the twin-test
+    contract.  Init needs two observations (l = x1, b = x2 - x1); the
+    first day emits no forecast (NULL trend).  State per key is four
+    numbers; rows fold in day order within a micro-batch, so output is
+    independent of batch slicing for an in-order feed."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        cnt, x0, lvl, trd = state.get if state.exists else (0, None, None, None)
+        rows = pd.concat(list(batches)).sort_values("day")
+        days, lvls, trds, fcs = [], [], [], []
+        for day, x in zip(rows["day"], rows["x"]):
+            x = float(x)
+            if cnt == 0:
+                x0, cnt = x, 1
+                days.append(str(day)); lvls.append(x); trds.append(None)
+                fcs.append(None)
+                continue
+            if cnt == 1:
+                lvl, trd, cnt = x0, x - x0, 2
+                # replay the t=2 recurrence step exactly as the kernel
+                new_l = alpha * x + (1.0 - alpha) * (lvl + trd)
+                trd = beta * (new_l - lvl) + (1.0 - beta) * trd
+                lvl = new_l
+            else:
+                cnt += 1
+                new_l = alpha * x + (1.0 - alpha) * (lvl + trd)
+                trd = beta * (new_l - lvl) + (1.0 - beta) * trd
+                lvl = new_l
+            days.append(str(day)); lvls.append(lvl); trds.append(trd)
+            fcs.append(lvl + trd)
+        state.update((cnt, x0, lvl, trd))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(days),
+                "day": days,
+                "level": lvls,
+                "trend": trds,
+                "forecast_next": fcs,
+            }
+        )
+
+    return daily.select("event_type", "day", "x").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=HOLT_SCHEMA,
+        stateStructType=_HOLT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -248,9 +248,6 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
         # q216: CUSUM cumulative + argmax windows over the per-DAY grid
         # (calendar x 5 types, bounded by construction)
         "q216_cusum_changepoint",
-        # q248: ROW_NUMBER indexing of the same per-DAY grid feeding the
-        # recursive Holt recurrence (calendar-bounded by construction)
-        "q248_holt_forecast",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

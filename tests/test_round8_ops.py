@@ -1,0 +1,95 @@
+"""Behavior pins for round-8 operators whose defining properties the
+hash gate cannot check (both engines share the formula, so only an
+independent invariant catches a semantic error).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def test_ams_estimate_within_calibrated_bound(spark, sf_smoke):
+    """q88-style SELF-CALIBRATING tolerance (never hand-tuned): one AMS
+    group mean of m=4 estimators has Var ≤ 2·F2²/m, so the median of 4
+    group means sits within sqrt(2/m)·F2 of F2 at ~1 sigma; assert 4
+    sigma — derived from Alon-Matias-Szegedy Thm 2.2, not from the
+    observed value."""
+    from cyber_etl_spark.plans import QUERIES
+
+    row = QUERIES["q246_ams_f2_sketch"].builder(spark, sf_smoke).collect()[0]
+    sigma = math.sqrt(2.0 / 4.0) * row["f2_exact"]
+    assert abs(row["f2_estimate"] - row["f2_exact"]) <= 4 * sigma
+    assert row["rel_err"] <= 4 * math.sqrt(2.0 / 4.0)
+
+
+def test_rake_phrases_contain_no_stopwords_and_score_positive(spark, sf_smoke):
+    from cyber_etl_spark.functions.text import EN_STOPWORDS
+    from cyber_etl_spark.plans import QUERIES
+
+    rows = QUERIES["q243_rake_keyphrases"].builder(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert 1 <= len(words) <= 4
+        assert all(w not in EN_STOPWORDS for w in words), r["phrase"]
+        assert r["rake_score"] > 0
+        assert r["n_occurrences"] >= 1
+    # scores are sums of per-word degree/freq ratios with deg >= freq
+    # contribution >= 1 per word, so a phrase scores at least its length
+    for r in rows:
+        assert r["rake_score"] >= len(r["phrase"].split(" ")) - 1e-9
+
+
+def test_naive_bayes_plumbing_invariants(spark, sf_smoke):
+    """This corpus gives NB nothing to learn (all langs draw from one
+    template vocabulary — the q177 lesson again), so accuracy is NOT a
+    valid pin; what must hold regardless of signal: every md5-test doc
+    is classified exactly once, the posterior argmax is not constant
+    (likelihoods really enter — a broken likelihood join would collapse
+    to the prior's single majority class), and the whole matrix is
+    deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+
+    rows = QUERIES["q249_naive_bayes"].builder(spark, sf_smoke).collect()
+    n_total = sum(r["n_docs"] for r in rows)
+    docs = read_table(spark, sf_smoke, "documents")
+    n_test = docs.where(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 5
+        == 0
+    ).count()
+    assert n_total == n_test > 0
+    assert len({r["pred_lang"] for r in rows}) >= 2
+    again = QUERIES["q249_naive_bayes"].builder(spark, sf_smoke).collect()
+    key = lambda r: (r["true_lang"], r["pred_lang"], r["n_docs"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_gini_bounds_and_degenerate_case(spark, sf_smoke):
+    """Gini of real revenue sits in (0, 1); a constant vector must give
+    exactly 0 (the closed form's own sanity anchor)."""
+    from cyber_etl_spark.plans import QUERIES
+
+    row = QUERIES["q259_gini_revenue"].builder(spark, sf_smoke).collect()[0]
+    assert 0.0 < row["gini"] < 1.0
+
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.operators.prefix import global_ranks
+
+    df = spark.range(100).select(
+        F.col("id").alias("o_custkey"), F.lit(500).alias("xc")
+    )
+    r = global_ranks(df, order_cols=["xc", "o_custkey"], rn_col="i")
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0))*xc")).alias("six"),
+    ).collect()[0]
+    num = 2 * s["six"] - (s["n"] + 1) * s["sx"]
+    assert num == 0  # constant vector → Lorenz diagonal → Gini 0

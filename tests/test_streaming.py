@@ -653,3 +653,61 @@ def test_cdc_apply_stream_matches_batch_q180(spark, sf_smoke, tmp_path):
         r.k for r in rows if r.k in deleted and r.gen < latest[r.k].gen and r.op != "D"
     }
     assert upserted_then_deleted
+
+
+def test_holt_stream_matches_kernel_state(spark, sf_smoke, tmp_path):
+    """Streaming Holt (per event type) == the batch kernel's recurrence
+    over the same prefix, with (level, trend) state genuinely crossing
+    micro-batches: the per-type day grid feeds in three day-ordered
+    files, and the final emitted state per type must equal a replay of
+    operators/forecast's exact float expression tree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import holt_stream
+
+    ev = read_table(spark, sf_smoke, "events")
+    grid = (
+        ev.groupBy("event_type", F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("day")
+        .toPandas()
+    )
+    d = tmp_path / "holt_feed"
+    d.mkdir()
+    days = sorted(grid["day"].unique())
+    n = len(days)
+    assert n >= 6
+    for i in range(3):
+        sel = days[i * n // 3 : (i + 1) * n // 3]
+        chunk = grid[grid["day"].isin(sel)]
+        pq.write_table(
+            pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("event_type string, day string, x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_stream_to_memory(holt_stream(stream), "holt_mem", mode="update")
+    rows = spark.sql("SELECT * FROM holt_mem").collect()
+    last = {}
+    for r in rows:
+        if r.event_type not in last or r.day > last[r.event_type].day:
+            last[r.event_type] = r
+
+    # pure-Python replay of the kernel's expression tree per type
+    for etype, g in grid.groupby("event_type"):
+        xs = [float(x) for _, x in sorted(zip(g["day"], g["x"]))]
+        lvl, trd = xs[0], xs[1] - xs[0]
+        for t in range(1, len(xs)):
+            new_l = 0.5 * xs[t] + 0.5 * (lvl + trd)
+            trd = 0.5 * (new_l - lvl) + 0.5 * trd
+            lvl = new_l
+        got = last[etype]
+        assert got.level == lvl and got.trend == trd, etype
+        assert got.forecast_next == lvl + trd

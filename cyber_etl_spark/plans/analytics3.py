@@ -2066,3 +2066,443 @@ def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _TFIDF_CACHE[key] = w
     return w
+
+
+def _q262_oracle(steps: int = 60) -> str:
+    """Unrolled expected-steps-to-absorption iteration t = 1 + Q t over
+    the transient-to-transient matrix — q236's per-term 1e-12 integer
+    snap makes the SQL aggregate and the numpy reduction walk identical
+    trajectories; each level references only the previous one; qt is
+    MATERIALIZED (the q255 lesson)."""
+    levels = ["t0 AS (SELECT DISTINCT i, 0.0 AS t FROM qt)"]
+    for k in range(1, steps + 1):
+        levels.append(
+            f"""t{k} AS {"MATERIALIZED " if k % 15 == 0 else ""}(
+  SELECT q.i,
+         1.0 + SUM(CAST(floor(q.p * COALESCE(x.t, 0.0)
+                        * 1000000000000 + 0.5) AS BIGINT))
+           / 1000000000000.0 AS t
+  FROM qt q LEFT JOIN t{k - 1} x ON q.j = x.i
+  GROUP BY 1
+)"""
+        )
+    return f"""
+    WITH pe AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    fp AS (
+      SELECT user_id, MIN(rn) AS prn FROM pe
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS (
+      SELECT pe.user_id, rn,
+             CASE WHEN event_type = 'purchase' THEN '__conv'
+                  ELSE event_type END AS st
+      FROM pe LEFT JOIN fp USING (user_id)
+      WHERE fp.prn IS NULL OR rn <= fp.prn
+    ),
+    steps_t AS (
+      SELECT user_id,
+             COALESCE(LAG(st) OVER (PARTITION BY user_id ORDER BY rn),
+                      '__start') AS i,
+             st AS jn
+      FROM j
+    ),
+    terminal AS (
+      SELECT user_id, st AS i, '__null' AS jn
+      FROM (SELECT user_id, st,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY rn DESC) AS rr
+            FROM j)
+      WHERE rr = 1 AND st <> '__conv'
+    ),
+    trans AS (
+      SELECT i, jn FROM steps_t UNION ALL SELECT i, jn FROM terminal
+    ),
+    cnt AS (SELECT i, jn, COUNT(*) AS c FROM trans GROUP BY 1, 2),
+    tot AS (SELECT i, SUM(c) AS t FROM cnt GROUP BY 1),
+    prob AS (
+      SELECT i, jn, CAST(c AS DOUBLE) / t AS p
+      FROM cnt JOIN tot USING (i)
+    ),
+    qt AS MATERIALIZED (
+      SELECT i, jn AS j, p FROM prob
+      WHERE jn <> '__conv' AND jn <> '__null'
+    ),
+    {",".join(levels)}
+    SELECT i AS state, round(t, 6) AS exp_steps
+    FROM t{steps} ORDER BY state
+    """
+
+
+@query(
+    "q262_absorption_time",
+    oracle=_q262_oracle(),
+    tags=("attribution", "markov", "iterative"),
+)
+def q262_absorption_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected steps to absorption (conversion OR journey end) from
+    each state of the purchase-truncated journey chain — the
+    fundamental-matrix row sums t = (I − Q)⁻¹·1, the "how long until
+    this journey resolves" companion to q236's "where does it resolve"
+    (absorption probabilities / removal effects) and q210's
+    non-parametric time-to-event curve.
+
+    Scale split and exactness are q236's, by construction: the
+    corpus-scale journey/transition build is SHARED with q236 through
+    the memoized helper (plans/analytics2._journey_prob — one user
+    window pass serves both queries per session); the chain is
+    (channels+2)² constant-sized state, so the 60 fixpoint iterations
+    of t = 1 + Q·t run in ONE task with every per-step term snapped to
+    the 1e-12 integer grid (order-independent sums → the numpy loop
+    and the unrolled SQL walk bit-identical trajectories)."""
+    from ..plans.analytics2 import _journey_prob
+
+    _, prob = _journey_prob(spark, sf_dir)
+    qt = prob.where(
+        (F.col("jn") != "__conv") & (F.col("jn") != "__null")
+    ).select("i", F.col("jn").alias("j"), "p")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) > 100_000:
+            # bounded-state contract (the q236 kernel guard): the
+            # transient matrix is states², event-TYPE cardinality
+            raise ValueError(
+                f"absorption-time kernel: {len(pdf)} rows exceed the "
+                "bounded chain contract (states^2)"
+            )
+        states = sorted(set(pdf["i"]))
+        idx = {s: k for k, s in enumerate(states)}
+        q = np.zeros((len(states), len(states)))
+        for i_s, j_s, p in zip(pdf["i"], pdf["j"], pdf["p"]):
+            if j_s in idx:
+                q[idx[i_s], idx[j_s]] = p
+        t = np.zeros(len(states))
+        for _ in range(60):
+            # replay the oracle's exact arithmetic: per-term 1e-12
+            # snap, exact integer sum, then the +1
+            terms = np.floor(q * t[None, :] * 1e12 + 0.5).astype(np.int64)
+            t = 1.0 + terms.sum(axis=1) / 1e12
+        # Spark/DuckDB round() is HALF-AWAY; np.round is half-even and
+        # WILL eventually flip a hash (CLAUDE.md rule) — floor snap
+        # (values are nonnegative step counts)
+        yield pd.DataFrame(
+            {
+                "state": states,
+                "exp_steps": np.floor(t * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    out = qt.coalesce(1).mapInPandas(kernel, "state string, exp_steps double")
+    return out.orderBy("state")
+
+
+@query(
+    "q263_retrieval_mrr",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS token
+      FROM toks
+    ),
+    post AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM grams GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM grams GROUP BY 1),
+    st AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avgdl
+      FROM dl
+    ),
+    dfr AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+    qs AS (
+      SELECT token AS qtok, df FROM dfr
+      WHERE df BETWEEN 5 AND 50
+      ORDER BY df DESC, token ASC LIMIT 10
+    ),
+    cand AS (
+      SELECT qs.qtok, p.doc_id, p.tf, d.dl,
+             round(p.tf * 2.2
+                   / (p.tf + 1.2*(1 - 0.75 + 0.75*d.dl/st.avgdl)), 6)
+               AS score
+      FROM qs JOIN post p ON p.token = qs.qtok
+      JOIN dl d ON d.doc_id = p.doc_id, st
+    ),
+    rk AS (
+      SELECT qtok, doc_id, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY qtok
+                                ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM cand
+    ),
+    per AS (
+      SELECT qtok,
+             COUNT(*) AS n_candidates,
+             SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS n_gold,
+             MIN(CASE WHEN tf >= 2 THEN rnk END) AS first_gold,
+             SUM(CASE WHEN tf >= 2 AND rnk <= 10 THEN 1 ELSE 0 END)
+               AS gold_in_10
+      FROM rk GROUP BY 1
+    )
+    SELECT qtok AS query_shingle,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_gold AS BIGINT) AS n_gold,
+           CASE WHEN first_gold IS NULL THEN 0.0
+                ELSE CAST((2*1000000 + first_gold) // (2*first_gold)
+                          AS DOUBLE) / 1000000 END AS rr,
+           CASE WHEN n_gold = 0 THEN 0.0
+                ELSE CAST((2*gold_in_10*1000000 + n_gold) // (2*n_gold)
+                          AS DOUBLE) / 1000000 END AS recall_at_10
+    FROM per ORDER BY query_shingle
+    """,
+    tags=("retrieval", "eval", "bm25"),
+)
+def q263_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation through the index: for ten deterministic
+    mid-frequency shingle queries, rank candidates by the BM25
+    tf/length component and report reciprocal rank of the first
+    multi-occurrence ("truly about it") document plus recall@10 —
+    the ranking-eval corner (MRR / recall@k) that completes the
+    eval family next to threshold-free AUC/AP (q215/q221) and the
+    retrieval scorers themselves (q67/q132/q198).
+
+    Scale plan: query selection is a TakeOrdered over the df table;
+    candidates per query are one posting-list read bounded by the df
+    band (≤ 50 docs), so the per-query ranking window is bounded by
+    construction (never a corpus-wide partition).  Reuses the memoized
+    TF-IDF/posting machinery's term space (3-shingles — unigrams
+    degenerate on this corpus).  Exactness: scores are doubles from
+    identical exact inputs, 6-dp rounded with doc_id tie-breaks (the
+    q67 ranking discipline); rr and recall are half-away 6-dp integer
+    rationals."""
+    from pyspark.sql.window import Window
+    from ..functions.text import shingles, tokens as tok_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(shingles(tok_expr(F.col("text")), 3)).alias("token")
+    ).localCheckpoint(eager=True)  # feeds postings, doclens
+    post = grams.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    dfr = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    qs = (
+        dfr.where(F.col("df").between(5, 50))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(10)
+        .select(F.col("token").alias("qtok"))
+    )
+    cand = (
+        F.broadcast(qs)
+        .join(post, post.token == F.col("qtok"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "qtok",
+            "doc_id",
+            "tf",
+            F.round(
+                F.col("tf")
+                * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    rk = cand.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("qtok").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    per = rk.groupBy("qtok").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("tf") >= 2, 1).otherwise(0)).alias("n_gold"),
+        F.min(F.when(F.col("tf") >= 2, F.col("rnk"))).alias("first_gold"),
+        F.sum(
+            F.when((F.col("tf") >= 2) & (F.col("rnk") <= 10), 1).otherwise(0)
+        ).alias("gold_in_10"),
+    )
+    return per.select(
+        F.col("qtok").alias("query_shingle"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_gold").cast("long").alias("n_gold"),
+        F.when(F.col("first_gold").isNull(), F.lit(0.0))
+        .otherwise(
+            F.expr("(2*1000000 + first_gold) div (2*first_gold)").cast(
+                "double"
+            )
+            / 1_000_000
+        )
+        .alias("rr"),
+        F.when(F.col("n_gold") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr("(2*gold_in_10*1000000 + n_gold) div (2*n_gold)").cast(
+                "double"
+            )
+            / 1_000_000
+        )
+        .alias("recall_at_10"),
+    ).orderBy("query_shingle")
+
+
+@query(
+    "q264_burstiness_fano",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS nd, SUM(x) AS sx,
+             SUM(CAST(x AS HUGEINT)*x) AS sxx
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+           CAST((2*CAST(sx AS HUGEINT)*1000000 + nd)
+                // (2*CAST(nd AS HUGEINT)) AS DOUBLE) / 1000000
+             AS mean_daily,
+           CAST((2*(CAST(nd AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx)
+                   *1000000
+                 + (nd-1)*CAST(nd AS HUGEINT)*sx)
+                // (2*(nd-1)*CAST(nd AS HUGEINT)*sx) AS DOUBLE) / 1000000
+             AS fano
+    FROM s WHERE nd >= 2 ORDER BY event_type
+    """,
+    tags=("timeseries", "dispersion"),
+)
+def q264_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, sample-variance/mean) of the
+    per-type daily count series — the burstiness screen: a Poisson
+    arrival process sits at 1, campaign/bot traffic far above; the
+    cheap companion to the seasonal-anomaly (q193) and change-point
+    (q216) detectors.
+
+    Scale plan: one grid aggregation + a per-type sufficient-statistic
+    rollup (the q189 shape).  Exactness: Fano = s²/x̄ with the sample
+    variance s² = (n·Σx² − (Σx)²)/(n(n−1)) and mean x̄ = Σx/n collapses
+    to ONE exact integer rational, (n·Σx² − (Σx)²)/((n−1)·Σx), with
+    half-away 6-dp division, DECIMAL/HUGEINT widened."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))*x")).alias("sxx"),
+    )
+    return (
+        s.where(F.col("nd") >= 2)
+        .select(
+            "event_type",
+            F.col("nd").cast("long").alias("n_days"),
+            (
+                F.expr(
+                    "(2*CAST(sx AS DECIMAL(38,0))*1000000 + nd)"
+                    " div (2*CAST(nd AS DECIMAL(38,0)))"
+                ).cast("double")
+                / 1_000_000
+            ).alias("mean_daily"),
+            (
+                F.expr(
+                    "(2*(CAST(nd AS DECIMAL(38,0))*sxx"
+                    " - CAST(sx AS DECIMAL(38,0))*sx)*1000000"
+                    " + (nd-1)*CAST(nd AS DECIMAL(38,0))*sx)"
+                    " div (2*(nd-1)*CAST(nd AS DECIMAL(38,0))*sx)"
+                ).cast("double")
+                / 1_000_000
+            ).alias("fano"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q265_hourly_concentration",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_part('hour', ts) AS hh, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, SUM(c) AS n, SUM(CAST(c AS HUGEINT)*c) AS scc,
+             COUNT(*) AS n_hours, MAX(c) AS cmax
+      FROM h GROUP BY 1
+    )
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+           CAST((2*CAST(scc AS HUGEINT)*1000000
+                 + CAST(n AS HUGEINT)*n)
+                // (2*CAST(n AS HUGEINT)*n) AS DOUBLE) / 1000000 AS hhi,
+           CAST((2*CAST(cmax AS HUGEINT)*1000000 + n)
+                // (2*CAST(n AS HUGEINT)) AS DOUBLE) / 1000000
+             AS peak_share
+    FROM s ORDER BY event_type
+    """,
+    tags=("timeseries", "concentration"),
+)
+def q265_hourly_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day concentration per event type: the Herfindahl index
+    Σ (c_h/n)² over the 24 hourly shares plus the peak hour's share —
+    uniform traffic sits at 1/24, scheduled/bot activity spikes toward
+    1; complements the dispersion screen (q264) and the hourly rollup
+    (q14) with a single comparable concentration number.
+
+    Scale plan: one bounded-key aggregation (type × 24) + per-type
+    rollup.  Exactness: HHI = Σc²/n² and peak share are exact integer
+    rationals, half-away 6 dp."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", F.hour("ts").alias("hh")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = h.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0))*c")).alias("scc"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.max("c").alias("cmax"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        (
+            F.expr(
+                "(2*CAST(scc AS DECIMAL(38,0))*1000000"
+                " + CAST(n AS DECIMAL(38,0))*n)"
+                " div (2*CAST(n AS DECIMAL(38,0))*n)"
+            ).cast("double")
+            / 1_000_000
+        ).alias("hhi"),
+        (
+            F.expr(
+                "(2*CAST(cmax AS DECIMAL(38,0))*1000000 + n)"
+                " div (2*CAST(n AS DECIMAL(38,0)))"
+            ).cast("double")
+            / 1_000_000
+        ).alias("peak_share"),
+    ).orderBy("event_type")

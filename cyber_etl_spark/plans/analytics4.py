@@ -1,0 +1,1102 @@
+"""Round-8 analytics additions, second wave (q266+): customer-value
+segmentation (RFM), graded ranking evaluation (NDCG@k), and the
+cumulative-hazard twin of the Kaplan-Meier curve — plus storage-layout
+and index-maintenance operators further down.
+
+Family ancestry: the reference's notebooks segment and score entities
+with pandas ``qcut``/``groupby`` passes (data_integration.ipynb's
+ad-hoc per-entity profiling cells); these re-express the same analyses
+as shuffle-conscious Spark plans with exact DuckDB twins, reusing the
+repo's distributed kernels (``operators/prefix`` for every global
+ranking, the memoized ``_bm25_index`` for retrieval eval).
+
+Float discipline: identical to analytics2/analytics3 — exact integer /
+decimal sufficient statistics everywhere, per-term 12-dp snaps summed
+as DECIMAL where a transcendental (log2) is unavoidable, half-away
+integer division (``_ha6``) for every reported rational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import SessionMemo, session_token
+from ..sources import read_table
+from .analytics2 import _ha6, _ha6_sql
+from .registry import query
+
+
+@query(
+    "q266_rfm_segmentation",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS cust, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+      FROM orders GROUP BY 1
+    ),
+    h AS (SELECT MAX(last_day) AS h FROM per),
+    rfm AS (
+      SELECT cust, date_diff('day', last_day, h.h) AS rec, freq, mon
+      FROM per, h
+    ),
+    q AS (
+      SELECT cust, mon,
+             NTILE(5) OVER (ORDER BY rec ASC, cust ASC) AS r_q,
+             NTILE(5) OVER (ORDER BY freq DESC, cust ASC) AS f_q,
+             NTILE(5) OVER (ORDER BY mon DESC, cust ASC) AS m_q
+      FROM rfm
+    )
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon) AS DOUBLE) AS total_monetary,
+           CAST(SUM(mon) AS DOUBLE) / COUNT(*) AS avg_monetary
+    FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    tags=("segmentation", "ranking", "kernel"),
+)
+def q266_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles per customer, reported as segment sizes and revenue — the
+    classic entity-scoring pass a marketing pipeline runs over the
+    order fact (the reference's per-entity ``value_counts``/``qcut``
+    profiling, made distributed).
+
+    Scale plan: ONE hash aggregation reduces the fact table to a
+    customer-cardinality frame (pinned — three ranking passes consume
+    it); each quintile assignment is the distributed rank kernel
+    (operators/prefix.global_ranks + ntile_expr) over that frame — no
+    whole-table single-task NTILE window ever exists, the q63
+    discipline.  The final rollup is a bounded 125-cell cube.
+    Exactness: monetary stays DECIMAL(18,2) end-to-end; the quintile
+    arithmetic is pure integers (rn, n); avg = exact-decimal-sum cast
+    double / count, identical IEEE division in both engines.
+    Tie-breaks: every ranking carries cust as the unique final key."""
+    from ..operators.prefix import global_ranks, ntile_expr
+
+    o = read_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    horizon = per.agg(F.max("last_day").alias("h"))
+    rfm = (
+        per.crossJoin(F.broadcast(horizon))
+        .select(
+            "cust",
+            F.datediff("h", "last_day").alias("rec"),
+            "freq",
+            "mon",
+            (-F.col("freq")).alias("negf"),
+            (-F.col("mon")).alias("negm"),
+        )
+        .localCheckpoint(eager=True)  # feeds three rank passes
+    )
+    g = global_ranks(rfm, order_cols=["rec", "cust"], rn_col="r_rn", total_col="n1")
+    g = global_ranks(g, order_cols=["negf", "cust"], rn_col="f_rn", total_col="n2")
+    g = global_ranks(g, order_cols=["negm", "cust"], rn_col="m_rn", total_col="n3")
+    seg = g.select(
+        "mon",
+        ntile_expr(F.col("r_rn"), F.col("n1"), 5).alias("r_q"),
+        ntile_expr(F.col("f_rn"), F.col("n2"), 5).alias("f_q"),
+        ntile_expr(F.col("m_rn"), F.col("n3"), 5).alias("m_q"),
+    )
+    return (
+        seg.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("mon").cast("double").alias("total_monetary"),
+            (F.sum("mon").cast("double") / F.count(F.lit(1))).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+@query(
+    "q267_ndcg_at_10",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS token
+      FROM toks
+    ),
+    post AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM grams GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM grams GROUP BY 1),
+    st AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avgdl
+      FROM dl
+    ),
+    dfr AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+    qs AS (
+      SELECT token AS qtok FROM dfr
+      WHERE df BETWEEN 5 AND 50
+      ORDER BY df DESC, token ASC LIMIT 10
+    ),
+    cand AS (
+      SELECT qs.qtok, p.doc_id,
+             CASE WHEN p.tf > 3 THEN 3 ELSE p.tf END AS rel,
+             round(p.tf * 2.2
+                   / (p.tf + 1.2*(1 - 0.75 + 0.75*d.dl/st.avgdl)), 6)
+               AS score
+      FROM qs JOIN post p ON p.token = qs.qtok
+      JOIN dl d ON d.doc_id = p.doc_id, st
+    ),
+    rk AS (
+      SELECT qtok, rel,
+             ROW_NUMBER() OVER (PARTITION BY qtok
+                                ORDER BY score DESC, doc_id ASC) AS rnk,
+             ROW_NUMBER() OVER (PARTITION BY qtok
+                                ORDER BY rel DESC, doc_id ASC) AS irnk
+      FROM cand
+    ),
+    terms AS (
+      SELECT qtok,
+             SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS n_ranked,
+             SUM(CASE WHEN rnk <= 10 THEN CAST(round(
+                   ((1<<rel) - 1) / log2(rnk + 1), 12) AS DECIMAL(20,12))
+                 ELSE CAST(0 AS DECIMAL(20,12)) END) AS dcg,
+             SUM(CASE WHEN irnk <= 10 THEN CAST(round(
+                   ((1<<rel) - 1) / log2(irnk + 1), 12) AS DECIMAL(20,12))
+                 ELSE CAST(0 AS DECIMAL(20,12)) END) AS idcg
+      FROM rk GROUP BY 1
+    )
+    SELECT qtok AS query_shingle,
+           CAST(n_ranked AS BIGINT) AS n_ranked,
+           CAST(dcg AS DOUBLE) AS dcg,
+           CAST(idcg AS DOUBLE) AS idcg,
+           CAST((2*CAST(dcg*1000000000000 AS HUGEINT)*1000000
+                 + CAST(idcg*1000000000000 AS HUGEINT))
+                // (2*CAST(idcg*1000000000000 AS HUGEINT)) AS DOUBLE)
+             / 1000000 AS ndcg
+    FROM terms ORDER BY query_shingle
+    """,
+    tags=("retrieval", "eval", "ranking"),
+)
+def q267_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 with graded relevance for the ten deterministic
+    mid-frequency shingle queries — the graded companion of the binary
+    MRR/recall eval (q263), completing the ranking-eval family.
+    Relevance = min(tf, 3); gain = 2^rel − 1, discount = log2(rank+1).
+
+    Scale plan: reuses the memoized 3-shingle retrieval index
+    (``_bm25_index`` — one tokenize pass shared with q263); candidates
+    per query are one posting-list read bounded by the df band (≤ 50),
+    so both ranking windows (actual and ideal order) are bounded by
+    construction.  Exactness: each DCG term divides an exact small
+    integer by log2 of an integer — the only transcendental — and is
+    snapped at 12 dp into DECIMAL(20,12) before the exact sum (the q244
+    per-term discipline, absorbing libm last-ulp differences); NDCG is
+    then a half-away 6-dp integer rational of the two exact 1e-12-unit
+    sums (DECIMAL(38,0)/HUGEINT)."""
+    from pyspark.sql.window import Window
+    from .analytics3 import _bm25_index
+
+    post, dl, st, dfr = _bm25_index(spark, sf_dir)
+    qs = (
+        dfr.where(F.col("df").between(5, 50))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(10)
+        .select(F.col("token").alias("qtok"))
+    )
+    cand = (
+        F.broadcast(qs)
+        .join(post, post.token == F.col("qtok"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "qtok",
+            "doc_id",
+            F.least(F.col("tf"), F.lit(3)).alias("rel"),
+            F.round(
+                F.col("tf")
+                * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    # per-qtok windows: bounded by the df band (<= 50 candidates)
+    rk = cand.select(
+        "qtok",
+        "rel",
+        F.row_number()
+        .over(
+            Window.partitionBy("qtok").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("rnk"),
+        F.row_number()
+        .over(
+            Window.partitionBy("qtok").orderBy(
+                F.col("rel").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("irnk"),
+    )
+    gain = "(CAST(shiftleft(1, rel) - 1 AS DOUBLE))"
+    terms = rk.groupBy("qtok").agg(
+        F.sum(F.when(F.col("rnk") <= 10, 1).otherwise(0)).alias("n_ranked"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN rnk <= 10 THEN CAST(round({gain} / log2(rnk + 1),"
+                " 12) AS DECIMAL(20,12)) ELSE CAST(0 AS DECIMAL(20,12)) END"
+            )
+        ).alias("dcg"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN irnk <= 10 THEN CAST(round({gain} / log2(irnk + 1),"
+                " 12) AS DECIMAL(20,12)) ELSE CAST(0 AS DECIMAL(20,12)) END"
+            )
+        ).alias("idcg"),
+    )
+    return terms.select(
+        F.col("qtok").alias("query_shingle"),
+        F.col("n_ranked").cast("long").alias("n_ranked"),
+        F.col("dcg").cast("double").alias("dcg"),
+        F.col("idcg").cast("double").alias("idcg"),
+        (
+            F.expr(
+                "(2*CAST(dcg*1000000000000 AS DECIMAL(38,0))*1000000"
+                " + CAST(idcg*1000000000000 AS DECIMAL(38,0)))"
+                " div (2*CAST(idcg*1000000000000 AS DECIMAL(38,0)))"
+            ).cast("double")
+            / 1_000_000
+        ).alias("ndcg"),
+    ).orderBy("query_shingle")
+
+
+@query(
+    "q268_nelson_aalen",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS s_day
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS p_day
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(date_trunc('day', ts)) AS h FROM events),
+    subj AS (
+      SELECT CASE WHEN pu.p_day IS NOT NULL AND pu.p_day >= su.s_day
+                  THEN date_diff('day', su.s_day, pu.p_day) END AS t_event,
+             date_diff('day', su.s_day, h.h) AS t_censor
+      FROM su LEFT JOIN pu USING (user_id) CROSS JOIN horizon h
+    ),
+    obs AS (
+      SELECT COALESCE(t_event, t_censor) AS t,
+             CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END AS died
+      FROM subj
+    ),
+    grid AS (
+      SELECT t, CAST(SUM(died) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS removed
+      FROM obs GROUP BY t
+    ),
+    na AS (
+      SELECT t, d,
+             CAST((SELECT COUNT(*) FROM obs) AS BIGINT)
+               - CAST(COALESCE(SUM(removed) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS n_risk
+      FROM grid
+    )
+    SELECT t AS day, n_risk, d AS n_converted,
+           {hazard} AS hazard,
+           CAST(SUM(CAST(round(CAST(d AS DOUBLE) / n_risk, 12)
+                         AS DECIMAL(20,12)))
+                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS DOUBLE) AS cum_hazard
+    FROM na WHERE d > 0 ORDER BY day
+    """.format(hazard=_ha6_sql("d", "n_risk")),
+    tags=("timeseries", "survival", "ml-eval"),
+)
+def q268_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator for time-to-first-
+    purchase — the additive twin of the Kaplan–Meier curve (q210),
+    sharing its subject construction: first signup, first purchase,
+    right-censor at the horizon.  H(t) = Σ_{t_i ≤ t} d_i / n_i.
+
+    Scale plan: identical to q210 — the per-user reduction is the only
+    corpus-scale work; the hazard table is ONE ROW PER DISTINCT EVENT
+    DAY (bounded by the calendar, AGG_INPUT_OK class), so its
+    cumulative window is a bounded-aggregate pass.  Exactness: each
+    d/n is an exact integer ratio (identical IEEE division), snapped at
+    12 dp into DECIMAL(20,12) and cumulated exactly; the per-day hazard
+    is a half-away 6-dp integer rational."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("s_day"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("p_day"))
+    )
+    horizon = ev.agg(F.max(day).alias("h"))
+    subj = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("p_day").isNotNull() & (F.col("p_day") >= F.col("s_day")),
+                F.datediff("p_day", "s_day"),
+            ).alias("t_event"),
+            F.datediff("h", "s_day").alias("t_censor"),
+        )
+    )
+    obs = subj.select(
+        F.coalesce("t_event", "t_censor").alias("t"),
+        F.when(F.col("t_event").isNotNull(), 1).otherwise(0).alias("died"),
+    ).localCheckpoint(eager=True)  # feeds the grid agg AND the total count
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = obs.groupBy("t").agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("removed")
+    )
+    from pyspark.sql.window import Window
+
+    # windows over the per-DAY table: input bounded by the calendar
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    na = grid.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n_total") - F.coalesce(F.sum("removed").over(wprev), F.lit(0)),
+    )
+    return (
+        na.withColumn(
+            "cum_hazard",
+            F.sum(
+                F.expr(
+                    "CAST(round(CAST(d AS DOUBLE) / n_risk, 12)"
+                    " AS DECIMAL(20,12))"
+                )
+            )
+            .over(wcum)
+            .cast("double"),
+        )
+        .where(F.col("d") > 0)
+        .select(
+            F.col("t").alias("day"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_converted"),
+            _ha6("d", "n_risk").alias("hazard"),
+            "cum_hazard",
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q269_compaction_plan",
+    oracle="""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chars AS excl
+      FROM documents
+    ),
+    f AS (
+      SELECT source, excl // 65536 AS file_idx, doc_id, n_chars FROM c
+    )
+    SELECT source, CAST(file_idx AS BIGINT) AS file_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           {fill} AS fill_ratio
+    FROM f GROUP BY 1, 2 ORDER BY 1, 2
+    """.format(fill=_ha6_sql("SUM(n_chars)", "65536")),
+    tags=("layout", "compaction", "kernel"),
+)
+def q269_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: pack each source's documents (in
+    doc_id order) into ~64 KiB output files by running-byte-count and
+    report the resulting file manifest (doc count, bytes, id range,
+    fill ratio) — the storage-maintenance pass every lakehouse pipeline
+    schedules, expressed as a first-class operator.
+
+    Scale plan: the running byte total comes from the distributed
+    prefix kernel (operators/prefix.running_total) — NOT a per-source
+    window, which would funnel each source's entire corpus through one
+    task (the q160 lesson); file assignment is then row-local floor
+    arithmetic on the EXCLUSIVE prefix, and the manifest is a bounded
+    per-(source, file) aggregate.  Exactness: pure integer arithmetic
+    end-to-end; fill ratio is a half-away 6-dp integer rational."""
+    from ..operators.prefix import running_total
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    c = running_total(
+        docs,
+        value_col="n_chars",
+        order_cols=["doc_id"],
+        group_cols=["source"],
+        out_col="cum",
+    )
+    f = c.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        ((F.col("cum") - F.col("n_chars")) / 65536)
+        .cast("long")
+        .alias("file_idx"),
+    )
+    return (
+        f.groupBy("source", "file_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            "source",
+            "file_idx",
+            "n_docs",
+            F.col("bytes").cast("long").alias("bytes"),
+            "min_doc",
+            "max_doc",
+            _ha6("bytes", "65536").alias("fill_ratio"),
+        )
+        .orderBy("source", "file_idx")
+    )
+
+
+@query(
+    "q270_bitmap_intersect",
+    oracle="""
+    WITH bm AS (
+      SELECT event_type, user_id // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, SUM(bit_count(bits)) AS n_users FROM bm GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             SUM(bit_count(a.bits & b.bits)) AS common_users
+      FROM bm a JOIN bm b
+        ON a.word = b.word AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(ta.n_users AS BIGINT) AS users_a,
+           CAST(tb.n_users AS BIGINT) AS users_b,
+           CAST(p.common_users AS BIGINT) AS common_users,
+           {jac} AS jaccard
+    FROM pair p
+    JOIN tot ta ON ta.event_type = p.type_a
+    JOIN tot tb ON tb.event_type = p.type_b
+    ORDER BY 1, 2
+    """.format(
+        jac=_ha6_sql(
+            "p.common_users", "ta.n_users + tb.n_users - p.common_users"
+        )
+    ),
+    tags=("bitmap", "audience", "set-ops"),
+)
+def q270_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index audience overlap: per event type, compress the user
+    set into 32-bit bitmap words (word = user_id div 32, one BIGINT of
+    bits per word), then compute every pairwise audience intersection
+    with bitwise AND + popcount — the classic bitmap-index approach to
+    COUNT(DISTINCT) set algebra, 32 users per row instead of one.
+
+    Scale plan: the bitmap build is ONE map-side-combinable bit_or
+    aggregation (mergeable across partitions/days by construction — the
+    same property a real bitmap index exploits for incremental
+    maintenance); the pair stage joins on the WORD key, so work is
+    O(words x types²) with no row-level self-join of the fact table;
+    popcounts are JVM-side bit_count.  Exactness: pure integer bit
+    algebra; Jaccard is a half-away 6-dp integer rational."""
+    ev = read_table(spark, sf_dir, "events")
+    bm = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 32).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .localCheckpoint(eager=True)  # feeds totals AND both join sides
+    )
+    tot = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users")
+    )
+    a = bm.select(
+        F.col("event_type").alias("type_a"),
+        "word",
+        F.col("bits").alias("bits_a"),
+    )
+    b = bm.select(
+        F.col("event_type").alias("type_b"),
+        "word",
+        F.col("bits").alias("bits_b"),
+    )
+    pair = (
+        a.join(b, "word")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.expr("bits_a & bits_b"))
+            ).alias("common_users")
+        )
+    )
+    ta = tot.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")
+    )
+    tb = tot.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        pair.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("users_a").cast("long").alias("users_a"),
+            F.col("users_b").cast("long").alias("users_b"),
+            F.col("common_users").cast("long").alias("common_users"),
+            _ha6(
+                "common_users", "users_a + users_b - common_users"
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q271_position_attribution",
+    oracle="""
+    WITH pe AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    fp AS (
+      SELECT user_id, MIN(rn) AS prn FROM pe
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touch AS (
+      SELECT pe.user_id, pe.event_type, pe.rn
+      FROM pe JOIN fp USING (user_id) WHERE pe.rn < fp.prn
+    ),
+    per AS (
+      SELECT user_id, COUNT(*) AS k, MIN(rn) AS rf, MAX(rn) AS rl
+      FROM touch GROUP BY 1
+    ),
+    cr AS (
+      SELECT t.event_type AS channel,
+             CASE WHEN p.k = 1 THEN 1000000000000
+                  WHEN t.rn = p.rf OR t.rn = p.rl THEN
+                    CASE WHEN p.k = 2 THEN 500000000000
+                         ELSE 400000000000 END
+                  ELSE (2*200000000000 + (p.k-2)) // (2*(p.k-2)) END AS u,
+             CASE WHEN t.rn = p.rf THEN 1 ELSE 0 END AS isf,
+             CASE WHEN t.rn = p.rl THEN 1 ELSE 0 END AS isl
+      FROM touch t JOIN per p USING (user_id)
+    )
+    SELECT channel,
+           CAST(SUM(isf) AS BIGINT) AS n_first,
+           CAST(SUM(isl) AS BIGINT) AS n_last,
+           CAST(SUM(1 - isf - isl + CASE WHEN isf = 1 AND isl = 1
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mid,
+           CAST((2*SUM(CAST(u AS HUGEINT)) + 1000000) // 2000000
+                AS DOUBLE) / 1000000 AS credit
+    FROM cr GROUP BY 1 ORDER BY 1
+    """,
+    tags=("attribution", "journey"),
+)
+def q271_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) conversion attribution: each converting
+    user's pre-purchase touches split the conversion credit 40% first /
+    40% last / 20% across the middles (100% for a single touch, 50/50
+    for two) — the rule-based member of the attribution family next to
+    last-touch (q218) and Markov removal effects (q236).
+
+    Scale plan: REUSES the memoized purchase-truncated journey table
+    (``_journey_prob`` — q236/q262's corpus-scale window pass is paid
+    once per session); everything after is user-keyed aggregation and
+    one user-keyed join (high-cardinality keys, no low-card windows).
+    Exactness: credits are exact 1e-12-unit integers (the middle share
+    is half-away integer division by k-2), summed as DECIMAL(38,0)/
+    HUGEINT, and the reported credit is a half-away 6-dp rational —
+    bit-identical in both engines by construction."""
+    from .analytics2 import _journey_prob
+
+    j, _ = _journey_prob(spark, sf_dir)
+    conv = (
+        j.where(F.col("st") == "__conv")
+        .select("user_id", F.col("rn").alias("crn"))
+    )
+    touch = (
+        j.join(conv, "user_id")
+        .where((F.col("rn") < F.col("crn")) & (F.col("st") != "__conv"))
+        .select("user_id", F.col("st").alias("channel"), "rn")
+    )
+    per = touch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.min("rn").alias("rf"),
+        F.max("rn").alias("rl"),
+    )
+    cr = touch.join(per, "user_id").select(
+        "channel",
+        F.when(F.col("k") == 1, F.lit(1_000_000_000_000))
+        .when(
+            (F.col("rn") == F.col("rf")) | (F.col("rn") == F.col("rl")),
+            F.when(F.col("k") == 2, F.lit(500_000_000_000)).otherwise(
+                F.lit(400_000_000_000)
+            ),
+        )
+        .otherwise(
+            F.expr("(2*200000000000 + (k-2)) div (2*(k-2))")
+        )
+        .alias("u"),
+        F.when(F.col("rn") == F.col("rf"), 1).otherwise(0).alias("isf"),
+        F.when(F.col("rn") == F.col("rl"), 1).otherwise(0).alias("isl"),
+    )
+    return (
+        cr.groupBy("channel")
+        .agg(
+            F.sum("isf").alias("n_first"),
+            F.sum("isl").alias("n_last"),
+            F.sum(
+                1
+                - F.col("isf")
+                - F.col("isl")
+                + F.when((F.col("isf") == 1) & (F.col("isl") == 1), 1).otherwise(0)
+            ).alias("n_mid"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+        )
+        .select(
+            "channel",
+            F.col("n_first").cast("long").alias("n_first"),
+            F.col("n_last").cast("long").alias("n_last"),
+            F.col("n_mid").cast("long").alias("n_mid"),
+            (
+                F.expr("(2*su + 1000000) div 2000000").cast("double")
+                / 1_000_000
+            ).alias("credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+_FD_CANDIDATES: tuple[tuple[str, str, str, str], ...] = (
+    ("customer.c_custkey->c_mktsegment", "customer", "c_custkey", "c_mktsegment"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("documents.doc_id->source", "documents", "doc_id", "source"),
+    ("documents.source->lang", "documents", "source", "lang"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+    ("lineitem.l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+)
+
+
+@query(
+    "q272_fd_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{fd}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(MAX(cd) AS BIGINT) AS max_rhs,
+           MAX(cd) = 1 AS holds
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS cd
+          FROM {tbl} GROUP BY 1) s
+    """
+        for fd, tbl, lhs, rhs in _FD_CANDIDATES
+    )
+    + "\nORDER BY fd",
+    tags=("profiling", "data-quality"),
+)
+def q272_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for a fixed candidate set of
+    (lhs -> rhs) column pairs across the star schema, report how many
+    lhs values exist, how many VIOLATE the dependency (more than one
+    distinct rhs), and the worst fan-out — the schema-discovery /
+    data-quality pass (q85's dq audit generalized to cross-column
+    structure; profiling notebooks do this with pandas nunique).
+
+    Scale plan: each candidate is ONE hash aggregation
+    (groupBy(lhs).countDistinct(rhs)) followed by a 1-row rollup —
+    map-side-combinable, no joins, no windows; the union of eight
+    1-row frames is driver-free.  Exactness: pure integer counts."""
+    frames = []
+    for fd, tbl, lhs, rhs in _FD_CANDIDATES:
+        t = read_table(spark, sf_dir, tbl)
+        per = t.groupBy(lhs).agg(F.count_distinct(F.col(rhs)).alias("cd"))
+        frames.append(
+            per.agg(
+                F.count(F.lit(1)).alias("n_lhs"),
+                F.sum(F.when(F.col("cd") > 1, 1).otherwise(0)).alias(
+                    "n_violating"
+                ),
+                F.max("cd").alias("max_rhs"),
+            ).select(
+                F.lit(fd).alias("fd"),
+                F.col("n_lhs").cast("long").alias("n_lhs"),
+                F.col("n_violating").cast("long").alias("n_violating"),
+                F.col("max_rhs").cast("long").alias("max_rhs"),
+                (F.col("max_rhs") == 1).alias("holds"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("fd")
+
+
+@query(
+    "q273_ccf_lead_lag",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (SELECT day, cnt AS xc FROM d WHERE event_type = 'view'),
+    y AS (SELECT day, cnt AS yc FROM d WHERE event_type = 'purchase'),
+    pair AS (
+      SELECT u.k, x.xc, y.yc
+      FROM x, unnest(generate_series(-7, 7)) AS u(k)
+      JOIN y ON y.day = x.day + CAST(u.k AS INT)
+    ),
+    s AS (
+      SELECT k, COUNT(*) AS n,
+             SUM(CAST(xc AS HUGEINT)) AS sx, SUM(CAST(yc AS HUGEINT)) AS sy,
+             SUM(CAST(xc AS HUGEINT)*yc) AS sxy,
+             SUM(CAST(xc AS HUGEINT)*xc) AS sxx,
+             SUM(CAST(yc AS HUGEINT)*yc) AS syy
+      FROM pair GROUP BY 1
+    )
+    SELECT CAST(k AS INT) AS lag_days, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+                ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)), 6) END
+             AS ccf
+    FROM s ORDER BY lag_days
+    """,
+    tags=("timeseries", "correlation"),
+)
+def q273_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily 'view' and
+    'purchase' series at lags −7..+7 — the two-series lead-lag
+    companion of the autocorrelation query (q241): a positive peak at
+    k>0 means views LEAD purchases by k days.
+
+    Scale plan: reuses the memoized per-day count grid (_day_grid —
+    calendar-bounded); the 15 lags ride ONE explode + equi-join on the
+    shifted day (the q241 design — never a range/nested-loop join);
+    per-lag Pearson terms are exact integer sufficient statistics
+    (DECIMAL(38,0)/HUGEINT products).  Exactness: numerator/denominator
+    are exact integers; the only doubles are one correctly-rounded
+    int→double conversion each, sqrt (correctly rounded by IEEE), one
+    division, and the 6-dp round of an irrational — safe."""
+    from .analytics2 import _day_grid
+
+    d = _day_grid(spark, sf_dir)
+    x = d.where(F.col("event_type") == "view").select(
+        "day", F.col("cnt").alias("xc")
+    )
+    y = d.where(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("cnt").alias("yc")
+    )
+    pair = (
+        x.select(
+            "day", "xc", F.explode(F.sequence(F.lit(-7), F.lit(7))).alias("k")
+        )
+        .join(y, F.col("yday") == F.date_add(F.col("day"), F.col("k")))
+        .select("k", "xc", "yc")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pair.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("xc")).alias("sx"),
+        F.sum(dec("yc")).alias("sy"),
+        F.sum(dec("xc") * F.col("yc")).alias("sxy"),
+        F.sum(dec("xc") * F.col("xc")).alias("sxx"),
+        F.sum(dec("yc") * F.col("yc")).alias("syy"),
+    )
+    return s.select(
+        F.col("k").cast("int").alias("lag_days"),
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            (F.expr("n*sxx - sx*sx") == 0) | (F.expr("n*syy - sy*sy") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.expr("CAST(n*sxy - sx*sy AS DOUBLE)")
+                / F.sqrt(
+                    F.expr("CAST(n*sxx - sx*sx AS DOUBLE)")
+                    * F.expr("CAST(n*syy - sy*sy AS DOUBLE)")
+                ),
+                6,
+            )
+        )
+        .alias("ccf"),
+    ).orderBy("lag_days")
+
+
+@query(
+    "q274_decayed_leaderboard",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (SELECT MAX(day) AS dmax FROM d),
+    u AS (
+      SELECT event_type,
+             CAST(cnt AS HUGEINT)
+               * (CAST(1 AS HUGEINT) << (45 - date_diff('day', day, h.dmax)))
+               AS units
+      FROM d, h WHERE date_diff('day', day, h.dmax) <= 45
+    ),
+    tot AS (
+      SELECT event_type, COUNT(*) AS n_days, SUM(cnt) AS raw_total
+      FROM d GROUP BY 1
+    )
+    SELECT t.event_type,
+           CAST(t.n_days AS BIGINT) AS n_days,
+           CAST(t.raw_total AS BIGINT) AS raw_total,
+           CAST(COALESCE(s.su, 0) AS DOUBLE) / 35184372088832.0
+             AS decayed_count
+    FROM tot t
+    LEFT JOIN (SELECT event_type, SUM(units) AS su FROM u GROUP BY 1) s
+      USING (event_type)
+    ORDER BY decayed_count DESC, event_type
+    """,
+    tags=("timeseries", "decay", "leaderboard"),
+)
+def q274_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed activity leaderboard: each event type's
+    daily counts decay with a one-day half-life (weight 2^-age), summed
+    over the trailing 45 days — the freshness-weighted ranking a
+    trending/leaderboard service maintains, expressed as a mergeable
+    aggregate (per-day partial sums merge by addition, so the sketch is
+    incrementally maintainable like the bitmap index q270).
+
+    Exactness trick: a dyadic decay (half-life = 1 day) makes every
+    weight an exact power of two, so contributions are EXACT INTEGERS
+    in units of 2^-45 (cnt << (45 - age)); ages beyond 45 days
+    contribute less than one unit and are truncated by construction —
+    no float ever enters the aggregation, and the final value is one
+    correctly-rounded int→double conversion divided by exact 2^45.
+    Scale plan: reuses the memoized day grid (bounded, calendar x 5
+    types); everything is one tiny rollup."""
+    from .analytics2 import _day_grid
+
+    d = _day_grid(spark, sf_dir)
+    h = d.agg(F.max("day").alias("dmax"))
+    u = (
+        d.crossJoin(F.broadcast(h))
+        .withColumn("age", F.datediff("dmax", "day"))
+        .where(F.col("age") <= 45)
+        .select(
+            "event_type",
+            (
+                F.col("cnt").cast("decimal(38,0)")
+                * F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), 45 - age)"
+                    " AS DECIMAL(38,0))"
+                )
+            ).alias("units"),
+        )
+    )
+    su = u.groupBy("event_type").agg(F.sum("units").alias("su"))
+    tot = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cnt").alias("raw_total")
+    )
+    return (
+        tot.join(su, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("raw_total").cast("long").alias("raw_total"),
+            (
+                F.coalesce(F.col("su"), F.lit(0)).cast("double")
+                / F.lit(35184372088832.0)
+            ).alias("decayed_count"),
+        )
+        .orderBy(F.col("decayed_count").desc(), "event_type")
+    )
+
+
+@query(
+    "q275_mlm_masking_plan",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, source, i, t[i] AS w
+      FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+    ),
+    hh AS (
+      SELECT source, w,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM pos
+    ),
+    voc AS (
+      SELECT w AS vw, ROW_NUMBER() OVER (ORDER BY w) AS vid
+      FROM (SELECT DISTINCT w FROM pos)
+    ),
+    nv AS (SELECT COUNT(*) AS V FROM voc),
+    tt AS (
+      SELECT source, w,
+             h % 100 < 15 AS masked,
+             (h // 100) % 10 AS act,
+             (h // 1000) % nv.V + 1 AS ridx
+      FROM hh, nv
+    ),
+    j AS (
+      SELECT tt.*, voc.vw AS rw FROM tt LEFT JOIN voc ON voc.vid = tt.ridx
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked,
+           CAST(SUM(CASE WHEN masked AND act <= 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mask_tok,
+           CAST(SUM(CASE WHEN masked AND act = 8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_random,
+           CAST(SUM(CASE WHEN masked AND act = 9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN masked AND act = 8 AND rw = w
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_random_identity,
+           {rate} AS mask_rate
+    FROM j GROUP BY 1 ORDER BY 1
+    """.format(
+        rate=_ha6_sql(
+            "SUM(CASE WHEN masked THEN 1 ELSE 0 END)", "COUNT(*)"
+        )
+    ),
+    tags=("training-data", "masking", "determinism"),
+)
+def q275_mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MLM masking plan audit: select 15% of token
+    positions by a stable md5 draw on (doc_id, position), split the
+    selected set 80/10/10 into [MASK] / random-replacement / keep (the
+    BERT recipe), draw each replacement deterministically from the
+    corpus vocabulary, and report the per-source action counts and
+    mask rate — the reproducible-masking pass a training-data pipeline
+    runs so that a re-run (or an audit) sees the identical plan.
+
+    Scale plan: the position explode is the corpus-scale work (one
+    projection, no shuffle until the per-source rollup); the
+    vocabulary is a bounded aggregate (31-word template corpus — the
+    q78 AGG_INPUT_OK class) whose index assignment is one tiny window,
+    then a broadcast join serves replacements.  Exactness: all
+    selection arithmetic is integer md5 bits (h%100 for the 15% gate,
+    digit 3 for the 80/10/10 split, higher digits for the replacement
+    index) — no floats anywhere; the mask rate is a half-away 6-dp
+    rational."""
+    from pyspark.sql.window import Window
+    from ..functions.text import tokens as tok_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tok_expr(F.col("text"))).alias("i0", "w"),
+    ).withColumn("i", F.col("i0") + 1)
+    hh = pos.select(
+        "source",
+        "w",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("i"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    vocab = pos.select("w").distinct()
+    # bounded vocabulary table (q78 class): one tiny global window
+    voc = vocab.withColumn(
+        "vid", F.row_number().over(Window.orderBy("w"))
+    ).select(F.col("w").alias("rw"), "vid")
+    nv = voc.agg(F.count(F.lit(1)).alias("V"))
+    tt = hh.crossJoin(F.broadcast(nv)).select(
+        "source",
+        "w",
+        (F.col("h") % 100 < 15).alias("masked"),
+        F.expr("(h div 100) % 10").alias("act"),
+        F.expr("(h div 1000) % V + 1").alias("ridx"),
+    )
+    j = tt.join(F.broadcast(voc), tt.ridx == voc.vid, "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("masked"), 1).otherwise(0)).alias("n_masked"),
+            F.sum(
+                F.when(F.col("masked") & (F.col("act") <= 7), 1).otherwise(0)
+            ).alias("n_mask_tok"),
+            F.sum(
+                F.when(F.col("masked") & (F.col("act") == 8), 1).otherwise(0)
+            ).alias("n_random"),
+            F.sum(
+                F.when(F.col("masked") & (F.col("act") == 9), 1).otherwise(0)
+            ).alias("n_keep"),
+            F.sum(
+                F.when(
+                    F.col("masked")
+                    & (F.col("act") == 8)
+                    & (F.col("rw") == F.col("w")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_random_identity"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_masked").cast("long").alias("n_masked"),
+            F.col("n_mask_tok").cast("long").alias("n_mask_tok"),
+            F.col("n_random").cast("long").alias("n_random"),
+            F.col("n_keep").cast("long").alias("n_keep"),
+            F.col("n_random_identity").cast("long").alias("n_random_identity"),
+            _ha6("n_masked", "n_tokens").alias("mask_rate"),
+        )
+        .orderBy("source")
+    )

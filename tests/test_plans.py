@@ -248,6 +248,12 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
         # q216: CUSUM cumulative + argmax windows over the per-DAY grid
         # (calendar x 5 types, bounded by construction)
         "q216_cusum_changepoint",
+        # q268: Nelson-Aalen cumulative hazard over the same per-DAY
+        # grid as q210 (one row per distinct event day)
+        "q268_nelson_aalen",
+        # q275: vocabulary index assignment — the window's input is the
+        # distinct-token table (the q78 vocabulary class)
+        "q275_mlm_masking_plan",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

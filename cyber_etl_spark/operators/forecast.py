@@ -90,3 +90,78 @@ def holt_linear_forecast(
     return daily.select(order_col, value_col).coalesce(1).mapInPandas(
         kernel, schema
     )
+
+
+def holt_winters_forecast(
+    daily: DataFrame,
+    order_col: str = "day",
+    value_col: str = "x",
+    period: int = 7,
+    horizons: int = 7,
+) -> DataFrame:
+    """Additive Holt-Winters (α = β = γ = 1/2, season ``period``) over a
+    BOUNDED dense ordered series → one row per horizon 1..``horizons``:
+    (horizon, n_days, level, trend, seasonal, forecast), unrounded.
+
+    Init (first two seasons): l = mean(x_1..x_p),
+    b = (mean(x_{p+1}..x_{2p}) − mean(x_1..x_p)) / p,
+    s_i = x_i − l; recurrence for t > p:
+    l_t = ½(x_t − s_{t−p}) + ½(l+b); b_t = ½(l_t − l) + ½b;
+    s_t = ½(x_t − l_t) + ½s_{t−p}.  Seasonal state rotates so its head
+    is always the factor for the NEXT step.  Inputs must be
+    integer-valued (daily counts): the init means are then exact-sum
+    divisions and every recurrence step is an identical IEEE expression
+    tree in both engines (the dyadic-weights rule of this module) — the
+    recursive-CTE oracle walks a bit-identical trajectory.  Fewer than
+    2·``period`` rows → empty."""
+    schema = (
+        "horizon int, n_days bigint, level double, trend double,"
+        " seasonal double, forecast double"
+    )
+
+    def kernel(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) > _MAX_SERIES_ROWS:
+            raise ValueError(
+                f"holt_winters_forecast: {len(pdf)} rows exceed the "
+                f"bounded-series contract ({_MAX_SERIES_ROWS})"
+            )
+        if len(pdf) < 2 * period:
+            return
+        pdf = pdf.sort_values(order_col, ignore_index=True)
+        xs = [float(v) for v in pdf[value_col]]
+        # exact-integer sums (counts), then one IEEE division each —
+        # identical in the oracle's SUM(CASE)/p form
+        lvl = sum(xs[:period]) / float(period)
+        trd = (sum(xs[period : 2 * period]) - sum(xs[:period])) / float(
+            period * period
+        )
+        s = [xs[i] - lvl for i in range(period)]
+        for t in range(period, len(xs)):
+            x = xs[t]
+            # the oracle's exact expression tree (l_new spelled inline)
+            new_l = 0.5 * (x - s[0]) + 0.5 * (lvl + trd)
+            trd = 0.5 * (new_l - lvl) + 0.5 * trd
+            s_new = 0.5 * (x - new_l) + 0.5 * s[0]
+            lvl = new_l
+            s = s[1:] + [s_new]
+        yield pd.DataFrame(
+            {
+                "horizon": list(range(1, horizons + 1)),
+                "n_days": [len(xs)] * horizons,
+                "level": [lvl] * horizons,
+                "trend": [trd] * horizons,
+                "seasonal": [s[(h - 1) % period] for h in range(1, horizons + 1)],
+                "forecast": [
+                    lvl + h * trd + s[(h - 1) % period]
+                    for h in range(1, horizons + 1)
+                ],
+            }
+        )
+
+    return daily.select(order_col, value_col).coalesce(1).mapInPandas(
+        kernel, schema
+    )

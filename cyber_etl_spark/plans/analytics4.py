@@ -1100,3 +1100,325 @@ def q275_mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q276_textrank_keywords",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i, t[i] AS w
+      FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+    ),
+    fw AS (
+      SELECT a.w AS u, b.w AS v, COUNT(*) AS c
+      FROM pos a JOIN pos b
+        ON b.doc_id = a.doc_id AND (b.i = a.i + 1 OR b.i = a.i + 2)
+      GROUP BY 1, 2
+    ),
+    ed AS MATERIALIZED (
+      SELECT u, v, SUM(c) AS w FROM (
+        SELECT u, v, c FROM fw
+        UNION ALL SELECT v AS u, u AS v, c FROM fw
+      ) GROUP BY 1, 2
+    ),
+    dg AS MATERIALIZED (
+      SELECT u, SUM(w) AS du, COUNT(*) AS n_neighbors FROM ed GROUP BY 1
+    ),
+    e2 AS MATERIALIZED (
+      SELECT e.u, e.v, e.w, d.du FROM ed e JOIN dg d USING (u)
+    ),
+    r0 AS MATERIALIZED (
+      SELECT u AS nd, CAST(1000000000000 AS HUGEINT) AS r FROM dg
+    ),
+    it1 AS MATERIALIZED (
+      SELECT e.v AS nd, 150000000000
+             + (2*17*SUM((2*e.w*r.r + e.du) // (2*e.du)) + 20) // 40 AS r
+      FROM e2 e JOIN r0 r ON r.nd = e.u GROUP BY e.v
+    ),
+    it2 AS MATERIALIZED (
+      SELECT e.v AS nd, 150000000000
+             + (2*17*SUM((2*e.w*r.r + e.du) // (2*e.du)) + 20) // 40 AS r
+      FROM e2 e JOIN it1 r ON r.nd = e.u GROUP BY e.v
+    ),
+    it3 AS MATERIALIZED (
+      SELECT e.v AS nd, 150000000000
+             + (2*17*SUM((2*e.w*r.r + e.du) // (2*e.du)) + 20) // 40 AS r
+      FROM e2 e JOIN it2 r ON r.nd = e.u GROUP BY e.v
+    ),
+    it4 AS MATERIALIZED (
+      SELECT e.v AS nd, 150000000000
+             + (2*17*SUM((2*e.w*r.r + e.du) // (2*e.du)) + 20) // 40 AS r
+      FROM e2 e JOIN it3 r ON r.nd = e.u GROUP BY e.v
+    ),
+    it5 AS MATERIALIZED (
+      SELECT e.v AS nd, 150000000000
+             + (2*17*SUM((2*e.w*r.r + e.du) // (2*e.du)) + 20) // 40 AS r
+      FROM e2 e JOIN it4 r ON r.nd = e.u GROUP BY e.v
+    )
+    SELECT i.nd AS word,
+           CAST((2*i.r + 1000000) // 2000000 AS DOUBLE) / 1000000 AS score,
+           CAST(d.du AS BIGINT) AS wdeg,
+           CAST(d.n_neighbors AS BIGINT) AS n_neighbors
+    FROM it5 i JOIN dg d ON d.u = i.nd
+    ORDER BY score DESC, word
+    """,
+    tags=("text-mining", "graph", "kernel"),
+)
+def q276_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores: damped PageRank (d=0.85, 5 iterations)
+    over the word co-occurrence graph (window ±2 positions within a
+    document) — the graph-centrality member of the keyword family next
+    to RAKE (q243) and PMI collocations (q170/q237).
+
+    Scale plan: corpus-scale work is the co-occurrence count — built
+    from shifted-array zips (the shingles machinery: one slice+zip per
+    document, never a positional self-join) and two hash aggregations;
+    the ITERATION runs on the bounded vocabulary graph in ONE
+    mapInPandas task (operators/textrank — the q223 bounded-state rule:
+    ~10 scheduled shuffle rounds for a one-Arrow-batch table is the
+    wrong physical plan; the oracle joins positions because DuckDB has
+    no cheap zip-shift, same counts either way).  Exactness: ranks are
+    exact 1e-12-unit integers; every per-iteration step is half-away
+    integer division — Python big-ints vs HUGEINT, bit-identical; the
+    unrolled MATERIALIZED recursive oracle (q255 discipline) pins all
+    five iterations."""
+    from ..functions.text import shingles, tokens as tok_expr
+    from ..operators.textrank import textrank_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = tok_expr(F.col("text"))
+    p1 = docs.select(F.explode(shingles(t, 2)).alias("s")).select(
+        F.split("s", " ").alias("p")
+    ).select(
+        F.element_at("p", 1).alias("u"), F.element_at("p", 2).alias("v")
+    )
+    p2 = docs.select(F.explode(shingles(t, 3)).alias("s")).select(
+        F.split("s", " ").alias("p")
+    ).select(
+        F.element_at("p", 1).alias("u"), F.element_at("p", 3).alias("v")
+    )
+    fw = p1.unionAll(p2).groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
+    ed = (
+        fw.select("u", "v", "c")
+        .unionAll(
+            fw.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("c")
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("c").alias("w"))
+    )
+    dg = ed.groupBy("u").agg(
+        F.sum("w").alias("du"), F.count(F.lit(1)).alias("n_neighbors")
+    ).localCheckpoint(eager=True)  # feeds the kernel join AND the output join
+    e2 = ed.join(F.broadcast(dg.select("u", "du")), "u")
+    ranked = textrank_scores(e2, iterations=5)
+    return (
+        ranked.join(
+            F.broadcast(
+                dg.select(F.col("u").alias("word"), "du", "n_neighbors")
+            ),
+            "word",
+        )
+        .select(
+            "word",
+            (
+                F.expr("(2*r_units + 1000000) div 2000000").cast("double")
+                / 1_000_000
+            ).alias("score"),
+            F.col("du").cast("long").alias("wdeg"),
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+        )
+        .orderBy(F.col("score").desc(), "word")
+    )
+
+
+@query(
+    "q277_holt_winters",
+    oracle="""
+    WITH RECURSIVE cnt AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    spine AS MATERIALIZED (
+      SELECT unnest(generate_series((SELECT MIN(day) FROM cnt),
+                                    (SELECT MAX(day) FROM cnt),
+                                    INTERVAL 1 DAY)) AS day
+    ),
+    xs AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY s.day) AS idx,
+             CAST(COALESCE(c.c, 0) AS DOUBLE) AS x
+      FROM spine s LEFT JOIN cnt c ON c.day = CAST(s.day AS DATE)
+    ),
+    nn AS (SELECT MAX(idx) AS n FROM xs),
+    init AS (
+      SELECT SUM(CASE WHEN idx <= 7 THEN x ELSE 0 END) / 7 AS l0,
+             (SUM(CASE WHEN idx BETWEEN 8 AND 14 THEN x ELSE 0 END)
+              - SUM(CASE WHEN idx <= 7 THEN x ELSE 0 END)) / 49 AS b0,
+             MAX(CASE WHEN idx = 1 THEN x END) AS x1,
+             MAX(CASE WHEN idx = 2 THEN x END) AS x2,
+             MAX(CASE WHEN idx = 3 THEN x END) AS x3,
+             MAX(CASE WHEN idx = 4 THEN x END) AS x4,
+             MAX(CASE WHEN idx = 5 THEN x END) AS x5,
+             MAX(CASE WHEN idx = 6 THEN x END) AS x6,
+             MAX(CASE WHEN idx = 7 THEN x END) AS x7
+      FROM xs WHERE idx <= 14
+    ),
+    walk AS (
+      SELECT 7 AS t, l0 AS l, b0 AS b,
+             x1 - l0 AS s1, x2 - l0 AS s2, x3 - l0 AS s3, x4 - l0 AS s4,
+             x5 - l0 AS s5, x6 - l0 AS s6, x7 - l0 AS s7
+      FROM init
+      UNION ALL
+      SELECT w.t + 1,
+             0.5*(d.x - w.s1) + 0.5*(w.l + w.b),
+             0.5*((0.5*(d.x - w.s1) + 0.5*(w.l + w.b)) - w.l) + 0.5*w.b,
+             w.s2, w.s3, w.s4, w.s5, w.s6, w.s7,
+             0.5*(d.x - (0.5*(d.x - w.s1) + 0.5*(w.l + w.b))) + 0.5*w.s1
+      FROM walk w JOIN xs d ON d.idx = w.t + 1
+    ),
+    fin AS (SELECT w.* FROM walk w, nn WHERE w.t = nn.n)
+    SELECT CAST(u.h AS INT) AS horizon,
+           CAST(nn.n AS BIGINT) AS n_days,
+           round(f.l, 6) AS level,
+           round(f.b, 6) AS trend,
+           round(CASE CAST(u.h AS INT) WHEN 1 THEN f.s1 WHEN 2 THEN f.s2
+                 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5
+                 WHEN 6 THEN f.s6 WHEN 7 THEN f.s7 END, 6) AS seasonal,
+           round(f.l + u.h*f.b
+                 + CASE CAST(u.h AS INT) WHEN 1 THEN f.s1 WHEN 2 THEN f.s2
+                   WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5
+                   WHEN 6 THEN f.s6 WHEN 7 THEN f.s7 END, 6) AS forecast
+    FROM fin f, nn, unnest(generate_series(1, 7)) AS u(h)
+    ORDER BY horizon
+    """,
+    tags=("timeseries", "forecast", "kernel", "recursive"),
+)
+def q277_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters forecast (α = β = γ = 1/2, weekly season)
+    of the dense daily event series, 7-day fan — the seasonal extension
+    of Holt (q248), completing the exponential-smoothing family.
+
+    Scale plan: identical to q248 — corpus-scale work is one daily
+    groupBy plus a calendar-spine gap fill (q154's shape: missing days
+    count 0 so the weekly phase stays aligned); the 3-component
+    recurrence is bounded state walked in ONE mapInPandas task
+    (operators/forecast.holt_winters_forecast) — Spark recursion would
+    schedule one join round per DAY (the measured q248 trap).
+    Exactness: daily counts are integers, so the init means are
+    exact-sum divisions; all smoothing weights are dyadic, so every
+    step is an identical IEEE expression tree in both engines (l_new
+    spelled inline in the oracle exactly as the kernel computes it) —
+    bit-identical trajectories, final plain round(,6) on identical
+    doubles."""
+    from ..operators.forecast import holt_winters_forecast
+
+    ev = read_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = cnt.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day")
+    )
+    daily = spine.join(cnt, "day", "left").select(
+        "day", F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("x")
+    )
+    out = holt_winters_forecast(daily, order_col="day", value_col="x")
+    return out.select(
+        "horizon",
+        "n_days",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("forecast", 6).alias("forecast"),
+    ).orderBy("horizon")
+
+
+@query(
+    "q278_conversion_latency",
+    oracle="""
+    WITH pe AS (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_type AS channel, ts AS fts FROM pe WHERE rn = 1
+    ),
+    p AS (
+      SELECT user_id, MIN(ts) AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lat AS (
+      SELECT f.channel,
+             CAST((epoch_us(p.pts) - epoch_us(f.fts)) // 1000000
+                  AS DOUBLE) AS lat_s
+      FROM f JOIN p USING (user_id) WHERE p.pts > f.fts
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(percentile_cont(0.5)
+                 WITHIN GROUP (ORDER BY lat_s) AS DOUBLE), 6) AS p50_s,
+           round(CAST(percentile_cont(0.9)
+                 WITHIN GROUP (ORDER BY lat_s) AS DOUBLE), 6) AS p90_s
+    FROM lat GROUP BY channel ORDER BY channel
+    """,
+    tags=("attribution", "percentile", "kernel"),
+)
+def q278_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per first-touch channel: for every
+    user whose journey starts with a non-purchase event and later
+    purchases, the latency from first touch to first purchase, reported
+    as per-channel count / median / p90 — the funnel-latency companion
+    of the attribution family (q218/q236/q271) and survival curves
+    (q210/q268).
+
+    Scale plan: first touch is a user-keyed min(struct) aggregation
+    (no per-user window), first purchase a filtered min; latencies are
+    exact integer seconds (micros difference, integer division); the
+    per-channel quantiles run through the distributed range-partition
+    selection kernel (operators/quantiles.exact_quantiles) — never the
+    in-memory percentile buffer.  Exactness: integer-valued doubles
+    interpolate identically in both engines (the q61 discipline)."""
+    from ..operators.quantiles import exact_quantiles
+
+    ev = read_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("f")
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    lat = (
+        first.join(purch, "user_id")
+        .where(F.col("pts") > F.col("f.ts"))
+        .select(
+            F.col("f.event_type").alias("channel"),
+            F.expr(
+                "CAST((unix_micros(pts) - unix_micros(f.ts)) div 1000000"
+                " AS DOUBLE)"
+            ).alias("lat_s"),
+        )
+    )
+    qs = exact_quantiles(
+        lat, "lat_s", {"p50_s": 0.5, "p90_s": 0.9}, ["channel"]
+    )
+    n = lat.groupBy("channel").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        n.join(F.broadcast(qs), "channel")
+        .select(
+            "channel",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round("p50_s", 6).alias("p50_s"),
+            F.round("p90_s", 6).alias("p90_s"),
+        )
+        .orderBy("channel")
+    )

@@ -93,3 +93,76 @@ def test_gini_bounds_and_degenerate_case(spark, sf_smoke):
     ).collect()[0]
     num = 2 * s["six"] - (s["n"] + 1) * s["sx"]
     assert num == 0  # constant vector → Lorenz diagonal → Gini 0
+
+
+def test_textrank_uniform_ring_gives_equal_scores(spark, sf_smoke):
+    """On a regular graph (ring, all weights equal) PageRank's fixpoint
+    is uniform, and every iteration preserves uniformity exactly — an
+    independent pin on the kernel's damping/contribution arithmetic
+    (both engines share the integer formula, so only structure catches
+    a semantic slip)."""
+    from cyber_etl_spark.operators.textrank import textrank_scores
+
+    n = 6
+    edges = [(f"w{i}", f"w{(i + 1) % n}", 1) for i in range(n)] + [
+        (f"w{(i + 1) % n}", f"w{i}", 1) for i in range(n)
+    ]
+    df = spark.createDataFrame(edges, "u string, v string, w long")
+    dg = df.groupBy("u").sum("w").withColumnRenamed("sum(w)", "du")
+    rows = textrank_scores(df.join(dg, "u"), iterations=5).collect()
+    assert len(rows) == n
+    units = {int(r["r_units"]) for r in rows}
+    assert len(units) == 1  # uniform
+    # total mass ~ n * 1e12 (damping keeps it conserved up to rounding)
+    assert abs(sum(int(r["r_units"]) for r in rows) - n * 10**12) <= n
+
+
+def test_textrank_bounded_vocabulary_guard(spark):
+    """The one-task kernel must REFUSE corpus-scale edge lists rather
+    than OOM a single task (the exact_quantiles/forecast guard rule)."""
+    import pytest
+
+    from cyber_etl_spark.operators import textrank as tr
+
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id AS STRING) AS u",
+        "CAST(id + 1 AS STRING) AS v",
+        "1 AS w",
+        "1 AS du",
+    )
+    old = tr._MAX_EDGE_ROWS
+    tr._MAX_EDGE_ROWS = 100
+    try:
+        with pytest.raises(Exception, match="bounded-vocabulary"):
+            tr.textrank_scores(df).collect()
+    finally:
+        tr._MAX_EDGE_ROWS = old
+
+
+def test_holt_winters_recovers_pure_seasonal_series(spark):
+    """On a zero-trend, perfectly periodic series the HW recurrence must
+    converge to level = series mean, trend = 0, seasonals = offsets —
+    and with dyadic weights the forecast reproduces the cycle exactly
+    after enough periods (error halves each season)."""
+    from cyber_etl_spark.operators.forecast import holt_winters_forecast
+
+    cycle = [10.0, 12.0, 8.0, 14.0, 6.0, 11.0, 9.0]  # mean = 10
+    rows = [(i, cycle[i % 7]) for i in range(7 * 40)]
+    df = spark.createDataFrame(rows, "day int, x double")
+    out = {r["horizon"]: r for r in holt_winters_forecast(df).collect()}
+    assert len(out) == 7
+    assert abs(out[1]["level"] - 10.0) < 1e-6
+    assert abs(out[1]["trend"]) < 1e-6
+    for h in range(1, 8):
+        # horizon h continues the cycle: position (280 + h - 1) % 7
+        expect = cycle[(7 * 40 + h - 1) % 7]
+        assert abs(out[h]["forecast"] - expect) < 1e-5, (h, out[h])
+
+
+def test_holt_winters_needs_two_seasons(spark):
+    from cyber_etl_spark.operators.forecast import holt_winters_forecast
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "day int, x double"
+    )
+    assert holt_winters_forecast(df).count() == 0

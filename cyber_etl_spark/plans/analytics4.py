@@ -1422,3 +1422,343 @@ def q278_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q279_token_budget_allocation",
+    oracle="""
+    WITH t AS MATERIALIZED (
+      SELECT source,
+             SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+               AS tok
+      FROM documents GROUP BY 1
+    ),
+    k AS (SELECT COUNT(*) AS k, SUM(tok) AS tt FROM t),
+    b AS (SELECT (6 * tt) // 10 AS budget, k FROM k),
+    r AS MATERIALIZED (
+      SELECT source, tok, 2 * tok AS cap,
+             ROW_NUMBER() OVER (ORDER BY 2 * tok, source) AS j,
+             SUM(2 * tok) OVER (ORDER BY 2 * tok, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sj
+      FROM t
+    ),
+    m AS (
+      SELECT COUNT(CASE WHEN b.budget - (r.sj - r.cap)
+                             >= r.cap * (b.k - r.j + 1) THEN 1 END) AS m
+      FROM r, b
+    ),
+    lam AS (
+      SELECT b.budget
+             - COALESCE((SELECT MAX(sj) FROM r, m WHERE r.j = m.m), 0)
+               AS lnum,
+             b.k - m.m AS lden
+      FROM b, m
+    )
+    SELECT r.source, CAST(r.tok AS BIGINT) AS tokens,
+           CAST(r.cap AS BIGINT) AS cap,
+           r.j <= m.m AS saturated,
+           CASE WHEN r.j <= m.m THEN CAST(r.cap AS DOUBLE)
+                ELSE {lam6} END AS allocation,
+           CASE WHEN r.j <= m.m THEN 2.0
+                ELSE {ep6} END AS epochs
+    FROM r, m, lam ORDER BY r.source
+    """.format(
+        lam6=_ha6_sql("lam.lnum", "lam.lden"),
+        ep6=_ha6_sql("lam.lnum", "lam.lden * r.tok"),
+    ),
+    tags=("training-data", "mixture", "planning"),
+)
+def q279_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling: allocate a training budget of 60% of
+    the corpus across sources, each capped at 2 epochs of its own
+    tokens — equal-level filling (every unsaturated source gets the
+    same token count λ) with exact saturation order — the mixture
+    PLANNER that complements the mixture SAMPLERS (q108/q142): it
+    decides how much of each source to draw before sampling draws it.
+
+    Scale plan: corpus-scale work is one per-source token-count
+    aggregation; the water-fill runs on the bounded per-source table
+    (5 rows — the q78 AGG_INPUT_OK class) with prefix sums over sorted
+    caps; saturation count m and the water level λ = (B − S_m)/(k−m)
+    are decided by exact integer comparisons (B − S_{j−1} ≥
+    cap_j·(k−j+1) — cross-multiplied, never a float test, the q172
+    rule).  Exactness: budget = 6·ΣT div 10 exact; allocations are
+    half-away 6-dp integer rationals; saturated rows report exact
+    cap/2.0."""
+    from pyspark.sql.window import Window
+    from ..functions.text import tokens as tok_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(tok_expr(F.col("text")))).alias("tok")
+    )
+    k = t.agg(F.count(F.lit(1)).alias("k"), F.sum("tok").alias("tt"))
+    b = k.select(F.expr("(6 * tt) div 10").alias("budget"), "k")
+    # bounded per-source table (q78 class): tiny global windows
+    wj = Window.orderBy(F.expr("2 * tok"), F.col("source"))
+    r = t.select(
+        "source",
+        "tok",
+        (2 * F.col("tok")).alias("cap"),
+        F.row_number().over(wj).alias("j"),
+        F.sum(2 * F.col("tok"))
+        .over(wj.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sj"),
+    ).crossJoin(F.broadcast(b))
+    m = r.agg(
+        F.count(
+            F.when(
+                F.col("budget") - (F.col("sj") - F.col("cap"))
+                >= F.col("cap") * (F.col("k") - F.col("j") + 1),
+                1,
+            )
+        ).alias("m")
+    )
+    sm = (
+        r.join(F.broadcast(m), F.col("j") == F.col("m"))
+        .agg(F.max("sj").alias("smax"))
+    )
+    lam = (
+        b.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(sm))
+        .select(
+            (F.col("budget") - F.coalesce(F.col("smax"), F.lit(0))).alias(
+                "lnum"
+            ),
+            (F.col("k") - F.col("m")).alias("lden"),
+        )
+    )
+    return (
+        r.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "source",
+            F.col("tok").cast("long").alias("tokens"),
+            F.col("cap").cast("long").alias("cap"),
+            (F.col("j") <= F.col("m")).alias("saturated"),
+            F.when(
+                F.col("j") <= F.col("m"), F.col("cap").cast("double")
+            )
+            .otherwise(_ha6("lnum", "lden"))
+            .alias("allocation"),
+            F.when(F.col("j") <= F.col("m"), F.lit(2.0))
+            .otherwise(_ha6("lnum", "lden * tok"))
+            .alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q280_feature_hashing_audit",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS token
+      FROM toks
+    ),
+    dfr AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1
+    ),
+    bk AS (
+      SELECT CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256
+               AS bucket,
+             token, df
+      FROM dfr
+    ),
+    per AS (
+      SELECT bucket, COUNT(*) AS load, SUM(df) AS mass FROM bk GROUP BY 1
+    )
+    SELECT CAST(load AS BIGINT) AS load,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(load) AS BIGINT) AS n_tokens,
+           CAST(SUM(mass) AS BIGINT) AS doc_freq_mass
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ml-features", "hashing", "audit"),
+)
+def q280_feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit: hash every
+    3-shingle term into 256 buckets by a stable md5 and report the
+    bucket-load distribution (how many buckets carry 1, 2, ... terms)
+    with the document-frequency mass riding each load class — the
+    audit an ML pipeline runs before committing to a hashed feature
+    space, quantifying how much signal collides.
+
+    Scale plan: reuses the memoized retrieval index's df table (one
+    tokenize pass shared with q263/q267); the audit itself is two
+    bounded hash aggregations (256 buckets → ≤256 load classes).
+    Exactness: md5 bucket assignment and counts are pure integers."""
+    from .analytics3 import _bm25_index
+
+    _post, _dl, _st, dfr = _bm25_index(spark, sf_dir)
+    bk = dfr.select(
+        (
+            F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % 256
+        ).alias("bucket"),
+        "df",
+    )
+    per = bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("load"), F.sum("df").alias("mass")
+    )
+    return (
+        per.groupBy("load")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("load").alias("n_tokens"),
+            F.sum("mass").alias("doc_freq_mass"),
+        )
+        .select(
+            F.col("load").cast("long").alias("load"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("doc_freq_mass").cast("long").alias("doc_freq_mass"),
+        )
+        .orderBy("load")
+    )
+
+
+@query(
+    "q281_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS token
+      FROM toks
+    ),
+    post AS (
+      SELECT token, doc_id, MIN(source) AS source FROM grams GROUP BY 1, 2
+    ),
+    fo AS (SELECT token, MIN(doc_id) AS first_doc FROM post GROUP BY 1)
+    SELECT p.source,
+           CAST(COUNT(DISTINCT p.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_shingle_slots,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_slots,
+           {nov} AS novelty_rate
+    FROM post p JOIN fo f USING (token)
+    GROUP BY 1 ORDER BY 1
+    """.format(
+        nov=_ha6_sql(
+            "SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)",
+            "COUNT(*)",
+        )
+    ),
+    tags=("training-data", "novelty", "dedup"),
+)
+def q281_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty per source: for every (document, distinct
+    3-shingle) slot, the shingle is NOVEL if this document is its first
+    occurrence (minimum doc_id over the corpus) — the novelty/redundancy
+    score an LLM-data pipeline uses to rank sources by how much new
+    text they contribute beyond what earlier documents already cover
+    (the aggregate view of the q139/q140 span machinery).
+
+    Scale plan: reuses the memoized posting table (token, doc_id) —
+    first occurrence is ONE token-keyed aggregation joined back
+    token-keyed; the rollup is per-source.  Exactness: integer counts;
+    novelty rate is a half-away 6-dp rational."""
+    from .analytics3 import _bm25_index
+
+    post, _dl, _st, _dfr = _bm25_index(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    fo = post.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    j = post.join(fo, "token").join(docs, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_shingle_slots"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel_slots"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_shingle_slots").cast("long").alias("n_shingle_slots"),
+            F.col("novel_slots").cast("long").alias("novel_slots"),
+            _ha6("novel_slots", "n_shingle_slots").alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q282_lexical_diversity",
+    oracle="""
+    WITH w AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS n FROM w GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           {ttr} AS type_token_ratio,
+           {simpson} AS simpson_index
+    FROM c GROUP BY 1 ORDER BY 1
+    """.format(
+        ttr=_ha6_sql("COUNT(*)", "SUM(n)"),
+        simpson=_ha6_sql(
+            "SUM(CAST(n AS HUGEINT)*(n-1))",
+            "SUM(CAST(n AS HUGEINT)) * (SUM(CAST(n AS HUGEINT)) - 1)",
+        ),
+    ),
+    tags=("text-mining", "diversity"),
+)
+def q282_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity profile per source: token count, vocabulary
+    size, hapax legomena, type-token ratio and Simpson's repeat index
+    λ = Σ n_w(n_w−1) / (N(N−1)) — the diversity corner of the
+    text-statistics family next to entropy (q257) and Zipf (q242);
+    a template corpus shows its degeneracy as near-zero TTR.
+
+    Scale plan: one (source, token) hash aggregation then a bounded
+    per-source rollup — map-side combinable end to end.  Exactness:
+    all statistics are exact integer rationals (DECIMAL(38,0)/HUGEINT
+    for the n² terms), reported as half-away 6-dp."""
+    from ..functions.text import tokens as tok_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(tok_expr(F.col("text"))).alias("tok")
+    )
+    c = w.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    dec = "CAST(n AS DECIMAL(38,0))"
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.sum(F.expr(f"{dec}*(n-1)")).alias("rep"),
+            F.sum(F.expr(dec)).alias("nn"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("n_hapax").cast("long").alias("n_hapax"),
+            _ha6("n_types", "n_tokens").alias("type_token_ratio"),
+            _ha6("rep", "nn * (nn - 1)").alias("simpson_index"),
+        )
+        .orderBy("source")
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -851,6 +852,95 @@ def holt_stream(daily: DataFrame, alpha: float = 0.5, beta: float = 0.5) -> Data
         update,
         outputStructType=HOLT_SCHEMA,
         stateStructType=_HOLT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DECAY_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("day", StringType()),
+        StructField("decayed_count", DoubleType()),
+    ]
+)
+
+_DECAY_STATE = StructType(
+    [
+        StructField("last_day", StringType()),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+_DECAY_WINDOW = 46  # ages 0..45 contribute >= one 2^-45 unit
+
+
+def decayed_counter_stream(daily: DataFrame) -> DataFrame:
+    """Streaming twin of q274's exponentially-decayed leaderboard, per
+    event type: consumes an in-order DAILY-AGGREGATE feed
+    (event_type, day, cnt) and maintains the trailing-46-day count
+    buffer across micro-batches, emitting the decayed total after each
+    day.
+
+    Exactness contract (the q274 dyadic rule): state holds RAW daily
+    counts, never a pre-decayed float — a decayed running value would
+    lose low bits on every shift, diverging from the batch formula.
+    The emitted value recomputes Σ cnt_age · 2^(45−age) as an exact
+    Python big-int and converts once (correctly rounded), so after any
+    in-order prefix the stream equals the batch aggregate over the same
+    prefix — the twin-test contract.  Days older than 45 fall off the
+    buffer exactly as the batch query's age filter drops them.  State
+    per key is 46 longs; rows fold in day order within a micro-batch
+    (one concat per micro-batch, the r7 reduction rule)."""
+    from datetime import date
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            last_day, counts = state.get
+            counts = list(counts)
+        else:
+            last_day, counts = None, [0] * _DECAY_WINDOW
+        rows = pd.concat(list(batches)).sort_values("day")
+        days, vals = [], []
+        for day, c in zip(rows["day"], rows["cnt"]):
+            day = str(day)
+            if last_day is None:
+                counts[0] = int(c)
+            else:
+                delta = (date.fromisoformat(day) - date.fromisoformat(last_day)).days
+                if delta <= 0:
+                    # same-day aggregate arriving split across batches
+                    counts[0] += int(c)
+                else:
+                    counts = ([0] * min(delta, _DECAY_WINDOW) + counts)[
+                        :_DECAY_WINDOW
+                    ]
+                    counts[0] = int(c)
+            last_day = max(last_day, day) if last_day else day
+            units = sum(
+                counts[i] << (_DECAY_WINDOW - 1 - i)
+                for i in range(_DECAY_WINDOW)
+            )
+            days.append(day)
+            vals.append(float(units) / 35184372088832.0)
+        state.update((last_day, counts))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(days),
+                "day": days,
+                "decayed_count": vals,
+            }
+        )
+
+    return daily.select("event_type", "day", "cnt").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=DECAY_SCHEMA,
+        stateStructType=_DECAY_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

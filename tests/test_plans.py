@@ -254,6 +254,9 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
         # q275: vocabulary index assignment — the window's input is the
         # distinct-token table (the q78 vocabulary class)
         "q275_mlm_masking_plan",
+        # q279: water-fill rank/prefix windows over the per-source
+        # aggregate (5 rows, bounded by the source vocabulary)
+        "q279_token_budget_allocation",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

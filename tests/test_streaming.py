@@ -711,3 +711,65 @@ def test_holt_stream_matches_kernel_state(spark, sf_smoke, tmp_path):
         got = last[etype]
         assert got.level == lvl and got.trend == trd, etype
         assert got.forecast_next == lvl + trd
+
+
+def test_decayed_counter_stream_matches_batch_formula(spark, sf_smoke, tmp_path):
+    """Streaming decayed counter (per event type) == the q274 batch
+    formula over the same prefix, with the 46-day raw-count buffer
+    genuinely crossing micro-batches: the day grid feeds in three
+    day-ordered files; the final emitted value per type must equal an
+    exact big-int replay of sum(cnt * 2^(45-age)) / 2^45 with age
+    measured from that type's last fed day."""
+    from datetime import date
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import decayed_counter_stream
+
+    ev = read_table(spark, sf_smoke, "events")
+    grid = (
+        ev.groupBy("event_type", F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("day")
+        .toPandas()
+    )
+    d = tmp_path / "decay_feed"
+    d.mkdir()
+    days = sorted(grid["day"].unique())
+    n = len(days)
+    assert n >= 6
+    for i in range(3):
+        sel = days[i * n // 3 : (i + 1) * n // 3]
+        chunk = grid[grid["day"].isin(sel)]
+        pq.write_table(
+            pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("event_type string, day string, cnt long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_stream_to_memory(
+        decayed_counter_stream(stream), "decay_mem", mode="update"
+    )
+    rows = spark.sql("SELECT * FROM decay_mem").collect()
+    last = {}
+    for r in rows:
+        if r.event_type not in last or r.day > last[r.event_type].day:
+            last[r.event_type] = r
+
+    for etype, g in grid.groupby("event_type"):
+        pairs = sorted(zip(g["day"], g["cnt"]))
+        dmax = date.fromisoformat(pairs[-1][0])
+        units = sum(
+            int(c) << (45 - (dmax - date.fromisoformat(dd)).days)
+            for dd, c in pairs
+            if (dmax - date.fromisoformat(dd)).days <= 45
+        )
+        got = last[etype]
+        assert got.decayed_count == float(units) / 2.0**45, etype

@@ -254,8 +254,8 @@ def q239_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tt AS (
       SELECT SUM(n_g) AS nt, COUNT(*) AS k,
-             SUM((2*CAST(two_r AS HUGEINT)*two_r*1000000 + 4*n_g)
-                 // (8*CAST(n_g AS HUGEINT))) AS su
+             SUM((2*CAST(two_r AS HUGEINT)*two_r + n_g)
+                 // (2*CAST(n_g AS HUGEINT))) AS su
       FROM pg
     ),
     tie AS (
@@ -263,7 +263,7 @@ def q239_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (
       SELECT nt, k,
-             3.0*(CAST(su AS DOUBLE)/1000000)
+             3.0*CAST(su AS DOUBLE)
                / (CAST(nt AS DOUBLE)*(nt+1)) - 3.0*(nt+1) AS h_stat,
              1.0 - CAST(tsum AS DOUBLE)
                      / (CAST(nt AS DOUBLE)*nt*nt - nt) AS cf
@@ -286,13 +286,19 @@ def q240_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     count via the prefix kernel; the per-(value, type) count table
     joins it to produce exact integer doubled rank sums
     2R_g = Σ ng·(2·cum - n + 1).  Everything after is k-row arithmetic.
-    Exactness: per-group H terms (2R_g)²/(4 n_g) are snapped to 6-dp
-    integer micro-units by half-away integer division and summed
-    exactly (q221's discipline); H assembles in doubles from identical
-    exact inputs.  DECIMAL(38,0)/HUGEINT widening keeps (2R_g)²·2e6
-    exact to N ≈ 3e9 ranked rows — beyond that the rank sums themselves
-    need the decimal cast at the aggregate input, documented here like
-    q215's bound."""
+    Exactness: per-group H terms are snapped to QUARTER-units —
+    su = Σ ha((2R_g)² / n_g) = 4·Σ R_g²/n_g exactly, so
+    H = 3·su/(N(N+1)) − 3(N+1) assembles in doubles from identical
+    exact inputs (a 1e-6 grid here is both meaningless — su ~ n_g·N²
+    dwarfs it — and an int64 `div`-QUOTIENT overflow at sf0.1, the
+    q238 lesson, found when the bench first ran this at 600k rows;
+    ANSI mode turned the silent wrap into a long-overflow error).
+    Remaining bound: the quotient (2R_g)²/n_g ≈ n_g·N² re-hits int64
+    at N ≈ 2.4e6 ranked rows per run — beyond that, coarsen the grid
+    by powers of 4 (one constant).  The r8 review also fixed a 4×
+    coefficient error (3·ΣR²/n, not 12) that the hash gate could never
+    catch — both engines shared it; the independent replay test in
+    tests/test_round8_ops.py now pins H against per-row average ranks."""
     from ..operators.prefix import running_total
 
     ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
@@ -316,8 +322,8 @@ def q240_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("k"),
         F.sum(
             F.expr(
-                "(2*CAST(two_r AS DECIMAL(38,0))*two_r*1000000 + 4*n_g)"
-                " div (8*CAST(n_g AS DECIMAL(38,0)))"
+                "(2*CAST(two_r AS DECIMAL(38,0))*two_r + n_g)"
+                " div (2*CAST(n_g AS DECIMAL(38,0)))"
             )
         ).alias("su"),
     )
@@ -329,7 +335,7 @@ def q240_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         (
             3.0
-            * (F.col("su").cast("double") / 1_000_000)
+            * F.col("su").cast("double")
             / (F.col("nt").cast("double") * (F.col("nt") + 1))
             - 3.0 * (F.col("nt") + 1)
         ).alias("h_stat"),

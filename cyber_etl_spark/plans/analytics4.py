@@ -1762,3 +1762,502 @@ def q282_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q283_interarrival_cv",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(gap AS HUGEINT)) AS sg,
+             SUM(CAST(gap AS HUGEINT)*gap) AS sgg
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           {mean} AS mean_gap_s,
+           round(sqrt(CAST(n*sgg - sg*sg AS DOUBLE)) / CAST(sg AS DOUBLE), 6)
+             AS cv
+    FROM s WHERE n >= 2 ORDER BY event_type
+    """.format(mean=_ha6_sql("sg", "n * 1000000")),
+    tags=("timeseries", "dispersion", "sessions"),
+)
+def q283_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness at EVENT granularity: per event type,
+    the coefficient of variation of the gaps between a user's
+    consecutive events of that type (CV = 1 for a Poisson process,
+    > 1 bursty) — the micro-scale twin of the daily Fano factor (q264).
+
+    Scale plan: the lag runs under a HIGH-CARDINALITY (user_id,
+    event_type) window (audit-safe by key cardinality); everything
+    after is one sufficient-statistic aggregation.  Exactness: gaps
+    are exact integer microseconds; CV collapses to
+    sqrt(n·Σg² − (Σg)²) / Σg — one integer sqrt and one division on
+    exact inputs, 6-dp round of an irrational (safe); the mean gap is
+    a half-away rational in seconds."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).alias("sg"),
+        F.sum(F.expr("CAST(gap AS DECIMAL(38,0)) * gap")).alias("sgg"),
+    )
+    return (
+        s.where(F.col("n") >= 2)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_gaps"),
+            _ha6("sg", "n * 1000000").alias("mean_gap_s"),
+            F.round(
+                F.sqrt(F.expr("CAST(n*sgg - sg*sg AS DOUBLE)"))
+                / F.expr("CAST(sg AS DOUBLE)"),
+                6,
+            ).alias("cv"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q284_weekly_seasonality_strength",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pd AS (
+      SELECT event_type, dayofweek(day) AS dow, COUNT(*) AS nd,
+             SUM(CAST(c AS HUGEINT)) AS sd
+      FROM d GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT event_type, COUNT(*) AS n, SUM(CAST(c AS HUGEINT)) AS s,
+             SUM(CAST(c AS HUGEINT)*c) AS q
+      FROM d GROUP BY 1
+    ),
+    sb AS (
+      SELECT event_type,
+             SUM((2*sd*sd*1000000 + nd) // (2*CAST(nd AS HUGEINT))) AS ssd_u
+      FROM pd GROUP BY 1
+    )
+    SELECT pt.event_type,
+           CAST(pt.n AS BIGINT) AS n_days,
+           CAST((2*(sb.ssd_u - (2*pt.s*pt.s*1000000 + pt.n)
+                              // (2*CAST(pt.n AS HUGEINT)))*1000000
+                 + (pt.q*1000000 - (2*pt.s*pt.s*1000000 + pt.n)
+                                   // (2*CAST(pt.n AS HUGEINT))))
+                // (2*(pt.q*1000000 - (2*pt.s*pt.s*1000000 + pt.n)
+                                      // (2*CAST(pt.n AS HUGEINT))))
+                AS DOUBLE) / 1000000 AS seasonality_r2
+    FROM pt JOIN sb USING (event_type)
+    ORDER BY pt.event_type
+    """,
+    tags=("timeseries", "seasonality"),
+)
+def q284_weekly_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly seasonality strength per event type: the share of daily-
+    count variance explained by day-of-week means, R² = SSB/SST (the
+    one-way-ANOVA decomposition of q238 applied with day-of-week as the
+    group) — quantifies how much of q213's seasonal component is really
+    there, per series.
+
+    Scale plan: reuses the memoized day grid; per-(type, dow) and
+    per-type sufficient statistics are two bounded aggregations.
+    Exactness: counts are integers; every S²/n term becomes half-away
+    integer 1e-6 units (the q238 form, HUGEINT/DECIMAL(38,0) widened
+    because S²·1e6 exceeds int64), so SSB/SST is one final half-away
+    6-dp integer rational.  Day-of-week INDICES differ between engines
+    (Spark 1–7 vs DuckDB 0–6) but only the GROUPING matters — indices
+    never reach the output."""
+    from .analytics2 import _day_grid
+
+    d = _day_grid(spark, sf_dir).withColumnRenamed("cnt", "c")
+    pd_ = d.groupBy(
+        "event_type", F.dayofweek("day").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sd"),
+    )
+    pt = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("q"),
+    )
+    sb = pd_.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                "CAST((2*sd*sd*1000000 + nd) div (2*CAST(nd AS DECIMAL(38,0)))"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("ssd_u")
+    )
+    st = "(2*s*s*1000000 + n) div (2*CAST(n AS DECIMAL(38,0)))"
+    return (
+        pt.join(sb, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            (
+                F.expr(
+                    f"(2*(ssd_u - ({st}))*1000000 + (q*1000000 - ({st})))"
+                    f" div (2*(q*1000000 - ({st})))"
+                ).cast("double")
+                / 1_000_000
+            ).alias("seasonality_r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q285_pareto_coverage",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey AS cust,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS revc
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT COUNT(*) AS n, SUM(CAST(revc AS HUGEINT)) AS tot FROM cr),
+    r AS (
+      SELECT cust, revc,
+             ROW_NUMBER() OVER (ORDER BY revc DESC, cust) AS rn,
+             SUM(revc) OVER (ORDER BY revc DESC, cust
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cr
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_customers,
+           CAST(COUNT(CASE WHEN (r.cum - r.revc)*10 < t.tot*8 THEN 1 END)
+                AS BIGINT) AS n_for_80pct,
+           CAST((2*COUNT(CASE WHEN (r.cum - r.revc)*10 < t.tot*8
+                              THEN 1 END)*1000000 + t.n) // (2*t.n)
+                AS DOUBLE) / 1000000 AS share_for_80pct,
+           CAST((2*SUM(CASE WHEN r.rn*100 <= t.n THEN CAST(r.revc AS HUGEINT)
+                            ELSE 0 END)*1000000 + t.tot) // (2*t.tot)
+                AS DOUBLE) / 1000000 AS top1pct_rev_share,
+           CAST((2*SUM(CASE WHEN r.rn*10 <= t.n THEN CAST(r.revc AS HUGEINT)
+                            ELSE 0 END)*1000000 + t.tot) // (2*t.tot)
+                AS DOUBLE) / 1000000 AS top10pct_rev_share
+    FROM r, t GROUP BY t.n, t.tot
+    """,
+    tags=("concentration", "ranking", "kernel"),
+)
+def q285_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue coverage: how many customers — and what
+    share of the customer base — cover 80% of total revenue, plus the
+    revenue shares of the top 1% / top 10% — the threshold view of the
+    concentration family (Gini/Lorenz q259 is the integral view).
+
+    Scale plan: revenue ranking AND the running revenue total come from
+    ONE prefix-kernel pass (running_totals multi-spec — the q221
+    aligned-prefixes shape) over the customer aggregate; membership
+    tests are exact integer cross-multiplications ((cum−rev)·10 <
+    tot·8, rn·100 ≤ n — never a float threshold).  Exactness: revenue
+    in integer cents end-to-end; all three shares half-away 6-dp
+    integer rationals."""
+    from ..operators.prefix import running_totals
+
+    o = read_table(spark, sf_dir, "orders")
+    cr = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("revc")
+    ).withColumn("negr", -F.col("revc")).withColumn("one", F.lit(1))
+    t = cr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("revc").cast("decimal(38,0)")).alias("tot"),
+    )
+    r = running_totals(
+        cr,
+        specs=[("revc", "cum"), ("one", "rn")],
+        order_cols=["negr", "cust"],
+    )
+    dec = "CAST(revc AS DECIMAL(38,0))"
+    return (
+        r.crossJoin(F.broadcast(t))
+        .agg(
+            F.max("n").alias("nn"),
+            F.max("tot").alias("tt"),
+            F.sum(
+                F.when((F.col("cum") - F.col("revc")) * 10 < F.col("tot") * 8, 1)
+                .otherwise(0)
+            ).alias("n80"),
+            F.sum(
+                F.when(F.col("rn") * 100 <= F.col("n"), F.expr(dec)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("r1"),
+            F.sum(
+                F.when(F.col("rn") * 10 <= F.col("n"), F.expr(dec)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("r10"),
+        )
+        .select(
+            F.col("nn").cast("long").alias("n_customers"),
+            F.col("n80").cast("long").alias("n_for_80pct"),
+            _ha6("n80", "nn").alias("share_for_80pct"),
+            _ha6("r1", "tt").alias("top1pct_rev_share"),
+            _ha6("r10", "tt").alias("top10pct_rev_share"),
+        )
+    )
+
+
+@query(
+    "q286_cohort_ltv",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey AS cust,
+             MIN(year(o_orderdate)*4 + quarter(o_orderdate) - 1) AS cq
+      FROM orders GROUP BY 1
+    ),
+    sz AS (SELECT cq, COUNT(*) AS n_customers FROM fo GROUP BY 1),
+    rev AS (
+      SELECT f.cq,
+             (year(o.o_orderdate)*4 + quarter(o.o_orderdate) - 1) - f.cq
+               AS age_q,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS HUGEINT) AS revc
+      FROM orders o JOIN fo f ON f.cust = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cq, age_q, revc,
+             SUM(revc) OVER (PARTITION BY cq ORDER BY age_q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM rev
+    )
+    SELECT CAST(c.cq AS INT) AS cohort_q, CAST(c.age_q AS INT) AS age_q,
+           CAST(s.n_customers AS BIGINT) AS n_customers,
+           CAST(c.revc AS DOUBLE) / 100 AS revenue,
+           CAST((2*c.cumc*1000000 + 100*s.n_customers)
+                // (200*CAST(s.n_customers AS HUGEINT)) AS DOUBLE) / 1000000
+             AS cum_ltv_per_customer
+    FROM cum c JOIN sz s USING (cq)
+    ORDER BY cohort_q, age_q
+    """,
+    tags=("cohort", "revenue", "retention"),
+)
+def q286_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order quarter,
+    revenue accumulated by cohort age in quarters, reported as
+    cumulative LTV per cohort customer — the revenue companion of the
+    retention matrix (q99).
+
+    Scale plan: first-order quarter is one customer-keyed aggregation;
+    the (cohort × age) rollup is bounded by the calendar squared
+    (AGG_INPUT_OK class), so its cumulative window is a bounded-
+    aggregate pass.  Exactness: revenue in integer cents (exact decimal
+    sums); LTV per customer is a half-away 6-dp integer rational
+    (cents/(100·n) dollars); quarter indices are pure integer calendar
+    arithmetic identical in both engines."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    qidx = F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1
+    fo = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.min(qidx).alias("cq")
+    )
+    sz = fo.groupBy("cq").agg(F.count(F.lit(1)).alias("n_customers"))
+    rev = (
+        o.join(fo, o.o_custkey == fo.cust)
+        .groupBy("cq", (qidx - F.col("cq")).alias("age_q"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                " AS DECIMAL(38,0))"
+            ).alias("revc")
+        )
+    )
+    # cumulative over the bounded (cohort x age) grid
+    wc = (
+        Window.partitionBy("cq")
+        .orderBy("age_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn("cumc", F.sum("revc").over(wc))
+    return (
+        cum.join(F.broadcast(sz), "cq")
+        .select(
+            F.col("cq").cast("int").alias("cohort_q"),
+            F.col("age_q").cast("int").alias("age_q"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            (F.col("revc").cast("double") / 100).alias("revenue"),
+            (
+                F.expr(
+                    "(2*cumc*1000000 + 100*n_customers)"
+                    " div (200*CAST(n_customers AS DECIMAL(38,0)))"
+                ).cast("double")
+                / 1_000_000
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort_q", "age_q")
+    )
+
+
+@query(
+    "q287_user_decay_scores",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (SELECT MAX(day) AS dmax FROM ud),
+    s AS (
+      SELECT user_id,
+             SUM(CASE WHEN date_diff('day', day, h.dmax) <= 45
+                 THEN CAST(cnt AS HUGEINT)
+                      << (45 - date_diff('day', day, h.dmax))
+                 ELSE 0 END) AS units,
+             SUM(CASE WHEN date_diff('day', day, h.dmax) <= 45
+                 THEN 1 ELSE 0 END) AS n_recent_days,
+             SUM(cnt) AS n_events
+      FROM ud, h GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(units AS DOUBLE) / 35184372088832.0 AS decayed_score,
+           CAST(n_recent_days AS BIGINT) AS n_recent_days,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM s
+    ORDER BY units DESC, user_id LIMIT 100
+    """,
+    tags=("decay", "ranking", "feature-store"),
+)
+def q287_user_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-USER exponentially-decayed activity scores (one-day
+    half-life, 45-day horizon), top 100 — the corpus-scale,
+    high-cardinality member of the decay family: q274 ranks 5 event
+    types; this ranks every user, the recency-weighted score a feature
+    store maintains per entity.
+
+    Scale plan: one (user, day) aggregation (user-keyed, map-side
+    combinable), one broadcast horizon row, one user-keyed rollup, and
+    a TakeOrdered top-100 — no windows, no driver loops; the dyadic
+    units trick (q274) keeps every contribution an exact integer in
+    2^-45 units (DECIMAL(38,0)/HUGEINT).  Ranking compares exact
+    integers with user_id tie-break; the score is one correctly-rounded
+    int→double conversion / exact 2^45."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    h = ud.agg(F.max("day").alias("dmax"))
+    s = (
+        ud.crossJoin(F.broadcast(h))
+        .withColumn("age", F.datediff("dmax", "day"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("age") <= 45,
+                    F.expr(
+                        "CAST(cnt AS DECIMAL(38,0))"
+                        " * CAST(shiftleft(CAST(1 AS BIGINT), 45 - age)"
+                        " AS DECIMAL(38,0))"
+                    ),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("units"),
+            F.sum(F.when(F.col("age") <= 45, 1).otherwise(0)).alias(
+                "n_recent_days"
+            ),
+            F.sum("cnt").alias("n_events"),
+        )
+    )
+    return (
+        s.orderBy(F.col("units").desc(), "user_id")
+        .limit(100)
+        .select(
+            "user_id",
+            (F.col("units").cast("double") / F.lit(35184372088832.0)).alias(
+                "decayed_score"
+            ),
+            F.col("n_recent_days").cast("long").alias("n_recent_days"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q288_peak_detection",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, c,
+             LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+             LEAD(c) OVER (PARTITION BY event_type ORDER BY day) AS next
+      FROM d
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, CAST(c AS BIGINT) AS c,
+           CAST(prev AS BIGINT) AS prev, CAST(next AS BIGINT) AS next,
+           CAST(c - CASE WHEN prev >= next THEN prev ELSE next END
+                AS BIGINT) AS prominence
+    FROM w
+    WHERE prev IS NOT NULL AND next IS NOT NULL
+      AND c > prev AND c > next
+      AND 4*c > 5*CASE WHEN prev >= next THEN prev ELSE next END
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def q288_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection in the daily series: days whose count
+    strictly exceeds both neighbors AND tops the larger neighbor by
+    >25% — the spike-detection pass next to seasonal anomalies (q193)
+    and change points (q216), with a magnitude gate so ordinary noise
+    wobbles don't flood the report.
+
+    Scale plan: reuses the memoized day grid; the lag/lead window runs
+    over the calendar-bounded per-type grid (AGG_INPUT_OK class, the
+    q213 convention).  Exactness: all comparisons are exact integer
+    tests (4c > 5·max(prev,next) — cross-multiplied, never a 1.25
+    float); the output is pure integers."""
+    from pyspark.sql.window import Window
+    from .analytics2 import _day_grid
+
+    d = _day_grid(spark, sf_dir).withColumnRenamed("cnt", "c")
+    w = Window.partitionBy("event_type").orderBy("day")
+    t = d.select(
+        "event_type",
+        "day",
+        "c",
+        F.lag("c").over(w).alias("prev"),
+        F.lead("c").over(w).alias("next"),
+    )
+    mx = F.greatest("prev", "next")
+    return (
+        t.where(
+            F.col("prev").isNotNull()
+            & F.col("next").isNotNull()
+            & (F.col("c") > F.col("prev"))
+            & (F.col("c") > F.col("next"))
+            & (4 * F.col("c") > 5 * mx)
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("c").cast("long").alias("c"),
+            F.col("prev").cast("long").alias("prev"),
+            F.col("next").cast("long").alias("next"),
+            (F.col("c") - mx).cast("long").alias("prominence"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -257,6 +257,12 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
         # q279: water-fill rank/prefix windows over the per-source
         # aggregate (5 rows, bounded by the source vocabulary)
         "q279_token_budget_allocation",
+        # q286: cumulative LTV over the (cohort x age) quarter grid —
+        # bounded by the calendar squared
+        "q286_cohort_ltv",
+        # q288: lag/lead over the per-DAY grid (calendar x 5 types,
+        # the q213 convention)
+        "q288_peak_detection",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

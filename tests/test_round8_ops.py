@@ -166,3 +166,35 @@ def test_holt_winters_needs_two_seasons(spark):
         [(i, float(i)) for i in range(10)], "day int, x double"
     )
     assert holt_winters_forecast(df).count() == 0
+
+
+def test_kruskal_wallis_matches_independent_replay(spark, sf_smoke):
+    """Pin q240's H against a from-scratch pandas replay (average ranks
+    per row, the textbook formula 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) with
+    the tie-correction divisor) — the independent check that catches
+    coefficient errors the cross-engine hash gate structurally cannot
+    (r8 found a 4× slip exactly this way)."""
+    import pandas as pd
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+
+    row = QUERIES["q240_kruskal_wallis"].builder(spark, sf_smoke).collect()[0]
+    ev = (
+        read_table(spark, sf_smoke, "events")
+        .select("event_type", "value")
+        .toPandas()
+        .dropna(subset=["value"])
+    )
+    ev["rank"] = ev["value"].rank(method="average")
+    n = len(ev)
+    s = sum(
+        g["rank"].sum() ** 2 / len(g) for _, g in ev.groupby("event_type")
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    ties = ev.groupby("value").size()
+    cf = 1.0 - float((ties**3 - ties).sum()) / (n**3 - n)
+    assert row["n"] == n
+    assert abs(row["h_stat"] - h) < 1e-4, (row["h_stat"], h)
+    assert abs(row["h_tie_corrected"] - h / cf) < 1e-4
+    assert row["h_stat"] >= 0.0

@@ -218,3 +218,156 @@ def _hilbert_oracle() -> str:
 
 
 _Q["q245_hilbert_layout"].oracle = _hilbert_oracle()
+
+
+def _q290_oracle() -> str:
+    from ..operators.layout import z_value_sql
+
+    zv = z_value_sql("l_partkey", "l_suppkey", bits=16)
+    layout = """
+      SELECT '{name}' AS layout, l_partkey,
+             (ROW_NUMBER() OVER (ORDER BY {order}) - 1) * 64
+               // (SELECT COUNT(*) FROM lineitem) AS bin
+      FROM lineitem
+    """
+    nat = layout.format(
+        name="natural",
+        order="l_orderkey, l_linenumber, l_partkey, l_suppkey",
+    )
+    zo = layout.format(
+        name="zorder",
+        order=f"({zv}), l_partkey, l_orderkey, l_suppkey, l_linenumber",
+    )
+    return f"""
+    WITH pred AS (
+      SELECT MAX(l_partkey) // 4 AS lo,
+             MAX(l_partkey) // 4 + MAX(l_partkey) // 32 AS hi
+      FROM lineitem
+    ),
+    binned AS ({nat} UNION ALL {zo}),
+    zones AS (
+      SELECT layout, bin, MIN(l_partkey) AS mn, MAX(l_partkey) AS mx,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN l_partkey BETWEEN pred.lo AND pred.hi
+                      THEN 1 ELSE 0 END) AS n_match
+      FROM binned, pred GROUP BY 1, 2, pred.lo, pred.hi
+    ),
+    agg AS (
+      SELECT z.layout, COUNT(*) AS n_bins,
+             SUM(CASE WHEN z.mn <= p.hi AND z.mx >= p.lo
+                      THEN 1 ELSE 0 END) AS bins_scanned,
+             SUM(CASE WHEN z.mn <= p.hi AND z.mx >= p.lo
+                      THEN z.n_rows ELSE 0 END) AS rows_scanned,
+             SUM(z.n_match) AS rows_matching
+      FROM zones z, pred p GROUP BY 1
+    )
+    SELECT layout, CAST(n_bins AS BIGINT) AS n_bins,
+           CAST(bins_scanned AS BIGINT) AS bins_scanned,
+           CAST(rows_scanned AS BIGINT) AS rows_scanned,
+           CAST(rows_matching AS BIGINT) AS rows_matching,
+           CAST((2*(n_bins - bins_scanned)*1000000 + n_bins)
+                // (2*n_bins) AS DOUBLE) / 1000000 AS skip_ratio,
+           CASE WHEN rows_matching = 0 THEN NULL
+                ELSE CAST((2*rows_scanned*1000000 + rows_matching)
+                          // (2*rows_matching) AS DOUBLE) / 1000000 END
+             AS scan_amplification
+    FROM agg ORDER BY layout
+    """
+
+
+@query(
+    "q290_zonemap_skipping",
+    oracle=_q290_oracle(),
+    tags=("layout", "data-skipping", "kernel"),
+)
+def q290_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping audit: split lineitem into 64 equal-count
+    "files" under two physical layouts — natural (order-key) order and
+    Z-order on (partkey, suppkey) — record each file's min/max partkey
+    zone map, and measure how many files a 3%-of-keyspace partkey range
+    predicate must scan under each layout.  This is the MEASUREMENT
+    behind the q123/q245 layout operators: clustering is only worth its
+    shuffle if the zone maps it produces actually skip.
+
+    Scale plan: bin assignment uses the distributed rank kernel
+    (operators/prefix.global_ranks — never a whole-table single-task
+    ROW_NUMBER window) once per layout; zone maps and the audit are
+    bounded 64-row aggregates.  Determinism: sort keys end in the full
+    unique-ish column chain, and any residual duplicate rows are
+    identical in partkey, so bin zone maps are order-independent;
+    predicate bounds are exact integer fractions of the key space.
+    Exactness: pure integers; ratios half-away 6-dp rationals."""
+    from ..operators.layout import z_value_sql
+    from ..operators.prefix import global_ranks
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    pred = li.agg(
+        F.expr("MAX(l_partkey) div 4").alias("lo"),
+        F.expr("MAX(l_partkey) div 4 + MAX(l_partkey) div 32").alias("hi"),
+    )
+    zv = z_value_sql("l_partkey", "l_suppkey", bits=16)
+
+    def binned(name: str, order_cols: list) -> DataFrame:
+        src = li.withColumn("_zv", F.expr(zv)) if name == "zorder" else li
+        r = global_ranks(src, order_cols=order_cols, rn_col="rn", total_col="n")
+        return r.select(
+            F.lit(name).alias("layout"),
+            "l_partkey",
+            F.expr("(rn - 1) * 64 div n").alias("bin"),
+        )
+
+    nat = binned(
+        "natural", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    )
+    zo = binned(
+        "zorder",
+        ["_zv", "l_partkey", "l_orderkey", "l_suppkey", "l_linenumber"],
+    )
+    zones = (
+        nat.unionByName(zo)
+        .crossJoin(F.broadcast(pred))
+        .groupBy("layout", "bin")
+        .agg(
+            F.min("l_partkey").alias("mn"),
+            F.max("l_partkey").alias("mx"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("l_partkey").between(F.col("lo"), F.col("hi")), 1
+                ).otherwise(0)
+            ).alias("n_match"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    hit = (F.col("mn") <= F.col("hi")) & (F.col("mx") >= F.col("lo"))
+    agg = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("bins_scanned"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).alias("rows_scanned"),
+        F.sum("n_match").alias("rows_matching"),
+    )
+    return agg.select(
+        "layout",
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.col("bins_scanned").cast("long").alias("bins_scanned"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+        F.col("rows_matching").cast("long").alias("rows_matching"),
+        (
+            F.expr(
+                "(2*(n_bins - bins_scanned)*1000000 + n_bins) div (2*n_bins)"
+            ).cast("double")
+            / 1_000_000
+        ).alias("skip_ratio"),
+        F.when(F.col("rows_matching") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.expr(
+                "(2*rows_scanned*1000000 + rows_matching)"
+                " div (2*rows_matching)"
+            ).cast("double")
+            / 1_000_000
+        )
+        .alias("scan_amplification"),
+    ).orderBy("layout")

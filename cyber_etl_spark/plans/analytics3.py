@@ -823,24 +823,37 @@ def q244_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q246_ams_f2_sketch",
     oracle="""
-    WITH est AS (
-      SELECT j,
-             SUM(1 - 2*(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
-                              || CAST(l_partkey AS VARCHAR)), 1, 8))
-                             AS BIGINT) % 2)) AS sk
-      FROM lineitem, unnest(generate_series(0, 15)) AS u(j)
-      GROUP BY 1
+    WITH hh AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM lineitem
     ),
-    means AS (
-      SELECT j // 4 AS grp,
-             SUM(CAST(sk AS HUGEINT)*sk) AS ss
-      FROM est GROUP BY 1
+    est AS (
+      SELECT SUM(1 - 2*((h // 1) % 2)) AS sk0,
+             SUM(1 - 2*((h // 2) % 2)) AS sk1,
+             SUM(1 - 2*((h // 4) % 2)) AS sk2,
+             SUM(1 - 2*((h // 8) % 2)) AS sk3,
+             SUM(1 - 2*((h // 16) % 2)) AS sk4,
+             SUM(1 - 2*((h // 32) % 2)) AS sk5,
+             SUM(1 - 2*((h // 64) % 2)) AS sk6,
+             SUM(1 - 2*((h // 128) % 2)) AS sk7,
+             SUM(1 - 2*((h // 256) % 2)) AS sk8,
+             SUM(1 - 2*((h // 512) % 2)) AS sk9,
+             SUM(1 - 2*((h // 1024) % 2)) AS sk10,
+             SUM(1 - 2*((h // 2048) % 2)) AS sk11,
+             SUM(1 - 2*((h // 4096) % 2)) AS sk12,
+             SUM(1 - 2*((h // 8192) % 2)) AS sk13,
+             SUM(1 - 2*((h // 16384) % 2)) AS sk14,
+             SUM(1 - 2*((h // 32768) % 2)) AS sk15
+      FROM hh
     ),
     med AS (
       -- median of the 4 group means of 4 estimators each: with an even
       -- count, take the LOWER median (2nd of 4) — deterministic, via a
       -- sorted 4-element list (no window)
-      SELECT (list(ss ORDER BY ss))[2] AS ss FROM means
+      SELECT (list_sort(w))[2] AS ss FROM (
+        SELECT [CAST(sk0 AS HUGEINT)*sk0 + CAST(sk1 AS HUGEINT)*sk1 + CAST(sk2 AS HUGEINT)*sk2 + CAST(sk3 AS HUGEINT)*sk3, CAST(sk4 AS HUGEINT)*sk4 + CAST(sk5 AS HUGEINT)*sk5 + CAST(sk6 AS HUGEINT)*sk6 + CAST(sk7 AS HUGEINT)*sk7, CAST(sk8 AS HUGEINT)*sk8 + CAST(sk9 AS HUGEINT)*sk9 + CAST(sk10 AS HUGEINT)*sk10 + CAST(sk11 AS HUGEINT)*sk11, CAST(sk12 AS HUGEINT)*sk12 + CAST(sk13 AS HUGEINT)*sk13 + CAST(sk14 AS HUGEINT)*sk14 + CAST(sk15 AS HUGEINT)*sk15] AS w FROM est
+      )
     ),
     exact AS (
       SELECT SUM(CAST(c AS HUGEINT)*c) AS f2 FROM (
@@ -865,9 +878,12 @@ def q246_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is md5-derived, so every sketch counter is a deterministic exact
     integer in both engines.
 
-    16 estimators (4 groups × 4) ride ONE map-side aggregation — each
-    row contributes its md5 sign to 16 sums, so the sketch costs one
-    reduce of 16 rows regardless of data size, and sketches of
+    16 estimators (4 groups × 4) ride ONE map-side aggregation with
+    ONE md5 per row — estimator j's ±1 hash is bit j of the key's
+    digest (independent functions of the key, and a row's 16 signs cost
+    shifts/masks, not 16 digests: the r8 bench found the exploded
+    16-md5 form spent 8 s at sf0.1, 6.5 of them hashing); the sketch
+    reduces to 16 sums regardless of data size, and sketches of
     partitions/days merge by plain addition (the mergeability that
     makes it a streaming/cube primitive).  Estimate = median of the 4
     group means of sk² (lower median of an even count, deterministic);
@@ -876,41 +892,32 @@ def q246_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Alon-Matias-Szegedy Thm 2.2; the audit row makes the bound
     observable rather than trusted."""
     li = read_table(spark, sf_dir, "lineitem")
-    est = (
-        li.select(
-            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"), "l_partkey"
+    hh = li.select(
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8),
+            16,
+            10,
         )
-        .groupBy("j")
-        .agg(
-            F.sum(
-                1
-                - 2
-                * (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    ":",
-                                    F.col("j").cast("string"),
-                                    F.col("l_partkey").cast("string"),
-                                )
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("bigint")
-                    % 2
-                )
-            ).alias("sk")
+        .cast("bigint")
+        .alias("h")
+    )
+    est = hh.agg(
+        *[
+            F.sum(F.expr(f"1 - 2*((h div {1 << j}) % 2)")).alias(f"sk{j}")
+            for j in range(16)
+        ]
+    )
+    gss = ", ".join(
+        "CAST(sk{a} AS DECIMAL(38,0))*sk{a}"
+        " + CAST(sk{b} AS DECIMAL(38,0))*sk{b}"
+        " + CAST(sk{c} AS DECIMAL(38,0))*sk{c}"
+        " + CAST(sk{d} AS DECIMAL(38,0))*sk{d}".format(
+            a=4 * g, b=4 * g + 1, c=4 * g + 2, d=4 * g + 3
         )
+        for g in range(4)
     )
-    means = est.groupBy(F.expr("j div 4").alias("grp")).agg(
-        F.sum(F.expr("CAST(sk AS DECIMAL(38,0))*sk")).alias("ss")
-    )
-    med = means.agg(
-        F.array_sort(F.collect_list("ss")).getItem(1).alias("ss")
+    med = est.select(
+        F.expr(f"array_sort(array({gss}))[1]").alias("ss")
     )
     exact = (
         li.groupBy("l_partkey")

@@ -2261,3 +2261,378 @@ def q288_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "q291_binary_segmentation",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day, cnt,
+             ROW_NUMBER() OVER (ORDER BY day) AS ti,
+             SUM(cnt) OVER (ORDER BY day) AS cum,
+             COUNT(*) OVER () AS nd, SUM(cnt) OVER () AS tot
+      FROM d
+    ),
+    r0 AS (
+      SELECT *, ROW_NUMBER() OVER (
+               ORDER BY ABS(nd*cum - ti*tot) DESC, day) AS rk
+      FROM c WHERE ti < nd
+    ),
+    cp0 AS (SELECT ti AS cti, cum AS ccum, day AS cday,
+                   ABS(nd*cum - ti*tot) AS anum, nd AS snd FROM r0 WHERE rk = 1),
+    seg AS (
+      SELECT c.*, CASE WHEN c.ti <= cp0.cti THEN 'L' ELSE 'R' END AS s,
+             CASE WHEN c.ti <= cp0.cti THEN c.ti ELSE c.ti - cp0.cti END AS ti2,
+             CASE WHEN c.ti <= cp0.cti THEN c.cum ELSE c.cum - cp0.ccum END
+               AS cum2
+      FROM c, cp0
+    ),
+    st AS (
+      SELECT s, COUNT(*) AS nd2, MAX(cum2) AS tot2,
+             MIN(day) AS d0, MAX(day) AS d1
+      FROM seg GROUP BY 1
+    ),
+    r1 AS (
+      SELECT g.s, g.day, st.nd2, st.d0, st.d1,
+             ABS(st.nd2*g.cum2 - g.ti2*st.tot2) AS anum,
+             ROW_NUMBER() OVER (PARTITION BY g.s
+               ORDER BY ABS(st.nd2*g.cum2 - g.ti2*st.tot2) DESC, g.day) AS rk
+      FROM seg g JOIN st USING (s) WHERE g.ti2 < st.nd2
+    ),
+    lv0 AS (
+      SELECT 'root' AS segment, MIN(day) AS seg_start, MAX(day) AS seg_end
+      FROM d
+    )
+    SELECT l.segment,
+           CAST(l.seg_start AS VARCHAR) AS seg_start,
+           CAST(l.seg_end AS VARCHAR) AS seg_end,
+           CAST(cp0.cday AS VARCHAR) AS cp_day,
+           CAST(cp0.snd AS BIGINT) AS n_days,
+           CAST((2*cp0.anum*1000000 + cp0.snd) // (2*cp0.snd) AS DOUBLE)
+             / 1000000 AS s_abs
+    FROM lv0 l, cp0
+    UNION ALL
+    SELECT r1.s AS segment,
+           CAST(r1.d0 AS VARCHAR) AS seg_start,
+           CAST(r1.d1 AS VARCHAR) AS seg_end,
+           CAST(r1.day AS VARCHAR) AS cp_day,
+           CAST(r1.nd2 AS BIGINT) AS n_days,
+           CAST((2*r1.anum*1000000 + r1.nd2) // (2*r1.nd2) AS DOUBLE)
+             / 1000000 AS s_abs
+    FROM r1 WHERE r1.rk = 1
+    ORDER BY segment
+    """,
+    tags=("timeseries", "changepoint", "agg-grid-window"),
+)
+def q291_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change-point tree (depth 2) on the total
+    daily event series: the CUSUM argmax (q216's statistic) locates the
+    root change point, then recurses once into the left and right
+    segments with segment-local indices/totals — the multi-change-point
+    extension of q216 (three located shifts, four implied regimes).
+
+    Scale plan: everything runs on the per-DAY aggregate grid (bounded
+    by the calendar — the q216 AGG_INPUT_OK class); recursion depth is
+    fixed at 2, so the plan is static.  Exactness: S_t·n = n·cum − t·tot
+    is a pure integer at every level (segment-local cum/tot stay
+    integers by subtraction); argmaxes tie-break on the earlier day;
+    only the report divides, half-away at 6 dp."""
+    from pyspark.sql.window import Window
+    from .analytics2 import _day_grid
+
+    d = (
+        _day_grid(spark, sf_dir)
+        .groupBy("day")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wday = Window.orderBy("day")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = d.select(
+        "day",
+        "cnt",
+        F.row_number().over(wday).alias("ti"),
+        F.sum("cnt").over(wday.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.count(F.lit(1)).over(wall).alias("nd"),
+        F.sum("cnt").over(wall).alias("tot"),
+    ).localCheckpoint(eager=True)  # bounded grid; feeds root + both levels
+    anum = F.abs(F.col("nd") * F.col("cum") - F.col("ti") * F.col("tot"))
+    r0 = (
+        c.where(F.col("ti") < F.col("nd"))
+        .withColumn("anum", anum)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("anum").desc(), F.col("day"))
+            ),
+        )
+    )
+    cp0 = r0.where(F.col("rk") == 1).select(
+        F.col("ti").alias("cti"),
+        F.col("cum").alias("ccum"),
+        F.col("day").alias("cday"),
+        F.col("anum").alias("c_anum"),
+        F.col("nd").alias("snd"),
+    )
+    seg = c.crossJoin(F.broadcast(cp0)).select(
+        "day",
+        F.when(F.col("ti") <= F.col("cti"), "L").otherwise("R").alias("s"),
+        F.when(F.col("ti") <= F.col("cti"), F.col("ti"))
+        .otherwise(F.col("ti") - F.col("cti"))
+        .alias("ti2"),
+        F.when(F.col("ti") <= F.col("cti"), F.col("cum"))
+        .otherwise(F.col("cum") - F.col("ccum"))
+        .alias("cum2"),
+    )
+    st = seg.groupBy("s").agg(
+        F.count(F.lit(1)).alias("nd2"),
+        F.max("cum2").alias("tot2"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+    )
+    anum2 = F.abs(F.col("nd2") * F.col("cum2") - F.col("ti2") * F.col("tot2"))
+    r1 = (
+        seg.join(F.broadcast(st), "s")
+        .where(F.col("ti2") < F.col("nd2"))
+        .withColumn("anum", anum2)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("s").orderBy(
+                    F.col("anum").desc(), F.col("day")
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    lv0 = d.agg(
+        F.min("day").alias("seg_start"), F.max("day").alias("seg_end")
+    )
+    ha = lambda num, den: (  # noqa: E731
+        F.expr(f"(2*{num}*1000000 + {den}) div (2*{den})").cast("double")
+        / 1_000_000
+    )
+    root = lv0.crossJoin(F.broadcast(cp0)).select(
+        F.lit("root").alias("segment"),
+        F.col("seg_start").cast("string").alias("seg_start"),
+        F.col("seg_end").cast("string").alias("seg_end"),
+        F.col("cday").cast("string").alias("cp_day"),
+        F.col("snd").cast("long").alias("n_days"),
+        ha("c_anum", "snd").alias("s_abs"),
+    )
+    kids = r1.select(
+        F.col("s").alias("segment"),
+        F.col("d0").cast("string").alias("seg_start"),
+        F.col("d1").cast("string").alias("seg_end"),
+        F.col("day").cast("string").alias("cp_day"),
+        F.col("nd2").cast("long").alias("n_days"),
+        ha("anum", "nd2").alias("s_abs"),
+    )
+    return root.unionByName(kids).orderBy("segment")
+
+
+@query(
+    "q292_cuped_adjustment",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events
+    ),
+    per AS (
+      SELECT user_id,
+             SUM(CASE WHEN CAST(ts AS DATE) <=
+                      b.d0 + CAST(date_diff('day', b.d0, b.d1) // 2 AS INT)
+                 THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS x,
+             SUM(CASE WHEN CAST(ts AS DATE) >
+                      b.d0 + CAST(date_diff('day', b.d0, b.d1) // 2 AS INT)
+                 THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS y
+      FROM events, b WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x*y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x*x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y*y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM per
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS theta,
+           round((n*syy - sy*sy) / (CAST(n AS DOUBLE)*n*n), 6)
+             AS var_y_per_user,
+           round((n*sxy - sx*sy)*(n*sxy - sx*sy)
+                 / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+             AS var_reduction
+    FROM s
+    """,
+    tags=("experimentation", "variance-reduction"),
+)
+def q292_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) variance
+    reduction audit: split the calendar at its midpoint, treat each
+    user's pre-period purchase value as the covariate X and the
+    post-period value as the metric Y, and report θ = cov/var and the
+    variance fraction CUPED removes (ρ²) — the A/B-testing power
+    primitive next to Welch (q144) and the randomization test (q230).
+
+    Scale plan: one user-keyed conditional aggregation (two exact
+    decimal sums per user), one sufficient-statistic rollup.
+    Exactness: X/Y are exact DECIMAL(18,6) sums (the dsum idiom);
+    per-user products widen to DECIMAL(38,12) and sum exactly; the
+    ratios assemble in doubles from identical exact inputs (plain
+    6-dp round of irrationals — safe)."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).select(
+        F.expr("d0 + CAST(datediff(d1, d0) div 2 AS INT)").alias("dmid")
+    )
+    vd = F.col("value").cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    per = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.to_date("ts") <= F.col("dmid"), vd).otherwise(zero)
+            ).alias("x"),
+            F.sum(
+                F.when(F.to_date("ts") > F.col("dmid"), vd).otherwise(zero)
+            ).alias("y"),
+        )
+    )
+    s = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.expr("CAST(x*y AS DECIMAL(38,12))")).cast("double").alias("sxy"),
+        F.sum(F.expr("CAST(x*x AS DECIMAL(38,12))")).cast("double").alias("sxx"),
+        F.sum(F.expr("CAST(y*y AS DECIMAL(38,12))")).cast("double").alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("theta"),
+        F.round(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("n") * F.col("n")),
+            6,
+        ).alias("var_y_per_user"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("var_reduction"),
+    )
+
+
+@query(
+    "q293_second_order_markov",
+    oracle="""
+    WITH pe AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER w AS p1,
+             LAG(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c2 AS (
+      SELECT p2, p1, event_type AS nxt, COUNT(*) AS cnt
+      FROM pe WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    ctx2 AS (SELECT p2, p1, SUM(cnt) AS tot2 FROM c2 GROUP BY 1, 2),
+    c1 AS (
+      SELECT p1, event_type AS nxt, COUNT(*) AS cnt1
+      FROM pe WHERE p1 IS NOT NULL GROUP BY 1, 2
+    ),
+    ctx1 AS (SELECT p1, SUM(cnt1) AS tot1 FROM c1 GROUP BY 1)
+    SELECT c2.p2, c2.p1, c2.nxt AS nxt,
+           CAST(c2.cnt AS BIGINT) AS cnt,
+           CAST((2*c2.cnt*1000000 + x2.tot2) // (2*x2.tot2) AS DOUBLE)
+             / 1000000 AS p_second_order,
+           CAST((2*c1.cnt1*1000000 + x1.tot1) // (2*x1.tot1) AS DOUBLE)
+             / 1000000 AS p_first_order,
+           CAST((2*CAST(c2.cnt AS HUGEINT)*x1.tot1*1000000
+                 + CAST(x2.tot2 AS HUGEINT)*c1.cnt1)
+                // (2*CAST(x2.tot2 AS HUGEINT)*c1.cnt1) AS DOUBLE)
+             / 1000000 AS lift
+    FROM c2
+    JOIN ctx2 x2 USING (p2, p1)
+    JOIN c1 ON c1.p1 = c2.p1 AND c1.nxt = c2.nxt
+    JOIN ctx1 x1 ON x1.p1 = c2.p1
+    WHERE x2.tot2 >= 20
+    ORDER BY p2, p1, nxt
+    """,
+    tags=("markov", "sessions", "sequence"),
+)
+def q293_second_order_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov transitions of the event stream with lift
+    over the first-order model: P(next | prev2, prev1) vs
+    P(next | prev1) — quantifies how much one extra step of history
+    actually buys, extending the first-order chain (q176) and the
+    removal-effect machinery (q236).
+
+    Scale plan: both lag columns come from ONE high-cardinality
+    per-user window pass; everything after is bounded (≤ 5³ contexts)
+    hash aggregation and joins.  Exactness: probabilities and the lift
+    are half-away 6-dp integer rationals (the lift cross-multiplies
+    the two rationals exactly — HUGEINT/DECIMAL(38,0) widened);
+    contexts below 20 observations are filtered by an integer test."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pe = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).localCheckpoint(eager=True)  # feeds both model orders
+    c2 = (
+        pe.where(F.col("p2").isNotNull())
+        .groupBy("p2", "p1", F.col("event_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ctx2 = c2.groupBy("p2", "p1").agg(F.sum("cnt").alias("tot2"))
+    c1 = (
+        pe.where(F.col("p1").isNotNull())
+        .groupBy("p1", F.col("event_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("cnt1"))
+    )
+    ctx1 = c1.groupBy("p1").agg(F.sum("cnt1").alias("tot1"))
+    return (
+        c2.join(F.broadcast(ctx2), ["p2", "p1"])
+        .join(F.broadcast(c1), ["p1", "nxt"])
+        .join(F.broadcast(ctx1), "p1")
+        .where(F.col("tot2") >= 20)
+        .select(
+            "p2",
+            "p1",
+            "nxt",
+            F.col("cnt").cast("long").alias("cnt"),
+            _ha6("cnt", "tot2").alias("p_second_order"),
+            _ha6("cnt1", "tot1").alias("p_first_order"),
+            (
+                F.expr(
+                    "(2*CAST(cnt AS DECIMAL(38,0))*tot1*1000000"
+                    " + CAST(tot2 AS DECIMAL(38,0))*cnt1)"
+                    " div (2*CAST(tot2 AS DECIMAL(38,0))*cnt1)"
+                ).cast("double")
+                / 1_000_000
+            ).alias("lift"),
+        )
+        .orderBy("p2", "p1", "nxt")
+    )

@@ -263,6 +263,9 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
         # q288: lag/lead over the per-DAY grid (calendar x 5 types,
         # the q213 convention)
         "q288_peak_detection",
+        # q291: CUSUM windows over the total per-DAY grid at two
+        # recursion levels (bounded by the calendar, the q216 class)
+        "q291_binary_segmentation",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

@@ -2636,3 +2636,125 @@ def q293_second_order_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p2", "p1", "nxt")
     )
+
+
+@query(
+    "q294_synthetic_ab_readout",
+    oracle="""
+    WITH asg AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS arm
+      FROM events GROUP BY 1
+    ),
+    met AS (
+      SELECT e.user_id, a.arm,
+             SUM(CASE WHEN e.event_type = 'purchase'
+                 THEN CAST(e.value AS DECIMAL(18,6)) ELSE 0 END) AS y
+      FROM events e JOIN asg a USING (user_id)
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT arm, COUNT(*) AS n, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(y*y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM met GROUP BY 1
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 0 THEN sy END) AS sy0,
+             MAX(CASE WHEN arm = 1 THEN sy END) AS sy1,
+             MAX(CASE WHEN arm = 0 THEN syy END) AS syy0,
+             MAX(CASE WHEN arm = 1 THEN syy END) AS syy1
+      FROM s
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+           round(ABS(n0 - n1) / sqrt(CAST(n0 + n1 AS DOUBLE)), 6)
+             AS srm_z,
+           round(sy0 / n0, 6) AS mean_control,
+           round(sy1 / n1, 6) AS mean_treat,
+           round(sy1 / n1 - sy0 / n0, 6) AS diff,
+           round((sy1 / n1 - sy0 / n0)
+                 / sqrt((syy0 - sy0*sy0/n0) / (n0*(n0-1.0))
+                        + (syy1 - sy1*sy1/n1) / (n1*(n1-1.0))), 6)
+             AS welch_t
+    FROM w
+    """,
+    tags=("experimentation", "ab-test", "determinism"),
+)
+def q294_synthetic_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B readout harness: assign every user to an arm
+    by a stable md5 coin, then report the full experiment scorecard —
+    sample-ratio-mismatch z (the guardrail every platform checks before
+    trusting a readout), per-arm mean purchase value, the difference,
+    and its Welch t — the end-to-end experimentation pass that ties
+    together assignment (q68's split idiom), Welch (q144) and CUPED
+    (q292).  Under a null coin the t should be noise — the readout
+    machinery is what's under test, and both engines must reproduce it
+    bit-for-bit.
+
+    Scale plan: one user-keyed assignment aggregate, one user-keyed
+    metric aggregate, a 2-row arm rollup pivoted to one row.
+    Exactness: metric sums are exact DECIMAL(18,6) (dsum idiom),
+    squares widen to DECIMAL(38,12); z and t assemble in doubles from
+    identical exact inputs (sqrt correctly rounded; 6-dp round of
+    irrationals — safe)."""
+    ev = read_table(spark, sf_dir, "events")
+    asg = ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    vd = F.col("value").cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    met = (
+        ev.join(asg, "user_id")
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", vd).otherwise(zero)
+            ).alias("y")
+        )
+    )
+    s = met.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.expr("CAST(y*y AS DECIMAL(38,12))")).cast("double").alias("syy"),
+    )
+    w = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("n", "sy", "syy")
+        ]
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.round(
+            F.abs(F.col("n0") - F.col("n1"))
+            / F.sqrt((F.col("n0") + F.col("n1")).cast("double")),
+            6,
+        ).alias("srm_z"),
+        F.round(F.col("sy0") / F.col("n0"), 6).alias("mean_control"),
+        F.round(F.col("sy1") / F.col("n1"), 6).alias("mean_treat"),
+        F.round(F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0"), 6).alias(
+            "diff"
+        ),
+        F.round(
+            (F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0"))
+            / F.sqrt(
+                (F.col("syy0") - F.col("sy0") * F.col("sy0") / F.col("n0"))
+                / (F.col("n0") * (F.col("n0") - 1.0))
+                + (F.col("syy1") - F.col("sy1") * F.col("sy1") / F.col("n1"))
+                / (F.col("n1") * (F.col("n1") - 1.0))
+            ),
+            6,
+        ).alias("welch_t"),
+    )

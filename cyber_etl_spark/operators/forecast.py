@@ -165,3 +165,67 @@ def holt_winters_forecast(
     return daily.select(order_col, value_col).coalesce(1).mapInPandas(
         kernel, schema
     )
+
+
+def holt_winters_backtest(
+    daily: DataFrame,
+    order_col: str = "day",
+    value_col: str = "x",
+    period: int = 7,
+) -> DataFrame:
+    """One-step-ahead backtest of the additive Holt-Winters walk
+    (α = β = γ = 1/2): replays :func:`holt_winters_forecast`'s exact
+    recurrence, and for every step past the 2-season init accumulates
+    the absolute one-step error |x_t − (l+b+s_head)| — the forecast made
+    BEFORE folding x_t in — plus Σ|x_t| over the same steps.  Returns
+    ONE row (n_days, n_scored, sae, sax); callers derive WAPE.
+    Error sums accumulate in recurrence order, so the recursive-CTE
+    oracle adds the identical doubles in the identical order."""
+    schema = "n_days bigint, n_scored bigint, sae double, sax double"
+
+    def kernel(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) > _MAX_SERIES_ROWS:
+            raise ValueError(
+                f"holt_winters_backtest: {len(pdf)} rows exceed the "
+                f"bounded-series contract ({_MAX_SERIES_ROWS})"
+            )
+        if len(pdf) < 2 * period:
+            return
+        pdf = pdf.sort_values(order_col, ignore_index=True)
+        xs = [float(v) for v in pdf[value_col]]
+        lvl = sum(xs[:period]) / float(period)
+        trd = (sum(xs[period : 2 * period]) - sum(xs[:period])) / float(
+            period * period
+        )
+        s = [xs[i] - lvl for i in range(period)]
+        sae = 0.0
+        sax = 0.0
+        n_scored = 0
+        for t in range(period, len(xs)):
+            x = xs[t]
+            if t >= 2 * period:
+                f = lvl + trd + s[0]
+                sae = sae + abs(x - f)
+                sax = sax + abs(x)
+                n_scored += 1
+            new_l = 0.5 * (x - s[0]) + 0.5 * (lvl + trd)
+            trd = 0.5 * (new_l - lvl) + 0.5 * trd
+            s_new = 0.5 * (x - new_l) + 0.5 * s[0]
+            lvl = new_l
+            s = s[1:] + [s_new]
+        yield pd.DataFrame(
+            {
+                "n_days": [len(xs)],
+                "n_scored": [n_scored],
+                "sae": [sae],
+                "sax": [sax],
+            }
+        )
+
+    return daily.select(order_col, value_col).coalesce(1).mapInPandas(
+        kernel, schema
+    )

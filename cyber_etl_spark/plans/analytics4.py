@@ -2758,3 +2758,266 @@ def q294_synthetic_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_t"),
     )
+
+
+@query(
+    "q295_weekly_topk_movers",
+    oracle="""
+    WITH wr AS (
+      SELECT date_trunc('week', o.o_orderdate) AS wk, l.l_partkey AS part,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revu
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT wk, part, revu,
+             ROW_NUMBER() OVER (PARTITION BY wk
+                                ORDER BY revu DESC, part) AS rnk
+      FROM wr
+    )
+    SELECT CAST(CAST(c.wk AS DATE) AS VARCHAR) AS week,
+           CAST(c.part AS BIGINT) AS part,
+           CAST(c.revu AS DOUBLE) / 1000000 AS revenue,
+           CAST(c.rnk AS INT) AS rnk,
+           CAST(p.rnk AS INT) AS prev_rnk,
+           CAST(p.rnk - c.rnk AS INT) AS rank_gain
+    FROM rk c
+    LEFT JOIN rk p
+      ON p.part = c.part AND p.wk = c.wk - INTERVAL 7 DAY
+    WHERE c.rnk <= 10
+    ORDER BY week, rnk
+    """,
+    tags=("ranking", "trending", "kernel"),
+)
+def q295_weekly_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly top-10 parts by revenue with week-over-week rank movement
+    — the trending-items leaderboard (top-k per period + rank delta vs
+    the previous period, NULL for new entries), extending the static
+    top-k family (q09/q197) with the time axis.
+
+    Scale plan: per-week ranks come from the distributed rank kernel
+    grouped by week (operators/prefix.global_ranks — a week is a
+    LOW-cardinality key, so the naive per-week ROW_NUMBER window is the
+    banned single-task shape); the ranked frame is pinned once and
+    serves both the current-week cut and the previous-week join (part,
+    week-7)-keyed.  Exactness: revenue in exact 1e-6 integer units
+    (dsum idiom × 1e6); ranks tie-break on part id."""
+    from ..operators.prefix import global_ranks
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    wr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.date_trunc("week", "o_orderdate").alias("wk"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+            ).alias("revu")
+        )
+        .withColumn("negr", -F.col("revu"))
+    )
+    rk = global_ranks(
+        wr, order_cols=["negr", "part"], group_cols=["wk"], rn_col="rnk"
+    ).localCheckpoint(eager=True)  # feeds the top-10 cut AND the prev join
+    cur = rk.where(F.col("rnk") <= 10).select(
+        "wk", "part", "revu", F.col("rnk").alias("crnk")
+    )
+    prev = rk.select(
+        F.expr("wk + interval 7 day").alias("wk"),
+        "part",
+        F.col("rnk").alias("prnk"),
+    )
+    return (
+        cur.join(prev, ["wk", "part"], "left")
+        .select(
+            F.col("wk").cast("date").cast("string").alias("week"),
+            F.col("part").cast("long").alias("part"),
+            (F.col("revu").cast("double") / 1_000_000).alias("revenue"),
+            F.col("crnk").cast("int").alias("rnk"),
+            F.col("prnk").cast("int").alias("prev_rnk"),
+            (F.col("prnk") - F.col("crnk")).cast("int").alias("rank_gain"),
+        )
+        .orderBy("week", "rnk")
+    )
+
+
+@query(
+    "q296_qq_deciles",
+    oracle="""
+    WITH q AS (
+      SELECT [percentile_cont(0.1) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'purchase' THEN value END), percentile_cont(0.2) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'purchase' THEN value END), percentile_cont(0.3) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'purchase' THEN value END), percentile_cont(0.4) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'purchase' THEN value END), percentile_cont(0.5) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'purchase' THEN value END), percentile_cont(0.6) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'purchase' THEN value END), percentile_cont(0.7) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'purchase' THEN value END), percentile_cont(0.8) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'purchase' THEN value END), percentile_cont(0.9) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'purchase' THEN value END)] AS qps,
+             [percentile_cont(0.1) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'click' THEN value END), percentile_cont(0.2) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'click' THEN value END), percentile_cont(0.3) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'click' THEN value END), percentile_cont(0.4) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'click' THEN value END), percentile_cont(0.5) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'click' THEN value END), percentile_cont(0.6) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'click' THEN value END), percentile_cont(0.7) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'click' THEN value END), percentile_cont(0.8) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'click' THEN value END), percentile_cont(0.9) WITHIN GROUP (ORDER BY CASE WHEN event_type = 'click' THEN value END)] AS qcs
+      FROM events WHERE event_type IN ('purchase', 'click')
+    )
+    SELECT CAST(u.i AS INT) AS decile,
+           round(CAST(qps[u.i] AS DOUBLE), 6) AS q_purchase,
+           round(CAST(qcs[u.i] AS DOUBLE), 6) AS q_click,
+           round(CAST(qps[u.i] AS DOUBLE) - CAST(qcs[u.i] AS DOUBLE), 6)
+             AS gap
+    FROM q, unnest(generate_series(1, 9)) AS u(i)
+    ORDER BY decile
+    """,
+    tags=("percentile", "distribution", "kernel"),
+)
+def q296_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile comparison of the purchase vs click value
+    distributions at the nine deciles — the value-space view of
+    distribution difference (the two-sample KS q239 gives the
+    probability-space supremum; a QQ table is what an analyst plots).
+
+    Scale plan: ONE distributed quantile-kernel pass grouped by event
+    type delivers all nine deciles for both series (range-partition
+    selection — never the in-memory percentile buffer); the join of two
+    9-value rows is a broadcast formality.  Exactness: the kernel
+    reproduces percentile_cont interpolation bit-for-bit on exact
+    integer-valued doubles? No — `value` is a raw double column, and
+    identical doubles interpolate identically (the q61 discipline);
+    6-dp round of the results."""
+    from ..operators.quantiles import exact_quantiles
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    probs = {f"p{i}": i / 10.0 for i in range(1, 10)}
+    qs = exact_quantiles(ev, "value", probs, ["event_type"])
+    qp = qs.where(F.col("event_type") == "purchase")
+    qc = qs.where(F.col("event_type") == "click")
+    rows = []
+    for i in range(1, 10):
+        rows.append(
+            qp.crossJoin(qc.select(*[F.col(f"p{j}").alias(f"c{j}") for j in range(1, 10)]))
+            .select(
+                F.lit(i).alias("decile"),
+                F.round(F.col(f"p{i}"), 6).alias("q_purchase"),
+                F.round(F.col(f"c{i}"), 6).alias("q_click"),
+                F.round(F.col(f"p{i}") - F.col(f"c{i}"), 6).alias("gap"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("decile")
+
+
+@query(
+    "q297_hw_backtest",
+    oracle="""
+    WITH RECURSIVE cnt AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    spine AS MATERIALIZED (
+      SELECT unnest(generate_series((SELECT MIN(day) FROM cnt),
+                                    (SELECT MAX(day) FROM cnt),
+                                    INTERVAL 1 DAY)) AS day
+    ),
+    xs AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY s.day) AS idx,
+             CAST(COALESCE(c.c, 0) AS DOUBLE) AS x
+      FROM spine s LEFT JOIN cnt c ON c.day = CAST(s.day AS DATE)
+    ),
+    nn AS (SELECT MAX(idx) AS n FROM xs),
+    init AS (
+      SELECT SUM(CASE WHEN idx <= 7 THEN x ELSE 0 END) / 7 AS l0,
+             (SUM(CASE WHEN idx BETWEEN 8 AND 14 THEN x ELSE 0 END)
+              - SUM(CASE WHEN idx <= 7 THEN x ELSE 0 END)) / 49 AS b0,
+             MAX(CASE WHEN idx = 1 THEN x END) AS x1,
+             MAX(CASE WHEN idx = 2 THEN x END) AS x2,
+             MAX(CASE WHEN idx = 3 THEN x END) AS x3,
+             MAX(CASE WHEN idx = 4 THEN x END) AS x4,
+             MAX(CASE WHEN idx = 5 THEN x END) AS x5,
+             MAX(CASE WHEN idx = 6 THEN x END) AS x6,
+             MAX(CASE WHEN idx = 7 THEN x END) AS x7
+      FROM xs WHERE idx <= 14
+    ),
+    walk AS (
+      SELECT 7 AS t, l0 AS l, b0 AS b,
+             x1 - l0 AS s1, x2 - l0 AS s2, x3 - l0 AS s3, x4 - l0 AS s4,
+             x5 - l0 AS s5, x6 - l0 AS s6, x7 - l0 AS s7,
+             CAST(0 AS DOUBLE) AS sae, CAST(0 AS DOUBLE) AS sax,
+             0 AS n_scored
+      FROM init
+      UNION ALL
+      SELECT w.t + 1,
+             0.5*(d.x - w.s1) + 0.5*(w.l + w.b),
+             0.5*((0.5*(d.x - w.s1) + 0.5*(w.l + w.b)) - w.l) + 0.5*w.b,
+             w.s2, w.s3, w.s4, w.s5, w.s6, w.s7,
+             0.5*(d.x - (0.5*(d.x - w.s1) + 0.5*(w.l + w.b))) + 0.5*w.s1,
+             CASE WHEN w.t + 1 > 14
+                  THEN w.sae + ABS(d.x - (w.l + w.b + w.s1))
+                  ELSE w.sae END,
+             CASE WHEN w.t + 1 > 14 THEN w.sax + ABS(d.x) ELSE w.sax END,
+             CASE WHEN w.t + 1 > 14 THEN w.n_scored + 1 ELSE w.n_scored END
+      FROM walk w JOIN xs d ON d.idx = w.t + 1
+    ),
+    fin AS (SELECT w.* FROM walk w, nn WHERE w.t = nn.n),
+    naive AS (
+      SELECT SUM(ABS(a.x - b.x)) AS nae
+      FROM xs a JOIN xs b ON b.idx = a.idx - 7 WHERE a.idx > 14
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_days,
+           CAST(f.n_scored AS BIGINT) AS n_scored,
+           round(f.sae / f.sax, 6) AS wape_hw,
+           round(naive.nae / f.sax, 6) AS wape_seasonal_naive,
+           round(1.0 - (f.sae / f.sax) / (naive.nae / f.sax), 6)
+             AS improvement
+    FROM fin f, nn, naive
+    """,
+    tags=("timeseries", "forecast", "eval", "kernel", "recursive"),
+)
+def q297_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters one-step-ahead backtest vs the seasonal-naive
+    baseline: WAPE of both forecasters over every day past the
+    two-season init — the forecast-EVAL member that tells you whether
+    q277's model earns its state (q183 scores seasonal-naive alone).
+
+    Scale plan: same as q277 — daily aggregation + calendar spine
+    distributed, the scored walk in ONE mapInPandas task
+    (operators/forecast.holt_winters_backtest); the naive baseline is
+    a lag-7 equi-join on the bounded grid.  Exactness: error sums
+    accumulate in RECURRENCE order in both engines (the kernel and the
+    recursive CTE add the identical IEEE doubles in the identical
+    sequence — order-dependence is exactly why this must NOT be a
+    parallel SUM); Σ|x| terms are integer-valued; final ratios are one
+    divide + 6-dp round."""
+    from ..operators.forecast import holt_winters_backtest
+
+    ev = read_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = cnt.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day")
+    )
+    daily = spine.join(cnt, "day", "left").select(
+        "day", F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("x")
+    ).localCheckpoint(eager=True)  # feeds the kernel AND the naive join
+    bt = holt_winters_backtest(daily, order_col="day", value_col="x")
+    from pyspark.sql.window import Window
+
+    # lag-7 naive on the bounded calendar grid (q213 exemption class)
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("idx")
+    )
+    a = idx.where(F.col("idx") > 14).select(
+        F.col("idx").alias("ia"), F.col("x").alias("xa")
+    )
+    b = idx.select((F.col("idx") + 7).alias("ia"), F.col("x").alias("xb"))
+    naive = a.join(b, "ia").agg(
+        F.sum(F.abs(F.col("xa") - F.col("xb"))).alias("nae")
+    )
+    return bt.crossJoin(F.broadcast(naive)).select(
+        "n_days",
+        "n_scored",
+        F.round(F.col("sae") / F.col("sax"), 6).alias("wape_hw"),
+        F.round(F.col("nae") / F.col("sax"), 6).alias("wape_seasonal_naive"),
+        F.round(
+            1.0 - (F.col("sae") / F.col("sax")) / (F.col("nae") / F.col("sax")),
+            6,
+        ).alias("improvement"),
+    )

@@ -266,6 +266,9 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
         # q291: CUSUM windows over the total per-DAY grid at two
         # recursion levels (bounded by the calendar, the q216 class)
         "q291_binary_segmentation",
+        # q297: row-number over the calendar spine for the lag-7 naive
+        # baseline (bounded by the calendar, the q213 class)
+        "q297_hw_backtest",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

@@ -3021,3 +3021,317 @@ def q297_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("improvement"),
     )
+
+
+@query(
+    "q298_churn_labels",
+    oracle="""
+    WITH b AS (
+      SELECT MAX(CAST(ts AS DATE)) - 14 AS cutoff FROM events
+    ),
+    feat AS (
+      SELECT user_id,
+             COUNT(*) AS n_events_30d,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchases_30d,
+             date_diff('day', MAX(CAST(ts AS DATE)), b.cutoff)
+               AS days_since_last,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM events, b
+      WHERE CAST(ts AS DATE) <= b.cutoff
+        AND CAST(ts AS DATE) > b.cutoff - 30
+      GROUP BY user_id, b.cutoff
+    ),
+    post AS (
+      SELECT DISTINCT user_id FROM events, b WHERE CAST(ts AS DATE) > b.cutoff
+    )
+    SELECT f.user_id,
+           CAST(f.n_events_30d AS BIGINT) AS n_events_30d,
+           CAST(f.n_purchases_30d AS BIGINT) AS n_purchases_30d,
+           CAST(f.days_since_last AS BIGINT) AS days_since_last,
+           CAST(f.active_days AS BIGINT) AS active_days,
+           p.user_id IS NULL AS churned
+    FROM feat f LEFT JOIN post p USING (user_id)
+    ORDER BY f.user_id
+    """,
+    tags=("ml-features", "labels", "leakage-safe"),
+)
+def q298_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn training-set builder: features from the 30
+    days up to a cutoff (14 days before the horizon), label = no
+    activity after the cutoff — the temporal label-construction pass
+    every churn model needs, with the feature window strictly before
+    the label window by construction (the q191 point-in-time
+    discipline applied to label building).
+
+    Scale plan: one broadcast cutoff row, one user-keyed feature
+    aggregation over the filtered window, one distinct-user post-window
+    scan, one user-keyed anti-ish left join.  Exactness: all features
+    are integer counts/date arithmetic; the label is a null test."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("MAX(CAST(ts AS DATE)) - 14").alias("cutoff")
+    )
+    day = F.to_date("ts")
+    feat = (
+        ev.crossJoin(F.broadcast(b))
+        .where((day <= F.col("cutoff")) & (day > F.expr("cutoff - 30")))
+        .groupBy("user_id", "cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_30d"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases_30d"),
+            F.datediff(F.col("cutoff"), F.max(day)).alias("days_since_last"),
+            F.count_distinct(day).alias("active_days"),
+        )
+    )
+    post = (
+        ev.crossJoin(F.broadcast(b))
+        .where(day > F.col("cutoff"))
+        .select("user_id")
+        .distinct()
+        .withColumn("_active", F.lit(1))
+    )
+    return (
+        feat.join(post, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("n_events_30d").cast("long").alias("n_events_30d"),
+            F.col("n_purchases_30d").cast("long").alias("n_purchases_30d"),
+            F.col("days_since_last").cast("long").alias("days_since_last"),
+            F.col("active_days").cast("long").alias("active_days"),
+            F.col("_active").isNull().alias("churned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q300_l_diversity",
+    oracle="""
+    WITH bands AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS sens
+      FROM customer
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS sz, COUNT(DISTINCT sens) AS l
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(l AS INT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_rows
+    FROM classes GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dq", "privacy", "governance"),
+)
+def q300_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit over the same (nation, segment) quasi-
+    identifier as the k-anonymity census (q206), with account-balance
+    BAND as the sensitive attribute: per equivalence class, how many
+    distinct sensitive values appear — a class with l = 1 leaks its
+    members' attribute even when it is k-anonymous.  Reported as the
+    l histogram (classes and rows per diversity level).
+
+    Scale plan: one hash aggregation with a distinct count, one
+    bounded rollup — the q206 shape plus COUNT(DISTINCT).  Exactness:
+    band thresholds are exact comparisons on raw doubles (identical in
+    both engines); everything else is integer counts."""
+    cust = read_table(spark, sf_dir, "customer")
+    bands = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("sens"),
+    )
+    classes = bands.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz"), F.count_distinct("sens").alias("l")
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("sz").alias("n_rows"),
+        )
+        .select(
+            F.col("l").cast("int").alias("l"),
+            F.col("n_classes").cast("long").alias("n_classes"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy("l")
+    )
+
+
+_Q299_ARMS = ("click", "error", "purchase", "signup", "view")
+
+
+def _q299_oracle() -> str:
+    arms = _Q299_ARMS
+    k = len(arms)
+    piv = ",\n             ".join(
+        f"COALESCE(MAX(CASE WHEN event_type = '{a}' THEN c END), 0) AS r{i}"
+        for i, a in enumerate(arms, start=1)
+    )
+    sort_items = ", ".join(
+        "{{'u': CASE WHEN w.n{i} = 0 THEN 0 ELSE 1 END,"
+        " 'm': -(CAST(w.s{i} AS DOUBLE)"
+        " / CASE WHEN w.n{i} = 0 THEN 1 ELSE w.n{i} END),"
+        " 'i': {i}}}".format(i=i)
+        for i in range(1, k + 1)
+    )
+    ch = (
+        "(CASE WHEN d.h % 100 < 20 THEN CAST((d.h // 100) % 5 + 1 AS INT)"
+        f" ELSE (list_sort([{sort_items}]))[1].i END)"
+    )
+    nupd = ", ".join(
+        f"w.n{i} + CASE WHEN {ch} = {i} THEN 1 ELSE 0 END" for i in range(1, k + 1)
+    )
+    supd = ", ".join(
+        f"w.s{i} + CASE WHEN {ch} = {i} THEN d.r{i} ELSE 0 END"
+        for i in range(1, k + 1)
+    )
+    rch = " ".join(
+        f"WHEN {ch} = {i} THEN d.r{i}" for i in range(1, k + 1)
+    )
+    vals = ", ".join(f"('{a}', {i})" for i, a in enumerate(arms, start=1))
+    pull = " ".join(f"WHEN {i} THEN f.n{i}" for i in range(1, k + 1))
+    rew = " ".join(f"WHEN {i} THEN f.s{i}" for i in range(1, k + 1))
+    best = " UNION ALL ".join(
+        f"SELECT SUM(r{i}) AS b FROM xs" for i in range(1, k + 1)
+    )
+    zeros_n = ", ".join(f"0 AS n{i}" for i in range(1, k + 1))
+    zeros_s = ", ".join(
+        f"CAST(0 AS HUGEINT) AS s{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH RECURSIVE d0 AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS MATERIALIZED (
+      SELECT unnest(generate_series((SELECT MIN(day) FROM d0),
+                                    (SELECT MAX(day) FROM d0),
+                                    INTERVAL 1 DAY)) AS day
+    ),
+    grid AS (
+      SELECT CAST(s.day AS DATE) AS day,
+             {piv}
+      FROM spine s LEFT JOIN d0 ON d0.day = CAST(s.day AS DATE)
+      GROUP BY 1
+    ),
+    xs AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS idx, *,
+             CAST(('0x' || substr(md5(CAST(
+               ROW_NUMBER() OVER (ORDER BY day) AS VARCHAR)), 1, 8))
+               AS BIGINT) AS h
+      FROM grid
+    ),
+    nn AS (SELECT MAX(idx) AS n FROM xs),
+    walk AS (
+      SELECT 0 AS t, {zeros_n}, {zeros_s}, CAST(0 AS HUGEINT) AS tot
+      UNION ALL
+      SELECT w.t + 1, {nupd}, {supd},
+             w.tot + CASE {rch} END
+      FROM walk w JOIN xs d ON d.idx = w.t + 1
+    ),
+    fin AS (SELECT w.* FROM walk w, nn WHERE w.t = nn.n),
+    bst AS (SELECT MAX(b) AS b FROM ({best}))
+    SELECT a.arm,
+           CAST(CASE a.i {pull} END AS BIGINT) AS pulls,
+           CAST(CASE a.i {rew} END AS BIGINT) AS total_reward,
+           CASE WHEN (CASE a.i {pull} END) = 0 THEN 0.0
+                ELSE CAST((2*(CASE a.i {rew} END)*1000000
+                           + (CASE a.i {pull} END))
+                          // (2*(CASE a.i {pull} END)) AS DOUBLE) / 1000000
+           END AS mean_reward,
+           CAST(f.tot AS BIGINT) AS policy_total,
+           CAST(bst.b AS BIGINT) AS best_fixed_total,
+           CAST(bst.b - f.tot AS BIGINT) AS regret
+    FROM fin f, bst, (VALUES {vals}) AS a(arm, i)
+    ORDER BY a.arm
+    """
+
+
+@query(
+    "q299_bandit_replay",
+    oracle=_q299_oracle(),
+    tags=("policy", "sequential", "kernel", "recursive"),
+)
+def q299_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline epsilon-greedy bandit replay over the daily event grid:
+    arms are the five event types, day t's reward for an arm is its
+    event count that day, the policy explores on a deterministic md5
+    coin (20%) and otherwise exploits the best running mean (unpulled
+    arms first, ties to the lowest index) — sequential-decision POLICY
+    EVALUATION as an engine operator, reporting per-arm pulls/rewards
+    plus the policy's regret against the best fixed arm in hindsight.
+
+    Scale plan: the reward grid is one distributed daily aggregation
+    pivoted to arms on the calendar spine; the inherently sequential
+    walk (day t's choice depends on all rewards before t) runs in ONE
+    mapInPandas task (operators/policy.epsilon_greedy_replay — the
+    q248 bounded-state rule), pinned cross-engine by the generated
+    recursive-CTE oracle.  Exactness: pulls/rewards are exact integers;
+    the exploit argmax compares (unpulled, −mean, index) where −mean is
+    the identical IEEE division in both engines; means report as
+    half-away 6-dp rationals."""
+    from pyspark.sql.window import Window
+    from ..operators.policy import epsilon_greedy_replay
+    from .analytics2 import _day_grid
+
+    d = _day_grid(spark, sf_dir)
+    bounds = d.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day")
+    )
+    grid = (
+        spine.join(d, "day", "left")
+        .groupBy("day")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("event_type") == a, F.col("cnt"))
+                    ),
+                    F.lit(0),
+                ).alias(f"r{i}")
+                for i, a in enumerate(_Q299_ARMS, start=1)
+            ]
+        )
+        .localCheckpoint(eager=True)  # feeds the kernel AND best-arm agg
+    )
+    out = epsilon_greedy_replay(
+        grid, reward_cols=[f"r{i}" for i in range(1, 6)], order_col="day"
+    )
+    best = grid.agg(
+        F.greatest(
+            *[F.sum(f"r{i}").cast("decimal(38,0)") for i in range(1, 6)]
+        ).alias("b")
+    )
+    arm_map = F.array(*[F.lit(a) for a in _Q299_ARMS])
+    return (
+        out.crossJoin(F.broadcast(best))
+        .select(
+            F.element_at(arm_map, F.col("arm_idx")).alias("arm"),
+            F.col("pulls").cast("long").alias("pulls"),
+            F.col("total_reward").cast("long").alias("total_reward"),
+            F.when(F.col("pulls") == 0, F.lit(0.0))
+            .otherwise(
+                F.expr(
+                    "(2*total_reward*1000000 + pulls) div (2*CAST(pulls"
+                    " AS DECIMAL(38,0)))"
+                ).cast("double")
+                / 1_000_000
+            )
+            .alias("mean_reward"),
+            F.col("policy_total").cast("long").alias("policy_total"),
+            F.col("b").cast("long").alias("best_fixed_total"),
+            (F.col("b") - F.col("policy_total")).cast("long").alias("regret"),
+        )
+        .orderBy("arm")
+    )

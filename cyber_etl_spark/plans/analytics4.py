@@ -2885,23 +2885,25 @@ def q296_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probs = {f"p{i}": i / 10.0 for i in range(1, 10)}
     qs = exact_quantiles(ev, "value", probs, ["event_type"])
-    qp = qs.where(F.col("event_type") == "purchase")
-    qc = qs.where(F.col("event_type") == "click")
-    rows = []
-    for i in range(1, 10):
-        rows.append(
-            qp.crossJoin(qc.select(*[F.col(f"p{j}").alias(f"c{j}") for j in range(1, 10)]))
-            .select(
-                F.lit(i).alias("decile"),
-                F.round(F.col(f"p{i}"), 6).alias("q_purchase"),
-                F.round(F.col(f"c{i}"), 6).alias("q_click"),
-                F.round(F.col(f"p{i}") - F.col(f"c{i}"), 6).alias("gap"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("decile")
+    # the kernel output IS a driver-local boundary table (2 rows); the
+    # 9-row reshape happens driver-side and ships back as a VALUES
+    # LocalRelation — a python-frame x python-frame broadcast join paid
+    # ~6 s/run in Python-worker round-trips for two 2-row inputs (r8
+    # measurement), vs ~0.1 s for the pure-JVM literal relation.  Float
+    # literals round-trip exactly via repr -> CAST(AS DOUBLE).
+    rows = {r["event_type"]: r for r in qs.collect()}
+    qp, qc = rows["purchase"], rows["click"]
+    vals = ", ".join(
+        f"({i}, CAST('{qp[f'p{i}']!r}' AS DOUBLE),"
+        f" CAST('{qc[f'p{i}']!r}' AS DOUBLE))"
+        for i in range(1, 10)
+    )
+    return spark.sql(
+        "SELECT CAST(decile AS INT) AS decile,"
+        " round(qp, 6) AS q_purchase, round(qc, 6) AS q_click,"
+        " round(qp - qc, 6) AS gap"
+        f" FROM (VALUES {vals}) AS t(decile, qp, qc) ORDER BY decile"
+    )
 
 
 @query(

@@ -3337,3 +3337,339 @@ def q299_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@query(
+    "q301_random_projection",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, r.i AS pos,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS vm
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    sg AS (
+      SELECT d.i, u.j,
+             1 - 2*(CAST(('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':'
+                          || CAST(u.j AS VARCHAR)), 1, 8)) AS BIGINT) % 2)
+               AS s
+      FROM (SELECT DISTINCT pos AS i FROM e) d,
+           unnest(generate_series(1, 16)) AS u(j)
+    ),
+    proj AS (
+      SELECT e.vec_id, sg.j, SUM(sg.s * e.vm) AS pj
+      FROM e JOIN sg ON sg.i = e.pos GROUP BY 1, 2
+    ),
+    pe AS (SELECT * FROM e WHERE vec_id < 200),
+    do2 AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(a.vm - b.vm AS HUGEINT)*(a.vm - b.vm)) AS d2
+      FROM pe a JOIN pe b
+        ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0 AND b.pos = a.pos
+      GROUP BY 1, 2
+    ),
+    dp2 AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(a.pj - b.pj AS HUGEINT)*(a.pj - b.pj)) AS p2
+      FROM proj a JOIN proj b
+        ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0 AND b.j = a.j
+      WHERE a.vec_id < 200
+      GROUP BY 1, 2
+    )
+    SELECT o.id_a, o.id_b,
+           CAST(o.d2 AS BIGINT) AS orig_dist2_u,
+           CAST(p.p2 AS BIGINT) AS proj_dist2_u,
+           CASE WHEN o.d2 = 0 THEN NULL
+                ELSE CAST((2*p.p2*1000000 + 16*o.d2) // (2*16*o.d2)
+                          AS DOUBLE) / 1000000 END AS distortion_ratio
+    FROM do2 o JOIN dp2 p USING (id_a, id_b)
+    ORDER BY id_a
+    """,
+    tags=("embedding", "dimensionality", "ml-features"),
+)
+def q301_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection audit: project every
+    embedding from 64 to 16 dimensions with a deterministic ±1 md5 sign
+    matrix, then measure pairwise-distance distortion on 100 adjacent
+    id pairs — ratio ||Rx−Ry||² / (m·||x−y||²) ≈ 1 under the JL lemma
+    (E[(r·z)²] = ||z||² for ±1 rows).  The dimensionality-reduction
+    primitive next to PCA (q223) and Matryoshka truncation (q171).
+
+    Scale plan: the projection is one posexplode + broadcast join with
+    the BOUNDED (64×16) sign table + one (vec, j) hash aggregation —
+    no GEMM kernel needed at this output width because the fan-out is
+    16, not all-pairs; the distortion audit joins only the 100 sampled
+    pairs position-keyed.  Exactness: embeddings snap to the 1e-6
+    integer micro grid (micro_array — THE quantization convention), so
+    projections and both squared distances are exact integers
+    (DECIMAL(38,0)/HUGEINT); the ratio is a half-away 6-dp rational."""
+    from ..operators.ann import micro_array
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(micro_array(F.col("embedding"))).alias("p0", "vm")
+    ).withColumn("pos", F.col("p0") + 1).drop("p0").localCheckpoint(
+        eager=True
+    )  # feeds the sign-table build, the projection AND the pair audit
+    sg = (
+        e.select(F.col("pos").alias("i"))
+        .distinct()
+        .select(
+            "i", F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j")
+        )
+        .select(
+            "i",
+            "j",
+            (
+                1
+                - 2
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.col("i"), F.col("j"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+            ).alias("s"),
+        )
+    )
+    proj = (
+        e.join(F.broadcast(sg), e.pos == sg.i)
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("vm")).alias("pj"))
+    )
+    pe = e.where(F.col("vec_id") < 200)
+    a = pe.select(F.col("vec_id").alias("id_a"), "pos", F.col("vm").alias("va"))
+    b = pe.select((F.col("vec_id") - 1).alias("id_a"), "pos", F.col("vm").alias("vb"))
+    do2 = (
+        a.where(F.col("id_a") % 2 == 0)
+        .join(b, ["id_a", "pos"])
+        .groupBy("id_a")
+        .agg(
+            F.sum(
+                F.expr("CAST(va - vb AS DECIMAL(38,0))*(va - vb)")
+            ).alias("d2")
+        )
+    )
+    pa = proj.where((F.col("vec_id") < 200) & (F.col("vec_id") % 2 == 0)).select(
+        F.col("vec_id").alias("id_a"), "j", F.col("pj").alias("ja")
+    )
+    pb = proj.where(F.col("vec_id") < 200).select(
+        (F.col("vec_id") - 1).alias("id_a"), "j", F.col("pj").alias("jb")
+    )
+    dp2 = (
+        pa.join(pb, ["id_a", "j"])
+        .groupBy("id_a")
+        .agg(
+            F.sum(
+                F.expr("CAST(ja - jb AS DECIMAL(38,0))*(ja - jb)")
+            ).alias("p2")
+        )
+    )
+    return (
+        do2.join(dp2, "id_a")
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            (F.col("id_a") + 1).cast("long").alias("id_b"),
+            F.col("d2").cast("long").alias("orig_dist2_u"),
+            F.col("p2").cast("long").alias("proj_dist2_u"),
+            F.when(F.col("d2") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.expr("(2*p2*1000000 + 16*d2) div (2*16*d2)").cast("double")
+                / 1_000_000
+            )
+            .alias("distortion_ratio"),
+        )
+        .orderBy("id_a")
+    )
+
+
+@query(
+    "q302_lsh_candidate_eval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    hashed AS (
+      SELECT id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh, (SELECT unnest(range(0, 8)) AS seed)
+    ),
+    sig AS (
+      SELECT id, seed % 4 AS band,
+             md5(CAST(seed % 4 AS VARCHAR) || '|' ||
+                 MIN(CASE WHEN seed < 4 THEN h END) || '|' ||
+                 MIN(CASE WHEN seed >= 4 THEN h END)) AS band_sig
+      FROM hashed GROUP BY id, seed % 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    ),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT c.id_a, c.id_b
+      FROM common c JOIN sizes sa ON c.id_a = sa.id
+      JOIN sizes sb ON c.id_b = sb.id
+      WHERE 2*c.n_common >= sa.n + sb.n - c.n_common
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM cand) AS n_cand,
+             (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM cand JOIN truth USING (id_a, id_b))
+               AS tp
+    )
+    SELECT CAST(n_cand AS BIGINT) AS n_candidates,
+           CAST(n_truth AS BIGINT) AS n_truth_pairs,
+           CAST(tp AS BIGINT) AS true_positives,
+           {prec} AS precision,
+           {rec} AS recall
+    FROM m
+    """.format(prec=_ha6_sql("tp", "n_cand"), rec=_ha6_sql("tp", "n_truth")),
+    tags=("dedup", "lsh", "eval"),
+)
+def q302_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-quality evaluation: precision and recall of the
+    q22 banding scheme's CANDIDATE pairs (4 bands × 2 rows over 8
+    MinHash permutations) against the exact Jaccard ≥ 0.5 ground truth
+    — the measurement behind the S-curve tuning story (q113 picks a
+    scheme; this query says what the default scheme actually catches
+    and wastes, closing the dedup-quality loop).
+
+    Scale plan: reuses the memoized shingle table; candidates are the
+    banded equi-join (O(n·bands) — the pre-verify stage, deliberately
+    WITHOUT q22's exact-verify step since unverified candidates are
+    the object under test); truth reuses the memoized exact pair table;
+    the threshold test is the exact integer form 2·common ≥ na+nb−common
+    (never a float jaccard compare).  Exactness: pure integer counts;
+    precision/recall half-away 6-dp rationals."""
+    from ..operators.dedup import band_signatures
+    from .textops import cached_jaccard_pairs, cached_shingles
+
+    sh = cached_shingles(spark, sf_dir)
+    sig = band_signatures(sh, num_perm=8, bands=4)
+    a = sig.select(F.col("id").alias("id_a"), "band", "band_sig")
+    b = sig.select(F.col("id").alias("id_b"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the count AND the tp join
+    )
+    truth = cached_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    tp = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("tp")
+    )
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            F.col("n_cand").cast("long").alias("n_candidates"),
+            F.col("n_truth").cast("long").alias("n_truth_pairs"),
+            F.col("tp").cast("long").alias("true_positives"),
+            _ha6("tp", "n_cand").alias("precision"),
+            _ha6("tp", "n_truth").alias("recall"),
+        )
+    )
+
+
+_Q303_TABLES: tuple[tuple[str, str], ...] = (
+    # canonical row string per table: exact-typed columns only — doubles
+    # go through a DECIMAL cast first because raw double→string
+    # formatting is NOT engine-portable
+    ("region", "CAST(r_regionkey AS STRING) || '|' || r_name"),
+    ("nation", "CAST(n_nationkey AS STRING) || '|' || n_name || '|' ||"
+               " CAST(n_regionkey AS STRING)"),
+    ("supplier", "CAST(s_suppkey AS STRING) || '|' || s_name || '|' ||"
+                 " CAST(s_nationkey AS STRING)"),
+    ("customer", "CAST(c_custkey AS STRING) || '|' || c_name || '|' ||"
+                 " CAST(c_nationkey AS STRING) || '|' ||"
+                 " CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING)"
+                 " || '|' || c_mktsegment"),
+    ("orders", "CAST(o_orderkey AS STRING) || '|' ||"
+               " CAST(o_custkey AS STRING) || '|' || o_orderstatus || '|' ||"
+               " CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)"
+               " || '|' || CAST(CAST(o_orderdate AS DATE) AS STRING)"
+               " || '|' || o_orderpriority"),
+)
+
+
+@query(
+    "q303_table_fingerprints",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{tbl}' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(('0x' || substr(md5({expr.replace("AS STRING", "AS VARCHAR")}), 1, 15))
+                              AS BIGINT) AS HUGEINT))
+                % 2305843009213693952 AS BIGINT) AS checksum
+    FROM {tbl}
+    """
+        for tbl, expr in _Q303_TABLES
+    )
+    + "\nORDER BY tbl",
+    tags=("dq", "reconciliation", "mergeable"),
+)
+def q303_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints: per table, the row count
+    plus an additive md5 checksum of a canonical row string — the
+    cross-system RECONCILIATION primitive (same fingerprint ⇒ same
+    multiset of rows, to hash strength) that a migration or replication
+    pipeline compares between source and target without moving data.
+
+    Scale plan: one map-side-combinable aggregation per table — the
+    checksum is a plain SUM, so per-partition (or per-system) partial
+    fingerprints merge by addition, exactly the property reconciliation
+    at 100 TB needs (fingerprint shards, compare, drill into only the
+    mismatched shard).  Exactness: canonical strings use exact-typed
+    casts only (doubles through DECIMAL first — raw double→string
+    formatting is not engine-portable); 15 md5 hex chars keep each term
+    below 2^60 and the DECIMAL(38,0)/HUGEINT sum exact; the published
+    fingerprint reduces mod 2^61 so it rides a plain BIGINT on both
+    engines (merge partials first, reduce last — mod is a
+    homomorphism)."""
+    frames = []
+    for tbl, expr in _Q303_TABLES:
+        t = read_table(spark, sf_dir, tbl)
+        frames.append(
+            t.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.conv(
+                        F.substring(F.md5(F.expr(expr)), 1, 15), 16, 10
+                    ).cast("decimal(38,0)")
+                ).alias("checksum"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.expr(
+                    "CAST(checksum % 2305843009213693952 AS BIGINT)"
+                ).alias("checksum"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.orderBy("tbl")

@@ -3673,3 +3673,214 @@ def q303_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out.orderBy("tbl")
+
+
+@query(
+    "q304_dedup_transitivity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    p AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM common c JOIN sizes sa ON c.id_a = sa.id
+      JOIN sizes sb ON c.id_b = sb.id
+      WHERE 2*c.n_common >= sa.n + sb.n - c.n_common
+    ),
+    s AS (SELECT id_a AS x, id_b AS y FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    w AS (
+      SELECT a.y AS u, b.y AS w
+      FROM s a JOIN s b ON a.x = b.x AND a.y < b.y
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM p) AS n_pairs,
+             (SELECT COUNT(*) FROM w) AS n_wedges,
+             (SELECT COUNT(*) FROM w JOIN p
+                ON p.id_a = w.u AND p.id_b = w.w) AS n_closed
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CASE WHEN n_wedges = 0 THEN NULL
+                ELSE {ratio} END AS closure_ratio
+    FROM m
+    """.format(ratio=_ha6_sql("n_closed", "n_wedges")),
+    tags=("dedup", "graph", "audit"),
+)
+def q304_dedup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-duplicate graph: how often does
+    (a~b, b~c) imply (a~c) at Jaccard ≥ 0.5?  Threshold dedup is NOT
+    transitive — the closure ratio quantifies how much the
+    connected-component clustering step (q27) glues together pairs the
+    threshold itself would reject, i.e. the over-merge risk of
+    cluster-based dedup.
+
+    Scale plan: wedges enumerate on the MEMOIZED pair table (only
+    above-threshold pairs — tiny by construction; never the raw
+    similarity graph, the q167 lesson); closure is one pair-keyed join.
+    Exactness: integer counts; ratio half-away 6-dp."""
+    from .textops import cached_jaccard_pairs
+
+    p = cached_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    s = p.select(F.col("id_a").alias("x"), F.col("id_b").alias("y")).unionAll(
+        p.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
+    )
+    a = s.select("x", F.col("y").alias("u"))
+    b = s.select("x", F.col("y").alias("w"))
+    wedges = (
+        a.join(b, "x").where(F.col("u") < F.col("w")).select("u", "w")
+    ).localCheckpoint(eager=True)  # feeds the count AND the closure join
+    np_ = p.agg(F.count(F.lit(1)).alias("n_pairs"))
+    nw = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    ncl = wedges.join(
+        p, (p.id_a == wedges.u) & (p.id_b == wedges.w)
+    ).agg(F.count(F.lit(1)).alias("n_closed"))
+    return (
+        np_.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(ncl))
+        .select(
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.col("n_closed").cast("long").alias("n_closed"),
+            F.when(F.col("n_wedges") == 0, F.lit(None).cast("double"))
+            .otherwise(_ha6("n_closed", "n_wedges"))
+            .alias("closure_ratio"),
+        )
+    )
+
+
+@query(
+    "q305_knn_classifier_eval",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 5 = 0 AS is_test
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+          FROM base WHERE is_test),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, label FROM base
+          WHERE NOT is_test),
+    scored AS (
+      SELECT query_id, true_label, neighbor_id, label,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q, c
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, label, COUNT(*) AS cnt
+      FROM top GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label,
+             (list_sort(list((-cnt, label))))[1][2] AS predicted
+      FROM votes GROUP BY 1, 2
+    )
+    SELECT CAST(true_label AS INT) AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           {acc} AS accuracy
+    FROM pred GROUP BY 1 ORDER BY 1
+    """.format(
+        acc=_ha6_sql(
+            "SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)",
+            "COUNT(*)",
+        )
+    ),
+    tags=("ann", "knn", "ml-eval"),
+)
+def q305_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier evaluation on the embeddings: md5-stable 80/20
+    train/test split (the q249 idiom), exact cosine top-5 neighbors
+    from the train split, majority-vote label (ties to the smallest
+    label), per-class accuracy — the lazy-classifier eval completing
+    the supervised corner next to Naive Bayes (q249) and logistic IRLS
+    (q222), and a direct quality readout for the ANN machinery (if
+    IVF/LSH candidates degrade, this number moves).
+
+    Scale plan: scoring uses the blocked-GEMM brute-force kernel
+    (operators/ann.brute_force_knn — per-block top-k merge, broadcast
+    query matrix); votes are bounded 5-row groups aggregated by the
+    sorted-list argmax (windowless, the q249 tie discipline).
+    Exactness: cosine rounded 6 dp before ranking (q24 convention);
+    counts exact; accuracy half-away 6-dp rational."""
+    from ..operators.ann import brute_force_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.withColumn(
+        "is_test",
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+        == 0,
+    )
+    test = base.where(F.col("is_test"))
+    train = base.where(~F.col("is_test"))
+    knn = brute_force_knn(
+        train.select("vec_id", "embedding"),
+        test.select("vec_id", "embedding"),
+        k=5,
+    )
+    lab = train.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    tl = test.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        knn.join(lab, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pred = (
+        votes.groupBy("query_id")
+        .agg(
+            F.element_at(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("cnt")).alias("nc"), F.col("nl")))
+                ),
+                1,
+            )["nl"].alias("predicted")
+        )
+        .join(tl, "query_id")
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            _ha6("n_correct", "n_test").alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )

@@ -61,3 +61,30 @@ def punct_ratio(col: Column) -> Column:
     return F.when(
         F.length(col) > 0, F.length(stripped) / F.length(col)
     ).otherwise(F.lit(0.0))
+
+
+def gzip_ratio_udf():
+    """Arrow-batched compression-ratio UDF: zlib(level 6) bytes / raw
+    bytes per string (NULL for empty/NULL input) — the redundancy
+    signal of q308.  Deterministic: zlib output depends only on the
+    input bytes and level, never on batching (pinned by
+    tests/test_round8_ops.py's repartition-invariance check)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _ratio(texts):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return texts.map(one)
+
+    _ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_ratio, DoubleType())

@@ -3884,3 +3884,181 @@ def q305_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+@query(
+    "q306_profile_similarity",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, hour(ts) AS hr, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             SUM(CAST(a.c AS HUGEINT)*b.c) AS dot
+      FROM h a JOIN h b ON a.hr = b.hr AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT event_type, SUM(CAST(c AS HUGEINT)*c) AS nsq FROM h GROUP BY 1
+    )
+    SELECT p.type_a, p.type_b,
+           round(CAST(p.dot AS DOUBLE)
+                 / (sqrt(CAST(na.nsq AS DOUBLE))
+                    * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cosine
+    FROM p JOIN n na ON na.event_type = p.type_a
+    JOIN n nb ON nb.event_type = p.type_b
+    ORDER BY type_a, type_b
+    """,
+    tags=("timeseries", "similarity", "profile"),
+)
+def q306_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-profile similarity between event types: cosine of the
+    24-bin hour-of-day count vectors for every type pair — "which
+    metrics behave alike", the profile-clustering input that pairs with
+    the lead-lag view (q273) and the concentration view (q265).
+
+    Scale plan: one (type, hour) aggregation (bounded 5×24), one
+    hour-keyed pair join, two 1-row norm rollups — everything after the
+    first agg is constant-size.  Exactness: dots and norms are exact
+    integers (HUGEINT/DECIMAL(38,0)); cosine assembles in doubles from
+    identical exact inputs (sqrt correctly rounded, 6-dp round of an
+    irrational)."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)  # bounded 5x24; feeds pairs AND norms
+    a = h.select(F.col("event_type").alias("type_a"), "hr", F.col("c").alias("ca"))
+    b = h.select(F.col("event_type").alias("type_b"), "hr", F.col("c").alias("cb"))
+    p = (
+        a.join(b, "hr")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0))*cb")).alias("dot"))
+    )
+    n = h.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0))*c")).alias("nsq")
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("nsq").alias("na"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("nsq").alias("nb"))
+    return (
+        p.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q307_catalog_growth",
+    oracle="""
+    WITH wp AS (
+      SELECT l.l_partkey AS part,
+             date_trunc('week', o.o_orderdate) AS wk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    fo AS (SELECT part, MIN(wk) AS first_wk FROM wp GROUP BY 1),
+    per AS (
+      SELECT wp.wk, COUNT(*) AS n_parts,
+             SUM(CASE WHEN fo.first_wk = wp.wk THEN 1 ELSE 0 END)
+               AS n_new_parts
+      FROM wp JOIN fo USING (part) GROUP BY 1
+    )
+    SELECT CAST(CAST(wk AS DATE) AS VARCHAR) AS week,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           CAST(n_new_parts AS BIGINT) AS n_new_parts,
+           {share} AS new_share
+    FROM per ORDER BY week
+    """.format(share=_ha6_sql("n_new_parts", "n_parts")),
+    tags=("catalog", "novelty", "retention"),
+)
+def q307_catalog_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog growth: per order week, how many distinct parts traded
+    and what share of them are NEW (first week they ever appear) — the
+    entity-level novelty curve (q281 scores text novelty per document;
+    this is the dimensional-catalog twin every marketplace tracks).
+
+    Scale plan: one (part, week) distinct aggregation, one part-keyed
+    first-occurrence aggregation joined back part-keyed, one bounded
+    per-week rollup.  Exactness: integer counts; share half-away 6-dp."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    wp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.date_trunc("week", "o_orderdate").alias("wk"),
+        )
+        .agg(F.lit(1).alias("_x"))
+        .drop("_x")
+        .localCheckpoint(eager=True)  # feeds first-occurrence AND the rollup
+    )
+    fo = wp.groupBy("part").agg(F.min("wk").alias("first_wk"))
+    return (
+        wp.join(fo, "part")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                F.when(F.col("first_wk") == F.col("wk"), 1).otherwise(0)
+            ).alias("n_new_parts"),
+        )
+        .select(
+            F.col("wk").cast("date").cast("string").alias("week"),
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.col("n_new_parts").cast("long").alias("n_new_parts"),
+            _ha6("n_new_parts", "n_parts").alias("new_share"),
+        )
+        .orderBy("week")
+    )
+
+
+@query(
+    "q308_gzip_quality",
+    oracle=None,  # zlib has no SQL twin — rows-only; pinned by
+    # tests/test_round8_ops.py (known-ratio anchors + ordering property)
+    tags=("training-data", "quality", "rows-only"),
+)
+def q308_gzip_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip compression-ratio quality signal per source:
+    compressed_bytes / raw_bytes of each document (zlib level 6),
+    aggregated per source — the cheap redundancy detector real LLM
+    curation pipelines use (highly compressible ⇒ templated/repetitive
+    text; near-1 ⇒ high-entropy noise): the streaming-friendly
+    complement of the repetition score (q92) and Gopher rules (q204).
+
+    Scale plan: ONE Arrow-batched pandas UDF computes ratios (zlib is
+    C-speed; bytes never leave the executor), then a per-source hash
+    aggregation.  Rows-only by necessity — no SQL engine exposes a
+    deterministic compressor — so the behavior tests pin known anchors:
+    repeated text compresses below 0.2, the md5-hex high-entropy anchor
+    stays above 0.5, and ratios are scale-invariant on duplication."""
+    from ..functions.text import gzip_ratio_udf
+
+    gz_ratio = gzip_ratio_udf()
+    docs = read_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "source", gz_ratio(F.col("text")).alias("ratio")
+    ).where(F.col("ratio").isNotNull())
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -198,3 +198,48 @@ def test_kruskal_wallis_matches_independent_replay(spark, sf_smoke):
     assert abs(row["h_stat"] - h) < 1e-4, (row["h_stat"], h)
     assert abs(row["h_tie_corrected"] - h / cf) < 1e-4
     assert row["h_stat"] >= 0.0
+
+
+def test_gzip_quality_anchors(spark, sf_smoke):
+    """Pin q308's rows-only compressor semantics with independent
+    anchors: (a) the template corpus compresses (avg < 0.9 everywhere,
+    and repetitive sources well below 1); (b) a crafted repeated
+    document lands under 0.2 while an md5-hex high-entropy document
+    stays above 0.4; (c) ratios are invariant to which executor batch
+    a row lands in (two different partitionings agree)."""
+    from cyber_etl_spark.plans import QUERIES
+
+    rows = QUERIES["q308_gzip_quality"].builder(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 < r["min_ratio"] <= r["avg_ratio"] <= r["max_ratio"]
+        assert r["avg_ratio"] < 0.9
+
+    import hashlib
+    import zlib
+
+    rep = "the same words again and again " * 50
+    ent = "".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(100)
+    )
+    df = spark.createDataFrame(
+        [(1, rep, "a", "x", len(rep)), (2, ent, "a", "x", len(ent))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from pyspark.sql.functions import col
+
+    from cyber_etl_spark.functions.text import gzip_ratio_udf
+
+    gz = gzip_ratio_udf()
+    got = {}
+    for n in (1, 2):
+        # same rows through different batchings must agree exactly
+        vals = dict(
+            df.repartition(n)
+            .select("doc_id", gz(col("text")).alias("r"))
+            .collect()
+        )
+        got[n] = vals
+    assert got[1] == got[2]
+    assert got[1][1] < 0.2  # repetitive
+    assert got[1][2] > 0.4  # high-entropy

@@ -4062,3 +4062,248 @@ def q308_gzip_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_Q309_FEATURES: tuple[tuple[str, str, str], ...] = (
+    ("events.value", "events", "value"),
+    ("lineitem.l_discount", "lineitem", "l_discount"),
+    ("lineitem.l_quantity", "lineitem", "l_quantity"),
+    ("lineitem.l_tax", "lineitem", "l_tax"),
+    ("orders.o_totalprice", "orders", "o_totalprice"),
+)
+
+
+@query(
+    "q309_feature_screening",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS feature,
+           CAST(COUNT({col}) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST((2*COUNT(DISTINCT {col})*1000000 + COUNT({col}))
+                // (2*COUNT({col})) AS DOUBLE) / 1000000 AS distinct_ratio,
+           CAST(COUNT({col})
+                  * SUM(CAST(CAST(floor({col}*1000 + 0.5) AS BIGINT)
+                             AS HUGEINT)
+                        * CAST(floor({col}*1000 + 0.5) AS BIGINT))
+                - SUM(CAST(CAST(floor({col}*1000 + 0.5) AS BIGINT)
+                           AS HUGEINT))
+                  * SUM(CAST(CAST(floor({col}*1000 + 0.5) AS BIGINT)
+                             AS HUGEINT)) AS VARCHAR)
+             AS n2_variance_mu,
+           COUNT(DISTINCT {col}) <= 1 AS near_zero_variance
+    FROM {tbl}
+    """
+        for name, tbl, col in _Q309_FEATURES
+    )
+    + "\nORDER BY feature",
+    tags=("ml-features", "screening", "profiling"),
+)
+def q309_feature_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-screening pass over candidate numeric model inputs:
+    count, distinct cardinality, distinct ratio, and the (n²-scaled)
+    variance n·Σx² − (Σx)², flagging near-zero-variance features — the
+    pre-training screen every feature pipeline runs before fitting
+    (constant features waste encoders and break standardization, the
+    q202 step downstream).
+
+    Scale plan: one hash aggregation per feature (map-side combinable,
+    the exact-moment shape of q137/q144); the union of 1-row frames is
+    driver-free.  Exactness: moments via exact DECIMAL sums (dsum
+    idiom, squares widened to DECIMAL(38,12)); the n²-variance is an
+    EXACT INTEGER on the 1e-3 value grid (every screened feature is
+    ≤3-dp by construction; floor(x·1e3+0.5) is the micro_array snap),
+    published as a decimal STRING because its magnitude outruns both
+    the int64 range and double ULP — and because DuckDB's
+    DECIMAL(38,12)→DOUBLE cast is NOT correctly rounded past 2^53
+    scaled units (found live here: 51213411.000000000000 casts to
+    ...411.00000001); distinct
+    ratio is a half-away integer rational."""
+    frames = []
+    for name, tbl, col in _Q309_FEATURES:
+        t = read_table(spark, sf_dir, tbl)
+        u = f"CAST(floor({col}*1000 + 0.5) AS BIGINT)"
+        agg = t.agg(
+            F.count(F.col(col)).alias("n"),
+            F.count_distinct(F.col(col)).alias("nd"),
+            F.sum(F.expr(f"CAST({u} AS DECIMAL(38,0))")).alias("s"),
+            F.sum(F.expr(f"CAST({u} AS DECIMAL(38,0)) * {u}")).alias("q"),
+        )
+        frames.append(
+            agg.select(
+                F.lit(name).alias("feature"),
+                F.col("n").cast("long").alias("n"),
+                F.col("nd").cast("long").alias("n_distinct"),
+                _ha6("nd", "n").alias("distinct_ratio"),
+                F.expr("CAST(n*q - s*s AS STRING)").alias(
+                    "n2_variance_mu"
+                ),
+                (F.col("nd") <= 1).alias("near_zero_variance"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.orderBy("feature")
+
+
+@query(
+    "q310_binning_drift",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events
+    ),
+    lab AS (
+      SELECT value,
+             CAST(ts AS DATE) <=
+               b.d0 + CAST(date_diff('day', b.d0, b.d1) // 2 AS INT)
+               AS first_half
+      FROM events, b WHERE value IS NOT NULL
+    ),
+    q AS (
+      SELECT
+        [percentile_cont(0.1) WITHIN GROUP (ORDER BY CASE WHEN first_half THEN value END),
+         percentile_cont(0.2) WITHIN GROUP (ORDER BY CASE WHEN first_half THEN value END),
+         percentile_cont(0.3) WITHIN GROUP (ORDER BY CASE WHEN first_half THEN value END),
+         percentile_cont(0.4) WITHIN GROUP (ORDER BY CASE WHEN first_half THEN value END),
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY CASE WHEN first_half THEN value END),
+         percentile_cont(0.6) WITHIN GROUP (ORDER BY CASE WHEN first_half THEN value END),
+         percentile_cont(0.7) WITHIN GROUP (ORDER BY CASE WHEN first_half THEN value END),
+         percentile_cont(0.8) WITHIN GROUP (ORDER BY CASE WHEN first_half THEN value END),
+         percentile_cont(0.9) WITHIN GROUP (ORDER BY CASE WHEN first_half THEN value END)]
+          AS q1,
+        [percentile_cont(0.1) WITHIN GROUP (ORDER BY CASE WHEN NOT first_half THEN value END),
+         percentile_cont(0.2) WITHIN GROUP (ORDER BY CASE WHEN NOT first_half THEN value END),
+         percentile_cont(0.3) WITHIN GROUP (ORDER BY CASE WHEN NOT first_half THEN value END),
+         percentile_cont(0.4) WITHIN GROUP (ORDER BY CASE WHEN NOT first_half THEN value END),
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY CASE WHEN NOT first_half THEN value END),
+         percentile_cont(0.6) WITHIN GROUP (ORDER BY CASE WHEN NOT first_half THEN value END),
+         percentile_cont(0.7) WITHIN GROUP (ORDER BY CASE WHEN NOT first_half THEN value END),
+         percentile_cont(0.8) WITHIN GROUP (ORDER BY CASE WHEN NOT first_half THEN value END),
+         percentile_cont(0.9) WITHIN GROUP (ORDER BY CASE WHEN NOT first_half THEN value END)]
+          AS q2
+      FROM lab
+    )
+    SELECT CAST(u.i AS INT) AS decile,
+           round(CAST(q1[u.i] AS DOUBLE), 6) AS q_first_half,
+           round(CAST(q2[u.i] AS DOUBLE), 6) AS q_second_half,
+           round(CAST(q2[u.i] AS DOUBLE) - CAST(q1[u.i] AS DOUBLE), 6)
+             AS shift
+    FROM q, unnest(generate_series(1, 9)) AS u(i)
+    ORDER BY decile
+    """,
+    tags=("percentile", "drift", "kernel"),
+)
+def q310_binning_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-boundary drift: the nine decile edges of `value`
+    computed on the first vs second half of the calendar — whether a
+    model's equi-frequency bins (q146) trained on old data still bin
+    new data correctly, the boundary-space drift view next to PSI
+    (q149, fixed-bin mass drift) and embedding drift (q174).
+
+    Scale plan: ONE quantile-kernel pass grouped by the half flag
+    (boolean group key — two groups of unbounded size, exactly the
+    kernel's regime); the 9-row reshape is the q296 driver-side VALUES
+    discipline.  Exactness: identical-double interpolation (q61),
+    6-dp round."""
+    from ..operators.quantiles import exact_quantiles
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).select(
+        F.expr("d0 + CAST(datediff(d1, d0) div 2 AS INT)").alias("dmid")
+    )
+    lab = ev.crossJoin(F.broadcast(b)).select(
+        "value",
+        F.when(F.to_date("ts") <= F.col("dmid"), "first")
+        .otherwise("second")
+        .alias("half"),
+    )
+    probs = {f"p{i}": i / 10.0 for i in range(1, 10)}
+    qs = exact_quantiles(lab, "value", probs, ["half"])
+    rows = {r["half"]: r for r in qs.collect()}
+    q1, q2 = rows["first"], rows["second"]
+    vals = ", ".join(
+        f"({i}, CAST('{q1[f'p{i}']!r}' AS DOUBLE),"
+        f" CAST('{q2[f'p{i}']!r}' AS DOUBLE))"
+        for i in range(1, 10)
+    )
+    return spark.sql(
+        "SELECT CAST(decile AS INT) AS decile,"
+        " round(a, 6) AS q_first_half, round(b, 6) AS q_second_half,"
+        " round(b - a, 6) AS shift"
+        f" FROM (VALUES {vals}) AS t(decile, a, b) ORDER BY decile"
+    )
+
+
+@query(
+    "q311_journey_shapes",
+    oracle="""
+    WITH pe AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    shapes AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY rn) AS shape
+      FROM pe WHERE rn <= 8 GROUP BY 1
+    ),
+    census AS (
+      SELECT shape, COUNT(*) AS n_users FROM shapes GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS nu, COUNT(DISTINCT shape) FROM shapes)
+    SELECT c.shape, CAST(c.n_users AS BIGINT) AS n_users,
+           {share} AS share
+    FROM census c, tot t
+    ORDER BY c.n_users DESC, c.shape LIMIT 20
+    """.format(share=_ha6_sql("c.n_users", "t.nu")),
+    tags=("sessions", "sequence", "census"),
+)
+def q311_journey_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey-shape census: each user's first eight events collapse to
+    a compact shape string (first letter per event type, in order);
+    report the twenty most common shapes with their user share — the
+    exploratory "what do journeys look like" census that motivates the
+    Markov models (q176/q236/q293): those fit transitions, this counts
+    whole paths.
+
+    Scale plan: one high-cardinality per-user window pass (rn ≤ 8 cap
+    bounds every shape string), one shape census aggregation, a
+    TakeOrdered top-20.  Determinism: the shape string is an ORDERED
+    aggregation in both engines (array_sort of (rn, letter) structs in
+    Spark, string_agg ORDER BY rn in DuckDB); event letters are unique
+    per type (c/e/p/s/v)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pe = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("ltr"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= 8)
+    shapes = pe.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "ltr"))),
+                lambda s: s["ltr"],
+            ),
+            "",
+        ).alias("shape")
+    )
+    census = shapes.groupBy("shape").agg(F.count(F.lit(1)).alias("n_users"))
+    tot = shapes.agg(F.count(F.lit(1)).alias("nu"))
+    return (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            "shape",
+            F.col("n_users").cast("long").alias("n_users"),
+            _ha6("n_users", "nu").alias("share"),
+        )
+        .orderBy(F.col("n_users").desc(), "shape")
+        .limit(20)
+    )

@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import SessionMemo, session_token
 from ..sources import read_table
 from .analytics2 import _ha6, _ha6_sql
 from .registry import query

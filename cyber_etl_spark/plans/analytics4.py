@@ -4306,3 +4306,108 @@ def q311_journey_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "shape")
         .limit(20)
     )
+
+
+def _q312_rho_sql(suffix: str) -> str:
+    """Position of the first 1-bit (from the MSB of a 24-bit suffix),
+    as pure integer comparisons — engine-portable, no log2/bit_length:
+    rho = 1 for suffix >= 2^23, ..., 24 for suffix = 1, 25 for 0."""
+    branches = " ".join(
+        f"WHEN {suffix} >= {1 << (23 - r + 1)} THEN {r}"
+        for r in range(1, 25)
+    )
+    return f"CASE {branches} ELSE 25 END"
+
+
+@query(
+    "q312_hll_oracled",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events GROUP BY user_id
+    ),
+    reg AS (
+      SELECT (hv // 16777216) % 256 AS j,
+             MAX({_q312_rho_sql("hv % 16777216")}) AS m
+      FROM h GROUP BY 1
+    ),
+    full_reg AS (
+      SELECT u.j, COALESCE(reg.m, 0) AS m
+      FROM (SELECT unnest(generate_series(0, 255)) AS j) u
+      LEFT JOIN reg ON reg.j = u.j
+    ),
+    s AS (
+      SELECT SUM(1.0 / (CAST(1 AS BIGINT) << m)) AS z,
+             COUNT(CASE WHEN m > 0 THEN 1 END) AS hit
+      FROM full_reg
+    ),
+    ex AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+    est AS (
+      SELECT s.hit,
+             CASE WHEN 0.7213 / (1.0 + 1.079 / 256) * 65536 / s.z
+                       <= 2.5 * 256 AND s.hit < 256
+                  THEN 256.0 * ln(256.0 / (256 - s.hit))
+                  ELSE 0.7213 / (1.0 + 1.079 / 256) * 65536 / s.z END AS e
+      FROM s
+    )
+    SELECT CAST(ex.n AS BIGINT) AS n_exact,
+           CAST(est.hit AS BIGINT) AS registers_hit,
+           round(est.e, 6) AS hll_estimate,
+           round(ABS(est.e - ex.n) / ex.n, 6) AS rel_err
+    FROM est, ex
+    """,
+    tags=("sketch", "cardinality", "mergeable"),
+)
+def q312_hll_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-ORACLED HyperLogLog: 256 md5-derived registers estimate the
+    distinct user count, audited against the exact distinct — unlike
+    q173 (Spark's built-in HLL sketch, rows-only by necessity), every
+    register here is a deterministic integer in BOTH engines, so the
+    driver's hash gate pins the whole sketch, not just its tolerance.
+
+    Scale plan: register assignment is ONE map-side-combinable MAX
+    aggregation over 256 groups (mergeable by register-wise max — the
+    HLL union property); rho comes from pure integer comparisons
+    (24-branch CASE — no log2, no bit_length, both engine-portable and
+    exact).  Exactness: every 2^-M term is an exact dyadic
+    (1 / (1 << M), never pow()); 256 terms spanning 2^0..2^-25 sum
+    EXACTLY in a double (25+8 bits < 53), so Z is order-independent and
+    bit-identical; the estimate is one exact-input division, 6-dp
+    rounded.  The standard
+    small-range correction (linear counting m·ln(m/V) when the raw
+    estimate ≤ 2.5m) IS applied: its ln takes an exact small rational
+    and feeds a 6-dp round of an O(m)-magnitude value, where a 1-ulp
+    libm gap is ~1e-13 — round-safe, unlike the per-term ln sums the
+    module rule bans."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.select("user_id").distinct().select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    reg = h.groupBy(F.expr("(hv div 16777216) % 256").alias("j")).agg(
+        F.expr(f"MAX({_q312_rho_sql('hv % 16777216')})").alias("m")
+    )
+    full_reg = (
+        spark.range(0, 256)
+        .select(F.col("id").alias("j"))
+        .join(F.broadcast(reg), "j", "left")
+        .select(F.coalesce(F.col("m"), F.lit(0)).alias("m"))
+    )
+    s = full_reg.agg(
+        F.sum(F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")).alias("z"),
+        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("hit"),
+    )
+    ex = ev.agg(F.count_distinct("user_id").alias("n"))
+    raw = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / 256) * 65536 / F.col("z")
+    est = F.when(
+        (raw <= 2.5 * 256) & (F.col("hit") < 256),
+        256.0 * F.log(256.0 / (256 - F.col("hit"))),
+    ).otherwise(raw)
+    return s.crossJoin(F.broadcast(ex)).select(
+        F.col("n").cast("long").alias("n_exact"),
+        F.col("hit").cast("long").alias("registers_hit"),
+        F.round(est, 6).alias("hll_estimate"),
+        F.round(F.abs(est - F.col("n")) / F.col("n"), 6).alias("rel_err"),
+    )

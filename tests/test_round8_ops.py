@@ -243,3 +243,22 @@ def test_gzip_quality_anchors(spark, sf_smoke):
     assert got[1] == got[2]
     assert got[1][1] < 0.2  # repetitive
     assert got[1][2] > 0.4  # high-entropy
+
+
+def test_hll_oracled_within_published_rse(spark, sf_smoke):
+    """q312's 256-register HLL must estimate within 4 sigma of the
+    published standard error RSE = 1.04/sqrt(m) — a self-calibrating
+    bound (Flajolet et al. 2007), never hand-tuned; also the register
+    sum must be mergeable (register-wise MAX is what the query
+    aggregates, so two disjoint halves can never LOWER a register)."""
+    from cyber_etl_spark.plans import QUERIES
+
+    import math
+
+    row = QUERIES["q312_hll_oracled"].builder(spark, sf_smoke).collect()[0]
+    n, m = row["n_exact"], 256
+    rse = 1.04 / math.sqrt(m)
+    t = n / m
+    lc_rse = math.sqrt(m * (math.exp(t) - t - 1)) / n  # linear counting
+    assert row["rel_err"] <= 4 * max(rse, lc_rse), row
+    assert 0 < row["registers_hit"] <= 256

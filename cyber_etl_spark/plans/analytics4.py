@@ -4411,3 +4411,69 @@ def q312_hll_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 6).alias("hll_estimate"),
         F.round(F.abs(est - F.col("n")) / F.col("n"), 6).alias("rel_err"),
     )
+
+
+@query(
+    "q313_engagement_profile",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           {mean} AS mean_events,
+           round(CAST(percentile_cont(0.5)
+                 WITHIN GROUP (ORDER BY CAST(n_events AS DOUBLE))
+                 AS DOUBLE), 6) AS p50_events,
+           round(CAST(percentile_cont(0.9)
+                 WITHIN GROUP (ORDER BY CAST(n_events AS DOUBLE))
+                 AS DOUBLE), 6) AS p90_events,
+           round(CAST(percentile_cont(0.99)
+                 WITHIN GROUP (ORDER BY CAST(n_events AS DOUBLE))
+                 AS DOUBLE), 6) AS p99_events,
+           {md} AS mean_active_days
+    FROM per
+    """.format(
+        mean=_ha6_sql("SUM(n_events)", "COUNT(*)"),
+        md=_ha6_sql("SUM(active_days)", "COUNT(*)"),
+    ),
+    tags=("engagement", "percentile", "kernel"),
+)
+def q313_engagement_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement profile: user count, mean events per user,
+    the p50/p90/p99 of the per-user event-count distribution, and mean
+    active days — the heavy-tail engagement summary every product
+    review starts from (the per-user twin of the per-day dispersion
+    q264).
+
+    Scale plan: one user-keyed aggregation; the global quantiles run
+    through the distributed kernel (a single unbounded group — exactly
+    its regime), the means are exact integer rationals.  Exactness:
+    integer-valued doubles interpolate identically (q61); half-away
+    6-dp rationals elsewhere."""
+    from ..operators.quantiles import exact_quantiles
+
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.to_date("ts")).alias("active_days"),
+    ).localCheckpoint(eager=True)  # feeds the rollup AND the kernel
+    qs = exact_quantiles(
+        per.select(F.col("n_events").cast("double").alias("ne")),
+        "ne",
+        {"p50_events": 0.5, "p90_events": 0.9, "p99_events": 0.99},
+    )
+    t = per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("se"),
+        F.sum("active_days").alias("sd"),
+    )
+    return t.crossJoin(F.broadcast(qs)).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        _ha6("se", "n_users").alias("mean_events"),
+        F.round("p50_events", 6).alias("p50_events"),
+        F.round("p90_events", 6).alias("p90_events"),
+        F.round("p99_events", 6).alias("p99_events"),
+        _ha6("sd", "n_users").alias("mean_active_days"),
+    )

@@ -9,6 +9,7 @@ from .dedup import (  # noqa: F401
 from .ann import (  # noqa: F401
     brute_force_knn,
     cosine_neardup_pairs,
+    eps_neighbor_pairs,
     kmeans_fit,
     lsh_bucket_candidates,
     semantic_dedup,

@@ -292,11 +292,26 @@ def _blocked_pair_scores(
         F.broadcast(b),
         (F.col("a.grp") == F.col("b.grp")) & (F.col("a.blk") <= F.col("b.blk")),
     ).select(
-        F.col("a.blk").alias("blk_a"),
-        F.col("b.blk").alias("blk_b"),
+        (F.col("a.blk") == F.col("b.blk")).alias("diag"),
         F.col("a.items").alias("items_a"),
         F.col("b.items").alias("items_b"),
     )
+    return _score_joined_blocks(joined, out_schema, threshold, round_digits)
+
+
+def _score_joined_blocks(
+    joined: DataFrame,
+    out_schema,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Shared GEMM scorer over a joined block-pair frame exposing
+    ``(diag boolean, items_a, items_b)``: each row is one block pair
+    scored with a single BLAS GEMM; diagonal rows (a block against
+    itself) keep only the strict upper triangle so every unordered pair
+    materializes exactly once, oriented (smaller id, larger id).  Only
+    at/above-threshold entries are emitted, then the exact rounded
+    filter is re-applied JVM-side so semantics match the SQL oracles."""
     # margin keeps raw values that round UP to the threshold; the exact
     # rounded filter is re-applied below so semantics match the oracle.
     raw_cut = threshold - 10.0 ** (-round_digits)
@@ -304,8 +319,8 @@ def _blocked_pair_scores(
 
     def score(batches):
         for pdf in batches:
-            for blk_a, blk_b, items_a, items_b in zip(
-                pdf["blk_a"], pdf["blk_b"], pdf["items_a"], pdf["items_b"]
+            for diag, items_a, items_b in zip(
+                pdf["diag"], pdf["items_a"], pdf["items_b"]
             ):
                 ids_a = np.asarray([r["id"] for r in items_a])
                 ids_b = np.asarray([r["id"] for r in items_b])
@@ -315,7 +330,7 @@ def _blocked_pair_scores(
                     np.linalg.norm(xa, axis=1), np.linalg.norm(xb, axis=1)
                 )
                 hit = m >= raw_cut
-                if blk_a == blk_b:
+                if diag:
                     # within a block each unordered pair appears twice;
                     # keep the (smaller id, larger id) orientation once.
                     hit &= ids_a[:, None] < ids_b[None, :]
@@ -336,6 +351,229 @@ def _blocked_pair_scores(
     return scored.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
     )
+
+
+def _eps_candidate_cell_pairs(
+    anchors: "np.ndarray", radii: "np.ndarray", eps: float
+) -> list[tuple[int, int]]:
+    """Triangle-inequality candidate cell pairs for an eps-distance join
+    over NORMALIZED vectors: cells ``i <= j`` (positional indices) survive
+    iff ``||anchor_i - anchor_j|| <= r_i + r_j + eps``.  Any pair of
+    points (x in cell i, y in cell j) with ``||x̂ - ŷ|| <= eps`` forces
+    ``||a_i - a_j|| <= ||a_i - x̂|| + ||x̂ - ŷ|| + ||ŷ - a_j|| <=
+    r_i + eps + r_j``, so pruned cell pairs PROVABLY contain no
+    qualifying point pair — recall is 1.0 by construction, for any
+    anchor choice, as long as each radius is the max member distance to
+    its own cell's anchor.  A small float slack is added to the RHS so
+    double rounding in the norm computations can never flip a boundary
+    pair out."""
+    d = np.linalg.norm(anchors[:, None, :] - anchors[None, :, :], axis=2)
+    rhs = radii[:, None] + radii[None, :] + eps + 1e-9
+    keep = d <= rhs
+    k = len(anchors)
+    return [(i, j) for i in range(k) for j in range(i, k) if keep[i, j]]
+
+
+# Bounded-collect guard for the eps kernel's per-cell statistics: the
+# centroid/anchor/radius tables are n_cells rows by construction, and the
+# driver-side candidate enumeration is O(n_cells²).
+_MAX_EPS_CELLS = 1024
+
+
+def eps_neighbor_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 1,
+    round_digits: int = 6,
+    _stats_out: dict | None = None,
+) -> DataFrame:
+    """EXACT eps-neighbor pairs (id_a < id_b, cosine ≥ t) with
+    candidate-FIRST cell pruning — the kernel for neighbor-GRAPH
+    consumers (DBSCAN q194, label spreading q235), where the pair table
+    is an intermediate eps-graph rather than the query output.
+
+    Structure (the q22 candidate-first discipline, carried to exact
+    geometry): k-means cells partition the corpus; per cell, an anchor
+    (the normalized centroid) and a radius (max member distance to the
+    anchor, over NORMALIZED vectors) are computed in one corpus pass;
+    cell pairs whose anchors sit further apart than ``r_i + r_j + eps``
+    (eps = chord length ``sqrt(2 - 2·t⁻)``) are PROVABLY pair-free by
+    the triangle inequality (:func:`_eps_candidate_cell_pairs`) and are
+    never scored.  Surviving cell pairs are sub-blocked (largest-cell
+    sizing, the :func:`semantic_neardup_pairs` rule, so no folded row
+    approaches the 2 GB limit regardless of skew) and scored with the
+    shared GEMM kernel; the exact rounded-cosine filter re-applies at
+    the end, so results are IDENTICAL to :func:`cosine_neardup_pairs`
+    at any parameterization — pruning affects cost, never output.
+
+    Honesty note (measured on the synthetic testdata): at t = 0.3 the
+    eps chord is 1.183 while this corpus's cell radii plateau at ~0.95
+    for any k ≤ 128 (true pairs concentrate AT the threshold — median
+    pair cosine 0.328), so no cell pair prunes here and the kernel
+    degrades to the same ~B²/2 block pairs as the exact all-pairs
+    kernel, at the cost of one extra Lloyd pass.  Sign-bit LSH cannot
+    fix that: at θ(0.3) = 72.5° per-plane collision is 0.597, so any
+    banding with sub-quadratic candidates has material miss probability
+    on at-threshold pairs — it would fail the exact oracle.  What the
+    kernel buys is the 100 TB contract: on clusterable corpora (tight
+    near-dup families, t ≥ 0.5 regimes) candidate cell pairs collapse
+    toward the diagonal and compute drops from O(n²·d) to
+    O(Σ_cand |c_i||c_j|·d), while the degenerate worst case costs what
+    exact all-pairs already costs.  ``_stats_out`` (tests/telemetry)
+    receives ``{"n_cells", "kept_cell_pairs", "total_cell_pairs"}``."""
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if not 1 <= n_cells <= _MAX_EPS_CELLS:
+        raise ValueError(
+            f"eps_neighbor_pairs: n_cells={n_cells} outside [1, {_MAX_EPS_CELLS}] "
+            "— per-cell statistics are collected driver-side and candidate "
+            "enumeration is O(n_cells²), so the cell count must stay bounded"
+        )
+    # the micro-grid quantized form (vm, v) drives the DETERMINISTIC
+    # k-means; the raw double vector (vr) rides along untouched because
+    # radius + pair scoring must see the exact oracle-side values — a
+    # 1e-6-grid snap shifts 6th-decimal cosines and can flip a boundary
+    # pair, which cell assignment (a pure cost knob) never can.
+    vecs = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            to_double_array(F.col(vec_col)).alias("vr"),
+        )
+        .withColumn("vm", micro_array(F.col("vr")))
+        .withColumn("v", F.transform("vm", lambda m: m.cast("double") / _MICRO))
+        .localCheckpoint(eager=True)
+    )
+    cents = _kmeans_core(vecs, n_cells, iters)
+    members = nearest_centroid_assign(vecs, cents, extra_cols=("vr",)).select(
+        "cell", "id", F.col("vr").alias("v")
+    )
+    # feeds the radius pass AND the scoring pass
+    members = members.localCheckpoint(eager=True)
+
+    # ---- driver-side per-cell geometry (bounded: ≤ n_cells rows) ----
+    from pyspark.sql.types import DoubleType as _Dbl
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    crows = sorted(cents.collect(), key=lambda r: r["cell"])
+    if not crows:  # empty corpus → empty pair table, same as the exact kernel
+        id_type = vecs.schema["id"].dataType
+        return corpus.sparkSession.createDataFrame(
+            [],
+            _ST(
+                [
+                    _SF("id_a", id_type),
+                    _SF("id_b", id_type),
+                    _SF("cosine", _Dbl()),
+                ]
+            ),
+        )
+    cell_ids = [r["cell"] for r in crows]
+    cmat = np.array([list(r["cv"]) for r in crows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    # a zero-norm centroid (fully degenerate cell) gets an arbitrary
+    # anchor and a never-prunes radius below
+    safe = np.where(cnorm > 0, cnorm, 1.0)
+    anchors = cmat / safe[:, None]
+    cell_pos = {c: i for i, c in enumerate(cell_ids)}
+    dim = cmat.shape[1]
+
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    rad_schema = StructType(
+        [
+            StructField("cell", cents.schema["cell"].dataType),
+            StructField("r", DoubleType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+
+    def rad(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v) for v in pdf["v"]])
+            nrm = np.linalg.norm(x, axis=1)
+            xn = x / np.where(nrm > 0, nrm, 1.0)[:, None]
+            cells, rs, ns = [], [], []
+            for c, idx in pdf.groupby("cell").indices.items():
+                a = anchors[cell_pos[c]]
+                cells.append(c)
+                rs.append(float(np.linalg.norm(xn[idx] - a, axis=1).max()))
+                ns.append(len(idx))
+            yield pd.DataFrame({"cell": cells, "r": rs, "cnt": ns})
+
+    stats = (
+        members.mapInPandas(rad, rad_schema)
+        .groupBy("cell")
+        .agg(F.max("r").alias("r"), F.sum("cnt").alias("n"))
+        .collect()
+    )  # bounded: ≤ n_cells rows by construction
+    radii = np.full(len(cell_ids), 2.0)  # memberless cells never prune
+    counts = np.zeros(len(cell_ids), dtype=np.int64)
+    for row in stats:
+        radii[cell_pos[row["cell"]]] = row["r"]
+        counts[cell_pos[row["cell"]]] = row["n"]
+    raw_cut = threshold - 10.0 ** (-round_digits)
+    eps = math.sqrt(max(0.0, 2.0 - 2.0 * raw_cut))
+    cand = _eps_candidate_cell_pairs(anchors, radii, eps)
+    total = len(cell_ids) * (len(cell_ids) + 1) // 2
+    if _stats_out is not None:
+        _stats_out.update(
+            n_cells=len(cell_ids),
+            kept_cell_pairs=len(cand),
+            total_cell_pairs=total,
+        )
+
+    # ---- sub-blocking: size from the largest cell (skew-proof) ----
+    mx = int(counts.max()) if len(counts) else 0
+    n_sub = max(1, math.ceil(mx * dim * 8 / _TARGET_BLOCK_BYTES))
+    allowed = [
+        (int(cell_ids[i]), p, int(cell_ids[j]), q)
+        for (i, j) in cand
+        for p in range(n_sub)
+        for q in range(n_sub)
+        if i != j or p <= q
+    ]
+    spark = corpus.sparkSession
+    allowed_df = spark.createDataFrame(
+        allowed, "cell_a long, sub_a int, cell_b long, sub_b int"
+    )
+    chunks = members.groupBy(
+        "cell", F.pmod(F.xxhash64(F.col("id")), F.lit(n_sub)).cast("int").alias("sub")
+    ).agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    a = chunks.withColumnRenamed("cell", "cell_a").withColumnRenamed("sub", "sub_a")
+    b = chunks.withColumnRenamed("cell", "cell_b").withColumnRenamed("sub", "sub_b")
+    joined = (
+        a.join(F.broadcast(allowed_df), ["cell_a", "sub_a"])
+        .join(
+            b.withColumnRenamed("items", "items_b"),
+            ["cell_b", "sub_b"],
+        )
+        .select(
+            (
+                (F.col("cell_a") == F.col("cell_b"))
+                & (F.col("sub_a") == F.col("sub_b"))
+            ).alias("diag"),
+            F.col("items").alias("items_a"),
+            "items_b",
+        )
+    )
+    id_type = members.schema["id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    return _score_joined_blocks(joined, out_schema, threshold, round_digits)
 
 
 def ivf_assign(

@@ -21,9 +21,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import SessionMemo, session_token
 from ..sources import read_table
 from .registry import query
 from .textops import _SHINGLES_CTE, cached_shingles
+
+_EPS_PAIR_CACHE: dict[tuple, DataFrame] = SessionMemo()
+
+
+def cached_eps_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding eps-graph (id_a < id_b, cosine ≥ t), built ONCE per
+    (session, dataset, threshold) through the candidate-first cell-pruned
+    kernel (operators/ann.eps_neighbor_pairs) and pinned — the shared
+    neighbor-graph input of the density family (DBSCAN q194, label
+    spreading q235).  Same persisted-projection policy as the co-supply
+    _EDGE_CACHE: the eps-graph is a graph BUILD, not part of any one
+    consumer's marginal cost."""
+    key = (session_token(spark), sf_dir, "eps_pairs", threshold)
+    if key not in _EPS_PAIR_CACHE:
+        from ..operators.ann import eps_neighbor_pairs
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        _EPS_PAIR_CACHE[key] = eps_neighbor_pairs(
+            emb, threshold=threshold
+        ).localCheckpoint(eager=True)
+    return _EPS_PAIR_CACHE[key]
 
 
 @query(
@@ -852,19 +876,21 @@ def q194_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator deterministic), the rest is noise.  Complements the
     centroid family (k-means/SemDeDup q125, IVF q40, PQ q186) with the
     non-parametric shape: no k, clusters of arbitrary form, explicit
-    noise.  The eps-graph comes from the blocked-GEMM pair kernel
-    (q39's), components from the Pregel min-label loop; the oracle
-    replays density + a RECURSIVE reach (the q27 convention).  Isolated
+    noise.  The eps-graph comes from the candidate-first cell-pruned
+    kernel (operators/ann.eps_neighbor_pairs: triangle-inequality cell
+    pairs, provably recall-1.0, degrading to blocked all-pairs only on
+    non-clusterable data — r8 verdict fix), components from the Pregel
+    min-label loop; the oracle replays density + a RECURSIVE reach (the
+    q27 convention).  Isolated
     core points (no core neighbor) are their own singleton cluster in
     both engines."""
     from ..graph.algorithms import connected_components
-    from ..operators.ann import cosine_neardup_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = cosine_neardup_pairs(emb, threshold=0.3).select(
+    # cached+pinned eps-graph feeds degree, core join, CC (and q235)
+    pairs = cached_eps_pairs(spark, sf_dir, threshold=0.3).select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     )
-    pairs = pairs.localCheckpoint(eager=True)  # feeds degree, core join, CC
     sym = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -2114,18 +2114,20 @@ def q235_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped propagation loop (graph), and the exact-rational eval
     (ML-eval).
 
-    Scale plan: pairs come from operators/ann.cosine_neardup_pairs
-    (O(n·B·d) shuffle, never a per-pair self-join); the top-5 cut is a
+    Scale plan: pairs come from operators/ann.eps_neighbor_pairs (the
+    candidate-first cell-pruned exact kernel — O(n·B·d) shuffle, never a
+    per-pair self-join, cell pairs pruned by triangle inequality when
+    the corpus clusters); the top-5 cut is a
     high-cardinality-key rank window (WindowGroupLimit pushes the cut
     map-side); each superstep is one keyed join + count-argmax with the
     assignment pinned (loop discipline); ties break (count desc, label
     asc) — the LPA min-label convention.  Sticky assignment (a node
     never relabels once set) makes the 3-step result order-independent
     and the unrolled SQL twin exact."""
-    from ..operators.ann import cosine_neardup_pairs
+    from .analytics import cached_eps_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = cosine_neardup_pairs(emb, threshold=0.3)
+    pairs = cached_eps_pairs(spark, sf_dir, threshold=0.3)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
     ).union(

@@ -360,3 +360,85 @@ def test_ivf_index_append_idempotent_and_drift_audit(spark, sf_smoke, tmp_path):
     assert sum(drift.values()) == n_rest
     for cell, d in drift.items():
         assert d == appended.get(cell, 0)
+
+
+def test_eps_neighbor_pairs_matches_exact_kernel(spark, sf_smoke):
+    """The cell-pruned eps kernel is EXACT by contract: identical pair
+    set and cosines to the all-pairs blocked-GEMM kernel on the real
+    corpus — pruning is a cost knob, never a semantics knob (the q194
+    r8-verdict fix).  Also pins the honesty note: at t=0.3 this corpus
+    does not cluster tighter than the eps chord, so the kernel reports
+    keeping every cell pair (degrading gracefully, not silently)."""
+    import cyber_etl_spark.operators.ann as ann
+    from cyber_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    stats: dict = {}
+    got = ann.eps_neighbor_pairs(emb, threshold=0.3, _stats_out=stats).toPandas()
+    want = ann.cosine_neardup_pairs(emb, threshold=0.3).toPandas()
+    key = ["id_a", "id_b", "cosine"]
+    assert sorted(map(tuple, got[key].values)) == sorted(map(tuple, want[key].values))
+    assert stats["kept_cell_pairs"] == stats["total_cell_pairs"]  # honesty
+
+
+def test_eps_neighbor_pairs_prunes_clustered_corpus(spark):
+    """On a corpus that actually clusters (three tight orthogonal
+    families, radius << eps chord), the triangle-inequality candidate
+    step must PRUNE cross-family cell pairs — the kernel's 100 TB
+    claim — while the output still equals the exact kernel's."""
+    import numpy as np
+
+    import cyber_etl_spark.operators.ann as ann
+
+    rng = np.random.RandomState(7)
+    dim, per = 16, 40
+    rows = []
+    for fam in range(3):
+        center = np.zeros(dim)
+        center[fam * 5] = 1.0
+        for i in range(per):
+            v = center + rng.normal(scale=0.02, size=dim)
+            rows.append((fam * per + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    stats: dict = {}
+    got = ann.eps_neighbor_pairs(
+        emb, threshold=0.3, n_cells=6, iters=2, _stats_out=stats
+    ).toPandas()
+    want = ann.cosine_neardup_pairs(emb, threshold=0.3).toPandas()
+    key = ["id_a", "id_b", "cosine"]
+    assert sorted(map(tuple, got[key].values)) == sorted(map(tuple, want[key].values))
+    # orthogonal families sit ~sqrt(2) apart with radii ~0.04: the
+    # cross-family cell pairs are provably pair-free and must be pruned
+    assert stats["kept_cell_pairs"] < stats["total_cell_pairs"], stats
+
+
+def test_eps_neighbor_pairs_cell_cap(spark):
+    import pytest as _pytest
+
+    import cyber_etl_spark.operators.ann as ann
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="n_cells"):
+        ann.eps_neighbor_pairs(emb, n_cells=100000)
+
+
+def test_no_all_pairs_kernel_feeds_neighbor_graph_consumers():
+    """Source audit (r8 verdict): registered queries whose pair table is
+    an INTERMEDIATE eps-graph (fed into components / propagation / any
+    downstream join) must use the candidate-first `eps_neighbor_pairs`
+    kernel, never the exact all-pairs `cosine_neardup_pairs`.  The only
+    sanctioned plan-side caller is q39, whose OUTPUT is the exact pair
+    list itself (the pair-table modality query)."""
+    import pathlib
+
+    import cyber_etl_spark.plans as plans
+
+    plans_dir = pathlib.Path(plans.__file__).parent
+    offenders = []
+    for path in sorted(plans_dir.glob("*.py")):
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if "cosine_neardup_pairs(" in code and "import" not in code:
+                offenders.append(f"{path.name}:{lineno}")
+    assert offenders == ["textops.py:675"], offenders

@@ -2859,38 +2859,152 @@ def q169_nucleus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q173_hll_mergeable_union", oracle=None, tags=("agg", "sketch", "approx"))
-def q173_hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE distinct-count sketches (Apache DataSketches HLL, the
-    Spark 4 surface): one HLL sketch of user_id per event type, then a
-    sketch UNION — the pattern that makes corpus-wide distinct counts
-    an O(sketch-bytes) merge instead of a re-scan (per-partition
-    sketches union associatively: the property q88's plain
-    approx_count_distinct cannot expose).  Emits per-type estimates
-    plus the unioned ALL row from the same sketch set.
+def _q173_oracle() -> str:
+    from .analytics4 import _q312_rho_sql
 
-    Sketch binaries are engine-specific, so no SQL oracle (the q88
-    convention); the estimates are pinned by their published error
-    bounds against exact distinct counts in
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events GROUP BY event_type, user_id
+    ),
+    reg AS (
+      SELECT event_type, (hv // 16777216) % 256 AS j,
+             MAX({_q312_rho_sql("hv % 16777216")}) AS m
+      FROM h GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT 'ALL' AS event_type, j, MAX(m) AS m FROM reg GROUP BY j
+    ),
+    allreg AS (SELECT * FROM reg UNION ALL SELECT * FROM merged),
+    types AS (
+      SELECT DISTINCT event_type FROM events UNION ALL SELECT 'ALL'
+    ),
+    grid AS (
+      SELECT t.event_type, u.j
+      FROM types t, (SELECT unnest(generate_series(0, 255)) AS j) u
+    ),
+    full_reg AS (
+      SELECT g.event_type, COALESCE(a.m, 0) AS m
+      FROM grid g LEFT JOIN allreg a
+        ON a.event_type = g.event_type AND a.j = g.j
+    ),
+    s AS (
+      SELECT event_type,
+             SUM(1.0 / (CAST(1 AS BIGINT) << m)) AS z,
+             COUNT(CASE WHEN m > 0 THEN 1 END) AS hit
+      FROM full_reg GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, hit,
+             CASE WHEN 0.7213 / (1.0 + 1.079 / 256) * 65536 / z
+                       <= 2.5 * 256 AND hit < 256
+                  THEN 256.0 * ln(256.0 / (256 - hit))
+                  ELSE 0.7213 / (1.0 + 1.079 / 256) * 65536 / z END AS e
+      FROM s
+    ),
+    nr AS (
+      SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', COUNT(*) FROM events
+    )
+    SELECT est.event_type,
+           round(est.e, 6) AS approx_users,
+           CAST(nr.n_rows AS BIGINT) AS n_rows
+    FROM est JOIN nr ON nr.event_type = est.event_type
+    ORDER BY est.event_type
+    """
+
+
+@query(
+    "q173_hll_mergeable_union",
+    oracle=_q173_oracle(),
+    tags=("agg", "sketch", "approx", "mergeable"),
+)
+def q173_hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches with the merge stage fully
+    ORACLED (r8 verdict item: q312 proved the register algebra is
+    SQL-expressible — this applies it to the union query): one
+    256-register md5-HLL per event type, then the ALL row computed as a
+    register-wise MAX over the per-type register TABLE — the O(sketch)
+    merge, never a re-scan of events — with q312's bias-corrected
+    estimate + linear-counting small-range branch.  Unlike the binary
+    DataSketches surface (still exercised in
+    tests/test_scale_ops.py::test_datasketches_builtin_union), every
+    register here is a deterministic integer in BOTH engines, so the
+    driver's hash gate pins per-type sketches AND the merge itself.
+
+    Scale plan: register assignment is one map-side-combinable MAX agg
+    over (type, 256) groups after a (type, user) pre-distinct; the
+    merge runs on the bounded register table (|types|·256 rows, pinned
+    once for its two consumers); the register grid is a broadcast
+    (types × 256) fan-out.  Exactness: q312's contract — integer rho
+    via 24-branch CASE, exact dyadic Σ2^-M (25+8 bits < 53), one
+    division and a 6-dp round; the linear-counting ln feeds a 6-dp
+    round of an O(m) value, round-safe.  Estimates are ALSO pinned to
+    exact distincts by the published RSE bound in
     tests/test_scale_ops.py::test_hll_union_self_calibrating."""
+    from .analytics4 import _q312_rho_sql
+
     events = read_table(spark, sf_dir, "events")
-    sk = events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    per_type = sk.select(
+    h = events.select("event_type", "user_id").distinct().select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
-        "n_rows",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
     )
-    merged = sk.agg(
-        F.hll_union_agg("sk").alias("sk"), F.sum("n_rows").alias("n_rows")
-    ).select(
-        F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("sk").alias("approx_users"),
-        "n_rows",
+    reg = (
+        h.groupBy(
+            "event_type", F.expr("(hv div 16777216) % 256").alias("j")
+        )
+        .agg(F.expr(f"MAX({_q312_rho_sql('hv % 16777216')})").alias("m"))
+        # bounded (|types|·256); feeds the merge AND the union below
+        .localCheckpoint(eager=True)
     )
-    return per_type.unionByName(merged)
+    merged = reg.groupBy("j").agg(F.max("m").alias("m")).select(
+        F.lit("ALL").alias("event_type"), "j", "m"
+    )
+    allreg = reg.unionByName(merged)
+    types = (
+        events.select("event_type")
+        .distinct()
+        .unionByName(
+            events.sparkSession.createDataFrame([("ALL",)], "event_type string")
+        )
+    )
+    grid = types.crossJoin(
+        F.broadcast(spark.range(0, 256).select(F.col("id").alias("j")))
+    )
+    full_reg = grid.join(allreg, ["event_type", "j"], "left").select(
+        "event_type", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    s = full_reg.groupBy("event_type").agg(
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")
+        ).alias("z"),
+        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("hit"),
+    )
+    raw = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / 256) * 65536 / F.col("z")
+    est = F.when(
+        (raw <= 2.5 * 256) & (F.col("hit") < 256),
+        256.0 * F.log(256.0 / (256 - F.col("hit"))),
+    ).otherwise(raw)
+    nr = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    nr = nr.unionByName(
+        events.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit("ALL").alias("event_type"), "n_rows"
+        )
+    )
+    return (
+        s.join(nr, "event_type")
+        .select(
+            "event_type",
+            F.round(est, 6).alias("approx_users"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @query(

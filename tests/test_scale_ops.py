@@ -276,12 +276,13 @@ def test_chunked_pair_expand_hot_key_bounded(spark):
 
 
 def test_hll_union_self_calibrating(spark, sf_smoke):
-    """q173's DataSketches HLL estimates pinned by the published bound:
-    lgK=12 gives relative standard error ~1.04/sqrt(2^12) ≈ 1.6%; each
-    per-type estimate AND the sketch-union ALL row must land within a
-    4-sigma band of the exact distinct counts — the union row is the
-    point of the query (merged sketches must estimate the UNION, which
-    plain per-group approx_count_distinct cannot produce)."""
+    """q173's md5-register HLL estimates pinned by the published bound:
+    m=256 registers give relative standard error ~1.04/sqrt(256) = 6.5%;
+    each per-type estimate AND the register-wise-MAX merged ALL row must
+    land within a 4-sigma band of the exact distinct counts — the union
+    row is the point of the query (merged sketches must estimate the
+    UNION, which plain per-group approx_count_distinct cannot
+    produce)."""
     from pyspark.sql import functions as F
 
     from cyber_etl_spark.plans import QUERIES
@@ -299,7 +300,7 @@ def test_hll_union_self_calibrating(spark, sf_smoke):
         .collect()
     }
     exact["ALL"] = events.select("user_id").distinct().count()
-    rse = 1.04 / (2**12) ** 0.5
+    rse = 1.04 / 256**0.5
     assert set(got) == set(exact)
     for et, est in got.items():
         assert abs(est - exact[et]) <= max(3, 4 * rse * exact[et]), (
@@ -307,3 +308,26 @@ def test_hll_union_self_calibrating(spark, sf_smoke):
             est,
             exact[et],
         )
+
+
+def test_datasketches_builtin_union(spark, sf_smoke):
+    """Spark 4's binary DataSketches HLL surface (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate) — the engine-native mergeable
+    sketch q173 used before its register algebra became oracled: the
+    sketch-union estimate of ALL distinct users must land within the
+    published lgK=12 band (RSE ~1.04/sqrt(2^12) ≈ 1.6%) of the exact
+    distinct count."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.sources import read_table
+
+    events = read_table(spark, sf_smoke, "events")
+    sk = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    est = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.hll_sketch_estimate("u").alias("e")
+    ).first()["e"]
+    exact = events.select("user_id").distinct().count()
+    rse = 1.04 / (2**12) ** 0.5
+    assert abs(est - exact) <= max(3, 4 * rse * exact), (est, exact)

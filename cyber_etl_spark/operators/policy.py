@@ -57,6 +57,24 @@ def epsilon_greedy_replay(
                 f"epsilon_greedy_replay: {len(pdf)} rows exceed the "
                 f"bounded-grid contract ({_MAX_GRID_ROWS})"
             )
+        # 'rewards must be integer-valued and non-null' contract (r8
+        # advice): a NULL/NaN cell — a caller that forgot the spine
+        # coalesce — otherwise crashes int() mid-walk with an opaque
+        # pandas error; a fractional cell would silently truncate.
+        for col in reward_cols:
+            vals = pdf[col]
+            if vals.isnull().any():
+                raise ValueError(
+                    f"epsilon_greedy_replay: reward column '{col}' contains "
+                    "NULL/NaN — rewards must be non-null integers (did the "
+                    "caller forget to coalesce the day spine?)"
+                )
+            if (vals != vals.astype("int64")).any():
+                raise ValueError(
+                    f"epsilon_greedy_replay: reward column '{col}' contains "
+                    "non-integer values — the exact-integer replay contract "
+                    "requires integer-valued rewards"
+                )
         pdf = pdf.sort_values(order_col, ignore_index=True)
         n = [0] * k
         s = [0] * k

@@ -2889,6 +2889,42 @@ def q295_weekly_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _collect_bounded_groups(
+    qs: DataFrame, key_col: str, required: tuple, query_name: str, max_rows: int = 8
+) -> dict:
+    """Driver-side collect of a quantile-kernel BOUNDARY table for the
+    VALUES-reshape discipline (q296/q310) — with the two contracts the
+    bare ``collect()`` left implicit (r8 advice + verdict item):
+
+    - **bounded collect**: the frame must stay ≤ ``max_rows`` rows
+      (``limit(max_rows+1)`` caps the transfer); a future group-key
+      change that unbounds cardinality fails LOUDLY here instead of
+      silently collecting a large frame;
+    - **required groups**: a missing key (e.g. no 'purchase' rows at a
+      tiny scale factor) raises a contract-named error instead of a
+      bare KeyError mid-reshape.
+
+    NOTE this executes Spark jobs inside the registered BUILDER (unlike
+    every other builder, which is lazy until the driver acts) — the
+    plan-only consumers note lives in plans/registry.py."""
+    rows = qs.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{query_name}: boundary-table collect exceeded {max_rows} rows — "
+            "group cardinality is no longer bounded; the driver-side VALUES "
+            "reshape must never collect an unbounded frame"
+        )
+    got = {r[key_col]: r for r in rows}
+    missing = [k for k in required if k not in got]
+    if missing:
+        raise ValueError(
+            f"{query_name}: required group(s) {missing} absent from the "
+            f"'{key_col}' boundary table (tiny scale factor or over-filtered "
+            "input) — cannot build the VALUES reshape"
+        )
+    return got
+
+
 @query(
     "q296_qq_deciles",
     oracle="""
@@ -2934,7 +2970,9 @@ def q296_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~6 s/run in Python-worker round-trips for two 2-row inputs (r8
     # measurement), vs ~0.1 s for the pure-JVM literal relation.  Float
     # literals round-trip exactly via repr -> CAST(AS DOUBLE).
-    rows = {r["event_type"]: r for r in qs.collect()}
+    rows = _collect_bounded_groups(
+        qs, "event_type", ("purchase", "click"), "q296_qq_deciles"
+    )
     qp, qc = rows["purchase"], rows["click"]
     vals = ", ".join(
         f"({i}, CAST('{qp[f'p{i}']!r}' AS DOUBLE),"
@@ -4266,7 +4304,9 @@ def q310_binning_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probs = {f"p{i}": i / 10.0 for i in range(1, 10)}
     qs = exact_quantiles(lab, "value", probs, ["half"])
-    rows = {r["half"]: r for r in qs.collect()}
+    rows = _collect_bounded_groups(
+        qs, "half", ("first", "second"), "q310_binning_drift"
+    )
     q1, q2 = rows["first"], rows["second"]
     vals = ", ".join(
         f"({i}, CAST('{q1[f'p{i}']!r}' AS DOUBLE),"

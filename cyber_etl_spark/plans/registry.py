@@ -16,6 +16,13 @@ Determinism rules (SURVEY.md §7.3 hard part 1):
 - Ranking ties always carry a unique key as the final sort column.
 - No query depends on output order (the comparator sorts), but every
   LIMIT/top-k is made deterministic via tie-breaks.
+
+Laziness: builders normally only CONSTRUCT a plan — no jobs run until the
+caller acts.  Exceptions are documented per query: kernel-based builders
+(distributed quantile/prefix kernels, iterative graph loops) execute
+bounded Spark jobs inside the builder (checkpoints, boundary-table
+collects — see ``analytics4._collect_bounded_groups``), so plan-only
+consumers (explain, plan audits) pay those jobs too.
 """
 
 from __future__ import annotations

@@ -891,7 +891,16 @@ def decayed_counter_stream(daily: DataFrame) -> DataFrame:
     prefix — the twin-test contract.  Days older than 45 fall off the
     buffer exactly as the batch query's age filter drops them.  State
     per key is 46 longs; rows fold in day order within a micro-batch
-    (one concat per micro-batch, the r7 reduction rule)."""
+    (one concat per micro-batch, the r7 reduction rule).
+
+    Out-of-order days ACROSS micro-batches (r8 advice fix — they were
+    silently folded into the age-0 bucket, corrupting the total) merge
+    into their TRUE age bucket relative to the frontier (counts[age]),
+    or contribute nothing when older than the 46-day buffer — exactly
+    what the batch formula assigns them — and their emitted row carries
+    the FRONTIER day (the as-of day of the updated total), so the
+    stream still equals the batch aggregate over the same multiset of
+    fed days regardless of cross-batch day order."""
     from datetime import date
 
     def update(
@@ -911,9 +920,16 @@ def decayed_counter_stream(daily: DataFrame) -> DataFrame:
                 counts[0] = int(c)
             else:
                 delta = (date.fromisoformat(day) - date.fromisoformat(last_day)).days
-                if delta <= 0:
+                if delta == 0:
                     # same-day aggregate arriving split across batches
                     counts[0] += int(c)
+                elif delta < 0:
+                    # late day from an earlier micro-batch: merge into
+                    # its TRUE age bucket (or age out entirely), and
+                    # emit the updated total as of the frontier day
+                    if -delta < _DECAY_WINDOW:
+                        counts[-delta] += int(c)
+                    day = last_day
                 else:
                     counts = ([0] * min(delta, _DECAY_WINDOW) + counts)[
                         :_DECAY_WINDOW

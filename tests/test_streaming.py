@@ -773,3 +773,67 @@ def test_decayed_counter_stream_matches_batch_formula(spark, sf_smoke, tmp_path)
         )
         got = last[etype]
         assert got.decayed_count == float(units) / 2.0**45, etype
+
+
+def test_decayed_counter_stream_out_of_order_days(spark, sf_smoke, tmp_path):
+    """Cross-micro-batch OUT-OF-ORDER days (r8 advice fix): the middle
+    third of the calendar arrives first, then the FIRST third (every
+    day earlier than the frontier — previously folded into the age-0
+    bucket, corrupting the total), then the last third.  Late days must
+    merge into their true age bucket, so the final emitted value per
+    type still equals the exact big-int batch formula over ALL fed
+    days."""
+    from datetime import date
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import decayed_counter_stream
+
+    ev = read_table(spark, sf_smoke, "events")
+    grid = (
+        ev.groupBy("event_type", F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("day")
+        .toPandas()
+    )
+    d = tmp_path / "decay_feed_ooo"
+    d.mkdir()
+    days = sorted(grid["day"].unique())
+    n = len(days)
+    assert n >= 6
+    thirds = [days[: n // 3], days[n // 3 : 2 * n // 3], days[2 * n // 3 :]]
+    # feed order: middle, FIRST (late — all days precede the frontier), last
+    for i, sel in enumerate([thirds[1], thirds[0], thirds[2]]):
+        chunk = grid[grid["day"].isin(sel)]
+        pq.write_table(
+            pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("event_type string, day string, cnt long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_stream_to_memory(
+        decayed_counter_stream(stream), "decay_mem_ooo", mode="update"
+    )
+    rows = spark.sql("SELECT * FROM decay_mem_ooo").collect()
+    last = {}
+    for r in rows:
+        if r.event_type not in last or r.day > last[r.event_type].day:
+            last[r.event_type] = r
+
+    for etype, g in grid.groupby("event_type"):
+        pairs = sorted(zip(g["day"], g["cnt"]))
+        dmax = date.fromisoformat(pairs[-1][0])
+        units = sum(
+            int(c) << (45 - (dmax - date.fromisoformat(dd)).days)
+            for dd, c in pairs
+            if (dmax - date.fromisoformat(dd)).days <= 45
+        )
+        got = last[etype]
+        assert got.decayed_count == float(units) / 2.0**45, etype

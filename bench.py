@@ -77,22 +77,28 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                # methodology marker: per-query numbers are min-of-two warm
-                # passes over memoized shared artifacts (marginal
-                # steady-state cost), NOT single-cold-pass — not comparable
-                # with rounds ≤3 artifacts.
-                "timing": "min2-warm",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        # methodology marker: per-query numbers are min-of-two warm
+        # passes over memoized shared artifacts (marginal
+        # steady-state cost), NOT single-cold-pass — not comparable
+        # with rounds ≤3 artifacts.
+        "timing": "min2-warm",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(record))
+    # Durable full-record artifact (r8 verdict item 3): the driver's
+    # BENCH_r*.json tail truncates to the last ~69 queries, so the repo
+    # keeps its own complete per-query record for round-over-round
+    # comparison.  Opt-in via env so the driver's stdout contract (ONE
+    # JSON line) is untouched.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":

@@ -9,3 +9,4 @@ from . import analytics  # noqa: F401
 from . import analytics2  # noqa: F401
 from . import analytics3  # noqa: F401
 from . import analytics4  # noqa: F401
+from . import analytics5  # noqa: F401

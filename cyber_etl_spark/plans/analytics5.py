@@ -1,0 +1,470 @@
+"""Round-9 analytics family: recommendation, evaluation-methodology and
+inventory/anomaly operators a production pipeline runs next to the q266+
+business suite — item-item collaborative filtering, group-k-fold leakage
+audit, Brier/ECE calibration decomposition, Neyman sampling allocation,
+ABC-XYZ inventory classification, trailing-window anomaly flags, near-dup
+keep-best canonicalization, and a per-user feature correlation matrix.
+
+Cross-engine exactness follows the module rules established in
+analytics2-4: integer sufficient statistics with DECIMAL(38,0)/HUGEINT
+widening, half-away integer-division rounding (`_ha6`) for exact
+rationals, 12-dp DECIMAL snaps before any bounded multi-term double sum,
+and md5-digit determinism for every pseudo-random draw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from .analytics2 import _ha6, _ha6_sql
+from .registry import query
+
+
+def _md5_mod(col, m: int):
+    """Deterministic integer draw in [0, m): first 8 md5 hex digits of
+    the stringified id, mod m — the integer sibling of
+    textops._md5_fraction; oracle twin is
+    CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8)) AS BIGINT) % m."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % m
+
+
+def _md5_mod_sql(expr: str, m: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {m}"
+    )
+
+
+@query(
+    "q314_itemcf_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT pk, COUNT(*) AS cnt FROM items GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+    co AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS co
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, CAST(co AS BIGINT) AS co,
+           round(co / sqrt(CAST(na.cnt * nb.cnt AS DOUBLE)), 6) AS cosine,
+           {_ha6_sql("co * n_orders", "na.cnt * nb.cnt")} AS lift
+    FROM co JOIN n na ON na.pk = part_a JOIN n nb ON nb.pk = part_b, tot
+    ORDER BY co DESC, cosine DESC, part_a, part_b LIMIT 50
+    """,
+    tags=("recommender", "cooccurrence", "join"),
+)
+def q314_itemcf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (the classic co-occurrence
+    recommender): for part pairs bought together in >= 2 orders, the
+    co-count, cosine co/sqrt(na*nb) and lift co*N/(na*nb) over the
+    order-basket bipartite graph; top-50 by (co, cosine, keys).
+
+    Scale plan: baskets come from ONE distinct projection; the pair
+    enumeration is an equi-join on the ORDER key, so per-key fan-out is
+    bounded by basket size squared (~4 items/order here — never an
+    item-keyed join, whose popular-item fan-out is the quadratic trap);
+    the co table is min-support-pruned BEFORE the degree joins; top-50
+    is a TakeOrdered.  Exactness: cosine is a 6-dp round of an
+    irrational over exact integers (safe); lift is an exact integer
+    rational through `_ha6`.  Rank ties break (cosine, part_a, part_b)
+    — cosine doubles are identical cross-engine because their integer
+    inputs are."""
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    # feeds the degree table, the pair join (both sides) and the order count
+    items = items.localCheckpoint(eager=True)
+    n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = items.agg(F.count_distinct("ok").alias("n_orders"))
+    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok"), F.col("pk").alias("part_b"))
+    co = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= 2)
+    )
+    na = n.select(F.col("pk").alias("part_a"), F.col("cnt").alias("na"))
+    nb = n.select(F.col("pk").alias("part_b"), F.col("cnt").alias("nb"))
+    return (
+        co.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("co").cast("long").alias("co"),
+            F.round(
+                F.col("co") / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                6,
+            ).alias("cosine"),
+            _ha6("co * n_orders", "na * nb").alias("lift"),
+        )
+        .orderBy(
+            F.col("co").desc(), F.col("cosine").desc(), "part_a", "part_b"
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "q315_group_kfold_leakage",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             {_md5_mod_sql("user_id", 5)} AS fold_grp,
+             {_md5_mod_sql("event_id", 5)} AS fold_naive
+      FROM events
+    ),
+    spans AS (
+      SELECT user_id, COUNT(DISTINCT fold_naive) AS nf FROM e GROUP BY 1
+    ),
+    grp AS (
+      SELECT fold_grp AS fold, COUNT(*) AS grp_events,
+             COUNT(DISTINCT user_id) AS grp_users
+      FROM e GROUP BY 1
+    ),
+    naive AS (
+      SELECT fold_naive AS fold, COUNT(*) AS naive_events,
+             COUNT(DISTINCT e.user_id) AS naive_users,
+             COUNT(DISTINCT CASE WHEN s.nf > 1 THEN e.user_id END)
+               AS naive_leaky_users
+      FROM e JOIN spans s ON s.user_id = e.user_id
+      GROUP BY 1
+    )
+    SELECT CAST(g.fold AS INT) AS fold,
+           CAST(grp_events AS BIGINT) AS grp_events,
+           CAST(grp_users AS BIGINT) AS grp_users,
+           CAST(naive_events AS BIGINT) AS naive_events,
+           CAST(naive_users AS BIGINT) AS naive_users,
+           CAST(naive_leaky_users AS BIGINT) AS naive_leaky_users
+    FROM grp g JOIN naive n ON n.fold = g.fold
+    ORDER BY fold
+    """,
+    tags=("ml-train", "split", "leakage"),
+)
+def q315_group_kfold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold assignment + leakage audit: folds keyed on the GROUP
+    (md5(user_id) % 5 — every user's events land in one fold, zero
+    leakage by construction) contrasted with the naive iid split
+    (md5(event_id) % 5), counting per naive fold the users whose events
+    leak across folds — the cross-validation bug (correlated rows split
+    iid) that inflates offline metrics.  Group folds' user counts are
+    DISJOINT (sum = |users|); naive folds' user counts overlap.
+
+    Scale plan: one projection computes both fold draws; the leak audit
+    is a user-keyed distinct-count agg joined back user-keyed; per-fold
+    rollups are bounded (5 rows).  Exactness: pure integer counts and
+    md5 digits."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        _md5_mod(F.col("user_id"), 5).alias("fold_grp"),
+        _md5_mod(F.col("event_id"), 5).alias("fold_naive"),
+    )
+    # feeds the span audit AND both fold rollups
+    e = e.localCheckpoint(eager=True)
+    spans = e.groupBy("user_id").agg(
+        F.count_distinct("fold_naive").alias("nf")
+    )
+    grp = e.groupBy(F.col("fold_grp").alias("fold")).agg(
+        F.count(F.lit(1)).alias("grp_events"),
+        F.count_distinct("user_id").alias("grp_users"),
+    )
+    naive = (
+        e.join(spans, "user_id")
+        .groupBy(F.col("fold_naive").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).alias("naive_events"),
+            F.count_distinct("user_id").alias("naive_users"),
+            F.count_distinct(
+                F.when(F.col("nf") > 1, F.col("user_id"))
+            ).alias("naive_leaky_users"),
+        )
+    )
+    return (
+        grp.join(naive, "fold")
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            F.col("grp_events").cast("long").alias("grp_events"),
+            F.col("grp_users").cast("long").alias("grp_users"),
+            F.col("naive_events").cast("long").alias("naive_events"),
+            F.col("naive_users").cast("long").alias("naive_users"),
+            F.col("naive_leaky_users").cast("long").alias("naive_leaky_users"),
+        )
+        .orderBy("fold")
+    )
+
+
+@query(
+    "q316_brier_decomposition",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS u,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    b AS (
+      SELECT u // 100000 AS bin, COUNT(*) AS n,
+             SUM(CAST(u AS HUGEINT)) AS su,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(u AS HUGEINT) * u) AS su2,
+             SUM(CAST(u AS HUGEINT) * y) AS suy
+      FROM e GROUP BY 1
+    ),
+    snap AS (
+      SELECT n, sy,
+             (2*su + n) // (2*n) AS s_k,
+             (2*sy*1000000 + n) // (2*n) AS y_k,
+             su2, suy
+      FROM b
+    ),
+    g AS (
+      SELECT SUM(CAST(n AS HUGEINT)) AS nn, SUM(sy) AS tsy,
+             SUM(su2) AS tsu2, SUM(suy) AS tsuy,
+             SUM(CAST(n AS HUGEINT) * (s_k - y_k) * (s_k - y_k)) AS rel_num,
+             SUM(CAST(n AS HUGEINT) * ABS(s_k - y_k)) AS ece_num
+      FROM snap
+    ),
+    g2 AS (
+      SELECT nn, tsy, tsu2, tsuy, rel_num, ece_num,
+             (2*tsy*1000000 + nn) // (2*nn) AS ybar
+      FROM g
+    ),
+    res AS (
+      SELECT g2.nn, g2.tsy, g2.tsu2, g2.tsuy, g2.rel_num, g2.ece_num, g2.ybar,
+             SUM(CAST(s.n AS HUGEINT) * (s.y_k - g2.ybar) * (s.y_k - g2.ybar))
+               AS res_num
+      FROM snap s, g2
+      GROUP BY 1, 2, 3, 4, 5, 6, 7
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST((2*(tsu2 - 2000000*tsuy + CAST(1000000 AS HUGEINT)*1000000*tsy)
+                 *1000000 + nn*1000000000000)
+                // (2*nn*1000000000000) AS DOUBLE) / 1000000 AS brier,
+           CAST((2*rel_num*1000000 + nn*1000000000000)
+                // (2*nn*1000000000000) AS DOUBLE) / 1000000 AS reliability,
+           CAST((2*res_num*1000000 + nn*1000000000000)
+                // (2*nn*1000000000000) AS DOUBLE) / 1000000 AS resolution,
+           CAST((2*(tsy*(nn - tsy))*1000000 + nn*nn)
+                // (2*nn*nn) AS DOUBLE) / 1000000 AS uncertainty,
+           CAST((2*ece_num*1000000 + nn*1000000)
+                // (2*nn*1000000) AS DOUBLE) / 1000000 AS ece
+    FROM res
+    """,
+    tags=("ml-eval", "calibration", "brier"),
+)
+def q316_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier-score decomposition + expected calibration error for a
+    deterministic probability score (md5 1e-6-unit draw per event)
+    against the purchase outcome, over 10 equal-width bins: Murphy's
+    reliability (score vs bin event rate), resolution (bin rate vs base
+    rate) and uncertainty (base-rate variance), plus ECE — the
+    calibration scorecard next to the decile-lift table (q190) and ROC
+    AUC (q215).
+
+    Scale plan: ONE projection + one 10-group agg carries every
+    sufficient statistic (n, Σu, Σy, Σu², Σuy per bin); the
+    decomposition runs on the bounded bin table.  Exactness: scores ARE
+    exact 1e-6 integers; bin means snap half-away to integer 1e-6 units
+    (pure integer division); every term (n_k·Δ², Brier's
+    Σ(u − 1e6·y)², ȳ(1−ȳ)) is an exact integer in 1e-12 units with
+    DECIMAL(38,0)/HUGEINT widening (the _ha6 overflow contract: 2·num·1e6
+    is what overflows first), published as half-away 6-dp doubles."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(
+        _md5_mod(F.col("event_id"), 1000000).alias("u"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = e.groupBy(F.expr("u div 100000").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("u") * F.col("u")).cast("decimal(38,0)")).alias("su2"),
+        F.sum((F.col("u") * F.col("y")).cast("decimal(38,0)")).alias("suy"),
+    )
+    snap = b.select(
+        "n",
+        "sy",
+        "su2",
+        "suy",
+        F.expr("(2*su + n) div (2*n)").cast("decimal(38,0)").alias("s_k"),
+        F.expr("(2*sy*1000000 + n) div (2*n)")
+        .cast("decimal(38,0)")
+        .alias("y_k"),
+    ).localCheckpoint(eager=True)  # bounded (10 rows); feeds two rollups
+    g = snap.agg(
+        F.sum(F.col("n").cast("decimal(38,0)")).alias("nn"),
+        F.sum("sy").alias("tsy"),
+        F.sum("su2").alias("tsu2"),
+        F.sum("suy").alias("tsuy"),
+        F.sum(
+            F.expr("CAST(n AS DECIMAL(38,0)) * (s_k - y_k) * (s_k - y_k)")
+        ).alias("rel_num"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * abs(s_k - y_k)")).alias(
+            "ece_num"
+        ),
+    ).withColumn("ybar", F.expr("(2*tsy*1000000 + nn) div (2*nn)"))
+    res = (
+        snap.crossJoin(F.broadcast(g))
+        .groupBy("nn", "tsy", "tsu2", "tsuy", "rel_num", "ece_num", "ybar")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(n AS DECIMAL(38,0)) * (y_k - ybar) * (y_k - ybar)"
+                )
+            ).alias("res_num")
+        )
+    )
+    den12 = "CAST(nn AS DECIMAL(38,0)) * 1000000 * 1000000"
+    return res.select(
+        F.col("nn").cast("long").alias("n"),
+        F.expr(
+            "CAST((2*(tsu2 - 2000000*tsuy + CAST(1000000 AS DECIMAL(38,0))"
+            f"*1000000*tsy)*1000000 + {den12}) div (2*({den12})) AS DOUBLE)"
+            " / 1000000"
+        ).alias("brier"),
+        F.expr(
+            f"CAST((2*rel_num*1000000 + {den12}) div (2*({den12}))"
+            " AS DOUBLE) / 1000000"
+        ).alias("reliability"),
+        F.expr(
+            f"CAST((2*res_num*1000000 + {den12}) div (2*({den12}))"
+            " AS DOUBLE) / 1000000"
+        ).alias("resolution"),
+        F.expr(
+            "CAST((2*(tsy*(nn - tsy))*1000000 + nn*nn) div (2*nn*nn)"
+            " AS DOUBLE) / 1000000"
+        ).alias("uncertainty"),
+        F.expr(
+            "CAST((2*ece_num*1000000 + nn*1000000) div (2*nn*1000000)"
+            " AS DOUBLE) / 1000000"
+        ).alias("ece"),
+    )
+
+
+@query(
+    "q317_neyman_allocation",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS xu
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(xu) AS sx, SUM(xu * xu) AS sxx
+      FROM x GROUP BY 1
+    ),
+    v AS (
+      SELECT event_type, n,
+             (2*(n*sxx - sx*sx) + (n*(n-1)*CAST(1000000 AS HUGEINT)))
+               // (2*(n*(n-1)*CAST(1000000 AS HUGEINT))) AS vu6
+      FROM s
+    ),
+    w AS (
+      SELECT event_type, n, vu6,
+             CAST(floor(n * sqrt(CAST(vu6 AS DOUBLE) / 1000000) * 1000000
+                        + 0.5) AS HUGEINT) AS wu
+      FROM v
+    ),
+    t AS (
+      SELECT SUM(wu) AS tw, SUM(CAST(n AS HUGEINT)) AS tn FROM w
+    )
+    SELECT w.event_type AS stratum,
+           CAST(w.n AS BIGINT) AS n_rows,
+           round(sqrt(CAST(vu6 AS DOUBLE) / 1000000), 6) AS value_sd,
+           CAST((2*wu*1000000 + tw) // (2*tw) AS DOUBLE) / 1000000
+             AS neyman_share,
+           CAST((wu * 10000) // tw AS BIGINT) AS neyman_alloc,
+           CAST((CAST(w.n AS HUGEINT) * 10000) // tn AS BIGINT)
+             AS proportional_alloc
+    FROM w, t ORDER BY stratum
+    """,
+    tags=("sampling", "stratified", "survey"),
+)
+def q317_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: for a 10,000-row
+    sample budget over the event-type strata, allocate n_h proportional
+    to N_h·S_h (stratum size × value std) — the variance-minimizing
+    design for estimating the mean `value`, side by side with the naive
+    proportional allocation (high-variance strata earn more than their
+    row share).  The sampling-methodology companion of the md5 mixture
+    sampler (q151) and the PSI drift gate (q149).
+
+    Scale plan: ONE map-side-combinable moment agg per stratum (micro-
+    unit integers, never raw-double sums); everything downstream runs on
+    the bounded stratum table.  Exactness: variance is an exact integer
+    rational snapped half-away to 1e-6 units (vu6 ≤ value²·1e6 ≪ 2^53,
+    so its double is exact and IEEE sqrt is identical cross-engine);
+    weights w = N_h·S_h snap to 1e-6-unit integers via floor(x·1e6+0.5)
+    (positive, so identical to both engines' round); shares and integer
+    allocations are pure integer divisions of those units — the
+    largest-remainder step is intentionally omitted (floor allocations
+    + published exact shares), keeping every emitted digit
+    tie-impossible."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("xu"),
+    )
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xu").alias("sx"),
+        F.sum(F.expr("xu * xu")).alias("sxx"),
+    )
+    v = s.select(
+        "event_type",
+        "n",
+        F.expr(
+            "(2*(n*sxx - sx*sx) + (n*(n-1)*CAST(1000000 AS DECIMAL(38,0))))"
+            " div (2*(n*(n-1)*CAST(1000000 AS DECIMAL(38,0))))"
+        ).alias("vu6"),
+    )
+    w = v.select(
+        "event_type",
+        "n",
+        "vu6",
+        F.floor(
+            F.col("n") * F.sqrt(F.col("vu6").cast("double") / 1000000) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("wu"),
+    )
+    t = w.agg(
+        F.sum("wu").alias("tw"),
+        F.sum(F.col("n").cast("decimal(38,0)")).alias("tn"),
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            F.col("event_type").alias("stratum"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(F.sqrt(F.col("vu6").cast("double") / 1000000), 6).alias(
+                "value_sd"
+            ),
+            F.expr(
+                "CAST((2*wu*1000000 + tw) div (2*tw) AS DOUBLE) / 1000000"
+            ).alias("neyman_share"),
+            F.expr("CAST((wu * 10000) div tw AS BIGINT)").alias("neyman_alloc"),
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * 10000) div tn AS BIGINT)"
+            ).alias("proportional_alloc"),
+        )
+        .orderBy("stratum")
+    )

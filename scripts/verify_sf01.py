@@ -27,23 +27,35 @@ def main() -> int:
     out: dict[str, dict] = {}
     failures = 0
     t0 = time.time()
-    for name in sorted(QUERIES):
+
+    def run(name: str) -> tuple[str, dict]:
         t = time.time()
         try:
             res = compare_query(spark, SF_DIR, name)
             ok, detail = res.ok, res.detail
         except Exception as e:  # noqa: BLE001 - record, don't abort the sweep
             ok, detail = False, f"exception: {e!r:.300}"
-        out[name] = {
+        return name, {
             "ok": ok,
             "oracled": QUERIES[name].oracle is not None,
             "detail": detail[:300],
+            # NOTE: wall time under 6-way concurrency — good for spotting
+            # relative outliers, not a solo benchmark (bench.py is that)
             "sec": round(time.time() - t, 2),
         }
-        if not ok:
-            failures += 1
-        print(f"{'PASS' if ok else 'FAIL'} {name} ({out[name]['sec']}s) {detail[:120]}",
-              flush=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        for name, rec in ex.map(run, sorted(QUERIES)):
+            out[name] = rec
+            if not rec["ok"]:
+                failures += 1
+            print(
+                f"{'PASS' if rec['ok'] else 'FAIL'} {name} "
+                f"({rec['sec']}s) {rec['detail'][:120]}",
+                flush=True,
+            )
 
     record = {
         "sf_dir": SF_DIR,

@@ -3,17 +3,42 @@
 This mirrors the driver's correctness gate so regressions surface locally
 before a round ends.  Runs at sf0.001 (fast) for each query; the driver
 re-runs the same comparison at sf0.01.
+
+The sweep is BATCHED through one test function and a small thread pool
+(r8 verdict item 6: the per-query parametrized form grew linearly with the
+registry to ~11 min of the default suite; the threaded batch runs the same
+313 comparisons in ~70 s with zero coverage loss).  Spark sessions are
+thread-safe for concurrent actions and each comparison opens its own
+DuckDB connection.  To debug one query interactively:
+
+    from cyber_etl_spark.testing import compare_query
+    compare_query(spark, "/root/testdata/sf0.001", "q42_...")
 """
 
 from __future__ import annotations
 
-import pytest
+from concurrent.futures import ThreadPoolExecutor
 
 from cyber_etl_spark.plans import QUERIES
 from cyber_etl_spark.testing import compare_query
 
+_WORKERS = 6
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, sf_smoke, name):
-    res = compare_query(spark, sf_smoke, name)
-    assert res.ok, f"{name}: {res.detail}"
+
+def test_all_queries_match_oracle(spark, sf_smoke):
+    names = sorted(QUERIES)
+
+    def run(name):
+        try:
+            res = compare_query(spark, sf_smoke, name)
+            return name, res.ok, res.detail
+        except Exception as exc:  # builder/oracle crash = failure, not abort
+            return name, False, f"raised {type(exc).__name__}: {exc}"
+
+    with ThreadPoolExecutor(max_workers=_WORKERS) as ex:
+        results = list(ex.map(run, names))
+    failures = [f"{n}: {d}" for n, ok, d in results if not ok]
+    assert not failures, (
+        f"{len(failures)}/{len(names)} queries diverged from their oracle:\n"
+        + "\n".join(failures)
+    )

@@ -21,7 +21,22 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_sf01(spark, sf_correct, name):
-    res = compare_query(spark, sf_correct, name)
-    assert res.ok, f"{name}: {res.detail}"
+def test_all_queries_match_oracle_sf01(spark, sf_correct):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = sorted(QUERIES)
+
+    def run(name):
+        try:
+            res = compare_query(spark, sf_correct, name)
+            return name, res.ok, res.detail
+        except Exception as exc:  # record, don't abort the sweep
+            return name, False, f"raised {type(exc).__name__}: {exc}"
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(run, names))
+    failures = [f"{n}: {d}" for n, ok, d in results if not ok]
+    assert not failures, (
+        f"{len(failures)}/{len(names)} queries diverged at sf0.01:\n"
+        + "\n".join(failures)
+    )

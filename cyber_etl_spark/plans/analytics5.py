@@ -468,3 +468,467 @@ def q317_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@query(
+    "q318_abc_xyz_matrix",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey AS part,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000
+                  AS HUGEINT) AS revu,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qu,
+             date_trunc('week', l_shipdate) AS wk
+      FROM lineitem
+    ),
+    pw AS (
+      SELECT part, wk, SUM(CAST(qu AS HUGEINT)) AS q
+      FROM li GROUP BY 1, 2
+    ),
+    nw AS (SELECT COUNT(DISTINCT wk) AS w FROM li),
+    p AS (
+      SELECT part, SUM(q) AS s, SUM(q*q) AS s2, COUNT(*) AS nz
+      FROM pw GROUP BY 1
+    ),
+    pr AS (
+      SELECT part, SUM(revu) AS rev FROM li GROUP BY 1
+    ),
+    ranked AS (
+      SELECT pr.part, pr.rev,
+             SUM(pr.rev) OVER (ORDER BY pr.rev DESC, pr.part
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(pr.rev) OVER () AS tot
+      FROM pr
+    ),
+    cls AS (
+      SELECT r.part, r.rev,
+             CASE WHEN 5*r.cum <= 4*r.tot THEN 'A'
+                  WHEN 20*r.cum <= 19*r.tot THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN 4*(w*p.s2 - p.s*p.s) < p.s*p.s THEN 'X'
+                  WHEN (w*p.s2 - p.s*p.s) < p.s*p.s THEN 'Y'
+                  ELSE 'Z' END AS xyz,
+             r.tot
+      FROM ranked r JOIN p ON p.part = r.part, nw
+    )
+    SELECT abc, xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST((2*SUM(rev)*1000000 + MAX(tot)) // (2*MAX(tot)) AS DOUBLE)
+             / 1000000 AS revenue_share
+    FROM cls GROUP BY 1, 2 ORDER BY abc, xyz
+    """,
+    tags=("inventory", "abc-xyz", "kernel"),
+)
+def q318_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification matrix: parts classed by
+    cumulative revenue share (A <= 80%, B <= 95%, C — Pareto bands,
+    inclusive-cum convention) crossed with weekly-demand variability
+    (CV < 0.5 -> X, < 1 -> Y, else Z, over the GLOBAL week calendar with
+    unsold weeks counting as zero demand) — the planning matrix behind
+    safety-stock policy, composing the concentration family (q285) with
+    the variability family (q264/q283).
+
+    Scale plan: the revenue ranking + running total ride ONE prefix-
+    kernel pass over the per-part aggregate (never a whole-table
+    window); the CV needs NO part x week grid — zero weeks enter only
+    through the global week count W, so per-part sufficient statistics
+    (S, S2 over nonzero weeks) suffice: CV2 = (W*S2 - S2um)/S2um.
+    Exactness: revenue in exact 1e-4-cent integers (price x discount is
+    a 4-dp decimal product); band tests are integer cross-
+    multiplications (5*cum <= 4*tot, 4*varnum < S2, never a float
+    threshold); cell revenue share is an exact rational through the
+    widened half-away division."""
+    from ..operators.prefix import running_total
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000"
+            " AS DECIMAL(38,0))"
+        ).alias("revu"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qu"),
+        F.date_trunc("week", "l_shipdate").alias("wk"),
+    )
+    # feeds the week count, the (part, week) demand and the revenue agg
+    li = li.localCheckpoint(eager=True)
+    pw = li.groupBy("part", "wk").agg(
+        F.sum(F.col("qu").cast("decimal(38,0)")).alias("q")
+    )
+    nw = li.agg(F.count_distinct("wk").alias("w"))
+    p = pw.groupBy("part").agg(
+        F.sum("q").alias("s"), F.sum(F.expr("q*q")).alias("s2")
+    )
+    pr = li.groupBy("part").agg(F.sum("revu").alias("rev")).withColumn(
+        "negr", -F.col("rev")
+    )
+    ranked = running_total(
+        pr, "rev", order_cols=["negr", "part"], out_col="cum", total_col="tot"
+    )
+    cls = (
+        ranked.join(p, "part")
+        .crossJoin(F.broadcast(nw))
+        .select(
+            "rev",
+            "tot",
+            F.when(F.expr("5*cum <= 4*tot"), "A")
+            .when(F.expr("20*cum <= 19*tot"), "B")
+            .otherwise("C")
+            .alias("abc"),
+            F.when(F.expr("4*(w*s2 - s*s) < s*s"), "X")
+            .when(F.expr("(w*s2 - s*s) < s*s"), "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+        )
+    )
+    return (
+        cls.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.expr(
+                "CAST((2*SUM(rev)*1000000 + MAX(tot)) div (2*MAX(tot))"
+                " AS DOUBLE) / 1000000"
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+@query(
+    "q319_trailing_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT a.event_type, a.day, a.cnt,
+             COUNT(*) AS n,
+             SUM(CAST(b.cnt AS HUGEINT)) AS s,
+             SUM(CAST(b.cnt AS HUGEINT) * b.cnt) AS s2
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type
+       AND b.day >= a.day - 28 AND b.day <= a.day - 1
+      GROUP BY 1, 2, 3
+    ),
+    z AS (
+      SELECT event_type, day, cnt, n,
+             (n*cnt - s) AS dev,
+             (n*s2 - s*s) AS varnum
+      FROM tr WHERE n >= 14
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, cnt,
+           CAST(n AS BIGINT) AS n_trail,
+           CASE WHEN varnum = 0 THEN NULL
+                ELSE round(CASE WHEN dev < 0 THEN -1 ELSE 1 END
+                     * sqrt(CAST(dev*dev AS DOUBLE) * (n-1)
+                            / (CAST(n AS DOUBLE) * varnum)), 6) END AS z,
+           (varnum > 0 AND dev*dev*(n-1) >= 9*n*varnum) AS is_anomaly
+    FROM z
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "anomaly", "monitoring"),
+)
+def q319_trailing_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each (event type, day) count
+    scored against its OWN trailing 28-day history (current day
+    excluded) — z-score and a |z| >= 3 flag, requiring >= 14 history
+    days — the operational monitoring view next to CUSUM change-points
+    (q216) and daily peaks (q288): CUSUM finds level shifts after the
+    fact, this flags single-day spikes as they land.
+
+    Scale plan: the trailing join runs on the BOUNDED day grid
+    (calendar x |types| rows — the q288/q213 class), 28-row fan-out per
+    row; one aggregation recovers the trailing sufficient statistics.
+    Exactness: the flag is a pure integer cross-multiplication
+    (dev^2*(n-1) >= 9*n*varnum — never a float sigma threshold); z
+    itself is the 6-dp round of a signed sqrt of exact-integer ratios
+    (all < 2^53 here; at 1000x daily volumes the integer grid still
+    holds ~1e15 — document-checked against the _ha6 overflow
+    contract)."""
+    from .analytics2 import _day_grid
+
+    d = _day_grid(spark, sf_dir).select(
+        "event_type", "day", F.col("cnt").cast("long").alias("cnt")
+    )
+    b = d.select(
+        F.col("event_type").alias("bt"),
+        F.col("day").alias("bday"),
+        F.col("cnt").alias("bcnt"),
+    )
+    tr = (
+        d.join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bday") >= F.date_sub(F.col("day"), 28))
+            & (F.col("bday") <= F.date_sub(F.col("day"), 1)),
+        )
+        .groupBy("event_type", "day", "cnt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("bcnt").cast("decimal(38,0)")).alias("s"),
+            F.sum(F.expr("CAST(bcnt AS DECIMAL(38,0)) * bcnt")).alias("s2"),
+        )
+        .where(F.col("n") >= 14)
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            "n",
+            F.expr("n*cnt - s").alias("dev"),
+            F.expr("n*s2 - s*s").alias("varnum"),
+        )
+    )
+    return tr.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "cnt",
+        F.col("n").cast("long").alias("n_trail"),
+        F.when(F.col("varnum") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.when(F.col("dev") < 0, -1).otherwise(1)
+                * F.sqrt(
+                    F.expr("CAST(dev*dev AS DOUBLE) * (n-1)")
+                    / F.expr("CAST(n AS DOUBLE) * varnum")
+                ),
+                6,
+            )
+        )
+        .alias("z"),
+        (
+            (F.col("varnum") > 0)
+            & (F.expr("dev*dev*(n-1) >= 9*n*varnum"))
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "q320_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common c
+      JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b
+      WHERE round(CAST(c.n_common AS DOUBLE)
+                  / (sa.n + sb.n - c.n_common), 6) >= 0.5
+    ),
+    gedges AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM gedges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN gedges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    m AS (
+      SELECT c.component, c.id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT component,
+           FIRST(id ORDER BY n_chars DESC, id ASC) AS kept_doc,
+           MAX(n_chars) AS kept_n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM m GROUP BY component ORDER BY component
+    """,
+    tags=("dedup", "curation", "graph"),
+)
+def q320_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-BEST near-duplicate canonicalization: within each Jaccard >=
+    0.5 connected component, keep the doc with the MOST content
+    (n_chars, tie -> smallest doc_id) and drop the rest — the
+    production dedup policy (keep the best copy, not the arbitrary
+    smallest-id one that q27/q214's keep-first convention selects).
+    Output: per multi-member component, the kept doc and the drop
+    count.
+
+    Scale plan: pair table and components are the memoized corpus
+    artifacts (cached_jaccard_pairs + the Pregel min-label loop); the
+    canonical pick is one component-keyed max(struct) aggregate — never
+    a per-component window.  Exactness: integer ids and char counts;
+    the (quality desc, id asc) argmax is the q08 max_by discipline."""
+    from ..graph.algorithms import connected_components
+    from .textops import cached_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = cached_jaccard_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    m = comp.withColumnRenamed("id", "doc_id").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    return (
+        m.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("negq"),
+                    F.col("doc_id").alias("id"),
+                )
+            ).alias("best"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select(
+            "component",
+            F.col("best.id").alias("kept_doc"),
+            (-F.col("best.negq")).alias("kept_n_chars"),
+            "n_members",
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
+def _q321_pairs() -> list[tuple[str, str]]:
+    return [
+        ("n_events", "active_days"),
+        ("n_events", "value_usd"),
+        ("n_events", "n_types"),
+        ("active_days", "value_usd"),
+        ("active_days", "n_types"),
+        ("value_usd", "n_types"),
+    ]
+
+
+_Q321_FEATS = {
+    "n_events": "f1",
+    "active_days": "f2",
+    "value_usd": "f3",
+    "n_types": "f4",
+}
+
+
+def _q321_r_sql(a: str, b: str) -> str:
+    """Pearson r from exact integer sufficient statistics — q273's exact
+    form: num and both variance factors are exact integers (HUGEINT /
+    DECIMAL(38,0)), converted once to DOUBLE each, one sqrt, one divide,
+    6-dp round."""
+    fa, fb = _Q321_FEATS[a], _Q321_FEATS[b]
+    num = f"(n*s_{fa}{fb} - s_{fa}*s_{fb})"
+    da = f"(n*s_{fa}{fa} - s_{fa}*s_{fa})"
+    db = f"(n*s_{fb}{fb} - s_{fb}*s_{fb})"
+    return (
+        f"CASE WHEN {da} = 0 OR {db} = 0 THEN NULL ELSE "
+        f"round(CAST({num} AS DOUBLE) / sqrt(CAST({da} AS DOUBLE)"
+        f" * CAST({db} AS DOUBLE)), 6) END"
+    )
+
+
+@query(
+    "q321_feature_correlation",
+    oracle=(
+        """
+    WITH per AS (
+      SELECT user_id,
+             COUNT(*) AS f1,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS f2,
+             SUM(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+               // 100 AS f3,
+             COUNT(DISTINCT event_type) AS f4
+      FROM events GROUP BY 1
+    ),
+    s AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(f1 AS HUGEINT)) AS s_f1,
+             SUM(CAST(f2 AS HUGEINT)) AS s_f2,
+             SUM(CAST(f3 AS HUGEINT)) AS s_f3,
+             SUM(CAST(f4 AS HUGEINT)) AS s_f4,
+             SUM(CAST(f1 AS HUGEINT)*f1) AS s_f1f1,
+             SUM(CAST(f2 AS HUGEINT)*f2) AS s_f2f2,
+             SUM(CAST(f3 AS HUGEINT)*f3) AS s_f3f3,
+             SUM(CAST(f4 AS HUGEINT)*f4) AS s_f4f4,
+             SUM(CAST(f1 AS HUGEINT)*f2) AS s_f1f2,
+             SUM(CAST(f1 AS HUGEINT)*f3) AS s_f1f3,
+             SUM(CAST(f1 AS HUGEINT)*f4) AS s_f1f4,
+             SUM(CAST(f2 AS HUGEINT)*f3) AS s_f2f3,
+             SUM(CAST(f2 AS HUGEINT)*f4) AS s_f2f4,
+             SUM(CAST(f3 AS HUGEINT)*f4) AS s_f3f4
+      FROM per
+    )
+    """
+        + "\nUNION ALL\n".join(
+            f"SELECT '{a}' AS feature_a, '{b}' AS feature_b,"
+            f" CAST(n AS BIGINT) AS n_users, {_q321_r_sql(a, b)} AS r FROM s"
+            for a, b in _q321_pairs()
+        )
+        + "\nORDER BY feature_a, feature_b"
+    ),
+    tags=("ml-train", "profiling", "correlation"),
+)
+def q321_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user FEATURE correlation matrix (all 6 pairs of n_events /
+    active_days / value_usd / n_types) — the feature-vs-feature
+    redundancy screen next to q309's feature-vs-target screening: a
+    |r| ~ 1 pair means one feature is informationally free.
+
+    Scale plan: ONE user-keyed agg builds the feature table; ONE 1-row
+    agg carries all 14 sufficient statistics; the 6-pair fan-out runs on
+    that bounded row.  Exactness: features are exact integers (value in
+    whole dollars via integer cents division); every Pearson term is an
+    exact HUGEINT/DECIMAL(38,0) integer converted ONCE to double
+    (q273's discipline — exact below 2^53, which holds through sf0.1
+    with ~2 orders of margin on the largest term n*S_f3f3; the 6-dp
+    round of the irrational sqrt ratio is tie-safe)."""
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("f1"),
+        F.count_distinct(F.to_date("ts")).alias("f2"),
+        F.expr(
+            "SUM(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))"
+            " div 100"
+        ).alias("f3"),
+        F.count_distinct("event_type").alias("f4"),
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i in range(1, 5):
+        aggs.append(
+            F.sum(F.col(f"f{i}").cast("decimal(38,0)")).alias(f"s_f{i}")
+        )
+    for i in range(1, 5):
+        for j in range(i, 5):
+            aggs.append(
+                F.sum(
+                    F.expr(f"CAST(f{i} AS DECIMAL(38,0)) * f{j}")
+                ).alias(f"s_f{i}f{j}")
+            )
+    s = per.agg(*aggs).localCheckpoint(eager=True)  # 1 row; feeds 6 branches
+    outs = []
+    for a, b in _q321_pairs():
+        outs.append(
+            s.select(
+                F.lit(a).alias("feature_a"),
+                F.lit(b).alias("feature_b"),
+                F.col("n").cast("long").alias("n_users"),
+                F.expr(
+                    _q321_r_sql(a, b)
+                    .replace("HUGEINT", "DECIMAL(38,0)")
+                ).alias("r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("feature_a", "feature_b")

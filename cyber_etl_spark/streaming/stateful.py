@@ -960,3 +960,91 @@ def decayed_counter_stream(daily: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("registers_hit", LongType()),
+        StructField("hll_estimate", DoubleType()),
+    ]
+)
+
+_HLL_STATE = StructType(
+    [StructField("regs", ArrayType(LongType()))]
+)
+
+_HLL_M = 256  # registers; q312/q173's md5 sketch geometry
+
+
+def _hll_estimate(regs: list[int]) -> tuple[int, float]:
+    """q312's estimator over a 256-register array: exact dyadic Z sum,
+    bias-corrected raw estimate, linear-counting small-range branch —
+    replicated with Python floats (IEEE doubles, so bit-identical to
+    both engines' SQL arithmetic on the same integer registers)."""
+    z = sum(1.0 / (1 << m) for m in sorted(regs, reverse=True))
+    # dyadic terms: each is exact, and the full sum spans < 53 bits, so
+    # the fold is order-independent — sorting is belt and braces.
+    hit = sum(1 for m in regs if m > 0)
+    raw = 0.7213 / (1.0 + 1.079 / _HLL_M) * (_HLL_M * _HLL_M) / z
+    if raw <= 2.5 * _HLL_M and hit < _HLL_M:
+        import math
+
+        est = _HLL_M * math.log(_HLL_M / (_HLL_M - hit))
+    else:
+        est = raw
+    return hit, est
+
+
+def hll_register_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the oracled HLL family (q312/q173): per event
+    type, maintain the 256 md5-register maxima across micro-batches and
+    emit the distinct-user estimate after every trigger — the streaming
+    cardinality monitor whose state is O(m) per key regardless of
+    stream length.
+
+    Exactness contract: registers are the SAME integers the batch
+    queries compute (md5 hex digits -> register j = hv div 2^24 mod 256,
+    rho = MSB position of the 24-bit suffix), merged by register-wise
+    MAX — the HLL union property, so state after any prefix equals the
+    batch sketch of that prefix EXACTLY, and the emitted estimate is the
+    identical IEEE arithmetic of q312's estimator (dyadic Z, bias
+    correction, linear-counting branch).  The twin test replays the fed
+    prefix through the batch register algebra and requires equality to
+    the last bit."""
+    import hashlib
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        regs = list(state.get[0]) if state.exists else [0] * _HLL_M
+        for pdf in batches:
+            for uid in pdf["user_id"]:
+                hv = int(
+                    hashlib.md5(str(int(uid)).encode()).hexdigest()[:8], 16
+                )
+                j = (hv >> 24) % _HLL_M
+                suffix = hv % (1 << 24)
+                rho = 25 if suffix == 0 else 24 - suffix.bit_length() + 1
+                if rho > regs[j]:
+                    regs[j] = rho
+        state.update((regs,))
+        hit, est = _hll_estimate(regs)
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "registers_hit": [hit],
+                "hll_estimate": [est],
+            }
+        )
+
+    return events.select("event_type", "user_id").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=HLL_SCHEMA,
+        stateStructType=_HLL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -837,3 +837,70 @@ def test_decayed_counter_stream_out_of_order_days(spark, sf_smoke, tmp_path):
         )
         got = last[etype]
         assert got.decayed_count == float(units) / 2.0**45, etype
+
+
+def test_hll_register_stream_twin(spark, sf_smoke, tmp_path):
+    """Streaming HLL (per event type) == the batch register algebra over
+    the same prefix: after feeding the whole events table in three
+    user-ordered files, each type's final emitted estimate must equal
+    q173's oracled per-type estimate to the 6-dp digit, and the
+    register-hit count must equal an exact Python replay of the md5
+    register maxima."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import hll_register_stream
+
+    ev = read_table(spark, sf_smoke, "events")
+    pdf = ev.select("event_type", "user_id").toPandas()
+    d = tmp_path / "hll_feed"
+    d.mkdir()
+    order = pdf.sort_values("user_id").reset_index(drop=True)
+    n = len(order)
+    for i in range(3):
+        chunk = order.iloc[i * n // 3 : (i + 1) * n // 3]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"c{i}.parquet"))
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_stream_to_memory(hll_register_stream(stream), "hll_mem", mode="update")
+    rows = spark.sql("SELECT * FROM hll_mem").collect()
+    # update-mode memory sink appends every trigger's emission; the final
+    # state per type is the row with the most registers hit (monotone),
+    # tie-broken by the largest estimate (also monotone in the registers)
+    last = {}
+    for r in rows:
+        k = (r.registers_hit, r.hll_estimate)
+        if r.event_type not in last or k >= (
+            last[r.event_type].registers_hit,
+            last[r.event_type].hll_estimate,
+        ):
+            last[r.event_type] = r
+
+    # batch pin #1: q173's oracled per-type estimates
+    q173 = {
+        r.event_type: r.approx_users
+        for r in QUERIES["q173_hll_mergeable_union"].builder(spark, sf_smoke).collect()
+        if r.event_type != "ALL"
+    }
+    assert set(last) == set(q173)
+    for et, r in last.items():
+        assert round(r.hll_estimate, 6) == q173[et], (et, r.hll_estimate)
+
+    # batch pin #2: exact Python replay of the register maxima
+    for et, g in pdf.groupby("event_type"):
+        regs = [0] * 256
+        for uid in set(g["user_id"]):
+            hv = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:8], 16)
+            j = (hv >> 24) % 256
+            suffix = hv % (1 << 24)
+            rho = 25 if suffix == 0 else 24 - suffix.bit_length() + 1
+            regs[j] = max(regs[j], rho)
+        assert last[et].registers_hit == sum(1 for m in regs if m > 0), et

@@ -932,3 +932,403 @@ def q321_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("feature_a", "feature_b")
+
+
+@query(
+    "q322_itemcf_hitrate",
+    oracle="""
+    WITH ords AS (
+      SELECT o_orderkey AS ok, o_custkey AS cust, o_orderdate AS dt
+      FROM orders
+    ),
+    lastord AS (
+      SELECT cust, FIRST(ok ORDER BY dt DESC, ok DESC) AS last_ok
+      FROM ords GROUP BY cust
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey AS ok, o.cust, l.l_partkey AS pk,
+             (l.l_orderkey = lo.last_ok) AS is_last
+      FROM lineitem l
+      JOIN ords o ON o.ok = l.l_orderkey
+      JOIN lastord lo ON lo.cust = o.cust
+    ),
+    train AS (SELECT ok, pk FROM items WHERE NOT is_last),
+    co AS (
+      SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS co
+      FROM train a JOIN train b ON a.ok = b.ok AND a.pk <> b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    hist AS (
+      SELECT DISTINCT cust, pk FROM items WHERE NOT is_last
+    ),
+    target AS (
+      SELECT DISTINCT cust, pk FROM items WHERE is_last
+    ),
+    scores AS (
+      SELECT h.cust, c.pb AS cand, SUM(c.co) AS score
+      FROM hist h JOIN co c ON c.pa = h.pk
+      LEFT JOIN hist h2 ON h2.cust = h.cust AND h2.pk = c.pb
+      WHERE h2.pk IS NULL
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT cust, cand,
+             ROW_NUMBER() OVER (PARTITION BY cust
+                                ORDER BY score DESC, cand ASC) AS rnk
+      FROM scores
+    ),
+    evalc AS (SELECT DISTINCT cust FROM ranked),
+    firsthit AS (
+      SELECT r.cust, MIN(r.rnk) AS r1
+      FROM ranked r JOIN target t ON t.cust = r.cust AND t.pk = r.cand
+      WHERE r.rnk <= 10
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM evalc) AS BIGINT) AS n_eval,
+           CAST(COUNT(f.cust) AS BIGINT) AS n_hits,
+           CAST((2*COUNT(f.cust)*1000000 + (SELECT COUNT(*) FROM evalc))
+                // (2*(SELECT COUNT(*) FROM evalc)) AS DOUBLE) / 1000000
+             AS hit_rate,
+           CAST((2*SUM(COALESCE(2520 // f.r1, 0))*1000000
+                 + 2520*(SELECT COUNT(*) FROM evalc))
+                // (2*2520*(SELECT COUNT(*) FROM evalc)) AS DOUBLE) / 1000000
+             AS mrr
+    FROM evalc e LEFT JOIN firsthit f ON f.cust = e.cust
+    """,
+    tags=("recommender", "ml-eval", "ranking"),
+)
+def q322_itemcf_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-LAST-ORDER-OUT recommender evaluation: hold out each
+    customer's last order, build the co-occurrence table from TRAINING
+    orders only (computing it on the full data would leak the held-out
+    basket into its own recommendations — the q148/q214 contamination
+    discipline applied to recsys eval), score candidates by summed
+    co-occurrence with the customer's history, exclude already-owned
+    items, and report hit-rate@10 and MRR@10 against the held-out
+    items.
+
+    Scale plan: the pair table is the q314 order-keyed join (basket-
+    bounded fan-out) min-support-pruned; candidate generation joins
+    history -> co-partners item-keyed; the per-customer top-10 is a
+    high-cardinality-key rank window (WindowGroupLimit pushes the cut
+    map-side); the already-owned exclusion is one anti-join.
+    Exactness: scores and ranks are integers; MRR credits are exact
+    2520/r integers (lcm(1..10)), so hit-rate and MRR are exact
+    rationals through the widened half-away division."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("dt"),
+    )
+    lastord = o.groupBy("cust").agg(
+        F.max(F.struct("dt", "ok")).getField("ok").alias("last_ok")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    items = (
+        li.join(o.select("ok", "cust"), "ok")
+        .join(lastord, "cust")
+        .select(
+            "ok", "cust", "pk", (F.col("ok") == F.col("last_ok")).alias("is_last")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds train/co, hist, target
+    )
+    train = items.where(~F.col("is_last")).select("ok", "pk")
+    ta = train.select("ok", F.col("pk").alias("pa"))
+    tb = train.select("ok", F.col("pk").alias("pb"))
+    co = (
+        ta.join(tb, "ok")
+        .where(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= 2)
+    )
+    hist = items.where(~F.col("is_last")).select("cust", "pk").distinct()
+    target = items.where(F.col("is_last")).select("cust", "pk").distinct()
+    scores = (
+        hist.join(co, hist.pk == co.pa)
+        .select("cust", F.col("pb").alias("cand"), "co")
+        .join(
+            hist.select(F.col("cust").alias("cust"), F.col("pk").alias("cand")),
+            ["cust", "cand"],
+            "left_anti",
+        )
+        .groupBy("cust", "cand")
+        .agg(F.sum("co").alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cust").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    ranked = scores.select(
+        "cust", "cand", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= 10)
+    ranked = ranked.localCheckpoint(eager=True)  # feeds evalc AND firsthit
+    evalc = ranked.select("cust").distinct()
+    firsthit = (
+        ranked.join(
+            target.withColumnRenamed("pk", "cand"), ["cust", "cand"]
+        )
+        .groupBy("cust")
+        .agg(F.min("rnk").alias("r1"))
+    )
+    j = evalc.join(firsthit, "cust", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("ne"),
+        F.sum(F.when(F.col("r1").isNotNull(), 1).otherwise(0)).alias("nh"),
+        F.sum(F.coalesce(F.expr("2520 div r1"), F.lit(0))).alias("cr"),
+    ).select(
+        F.col("ne").cast("long").alias("n_eval"),
+        F.col("nh").cast("long").alias("n_hits"),
+        F.expr(
+            "CAST((2*nh*1000000 + ne) div (2*ne) AS DOUBLE) / 1000000"
+        ).alias("hit_rate"),
+        F.expr(
+            "CAST((2*cr*1000000 + 2520*ne) div (2*2520*ne) AS DOUBLE)"
+            " / 1000000"
+        ).alias("mrr"),
+    )
+
+
+def _q323_oracle() -> str:
+    from .textops import _KM_ASSIGN_TPL, _lloyd_ctes
+
+    steps = _lloyd_ctes(8, 2, 64)
+    steps.append(_KM_ASSIGN_TPL.format(name="afinal", cents="cents2"))
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + """,
+    m AS (
+      SELECT a.cell, e.label, COUNT(*) AS n_cl
+      FROM afinal a JOIN embeddings e ON e.vec_id = a.id
+      GROUP BY 1, 2
+    ),
+    nc AS (SELECT cell, SUM(n_cl) AS n_c FROM m GROUP BY 1),
+    nl AS (SELECT label, SUM(n_cl) AS n_l FROM m GROUP BY 1),
+    nn AS (SELECT SUM(n_cl) AS n FROM m),
+    mi AS (
+      SELECT SUM(CAST(round(m.n_cl * ln(CAST(n.n AS DOUBLE) * m.n_cl
+                                        / (nc.n_c * nl.n_l)) / n.n, 12)
+                      AS DECIMAL(20,12))) AS mi
+      FROM m JOIN nc USING (cell) JOIN nl USING (label), nn n
+    ),
+    hc AS (
+      SELECT SUM(CAST(round(-(nc.n_c * ln(CAST(nc.n_c AS DOUBLE) / n.n))
+                            / n.n, 12) AS DECIMAL(20,12))) AS h
+      FROM nc, nn n
+    ),
+    hl AS (
+      SELECT SUM(CAST(round(-(nl.n_l * ln(CAST(nl.n_l AS DOUBLE) / n.n))
+                            / n.n, 12) AS DECIMAL(20,12))) AS h
+      FROM nl, nn n
+    ),
+    pur AS (
+      SELECT SUM(mx) AS hits FROM (
+        SELECT cell, MAX(n_cl) AS mx FROM m GROUP BY 1
+      )
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_vectors,
+           CAST((SELECT COUNT(*) FROM nc) AS BIGINT) AS n_cells_used,
+           CAST((2*pur.hits*1000000 + n.n) // (2*n.n) AS DOUBLE) / 1000000
+             AS purity,
+           round(CAST(mi.mi AS DOUBLE), 6) AS mutual_information,
+           CASE WHEN hc.h = 0 OR hl.h = 0 THEN NULL
+                ELSE round(CAST(mi.mi AS DOUBLE)
+                           / sqrt(CAST(hc.h AS DOUBLE)
+                                  * CAST(hl.h AS DOUBLE)), 6) END AS nmi
+    FROM nn n, mi, hc, hl, pur
+    """
+    )
+
+
+@query(
+    "q323_cluster_label_agreement",
+    oracle=_q323_oracle(),
+    tags=("ml-eval", "clustering", "embedding"),
+)
+def q323_cluster_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING-QUALITY evaluation against ground-truth labels: the
+    deterministic Lloyd k-means (8 cells, 2 iterations — q125's trainer)
+    scored by PURITY (majority-label mass per cell) and NMI (mutual
+    information over sqrt(H_cluster * H_label)) using the embeddings
+    table's label column — the unsupervised-vs-truth scorecard next to
+    the kNN classifier eval (q305).
+
+    Scale plan: the Lloyd loop is the shared bounded-centroid kernel;
+    agreement statistics are ONE (cell, label) agg (<= 8 x |labels|
+    rows) and everything downstream is bounded.  Exactness: purity is
+    an exact integer rational; each MI/entropy term is ln of an exact
+    integer ratio snapped at 12 dp into DECIMAL(20,12) before the exact
+    sum (the q244/q257 libm-ulp discipline); NMI is one divide + sqrt
+    of exact decimals, 6-dp rounded (sqrt output — tie-impossible)."""
+    from ..operators.ann import kmeans_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, assign = kmeans_fit(emb, n_cells=8, iters=2)
+    m = (
+        assign.withColumnRenamed("id", "vec_id")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n_cl"))
+        .localCheckpoint(eager=True)  # bounded; feeds 5 rollups
+    )
+    nc = m.groupBy("cell").agg(F.sum("n_cl").alias("n_c"))
+    nl = m.groupBy("label").agg(F.sum("n_cl").alias("n_l"))
+    nn = m.agg(F.sum("n_cl").alias("n"))
+    mi = (
+        m.join(nc, "cell")
+        .join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(n_cl * ln(CAST(n AS DOUBLE) * n_cl"
+                    " / (n_c * n_l)) / n, 12) AS DECIMAL(20,12))"
+                )
+            ).alias("mi")
+        )
+    )
+    hc = nc.crossJoin(F.broadcast(nn)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(-(n_c * ln(CAST(n_c AS DOUBLE) / n)) / n, 12)"
+                " AS DECIMAL(20,12))"
+            )
+        ).alias("hc")
+    )
+    hl = nl.crossJoin(F.broadcast(nn)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(-(n_l * ln(CAST(n_l AS DOUBLE) / n)) / n, 12)"
+                " AS DECIMAL(20,12))"
+            )
+        ).alias("hl")
+    )
+    pur = m.groupBy("cell").agg(F.max("n_cl").alias("mx")).agg(
+        F.sum("mx").alias("hits")
+    )
+    ncu = nc.agg(F.count(F.lit(1)).alias("n_cells_used"))
+    return (
+        nn.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(ncu))
+        .select(
+            F.col("n").cast("long").alias("n_vectors"),
+            F.col("n_cells_used").cast("long").alias("n_cells_used"),
+            F.expr(
+                "CAST((2*hits*1000000 + n) div (2*n) AS DOUBLE) / 1000000"
+            ).alias("purity"),
+            F.round(F.col("mi").cast("double"), 6).alias("mutual_information"),
+            F.when(
+                (F.col("hc") == 0) | (F.col("hl") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.col("mi").cast("double")
+                    / F.sqrt(
+                        F.col("hc").cast("double") * F.col("hl").cast("double")
+                    ),
+                    6,
+                )
+            )
+            .alias("nmi"),
+        )
+    )
+
+
+@query(
+    "q324_data_gap_audit",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+    ),
+    cal AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+    g AS (
+      SELECT event_type, day,
+             LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM d
+    ),
+    per AS (
+      SELECT g.event_type,
+             MIN(g.day) AS first_day, MAX(g.day) AS last_day,
+             COUNT(*) AS present,
+             MAX(CASE WHEN g.prev IS NULL THEN 0
+                      ELSE datediff('day', g.prev, g.day) - 1 END)
+               AS internal_gap
+      FROM g GROUP BY 1
+    )
+    SELECT p.event_type,
+           CAST(p.first_day AS VARCHAR) AS first_day,
+           CAST(p.last_day AS VARCHAR) AS last_day,
+           CAST(p.present AS BIGINT) AS days_present,
+           CAST(datediff('day', c.d0, c.d1) + 1 AS BIGINT) AS days_expected,
+           CAST(datediff('day', c.d0, c.d1) + 1 - p.present AS BIGINT)
+             AS days_missing,
+           CAST(GREATEST(p.internal_gap,
+                         datediff('day', c.d0, p.first_day),
+                         datediff('day', p.last_day, c.d1)) AS BIGINT)
+             AS longest_gap
+    FROM per p, cal c ORDER BY p.event_type
+    """,
+    tags=("data-quality", "monitoring", "calendar"),
+)
+def q324_data_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-GAP audit: per event type, coverage of the global event
+    calendar — days present vs expected, and the LONGEST run of missing
+    days (internal gaps-and-islands, plus leading/trailing gaps against
+    the global span) — the freshness/completeness monitor next to the
+    dq audit (q85) and partition-skew audit (q258): a pipeline that
+    silently stopped emitting one type shows up as a trailing gap long
+    before a volume z-score fires.
+
+    Scale plan: everything runs on the bounded distinct (type, day)
+    grid (calendar x |types| — the q288 AGG_INPUT_OK class); the lag
+    window partitions the bounded grid only.  Exactness: pure integer
+    day arithmetic; calendar days published as strings (the q154
+    convention)."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select("event_type", F.to_date("ts").alias("day")).distinct()
+    d = d.localCheckpoint(eager=True)  # bounded grid; feeds cal AND per
+    cal = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    g = d.select("event_type", "day", F.lag("day").over(w).alias("prev"))
+    per = g.groupBy("event_type").agg(
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("present"),
+        F.max(
+            F.when(F.col("prev").isNull(), 0).otherwise(
+                F.datediff("day", "prev") - 1
+            )
+        ).alias("internal_gap"),
+    )
+    return (
+        per.crossJoin(F.broadcast(cal))
+        .select(
+            "event_type",
+            F.col("first_day").cast("string").alias("first_day"),
+            F.col("last_day").cast("string").alias("last_day"),
+            F.col("present").cast("long").alias("days_present"),
+            (F.datediff("d1", "d0") + 1).cast("long").alias("days_expected"),
+            (F.datediff("d1", "d0") + 1 - F.col("present"))
+            .cast("long")
+            .alias("days_missing"),
+            F.greatest(
+                F.col("internal_gap"),
+                F.datediff("first_day", "d0"),
+                F.datediff("d1", "last_day"),
+            )
+            .cast("long")
+            .alias("longest_gap"),
+        )
+        .orderBy("event_type")
+    )

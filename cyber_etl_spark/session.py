@@ -53,6 +53,11 @@ def get_spark(app_name: str = "cyber-etl-spark", **extra_conf: str) -> SparkSess
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # isolate the table warehouse per process when asked (scripts/partest.py
+    # shards the suite across JVMs; saveAsTable data must not collide)
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if wh:
+        builder = builder.config("spark.sql.warehouse.dir", wh)
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -23,6 +23,24 @@ def _plan(spark, sf_dir, name: str) -> str:
     )
 
 
+@pytest.fixture(scope="module")
+def registry_plans(spark, sf_smoke) -> dict[str, str]:
+    """Every registered query's physical-plan string, built ONCE per test
+    module run and shared by the registry-wide audits — building 300+
+    plans costs ~2 min (kernel builders execute bounded checkpoint jobs),
+    and three audits each rebuilding them was the dominant suite cost
+    (r9 durations profile: 3 x ~115 s)."""
+    from cyber_etl_spark.plans import QUERIES
+
+    return {
+        name: q.builder(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        for name, q in sorted(QUERIES.items())
+    }
+
+
 def test_q01_scan_prunes_columns_and_pushes_filter(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "q01_pricing_summary")
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
@@ -47,7 +65,7 @@ def test_q06_semi_join_planned(spark, sf_smoke):
     assert "LeftSemi" in plan
 
 
-def test_whole_stage_codegen_everywhere_cheap(spark, sf_smoke):
+def test_whole_stage_codegen_everywhere_cheap(spark, sf_smoke, registry_plans):
     """The relational suite must stay JVM-side: no Python eval nodes in
     any oracle-checked query plan.  Exceptions are explicit: q39 scores
     millions of wide-vector pairs where the Arrow-vectorized numpy kernel
@@ -66,7 +84,7 @@ def test_whole_stage_codegen_everywhere_cheap(spark, sf_smoke):
     for name, q in QUERIES.items():
         if q.oracle is None:
             continue
-        plan = _plan(spark, sf_smoke, name)
+        plan = registry_plans[name]
         # row-at-a-time pickled Python is banned EVERYWHERE, including
         # the sanctioned vectorized surfaces (plan node names have the
         # Exec suffix stripped — "BatchEvalPython" is what toString
@@ -181,25 +199,21 @@ def test_q134_groupby_reuses_window_partitioning(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_registry_wide_no_cartesian_product(spark, sf_smoke):
+def test_registry_wide_no_cartesian_product(registry_plans):
     """Generic scale invariant over EVERY registered query: plans must
     contain no non-broadcast CartesianProduct — the one operator shape
     that is always wrong at 100 TB (every intended cross join in the
     registry is a broadcast 1-row statistic or bounded probe list, which
     plans as BroadcastNestedLoopJoin).  Also smoke-builds every plan, so
     an AnalysisException in any registered builder fails here without
-    executing anything."""
-    from cyber_etl_spark.plans import QUERIES
-
-    flagged = []
-    for name, q in sorted(QUERIES.items()):
-        plan = q.builder(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in plan:
-            flagged.append(name)
+    executing anything (the shared registry_plans fixture builds them)."""
+    flagged = [
+        name for name, plan in registry_plans.items() if "CartesianProduct" in plan
+    ]
     assert not flagged, flagged
 
 
-def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
+def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke, registry_plans):
     """Registry-wide scale invariant (r6 verdict): a full-output window
     partitioned ONLY by low-cardinality keys funnels each key's entire
     data through one window task — correct and fast at sf0.1, a
@@ -269,11 +283,13 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke):
         # q297: row-number over the calendar spine for the lag-7 naive
         # baseline (bounded by the calendar, the q213 class)
         "q297_hw_backtest",
+        # q324: lag over the distinct (type, day) grid (calendar x 5
+        # types, the q288 convention)
+        "q324_data_gap_audit",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []
-    for name, q in sorted(QUERIES.items()):
-        plan = q.builder(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    for name, plan in registry_plans.items():
         has_wgl = "WindowGroupLimit" in plan
         for m in spec_pat.finditer(plan):
             # kernel windows are self-identifying ANYWHERE in the spec:

@@ -1332,3 +1332,430 @@ def q324_data_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q325_logrank_test",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS s_day
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS p_day
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(date_trunc('day', ts)) AS h FROM events),
+    mid AS (
+      SELECT CAST(MIN(s_day) AS DATE)
+             + CAST(date_diff('day', MIN(s_day), MAX(s_day)) // 2 AS INT)
+               AS dmid
+      FROM su
+    ),
+    obs AS (
+      SELECT CASE WHEN CAST(su.s_day AS DATE) <= m.dmid THEN 1 ELSE 0 END
+               AS g1,
+             COALESCE(CASE WHEN pu.p_day IS NOT NULL AND pu.p_day >= su.s_day
+                           THEN date_diff('day', su.s_day, pu.p_day) END,
+                      date_diff('day', su.s_day, h.h)) AS t,
+             CASE WHEN pu.p_day IS NOT NULL AND pu.p_day >= su.s_day
+                  THEN 1 ELSE 0 END AS died
+      FROM su LEFT JOIN pu USING (user_id)
+      CROSS JOIN horizon h CROSS JOIN mid m
+    ),
+    grid AS (
+      SELECT t,
+             SUM(died) AS d, COUNT(*) AS removed,
+             SUM(CASE WHEN g1 = 1 THEN died ELSE 0 END) AS d1,
+             SUM(g1) AS removed1
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, d1,
+             (SELECT COUNT(*) FROM obs)
+               - COALESCE(SUM(removed) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n,
+             (SELECT SUM(g1) FROM obs)
+               - COALESCE(SUM(removed1) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1
+      FROM grid
+    ),
+    terms AS (
+      SELECT SUM(d1) AS o1,
+             SUM(CAST(round(CAST(d AS DOUBLE) * n1 / n, 12)
+                      AS DECIMAL(20,12))) AS e1,
+             SUM(CASE WHEN n > 1 THEN
+                   CAST(round(CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d)
+                              / (CAST(n AS DOUBLE) * n * (n - 1)), 12)
+                        AS DECIMAL(20,12))
+                 ELSE CAST(0 AS DECIMAL(20,12)) END) AS v1
+      FROM risk WHERE d > 0
+    ),
+    sizes AS (
+      SELECT SUM(g1) AS n_g1, SUM(1 - g1) AS n_g2 FROM obs
+    )
+    SELECT CAST(s.n_g1 AS BIGINT) AS n_early_cohort,
+           CAST(s.n_g2 AS BIGINT) AS n_late_cohort,
+           CAST(t.o1 AS BIGINT) AS observed_early,
+           round(CAST(t.e1 AS DOUBLE), 6) AS expected_early,
+           CASE WHEN t.v1 = 0 THEN NULL
+                ELSE round((CAST(t.o1 AS DOUBLE) - CAST(t.e1 AS DOUBLE))
+                           * (CAST(t.o1 AS DOUBLE) - CAST(t.e1 AS DOUBLE))
+                           / CAST(t.v1 AS DOUBLE), 6) END AS chi2
+    FROM terms t, sizes s
+    """,
+    tags=("survival", "hypothesis-test", "ml-eval"),
+)
+def q325_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK test between the EARLY and LATE signup cohorts (first
+    vs second half of the signup calendar): does time-to-first-purchase
+    differ?  Completes the survival family — Kaplan-Meier (q210) and
+    Nelson-Aalen (q268) describe one curve; the log-rank statistic
+    Z^2 = (O1 - E1)^2 / V1 with hypergeometric per-day variance is THE
+    two-curve comparison.
+
+    Scale plan: q210's per-user reduction is the only corpus-scale
+    work; risk sets come from cumulative windows over the bounded
+    per-day grid (the q210 AGG_INPUT_OK class), now carried per group
+    in the SAME pass.  Exactness: O1 is an integer; per-day E1/V1 are
+    exact integer ratios snapped 12 dp into DECIMAL(20,12) before the
+    exact sum (q268's discipline); the final chi-square is one
+    divide + 6-dp round of exact-decimal inputs."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("s_day"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("p_day"))
+    )
+    horizon = ev.agg(F.max(day).alias("h"))
+    mid = su.agg(
+        F.expr(
+            "CAST(MIN(s_day) AS DATE)"
+            " + CAST(datediff(MAX(s_day), MIN(s_day)) div 2 AS INT)"
+        ).alias("dmid")
+    )
+    obs = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .crossJoin(F.broadcast(mid))
+        .select(
+            F.when(F.col("s_day").cast("date") <= F.col("dmid"), 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.coalesce(
+                F.when(
+                    F.col("p_day").isNotNull()
+                    & (F.col("p_day") >= F.col("s_day")),
+                    F.datediff("p_day", "s_day"),
+                ),
+                F.datediff("h", "s_day"),
+            ).alias("t"),
+            F.when(
+                F.col("p_day").isNotNull() & (F.col("p_day") >= F.col("s_day")),
+                1,
+            )
+            .otherwise(0)
+            .alias("died"),
+        )
+        .localCheckpoint(eager=True)  # feeds grid, totals, sizes
+    )
+    tot = obs.agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("g1").alias("n1_total")
+    )
+    grid = obs.groupBy("t").agg(
+        F.sum("died").alias("d"),
+        F.count(F.lit(1)).alias("removed"),
+        F.sum(F.when(F.col("g1") == 1, F.col("died")).otherwise(0)).alias("d1"),
+        F.sum("g1").alias("removed1"),
+    )
+    from pyspark.sql.window import Window
+
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        grid.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n",
+            F.col("n_total")
+            - F.coalesce(F.sum("removed").over(wprev), F.lit(0)),
+        )
+        .withColumn(
+            "n1",
+            F.col("n1_total")
+            - F.coalesce(F.sum("removed1").over(wprev), F.lit(0)),
+        )
+        .where(F.col("d") > 0)
+    )
+    terms = risk.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(d AS DOUBLE) * n1 / n, 12)"
+                " AS DECIMAL(20,12))"
+            )
+        ).alias("e1"),
+        F.sum(
+            F.expr(
+                "CASE WHEN n > 1 THEN"
+                " CAST(round(CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d)"
+                " / (CAST(n AS DOUBLE) * n * (n - 1)), 12)"
+                " AS DECIMAL(20,12))"
+                " ELSE CAST(0 AS DECIMAL(20,12)) END"
+            )
+        ).alias("v1"),
+    )
+    sizes = obs.agg(
+        F.sum("g1").alias("n_g1"), F.sum(1 - F.col("g1")).alias("n_g2")
+    )
+    return terms.crossJoin(F.broadcast(sizes)).select(
+        F.col("n_g1").cast("long").alias("n_early_cohort"),
+        F.col("n_g2").cast("long").alias("n_late_cohort"),
+        F.col("o1").cast("long").alias("observed_early"),
+        F.round(F.col("e1").cast("double"), 6).alias("expected_early"),
+        F.when(F.col("v1") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("o1").cast("double") - F.col("e1").cast("double"))
+                * (F.col("o1").cast("double") - F.col("e1").cast("double"))
+                / F.col("v1").cast("double"),
+                6,
+            )
+        )
+        .alias("chi2"),
+    )
+
+
+@query(
+    "q326_scd2_intervals",
+    oracle=f"""
+    WITH slice AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE {_md5_mod_sql("user_id", 20)} = 0
+    ),
+    daily AS (
+      SELECT e.user_id, CAST(e.ts AS DATE) AS day, e.event_type,
+             COUNT(*) AS cnt
+      FROM events e JOIN slice s ON s.user_id = e.user_id
+      GROUP BY 1, 2, 3
+    ),
+    dom AS (
+      SELECT user_id, day,
+             FIRST(event_type ORDER BY cnt DESC, event_type ASC) AS attr
+      FROM daily GROUP BY 1, 2
+    ),
+    runs AS (
+      SELECT user_id, day, attr,
+             CASE WHEN LAG(attr) OVER (PARTITION BY user_id ORDER BY day)
+                       IS DISTINCT FROM attr THEN 1 ELSE 0 END AS chg
+      FROM dom
+    ),
+    rid AS (
+      SELECT user_id, day, attr,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    ),
+    iv AS (
+      SELECT user_id, run_id, FIRST(attr) AS attr,
+             MIN(day) AS valid_from, MAX(day) AS last_seen
+      FROM rid GROUP BY 1, 2
+    )
+    SELECT user_id, attr,
+           CAST(valid_from AS VARCHAR) AS valid_from,
+           CAST(LEAD(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from)
+                - INTERVAL 1 DAY AS DATE)::VARCHAR AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM iv ORDER BY user_id, valid_from
+    """,
+    tags=("scd2", "dimension", "window"),
+)
+def q326_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION (type 2) build: per user, the dominant
+    daily event type collapsed into validity intervals — consecutive
+    active days with the same dominant type form one dimension row with
+    [valid_from, valid_to) semantics (valid_to = day before the next
+    interval opens, NULL + is_current on the open row) — the
+    dimensional-modeling workhorse next to the CDC upsert (q180).
+    Audited on a deterministic 5% user slice (md5 % 20 = 0) so the
+    dimension table stays reviewable at any scale.
+
+    Scale plan: the dominant-type pick is a (user, day)-keyed
+    max-struct agg (never a window); runs and interval chaining are
+    high-cardinality USER-partitioned windows (bounded per-task state);
+    gaps-and-islands via the change-flag running sum.  Exactness:
+    integer day arithmetic, deterministic (count desc, type asc)
+    dominance ties, calendar days as strings."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    sl = ev.where(_md5_mod(F.col("user_id"), 20) == 0)
+    daily = sl.groupBy(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    dom = daily.groupBy("user_id", "day").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("event_type").alias("t"))
+        )
+        .getField("t")
+        .alias("attr")
+    )
+    wu = Window.partitionBy("user_id").orderBy("day")
+    runs = dom.select(
+        "user_id",
+        "day",
+        "attr",
+        F.when(
+            ~F.lag("attr").over(wu).eqNullSafe(F.col("attr")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    rid = runs.withColumn(
+        "run_id",
+        F.sum("chg").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = rid.groupBy("user_id", "run_id").agg(
+        F.first("attr").alias("attr"),
+        F.min("day").alias("valid_from"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(wv)
+    return iv.select(
+        "user_id",
+        "attr",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.date_sub(nxt, 1).cast("string").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+
+
+@query(
+    "q327_collocations_llr",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM bg),
+    c12 AS (SELECT w1, w2, COUNT(*) AS a FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+    c2 AS (SELECT w2, COUNT(*) AS n2 FROM bg GROUP BY 1),
+    cells AS (
+      SELECT c.w1, c.w2, c.a,
+             c1.n1 - c.a AS b, c2.n2 - c.a AS cc,
+             n.n - c1.n1 - c2.n2 + c.a AS d,
+             c1.n1, c2.n2, n.n
+      FROM c12 c JOIN c1 USING (w1) JOIN c2 USING (w2), nn n
+    ),
+    g AS (
+      SELECT w1, w2, a,
+             CAST(round(2 * a * ln(CAST(a AS DOUBLE) * n
+                                   / (CAST(n1 AS DOUBLE) * n2)), 12)
+                  AS DECIMAL(20,12))
+             + CASE WHEN b > 0 THEN
+                 CAST(round(2 * b * ln(CAST(b AS DOUBLE) * n
+                     / (CAST(n1 AS DOUBLE) * (n - n2))), 12)
+                      AS DECIMAL(20,12)) ELSE 0 END
+             + CASE WHEN cc > 0 THEN
+                 CAST(round(2 * cc * ln(CAST(cc AS DOUBLE) * n
+                     / (CAST(n - n1 AS DOUBLE) * n2)), 12)
+                      AS DECIMAL(20,12)) ELSE 0 END
+             + CASE WHEN d > 0 THEN
+                 CAST(round(2 * d * ln(CAST(d AS DOUBLE) * n
+                     / (CAST(n - n1 AS DOUBLE) * (n - n2))), 12)
+                      AS DECIMAL(20,12)) ELSE 0 END AS g2
+      FROM cells WHERE a >= 5
+    )
+    SELECT w1, w2, CAST(a AS BIGINT) AS n_cooccur,
+           round(CAST(g2 AS DOUBLE), 6) AS llr
+    FROM g
+    ORDER BY llr DESC, w1, w2 LIMIT 20
+    """,
+    tags=("text", "collocation", "statistics"),
+)
+def q327_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION extraction by Dunning's log-likelihood ratio: the
+    top-20 adjacent word bigrams whose co-occurrence is most surprising
+    under independence (G^2 over the 2x2 contingency of each bigram vs
+    its margins, min co-count 5) — the statistically-grounded sibling
+    of the PMI pairs (q170): LLR stays calibrated for rare words where
+    PMI explodes.
+
+    Scale plan: bigrams come from one shifted-array zip per document
+    (the shingles kernel at n=2 — no positional self-join); margins and
+    cells are three keyed aggs over the bounded bigram vocabulary.
+    Exactness: all counts integer; each of the 4 G^2 terms is
+    k*ln(exact integer ratio) snapped 12 dp into DECIMAL(20,12) before
+    the exact sum (q244/q323 discipline); ranking ties break on the
+    bigram text."""
+    from ..functions.text import shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    bg = docs.select(
+        F.explode(shingles(toks, n=2)).alias("bigram")
+    ).select(
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+    )
+    bg = bg.localCheckpoint(eager=True)  # feeds 4 aggregates
+    nn = bg.agg(F.count(F.lit(1)).alias("n"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("a"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    cells = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nn))
+        .where(F.col("a") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "a",
+            (F.col("n1") - F.col("a")).alias("b"),
+            (F.col("n2") - F.col("a")).alias("cc"),
+            (F.col("n") - F.col("n1") - F.col("n2") + F.col("a")).alias("d"),
+            "n1",
+            "n2",
+            "n",
+        )
+    )
+    term = (
+        "CAST(round(2 * a * ln(CAST(a AS DOUBLE) * n"
+        " / (CAST(n1 AS DOUBLE) * n2)), 12) AS DECIMAL(20,12))"
+        " + CASE WHEN b > 0 THEN"
+        " CAST(round(2 * b * ln(CAST(b AS DOUBLE) * n"
+        " / (CAST(n1 AS DOUBLE) * (n - n2))), 12) AS DECIMAL(20,12))"
+        " ELSE 0 END"
+        " + CASE WHEN cc > 0 THEN"
+        " CAST(round(2 * cc * ln(CAST(cc AS DOUBLE) * n"
+        " / (CAST(n - n1 AS DOUBLE) * n2)), 12) AS DECIMAL(20,12))"
+        " ELSE 0 END"
+        " + CASE WHEN d > 0 THEN"
+        " CAST(round(2 * d * ln(CAST(d AS DOUBLE) * n"
+        " / (CAST(n - n1 AS DOUBLE) * (n - n2))), 12) AS DECIMAL(20,12))"
+        " ELSE 0 END"
+    )
+    return (
+        cells.select(
+            "w1",
+            "w2",
+            F.col("a").cast("long").alias("n_cooccur"),
+            F.round(F.expr(term).cast("double"), 6).alias("llr"),
+        )
+        .orderBy(F.col("llr").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -286,6 +286,9 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke, registry
         # q324: lag over the distinct (type, day) grid (calendar x 5
         # types, the q288 convention)
         "q324_data_gap_audit",
+        # q325: cumulative risk-set windows over the per-DAY grid
+        # (the q210 class, carried per cohort in the same pass)
+        "q325_logrank_test",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

@@ -1759,3 +1759,376 @@ def q327_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("llr").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "q328_theil_sen_trend",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, cnt,
+             date_diff('day', (SELECT MIN(day) FROM d), day) AS x
+      FROM d
+    ),
+    slopes AS (
+      SELECT CAST(round(CAST(b.cnt - a.cnt AS DOUBLE) / (b.x - a.x), 12)
+                  AS DECIMAL(20,12)) AS s
+      FROM idx a JOIN idx b ON b.x > a.x
+    ),
+    r AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn, COUNT(*) OVER () AS m
+      FROM slopes
+    )
+    SELECT CAST(MAX(m) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CASE
+               WHEN m % 2 = 1 AND rn = (m + 1) // 2 THEN s
+               WHEN m % 2 = 0 AND rn IN (m // 2, m // 2 + 1) THEN s / 2
+               ELSE 0 END) AS DOUBLE), 6) AS slope_per_day
+    FROM r
+    """,
+    tags=("timeseries", "robust", "trend"),
+)
+def q328_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend of the daily event volume: the median of
+    all pairwise slopes — the outlier-proof alternative to the OLS
+    slope (one anomalous day moves OLS; it barely moves the pairwise
+    median).  Companion to the Mann-Kendall test (q329) that shares the
+    pairwise structure.
+
+    Scale plan: the pairwise table is bounded by the CALENDAR squared
+    (~days^2/2 rows — grid-bounded, never corpus-bounded), so the
+    rank-median runs on a bounded frame (AGG_INPUT_OK class).
+    Exactness: slopes are exact integer ratios snapped 12 dp into
+    DECIMAL(20,12) BEFORE ranking, so the sort order and the median
+    element are identical cross-engine by construction; even-count
+    medians average two exact decimals."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    d = d.localCheckpoint(eager=True)  # bounded; feeds min-day AND the pairs
+    m0 = d.agg(F.min("day").alias("day0"))
+    idx = d.crossJoin(F.broadcast(m0)).select(
+        F.datediff("day", "day0").alias("x"), "cnt"
+    )
+    a = idx.select(F.col("x").alias("xa"), F.col("cnt").alias("ca"))
+    b = idx.select(F.col("x").alias("xb"), F.col("cnt").alias("cb"))
+    slopes = (
+        a.join(b, F.col("xb") > F.col("xa"))
+        .select(
+            F.expr(
+                "CAST(round(CAST(cb - ca AS DOUBLE) / (xb - xa), 12)"
+                " AS DECIMAL(20,12))"
+            ).alias("s")
+        )
+    )
+    w = Window.orderBy("s")
+    r = slopes.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    return r.agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("m") % 2 == 1) & (F.col("rn") == (F.col("m") + 1) / 2),
+                    F.col("s"),
+                )
+                .when(
+                    (F.col("m") % 2 == 0)
+                    & (
+                        (F.col("rn") == F.col("m") / 2)
+                        | (F.col("rn") == F.col("m") / 2 + 1)
+                    ),
+                    F.col("s") / 2,
+                )
+                .otherwise(F.lit(0).cast("decimal(20,12)"))
+            ).cast("double"),
+            6,
+        ).alias("slope_per_day"),
+    )
+
+
+@query(
+    "q329_mann_kendall",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.cnt > a.cnt THEN 1
+                  WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn
+      FROM d a JOIN d b ON b.day > a.day
+    ),
+    s AS (SELECT SUM(sgn) AS s, COUNT(*) AS n_pairs FROM pairs),
+    nn AS (SELECT COUNT(*) AS n FROM d),
+    ties AS (
+      SELECT COALESCE(SUM(CAST(tc AS HUGEINT) * (tc - 1) * (2*tc + 5)), 0)
+               AS tie_term
+      FROM (SELECT cnt, COUNT(*) AS tc FROM d GROUP BY 1 HAVING COUNT(*) > 1)
+    )
+    SELECT CAST(s.s AS BIGINT) AS s_statistic,
+           CAST(s.n_pairs AS BIGINT) AS n_pairs,
+           round((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2*nn.n + 5)
+                  - CAST(ties.tie_term AS DOUBLE)) / 18, 6) AS variance,
+           CASE WHEN nn.n * (nn.n - 1) * (2*nn.n + 5) - ties.tie_term = 0
+                THEN NULL
+                ELSE round((CAST(s.s AS DOUBLE)
+                            - CASE WHEN s.s > 0 THEN 1
+                                   WHEN s.s < 0 THEN -1 ELSE 0 END)
+                     / sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2*nn.n + 5)
+                             - CAST(ties.tie_term AS DOUBLE)) / 18), 6) END
+             AS z
+    FROM s, nn, ties
+    """,
+    tags=("timeseries", "hypothesis-test", "trend"),
+)
+def q329_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL monotone-trend test on the daily event volume: the
+    S statistic (concordant minus discordant day pairs), its
+    tie-corrected variance, and the continuity-corrected Z — the
+    nonparametric is-there-a-trend gate that pairs with Theil-Sen's
+    how-big (q328); distribution-free unlike the OLS t-test.
+
+    Scale plan: pairwise sign counts run on the calendar-bounded day
+    grid (days^2/2 rows); ties and variance are exact integers.
+    Exactness: S and the tie term are pure integers; Z is one
+    continuity-corrected divide + IEEE sqrt of an exact rational,
+    6-dp rounded (irrational — tie-impossible)."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    d = d.localCheckpoint(eager=True)  # bounded; feeds pairs, n, ties
+    a = d.select(F.col("day").alias("da"), F.col("cnt").alias("ca"))
+    b = d.select(F.col("day").alias("db"), F.col("cnt").alias("cb"))
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        d.groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .where(F.col("tc") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(tc AS DECIMAL(38,0)) * (tc - 1) * (2*tc + 5)"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("tie_term")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("s").cast("long").alias("s_statistic"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(
+                (
+                    F.expr("CAST(n AS DOUBLE) * (n - 1) * (2*n + 5)")
+                    - F.col("tie_term").cast("double")
+                )
+                / 18,
+                6,
+            ).alias("variance"),
+            F.when(
+                F.expr("n * (n - 1) * (2*n + 5) - tie_term") == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    (
+                        F.col("s").cast("double")
+                        - F.when(F.col("s") > 0, 1)
+                        .when(F.col("s") < 0, -1)
+                        .otherwise(0)
+                    )
+                    / F.sqrt(
+                        (
+                            F.expr("CAST(n AS DOUBLE) * (n - 1) * (2*n + 5)")
+                            - F.col("tie_term").cast("double")
+                        )
+                        / 18
+                    ),
+                    6,
+                )
+            )
+            .alias("z"),
+        )
+    )
+
+
+_FK_EDGES: tuple[tuple[str, str, str, str, str], ...] = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "q331_fk_integrity_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{fk}' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(SUM(CASE WHEN {col} IS NOT NULL AND p.{pcol} IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+    FROM {tbl} c LEFT JOIN {ptbl} p ON p.{pcol} = c.{col}
+    """
+        for fk, tbl, col, ptbl, pcol in _FK_EDGES
+    )
+    + "\nORDER BY fk",
+    tags=("data-quality", "referential-integrity", "join"),
+)
+def q331_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit of the star schema: for every
+    foreign-key edge, the row count, distinct key count, NULL keys, and
+    ORPHANS (keys with no parent row) — the constraint check a lakehouse
+    owes since parquet enforces nothing; completes the data-quality
+    family (q85 column dq, q272 functional dependencies, q324 calendar
+    gaps).
+
+    Scale plan: each edge is ONE left join against its (usually
+    broadcastable) parent's key projection + a 1-row rollup; the fact
+    side never shuffles twice (count/distinct/null/orphan share the
+    joined pass).  Exactness: pure integer counts."""
+    frames = []
+    for fk, tbl, col, ptbl, pcol in _FK_EDGES:
+        c = read_table(spark, sf_dir, tbl)
+        p = read_table(spark, sf_dir, ptbl).select(
+            F.col(pcol).alias("__pk")
+        ).distinct()
+        j = c.join(p, c[col] == F.col("__pk"), "left")
+        frames.append(
+            j.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(F.col(col)).alias("n_keys"),
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(
+                    "n_null"
+                ),
+                F.sum(
+                    F.when(
+                        F.col(col).isNotNull() & F.col("__pk").isNull(), 1
+                    ).otherwise(0)
+                ).alias("n_orphan"),
+            ).select(
+                F.lit(fk).alias("fk"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_keys").cast("long").alias("n_keys"),
+                F.col("n_null").cast("long").alias("n_null"),
+                F.col("n_orphan").cast("long").alias("n_orphan"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("fk")
+
+
+@query(
+    "q330_join_fanout_audit",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ),
+    o AS (
+      SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(l.k, o.k) AS k,
+             COALESCE(l.c, 0) AS lc, COALESCE(o.c, 0) AS oc
+      FROM l FULL OUTER JOIN o USING (k)
+    )
+    SELECT CAST(SUM(CASE WHEN lc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_left_keys,
+           CAST(SUM(CASE WHEN oc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_right_keys,
+           CAST(MAX(lc) AS BIGINT) AS max_left_rows_per_key,
+           CAST(MAX(oc) AS BIGINT) AS max_right_rows_per_key,
+           CAST(MAX(CAST(lc AS HUGEINT) * oc) AS BIGINT) AS max_key_fanout,
+           CAST(SUM(CAST(lc AS HUGEINT) * oc) AS BIGINT) AS join_output_rows,
+           CAST(SUM(CASE WHEN lc > 0 AND oc = 0 THEN lc ELSE 0 END)
+                AS BIGINT) AS left_dangling_rows,
+           CAST(SUM(CASE WHEN oc > 0 AND lc = 0 THEN oc ELSE 0 END)
+                AS BIGINT) AS right_dangling_rows
+    FROM j
+    """,
+    tags=("profiling", "join", "planning"),
+)
+def q330_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN FAN-OUT audit for lineitem x orders on the order key: per-
+    side key multiplicities, the worst per-key fan-out product, the
+    EXACT join output cardinality, and dangling rows on each side — the
+    planning statistic behind skew-join decisions (q102's salting, AQE
+    skew splits) computed as a first-class query: sizing a join from
+    per-key count sketches is how an optimizer avoids a 10x-output
+    surprise at 100 TB.
+
+    Scale plan: one key-count agg PER SIDE (map-side combinable), one
+    key-keyed full-outer join of the two COUNT tables (never the fact
+    tables themselves — the audit's cost is O(keys), not O(rows)).
+    Exactness: pure integer counts; products widened."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    l = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("lc")
+    )
+    r = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("oc")
+    )
+    j = l.join(r, "k", "full_outer").select(
+        F.coalesce("lc", F.lit(0)).alias("lc"),
+        F.coalesce("oc", F.lit(0)).alias("oc"),
+    )
+    return j.agg(
+        F.sum(F.when(F.col("lc") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_left_keys"),
+        F.sum(F.when(F.col("oc") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_right_keys"),
+        F.max("lc").cast("long").alias("max_left_rows_per_key"),
+        F.max("oc").cast("long").alias("max_right_rows_per_key"),
+        F.max(F.expr("CAST(lc AS DECIMAL(38,0)) * oc"))
+        .cast("long")
+        .alias("max_key_fanout"),
+        F.sum(F.expr("CAST(lc AS DECIMAL(38,0)) * oc"))
+        .cast("long")
+        .alias("join_output_rows"),
+        F.sum(F.when((F.col("lc") > 0) & (F.col("oc") == 0), F.col("lc")).otherwise(0))
+        .cast("long")
+        .alias("left_dangling_rows"),
+        F.sum(F.when((F.col("oc") > 0) & (F.col("lc") == 0), F.col("oc")).otherwise(0))
+        .cast("long")
+        .alias("right_dangling_rows"),
+    )

@@ -1048,3 +1048,113 @@ def hll_register_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+from pyspark.sql.types import BooleanType
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("day", StringType()),
+        StructField("cnt", LongType()),
+        StructField("n_trail", LongType()),
+        StructField("z", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+_ANOMALY_STATE = StructType(
+    [
+        StructField("days", ArrayType(LongType())),
+        StructField("cnts", ArrayType(LongType())),
+    ]
+)
+
+_ANOMALY_WINDOW = 28
+_ANOMALY_MIN_TRAIL = 14
+
+
+def trailing_anomaly_stream(daily: DataFrame) -> DataFrame:
+    """Streaming twin of q319's trailing-window anomaly flags: consumes
+    the daily-aggregate feed (event_type, day, cnt) and scores each
+    incoming day against its type's trailing 28-day history held in
+    state — O(window) state per key, emission per fed day once
+    >= 14 history days exist.
+
+    Exactness contract: state stores the RAW (epoch-day, count) pairs of
+    the trailing window, so dev/varnum are the same exact integers the
+    batch query aggregates, the |z| >= 3 flag is the same integer
+    cross-multiplication, and z the same 6-dp signed sqrt — per-day
+    output over an in-order feed equals the batch rows exactly (the twin
+    test).  Late EARLIER days merge into the history (future emissions
+    see them) but already-emitted rows are not revised — the emit-once
+    streaming contract."""
+    from datetime import date
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            days, cnts = state.get
+            hist = dict(zip(days, cnts))
+        else:
+            hist = {}
+        rows = pd.concat(list(batches)).sort_values("day")
+        out = {k: [] for k in ("day", "cnt", "n_trail", "z", "is_anomaly")}
+        for day_s, c in zip(rows["day"], rows["cnt"]):
+            epoch = date.fromisoformat(str(day_s)).toordinal()
+            c = int(c)
+            window = [
+                v
+                for d, v in hist.items()
+                if epoch - _ANOMALY_WINDOW <= d <= epoch - 1
+            ]
+            n = len(window)
+            hist[epoch] = hist.get(epoch, 0) + c
+            if n < _ANOMALY_MIN_TRAIL:
+                continue
+            s = sum(window)
+            s2 = sum(v * v for v in window)
+            dev = n * c - s
+            varnum = n * s2 - s * s
+            if varnum == 0:
+                z = None
+                flag = False
+            else:
+                # replicate the batch EXPRESSION TREE operation by
+                # operation (CAST(dev*dev AS DOUBLE) * (n-1) /
+                # (CAST(n AS DOUBLE) * varnum)) — an exact-integer
+                # ratio computed in a different association can differ
+                # by one ulp and flip the 6-dp round
+                z2 = (float(dev * dev) * (n - 1)) / (float(n) * varnum)
+                zval = (-1.0 if dev < 0 else 1.0) * z2**0.5
+                z = _round6_half_away(zval)
+                flag = dev * dev * (n - 1) >= 9 * n * varnum
+            out["day"].append(str(day_s))
+            out["cnt"].append(c)
+            out["n_trail"].append(n)
+            out["z"].append(z)
+            out["is_anomaly"].append(flag)
+        # prune state to the trailing window behind the newest day
+        if hist:
+            mx = max(hist)
+            hist = {d: v for d, v in hist.items() if d >= mx - _ANOMALY_WINDOW}
+        state.update((list(hist.keys()), list(hist.values())))
+        if out["day"]:
+            yield pd.DataFrame(
+                {
+                    "event_type": [etype] * len(out["day"]),
+                    **out,
+                }
+            )
+
+    return daily.select("event_type", "day", "cnt").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOMALY_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -289,6 +289,9 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke, registry
         # q325: cumulative risk-set windows over the per-DAY grid
         # (the q210 class, carried per cohort in the same pass)
         "q325_logrank_test",
+        # q328: rank-median over the pairwise-slope table — bounded by
+        # the CALENDAR squared, never the corpus
+        "q328_theil_sen_trend",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

@@ -904,3 +904,52 @@ def test_hll_register_stream_twin(spark, sf_smoke, tmp_path):
             rho = 25 if suffix == 0 else 24 - suffix.bit_length() + 1
             regs[j] = max(regs[j], rho)
         assert last[et].registers_hit == sum(1 for m in regs if m > 0), et
+
+
+def test_trailing_anomaly_stream_matches_batch_q319(spark, sf_smoke, tmp_path):
+    """Streaming trailing-window anomaly flags == the q319 batch rows
+    over the same in-order daily feed (three day-ordered files crossing
+    micro-batches): same (type, day) rows emitted, same n_trail/z/flag
+    to the last bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import trailing_anomaly_stream
+
+    ev = read_table(spark, sf_smoke, "events")
+    grid = (
+        ev.groupBy("event_type", F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("day")
+        .toPandas()
+    )
+    d = tmp_path / "anom_feed"
+    d.mkdir()
+    days = sorted(grid["day"].unique())
+    n = len(days)
+    for i in range(3):
+        sel = days[i * n // 3 : (i + 1) * n // 3]
+        chunk = grid[grid["day"].isin(sel)]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"c{i}.parquet"))
+    stream = (
+        spark.readStream.schema("event_type string, day string, cnt long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_stream_to_memory(
+        trailing_anomaly_stream(stream), "anom_mem", mode="update"
+    )
+    got = {
+        (r.event_type, r.day): (r.n_trail, r.z, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM anom_mem").collect()
+    }
+    want = {
+        (r.event_type, r.day): (r.n_trail, r.z, r.is_anomaly)
+        for r in QUERIES["q319_trailing_anomaly"].builder(spark, sf_smoke).collect()
+    }
+    assert got == want

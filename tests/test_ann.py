@@ -442,3 +442,39 @@ def test_no_all_pairs_kernel_feeds_neighbor_graph_consumers():
             if "cosine_neardup_pairs(" in code and "import" not in code:
                 offenders.append(f"{path.name}:{lineno}")
     assert offenders == ["textops.py:675"], offenders
+
+
+def test_eps_neighbor_pairs_subblock_invariance(spark, sf_smoke, monkeypatch):
+    """Shrinking the block-size target forces n_sub > 1 (cells split into
+    hash sub-blocks, candidate cell pairs expand to sub-block pairs) —
+    results must be identical: sub-blocking is a memory knob, never a
+    semantics knob (the cosine_neardup_pairs invariance contract carried
+    to the eps kernel)."""
+    import cyber_etl_spark.operators.ann as ann
+    from cyber_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    base = ann.eps_neighbor_pairs(emb, threshold=0.3).toPandas()
+    monkeypatch.setattr(ann, "_TARGET_BLOCK_BYTES", 8 * 1024)
+    many = ann.eps_neighbor_pairs(emb, threshold=0.3).toPandas()
+    key = ["id_a", "id_b", "cosine"]
+    assert sorted(map(tuple, base[key].values)) == sorted(
+        map(tuple, many[key].values)
+    )
+    assert len(base) > 0
+
+
+def test_eps_neighbor_pairs_tiny_corpus(spark):
+    """Fewer rows than n_cells: seeds collapse to the row count, cells
+    stay consistent, and the exact pair semantics hold on a 3-row
+    corpus (plus the empty corpus returns an empty frame)."""
+    import cyber_etl_spark.operators.ann as ann
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = ann.eps_neighbor_pairs(emb, threshold=0.9).toPandas()
+    assert sorted(map(tuple, got[["id_a", "id_b"]].values)) == [(1, 2)]
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ann.eps_neighbor_pairs(empty).count() == 0

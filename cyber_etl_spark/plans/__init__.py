@@ -10,3 +10,4 @@ from . import analytics2  # noqa: F401
 from . import analytics3  # noqa: F401
 from . import analytics4  # noqa: F401
 from . import analytics5  # noqa: F401
+from . import analytics6  # noqa: F401

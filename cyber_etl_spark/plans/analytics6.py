@@ -492,3 +492,658 @@ def q335_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("covariate")
     )
+
+
+def _sha6_sql(num: str, den: str) -> str:
+    """Sign-aware half-away round(num/den, 6) for an exact integer
+    rational with den > 0 (the q241/q225 CASE form), DuckDB text."""
+    return (
+        f"CAST(CASE WHEN ({num}) >= 0"
+        f" THEN (2*({num})*1000000 + ({den})) // (2*({den}))"
+        f" ELSE -((2*(-({num}))*1000000 + ({den})) // (2*({den}))) END"
+        f" AS DOUBLE) / 1000000"
+    )
+
+
+def _sha6(num: str, den: str) -> F.Column:
+    """Spark twin of :func:`_sha6_sql` (div for //)."""
+    return (
+        F.expr(
+            f"CAST(CASE WHEN ({num}) >= 0"
+            f" THEN (2*({num})*1000000 + ({den})) div (2*({den}))"
+            f" ELSE -((2*(-({num}))*1000000 + ({den})) div (2*({den}))) END"
+            " AS DOUBLE)"
+        )
+        / 1_000_000
+    )
+
+
+@query(
+    "q336_qini_uplift",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             {_md5_mod_sql("user_id", 2)} AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS score
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT user_id, arm, y, score,
+             row_number() OVER w AS rn,
+             SUM(arm) OVER w AS cum_t,
+             SUM(arm * y) OVER w AS cum_ty,
+             SUM(1 - arm) OVER w AS cum_c,
+             SUM((1 - arm) * y) OVER w AS cum_cy
+      FROM u
+      WINDOW w AS (ORDER BY score DESC, user_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (
+      SELECT COUNT(*) AS n, SUM(arm) AS tt, SUM(arm * y) AS tty,
+             SUM(1 - arm) AS tc, SUM((1 - arm) * y) AS tcy
+      FROM u
+    ),
+    b AS (
+      SELECT i, (i * n + 9) // 10 AS k, n, tt, tty, tc, tcy
+      FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) AS v(i), t
+    )
+    SELECT b.i AS decile, r.rn AS k,
+           CAST(r.cum_t AS BIGINT) AS n_treat,
+           CAST(r.cum_c AS BIGINT) AS n_ctrl,
+           CASE WHEN r.cum_c > 0 THEN
+             {_sha6_sql(
+                 "CAST(r.cum_ty AS HUGEINT)*r.cum_c"
+                 " - CAST(r.cum_cy AS HUGEINT)*r.cum_t",
+                 "CAST(r.cum_c AS HUGEINT)",
+             )}
+           END AS qini,
+           {_sha6_sql(
+               "(CAST(b.tty AS HUGEINT)*b.tc"
+               " - CAST(b.tcy AS HUGEINT)*b.tt) * b.i",
+               "CAST(b.tc AS HUGEINT) * 10",
+           )} AS random_line
+    FROM r JOIN b ON r.rn = b.k
+    ORDER BY decile
+    """,
+    tags=("uplift", "experiment", "kernel"),
+)
+def q336_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve at deciles for an uplift policy: users ranked by a
+    targeting score (click count, best-first), with the cumulative
+    incremental responders q(k) = T_y(k) − C_y(k)·T(k)/C(k) evaluated
+    at each population decile against the random-targeting diagonal —
+    the offline evaluation for 'whom should the campaign treat',
+    complementing the bandit replay (q299) and the A/B readout (q294).
+    Arms come from the deterministic md5 coin (q335's).
+
+    Scale plan: one events aggregate to user cardinality, then ALL four
+    cumulative series ride ONE prefix-kernel pass
+    (`operators/prefix.running_totals`: one range shuffle, one control
+    table, aligned on the same (score desc, user) total order — the
+    q221 shape); decile rows are an equi-join against a broadcast
+    10-row boundary table.  No global window, no per-decile rescan.
+    Exactness: every cumulative is an exact integer; qini and the
+    diagonal are sign-aware half-away rationals widened to
+    DECIMAL(38,0) (cross-products are n²-scale); boundary ranks
+    k=ceil(i·N/10) are distinct whenever N ≥ 10 (one row per decile).
+    Laziness: kernel builders execute bounded checkpoint jobs."""
+    from ..operators.prefix import running_totals
+
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("score"),
+    ).select(
+        "user_id",
+        "y",
+        "score",
+        _md5_mod(F.col("user_id"), 2).alias("arm"),
+    )
+    u = u.localCheckpoint(eager=True)  # feeds the kernel AND the totals
+    s = u.select(
+        "user_id",
+        (-F.col("score")).alias("negscore"),
+        F.col("arm").alias("t"),
+        (F.col("arm") * F.col("y")).alias("ty"),
+        (1 - F.col("arm")).alias("c"),
+        ((1 - F.col("arm")) * F.col("y")).alias("cy"),
+        F.lit(1).alias("one"),
+    )
+    r = running_totals(
+        s,
+        [
+            ("one", "rn"),
+            ("t", "cum_t"),
+            ("ty", "cum_ty"),
+            ("c", "cum_c"),
+            ("cy", "cum_cy"),
+        ],
+        order_cols=["negscore", "user_id"],
+    )
+    t = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("arm").alias("tt"),
+        F.sum(F.col("arm") * F.col("y")).alias("tty"),
+        F.sum(1 - F.col("arm")).alias("tc"),
+        F.sum((1 - F.col("arm")) * F.col("y")).alias("tcy"),
+    )
+    b = t.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"),
+        "n",
+        "tt",
+        "tty",
+        "tc",
+        "tcy",
+    ).select(
+        "i",
+        F.expr("(i * n + 9) div 10").alias("k"),
+        "tt",
+        "tty",
+        "tc",
+        "tcy",
+    )
+    return (
+        r.join(F.broadcast(b), r.rn == b.k)
+        .select(
+            F.col("i").alias("decile"),
+            F.col("rn").alias("k"),
+            F.col("cum_t").cast("long").alias("n_treat"),
+            F.col("cum_c").cast("long").alias("n_ctrl"),
+            F.when(
+                F.col("cum_c") > 0,
+                _sha6(
+                    "CAST(cum_ty AS DECIMAL(38,0))*cum_c"
+                    " - CAST(cum_cy AS DECIMAL(38,0))*cum_t",
+                    "CAST(cum_c AS DECIMAL(38,0))",
+                ),
+            ).alias("qini"),
+            _sha6(
+                "(CAST(tty AS DECIMAL(38,0))*tc"
+                " - CAST(tcy AS DECIMAL(38,0))*tt) * i",
+                "CAST(tc AS DECIMAL(38,0)) * 10",
+            ).alias("random_line"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _ipf_oracle() -> str:
+    """Generated DuckDB twin of the q337 driver-side IPF replay: the
+    corpus work (cells + margins) in SQL, then 4 unrolled iterations of
+    row-scale / column-scale half-steps whose float expression
+    `floor(CAST(w AS DOUBLE) * target / margin + 0.5)` is operation-by-
+    operation identical to the Python walk.  Every chained weight CTE is
+    multi-referenced (margin agg + scale join) → AS MATERIALIZED
+    (the q141/q255 inlining-blowup rule)."""
+    sql = [
+        """
+    WITH cells AS MATERIALIZED (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             COUNT(*) AS n,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)) AS rc
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS nt, SUM(rc) AS rt FROM cells),
+    rmarg AS MATERIALIZED (
+      SELECT pri, (CAST(nt AS HUGEINT) * 1000000 * SUM(rc)) // rt AS ru
+      FROM cells, tot GROUP BY pri, nt, rt
+    ),
+    cmarg AS MATERIALIZED (
+      SELECT st, (CAST(nt AS HUGEINT) * 1000000 * SUM(rc)) // rt AS cu
+      FROM cells, tot GROUP BY st, nt, rt
+    ),
+    w0 AS MATERIALIZED (
+      SELECT pri, st, n, CAST(n AS HUGEINT) * 1000000 AS w FROM cells
+    )"""
+    ]
+    prev = "w0"
+    for k in range(1, 5):
+        sql.append(
+            f""",
+    m{k}r AS (SELECT pri, SUM(w) AS rs FROM {prev} GROUP BY 1),
+    w{k}r AS MATERIALIZED (
+      SELECT c.pri, c.st, c.n,
+             CAST(floor(CAST(c.w AS DOUBLE) * r.ru / m.rs + 0.5)
+                  AS HUGEINT) AS w
+      FROM {prev} c JOIN m{k}r m USING (pri) JOIN rmarg r USING (pri)
+    ),
+    m{k}c AS (SELECT st, SUM(w) AS cs FROM w{k}r GROUP BY 1),
+    w{k} AS MATERIALIZED (
+      SELECT c.pri, c.st, c.n,
+             CAST(floor(CAST(c.w AS DOUBLE) * g.cu / m.cs + 0.5)
+                  AS HUGEINT) AS w
+      FROM w{k}r c JOIN m{k}c m USING (st) JOIN cmarg g USING (st)
+    )"""
+        )
+        prev = f"w{k}"
+    sql.append(
+        f"""
+    SELECT pri AS priority, st AS status, CAST(n AS BIGINT) AS n_seed,
+           CAST(w AS DOUBLE) / 1000000 AS raked
+    FROM {prev} ORDER BY priority, status"""
+    )
+    return "".join(sql)
+
+
+@query(
+    "q337_ipf_raking",
+    oracle=_ipf_oracle(),
+    tags=("survey", "raking", "kernel"),
+)
+def q337_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (iterative proportional fitting): rescale the
+    (order-priority × order-status) count table so its row and column
+    sums match REVENUE-share target margins — 4 fixed IPF iterations of
+    alternating row/column scaling, the estimator survey statistics
+    uses to weight a sample to known population margins (and a training
+    pipeline uses to reweight a corpus to target source × language
+    mixes, complementing the one-margin mixture sampler q151).
+
+    Scale plan: corpus work is ONE fact-table aggregate to the bounded
+    15-cell contingency table; the iteration is constant-size state, so
+    it runs DRIVER-SIDE on the guarded bounded collect (≤64 cells, the
+    q223/q296 rule — 8 distributed supersteps on 15 rows would be pure
+    scheduling overhead) and ships back as a VALUES LocalRelation (pure
+    JVM, no pythonized partitions).  Exactness: seed weights and target
+    margins are exact integer micro-units; each half-step is ONE float
+    expression — floor(float(w)·float(target)/float(margin) + 0.5) —
+    replayed operation-for-operation by the generated 8-level
+    MATERIALIZED CTE chain in DuckDB, so the published integers are
+    bit-identical; the final raked weight is CAST(w AS DOUBLE)/1e6 of
+    the same integer in both engines."""
+    import math
+
+    orders = read_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("rc"),
+    )
+    rows = cells.limit(65).collect()
+    if len(rows) > 64:
+        raise ValueError(
+            "q337_ipf_raking: contingency-cell collect exceeded 64 rows — "
+            "the margin keys are no longer bounded vocabularies; the "
+            "driver-side IPF replay must never collect an unbounded frame"
+        )
+    nt = sum(r["n"] for r in rows)
+    rt = sum(int(r["rc"]) for r in rows)
+    rev_pri: dict = {}
+    rev_st: dict = {}
+    for r in rows:
+        rev_pri[r["pri"]] = rev_pri.get(r["pri"], 0) + int(r["rc"])
+        rev_st[r["st"]] = rev_st.get(r["st"], 0) + int(r["rc"])
+    ru = {p: (nt * 1_000_000 * v) // rt for p, v in rev_pri.items()}
+    cu = {s: (nt * 1_000_000 * v) // rt for s, v in rev_st.items()}
+    w = {(r["pri"], r["st"]): r["n"] * 1_000_000 for r in rows}
+    seed = {(r["pri"], r["st"]): r["n"] for r in rows}
+    for _ in range(4):
+        rs: dict = {}
+        for (p, s), v in w.items():
+            rs[p] = rs.get(p, 0) + v
+        w = {
+            (p, s): math.floor(float(v) * float(ru[p]) / float(rs[p]) + 0.5)
+            for (p, s), v in w.items()
+        }
+        cs: dict = {}
+        for (p, s), v in w.items():
+            cs[s] = cs.get(s, 0) + v
+        w = {
+            (p, s): math.floor(float(v) * float(cu[s]) / float(cs[s]) + 0.5)
+            for (p, s), v in w.items()
+        }
+    for p, s in w:
+        if "'" in p or "'" in s:  # VALUES-literal safety, not expected
+            raise ValueError("q337_ipf_raking: quote in margin key")
+    vals = ", ".join(
+        f"('{p}', '{s}', {seed[(p, s)]}, {w[(p, s)]})" for p, s in sorted(w)
+    )
+    return spark.sql(
+        f"SELECT priority, status, CAST(n AS BIGINT) AS n_seed,"
+        f" CAST(w AS DOUBLE) / 1000000 AS raked"
+        f" FROM (VALUES {vals}) AS t(priority, status, n, w)"
+        f" ORDER BY priority, status"
+    )
+
+
+@query(
+    "q338_info_gain_stump",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok, o_totalprice AS price,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    r AS (
+      SELECT price, row_number() OVER (ORDER BY price, ok) AS rn FROM o
+    ),
+    t AS (SELECT COUNT(*) AS n, SUM(y) AS pos FROM o),
+    b AS (
+      SELECT i, price AS thr
+      FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS v(i), t
+      JOIN r ON r.rn = (i * n + 9) // 10
+    ),
+    cnt AS (
+      SELECT b.i, b.thr,
+             SUM(CASE WHEN o.price <= b.thr THEN 1 ELSE 0 END) AS nl,
+             SUM(CASE WHEN o.price <= b.thr THEN o.y ELSE 0 END) AS a
+      FROM o, b GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT i, thr, nl, a,
+             nl - a AS bb, pos - a AS cc, n - nl - pos + a AS d,
+             nl AS n1, pos AS n2, n
+      FROM cnt, t
+    ),
+    g AS (
+      SELECT i, thr, nl, a, n,
+             CASE WHEN a > 0 THEN
+               CAST(round(2 * a * ln(CAST(a AS DOUBLE) * n
+                   / (CAST(n1 AS DOUBLE) * n2)), 12) AS DECIMAL(20,12))
+               ELSE 0 END
+             + CASE WHEN bb > 0 THEN
+               CAST(round(2 * bb * ln(CAST(bb AS DOUBLE) * n
+                   / (CAST(n1 AS DOUBLE) * (n - n2))), 12)
+                    AS DECIMAL(20,12)) ELSE 0 END
+             + CASE WHEN cc > 0 THEN
+               CAST(round(2 * cc * ln(CAST(cc AS DOUBLE) * n
+                   / (CAST(n - n1 AS DOUBLE) * n2)), 12)
+                    AS DECIMAL(20,12)) ELSE 0 END
+             + CASE WHEN d > 0 THEN
+               CAST(round(2 * d * ln(CAST(d AS DOUBLE) * n
+                   / (CAST(n - n1 AS DOUBLE) * (n - n2))), 12)
+                    AS DECIMAL(20,12)) ELSE 0 END AS g2
+      FROM cells
+    )
+    SELECT CAST(i AS INT) AS decile, thr AS threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(a AS BIGINT) AS pos_left,
+           round(CAST(g2 AS DOUBLE) / (2 * n), 6) AS info_gain
+    FROM g ORDER BY decile
+    """,
+    tags=("ml", "feature", "entropy"),
+)
+def q338_info_gain_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump threshold screening by information gain: candidate
+    splits at the 9 order-price deciles, each scored by the mutual
+    information between side(price ≤ thr) and the binary label
+    (order fulfilled), computed as Dunning G²/(2n) over the side×class
+    2×2 table — the first split a tree learner would consider, and the
+    continuous-feature companion of the categorical Gini ranking
+    (q233) and the chi-square independence test (q220).
+
+    Scale plan: decile thresholds come from the distributed prefix
+    kernel's global order (rank equi-join at k=ceil(i·n/10) — the q334
+    lookup, no single-task sort, no in-memory percentile); the 9
+    candidate evaluations ride ONE broadcast nested-loop pass over the
+    fact table (9-row bounded probe list, q122's crossJoin class) into
+    one map-side-combinable agg.  Exactness: all cells integer; each G²
+    term is k·ln(exact integer ratio) snapped 12 dp into DECIMAL(20,12)
+    before the exact sum (q327 idiom); the published gain divides the
+    exact decimal by 2n in identical IEEE doubles.  Laziness: the rank
+    kernel executes bounded checkpoint jobs at plan-build time."""
+    from ..operators.prefix import global_ranks
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    o = o.localCheckpoint(eager=True)  # feeds ranks, totals AND the scan
+    r = global_ranks(
+        o.select("price", "ok"), order_cols=("price", "ok"), rn_col="rn",
+        total_col="n_all",
+    )
+    t = o.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    b = (
+        t.select(
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i"), "n", "pos"
+        )
+        .withColumn("k", F.expr("(i * n + 9) div 10"))
+        .join(r.select("rn", F.col("price").alias("thr")), F.col("k") == F.col("rn"))
+        .select("i", "thr", "n", "pos")
+    )
+    cnt = (
+        o.crossJoin(F.broadcast(b))
+        .groupBy("i", "thr", "n", "pos")
+        .agg(
+            F.sum(F.when(F.col("price") <= F.col("thr"), 1).otherwise(0)).alias(
+                "nl"
+            ),
+            F.sum(
+                F.when(F.col("price") <= F.col("thr"), F.col("y")).otherwise(0)
+            ).alias("a"),
+        )
+    )
+    cells = cnt.select(
+        "i",
+        "thr",
+        "nl",
+        "a",
+        "n",
+        (F.col("nl") - F.col("a")).alias("bb"),
+        (F.col("pos") - F.col("a")).alias("cc"),
+        (F.col("n") - F.col("nl") - F.col("pos") + F.col("a")).alias("d"),
+        F.col("nl").alias("n1"),
+        F.col("pos").alias("n2"),
+    )
+    g = cells.withColumn(
+        "g2",
+        F.expr(
+            """
+            CASE WHEN a > 0 THEN
+              CAST(round(2 * a * ln(CAST(a AS DOUBLE) * n
+                  / (CAST(n1 AS DOUBLE) * n2)), 12) AS DECIMAL(20,12))
+              ELSE 0 END
+            + CASE WHEN bb > 0 THEN
+              CAST(round(2 * bb * ln(CAST(bb AS DOUBLE) * n
+                  / (CAST(n1 AS DOUBLE) * (n - n2))), 12)
+                   AS DECIMAL(20,12)) ELSE 0 END
+            + CASE WHEN cc > 0 THEN
+              CAST(round(2 * cc * ln(CAST(cc AS DOUBLE) * n
+                  / (CAST(n - n1 AS DOUBLE) * n2)), 12)
+                   AS DECIMAL(20,12)) ELSE 0 END
+            + CASE WHEN d > 0 THEN
+              CAST(round(2 * d * ln(CAST(d AS DOUBLE) * n
+                  / (CAST(n - n1 AS DOUBLE) * (n - n2))), 12)
+                   AS DECIMAL(20,12)) ELSE 0 END
+            """
+        ),
+    )
+    return g.select(
+        F.col("i").cast("int").alias("decile"),
+        F.col("thr").alias("threshold"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("a").cast("long").alias("pos_left"),
+        F.round(F.col("g2").cast("double") / (2 * F.col("n")), 6).alias(
+            "info_gain"
+        ),
+    ).orderBy("decile")
+
+
+# Durbin-Levinson recursion levels shared VERBATIM by the Spark builder
+# and the DuckDB oracle (identical text -> identical IEEE evaluation
+# order -> bit-identical doubles; inputs r1..r5 are 12-dp-snapped exact
+# rationals, so both engines start from the same bits).
+_DL_LEVELS: list[list[str]] = [
+    ["r1 AS p11"],
+    ["1 - p11*r1 AS den2", "r2 - p11*r1 AS num2"],
+    ["num2/den2 AS p22"],
+    ["p11 - p22*p11 AS p21"],
+    ["1 - (p21*r1 + p22*r2) AS den3", "r3 - (p21*r2 + p22*r1) AS num3"],
+    ["num3/den3 AS p33"],
+    ["p21 - p33*p22 AS p31", "p22 - p33*p21 AS p32"],
+    [
+        "1 - (p31*r1 + p32*r2 + p33*r3) AS den4",
+        "r4 - (p31*r3 + p32*r2 + p33*r1) AS num4",
+    ],
+    ["num4/den4 AS p44"],
+    [
+        "p31 - p44*p33 AS p41",
+        "p32 - p44*p32 AS p42",
+        "p33 - p44*p31 AS p43",
+    ],
+    [
+        "1 - (p41*r1 + p42*r2 + p43*r3 + p44*r4) AS den5",
+        "r5 - (p41*r4 + p42*r3 + p43*r2 + p44*r1) AS num5",
+    ],
+    ["num5/den5 AS p55"],
+]
+
+
+def _snap12_sql(num: str, den: str) -> str:
+    """Sign-aware half-away round(num/den, 12) as an exact double —
+    DuckDB text (the q244 12-dp snap, integer-division form)."""
+    return (
+        f"CAST(CASE WHEN ({num}) >= 0"
+        f" THEN (2*({num})*1000000000000 + ({den})) // (2*({den}))"
+        f" ELSE -((2*(-({num}))*1000000000000 + ({den})) // (2*({den})))"
+        f" END AS DOUBLE) / 1000000000000"
+    )
+
+
+def _pacf_oracle() -> str:
+    chain = []
+    prev = "base"
+    for j, level in enumerate(_DL_LEVELS):
+        name = f"l{j}"
+        chain.append(
+            f", {name} AS (SELECT *, {', '.join(level)} FROM {prev})"
+        )
+        prev = name
+    snaps = ", ".join(
+        _snap12_sql(f"n{k}", "n0") + f" AS r{k}" for k in range(1, 6)
+    )
+    return f"""
+    WITH g AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1
+    ),
+    t AS (SELECT COUNT(*) AS nd, SUM(x) AS s FROM g),
+    p AS (
+      SELECT b.day - a.day AS k,
+             SUM((CAST(nd AS HUGEINT)*a.x - s)
+                 * (CAST(nd AS HUGEINT)*b.x - s)) AS num
+      FROM g a JOIN t ON TRUE
+      JOIN g b ON b.day >= a.day AND b.day <= a.day + 5
+      GROUP BY 1
+    ),
+    piv AS (
+      SELECT SUM(CASE WHEN k = 0 THEN num END) AS n0,
+             SUM(CASE WHEN k = 1 THEN num END) AS n1,
+             SUM(CASE WHEN k = 2 THEN num END) AS n2,
+             SUM(CASE WHEN k = 3 THEN num END) AS n3,
+             SUM(CASE WHEN k = 4 THEN num END) AS n4,
+             SUM(CASE WHEN k = 5 THEN num END) AS n5
+      FROM p
+    ),
+    base AS (SELECT {snaps} FROM piv)
+    {''.join(chain)}
+    SELECT u.lag AS lag_days,
+           CASE u.lag WHEN 1 THEN r1 WHEN 2 THEN r2 WHEN 3 THEN r3
+                      WHEN 4 THEN r4 ELSE r5 END AS acf,
+           round(CASE u.lag WHEN 1 THEN p11 WHEN 2 THEN p22
+                            WHEN 3 THEN p33 WHEN 4 THEN p44
+                            ELSE p55 END, 6) AS pacf
+    FROM {prev}, (VALUES (1),(2),(3),(4),(5)) AS u(lag)
+    ORDER BY lag_days
+    """
+
+
+@query(
+    "q339_pacf",
+    oracle=_pacf_oracle(),
+    tags=("timeseries", "pacf", "agg-grid"),
+)
+def q339_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1..5 via the Durbin-Levinson recursion — the AR-order picker that
+    complements the raw ACF screen (q241): PACF(k) is the lag-k
+    correlation with lags 1..k-1 regressed out, so an AR(p) series cuts
+    off sharply after lag p where the ACF only decays.
+
+    Scale plan: identical corpus economics to q241 (per-DAY grid, lag
+    pairing as an equi-join on exploded offsets, exact centered-integer
+    products); the recursion runs on a ONE-ROW bounded frame as chained
+    projections — constant-size state never iterates distributed
+    (q223's rule), and here it doesn't even need a kernel task.
+    Exactness: ρ_1..ρ_5 are sign-aware HALF-AWAY 12-dp snaps of exact
+    integer rationals (2·|num|·1e12 widened in DECIMAL(38,0) — bounds
+    the centered-product sum at ~1e25, fine for daily grids), so both
+    engines enter the recursion with bit-identical doubles; every
+    Durbin-Levinson level is shared VERBATIM between the Spark
+    selectExpr chain and the generated DuckDB CTE chain (`_DL_LEVELS`),
+    making each φ bit-identical before the final 6-dp round."""
+    ev = read_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    t = g.agg(F.count(F.lit(1)).alias("nd"), F.sum("x").alias("s"))
+    a = (
+        g.crossJoin(F.broadcast(t))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(5))))
+        .select(
+            F.date_add(F.col("day"), F.col("k")).alias("bday"),
+            F.col("k"),
+            F.expr("CAST(nd AS DECIMAL(38,0))*x - s").alias("ca"),
+        )
+    )
+    b = g.crossJoin(F.broadcast(t)).select(
+        F.col("day").alias("bday"),
+        F.expr("CAST(nd AS DECIMAL(38,0))*x - s").alias("cb"),
+    )
+    p = (
+        a.join(b, "bday")
+        .groupBy("k")
+        .agg(F.sum(F.expr("ca * cb")).alias("num"))
+    )
+    piv = p.agg(
+        *[
+            F.sum(F.when(F.col("k") == k, F.col("num"))).alias(f"n{k}")
+            for k in range(0, 6)
+        ]
+    )
+    base = piv.selectExpr(
+        *[
+            "CAST(CASE WHEN (n{k}) >= 0"
+            " THEN (2*(n{k})*1000000000000 + (n0)) div (2*(n0))"
+            " ELSE -((2*(-(n{k}))*1000000000000 + (n0)) div (2*(n0)))"
+            " END AS DOUBLE) / 1000000000000 AS r{k}".format(k=k)
+            for k in range(1, 6)
+        ]
+    )
+    cur = base
+    for level in _DL_LEVELS:
+        cur = cur.selectExpr("*", *level)
+    return (
+        cur.select(
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("lag_days"),
+            *[F.col(c) for c in ["r1", "r2", "r3", "r4", "r5"]],
+            *[F.col(c) for c in ["p11", "p22", "p33", "p44", "p55"]],
+        )
+        .select(
+            "lag_days",
+            F.expr(
+                "CASE lag_days WHEN 1 THEN r1 WHEN 2 THEN r2 WHEN 3 THEN r3"
+                " WHEN 4 THEN r4 ELSE r5 END"
+            ).alias("acf"),
+            F.round(
+                F.expr(
+                    "CASE lag_days WHEN 1 THEN p11 WHEN 2 THEN p22"
+                    " WHEN 3 THEN p33 WHEN 4 THEN p44 ELSE p55 END"
+                ),
+                6,
+            ).alias("pacf"),
+        )
+        .orderBy("lag_days")
+    )

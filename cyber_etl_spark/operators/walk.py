@@ -1,0 +1,96 @@
+"""Distributed per-group sequential walks.
+
+The q248/q223 rule placed BOUNDED constant-size recurrences in one
+driver/kernel task.  This module covers the complementary regime: MANY
+independent small recurrences (one per part / user / device).  The
+right scale shape is NOT one Python call per group (per-group
+applyInPandas overhead dominates when groups are tiny — measured 12 s
+for 20k parts at sf0.1): groups are first reduced to one row carrying
+their sparse step list, then a ``mapInPandas`` kernel walks ALL groups
+of an Arrow batch simultaneously — the time loop is O(horizon) steps of
+VECTORIZED numpy integer math over the group axis (the blocked-GEMM
+lesson from operators/ann applied to recurrences).  All arithmetic is
+exact int64, so a recursive-CTE oracle replays every trajectory
+bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clamped_inventory_walk(
+    demand: DataFrame,
+    group_col: str,
+    step_col: str,
+    demand_col: str,
+    replenish_col: str,
+    cap_col: str,
+    horizon_col: str,
+) -> DataFrame:
+    """Per-group clamped stock recurrence over a dense step grid.
+
+    For each group g with integer parameters r (replenish per step),
+    cap (storage clamp) and W (horizon), starting at stock = cap::
+
+        stock_t = min(cap, max(0, stock_{t-1} + r - d_t)),  t = 0..W-1
+
+    where d_t is the group's demand at step t (0 where the sparse
+    ``demand`` frame has no row — the walk iterates the FULL grid, not
+    just observed steps).  A step is a *shortage* when demand exceeded
+    available stock (stock_{t-1} + r - d_t < 0, i.e. the clamp at 0
+    engaged).  Returns one row per group:
+    ``(group, shortage_steps, end_stock)``.
+
+    Scale contract: one hash shuffle to group cardinality (the
+    collect_list agg), then an embarrassingly-parallel mapInPandas
+    whose state is one int64 vector pair per Arrow batch; per-group
+    state is O(W) (calendar-bounded).  The parameter columns must be
+    constant within a group (first row wins) and the horizon constant
+    across the frame.
+    """
+    import numpy as np
+    import pandas as pd
+
+    agg = demand.groupBy(F.col(group_col).cast("long").alias(group_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col(step_col).cast("long").alias("t"),
+                F.col(demand_col).cast("long").alias("d"),
+            )
+        ).alias("_steps"),
+        F.first(F.col(replenish_col).cast("long")).alias("_r"),
+        F.first(F.col(cap_col).cast("long")).alias("_cap"),
+        F.first(F.col(horizon_col).cast("long")).alias("_w"),
+    )
+
+    out_schema = f"{group_col} long, shortage_steps long, end_stock long"
+
+    def _walk(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            horizon = int(pdf["_w"].iloc[0])
+            dm = np.zeros((n, horizon), dtype=np.int64)
+            for row_i, steps in enumerate(pdf["_steps"]):
+                for s in steps:
+                    dm[row_i, s["t"]] = s["d"]
+            r = pdf["_r"].to_numpy(dtype=np.int64)
+            cap = pdf["_cap"].to_numpy(dtype=np.int64)
+            stock = cap.copy()
+            shortages = np.zeros(n, dtype=np.int64)
+            for t in range(horizon):
+                avail = stock + r - dm[:, t]
+                shortages += avail < 0
+                stock = np.minimum(cap, np.maximum(avail, 0))
+            yield pd.DataFrame(
+                {
+                    group_col: pdf[group_col].to_numpy(dtype=np.int64),
+                    "shortage_steps": shortages,
+                    "end_stock": stock,
+                }
+            )
+
+    return agg.mapInPandas(_walk, schema=out_schema)

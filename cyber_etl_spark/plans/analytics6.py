@@ -1147,3 +1147,419 @@ def q339_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_days")
     )
+
+
+@query(
+    "q340_wl_refinement",
+    oracle="""
+    WITH li2 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    ew AS (SELECT a.s AS src, b.s AS dst, COUNT(*) AS w
+           FROM li2 a JOIN li2 b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+    qq AS (SELECT quantile_cont(w, 0.95) AS q99 FROM ew),
+    se AS (SELECT src, dst FROM ew, qq WHERE w >= q99),
+    sym AS MATERIALIZED (SELECT src, dst FROM se UNION SELECT dst, src FROM se),
+    c0 AS MATERIALIZED (
+      SELECT src AS id, CAST(COUNT(*) AS VARCHAR) AS c FROM sym GROUP BY 1
+    ),
+    c1 AS MATERIALIZED (
+      SELECT s.src AS id,
+             md5(x.c || ':' || string_agg(n.c, ',' ORDER BY n.c)) AS c
+      FROM sym s JOIN c0 x ON x.id = s.src JOIN c0 n ON n.id = s.dst
+      GROUP BY s.src, x.c
+    ),
+    c2 AS MATERIALIZED (
+      SELECT s.src AS id,
+             md5(x.c || ':' || string_agg(n.c, ',' ORDER BY n.c)) AS c
+      FROM sym s JOIN c1 x ON x.id = s.src JOIN c1 n ON n.id = s.dst
+      GROUP BY s.src, x.c
+    ),
+    cen AS (SELECT c, COUNT(*) AS n_nodes FROM c2 GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_colors FROM cen)
+    SELECT c AS color, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_colors AS BIGINT) AS n_colors
+    FROM cen, tot ORDER BY n_nodes DESC, color LIMIT 20
+    """,
+    tags=("graph", "wl", "isomorphism"),
+)
+def q340_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman color refinement (2 rounds) on the P95
+    co-supply backbone: each node's color is iteratively rehashed from
+    (own color, sorted multiset of neighbor colors) — the canonical
+    structural-role fingerprint (graph-kernel / GNN-expressiveness
+    primitive).  Published as the round-2 color census: nodes with the
+    same color are locally indistinguishable at radius 2, a structural
+    complement to the label-propagation communities (q30).
+
+    Scale plan: runs on the memoized sparse backbone (the q89/q161
+    rule — NEVER the raw near-clique projection); each round is one
+    neighbor join + one groupBy whose aggregate is a SORTED array of
+    bounded-degree neighbor colors; color frames feeding two join sides
+    are pinned (the ≥2-consumer rule).  Exactness: colors are md5 hex
+    of a canonical string (sorted ASCII join — Spark array_sort and
+    DuckDB string_agg ORDER BY agree on ASCII order), so the census is
+    engine-independent; ties in the top-20 cut break on the color hex."""
+    from .graphops import _sparse_upper_edges
+
+    se = _sparse_upper_edges(spark, sf_dir)
+    sym = se.union(
+        se.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    colors = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("string").alias("c")
+    )
+    for _ in range(2):
+        colors = colors.localCheckpoint(eager=True)  # feeds BOTH join sides
+        own = colors.select(F.col("id").alias("src"), F.col("c").alias("oc"))
+        nbr = colors.select(F.col("id").alias("dst"), F.col("c").alias("nc"))
+        colors = (
+            sym.join(own, "src")
+            .join(nbr, "dst")
+            .groupBy(F.col("src").alias("id"), F.col("oc"))
+            .agg(
+                F.md5(
+                    F.concat(
+                        F.col("oc"),
+                        F.lit(":"),
+                        F.array_join(
+                            F.array_sort(F.collect_list("nc")), ","
+                        ),
+                    )
+                ).alias("c")
+            )
+            .drop("oc")
+        )
+    cen = colors.groupBy("c").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tot = cen.agg(F.count(F.lit(1)).alias("n_colors"))
+    return (
+        cen.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c").alias("color"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_colors").cast("long").alias("n_colors"),
+        )
+        .orderBy(F.col("n_nodes").desc(), "color")
+        .limit(20)
+    )
+
+
+@query(
+    "q341_inventory_walk",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT MIN(CAST(l_shipdate AS DATE)) AS d0,
+             (MAX(CAST(l_shipdate AS DATE)) - MIN(CAST(l_shipdate AS DATE)))
+               // 28 + 1 AS w
+      FROM lineitem
+    ),
+    d AS MATERIALIZED (
+      SELECT l_partkey AS pk, (CAST(l_shipdate AS DATE) - d0) // 28 AS t,
+             SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS dem
+      FROM lineitem, g GROUP BY 1, 2
+    ),
+    p AS MATERIALIZED (
+      SELECT pk, (SUM(dem) + w - 1) // w AS r,
+             4 * ((SUM(dem) + w - 1) // w) AS cap, w
+      FROM d, g GROUP BY pk, w
+    ),
+    walk AS (
+      SELECT p.pk, 0 AS t,
+             LEAST(p.cap, GREATEST(0, p.cap + p.r - COALESCE(d.dem, 0)))
+               AS stock,
+             CASE WHEN p.cap + p.r - COALESCE(d.dem, 0) < 0
+                  THEN 1 ELSE 0 END AS shortages,
+             p.r, p.cap, p.w
+      FROM p LEFT JOIN d ON d.pk = p.pk AND d.t = 0
+      UNION ALL
+      SELECT wk.pk, wk.t + 1,
+             LEAST(wk.cap, GREATEST(0, wk.stock + wk.r - COALESCE(d.dem, 0))),
+             wk.shortages + CASE WHEN wk.stock + wk.r - COALESCE(d.dem, 0) < 0
+                                 THEN 1 ELSE 0 END,
+             wk.r, wk.cap, wk.w
+      FROM walk wk LEFT JOIN d ON d.pk = wk.pk AND d.t = wk.t + 1
+      WHERE wk.t + 1 < wk.w
+    )
+    SELECT pk AS partkey, CAST(shortages AS BIGINT) AS shortage_steps,
+           CAST(stock AS BIGINT) AS end_stock
+    FROM walk WHERE t = w - 1
+    ORDER BY shortage_steps DESC, partkey LIMIT 20
+    """,
+    tags=("inventory", "recurrence", "kernel"),
+)
+def q341_inventory_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped inventory simulation per part: stock starts at cap,
+    gains a constant replenishment r = ceil(total demand / periods)
+    each 28-day period and loses that period's shipped quantity,
+    clamped to [0, cap = 4r]; published are the top-20 parts by
+    shortage periods (demand arrived when stock+r couldn't cover it) —
+    the stockout-risk screen a supply planner runs, and the
+    MANY-small-recurrences complement of the single-series forecast
+    kernels (q248/q277).
+
+    Scale plan: demand aggregates to the (part, period) grid first;
+    the walk runs in `operators/walk.clamped_inventory_walk` — a
+    group-keyed applyInPandas where parts shard across executors and
+    per-part state is calendar-bounded (NEVER a driver loop or a
+    WITH RECURSIVE join round per period, Spark's recursion schedules
+    one join per step — the q248 lesson; the recursive CTE stays
+    ORACLE-side where DuckDB executes it fine).  Exactness: demands,
+    replenishment and clamps are pure integers, so the SQL twin
+    replays every trajectory bit-identically; ties break on partkey."""
+    from ..operators.walk import clamped_inventory_walk
+
+    li = read_table(spark, sf_dir, "lineitem")
+    g = li.agg(
+        F.min(F.to_date("l_shipdate")).alias("d0"),
+        (
+            F.expr(
+                "datediff(MAX(to_date(l_shipdate)), MIN(to_date(l_shipdate)))"
+                " div 28"
+            )
+            + 1
+        ).alias("w"),
+    )
+    d = (
+        li.crossJoin(F.broadcast(g))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.expr("datediff(to_date(l_shipdate), d0) div 28").alias("t"),
+            F.col("w"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+            ).alias("dem")
+        )
+    )
+    d = d.localCheckpoint(eager=True)  # feeds params agg AND the walk input
+    p = d.groupBy("pk", "w").agg(
+        F.expr("(SUM(dem) + w - 1) div w").alias("r"),
+        F.expr("4 * ((SUM(dem) + w - 1) div w)").alias("cap"),
+    )
+    walk_in = d.drop("w").join(p, "pk").withColumnRenamed("pk", "partkey")
+    out = clamped_inventory_walk(
+        walk_in, "partkey", "t", "dem", "r", "cap", "w"
+    )
+    return out.orderBy(
+        F.col("shortage_steps").desc(), "partkey"
+    ).limit(20)
+
+
+@query(
+    "q342_apriori_triples",
+    oracle=f"""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT pk, COUNT(*) AS cnt FROM items GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+    tri AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c,
+             COUNT(*) AS support
+      FROM items a
+      JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      JOIN items c ON b.ok = c.ok AND b.pk < c.pk
+      GROUP BY 1, 2, 3
+    )
+    SELECT part_a, part_b, part_c, CAST(support AS BIGINT) AS support,
+           {_ha6_sql(
+               "CAST(support AS HUGEINT) * n_orders * n_orders",
+               "CAST(na.cnt AS HUGEINT) * nb.cnt * nc.cnt",
+           )} AS lift3
+    FROM tri
+    JOIN n na ON na.pk = part_a
+    JOIN n nb ON nb.pk = part_b
+    JOIN n nc ON nc.pk = part_c, tot
+    ORDER BY support DESC, lift3 DESC, part_a, part_b, part_c LIMIT 20
+    """,
+    tags=("recommender", "itemsets", "join"),
+)
+def q342_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets (the level-3 apriori pass
+    extending q192/q314's pairs): part triples bought together, ranked
+    by support then the 3-way lift support·N²/(n_a·n_b·n_c) against
+    item independence; top-20 by (support, lift3, keys).  No min-
+    support cut: at the 20k-part sparsity of the larger scale factors
+    no triple repeats, and the lift ordering keeps the head
+    interpretable (most-surprising co-purchases) instead of empty.
+
+    Scale plan: the triple enumeration is TWO equi-joins on the ORDER
+    key with strict part ordering, so per-order fan-out is bounded by
+    basket size CHOOSE 3 (~4 items here → output LINEAR in orders);
+    at larger basket sizes the apriori prune (extend only frequent
+    pairs) plus a min-support HAVING must bound candidates before the
+    degree joins.  Exactness: lift3 is an exact integer rational
+    through sign-free `_ha6`, cross-products widened to DECIMAL(38,0)
+    (N² is corpus-squared scale)."""
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=True)  # degree table + 3 join sides + N
+    )
+    n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = items.agg(F.count_distinct("ok").alias("n_orders"))
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select("ok", F.col("pk").alias("part_b"))
+    c = items.select("ok", F.col("pk").alias("part_c"))
+    tri = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .join(c, "ok")
+        .where(F.col("part_b") < F.col("part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    na = n.select(F.col("pk").alias("part_a"), F.col("cnt").alias("na"))
+    nb = n.select(F.col("pk").alias("part_b"), F.col("cnt").alias("nb"))
+    nc = n.select(F.col("pk").alias("part_c"), F.col("cnt").alias("nc"))
+    return (
+        tri.join(na, "part_a")
+        .join(nb, "part_b")
+        .join(nc, "part_c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "part_c",
+            F.col("support").cast("long").alias("support"),
+            F.expr(
+                "CAST((2*(CAST(support AS DECIMAL(38,0)) * n_orders"
+                " * n_orders)*1000000 + (CAST(na AS DECIMAL(38,0)) * nb * nc))"
+                " div (2*(CAST(na AS DECIMAL(38,0)) * nb * nc)) AS DOUBLE)"
+                " / 1000000"
+            ).alias("lift3"),
+        )
+        .orderBy(
+            F.col("support").desc(),
+            F.col("lift3").desc(),
+            "part_a",
+            "part_b",
+            "part_c",
+        )
+        .limit(20)
+    )
+
+
+def _haar_oracle() -> str:
+    levels = []
+    energies = []
+    prev = "x0"
+    for lev in range(1, 7):
+        levels.append(
+            f""",
+    l{lev} AS MATERIALIZED (
+      SELECT i // 2 AS i, SUM(x) AS x,
+             SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS d
+      FROM {prev} GROUP BY 1
+    )"""
+        )
+        energies.append(
+            f"SELECT {lev} AS level, COUNT(*) AS n_coeffs,"
+            f" SUM(CAST(d AS HUGEINT) * d) AS num, {2 ** lev} AS sc"
+            f" FROM l{lev}"
+        )
+        prev = f"l{lev}"
+    energies.append(
+        "SELECT 7 AS level, 1 AS n_coeffs,"
+        " SUM(CAST(x AS HUGEINT) * x) AS num, 64 AS sc FROM l6"
+    )
+    union = " UNION ALL ".join(energies)
+    return f"""
+    WITH g AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    cnt AS (
+      SELECT CAST(ts AS DATE) - d0 AS i, COUNT(*) AS x
+      FROM events, g GROUP BY 1
+    ),
+    x0 AS MATERIALIZED (
+      SELECT t.i, COALESCE(c.x, 0) AS x
+      FROM range(64) AS t(i) LEFT JOIN cnt c ON c.i = t.i
+    ){"".join(levels)},
+    e AS ({union}),
+    tot AS (SELECT SUM(CAST(x AS HUGEINT) * x) AS te FROM x0)
+    SELECT CAST(level AS INT) AS level, CAST(n_coeffs AS BIGINT) AS n_coeffs,
+           CAST(num AS DOUBLE) / sc AS energy,
+           {_ha6_sql("num", "sc * te")} AS energy_share
+    FROM e, tot ORDER BY level
+    """
+
+
+@query(
+    "q343_haar_energy",
+    oracle=_haar_oracle(),
+    tags=("timeseries", "wavelet", "agg-grid"),
+)
+def q343_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy decomposition of the first 64 days of the
+    daily event-count series: detail energy per dyadic scale (level 1 =
+    day-to-day, level 6 = 32-day blocks) plus the level-7 approximation
+    — 'where does the variance live' by time scale, the multiresolution
+    complement of the ACF (q241) and seasonality-strength (q284)
+    screens.  Energies satisfy Parseval (they sum to Σx²), which the
+    behavior test pins.
+
+    Scale plan: the corpus aggregates to the per-DAY grid once; the
+    transform is 6 chained pair-sum aggregates on a ≤64-row frame
+    (bounded by construction, the q216 grid class).  Exactness:
+    unnormalized Haar sums/differences are pure integers; level-ℓ
+    energy Σd²/2^ℓ is a DYADIC rational (numerator < 2^53), so the
+    published double is EXACT in both engines; the energy share is a
+    `_ha6` integer rational with HUGEINT/DECIMAL(38,0) widening."""
+    ev = read_table(spark, sf_dir, "events")
+    g = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    cnt = (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy(F.expr("datediff(to_date(ts), d0)").alias("i"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    idx = spark.range(64).select(F.col("id").alias("i"))
+    x0 = (
+        idx.join(cnt, "i", "left")
+        .select("i", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # feeds level 1 AND the total-energy agg
+    )
+    cur = x0
+    parts = []
+    for lev in range(1, 7):
+        cur = (
+            cur.groupBy(F.expr("i div 2").alias("i"))
+            .agg(
+                F.sum("x").alias("x"),
+                F.sum(
+                    F.expr("CASE WHEN i % 2 = 0 THEN x ELSE -x END")
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=True)  # feeds next level AND its energy agg
+        )
+        parts.append(
+            cur.agg(
+                F.lit(lev).alias("level"),
+                F.count(F.lit(1)).alias("n_coeffs"),
+                F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("num"),
+                F.lit(2 ** lev).alias("sc"),
+            )
+        )
+    parts.append(
+        cur.agg(
+            F.lit(7).alias("level"),
+            F.lit(1).cast("long").alias("n_coeffs"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("num"),
+            F.lit(64).alias("sc"),
+        )
+    )
+    e = parts[0]
+    for pdf in parts[1:]:
+        e = e.union(pdf)
+    tot = x0.agg(F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("te"))
+    return (
+        e.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("level").cast("int").alias("level"),
+            F.col("n_coeffs").cast("long").alias("n_coeffs"),
+            (F.col("num").cast("double") / F.col("sc")).alias("energy"),
+            F.expr(
+                "CAST((2*num*1000000 + sc*te) div (2*(sc*te)) AS DOUBLE)"
+                " / 1000000"
+            ).alias("energy_share"),
+        )
+        .orderBy("level")
+    )

@@ -1563,3 +1563,350 @@ def q343_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+def _fertility_oracle() -> str:
+    from ..operators.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(4, carry_token=True) + f""",
+    st AS (
+      SELECT source, token FROM (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS token
+        FROM documents)
+      WHERE token NOT LIKE '%¦%'
+    ),
+    sc AS (SELECT source, token, COUNT(*) AS cnt FROM st GROUP BY 1, 2),
+    sym AS (
+      SELECT token, len(string_split(trim(repr, '¦'), '¦¦')) AS ns FROM w4
+    )
+    SELECT source,
+           CAST(SUM(sc.cnt) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           {_ha6_sql("SUM(sc.cnt * ns)", "SUM(sc.cnt)")} AS bpe_fertility,
+           {_ha6_sql("SUM(sc.cnt * len(sc.token))", "SUM(sc.cnt)")}
+             AS char_fertility
+    FROM sc JOIN sym USING (token)
+    GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "q345_bpe_fertility",
+    oracle=_fertility_oracle(),
+    tags=("text", "tokenizer", "bpe"),
+)
+def q345_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source: average BPE symbols per
+    word under the corpus-trained 4-merge tokenizer (q131/q145's shared
+    artifact), next to the character baseline — THE tokenizer-quality
+    metric a multilingual/multi-source pipeline tracks (high fertility
+    = the vocabulary under-serves that source, inflating sequence
+    lengths and training cost; complements the token-budget allocator
+    q279 and the packing audits q160/q172).
+
+    Scale plan: the trained tokenizer is the memoized `_bpe_rounds`
+    artifact (one loop per session/dataset, q131's cache); symbol
+    counts per word come from ONE projection of the final word table
+    (vocabulary-bounded); the per-source token counts aggregate before
+    the vocabulary join.  Exactness: counts and symbol counts are
+    integers; both fertilities are `_ha6` rationals."""
+    from .textops import _bpe_rounds
+
+    _, tables = _bpe_rounds(spark, sf_dir, 4)
+    final = tables[-1]  # (repr, cnt, token) — corpus-wide
+    sym = final.select(
+        "token",
+        F.size(F.split(F.expr("trim(BOTH '¦' FROM repr)"), "¦¦")).alias("ns"),
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("token"),
+    ).where(~F.col("token").contains("¦"))
+    sc = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        sc.join(sym, "token")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_word_types"),
+            F.expr(
+                "CAST((2*SUM(cnt * ns)*1000000 + SUM(cnt))"
+                " div (2*SUM(cnt)) AS DOUBLE) / 1000000"
+            ).alias("bpe_fertility"),
+            F.expr(
+                "CAST((2*SUM(cnt * length(token))*1000000 + SUM(cnt))"
+                " div (2*SUM(cnt)) AS DOUBLE) / 1000000"
+            ).alias("char_fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q346_sprt_replay",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS trials,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ),
+    bounds AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d
+    ),
+    h AS (
+      SELECT SUM(trials) AS t1, SUM(conv) AS s1
+      FROM d, bounds WHERE (day - d0) * 2 < (d1 - d0) + 1
+    ),
+    lr AS (
+      SELECT CAST(floor(ln(CAST(6 AS DOUBLE) / 5) * 1000000000000 + 0.5)
+                  AS BIGINT) AS la12,
+             CAST(CASE WHEN 5*t1 - 6*s1 > 0 THEN
+               floor(ln(CAST(5*t1 - 6*s1 AS DOUBLE) / (5*(t1 - s1)))
+                     * 1000000000000 - 0.5) + 1
+               ELSE NULL END AS BIGINT) AS lb12,
+             CAST(floor(ln(CAST(19 AS DOUBLE)) * 1000000000000 + 0.5)
+                  AS BIGINT) AS a12
+      FROM h
+    ),
+    c AS (
+      SELECT day,
+             SUM(trials) OVER w AS cum_trials,
+             SUM(conv) OVER w AS cum_conv
+      FROM d WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    z AS (
+      SELECT day, cum_trials, cum_conv,
+             CAST(cum_conv AS HUGEINT) * la12
+               + CAST(cum_trials - cum_conv AS HUGEINT) * lb12 AS llr12,
+             a12
+      FROM c, lr
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(cum_trials AS BIGINT) AS cum_trials,
+           CAST(cum_conv AS BIGINT) AS cum_conv,
+           CAST(CASE WHEN llr12 >= 0
+                     THEN (2*llr12*1000000 + 1000000000000)
+                          // CAST(2000000000000 AS HUGEINT)
+                     ELSE -((2*(-llr12)*1000000 + 1000000000000)
+                            // CAST(2000000000000 AS HUGEINT)) END
+                AS DOUBLE) / 1000000 AS llr,
+           CASE WHEN llr12 >= a12 THEN 'accept_h1'
+                WHEN llr12 <= -a12 THEN 'accept_h0'
+                ELSE 'continue' END AS verdict
+    FROM z ORDER BY day
+    """,
+    tags=("experiment", "sequential", "agg-grid-window"),
+)
+def q346_sprt_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test replay over the daily
+    conversion stream: H0 = the first-half purchase rate p0, H1 = 1.2·p0,
+    cumulative log-likelihood ratio after each day with Wald boundaries
+    ±ln(19) (α=β=0.05) — the always-valid sequential monitor that
+    complements the fixed-horizon A/B family (q144/q294): it shows WHEN
+    the experiment could have stopped.
+
+    Scale plan: the corpus aggregates to the per-DAY grid once; the
+    cumulative is a window over that bounded grid (q216 class).
+    Exactness: the per-observation increments ln(p1/p0) = ln(6/5) and
+    ln((1−p1)/(1−p0)) = ln of an exact integer ratio are snapped to
+    1e-12-unit INTEGERS (floor(x·1e12+0.5) for the positive one,
+    ceil-floor mirror for the negative — sign-aware half-away), so the
+    cumulative LLR is s·la12 + f·lb12, pure integer arithmetic widened
+    to DECIMAL(38,0); the published llr and the boundary comparisons
+    are integer operations — no float accumulates across days."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("trials"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    d = d.localCheckpoint(eager=True)  # feeds bounds, first-half agg AND cumsum
+    bounds = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    h = (
+        d.crossJoin(F.broadcast(bounds))
+        .where(F.expr("datediff(day, d0) * 2 < datediff(d1, d0) + 1"))
+        .agg(F.sum("trials").alias("t1"), F.sum("conv").alias("s1"))
+    )
+    lr = h.select(
+        F.expr(
+            "CAST(floor(ln(CAST(6 AS DOUBLE) / 5) * 1000000000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("la12"),
+        F.expr(
+            "CAST(CASE WHEN 5*t1 - 6*s1 > 0 THEN"
+            " floor(ln(CAST(5*t1 - 6*s1 AS DOUBLE) / (5*(t1 - s1)))"
+            " * 1000000000000 - 0.5) + 1"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("lb12"),
+        F.expr(
+            "CAST(floor(ln(CAST(19 AS DOUBLE)) * 1000000000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("a12"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "day",
+        F.sum("trials").over(w).alias("cum_trials"),
+        F.sum("conv").over(w).alias("cum_conv"),
+    )
+    z = c.crossJoin(F.broadcast(lr)).select(
+        "day",
+        "cum_trials",
+        "cum_conv",
+        F.expr(
+            "CAST(cum_conv AS DECIMAL(38,0)) * la12"
+            " + CAST(cum_trials - cum_conv AS DECIMAL(38,0)) * lb12"
+        ).alias("llr12"),
+        "a12",
+    )
+    return z.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("cum_trials").cast("long").alias("cum_trials"),
+        F.col("cum_conv").cast("long").alias("cum_conv"),
+        F.expr(
+            "CAST(CASE WHEN llr12 >= 0"
+            " THEN (2*llr12*1000000 + 1000000000000)"
+            " div CAST(2000000000000 AS DECIMAL(38,0))"
+            " ELSE -((2*(-llr12)*1000000 + 1000000000000)"
+            " div CAST(2000000000000 AS DECIMAL(38,0))) END"
+            " AS DOUBLE) / 1000000"
+        ).alias("llr"),
+        F.expr(
+            "CASE WHEN llr12 >= a12 THEN 'accept_h1'"
+            " WHEN llr12 <= -a12 THEN 'accept_h0'"
+            " ELSE 'continue' END"
+        ).alias("verdict"),
+    ).orderBy("day")
+
+
+@query(
+    "q347_runs_test",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT day, x, row_number() OVER (ORDER BY x, day) AS rn,
+             COUNT(*) OVER () AS nd
+      FROM d
+    ),
+    med AS (SELECT x AS m FROM r WHERE rn = (nd + 1) // 2),
+    s AS (
+      SELECT day, CASE WHEN x > m THEN 1 ELSE 0 END AS hi
+      FROM d, med WHERE x <> m
+    ),
+    lagd AS (
+      SELECT hi, lag(hi) OVER (ORDER BY day) AS ph FROM s
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(hi) AS n1,
+             SUM(1 - hi) AS n2,
+             1 + SUM(CASE WHEN ph IS NOT NULL AND hi <> ph
+                          THEN 1 ELSE 0 END) AS runs
+      FROM lagd
+    ),
+    v AS (
+      SELECT n, n1, n2, runs,
+             (2*(2*CAST(n1 AS HUGEINT)*n2*(2*CAST(n1 AS HUGEINT)*n2 - n))
+              *1000000 + (n - 1))
+               // (2*CAST(n - 1 AS HUGEINT)) AS a6
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS runs,
+           round((CAST(runs AS DOUBLE) * n - n - 2.0*n1*n2)
+                 / sqrt(CAST(a6 AS DOUBLE) / 1000000), 6) AS z
+    FROM v
+    """,
+    tags=("statistics", "randomness", "agg-grid-window"),
+)
+def q347_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily event-count series: is the
+    sequence of above/below-median days random, or does volume cluster
+    (trend/regime persistence)?  Z compares the observed run count to
+    its exact null mean 1 + 2n1n2/n and variance
+    2n1n2(2n1n2−n)/(n²(n−1)) — the nonparametric randomness screen next
+    to the trend tests (q228/q229/q329) and the ACF (q241).
+
+    Scale plan: one corpus aggregate to the per-DAY grid; the median is
+    a rank pick on the bounded grid and the run boundaries one lag —
+    both q216-class grid windows.  Median-ties drop (the standard
+    two-sample reduction).  Exactness: n, n1, n2, runs are integers;
+    z is published as (runs·n − n − 2n1n2)/√(A/(n−1)) where A/(n−1) is
+    half-away-snapped to 1e-6 units in HUGEINT/DECIMAL(38,0) (A is
+    n⁴-scale) so the sqrt input is an exact double; the final round(,6)
+    sits on an irrational quotient (q317 discipline)."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    d = d.localCheckpoint(eager=True)  # feeds the rank pick AND the sign series
+    w = Window.orderBy("x", "day")
+    r = d.select(
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nd"),
+    )
+    med = r.where(F.expr("rn = (nd + 1) div 2")).select(
+        F.col("x").alias("m")
+    )
+    s = (
+        d.crossJoin(F.broadcast(med))
+        .where(F.col("x") != F.col("m"))
+        .select("day", F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("hi"))
+    )
+    lagd = s.select(
+        "hi", F.lag("hi").over(Window.orderBy("day")).alias("ph")
+    )
+    agg = lagd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("hi").alias("n1"),
+        F.sum(1 - F.col("hi")).alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("ph").isNotNull() & (F.col("hi") != F.col("ph")), 1
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    v = agg.select(
+        "n",
+        "n1",
+        "n2",
+        "runs",
+        F.expr(
+            "(2*(2*CAST(n1 AS DECIMAL(38,0))*n2"
+            "*(2*CAST(n1 AS DECIMAL(38,0))*n2 - n))*1000000 + (n - 1))"
+            " div (2*CAST(n - 1 AS DECIMAL(38,0)))"
+        ).alias("a6"),
+    )
+    return v.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        F.col("runs").cast("long").alias("runs"),
+        F.round(
+            (
+                F.col("runs").cast("double") * F.col("n")
+                - F.col("n")
+                - 2.0 * F.col("n1") * F.col("n2")
+            )
+            / F.sqrt(F.col("a6").cast("double") / 1000000),
+            6,
+        ).alias("z"),
+    )

@@ -1158,3 +1158,94 @@ def trailing_anomaly_stream(daily: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TWAP_STATE = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_xu", LongType()),
+        StructField("num_str", StringType()),
+        StructField("den_us", LongType()),
+        StructField("n_intervals", LongType()),
+    ]
+)
+
+TWAP_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_intervals", LongType()),
+        StructField("num_str", StringType()),
+        StructField("den_us", LongType()),
+    ]
+)
+
+
+def twap_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of q332's time-weighted average: per
+    (user_id, event_type), maintain the last held (ts, value) plus the
+    exact interval accumulators Σ value_µ·dt_µs and Σ dt_µs across
+    micro-batches, emitting the running per-key totals after every
+    trigger.  Input contract: columns (user_id, event_type, ts_us,
+    value) with ts_us = epoch MICROSECONDS (pre-converted by the caller
+    — integer timestamps keep the twin free of timezone semantics), fed
+    in non-decreasing ts order per key ACROSS batches (rows are sorted
+    within each batch; a cross-batch regression raises, the in-order
+    contract the decayed-counter twin enforces for days).
+
+    Exactness contract: xu = floor(value·1e6 + 0.5) is the identical
+    IEEE expression the batch builder evaluates; dt is exact integer
+    microseconds; the numerator accumulates as a Python big-int carried
+    in state as a STRING (Σ xu·dt exceeds int64 on long-held keys), so
+    after any in-order prefix the per-key state equals the batch
+    aggregate over that prefix EXACTLY — the twin test folds the final
+    per-key emissions per type and requires q332's published integers
+    and half-away rationals to the bit."""
+    import math
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid, etype = key
+        if state.exists:
+            last_ts, last_xu, num_str, den, n = state.get
+            num = int(num_str)
+        else:
+            last_ts, last_xu, num, den, n = None, None, 0, 0, 0
+        rows = pd.concat(list(batches))
+        rows = rows[rows["value"].notna()].sort_values(["ts_us"], kind="mergesort")
+        for ts, val in zip(rows["ts_us"], rows["value"]):
+            ts = int(ts)
+            xu = math.floor(float(val) * 1000000 + 0.5)
+            if last_ts is not None:
+                if ts < last_ts:
+                    raise ValueError(
+                        "twap_stream: out-of-order ts across micro-batches "
+                        f"for key ({uid}, {etype}): {ts} < {last_ts} — the "
+                        "feed must be non-decreasing per key"
+                    )
+                dt = ts - last_ts
+                num += last_xu * dt
+                den += dt
+                n += 1
+            last_ts, last_xu = ts, xu
+        state.update((last_ts, last_xu, str(num), den, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "event_type": [etype],
+                "n_intervals": [n],
+                "num_str": [str(num)],
+                "den_us": [den],
+            }
+        )
+
+    return events.select("user_id", "event_type", "ts_us", "value").groupBy(
+        "user_id", "event_type"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=TWAP_SCHEMA,
+        stateStructType=_TWAP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

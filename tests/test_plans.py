@@ -292,6 +292,11 @@ def test_registry_wide_no_single_task_low_card_windows(spark, sf_smoke, registry
         # q328: rank-median over the pairwise-slope table — bounded by
         # the CALENDAR squared, never the corpus
         "q328_theil_sen_trend",
+        # q346: cumulative LLR over the per-DAY grid (the q216 class)
+        "q346_sprt_replay",
+        # q347: median rank-pick + run-boundary lag over the per-DAY
+        # grid (the q216/q288 class)
+        "q347_runs_test",
     }
     spec_pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
     flagged = []

@@ -953,3 +953,80 @@ def test_trailing_anomaly_stream_matches_batch_q319(spark, sf_smoke, tmp_path):
         for r in QUERIES["q319_trailing_anomaly"].builder(spark, sf_smoke).collect()
     }
     assert got == want
+
+
+def test_twap_stream_twin(spark, sf_smoke, tmp_path):
+    """Streaming TWAP (per user,type) == q332's batch aggregate: feed
+    the whole events table in three ts-ordered files, fold the final
+    per-key accumulators per event type, and require q332's published
+    integers (n_intervals, held_seconds) and half-away twap rational to
+    the exact value."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import twap_stream
+
+    ev = read_table(spark, sf_smoke, "events")
+    pdf = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "value",
+            "event_id",
+        )
+        .toPandas()
+        .sort_values(["ts_us", "event_id"])
+        .drop(columns=["event_id"])
+        .reset_index(drop=True)
+    )
+    d = tmp_path / "twap_feed"
+    d.mkdir()
+    n = len(pdf)
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"c{i}.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts_us long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_stream_to_memory(twap_stream(stream), "twap_mem", mode="update")
+    rows = spark.sql("SELECT * FROM twap_mem").collect()
+    last = {}
+    for r in rows:
+        k = (r.user_id, r.event_type)
+        if k not in last or (r.n_intervals, r.den_us) >= (
+            last[k].n_intervals,
+            last[k].den_us,
+        ):
+            last[k] = r
+    per_type: dict = {}
+    for r in last.values():
+        num, den, cnt = per_type.get(r.event_type, (0, 0, 0))
+        per_type[r.event_type] = (
+            num + int(r.num_str),
+            den + r.den_us,
+            cnt + r.n_intervals,
+        )
+    batch = {
+        r["event_type"]: r
+        for r in QUERIES["q332_time_weighted_value"].builder(
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(per_type) == set(batch)
+    for etype, (num, den, cnt) in per_type.items():
+        b = batch[etype]
+        assert cnt == b["n_intervals"], etype
+        assert den // 1_000_000 == b["held_seconds"], etype
+        d2 = den * 1_000_000
+        twap = ((2 * num * 1_000_000 + d2) // (2 * d2)) / 1_000_000
+        assert twap == b["twap"], (etype, twap, b["twap"])

@@ -1910,3 +1910,429 @@ def q347_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+def _threshold_sweep_oracle() -> str:
+    from .textops import _JACCARD_FROM_COMMON, _SHINGLES_CTE
+
+    reaches = []
+    selects = []
+    for tag, t in (("5", "0.5"), ("6", "0.6"), ("7", "0.7")):
+        reaches.append(
+            f""",
+    p{tag} AS (SELECT id_a, id_b FROM jp WHERE jaccard >= {t}),
+    g{tag} AS (
+      SELECT id_a AS u, id_b AS v FROM p{tag}
+      UNION SELECT id_b, id_a FROM p{tag}
+    ),
+    reach{tag}(u, v) AS (
+      SELECT u, v FROM g{tag}
+      UNION
+      SELECT r.u, e.v FROM reach{tag} r JOIN g{tag} e ON r.v = e.u
+    ),
+    comp{tag} AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS component
+      FROM reach{tag} GROUP BY u
+    ),
+    stat{tag} AS (
+      SELECT {t} AS threshold,
+             (SELECT COUNT(*) FROM p{tag}) AS n_pairs,
+             COUNT(DISTINCT component) AS n_components,
+             COUNT(*) AS n_docs_clustered,
+             COALESCE(MAX(csize), 0) AS largest
+      FROM (SELECT component, COUNT(*) AS csize
+            FROM comp{tag} GROUP BY 1)
+      JOIN comp{tag} USING (component)
+    )"""
+        )
+        selects.append(
+            f"SELECT threshold, CAST(n_pairs AS BIGINT) AS n_pairs,"
+            f" CAST(n_components AS BIGINT) AS n_components,"
+            f" CAST(n_docs_clustered AS BIGINT) AS n_docs_clustered,"
+            f" CAST(largest AS BIGINT) AS largest FROM stat{tag}"
+        )
+    return (
+        f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    jp AS MATERIALIZED ({_JACCARD_FROM_COMMON})"""
+        + "".join(reaches)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY threshold"
+    )
+
+
+@query(
+    "q348_dedup_threshold_sweep",
+    oracle=_threshold_sweep_oracle(),
+    tags=("dedup", "clustering", "tuning"),
+)
+def q348_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity curve: connected-component cluster
+    statistics of the exact-Jaccard pair graph at t ∈ {0.5, 0.6, 0.7} —
+    pairs, components, clustered docs and the largest cluster per
+    threshold.  THE tuning artifact for a near-dup pass: the largest-
+    component trajectory shows where transitive over-merge sets in
+    (q304's audit at one threshold, swept), and the doc counts quantify
+    how much corpus each setting would collapse.
+
+    Scale plan: ONE memoized pair table (the q21/q27 shared artifact —
+    only above-0.5 pairs survive, so the sweep input is tiny) filtered
+    per threshold; three CC runs on monotonically SHRINKING graphs.
+    Exactness: jaccard is the 6-dp round of an exact rational in both
+    engines, so >= comparisons at the grid points agree; components use
+    the deterministic min-label convention (q27)."""
+    from ..graph.algorithms import connected_components
+    from .textops import cached_jaccard_pairs
+
+    # ONE min-label CC over the threshold-TAGGED union graph: node ids
+    # are offset by t_idx*10^12 per threshold, so the three (nested)
+    # graphs share one superstep schedule instead of paying the CC loop
+    # floor three times (solo A/B at sf0.1: 4.2 s -> ~1.9 s warm).
+    # Tags never mix (no cross-tag edges) and min-label stays in-tag.
+    jp = cached_jaccard_pairs(spark, sf_dir)
+    tagged = None
+    for i, t in enumerate((0.5, 0.6, 0.7)):
+        e = jp.where(F.col("jaccard") >= t).select(
+            (F.lit(i) * F.lit(10 ** 12) + F.col("id_a")).alias("src"),
+            (F.lit(i) * F.lit(10 ** 12) + F.col("id_b")).alias("dst"),
+        )
+        tagged = e if tagged is None else tagged.union(e)
+    comp = connected_components(tagged)
+    csz = comp.groupBy(
+        F.expr("component div 1000000000000").alias("ti"),
+        "component",
+    ).agg(F.count(F.lit(1)).alias("csize"))
+    stats = csz.groupBy("ti").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("csize").alias("n_docs_clustered"),
+        F.max("csize").alias("largest"),
+    )
+    np_ = jp.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0)).alias(f"np{i}")
+            for i, t in enumerate((0.5, 0.6, 0.7))
+        ]
+    )
+    np_rows = np_.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ti"), F.col(f"np{i}").alias("n_pairs")
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("s")
+    ).select("s.ti", "s.n_pairs")
+    return (
+        stats.join(F.broadcast(np_rows), "ti", "right")
+        .select(
+            F.expr("CAST(0.5 + ti * 0.1 AS DOUBLE)").alias("threshold"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_components"), F.lit(0))
+            .cast("long")
+            .alias("n_components"),
+            F.coalesce(F.col("n_docs_clustered"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_clustered"),
+            F.coalesce(F.col("largest"), F.lit(0)).cast("long").alias("largest"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@query(
+    "q349_shard_balance",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             {_md5_mod_sql("doc_id", 8)} AS shard
+      FROM documents
+    ),
+    cs AS (SELECT shard, source, COUNT(*) AS c FROM d GROUP BY 1, 2),
+    ns AS (SELECT shard, SUM(c) AS n FROM cs GROUP BY 1),
+    gs AS (SELECT source, COUNT(*) AS g FROM d GROUP BY 1),
+    t AS (SELECT COUNT(*) AS nt FROM d),
+    dev AS (
+      SELECT ns.shard, ns.n,
+             abs(CAST(COALESCE(cs.c, 0) AS HUGEINT) * nt
+                 - CAST(gs.g AS HUGEINT) * ns.n) AS num
+      FROM ns CROSS JOIN gs
+      LEFT JOIN cs ON cs.shard = ns.shard AND cs.source = gs.source, t
+    ),
+    agg AS (
+      SELECT shard, n, MAX(num) AS mx, SUM(num) AS sm FROM dev GROUP BY 1, 2
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, CAST(n AS BIGINT) AS n_docs,
+           {_ha6_sql("mx", "CAST(n AS HUGEINT) * (SELECT nt FROM t)")}
+             AS max_abs_dev,
+           {_ha6_sql("sm", "2 * CAST(n AS HUGEINT) * (SELECT nt FROM t)")}
+             AS tv_distance
+    FROM agg ORDER BY shard
+    """,
+    tags=("sharding", "curation", "audit"),
+)
+def q349_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard stratification audit for a deterministic corpus shuffle:
+    md5-shard the documents into 8 training shards and compare each
+    shard's SOURCE composition to the global mix — max absolute share
+    deviation and total-variation distance per shard.  The quality gate
+    for 'is my shuffle a real shuffle': a skewed shard biases every
+    data-parallel worker that consumes it (complements the mixture
+    sampler q108 and the partition-skew audit q258, which measures
+    SIZE, not composition).
+
+    Scale plan: one count aggregate to (shard × source) cardinality
+    (bounded: 8 × source vocabulary); devs are computed on the bounded
+    grid with a shard×source CROSS join against the source margin so
+    MISSING cells count as zero share (never silently dropped).
+    Exactness: share deviations are exact integer cross-products over
+    the common denominator n_shard·N, so max/sum commute with the
+    single final `_ha6` rounding."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _md5_mod(F.col("doc_id"), 8).alias("shard")
+    )
+    d = d.localCheckpoint(eager=True)  # feeds 3 aggregates
+    cs = d.groupBy("shard", "source").agg(F.count(F.lit(1)).alias("c"))
+    ns = cs.groupBy("shard").agg(F.sum("c").alias("n"))
+    gs = d.groupBy("source").agg(F.count(F.lit(1)).alias("g"))
+    t = d.agg(F.count(F.lit(1)).alias("nt"))
+    dev = (
+        ns.crossJoin(F.broadcast(gs))
+        .join(cs, ["shard", "source"], "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "shard",
+            "n",
+            "nt",
+            F.expr(
+                "abs(CAST(COALESCE(c, 0) AS DECIMAL(38,0)) * nt"
+                " - CAST(g AS DECIMAL(38,0)) * n)"
+            ).alias("num"),
+        )
+    )
+    agg = dev.groupBy("shard", "n", "nt").agg(
+        F.max("num").alias("mx"), F.sum("num").alias("sm")
+    )
+    return agg.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST((2*mx*1000000 + CAST(n AS DECIMAL(38,0))*nt)"
+            " div (2*CAST(n AS DECIMAL(38,0))*nt) AS DOUBLE) / 1000000"
+        ).alias("max_abs_dev"),
+        F.expr(
+            "CAST((2*sm*1000000 + 2*CAST(n AS DECIMAL(38,0))*nt)"
+            " div (2*(2*CAST(n AS DECIMAL(38,0))*nt)) AS DOUBLE) / 1000000"
+        ).alias("tv_distance"),
+    ).orderBy("shard")
+
+
+@query(
+    "q350_poisson_rate_ratio",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+    halves AS (
+      SELECT event_type,
+             SUM(CASE WHEN (day - d0) * 2 < (d1 - d0) + 1 THEN c ELSE 0 END)
+               AS c1,
+             SUM(CASE WHEN (day - d0) * 2 < (d1 - d0) + 1 THEN 0 ELSE c END)
+               AS c2,
+             CAST(((d1 - d0) + 1 + 1) // 2 AS BIGINT) AS t1,
+             CAST((d1 - d0) + 1 - (((d1 - d0) + 1 + 1) // 2) AS BIGINT) AS t2
+      FROM d, b GROUP BY event_type, d0, d1
+    )
+    SELECT event_type,
+           CAST(c1 AS BIGINT) AS n_first, CAST(c2 AS BIGINT) AS n_second,
+           t1 AS days_first, t2 AS days_second,
+           CASE WHEN c2 > 0 THEN
+             {_ha6_sql("CAST(c1 AS HUGEINT) * t2 * 1",
+                       "CAST(c2 AS HUGEINT) * t1")}
+           END AS rate_ratio,
+           round((CAST(c1 AS DOUBLE) * (t1 + t2) - (c1 + c2) * CAST(t1 AS DOUBLE))
+                 / sqrt(CAST((c1 + c2) AS DOUBLE) * t1 * t2), 6) AS z
+    FROM halves ORDER BY event_type
+    """,
+    tags=("statistics", "poisson", "experiment"),
+)
+def q350_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate comparison per event type: first vs
+    second calendar half, rate ratio (λ1/λ2 with exposure correction)
+    and the exact conditional z — under H0, c1 | c1+c2 is
+    Binomial(n, t1/(t1+t2)), so z = (c1·(t1+t2) − n·t1)/√(n·t1·t2) is a
+    pure-integer numerator over an integer sqrt.  The count-data
+    sibling of the Welch test (q144) and the SPRT monitor (q346).
+
+    Scale plan: one aggregate to the (type × day) grid, one conditional
+    rollup per type — all bounded.  Exactness: exposures are exact
+    calendar-day integers; the rate ratio is an exact integer rational
+    (`_ha6`, NULL-guarded when the second half is empty); z divides an
+    exact integer double by an irrational sqrt (round-safe, q317)."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    halves = (
+        d.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("datediff(day, d0) * 2 < datediff(d1, d0) + 1"),
+                    F.col("c"),
+                ).otherwise(0)
+            ).alias("c1"),
+            F.sum(
+                F.when(
+                    F.expr("datediff(day, d0) * 2 < datediff(d1, d0) + 1"), 0
+                ).otherwise(F.col("c"))
+            ).alias("c2"),
+            F.expr(
+                "CAST((datediff(MAX(d1), MAX(d0)) + 1 + 1) div 2 AS BIGINT)"
+            ).alias("t1"),
+            F.expr(
+                "CAST(datediff(MAX(d1), MAX(d0)) + 1"
+                " - ((datediff(MAX(d1), MAX(d0)) + 1 + 1) div 2) AS BIGINT)"
+            ).alias("t2"),
+        )
+    )
+    return halves.select(
+        "event_type",
+        F.col("c1").cast("long").alias("n_first"),
+        F.col("c2").cast("long").alias("n_second"),
+        F.col("t1").alias("days_first"),
+        F.col("t2").alias("days_second"),
+        F.when(
+            F.col("c2") > 0,
+            F.expr(
+                "CAST((2*(CAST(c1 AS DECIMAL(38,0)) * t2 * 1)*1000000"
+                " + (CAST(c2 AS DECIMAL(38,0)) * t1))"
+                " div (2*(CAST(c2 AS DECIMAL(38,0)) * t1)) AS DOUBLE)"
+                " / 1000000"
+            ),
+        ).alias("rate_ratio"),
+        F.round(
+            (
+                F.col("c1").cast("double") * (F.col("t1") + F.col("t2"))
+                - (F.col("c1") + F.col("c2")) * F.col("t1").cast("double")
+            )
+            / F.sqrt(
+                (F.col("c1") + F.col("c2")).cast("double")
+                * F.col("t1")
+                * F.col("t2")
+            ),
+            6,
+        ).alias("z"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q351_semantic_decontamination",
+    oracle=f"""
+    WITH p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.3
+    ),
+    split AS (
+      SELECT vec_id,
+             CASE WHEN {_md5_mod_sql("vec_id", 10)} = 0
+                  THEN 1 ELSE 0 END AS is_eval
+      FROM embeddings
+    ),
+    cross_pairs AS (
+      SELECT CASE WHEN sa.is_eval = 1 THEN p.ib ELSE p.ia END AS train_id
+      FROM p
+      JOIN split sa ON sa.vec_id = p.ia
+      JOIN split sb ON sb.vec_id = p.ib
+      WHERE sa.is_eval + sb.is_eval = 1
+    ),
+    flagged AS (SELECT DISTINCT train_id FROM cross_pairs),
+    t AS (
+      SELECT SUM(is_eval) AS n_eval,
+             SUM(1 - is_eval) AS n_train
+      FROM split
+    )
+    SELECT CAST(n_eval AS BIGINT) AS n_eval,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST((SELECT COUNT(*) FROM flagged) AS BIGINT)
+             AS n_contaminated,
+           {_ha6_sql("(SELECT COUNT(*) FROM flagged)", "n_train")}
+             AS contamination_rate
+    FROM t
+    """,
+    tags=("decontamination", "embedding", "dedup"),
+)
+def q351_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC train/eval decontamination: with a deterministic md5
+    10% eval split of the embedding corpus, count training vectors
+    whose cosine to ANY eval vector reaches the 0.3 near-dup bar — the
+    embedding-space sibling of the n-gram decontamination gate (q91):
+    n-grams catch verbatim leakage, cosine catches paraphrase leakage.
+
+    Scale plan: reuses the memoized candidate-first eps-pair kernel
+    (`cached_eps_pairs`, the q194/q235 shared artifact — cell-pruned
+    EXACT pairs, never an all-pairs GEMM); the split and the cross-pair
+    filter are projections and one semi-ish distinct over the tiny
+    above-threshold pair table.  Exactness: the kernel's rounded
+    cosines are oracle-pinned (q194's equality discipline), the flag
+    set is exact integers, and the rate is an `_ha6` rational."""
+    from .analytics import cached_eps_pairs
+
+    pairs = cached_eps_pairs(spark, sf_dir, threshold=0.3)
+    split = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(_md5_mod(F.col("vec_id"), 10) == 0, 1).otherwise(0).alias(
+            "is_eval"
+        ),
+    )
+    split = split.localCheckpoint(eager=True)  # feeds 2 pair joins + totals
+    sa = split.select(
+        F.col("vec_id").alias("id_a"), F.col("is_eval").alias("ea")
+    )
+    sb = split.select(
+        F.col("vec_id").alias("id_b"), F.col("is_eval").alias("eb")
+    )
+    flagged = (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(F.col("ea") + F.col("eb") == 1)
+        .select(
+            F.when(F.col("ea") == 1, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("train_id")
+        )
+        .distinct()
+    )
+    nf = flagged.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    t = split.agg(
+        F.sum("is_eval").alias("n_eval"),
+        F.sum(1 - F.col("is_eval")).alias("n_train"),
+    )
+    return (
+        t.crossJoin(F.broadcast(nf))
+        .select(
+            F.col("n_eval").cast("long").alias("n_eval"),
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.expr(
+                "CAST((2*n_contaminated*1000000 + n_train)"
+                " div (2*n_train) AS DOUBLE) / 1000000"
+            ).alias("contamination_rate"),
+        )
+    )

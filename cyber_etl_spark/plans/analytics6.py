@@ -2336,3 +2336,292 @@ def q351_semantic_decontamination(
             ).alias("contamination_rate"),
         )
     )
+
+
+@query(
+    "q352_discount_elasticity",
+    oracle=f"""
+    WITH x AS (
+      SELECT p.p_brand AS brand,
+             CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS xu,
+             CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    s AS (
+      SELECT brand, COUNT(*) AS n,
+             SUM(CAST(xu AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(xu AS HUGEINT) * xu) AS sxx,
+             SUM(CAST(xu AS HUGEINT) * y) AS sxy
+      FROM x GROUP BY 1
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_lines,
+           {_ha6_sql("sy", "n")} AS mean_qty,
+           {_ha6_sql("sx", "n")} AS mean_discount_pct,
+           CAST(CASE WHEN n*sxy - sx*sy >= 0
+                     THEN (2*(n*sxy - sx*sy)*1000000 + (n*sxx - sx*sx))
+                          // (2*(n*sxx - sx*sx))
+                     ELSE -((2*(sx*sy - n*sxy)*1000000 + (n*sxx - sx*sx))
+                            // (2*(n*sxx - sx*sx))) END
+                AS DOUBLE) / 1000000 AS qty_per_discount_pt
+    FROM s ORDER BY brand
+    """,
+    tags=("econ", "regression", "agg"),
+)
+def q352_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount response per brand: the OLS slope of line quantity on
+    discount percentage points — 'how many extra units does one more
+    point of discount move' — next to the per-brand means.  The
+    price-response sibling of the time-trend OLS (q189) and the
+    promo-share rollup (q54).
+
+    Scale plan: ONE fact-scan moment aggregate per brand (the part dim
+    broadcasts onto lineitem); everything after is the bounded brand
+    table.  Exactness: discounts live on an exact integer percent grid
+    (2-dp doubles snap losslessly), quantities are integral; the slope
+    (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) is an exact integer rational in
+    HUGEINT/DECIMAL(38,0), published sign-aware half-away (negative
+    slopes are the expected sign of nothing here — the synthetic data
+    draws discount and quantity independently, making ~0 slopes the
+    pinned truth)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    x = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("xu"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    s = x.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xu").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("CAST(xu AS DECIMAL(38,0)) * xu")).alias("sxx"),
+        F.sum(F.expr("CAST(xu AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    return s.select(
+        "brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr(
+            "CAST((2*sy*1000000 + n) div (2*n) AS DOUBLE) / 1000000"
+        ).alias("mean_qty"),
+        F.expr(
+            "CAST((2*sx*1000000 + n) div (2*n) AS DOUBLE) / 1000000"
+        ).alias("mean_discount_pct"),
+        F.expr(
+            "CAST(CASE WHEN n*sxy - sx*sy >= 0"
+            " THEN (2*(n*sxy - sx*sy)*1000000 + (n*sxx - sx*sx))"
+            " div (2*(n*sxx - sx*sx))"
+            " ELSE -((2*(sx*sy - n*sxy)*1000000 + (n*sxx - sx*sx))"
+            " div (2*(n*sxx - sx*sx))) END AS DOUBLE) / 1000000"
+        ).alias("qty_per_discount_pt"),
+    ).orderBy("brand")
+
+
+@query(
+    "q353_hill_tail_index",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey AS ok
+      FROM orders
+    ),
+    top AS (
+      SELECT cents FROM c ORDER BY cents DESC, ok LIMIT 101
+    ),
+    thr AS (SELECT MIN(cents) AS xk FROM top),
+    s AS (
+      SELECT SUM(CAST(round(ln(CAST(cents AS DOUBLE) / xk), 12)
+                      AS DECIMAL(20,12))) AS hsum
+      FROM top, thr
+    )
+    SELECT 100 AS k,
+           CAST((SELECT xk FROM thr) AS BIGINT) AS boundary_cents,
+           CAST(hsum AS DOUBLE) / 100 AS hill_inv_alpha,
+           round(100 / CAST(hsum AS DOUBLE), 6) AS hill_alpha
+    FROM s
+    """,
+    tags=("statistics", "heavy-tail", "topk"),
+)
+def q353_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index at k=100: mean of
+    ln(x_(i)/x_(k+1)) over the top-k order statistics — the standard
+    heavy-tail exponent (small α = fatter tail = a few whale orders
+    dominate), quantifying what the Gini (q259) and Pareto coverage
+    (q285) describe.
+
+    Scale plan: ONE TakeOrdered top-101 (never a global sort); the
+    boundary x_(k+1) is the min of that bounded frame, and the
+    boundary row's own term is ln(1)=0, so the sum runs over all 101
+    rows with no post-limit ranking.  Exactness: values are exact
+    integer cents; each ln(exact ratio) snaps 12 dp into DECIMAL(20,12)
+    before the exact sum (q327 discipline); ties at the boundary cut
+    break on the order key identically in both engines."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    top = (
+        o.orderBy(F.col("cents").desc(), "ok").limit(101).select("cents")
+    )
+    top = top.localCheckpoint(eager=True)  # feeds the boundary agg AND the sum
+    thr = top.agg(F.min("cents").alias("xk"))
+    s = top.crossJoin(F.broadcast(thr)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(ln(CAST(cents AS DOUBLE) / xk), 12)"
+                " AS DECIMAL(20,12))"
+            )
+        ).alias("hsum"),
+        F.max("xk").alias("xk"),
+    )
+    return s.select(
+        F.lit(100).alias("k"),
+        F.col("xk").cast("long").alias("boundary_cents"),
+        (F.col("hsum").cast("double") / 100).alias("hill_inv_alpha"),
+        F.round(100 / F.col("hsum").cast("double"), 6).alias("hill_alpha"),
+    )
+
+
+def _lsh_sweep_oracle() -> str:
+    configs = ((2, 4), (4, 2), (8, 1))  # (bands, rows_per_band), P = 8
+    parts = []
+    selects = []
+    for bands, rows in configs:
+        mins = " || '|' || ".join(
+            f"MIN(CASE WHEN seed // {bands} = {r} THEN h END)"
+            for r in range(rows)
+        )
+        parts.append(
+            f""",
+    sig{bands} AS (
+      SELECT id, seed % {bands} AS band,
+             md5(CAST(seed % {bands} AS VARCHAR) || '|' || {mins})
+               AS band_sig
+      FROM hashed GROUP BY id, seed % {bands}
+    ),
+    cand{bands} AS MATERIALIZED (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sig{bands} a JOIN sig{bands} b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    )"""
+        )
+        selects.append(
+            f"""SELECT {bands} AS bands, {rows} AS rows_per_band,
+           CAST((SELECT COUNT(*) FROM cand{bands}) AS BIGINT)
+             AS n_candidates,
+           CAST((SELECT COUNT(*) FROM cand{bands} JOIN truth
+                 USING (id_a, id_b)) AS BIGINT) AS true_positives,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth_pairs"""
+        )
+    from .analytics2 import _ha6_sql as _h
+
+    body = "\n    UNION ALL ".join(selects)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    hashed AS MATERIALIZED (
+      SELECT id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh, (SELECT unnest(range(0, 8)) AS seed)
+    ),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM common c JOIN sizes sa ON c.id_a = sa.id
+      JOIN sizes sb ON c.id_b = sb.id
+      WHERE 2*c.n_common >= sa.n + sb.n - c.n_common
+    ){"".join(parts)},
+    sweep AS ({body})
+    SELECT bands, rows_per_band, n_candidates, true_positives,
+           n_truth_pairs,
+           {_h("true_positives", "n_candidates")} AS precision,
+           {_h("true_positives", "n_truth_pairs")} AS recall
+    FROM sweep ORDER BY bands
+    """
+
+
+@query(
+    "q354_lsh_parameter_sweep",
+    oracle=_lsh_sweep_oracle(),
+    tags=("dedup", "lsh", "tuning"),
+)
+def q354_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve parameter sweep: candidate precision/recall of THREE
+    banding schemes over the same 8 MinHash permutations — (2 bands × 4
+    rows), q22's default (4 × 2), and (8 × 1) — against the exact
+    Jaccard ≥ 0.5 truth.  Extends the single-config eval (q302) to the
+    actual tuning decision: more rows per band sharpens precision
+    (collision needs a longer run of matching minima), more bands buys
+    recall; the sweep shows both sides of the S-curve knee at once.
+
+    Scale plan: one memoized shingle table feeds every scheme; each
+    scheme is one banded equi-join over its own O(n·bands) signature
+    rows (signatures share the same 8 permutation hashes — the md5
+    work is the same corpus pass repeated per scheme, still linear);
+    truth is the memoized exact pair table.  Exactness: pure integer
+    counts; P/R half-away rationals; the exact-integer threshold form
+    2·common ≥ na+nb−common (q302's)."""
+    from ..operators.dedup import band_signatures
+    from .textops import cached_jaccard_pairs, cached_shingles
+
+    sh = cached_shingles(spark, sf_dir)
+    truth = cached_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    truth = truth.localCheckpoint(eager=True)  # feeds one tp join per scheme
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    out = None
+    for bands in (2, 4, 8):
+        sig = band_signatures(sh, num_perm=8, bands=bands)
+        a = sig.select(F.col("id").alias("id_a"), "band", "band_sig")
+        b = sig.select(F.col("id").alias("id_b"), "band", "band_sig")
+        cand = (
+            a.join(b, ["band", "band_sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .localCheckpoint(eager=True)  # feeds the count AND the tp join
+        )
+        nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        tp = cand.join(truth, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).alias("tp")
+        )
+        row = (
+            nc.crossJoin(F.broadcast(tp))
+            .crossJoin(F.broadcast(nt))
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(8 // bands).alias("rows_per_band"),
+                F.col("n_cand").cast("long").alias("n_candidates"),
+                F.col("tp").cast("long").alias("true_positives"),
+                F.col("n_truth").cast("long").alias("n_truth_pairs"),
+                F.expr(
+                    "CAST((2*tp*1000000 + n_cand) div (2*n_cand)"
+                    " AS DOUBLE) / 1000000"
+                ).alias("precision"),
+                F.expr(
+                    "CAST((2*tp*1000000 + n_truth) div (2*n_truth)"
+                    " AS DOUBLE) / 1000000"
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.union(row)
+    return out.orderBy("bands")

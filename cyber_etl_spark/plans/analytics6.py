@@ -2625,3 +2625,176 @@ def q354_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.union(row)
     return out.orderBy("bands")
+
+
+@query(
+    "q355_prefix_cache_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    lv AS (
+      SELECT k, doc_id,
+             md5(array_to_string(t[1:k], ' ')) AS ph
+      FROM toks, (VALUES (8),(16),(32)) AS v(k)
+      WHERE len(t) >= k
+    ),
+    g AS (SELECT k, ph, COUNT(*) AS n FROM lv GROUP BY 1, 2),
+    s AS (
+      SELECT k,
+             SUM(n) AS docs_at_k,
+             SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_docs,
+             SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS dup_groups,
+             MAX(n) AS largest_group
+      FROM g GROUP BY 1
+    )
+    SELECT CAST(k AS INT) AS prefix_tokens,
+           CAST(docs_at_k AS BIGINT) AS docs_at_k,
+           CAST(dup_groups AS BIGINT) AS shared_prefix_groups,
+           CAST(largest_group AS BIGINT) AS largest_group,
+           {_ha6_sql("dup_docs", "docs_at_k")} AS shared_prefix_share
+    FROM s ORDER BY prefix_tokens
+    """,
+    tags=("llm", "serving", "prefix"),
+)
+def q355_prefix_cache_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-reuse audit for KV-cache economics: at prefix lengths
+    k ∈ {8, 16, 32} tokens, how much of the corpus shares an exact
+    token prefix with another document — shared-prefix groups, the
+    largest group, and the share of docs whose prefill could reuse a
+    cached prefix.  The serving-side sibling of the exact-substring
+    span family (q139: spans ANYWHERE; here: anchored at position 1,
+    the only kind a prefix cache exploits).
+
+    Scale plan: tokens are computed once per doc, each level is one
+    md5 of the SLICED prefix (JVM expressions), and the census is one
+    (k, hash) aggregate — no pair enumeration anywhere: group sizes,
+    not pairs, carry the statistic.  Exactness: md5 over the identical
+    space-joined prefix string in both engines; shares `_ha6`."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    lv = (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("k"),
+        )
+        .where(F.size("t") >= F.col("k"))
+        .select(
+            "k",
+            F.md5(
+                F.array_join(F.slice(F.col("t"), 1, F.col("k")), " ")
+            ).alias("ph"),
+        )
+    )
+    g = lv.groupBy("k", "ph").agg(F.count(F.lit(1)).alias("n"))
+    s = g.groupBy("k").agg(
+        F.sum("n").alias("docs_at_k"),
+        F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0)).alias(
+            "dup_docs"
+        ),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("dup_groups"),
+        F.max("n").alias("largest_group"),
+    )
+    return s.select(
+        F.col("k").cast("int").alias("prefix_tokens"),
+        F.col("docs_at_k").cast("long").alias("docs_at_k"),
+        F.col("dup_groups").cast("long").alias("shared_prefix_groups"),
+        F.col("largest_group").cast("long").alias("largest_group"),
+        F.expr(
+            "CAST((2*dup_docs*1000000 + docs_at_k) div (2*docs_at_k)"
+            " AS DOUBLE) / 1000000"
+        ).alias("shared_prefix_share"),
+    ).orderBy("prefix_tokens")
+
+
+@query(
+    "q356_truncation_waste",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT source, b AS budget,
+             COUNT(*) AS n_docs,
+             SUM(n_tok) AS total_tokens,
+             SUM(CASE WHEN n_tok > b THEN n_tok - b ELSE 0 END)
+               AS lost_tokens,
+             SUM(CASE WHEN n_tok > b THEN 1 ELSE 0 END) AS docs_truncated
+      FROM d, (VALUES (128),(192),(256)) AS v(b)
+      GROUP BY 1, 2
+    )
+    SELECT source, CAST(budget AS INT) AS budget,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(lost_tokens AS BIGINT) AS lost_tokens,
+           CAST(docs_truncated AS BIGINT) AS docs_truncated,
+           {_ha6_sql("lost_tokens", "total_tokens")} AS loss_share,
+           {_ha6_sql("docs_truncated", "n_docs")} AS truncated_share
+    FROM s ORDER BY source, budget
+    """,
+    tags=("llm", "curation", "budget"),
+)
+def q356_truncation_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-waste curve: per source and context budget
+    L ∈ {128, 192, 256} tokens, the token mass and document share lost
+    to hard truncation — the third corner of the sequence-length
+    triangle next to padding waste (q172: budget too LONG) and packing
+    efficiency (q160): this one quantifies budget too SHORT, per
+    source, so budget and mixture decisions see the same table.
+
+    Scale plan: one token-count projection per doc (no token
+    materialization — only the length survives), a 3-budget constant
+    fan-out, one aggregate to the bounded (source × budget) grid.
+    Exactness: all integers; shares `_ha6`."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "n_tok"
+        ),
+    )
+    s = (
+        d.select(
+            "source",
+            "n_tok",
+            F.explode(
+                F.array(F.lit(128), F.lit(192), F.lit(256))
+            ).alias("budget"),
+        )
+        .groupBy("source", "budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(
+                F.when(
+                    F.col("n_tok") > F.col("budget"),
+                    F.col("n_tok") - F.col("budget"),
+                ).otherwise(0)
+            ).alias("lost_tokens"),
+            F.sum(
+                F.when(F.col("n_tok") > F.col("budget"), 1).otherwise(0)
+            ).alias("docs_truncated"),
+        )
+    )
+    return s.select(
+        "source",
+        F.col("budget").cast("int").alias("budget"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("lost_tokens").cast("long").alias("lost_tokens"),
+        F.col("docs_truncated").cast("long").alias("docs_truncated"),
+        F.expr(
+            "CAST((2*lost_tokens*1000000 + total_tokens)"
+            " div (2*total_tokens) AS DOUBLE) / 1000000"
+        ).alias("loss_share"),
+        F.expr(
+            "CAST((2*docs_truncated*1000000 + n_docs) div (2*n_docs)"
+            " AS DOUBLE) / 1000000"
+        ).alias("truncated_share"),
+    ).orderBy("source", "budget")

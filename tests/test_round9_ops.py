@@ -150,3 +150,53 @@ def test_quantile_normalization_preserves_global_distribution(
     for r in rows:
         assert d["lo"] <= r["min_norm"] <= r["max_norm"] <= d["hi"]
         assert d["lo"] <= r["mean_norm"] <= d["hi"]
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    from cyber_etl_spark.plans import QUERIES
+
+    return (
+        QUERIES[name]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q333_bounded_rank_join(spark, sf_smoke):
+    """Everything after the (checkpointed) fact aggregate runs on the
+    bounded nation table: the remainder rank must be a broadcast
+    nested-loop self-join over the pinned 25-row frame (ExistingRDD),
+    with no shuffled join anywhere in the visible plan."""
+    plan = _plan(spark, sf_smoke, "q333_budget_allocation")
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # rank + leftover
+    assert "SortMergeJoin" not in plan
+    assert "ExistingRDD" in plan  # the pinned allocation table
+
+
+def test_q338_single_probe_pass(spark, sf_smoke):
+    """The 9 candidate thresholds must ride ONE broadcast nested-loop
+    pass over the fact scan (a bounded probe list), not 9 separate
+    scans or a shuffled join."""
+    plan = _plan(spark, sf_smoke, "q338_info_gain_stump")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q341_vectorized_walk_plan(spark, sf_smoke):
+    """The inventory walk must run as a mapInPandas kernel over the
+    one-row-per-group reduction — never a per-group FlatMapGroups call
+    (the 5x-slower shape measured at sf0.1) and never a Python row
+    UDF."""
+    plan = _plan(spark, sf_smoke, "q341_inventory_walk")
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q355_no_pair_enumeration(spark, sf_smoke):
+    """The prefix-cache audit carries its statistic in GROUP SIZES: the
+    plan must contain no join at all (one projection, two aggregates)."""
+    plan = _plan(spark, sf_smoke, "q355_prefix_cache_audit")
+    assert "Join" not in plan

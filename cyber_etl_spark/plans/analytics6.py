@@ -2798,3 +2798,247 @@ def q356_truncation_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) / 1000000"
         ).alias("truncated_share"),
     ).orderBy("source", "budget")
+
+
+def _mmr_oracle() -> str:
+    """Generated DuckDB twin of the q357 MMR replay: exact integer
+    micro-grid cosines (quantized element dots, engine-identical
+    floor(x·1e6+0.5) snap of the double quotient), top-20 candidates
+    per query, then TEN unrolled greedy steps — each picks
+    FIRST(vec_id ORDER BY score DESC, vec_id) per query (q320's
+    argmax-with-tiebreak form) where score = 7·rel_u − 3·maxsim_u is a
+    pure integer.  Every selected-set CTE is multi-referenced →
+    MATERIALIZED."""
+    steps = []
+    prev = "sel0"
+    for t in range(1, 11):
+        steps.append(
+            f""",
+    ms{t} AS (
+      SELECT p.qid, p.a, MAX(p.sim_u) AS ms
+      FROM pairs p JOIN {prev} s ON s.qid = p.qid AND s.vec_id = p.b
+      GROUP BY 1, 2
+    ),
+    sc{t} AS (
+      SELECT c.qid, c.vec_id, c.rel_u,
+             7*c.rel_u - 3*COALESCE(m.ms, 0) AS score
+      FROM cand c
+      LEFT JOIN {prev} s ON s.qid = c.qid AND s.vec_id = c.vec_id
+      LEFT JOIN ms{t} m ON m.qid = c.qid AND m.a = c.vec_id
+      WHERE s.vec_id IS NULL
+    ),
+    pick{t} AS (
+      SELECT qid, FIRST(vec_id ORDER BY score DESC, vec_id) AS vec_id,
+             FIRST(rel_u ORDER BY score DESC, vec_id) AS rel_u,
+             FIRST(score ORDER BY score DESC, vec_id) AS score,
+             {t} AS pos
+      FROM sc{t} GROUP BY qid
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT qid, vec_id, rel_u, score, pos FROM pick{t}
+      UNION ALL SELECT qid, vec_id, rel_u, score, pos FROM {prev}
+    )"""
+        )
+        prev = f"sel{t}"
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding FROM embeddings
+      ORDER BY vec_id LIMIT 3
+    ),
+    qx AS (
+      SELECT qid, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS x
+      FROM q, range(1, 65) AS t(i)
+    ),
+    cx AS MATERIALIZED (
+      SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings, range(1, 65) AS t(i)
+    ),
+    cn AS (SELECT vec_id, SUM(CAST(x AS HUGEINT) * x) AS nc FROM cx GROUP BY 1),
+    dots AS (
+      SELECT q.qid, c.vec_id, SUM(CAST(q.x AS HUGEINT) * c.x) AS dot
+      FROM qx q JOIN cx c ON q.i = c.i GROUP BY 1, 2
+    ),
+    rel AS (
+      SELECT d.qid, d.vec_id,
+             CAST(floor(CAST(d.dot AS DOUBLE)
+                        / (sqrt(CAST(nq.nc AS DOUBLE))
+                           * sqrt(CAST(nc.nc AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS rel_u
+      FROM dots d
+      JOIN cn nq ON nq.vec_id = d.qid
+      JOIN cn nc ON nc.vec_id = d.vec_id
+      WHERE d.vec_id <> d.qid
+    ),
+    cand AS MATERIALIZED (
+      SELECT qid, vec_id, rel_u FROM (
+        SELECT qid, vec_id, rel_u,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel_u DESC, vec_id) AS rn
+        FROM rel
+      ) WHERE rn <= 20
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
+             CAST(floor(CAST(SUM(CAST(xa.x AS HUGEINT) * xb.x) AS DOUBLE)
+                        / (sqrt(CAST(MAX(na.nc) AS DOUBLE))
+                           * sqrt(CAST(MAX(nb.nc) AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS sim_u
+      FROM cand a
+      JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+      JOIN cx xa ON xa.vec_id = a.vec_id
+      JOIN cx xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
+      JOIN cn na ON na.vec_id = a.vec_id
+      JOIN cn nb ON nb.vec_id = b.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    sel0 AS (SELECT NULL::BIGINT AS qid, NULL::BIGINT AS vec_id,
+                    NULL::BIGINT AS rel_u, NULL::BIGINT AS score,
+                    0 AS pos WHERE FALSE)
+    {''.join(steps)}
+    SELECT qid AS query_id, CAST(pos AS INT) AS position, vec_id,
+           CAST(rel_u AS DOUBLE) / 1000000 AS relevance,
+           CAST(score AS DOUBLE) / 10000000 AS mmr_score
+    FROM {prev} ORDER BY query_id, position
+    """
+
+
+@query(
+    "q357_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("retrieval", "diversity", "kernel"),
+)
+def q357_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: for 3 probe vectors, take
+    the exact cosine top-20 and greedily select 10 results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected (λ = 0.7) —
+    the diversity-aware re-ranker between retrieval (q24/q67) and its
+    quality metrics (q263/q267): near-duplicate hits stop crowding out
+    coverage.
+
+    Scale plan: relevance is ONE broadcast-probe integer-dot pass over
+    the posexploded corpus (the q301 shape — 3×64 probe elements
+    broadcast, map-side partial agg) + a WindowGroupLimit top-20 cut;
+    the greedy loop is bounded state (3 queries × 20 candidates), so it
+    runs driver-side on a guarded collect (q337's rule) with pair
+    similarities computed from the SAME quantized integers, and ships
+    back as a VALUES relation.  Exactness: vectors quantize to the
+    1e-6 integer grid, dots/norms are exact integers, every cosine is
+    the engine-identical floor(double·1e6 + 0.5) snap, and MMR scores
+    7·rel_u − 3·maxsim_u are pure integers — selection and tie-breaks
+    (score desc, vec_id) are integer-deterministic; the generated
+    10-step MATERIALIZED CTE chain replays every pick."""
+    import math
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cx = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("p", "xf"),
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("i"),
+        F.floor(F.col("xf").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+    )
+    cx = cx.localCheckpoint(eager=True)  # feeds norms AND the probe dot pass
+    cn = cx.groupBy("vec_id").agg(
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("nc")
+    )
+    qx = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.posexplode(F.col("embedding")).alias("p", "xf"),
+        )
+        .select(
+            "qid",
+            (F.col("p") + 1).alias("i"),
+            F.floor(F.col("xf").cast("double") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("qxv"),
+        )
+    )
+    dots = (
+        cx.join(F.broadcast(qx), "i")
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.expr("CAST(qxv AS DECIMAL(38,0)) * x")).alias("dot"))
+    )
+    nq = cn.select(F.col("vec_id").alias("qid"), F.col("nc").alias("nq"))
+    rel = (
+        dots.where(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(nq), "qid")
+        .join(cn, "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "CAST(floor(CAST(dot AS DOUBLE)"
+                " / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("rel_u"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("rel_u").desc(), "vec_id")
+    cand = (
+        rel.select("qid", "vec_id", "rel_u", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    rows = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .limit(100)
+        .collect()
+    )
+    if len(rows) > 70:
+        raise ValueError(
+            "q357_mmr_rerank: candidate collect exceeded the 3x20 contract"
+        )
+    by_q: dict = {}
+    vecs: dict = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], r["rel_u"]))
+        vecs[r["vec_id"]] = [
+            math.floor(float(v) * 1000000 + 0.5) for v in r["embedding"]
+        ]
+    norms = {k: sum(x * x for x in v) for k, v in vecs.items()}
+
+    def sim_u(a: int, b: int) -> int:
+        dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        return math.floor(
+            float(dot) / (math.sqrt(float(norms[a])) * math.sqrt(float(norms[b])))
+            * 1000000 + 0.5
+        )
+
+    out = []
+    for qid in sorted(by_q):
+        cands = sorted(by_q[qid])
+        selected: list = []
+        remaining = {v: r for v, r in cands}
+        for pos in range(1, 11):
+            best = None
+            for v, r in sorted(remaining.items()):
+                ms = max((sim_u(v, s) for s, _ in selected), default=0)
+                score = 7 * r - 3 * ms
+                if best is None or score > best[2]:
+                    best = (v, r, score)
+            selected.append((best[0], best[2]))
+            out.append((qid, pos, best[0], best[1], best[2]))
+            del remaining[best[0]]
+    vals = ", ".join(
+        f"({q}, {p}, {v}, {r}, {s})" for q, p, v, r, s in out
+    )
+    return spark.sql(
+        f"SELECT query_id, CAST(position AS INT) AS position, vec_id,"
+        f" CAST(rel_u AS DOUBLE) / 1000000 AS relevance,"
+        f" CAST(score AS DOUBLE) / 10000000 AS mmr_score"
+        f" FROM (VALUES {vals})"
+        f" AS t(query_id, position, vec_id, rel_u, score)"
+        f" ORDER BY query_id, position"
+    )

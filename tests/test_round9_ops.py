@@ -200,3 +200,26 @@ def test_q355_no_pair_enumeration(spark, sf_smoke):
     plan must contain no join at all (one projection, two aggregates)."""
     plan = _plan(spark, sf_smoke, "q355_prefix_cache_audit")
     assert "Join" not in plan
+
+
+def test_mmr_structure(spark, sf_smoke):
+    """MMR invariants: 10 positions per query; position 1 pays no
+    diversity penalty (score == 0.7·relevance, the empty-set maxsim);
+    later positions never exceed it (the penalty is subtractive,
+    maxsim_u ≥ 0 is not guaranteed for signed cosines — but the pick's
+    score can never beat the same item's unpenalized score when the
+    penalty is positive, so we assert the per-query score sequence is
+    non-increasing, the greedy-argmax property)."""
+    from cyber_etl_spark.plans import QUERIES
+
+    rows = QUERIES["q357_mmr_rerank"].builder(spark, sf_smoke).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 3
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["position"])
+        assert [r["position"] for r in rs] == list(range(1, 11))
+        assert abs(rs[0]["mmr_score"] - 0.7 * rs[0]["relevance"]) < 1e-9
+        scores = [r["mmr_score"] for r in rs]
+        assert all(a >= b - 1e-12 for a, b in zip(scores, scores[1:])), qid

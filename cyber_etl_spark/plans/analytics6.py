@@ -3042,3 +3042,97 @@ def q357_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" AS t(query_id, position, vec_id, rel_u, score)"
         f" ORDER BY query_id, position"
     )
+
+
+@query(
+    "q358_bipartite_check",
+    oracle="""
+    WITH RECURSIVE li2 AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    ew AS (SELECT a.s AS src, b.s AS dst, COUNT(*) AS w
+           FROM li2 a JOIN li2 b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+    qq AS (SELECT quantile_cont(w, 0.95) AS q99 FROM ew),
+    se AS (SELECT src, dst FROM ew, qq WHERE w >= q99),
+    dbl AS (
+      SELECT 2*src AS u, 2*dst + 1 AS v FROM se
+      UNION ALL SELECT 2*src + 1, 2*dst FROM se
+    ),
+    gedges AS (SELECT u, v FROM dbl UNION SELECT v, u FROM dbl),
+    reach(u, v) AS (
+      SELECT u, v FROM gedges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN gedges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    odd AS (
+      SELECT a.id // 2 AS node
+      FROM comp a JOIN comp b
+        ON a.id // 2 = b.id // 2 AND a.id % 2 = 0 AND b.id % 2 = 1
+      WHERE a.component = b.component
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM (
+      SELECT src FROM se UNION ALL SELECT dst FROM se))
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM se) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM odd) AS BIGINT) AS n_odd_cycle_nodes,
+           (SELECT COUNT(*) FROM odd) = 0 AS is_bipartite
+    """,
+    tags=("graph", "bipartite", "cc"),
+)
+def q358_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartiteness test on the P95 co-supply backbone via the
+    doubled-node trick: split each node into (v, even) and (v, odd),
+    wire every edge across parities, and run ONE connected-components
+    pass — a node sits on an odd cycle iff its two copies land in the
+    same component.  Reports the odd-cycle node count (a 2-colorability
+    / conflict-graph screen: bipartite ⇒ the graph is 2-partitionable
+    for conflict-free parallel processing).
+
+    Scale plan: the doubled graph has exactly 2|E| edges and reuses the
+    memoized backbone and the standard min-label CC kernel (one loop,
+    the q348 tagging idea with parity as the tag INSIDE the id);
+    everything after is two bounded aggregates.  Exactness: ids and
+    components are pure integers."""
+    from ..graph.algorithms import connected_components
+    from .graphops import _sparse_upper_edges
+
+    se = _sparse_upper_edges(spark, sf_dir)
+    se = se.localCheckpoint(eager=True)  # feeds doubled edges + both counts
+    dbl = se.select(
+        (2 * F.col("src")).alias("src"), (2 * F.col("dst") + 1).alias("dst")
+    ).union(
+        se.select(
+            (2 * F.col("src") + 1).alias("src"), (2 * F.col("dst")).alias("dst")
+        )
+    )
+    comp = connected_components(dbl)
+    even = comp.where(F.col("id") % 2 == 0).select(
+        (F.col("id") / 2).cast("long").alias("node"),
+        F.col("component").alias("ce"),
+    )
+    oddc = comp.where(F.col("id") % 2 == 1).select(
+        ((F.col("id") - 1) / 2).cast("long").alias("node"),
+        F.col("component").alias("co"),
+    )
+    odd = even.join(oddc, "node").where(F.col("ce") == F.col("co"))
+    nodes = (
+        se.select(F.col("src").alias("id"))
+        .union(se.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = se.agg(F.count(F.lit(1)).alias("n_edges"))
+    no = odd.agg(F.count(F.lit(1)).alias("n_odd"))
+    return (
+        nn.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(no))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_odd").cast("long").alias("n_odd_cycle_nodes"),
+            (F.col("n_odd") == 0).alias("is_bipartite"),
+        )
+    )

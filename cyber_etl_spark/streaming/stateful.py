@@ -1249,3 +1249,94 @@ def twap_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SPRT_STATE = StructType(
+    [
+        StructField("cum_s", LongType()),
+        StructField("cum_f", LongType()),
+        StructField("last_day", StringType()),
+        StructField("decided", StringType()),
+    ]
+)
+
+SPRT_SCHEMA = StructType(
+    [
+        StructField("stream", StringType()),
+        StructField("day", StringType()),
+        StructField("cum_trials", LongType()),
+        StructField("cum_conv", LongType()),
+        StructField("llr12", LongType()),
+        StructField("verdict", StringType()),
+    ]
+)
+
+
+def sprt_stream(daily: DataFrame, la12: int, lb12: int, a12: int) -> DataFrame:
+    """Streaming twin of q346's SPRT replay: consumes an in-order DAILY
+    feed (stream, day, trials, conv) and maintains the cumulative
+    success/failure counts across micro-batches, emitting the LLR and
+    Wald verdict after each day.  The hypotheses (la12/lb12 increments
+    and boundary a12, 1e-12-unit integers) are PARAMETERS — a real
+    sequential test prespecifies them; q346 derives them from the
+    first-half rate offline and the twin test feeds exactly those.
+
+    Exactness contract: state is two integers; the emitted LLR is
+    s·la12 + f·lb12 — the identical pure-integer arithmetic of the
+    batch query, so after any in-order prefix the trajectory equals the
+    batch rows bit-for-bit.  Once a boundary is crossed the verdict
+    FREEZES (sequential tests stop at first crossing; the batch query
+    publishes the raw per-day comparison instead — the twin test
+    compares pre-crossing rows exactly and checks the freeze point
+    against the batch's first non-continue row).  Out-of-order days
+    across batches raise (the twap_stream in-order contract)."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (stream,) = key
+        if state.exists:
+            s, f_cnt, last_day, decided = state.get
+        else:
+            s, f_cnt, last_day, decided = 0, 0, None, None
+        rows = pd.concat(list(batches)).sort_values("day")
+        out = []
+        for day, tr, cv in zip(rows["day"], rows["trials"], rows["conv"]):
+            day = str(day)
+            if last_day is not None and day <= last_day:
+                raise ValueError(
+                    f"sprt_stream: out-of-order day {day} <= {last_day}"
+                )
+            last_day = day
+            s += int(cv)
+            f_cnt += int(tr) - int(cv)
+            llr = s * la12 + f_cnt * lb12
+            if decided is None:
+                if llr >= a12:
+                    verdict = "accept_h1"
+                    decided = verdict
+                elif llr <= -a12:
+                    verdict = "accept_h0"
+                    decided = verdict
+                else:
+                    verdict = "continue"
+            else:
+                verdict = decided  # frozen at first crossing
+            out.append((stream, day, s + f_cnt, s, llr, verdict))
+        state.update((s, f_cnt, last_day, decided))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "stream", "day", "cum_trials", "cum_conv", "llr12", "verdict"
+            ],
+        )
+
+    return daily.select("stream", "day", "trials", "conv").groupBy(
+        "stream"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=SPRT_SCHEMA,
+        stateStructType=_SPRT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1030,3 +1030,100 @@ def test_twap_stream_twin(spark, sf_smoke, tmp_path):
         d2 = den * 1_000_000
         twap = ((2 * num * 1_000_000 + d2) // (2 * d2)) / 1_000_000
         assert twap == b["twap"], (etype, twap, b["twap"])
+
+
+def test_sprt_stream_twin(spark, sf_smoke, tmp_path):
+    """Streaming SPRT == q346's batch trajectory: feed the daily
+    (trials, conv) grid in three day-ordered files with q346's own
+    la12/lb12/a12 constants; every emitted pre-crossing row must equal
+    the batch row bit-for-bit (integer LLR included), and the stream's
+    first non-continue day must match the batch's."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+    from cyber_etl_spark.streaming import run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import sprt_stream
+
+    ev = read_table(spark, sf_smoke, "events")
+    d = (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("trials"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+        .withColumn("stream", F.lit("conv"))
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    # q346's constants, recomputed with the same integer snaps
+    import math
+
+    # the first half is defined by CALENDAR, not day count — recompute
+    # exactly as q346 does
+    import datetime
+
+    d0 = datetime.date.fromisoformat(d["day"].iloc[0])
+    d1 = datetime.date.fromisoformat(d["day"].iloc[-1])
+    span = (d1 - d0).days
+    first = d[[(datetime.date.fromisoformat(x) - d0).days * 2 < span + 1
+               for x in d["day"]]]
+    t1, s1 = int(first["trials"].sum()), int(first["conv"].sum())
+    la12 = math.floor(math.log(float(6) / 5) * 1e12 + 0.5)
+    lb12 = math.floor(
+        math.log(float(5 * t1 - 6 * s1) / (5 * (t1 - s1))) * 1e12 - 0.5
+    ) + 1
+    a12 = math.floor(math.log(float(19)) * 1e12 + 0.5)
+
+    feed = tmp_path / "sprt_feed"
+    feed.mkdir()
+    n = len(d)
+    for i in range(3):
+        chunk = d.iloc[i * n // 3 : (i + 1) * n // 3]
+        pq.write_table(
+            pa.Table.from_pandas(chunk[["stream", "day", "trials", "conv"]]),
+            str(feed / f"c{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(
+            "stream string, day string, trials long, conv long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    run_stream_to_memory(sprt_stream(stream, la12, lb12, a12), "sprt_mem",
+                         mode="append")
+    srows = {
+        r.day: r for r in spark.sql("SELECT * FROM sprt_mem").collect()
+    }
+    brows = {
+        r["day"]: r
+        for r in QUERIES["q346_sprt_replay"].builder(spark, sf_smoke).collect()
+    }
+    assert set(srows) == set(brows)
+    batch_first_cross = min(
+        (d_ for d_, r in brows.items() if r["verdict"] != "continue"),
+        default=None,
+    )
+    for day, b in brows.items():
+        s = srows[day]
+        assert s.cum_trials == b["cum_trials"], day
+        assert s.cum_conv == b["cum_conv"], day
+        # pre-crossing rows agree exactly; after the stream freezes, the
+        # batch keeps publishing the raw comparison
+        if batch_first_cross is None or day <= batch_first_cross:
+            assert s.verdict == b["verdict"], day
+            assert (
+                ((2 * s.llr12 * 1000000 + 10**12) // (2 * 10**12)) / 1e6
+                == b["llr"]
+                if s.llr12 >= 0
+                else -(((2 * -s.llr12 * 1000000 + 10**12) // (2 * 10**12)))
+                / 1e6
+                == b["llr"]
+            ), day

@@ -3136,3 +3136,155 @@ def q358_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_odd") == 0).alias("is_bipartite"),
         )
     )
+
+
+@query(
+    "q359_imputation_eval",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+             CASE WHEN {_md5_mod_sql("event_id", 10)} = 0
+                  THEN 1 ELSE 0 END AS masked
+      FROM events WHERE value IS NOT NULL
+    ),
+    tr AS (SELECT event_type, xc, event_id FROM x WHERE masked = 0),
+    mn AS (
+      SELECT event_type, COUNT(*) AS n, SUM(CAST(xc AS HUGEINT)) AS sx,
+             (2*SUM(CAST(xc AS HUGEINT)) + COUNT(*)) // (2*COUNT(*)) AS mean_c
+      FROM tr GROUP BY 1
+    ),
+    rk AS (
+      SELECT event_type, xc,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY xc, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS ng
+      FROM tr
+    ),
+    md AS (
+      SELECT event_type, xc AS med_c FROM rk WHERE rn = (ng + 1) // 2
+    ),
+    ev AS (
+      SELECT x.event_type,
+             COUNT(*) AS n_masked,
+             SUM(abs(x.xc - mn.mean_c)) AS ae_mean,
+             SUM(abs(x.xc - md.med_c)) AS ae_med,
+             SUM(CAST((x.xc - mn.mean_c) AS HUGEINT)
+                 * (x.xc - mn.mean_c)) AS se_mean,
+             SUM(CAST((x.xc - md.med_c) AS HUGEINT)
+                 * (x.xc - md.med_c)) AS se_med
+      FROM x JOIN mn ON mn.event_type = x.event_type
+      JOIN md ON md.event_type = x.event_type
+      WHERE x.masked = 1 GROUP BY 1
+    )
+    SELECT event_type, CAST(n_masked AS BIGINT) AS n_masked,
+           {_ha6_sql("ae_mean", "100 * n_masked")} AS mae_mean,
+           {_ha6_sql("ae_med", "100 * n_masked")} AS mae_median,
+           round(sqrt(CAST((2*se_mean*1000000 + n_masked)
+                           // (2*CAST(n_masked AS HUGEINT)) AS DOUBLE)
+                      / 1000000) / 100, 6) AS rmse_mean,
+           round(sqrt(CAST((2*se_med*1000000 + n_masked)
+                           // (2*CAST(n_masked AS HUGEINT)) AS DOUBLE)
+                      / 1000000) / 100, 6) AS rmse_median
+    FROM ev ORDER BY event_type
+    """,
+    tags=("dq", "imputation", "eval"),
+)
+def q359_imputation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Imputation-quality evaluation: mask a deterministic md5 10% of
+    `value`, impute from the UNMASKED rows only (train/test discipline,
+    q148) with the per-type mean and the per-type lower median, and
+    score both imputers against the held-out actuals (MAE + RMSE per
+    type) — the eval a pipeline runs before choosing its null-filling
+    policy (the mean wins on symmetric noise, the median on heavy
+    tails; q353's tail index says which regime a column is in).
+
+    Scale plan: one projection computes the mask; the mean is a
+    map-side moment agg; the median is a rank pick on the prefix
+    kernel's grouped global order (q334's machinery — never a low-card
+    percentile buffer); scoring is one broadcast join of the bounded
+    per-type imputer table.  Exactness: values live on the exact cents
+    grid (so per-row squared errors stay below 2^53 — the micro grid
+    would overflow double exactness, the q238 grid-budget rule); MAE is
+    `_ha6`, MSE snaps half-away to 1e-6 cents² before the IEEE sqrt."""
+    from ..operators.prefix import global_ranks
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("xc"),
+        F.when(_md5_mod(F.col("event_id"), 10) == 0, 1).otherwise(0).alias(
+            "masked"
+        ),
+    )
+    x = x.localCheckpoint(eager=True)  # feeds train stats AND the scoring pass
+    tr = x.where(F.col("masked") == 0)
+    mn = tr.groupBy("event_type").agg(
+        F.expr(
+            "(2*SUM(CAST(xc AS DECIMAL(38,0))) + COUNT(*)) div (2*COUNT(*))"
+        ).alias("mean_c")
+    )
+    rk = global_ranks(
+        tr.select("event_type", "xc", "event_id"),
+        order_cols=("xc", "event_id"),
+        group_cols=("event_type",),
+        rn_col="rn",
+        total_col="ng",
+    )
+    md = rk.where(F.expr("rn = (ng + 1) div 2")).select(
+        "event_type", F.col("xc").alias("med_c")
+    )
+    scored = (
+        x.where(F.col("masked") == 1)
+        .join(F.broadcast(mn), "event_type")
+        .join(F.broadcast(md), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_masked"),
+            F.sum(F.abs(F.col("xc") - F.col("mean_c"))).alias("ae_mean"),
+            F.sum(F.abs(F.col("xc") - F.col("med_c"))).alias("ae_med"),
+            F.sum(
+                F.expr(
+                    "CAST((xc - mean_c) AS DECIMAL(38,0)) * (xc - mean_c)"
+                )
+            ).alias("se_mean"),
+            F.sum(
+                F.expr("CAST((xc - med_c) AS DECIMAL(38,0)) * (xc - med_c)")
+            ).alias("se_med"),
+        )
+    )
+    return scored.select(
+        "event_type",
+        F.col("n_masked").cast("long").alias("n_masked"),
+        F.expr(
+            "CAST((2*ae_mean*1000000 + 100*n_masked) div (2*(100*n_masked))"
+            " AS DOUBLE) / 1000000"
+        ).alias("mae_mean"),
+        F.expr(
+            "CAST((2*ae_med*1000000 + 100*n_masked) div (2*(100*n_masked))"
+            " AS DOUBLE) / 1000000"
+        ).alias("mae_median"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "CAST((2*se_mean*1000000 + n_masked)"
+                    " div (2*CAST(n_masked AS DECIMAL(38,0))) AS DOUBLE)"
+                )
+                / 1000000
+            )
+            / 100,
+            6,
+        ).alias("rmse_mean"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "CAST((2*se_med*1000000 + n_masked)"
+                    " div (2*CAST(n_masked AS DECIMAL(38,0))) AS DOUBLE)"
+                )
+                / 1000000
+            )
+            / 100,
+            6,
+        ).alias("rmse_median"),
+    ).orderBy("event_type")

@@ -3288,3 +3288,178 @@ def q359_imputation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rmse_median"),
     ).orderBy("event_type")
+
+
+@query(
+    "q360_bm25_parameter_sweep",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS token
+      FROM toks
+    ),
+    post AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM grams GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM grams GROUP BY 1),
+    st AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avgdl
+      FROM dl
+    ),
+    dfr AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+    qs AS (
+      SELECT token AS qtok FROM dfr
+      WHERE df BETWEEN 5 AND 50
+      ORDER BY df DESC, token ASC LIMIT 10
+    ),
+    cfg AS (
+      SELECT CAST(k1 AS DOUBLE) AS k1, CAST(b AS DOUBLE) AS b
+      FROM (VALUES (0.9, 0.4), (1.2, 0.0), (1.2, 0.75), (2.0, 0.75))
+        AS v(k1, b)
+    ),
+    cand AS (
+      SELECT cfg.k1, cfg.b, qs.qtok, p.doc_id, p.tf,
+             round(p.tf * (cfg.k1 + 1)
+                   / (p.tf + cfg.k1*(1 - cfg.b + cfg.b*d.dl/st.avgdl)), 6)
+               AS score
+      FROM qs JOIN post p ON p.token = qs.qtok
+      JOIN dl d ON d.doc_id = p.doc_id, st, cfg
+    ),
+    rk AS (
+      SELECT k1, b, qtok, tf,
+             ROW_NUMBER() OVER (PARTITION BY k1, b, qtok
+                                ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM cand
+    ),
+    per AS (
+      SELECT k1, b, qtok,
+             MIN(CASE WHEN tf >= 2 THEN rnk END) AS first_gold,
+             SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS n_gold,
+             SUM(CASE WHEN tf >= 2 AND rnk <= 10 THEN 1 ELSE 0 END)
+               AS gold_in_10
+      FROM rk GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT k1, b, COUNT(*) AS n_queries,
+             SUM(CASE WHEN first_gold IS NULL THEN 0
+                      ELSE (2*1000000 + first_gold) // (2*first_gold) END)
+               AS rr_u,
+             SUM(CASE WHEN n_gold = 0 THEN 0
+                      ELSE (2*gold_in_10*1000000 + n_gold) // (2*n_gold) END)
+               AS rec_u
+      FROM per GROUP BY 1, 2
+    )
+    SELECT k1, b,
+           CAST((2*rr_u + n_queries) // (2*n_queries) AS DOUBLE) / 1000000
+             AS mrr,
+           CAST((2*rec_u + n_queries) // (2*n_queries) AS DOUBLE) / 1000000
+             AS mean_recall_at_10
+    FROM agg ORDER BY k1, b
+    """,
+    tags=("retrieval", "bm25", "tuning"),
+)
+def q360_bm25_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hyper-parameter sweep: MRR and mean recall@10 of q263's ten
+    deterministic shingle queries under four (k1, b) settings — the
+    saturation/length-normalization tuning grid (b=0 disables length
+    normalization, k1→large approaches raw tf) that turns the one-point
+    eval (q263) into the decision a search team actually makes.
+
+    Scale plan: reuses the memoized BM25 index; the config grid is a
+    4-row broadcast constant fanned onto the df-BOUNDED candidate set
+    (≤ 50 docs/query), so the sweep multiplies bounded work only; the
+    per-(config, query) window partitions on the high-card shingle key.
+    Exactness: scores are 6-dp rounds of identical double arithmetic
+    (config constants CAST to DOUBLE in both engines — DuckDB VALUES
+    literals are DECIMAL); per-query RR/recall snap to half-away
+    integer micro-units BEFORE the mean, so the published averages are
+    exact rationals."""
+    from pyspark.sql.window import Window
+
+    from .analytics3 import _bm25_index
+
+    post, dl, st, dfr = _bm25_index(spark, sf_dir)
+    qs = (
+        dfr.where(F.col("df").between(5, 50))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(10)
+        .select(F.col("token").alias("qtok"))
+    )
+    cfg = spark.sql(
+        "SELECT CAST(k1 AS DOUBLE) AS k1, CAST(b AS DOUBLE) AS b"
+        " FROM (VALUES (0.9, 0.4), (1.2, 0.0), (1.2, 0.75), (2.0, 0.75))"
+        " AS v(k1, b)"
+    )
+    cand = (
+        F.broadcast(qs)
+        .join(post, post.token == F.col("qtok"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(cfg))
+        .select(
+            "k1",
+            "b",
+            "qtok",
+            "doc_id",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.col("k1") + 1)
+                / (
+                    F.col("tf")
+                    + F.col("k1")
+                    * (1 - F.col("b") + F.col("b") * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    rk = cand.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("k1", "b", "qtok").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    per = rk.groupBy("k1", "b", "qtok").agg(
+        F.min(F.when(F.col("tf") >= 2, F.col("rnk"))).alias("first_gold"),
+        F.sum(F.when(F.col("tf") >= 2, 1).otherwise(0)).alias("n_gold"),
+        F.sum(
+            F.when((F.col("tf") >= 2) & (F.col("rnk") <= 10), 1).otherwise(0)
+        ).alias("gold_in_10"),
+    )
+    agg = per.groupBy("k1", "b").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.expr(
+                "CASE WHEN first_gold IS NULL THEN 0"
+                " ELSE (2*1000000 + first_gold) div (2*first_gold) END"
+            )
+        ).alias("rr_u"),
+        F.sum(
+            F.expr(
+                "CASE WHEN n_gold = 0 THEN 0"
+                " ELSE (2*gold_in_10*1000000 + n_gold) div (2*n_gold) END"
+            )
+        ).alias("rec_u"),
+    )
+    return agg.select(
+        "k1",
+        "b",
+        F.expr(
+            "CAST((2*rr_u + n_queries) div (2*n_queries) AS DOUBLE)"
+            " / 1000000"
+        ).alias("mrr"),
+        F.expr(
+            "CAST((2*rec_u + n_queries) div (2*n_queries) AS DOUBLE)"
+            " / 1000000"
+        ).alias("mean_recall_at_10"),
+    ).orderBy("k1", "b")

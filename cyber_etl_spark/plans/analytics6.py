@@ -3463,3 +3463,192 @@ def q360_bm25_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 1000000"
         ).alias("mean_recall_at_10"),
     ).orderBy("k1", "b")
+
+
+@query(
+    "q361_knn_k_sweep",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 5 = 0 AS is_test
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+          FROM base WHERE is_test),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, label FROM base
+          WHERE NOT is_test),
+    scored AS (
+      SELECT query_id, true_label, neighbor_id, label,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q, c
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT k, query_id, true_label, label, COUNT(*) AS cnt
+      FROM top, (VALUES (1),(3),(5)) AS kv(k)
+      WHERE rn <= k GROUP BY 1, 2, 3, 4
+    ),
+    pred AS (
+      SELECT k, query_id, true_label,
+             (list_sort(list((-cnt, label))))[1][2] AS predicted
+      FROM votes GROUP BY 1, 2, 3
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((2*SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                 *1000000 + COUNT(*)) // (2*COUNT(*)) AS DOUBLE) / 1000000
+             AS accuracy
+    FROM pred GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ann", "knn", "tuning"),
+)
+def q361_knn_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN neighborhood-size sweep: overall accuracy at k ∈ {1, 3, 5}
+    from ONE top-5 kernel pass (q305's split, kernel and tie
+    discipline) — the bias/variance dial of the lazy classifier, read
+    off the same neighbor table the k=5 eval already computes (rank
+    prefixes nest, so the sweep costs one fan-out over 5-row groups,
+    never a re-score).
+
+    Scale plan: one blocked-GEMM brute-force top-5; per-query ranks by
+    (cosine desc, neighbor_id) on the high-card query key; the 3-way k
+    fan-out rides the bounded ≤5-row neighbor groups.  Exactness:
+    6-dp cosine ranking (q24), windowless sorted-list argmax with
+    ties-to-smallest-label (q249), accuracies half-away rationals."""
+    from pyspark.sql.window import Window
+
+    from ..operators.ann import brute_force_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.withColumn(
+        "is_test",
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+        == 0,
+    )
+    test = base.where(F.col("is_test"))
+    train = base.where(~F.col("is_test"))
+    knn = brute_force_knn(
+        train.select("vec_id", "embedding"),
+        test.select("vec_id", "embedding"),
+        k=5,
+    )
+    rk = knn.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id").asc()
+            )
+        ),
+    )
+    lab = train.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    tl = test.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        rk.join(lab, "neighbor_id")
+        .join(F.broadcast(tl), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "nl",
+            "rn",
+            F.explode(F.array(F.lit(1), F.lit(3), F.lit(5))).alias("k"),
+        )
+        .where(F.col("rn") <= F.col("k"))
+        .groupBy("k", "query_id", "true_label", "nl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pred = votes.groupBy("k", "query_id", "true_label").agg(
+        F.element_at(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("nl"))
+                )
+            ),
+            1,
+        )["nl"].alias("predicted")
+    )
+    return (
+        pred.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(
+                    0
+                )
+            ).alias("n_correct"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.expr(
+                "CAST((2*n_correct*1000000 + n_test) div (2*n_test)"
+                " AS DOUBLE) / 1000000"
+            ).alias("accuracy"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "q362_srm_check",
+    oracle=f"""
+    WITH a AS (
+      SELECT {_md5_mod_sql("c_custkey", 2)} AS arm FROM customer
+    ),
+    s AS (
+      SELECT SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nt,
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS nc
+      FROM a
+    )
+    SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+           {_ha6_sql("CAST(nt - nc AS HUGEINT) * (nt - nc)", "nt + nc")}
+             AS chi2,
+           CAST(nt - nc AS HUGEINT) * (nt - nc) * 10000
+             > 38415 * CAST(nt + nc AS HUGEINT) AS srm_flag
+    FROM s
+    """,
+    tags=("experiment", "guardrail", "srm"),
+)
+def q362_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the md5 coin: χ² =
+    (n_t − n_c)²/n against the 50/50 design, flagged at the 3.8415
+    one-df 5% critical value — the first sanity gate of any experiment
+    readout (a failed SRM invalidates q294/q335 downstream; here it
+    also regression-tests the md5 assignment itself for balance).
+
+    Scale plan: one map-side-combinable aggregate.  Exactness: χ² is
+    an exact integer rational (`_ha6`); the flag compares INTEGERS
+    (cross-multiplied against the critical value scaled to 1e4 units —
+    never a float threshold on a rounded statistic)."""
+    cust = read_table(spark, sf_dir, "customer")
+    s = cust.select(_md5_mod(F.col("c_custkey"), 2).alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("nc"),
+    )
+    return s.select(
+        F.col("nt").cast("long").alias("n_treat"),
+        F.col("nc").cast("long").alias("n_ctrl"),
+        F.expr(
+            "CAST((2*(CAST(nt - nc AS DECIMAL(38,0)) * (nt - nc))*1000000"
+            " + (nt + nc)) div (2*(nt + nc)) AS DOUBLE) / 1000000"
+        ).alias("chi2"),
+        F.expr(
+            "CAST(nt - nc AS DECIMAL(38,0)) * (nt - nc) * 10000"
+            " > 38415 * CAST(nt + nc AS DECIMAL(38,0))"
+        ).alias("srm_flag"),
+    )

@@ -3652,3 +3652,234 @@ def q362_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > 38415 * CAST(nt + nc AS DECIMAL(38,0))"
         ).alias("srm_flag"),
     )
+
+
+@query(
+    "q363_moments_profile",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             (2*SUM(CAST(xc AS HUGEINT)) + COUNT(*)) // (2*COUNT(*)) AS mu
+      FROM x GROUP BY 1
+    ),
+    c AS (
+      SELECT x.event_type, m.n,
+             SUM(CAST(x.xc - m.mu AS HUGEINT) * (x.xc - m.mu)) AS s2,
+             SUM(CAST(x.xc - m.mu AS HUGEINT) * (x.xc - m.mu)
+                 * (x.xc - m.mu)) AS s3,
+             SUM(CAST(x.xc - m.mu AS HUGEINT) * (x.xc - m.mu)
+                 * (x.xc - m.mu) * (x.xc - m.mu)) AS s4,
+             MAX(m.mu) AS mu
+      FROM x JOIN m ON m.event_type = x.event_type
+      GROUP BY 1, 2
+    ),
+    sn AS (
+      SELECT event_type, n, mu,
+             (2*s2*1000000 + n) // (2*CAST(n AS HUGEINT)) AS m2u,
+             CASE WHEN s3 >= 0 THEN (2*s3*1000000 + n) // (2*CAST(n AS HUGEINT))
+                  ELSE -((2*(-s3)*1000000 + n) // (2*CAST(n AS HUGEINT))) END
+               AS m3u,
+             (2*s4 + n) // (2*CAST(n AS HUGEINT)) AS m4i
+      FROM c
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           CAST(mu AS DOUBLE) / 100 AS mean_value,
+           round(sqrt(CAST(m2u AS DOUBLE) / 1000000) / 100, 6) AS sd_value,
+           round((CAST(m3u AS DOUBLE) / 1000000)
+                 / (sqrt(CAST(m2u AS DOUBLE) / 1000000)
+                    * (CAST(m2u AS DOUBLE) / 1000000)), 6) AS skewness,
+           round(CAST(m4i AS DOUBLE)
+                 / ((CAST(m2u AS DOUBLE) / 1000000)
+                    * (CAST(m2u AS DOUBLE) / 1000000)) - 3, 6)
+             AS excess_kurtosis
+    FROM sn ORDER BY event_type
+    """,
+    tags=("profiling", "moments", "statistics"),
+)
+def q363_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per event type: skewness m3/m2^1.5
+    and excess kurtosis m4/m2² − 3 of `value`, about the HALF-AWAY-
+    SNAPPED integer mean (the published statistic is DEFINED on the
+    cents grid — an exact-rational mean would push the 4th-power sums
+    past DECIMAL(38) at corpus scale).  Completes the profiling corner
+    (q46 covers location/spread/quartiles; this adds shape — the
+    fat-tail flag q353's Hill index quantifies).
+
+    Scale plan: one pass for the snapped mean, one map-side-combinable
+    central-moment pass (the 2-pass textbook schedule; deviations about
+    an integer mean keep every power an exact integer).  Exactness:
+    d ≤ ~3e4 cents so d⁴·n stays within DECIMAL(38,0)/HUGEINT; m2/m3
+    snap half-away to 1e-6 units (sign-aware for m3) but m4 snaps to
+    the INTEGER grid — its 1e-6-unit quotient (~6e21) wraps the int64
+    `div` result AND sits far past double ULP anyway (the q238 grid
+    budget, which this query hit live on its first run); the final
+    ratios divide exact doubles by irrational powers (round-safe,
+    q317)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("xc"),
+    )
+    x = x.localCheckpoint(eager=True)  # feeds the mean pass AND the moment pass
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "(2*SUM(CAST(xc AS DECIMAL(38,0))) + COUNT(*)) div (2*COUNT(*))"
+        ).alias("mu"),
+    )
+    c = (
+        x.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mu")
+        .agg(
+            F.sum(
+                F.expr("CAST(xc - mu AS DECIMAL(38,0)) * (xc - mu)")
+            ).alias("s2"),
+            F.sum(
+                F.expr(
+                    "CAST(xc - mu AS DECIMAL(38,0)) * (xc - mu) * (xc - mu)"
+                )
+            ).alias("s3"),
+            F.sum(
+                F.expr(
+                    "CAST(xc - mu AS DECIMAL(38,0)) * (xc - mu) * (xc - mu)"
+                    " * (xc - mu)"
+                )
+            ).alias("s4"),
+        )
+    )
+    sn = c.select(
+        "event_type",
+        "n",
+        "mu",
+        F.expr(
+            "(2*s2*1000000 + n) div (2*CAST(n AS DECIMAL(38,0)))"
+        ).alias("m2u"),
+        F.expr(
+            "CASE WHEN s3 >= 0"
+            " THEN (2*s3*1000000 + n) div (2*CAST(n AS DECIMAL(38,0)))"
+            " ELSE -((2*(-s3)*1000000 + n) div (2*CAST(n AS DECIMAL(38,0))))"
+            " END"
+        ).alias("m3u"),
+        F.expr(
+            "(2*s4 + n) div (2*CAST(n AS DECIMAL(38,0)))"
+        ).alias("m4i"),
+    )
+    return sn.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("mu").cast("double") / 100).alias("mean_value"),
+        F.round(
+            F.sqrt(F.col("m2u").cast("double") / 1000000) / 100, 6
+        ).alias("sd_value"),
+        F.round(
+            (F.col("m3u").cast("double") / 1000000)
+            / (
+                F.sqrt(F.col("m2u").cast("double") / 1000000)
+                * (F.col("m2u").cast("double") / 1000000)
+            ),
+            6,
+        ).alias("skewness"),
+        F.round(
+            F.col("m4i").cast("double")
+            / (
+                (F.col("m2u").cast("double") / 1000000)
+                * (F.col("m2u").cast("double") / 1000000)
+            )
+            - 3,
+            6,
+        ).alias("excess_kurtosis"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q364_heavy_hitter_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks
+    ),
+    half AS (
+      SELECT g, CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS h
+      FROM grams
+    ),
+    cnt AS (SELECT h, g, COUNT(*) AS c FROM half GROUP BY 1, 2),
+    rk AS (
+      SELECT h, g, c,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY c DESC, g) AS r
+      FROM cnt
+    ),
+    top AS (SELECT h, g, r FROM rk WHERE r <= 20),
+    a AS (SELECT g, r AS ra FROM top WHERE h = 0),
+    b AS (SELECT g, r AS rb FROM top WHERE h = 1),
+    j AS (SELECT a.g, ra, rb FROM a JOIN b USING (g))
+    SELECT CAST((SELECT COUNT(*) FROM j) AS BIGINT) AS n_common,
+           CAST((SELECT CAST((2*COUNT(*)*1000000 + (40 - COUNT(*)))
+                             // (2*(40 - COUNT(*))) AS DOUBLE) / 1000000
+                 FROM j) AS DOUBLE) AS jaccard_top20,
+           CAST((SELECT COALESCE(SUM(abs(ra - rb)), 0) FROM j) AS BIGINT)
+             AS total_rank_displacement
+    """,
+    tags=("drift", "heavy-hitters", "text"),
+)
+def q364_heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter stability across corpus halves: the top-20 3-word
+    shingles of each (doc_id-parity) half, their overlap (Jaccard of
+    the two top-20 sets) and total rank displacement over the common
+    members — the popularity-drift screen a feed/trending pipeline
+    runs (stable top-k ⇒ caches and manual curation stay valid), on
+    the q22/q49 shingle space (unigrams degenerate on this corpus).
+
+    Scale plan: one shingle count per half (map-side combinable), two
+    WindowGroupLimit top-20 cuts, and a 20-row join.  The half split is
+    doc-parity (deterministic, no calendar on documents).  Exactness:
+    counts and ranks are integers with (count desc, shingle) ties;
+    Jaccard is an `_ha6` rational on |∩| and |∪| = 40 − |∩|."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    grams = toks.select(
+        (F.col("doc_id") % 2).alias("h"),
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 2),"
+                " (x, i) -> concat(x, ' ', t[i + 1], ' ', t[i + 2]))"
+            )
+        ).alias("g"),
+    )
+    cnt = grams.groupBy("h", "g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("h").orderBy(F.col("c").desc(), "g")
+    top = (
+        cnt.select("h", "g", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= 20)
+    )
+    a = top.where(F.col("h") == 0).select("g", F.col("r").alias("ra"))
+    b = top.where(F.col("h") == 1).select("g", F.col("r").alias("rb"))
+    j = a.join(b, "g")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.coalesce(F.sum(F.abs(F.col("ra") - F.col("rb"))), F.lit(0)).alias(
+            "disp"
+        ),
+    ).select(
+        F.col("n_common").cast("long").alias("n_common"),
+        F.expr(
+            "CAST((2*n_common*1000000 + (40 - n_common))"
+            " div (2*(40 - n_common)) AS DOUBLE) / 1000000"
+        ).alias("jaccard_top20"),
+        F.col("disp").cast("long").alias("total_rank_displacement"),
+    )

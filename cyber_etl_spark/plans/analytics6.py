@@ -3883,3 +3883,253 @@ def q364_heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard_top20"),
         F.col("disp").cast("long").alias("total_rank_displacement"),
     )
+
+
+@query(
+    "q365_dup_source_mix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c JOIN sizes sa ON c.id_a = sa.id
+      JOIN sizes sb ON c.id_b = sb.id
+      WHERE 2*c.n_common >= sa.n + sb.n - c.n_common
+    ),
+    lab AS (
+      SELECT p.id_a, p.id_b,
+             CASE WHEN da.source = db.source THEN 1 ELSE 0 END AS same_src
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(same_src) AS BIGINT) AS n_same_source,
+           CAST(SUM(1 - same_src) AS BIGINT) AS n_cross_source,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST((2*SUM(same_src)*1000000 + COUNT(*)) // (2*COUNT(*))
+                  AS DOUBLE) / 1000000 END AS same_source_share
+    FROM lab
+    """,
+    tags=("dedup", "provenance", "audit"),
+)
+def q365_dup_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate provenance mix: of the exact Jaccard ≥ 0.5 near-dup
+    pairs, how many join documents of the SAME source vs different
+    sources — the policy input for a dedup pass (same-source dups are
+    template/boilerplate artifacts the source owner should fix;
+    cross-source dups are syndication the keep-best canonicalizer
+    q320 must arbitrate).
+
+    Scale plan: reuses the memoized pair table (tiny — only
+    above-threshold pairs survive) with two broadcast label joins
+    against the (doc_id, source) projection.  Exactness: counts
+    integer; the share an `_ha6` rational, NULL-guarded for an empty
+    pair table."""
+    from .textops import cached_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = cached_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    lab = (
+        pairs.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .select(
+            F.when(F.col("sa") == F.col("sb"), 1).otherwise(0).alias("same_src")
+        )
+    )
+    return lab.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("same_src").alias("n_same_source"),
+        F.sum(1 - F.col("same_src")).alias("n_cross_source"),
+    ).select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_same_source").cast("long").alias("n_same_source"),
+        F.col("n_cross_source").cast("long").alias("n_cross_source"),
+        F.when(
+            F.col("n_pairs") > 0,
+            F.expr(
+                "CAST((2*n_same_source*1000000 + n_pairs) div (2*n_pairs)"
+                " AS DOUBLE) / 1000000"
+            ),
+        ).alias("same_source_share"),
+    )
+
+
+@query(
+    "q366_minhash_estimator_error",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+      SELECT c.id_a, c.id_b,
+             c.n_common AS nc, sa.n + sb.n - c.n_common AS nu
+      FROM common c JOIN sizes sa ON c.id_a = sa.id
+      JOIN sizes sb ON c.id_b = sb.id
+      WHERE 2*c.n_common >= sa.n + sb.n - c.n_common
+    ),
+    hashed AS (
+      SELECT id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh, (SELECT unnest(range(0, 8)) AS seed)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT t.id_a, t.id_b, t.nc, t.nu,
+             SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS matches
+      FROM truth t
+      JOIN hashed ha ON ha.id = t.id_a
+      JOIN hashed hb ON hb.id = t.id_b AND hb.seed = ha.seed
+      GROUP BY 1, 2, 3, 4
+    ),
+    err AS (
+      SELECT id_a, id_b, matches,
+             abs(CAST(matches AS HUGEINT) * nu - 8 * CAST(nc AS HUGEINT))
+               AS anum,
+             8 * CAST(nu AS HUGEINT) AS aden
+      FROM est
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(matches) AS BIGINT) AS total_matches,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST((2*SUM((anum * 1000000) // aden) + COUNT(*))
+                  // (2*COUNT(*)) AS DOUBLE) / 1000000 END AS mae
+    FROM err
+    """,
+    tags=("dedup", "minhash", "estimator"),
+)
+def q366_minhash_estimator_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator quality on the true near-dup pairs: the
+    8-permutation match-fraction estimate of Jaccard vs the exact value
+    — mean absolute error over the ≥ 0.5 truth pairs.  Quantifies the
+    estimator noise BEHIND the banding S-curve (q354 sweeps candidate
+    P/R; this measures the underlying per-pair estimate the bands
+    threshold; 8 perms ⇒ the estimate lives on a 1/8 grid, so MAE
+    ~0.06 is expected — the test for 'do we need more permutations').
+
+    Scale plan: per-doc minima reuse the memoized shingle table (one
+    (id, seed) aggregate); the comparison touches only the tiny truth
+    pair table (two broadcast-joinable signature lookups).  Exactness:
+    |matches/8 − nc/nu| is an exact integer rational (cross-multiplied,
+    floored to 1e-6 units per pair before the exact mean — identical in
+    both engines; the per-pair floor is part of the published metric's
+    definition)."""
+    from .textops import cached_jaccard_pairs, cached_shingles
+
+    sh = cached_shingles(spark, sf_dir)
+    truth = cached_jaccard_pairs(spark, sf_dir)
+    # the cached pair table carries a ROUNDED jaccard — the exact
+    # integer (nc, nu) stats are recovered by re-joining the bounded
+    # truth pairs against the memoized shingle sets (tiny: only
+    # above-threshold pairs survive)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    t = truth.select("id_a", "id_b")
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("ga"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("gb"))
+    common = (
+        t.join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("ga") == F.col("gb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    tr = (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "nc",
+            (F.col("na") + F.col("nb") - F.col("nc")).alias("nu"),
+        )
+    )
+    hashed = (
+        sh.select(
+            "id",
+            F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("seed"),
+            "shingle",
+        )
+        .select(
+            "id",
+            "seed",
+            F.md5(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), "shingle")
+            ).alias("h"),
+        )
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    ha = hashed.select(
+        F.col("id").alias("id_a"), "seed", F.col("mh").alias("mha")
+    )
+    hb = hashed.select(
+        F.col("id").alias("id_b"), "seed", F.col("mh").alias("mhb")
+    )
+    est = (
+        tr.join(ha, "id_a")
+        .join(hb, ["id_b", "seed"])
+        .groupBy("id_a", "id_b", "nc", "nu")
+        .agg(
+            F.sum(
+                F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0)
+            ).alias("matches")
+        )
+    )
+    err = est.select(
+        "matches",
+        F.expr(
+            "abs(CAST(matches AS DECIMAL(38,0)) * nu"
+            " - 8 * CAST(nc AS DECIMAL(38,0)))"
+        ).alias("anum"),
+        F.expr("8 * CAST(nu AS DECIMAL(38,0))").alias("aden"),
+    )
+    return err.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("matches").alias("total_matches"),
+        F.sum(F.expr("(anum * 1000000) div aden")).alias("eu"),
+    ).select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("total_matches").cast("long").alias("total_matches"),
+        F.when(
+            F.col("n_pairs") > 0,
+            F.expr(
+                "CAST((2*eu + n_pairs) div (2*n_pairs) AS DOUBLE) / 1000000"
+            ),
+        ).alias("mae"),
+    )

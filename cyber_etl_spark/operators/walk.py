@@ -73,9 +73,25 @@ def clamped_inventory_walk(
             if n == 0:
                 continue
             horizon = int(pdf["_w"].iloc[0])
+            # Contract checks (ADVICE r9): the horizon must be constant
+            # across the frame (the vectorized time loop shares one grid)
+            # and every observed step must fall inside it — a violating
+            # caller gets a named error, not a truncated/IndexError walk.
+            if not (pdf["_w"].to_numpy(dtype=np.int64) == horizon).all():
+                raise ValueError(
+                    "clamped_inventory_walk: horizon_col must be constant "
+                    "across the frame; saw "
+                    f"{sorted(set(pdf['_w'].tolist()))[:5]}"
+                )
             dm = np.zeros((n, horizon), dtype=np.int64)
             for row_i, steps in enumerate(pdf["_steps"]):
                 for s in steps:
+                    if not 0 <= s["t"] < horizon:
+                        raise ValueError(
+                            "clamped_inventory_walk: step index "
+                            f"{s['t']} outside [0, {horizon}) for group "
+                            f"{pdf[group_col].iloc[row_i]}"
+                        )
                     dm[row_i, s["t"]] = s["d"]
             r = pdf["_r"].to_numpy(dtype=np.int64)
             cap = pdf["_cap"].to_numpy(dtype=np.int64)

@@ -3819,13 +3819,16 @@ def q363_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY h ORDER BY c DESC, g) AS r
       FROM cnt
     ),
-    top AS (SELECT h, g, r FROM rk WHERE r <= 20),
+    top AS MATERIALIZED (SELECT h, g, r FROM rk WHERE r <= 20),
     a AS (SELECT g, r AS ra FROM top WHERE h = 0),
     b AS (SELECT g, r AS rb FROM top WHERE h = 1),
+    tot AS (SELECT COUNT(*) AS nab FROM top),
     j AS (SELECT a.g, ra, rb FROM a JOIN b USING (g))
     SELECT CAST((SELECT COUNT(*) FROM j) AS BIGINT) AS n_common,
-           CAST((SELECT CAST((2*COUNT(*)*1000000 + (40 - COUNT(*)))
-                             // (2*(40 - COUNT(*))) AS DOUBLE) / 1000000
+           CAST((SELECT CAST((2*COUNT(*)*1000000
+                              + ((SELECT nab FROM tot) - COUNT(*)))
+                             // (2*((SELECT nab FROM tot) - COUNT(*)))
+                             AS DOUBLE) / 1000000
                  FROM j) AS DOUBLE) AS jaccard_top20,
            CAST((SELECT COALESCE(SUM(abs(ra - rb)), 0) FROM j) AS BIGINT)
              AS total_rank_displacement
@@ -3844,7 +3847,10 @@ def q364_heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit top-20 cuts, and a 20-row join.  The half split is
     doc-parity (deterministic, no calendar on documents).  Exactness:
     counts and ranks are integers with (count desc, shingle) ties;
-    Jaccard is an `_ha6` rational on |∩| and |∪| = 40 − |∩|."""
+    Jaccard is an `_ha6` rational on |∩| and |∪| = |A| + |B| − |∩|,
+    where |A| + |B| is MEASURED from the top-table row count (a half
+    with fewer than 20 distinct shingles at tiny scale factors must
+    not inflate the union — ADVICE r9)."""
     from pyspark.sql.window import Window
 
     docs = read_table(spark, sf_dir, "documents")
@@ -3866,22 +3872,30 @@ def q364_heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         cnt.select("h", "g", F.row_number().over(w).alias("r"))
         .where(F.col("r") <= 20)
+        # feeds THREE consumers (a, b, tot) — pin the 40-row cut once
+        # so the corpus gram count is not re-executed per consumer
+        .localCheckpoint(eager=True)
     )
     a = top.where(F.col("h") == 0).select("g", F.col("r").alias("ra"))
     b = top.where(F.col("h") == 1).select("g", F.col("r").alias("rb"))
+    tot = top.agg(F.count(F.lit(1)).alias("nab"))
     j = a.join(b, "g")
-    return j.agg(
-        F.count(F.lit(1)).alias("n_common"),
-        F.coalesce(F.sum(F.abs(F.col("ra") - F.col("rb"))), F.lit(0)).alias(
-            "disp"
-        ),
-    ).select(
-        F.col("n_common").cast("long").alias("n_common"),
-        F.expr(
-            "CAST((2*n_common*1000000 + (40 - n_common))"
-            " div (2*(40 - n_common)) AS DOUBLE) / 1000000"
-        ).alias("jaccard_top20"),
-        F.col("disp").cast("long").alias("total_rank_displacement"),
+    return (
+        j.agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.coalesce(
+                F.sum(F.abs(F.col("ra") - F.col("rb"))), F.lit(0)
+            ).alias("disp"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr(
+                "CAST((2*n_common*1000000 + (nab - n_common))"
+                " div (2*(nab - n_common)) AS DOUBLE) / 1000000"
+            ).alias("jaccard_top20"),
+            F.col("disp").cast("long").alias("total_rank_displacement"),
+        )
     )
 
 

@@ -1181,7 +1181,7 @@ TWAP_SCHEMA = StructType(
 )
 
 
-def twap_stream(events: DataFrame) -> DataFrame:
+def twap_stream(events: DataFrame, tiebreak_col: str | None = None) -> DataFrame:
     """Streaming twin of q332's time-weighted average: per
     (user_id, event_type), maintain the last held (ts, value) plus the
     exact interval accumulators Σ value_µ·dt_µs and Σ dt_µs across
@@ -1192,6 +1192,15 @@ def twap_stream(events: DataFrame) -> DataFrame:
     in non-decreasing ts order per key ACROSS batches (rows are sorted
     within each batch; a cross-batch regression raises, the in-order
     contract the decayed-counter twin enforces for days).
+
+    Equal-timestamp contract (ADVICE r9): the batch twin q332 orders by
+    (ts, event_id), so two same-key events sharing a ts_us must reach
+    this twin in event_id order or the held value after the tie can
+    differ.  Either pre-sort the feed by (ts_us, event_id) — the
+    within-batch sort is STABLE, so feed order is preserved — or pass
+    ``tiebreak_col`` (e.g. "event_id") and the twin sorts each batch by
+    (ts_us, tiebreak) itself; cross-batch ties still follow feed order,
+    which the pre-sorted-feed contract covers.
 
     Exactness contract: xu = floor(value·1e6 + 0.5) is the identical
     IEEE expression the batch builder evaluates; dt is exact integer
@@ -1213,7 +1222,8 @@ def twap_stream(events: DataFrame) -> DataFrame:
         else:
             last_ts, last_xu, num, den, n = None, None, 0, 0, 0
         rows = pd.concat(list(batches))
-        rows = rows[rows["value"].notna()].sort_values(["ts_us"], kind="mergesort")
+        sort_cols = ["ts_us"] + ([tiebreak_col] if tiebreak_col else [])
+        rows = rows[rows["value"].notna()].sort_values(sort_cols, kind="mergesort")
         for ts, val in zip(rows["ts_us"], rows["value"]):
             ts = int(ts)
             xu = math.floor(float(val) * 1000000 + 0.5)
@@ -1240,7 +1250,10 @@ def twap_stream(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.select("user_id", "event_type", "ts_us", "value").groupBy(
+    cols = ["user_id", "event_type", "ts_us", "value"] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    return events.select(*cols).groupBy(
         "user_id", "event_type"
     ).applyInPandasWithState(
         update,

@@ -270,7 +270,9 @@ def ntile_expr(rn: Column, n: Column, k: int) -> Column:
     """Spark/ANSI ``ntile(k)`` from a global row number and group size:
     the first ``n % k`` buckets hold ``n div k + 1`` rows, the rest
     ``n div k`` — identical bucketing to the built-in window function,
-    computable row-local once (rn, n) are known."""
+    computable row-local once (rn, n) are known.
+
+    Grid budget: n div k on row counts - fits int64 to ~1e18 rows."""
     base = F.floor(n / k)
     rem = n % k
     big = base + 1

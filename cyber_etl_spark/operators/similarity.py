@@ -205,7 +205,9 @@ def prefix_filter_jaccard_pairs(
     original.  The 64-bit hash is internal only (never compared across
     engines); collisions are negligible below ~1e9 distinct shingles —
     for strict exactness at larger vocabularies swap ``_hexpr`` to the
-    md5-128 form (measured 7x slower here)."""
+    md5-128 form (measured 7x slower here).
+
+    Grid budget: ceil via (tn*sz + m - 1) div m with tn <= 1e6 and sz = per-doc token count - the product fits int64 for any real document."""
     from ..functions.text import shingles, tokens
 
     t = float(threshold)

@@ -355,7 +355,9 @@ def q185_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency is removed with an anti-join on the oriented edge list,
     and the per-neighbor weight is the exact integer 1e12 div deg(z)
     summed exactly — no ln() (Adamic–Adar's weight), whose last-ulp
-    libm differences across engines cannot be hash-gated."""
+    libm differences across engines cannot be hash-gated.
+
+    Grid budget: sum of 1e12 div deg weights <= 1e12*|common neighbors| - fits int64 below ~9e6 common neighbors per pair; ANSI raises loudly beyond."""
     from .graphops import _BACKBONE_CACHE, _sparse_upper_edges
     from ..session import session_token
 
@@ -1256,7 +1258,9 @@ def q201_cep_absence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     error stream with a range predicate — both shuffle on user_id, so
     per-user cost is bounded by that user's event counts, and nothing
     resembling a global sequence scan exists in the plan.  Minute
-    deltas are exact integers."""
+    deltas are exact integers.
+
+    Grid budget: microsecond spans div 6e7 - any calendar span fits int64."""
     ev = read_table(spark, sf_dir, "events")
     s = ev.where(F.col("event_type") == "signup").select(
         "user_id", F.col("ts").alias("s_ts"), F.col("event_id").alias("signup_id")

@@ -40,21 +40,37 @@ def _ha6(num: str, den: str) -> F.Column:
     den > 0, as pure integer half-away division — THE module rounding
     idiom (a plain round() of a rational can hit a .5e-6 tie that Spark
     and DuckDB resolve differently; see the module docstring).
-    Overflow contract: 2*num*1e6 must fit the input type — widen num/den
-    to DECIMAL(38,0) IN THE EXPRESSION when n^2-scale (q215's
-    review-corrected lesson: the *1e6 multiply, not the statistic,
-    is what overflows first).  Negative-capable numerators need the
-    sign-aware CASE form (q225)."""
+    Negative-capable numerators need the sign-aware CASE form (q225).
+
+    Grid budget — EXECUTABLE since r10 (the q238/q240/q363 silent-wrap
+    class, three live bites): operands are widened to DECIMAL(38,0)
+    INSIDE the expression, so the 2·num·1e6 product can never wrap an
+    int64 input type (q215's lesson enforced, not advised), and the
+    published quotient is runtime-guarded — |num/den| beyond the 6-dp
+    int64 grid (9e12) RAISES instead of wrapping.  The guard must live
+    here because Spark's `div` on DECIMAL operands wraps silently EVEN
+    UNDER ANSI MODE (measured on this build: CAST(4e19 AS
+    DECIMAL(38,0)) div 1 returns garbage with ansi.enabled=true), so
+    no session conf can be the canary.  den = 0 still publishes NULL
+    (some callers shield zero denominators with an outer CASE)."""
     return (
-        F.expr(f"(2*({num})*1000000 + ({den})) div (2*({den}))").cast(
-            "double"
-        )
+        F.expr(
+            f"CASE WHEN ({den}) <> 0 AND abs(CAST(({num}) AS DOUBLE)"
+            f" / CAST(({den}) AS DOUBLE)) > 9.0e12"
+            f" THEN raise_error(concat('_ha6 grid overflow"
+            f" (q238/q363 class — use a coarser grid): num=',"
+            f" CAST(({num}) AS STRING), ' den=', CAST(({den}) AS STRING)))"
+            f" ELSE (2*CAST(({num}) AS DECIMAL(38,0))*1000000 + ({den}))"
+            f" div (2*CAST(({den}) AS DECIMAL(38,0))) END"
+        ).cast("double")
         / 1_000_000
     )
 
 
 def _ha6_sql(num: str, den: str) -> str:
-    """DuckDB text twin of :func:`_ha6` (// instead of div)."""
+    """DuckDB text twin of :func:`_ha6` (// instead of div).
+
+    Grid budget: DuckDB // promotes to HUGEINT and ERRORS loudly on int128 overflow, so the text twin needs no runtime guard - the Spark side (_ha6) carries it."""
     return (
         f"CAST((2*({num})*1000000 + ({den})) // (2*({den})) AS DOUBLE)"
         " / 1000000"
@@ -189,7 +205,9 @@ def q221_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-away division (exact bigint rational — a double .5e-6 tie here
     is not just possible but common, e.g. precision exactly 1/2), the
     integer micro-units are summed exactly, and the final mean over
-    positives is one more integer division."""
+    positives is one more integer division.
+
+    Grid budget: the per-block numerator np*cum_p*1e6 is n^2-scale and widened to DECIMAL(38,0) (q215 lesson); its quotient <= np*1e6 and the final 2*total_units <= 2*n_pos*1e6 fit int64 to ~4.6e12 positives."""
     from ..operators.prefix import running_totals
 
     ev = read_table(spark, sf_dir, "events")
@@ -208,7 +226,10 @@ def q221_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = c.where(F.col("np") > 0).agg(
         F.sum(
-            F.expr("(2*np*cum_p*1000000 + cum_n) div (2*cum_n)")
+            F.expr(
+                "(2*CAST(np AS DECIMAL(38,0))*cum_p*1000000 + cum_n)"
+                " div (2*cum_n)"
+            )
         ).alias("total_units"),
         F.sum("np").alias("n_pos"),
         F.count(F.lit(1)).alias("n_blocks"),
@@ -524,7 +545,9 @@ def q217_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((9*(n+1)+9) div 10), never ceil(0.9*(n+1)) in doubles, whose
     binary representation can straddle an exact integer.  The coverage
     comparison uses the UNROUNDED q_hat double (identical in both
-    engines); only the report rounds."""
+    engines); only the report rounds.
+
+    Grid budget: rank arithmetic (9*(n+1)+9) div 10 on row counts - fits int64 to ~1e18 rows."""
     from ..operators.prefix import global_ranks
 
     o = read_table(spark, sf_dir, "orders").select(
@@ -1016,7 +1039,9 @@ def q225_clustering_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster, label) contingency cells; everything after is
     contingency-table-sized (the q220 shape).  A trained-k-means variant
     would reuse ann.kmeans_fit assignments with these identical metric
-    aggregates."""
+    aggregates.
+
+    Grid budget: Rand-index numerators are widened to DECIMAL(38,0) (quotient +/-1e6); the long-typed pair counts n*(n-1) div 2 overflow past ~4.3e9 rows per (cluster,label) cell, where ANSI raises LOUDLY (never silent garbage) - widen them if cells ever reach that mass."""
     emb = read_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
     bit = lambda i: F.when(e.getItem(i).cast("double") >= 0, 1).otherwise(0)  # noqa: E731
@@ -1875,7 +1900,9 @@ def q233_gini_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one scan fans to three (feature, bucket) cell aggregates —
     map-side combinable to <= 21 cells total; everything downstream is
-    contingency-sized."""
+    contingency-sized.
+
+    Grid budget: hour div 6 - single-digit integers."""
     ev = read_table(spark, sf_dir, "events")
     base = ev.select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),

@@ -620,7 +620,9 @@ def q243_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational, deg/freq, becomes half-away integer micro-units per WORD
     ((2·deg·1e6 + freq) div (2·freq)); phrase scores are exact integer
     sums of those units, so ranking and the reported score are
-    integer-deterministic in both engines (phrase text breaks ties)."""
+    integer-deterministic in both engines (phrase text breaks ties).
+
+    Grid budget: deg is widened to DECIMAL(38,0); the quotient <= 1e6*max-degree (per-doc token counts), bounded."""
     from ..functions.text import EN_STOPWORDS, tokens as tok_expr
     from pyspark.sql.window import Window
 
@@ -890,7 +892,9 @@ def q246_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_err vs the exact groupBy-count F2 is a half-away 6-dp integer
     rational.  The estimator's variance bound (2·F2²/16 per group mean)
     is Alon-Matias-Szegedy Thm 2.2; the audit row makes the bound
-    observable rather than trusted."""
+    observable rather than trusted.
+
+    Grid budget: ss and f2 are DECIMAL(38,0) end to end; the rel_err quotient is ~1e6*relative-error (sketch-bounded); f2_estimate's long cast raises under ANSI past int64 (n^2-scale F2 at ~3e9 rows of one key)."""
     li = read_table(spark, sf_dir, "lineitem")
     hh = li.select(
         F.conv(
@@ -1535,7 +1539,9 @@ def q256_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (the q77 snap-then-sum discipline), so aggregation order cannot
     perturb the average.  Vowel-class counting avoids lower(): the
     class lists both cases explicitly, sidestepping locale-dependent
-    case folding (Java vs utf8proc) entirely."""
+    case folding (Java vs utf8proc) entirely.
+
+    Grid budget: syllable/word sums widened to DECIMAL(38,0) where n^2-risk exists; quotients are per-doc rationals <= 1e6*small."""
     from ..functions.text import tokens as tok_expr
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1701,7 +1707,9 @@ def q258_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale plan: one map-side-combined aggregation to 32 rows, then a
     1-row rollup.  Exactness: both ratios are half-away 6-dp integer
-    rationals (skew = nmax·nb/nt, share = nmax/nt)."""
+    rationals (skew = nmax·nb/nt, share = nmax/nt).
+
+    Grid budget: numerators widened to DECIMAL(38,0) (nt casts); quotients are skew ratios <= 1e6*partitions."""
     li = read_table(spark, sf_dir, "lineitem")
     b = li.groupBy(
         (
@@ -2336,7 +2344,9 @@ def q263_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate on this corpus).  Exactness: scores are doubles from
     identical exact inputs, 6-dp rounded with doc_id tie-breaks (the
     q67 ranking discipline); rr and recall are half-away 6-dp integer
-    rationals."""
+    rationals.
+
+    Grid budget: ranks and gold counts <= 10 per query - tiny integers."""
     from pyspark.sql.window import Window
 
     post, dl, st, dfr = _bm25_index(spark, sf_dir)
@@ -2509,7 +2519,9 @@ def q265_hourly_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale plan: one bounded-key aggregation (type × 24) + per-type
     rollup.  Exactness: HHI = Σc²/n² and peak share are exact integer
-    rationals, half-away 6 dp."""
+    rationals, half-away 6 dp.
+
+    Grid budget: numerators widened to DECIMAL(38,0) (n casts); quotients are HHI-class rationals <= 1e6."""
     ev = read_table(spark, sf_dir, "events")
     h = ev.groupBy("event_type", F.hour("ts").alias("hh")).agg(
         F.count(F.lit(1)).alias("c")

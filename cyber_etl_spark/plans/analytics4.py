@@ -531,7 +531,9 @@ def q270_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance); the pair stage joins on the WORD key, so work is
     O(words x types²) with no row-level self-join of the fact table;
     popcounts are JVM-side bit_count.  Exactness: pure integer bit
-    algebra; Jaccard is a half-away 6-dp integer rational."""
+    algebra; Jaccard is a half-away 6-dp integer rational.
+
+    Grid budget: word = user_id div 32 only shrinks; bitmap words hold 32 bits in a BIGINT."""
     ev = read_table(spark, sf_dir, "events")
     bm = (
         ev.select(
@@ -1071,7 +1073,9 @@ def q275_mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection arithmetic is integer md5 bits (h%100 for the 15% gate,
     digit 3 for the 80/10/10 split, higher digits for the replacement
     index) — no floats anywhere; the mask rate is a half-away 6-dp
-    rational."""
+    rational.
+
+    Grid budget: h is a bounded md5 slice (< 2^48); div/% only shrink it."""
     from pyspark.sql.window import Window
     from ..functions.text import tokens as tok_expr
 
@@ -1428,7 +1432,9 @@ def q278_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-channel quantiles run through the distributed range-partition
     selection kernel (operators/quantiles.exact_quantiles) — never the
     in-memory percentile buffer.  Exactness: integer-valued doubles
-    interpolate identically in both engines (the q61 discipline)."""
+    interpolate identically in both engines (the q61 discipline).
+
+    Grid budget: microsecond spans div 1e6 - any calendar span fits int64 (~292k years)."""
     from ..operators.quantiles import exact_quantiles
 
     ev = read_table(spark, sf_dir, "events")
@@ -2109,7 +2115,9 @@ def q286_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate pass.  Exactness: revenue in integer cents (exact decimal
     sums); LTV per customer is a half-away 6-dp integer rational
     (cents/(100·n) dollars); quarter indices are pure integer calendar
-    arithmetic identical in both engines."""
+    arithmetic identical in both engines.
+
+    Grid budget: cents sums are widened to DECIMAL(38,0) in the expression; the quotient is per-customer cents, bounded by order totals."""
     from pyspark.sql.window import Window
 
     o = read_table(spark, sf_dir, "orders")
@@ -4287,7 +4295,9 @@ def q310_binning_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boolean group key — two groups of unbounded size, exactly the
     kernel's regime); the 9-row reshape is the q296 driver-side VALUES
     discipline.  Exactness: identical-double interpolation (q61),
-    6-dp round."""
+    6-dp round.
+
+    Grid budget: datediff div 2 on calendar-day integers - tiny."""
     from ..operators.quantiles import exact_quantiles
 
     ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
@@ -4463,7 +4473,9 @@ def q312_hll_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate ≤ 2.5m) IS applied: its ln takes an exact small rational
     and feeds a 6-dp round of an O(m)-magnitude value, where a 1-ulp
     libm gap is ~1e-13 — round-safe, unlike the per-term ln sums the
-    module rule bans."""
+    module rule bans.
+
+    Grid budget: hv < 2^32 (8 md5 hex digits); div 2^24 only shrinks."""
     ev = read_table(spark, sf_dir, "events")
     h = ev.select("user_id").distinct().select(
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)

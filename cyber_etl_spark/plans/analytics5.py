@@ -1014,7 +1014,9 @@ def q322_itemcf_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side); the already-owned exclusion is one anti-join.
     Exactness: scores and ranks are integers; MRR credits are exact
     2520/r integers (lcm(1..10)), so hit-rate and MRR are exact
-    rationals through the widened half-away division."""
+    rationals through the widened half-away division.
+
+    Grid budget: 2520 div r1 with r1 <= 10; 2*nh*1e6 and 2*cr*1e6 <= 2*2520*ne*1e6 fit int64 below ~1.8e9 eval users - widen to DECIMAL(38,0) past that."""
     o = read_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"),
         F.col("o_custkey").alias("cust"),
@@ -1164,7 +1166,9 @@ def q323_cluster_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer rational; each MI/entropy term is ln of an exact
     integer ratio snapped at 12 dp into DECIMAL(20,12) before the exact
     sum (the q244/q257 libm-ulp discipline); NMI is one divide + sqrt
-    of exact decimals, 6-dp rounded (sqrt output — tie-impossible)."""
+    of exact decimals, 6-dp rounded (sqrt output — tie-impossible).
+
+    Grid budget: hits <= n (corpus docs); 2*hits*1e6 fits int64 to ~4.6e12 docs."""
     from ..operators.ann import kmeans_fit
 
     emb = read_table(spark, sf_dir, "embeddings")

@@ -506,14 +506,27 @@ def _sha6_sql(num: str, den: str) -> str:
 
 
 def _sha6(num: str, den: str) -> F.Column:
-    """Spark twin of :func:`_sha6_sql` (div for //)."""
+    """Spark twin of :func:`_sha6_sql` (div for //), sign-aware.
+
+    Grid budget — executable, the analytics2._ha6 guard: operands are
+    widened to DECIMAL(38,0) (the 2·num·1e6 product can't wrap an int64
+    input) and a quotient beyond the 6-dp int64 grid (9e12) RAISES —
+    Spark's `div` on DECIMAL operands wraps silently even under ANSI
+    mode, so the guard must live in the expression.  den = 0 still
+    publishes NULL."""
+    wn = f"CAST(({num}) AS DECIMAL(38,0))"
+    wd = f"CAST(({den}) AS DECIMAL(38,0))"
     return (
         F.expr(
-            f"CAST(CASE WHEN ({num}) >= 0"
-            f" THEN (2*({num})*1000000 + ({den})) div (2*({den}))"
-            f" ELSE -((2*(-({num}))*1000000 + ({den})) div (2*({den}))) END"
-            " AS DOUBLE)"
-        )
+            f"CASE WHEN ({den}) <> 0 AND abs(CAST(({num}) AS DOUBLE)"
+            f" / CAST(({den}) AS DOUBLE)) > 9.0e12"
+            f" THEN raise_error(concat('_sha6 grid overflow"
+            f" (q238/q363 class — use a coarser grid): num=',"
+            f" CAST(({num}) AS STRING), ' den=', CAST(({den}) AS STRING)))"
+            f" WHEN ({num}) >= 0"
+            f" THEN (2*{wn}*1000000 + ({den})) div (2*{wd})"
+            f" ELSE -((2*(-{wn})*1000000 + ({den})) div (2*{wd})) END"
+        ).cast("double")
         / 1_000_000
     )
 
@@ -892,7 +905,9 @@ def q338_info_gain_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     term is k·ln(exact integer ratio) snapped 12 dp into DECIMAL(20,12)
     before the exact sum (q327 idiom); the published gain divides the
     exact decimal by 2n in identical IEEE doubles.  Laziness: the rank
-    kernel executes bounded checkpoint jobs at plan-build time."""
+    kernel executes bounded checkpoint jobs at plan-build time.
+
+    Grid budget: (i*n + 9) div 10 with i <= 9 and n = corpus rows - fits int64 to ~1e18 rows."""
     from ..operators.prefix import global_ranks
 
     o = read_table(spark, sf_dir, "orders").select(
@@ -2291,7 +2306,9 @@ def q351_semantic_decontamination(
     filter are projections and one semi-ish distinct over the tiny
     above-threshold pair table.  Exactness: the kernel's rounded
     cosines are oracle-pinned (q194's equality discipline), the flag
-    set is exact integers, and the rate is an `_ha6` rational."""
+    set is exact integers, and the rate is an `_ha6` rational.
+
+    Grid budget: 2*hits*1e6 with hits <= n_train fits int64 to ~4.6e12 train docs."""
     from .analytics import cached_eps_pairs
 
     pairs = cached_eps_pairs(spark, sf_dir, threshold=0.3)
@@ -2580,7 +2597,9 @@ def q354_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is the same corpus pass repeated per scheme, still linear);
     truth is the memoized exact pair table.  Exactness: pure integer
     counts; P/R half-away rationals; the exact-integer threshold form
-    2·common ≥ na+nb−common (q302's)."""
+    2·common ≥ na+nb−common (q302's).
+
+    Grid budget: 2*tp*1e6 with tp <= candidate/truth pair counts (banded, bounded) fits int64 to ~4.6e12 pairs."""
     from ..operators.dedup import band_signatures
     from .textops import cached_jaccard_pairs, cached_shingles
 
@@ -2671,7 +2690,9 @@ def q355_prefix_cache_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 of the SLICED prefix (JVM expressions), and the census is one
     (k, hash) aggregate — no pair enumeration anywhere: group sizes,
     not pairs, carry the statistic.  Exactness: md5 over the identical
-    space-joined prefix string in both engines; shares `_ha6`."""
+    space-joined prefix string in both engines; shares `_ha6`.
+
+    Grid budget: 2*dup_docs*1e6 with dup_docs <= corpus docs fits int64 to ~4.6e12 docs."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -3523,7 +3544,9 @@ def q361_knn_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cosine desc, neighbor_id) on the high-card query key; the 3-way k
     fan-out rides the bounded ≤5-row neighbor groups.  Exactness:
     6-dp cosine ranking (q24), windowless sorted-list argmax with
-    ties-to-smallest-label (q249), accuracies half-away rationals."""
+    ties-to-smallest-label (q249), accuracies half-away rationals.
+
+    Grid budget: 2*n_correct*1e6 with n_correct <= n_test fits int64 to ~4.6e12 eval rows."""
     from pyspark.sql.window import Window
 
     from ..operators.ann import brute_force_knn
@@ -3634,7 +3657,9 @@ def q362_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale plan: one map-side-combinable aggregate.  Exactness: χ² is
     an exact integer rational (`_ha6`); the flag compares INTEGERS
     (cross-multiplied against the critical value scaled to 1e4 units —
-    never a float threshold on a rounded statistic)."""
+    never a float threshold on a rounded statistic).
+
+    Grid budget: 2*nt*1e6 on arm counts fits int64 to ~4.6e12 assignments."""
     cust = read_table(spark, sf_dir, "customer")
     s = cust.select(_md5_mod(F.col("c_custkey"), 2).alias("arm")).agg(
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nt"),
@@ -3850,7 +3875,9 @@ def q364_heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is an `_ha6` rational on |∩| and |∪| = |A| + |B| − |∩|,
     where |A| + |B| is MEASURED from the top-table row count (a half
     with fewer than 20 distinct shingles at tiny scale factors must
-    not inflate the union — ADVICE r9)."""
+    not inflate the union — ADVICE r9).
+
+    Grid budget: n_common <= 40 - tiny integers."""
     from pyspark.sql.window import Window
 
     docs = read_table(spark, sf_dir, "documents")
@@ -3955,7 +3982,9 @@ def q365_dup_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     above-threshold pairs survive) with two broadcast label joins
     against the (doc_id, source) projection.  Exactness: counts
     integer; the share an `_ha6` rational, NULL-guarded for an empty
-    pair table."""
+    pair table.
+
+    Grid budget: 2*n_same_source*1e6 with pairs bounded by the above-threshold table fits int64 to ~4.6e12 pairs."""
     from .textops import cached_jaccard_pairs
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")

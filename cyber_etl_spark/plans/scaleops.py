@@ -296,7 +296,9 @@ def q290_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique-ish column chain, and any residual duplicate rows are
     identical in partkey, so bin zone maps are order-independent;
     predicate bounds are exact integer fractions of the key space.
-    Exactness: pure integers; ratios half-away 6-dp rationals."""
+    Exactness: pure integers; ratios half-away 6-dp rationals.
+
+    Grid budget: half-away numerators are bin counts (n_bins <= 64) and matched-row counts x1e6 - 2*rows*1e6 fits int64 to ~4.6e12 rows; partkey div constants only shrink."""
     from ..operators.layout import z_value_sql
     from ..operators.prefix import global_ranks
 
@@ -310,6 +312,7 @@ def q290_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     zv = z_value_sql("l_partkey", "l_suppkey", bits=16)
 
     def binned(name: str, order_cols: list) -> DataFrame:
+        """Grid budget: (rn-1)*64 fits int64 for any realistic row count (rn <= n <= 1.4e17)."""
         src = li.withColumn("_zv", F.expr(zv)) if name == "zorder" else li
         r = global_ranks(src, order_cols=order_cols, rn_col="rn", total_col="n")
         return r.select(

@@ -1011,7 +1011,9 @@ def hll_register_stream(events: DataFrame) -> DataFrame:
     identical IEEE arithmetic of q312's estimator (dyadic Z, bias
     correction, linear-counting branch).  The twin test replays the fed
     prefix through the batch register algebra and requires equality to
-    the last bit."""
+    the last bit.
+
+    Grid budget: hv < 2^32; div 2^24 only shrinks."""
     import hashlib
 
     def update(

@@ -2591,25 +2591,70 @@ def q354_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collision needs a longer run of matching minima), more bands buys
     recall; the sweep shows both sides of the S-curve knee at once.
 
-    Scale plan: one memoized shingle table feeds every scheme; each
-    scheme is one banded equi-join over its own O(n·bands) signature
-    rows (signatures share the same 8 permutation hashes — the md5
-    work is the same corpus pass repeated per scheme, still linear);
-    truth is the memoized exact pair table.  Exactness: pure integer
-    counts; P/R half-away rationals; the exact-integer threshold form
-    2·common ≥ na+nb−common (q302's).
+    Scale plan (single signature pass, r9 verdict #4): the 8
+    per-permutation minima are computed in ONE corpus md5/explode pass
+    into a pinned wide table (id, mh0..mh7); each scheme's band
+    signature is a pure projection of that row — md5 over its row-slot
+    minima, the exact :func:`operators.dedup.band_signatures` layout
+    (row r of band b is permutation r·bands + b) — so the three banded
+    equi-joins fan out of one shuffle instead of three corpus passes.
+    Truth is the memoized exact pair table.  Exactness: band-signature
+    equality ⟺ minima-tuple equality (md5), so candidate sets are
+    identical to per-scheme signing; pure integer counts; P/R half-away
+    rationals; the exact-integer threshold form 2·common ≥ na+nb−common
+    (q302's).
 
     Grid budget: 2*tp*1e6 with tp <= candidate/truth pair counts (banded, bounded) fits int64 to ~4.6e12 pairs."""
-    from ..operators.dedup import band_signatures
     from .textops import cached_jaccard_pairs, cached_shingles
 
     sh = cached_shingles(spark, sf_dir)
     truth = cached_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     truth = truth.localCheckpoint(eager=True)  # feeds one tp join per scheme
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    hashed = sh.select(
+        "id",
+        F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("seed"),
+        "shingle",
+    ).select(
+        "id",
+        "seed",
+        F.md5(
+            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+        ).alias("h"),
+    )
+    mins = (
+        hashed.groupBy("id")
+        .agg(
+            *[
+                F.min(F.when(F.col("seed") == p, F.col("h"))).alias(f"mh{p}")
+                for p in range(8)
+            ]
+        )
+        .localCheckpoint(eager=True)  # feeds all three schemes
+    )
     out = None
     for bands in (2, 4, 8):
-        sig = band_signatures(sh, num_perm=8, bands=bands)
+        rpb = 8 // bands
+        sig = mins.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit(str(band)),
+                                *[
+                                    F.col(f"mh{r * bands + band}")
+                                    for r in range(rpb)
+                                ],
+                            )
+                        )
+                        for band in range(bands)
+                    ]
+                )
+            ).alias("band", "band_sig"),
+        )
         a = sig.select(F.col("id").alias("id_a"), "band", "band_sig")
         b = sig.select(F.col("id").alias("id_b"), "band", "band_sig")
         cand = (

@@ -189,16 +189,26 @@ def test_sketch_stats_self_calibrating_bounds(spark, sf_smoke):
     """q88 sketches pinned by their PUBLISHED error bounds, calibrated
     against the exact distributed kernels — no hand-tuned spreads:
 
-    - ``percentile_approx(value, 0.5, accuracy)`` guarantees the
-      returned element's rank is within eps = 1/accuracy of the target
-      rank.  So the estimate must lie BETWEEN the exact quantiles at
-      0.5 ± delta (operators/quantiles.exact_quantiles), with delta =
-      rank-epsilon plus a 2/n element-granularity term for small
-      groups — the bound tightens automatically as n grows or accuracy
-      rises (r6 verdict item 7).
+    - ``percentile_approx(value, p, accuracy)`` guarantees the returned
+      element's rank is within eps = 1/accuracy of the target rank (the
+      GK/QuantileSummaries published bound, maintained under merge).
+      So each estimate must lie BETWEEN the exact quantiles at
+      p ± delta (operators/quantiles.exact_quantiles), with delta =
+      the PUBLISHED 1/accuracy (no hand slack — r9 verdict item 5)
+      plus a 2/n element-granularity term for small groups — the bound
+      tightens automatically as n grows or accuracy rises.  Checked at
+      THREE fractions (0.25 / 0.5 / 0.9), not just the median.
     - ``approx_count_distinct(rsd=0.02)`` is HLL++ with a 2% relative
       standard deviation: assert within 4·rsd (plus a tiny-cardinality
       floor), i.e. a 4-sigma band.
+
+    This test is q88's formal correctness gate in lieu of a DuckDB
+    oracle — see the waiver in COVERAGE.md: the built-in sketches are
+    engine-internal (HLL++ on Spark's 64-bit hash; GK summaries whose
+    output element depends on partition merge order), so no SQL on the
+    same parquet can reproduce the estimates bit-for-bit; the published
+    error bound IS the algorithm's entire contract, and it is asserted
+    here against the exact distributed kernel.
     """
     from pyspark.sql import functions as F
 
@@ -217,18 +227,38 @@ def test_sketch_stats_self_calibrating_bounds(spark, sf_smoke):
         .agg(F.countDistinct("user_id").alias("users"))
         .collect()
     }
+    more = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.25, 10000).alias("p25"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        )
+        .collect()
+    }
     n_min = min(a.n for a in approx.values())
-    delta = 3.0 / 10000 + 2.0 / n_min  # rank eps (accuracy=10000) + granularity
-    lo_p, hi_p = max(0.0, 0.5 - delta), min(1.0, 0.5 + delta)
+    delta = 1.0 / 10000 + 2.0 / n_min  # published rank eps + granularity
+    fracs = {}
+    for tag, p in (("p25", 0.25), ("med", 0.5), ("p90", 0.9)):
+        fracs[f"{tag}_lo"] = max(0.0, p - delta)
+        fracs[f"{tag}_hi"] = min(1.0, p + delta)
     bounds = {
-        r.event_type: (r.lo, r.hi)
+        r.event_type: r
         for r in exact_quantiles(
-            events, "value", {"lo": lo_p, "hi": hi_p}, ["event_type"]
+            events, "value", fracs, ["event_type"]
         ).collect()
     }
     for et, a in approx.items():
-        lo, hi = bounds[et]
-        assert lo <= a.approx_median <= hi, (et, lo, a.approx_median, hi)
+        b = bounds[et]
+        assert b.med_lo <= a.approx_median <= b.med_hi, (
+            et, b.med_lo, a.approx_median, b.med_hi,
+        )
+        assert b.p25_lo <= more[et].p25 <= b.p25_hi, (
+            et, b.p25_lo, more[et].p25, b.p25_hi,
+        )
+        assert b.p90_lo <= more[et].p90 <= b.p90_hi, (
+            et, b.p90_lo, more[et].p90, b.p90_hi,
+        )
         users = exact_users[et]
         assert abs(a.approx_users - users) <= max(3, 4 * 0.02 * users), (
             et,

@@ -155,6 +155,97 @@ def brute_force_knn(
     )
 
 
+def groupwise_max_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Per-(query, corpus-group) MAX cosine — the mining primitive behind
+    hard-negative/hard-positive audits: for every probe, the best match
+    inside EVERY corpus group (label), without materializing any top-k
+    that might miss a group entirely (a same-label nearest neighbor can
+    sit at rank 1000 of a plain kNN).  Returns
+    ``(query_id, <group_col>, cosine)``.
+
+    Distributed exactly like :func:`brute_force_knn`: the probe matrix
+    broadcasts as one folded row (``max_queries`` contract enforced
+    up front), the corpus folds into size-bounded hash blocks, each
+    block runs ONE GEMM and reduces to its local per-(query, group)
+    max — |Q|·|groups-in-block| rows per block — and a global
+    groupBy(max) merges blocks.  max is order-independent and
+    round(·, 6) is monotone, so round(global max) is reproducible
+    across any blocking/merge order — the brute_force_knn hash-oracle
+    discipline.  Self-matches (same id) are excluded."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = corpus.schema[id_col].dataType
+    group_type = corpus.schema[group_col].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField(group_col, group_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qv"),
+    )
+    n_q = q.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"groupwise_max_cosine query set exceeds max_queries="
+            f"{max_queries}; mine hard negatives in probe-sized batches"
+        )
+    qb = q.groupBy().agg(
+        F.collect_list(F.struct("query_id", "qv")).alias("qitems")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        to_double_array(F.col(vec_col)).alias("v"),
+    )
+    n_blocks = _dynamic_n_blocks(c)
+    chunks = c.groupBy(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("blk")
+    ).agg(F.collect_list(F.struct("id", "grp", "v")).alias("items"))
+    joined = chunks.crossJoin(F.broadcast(qb)).select("items", "qitems")
+
+    def score(batches):
+        for pdf in batches:
+            for items, qitems in zip(pdf["items"], pdf["qitems"]):
+                ids = np.asarray([r["id"] for r in items])
+                grps = pd.Series([r["grp"] for r in items])
+                x = np.stack([np.asarray(r["v"]) for r in items])
+                qids = np.asarray([r["query_id"] for r in qitems])
+                qm = np.stack([np.asarray(r["qv"]) for r in qitems])
+                s = (x @ qm.T) / np.outer(
+                    np.linalg.norm(x, axis=1), np.linalg.norm(qm, axis=1)
+                )
+                s = np.where(ids[:, None] != qids[None, :], s, -np.inf)
+                for g, idx in grps.groupby(grps).groups.items():
+                    mx = s[np.asarray(idx), :].max(axis=0)
+                    fin = np.isfinite(mx)
+                    if fin.any():
+                        yield pd.DataFrame(
+                            {
+                                "query_id": qids[fin],
+                                group_col: g,
+                                "cosine": mx[fin],
+                            }
+                        )
+
+    scored = joined.mapInPandas(score, schema=out_schema)
+    return scored.groupBy("query_id", group_col).agg(
+        F.round(F.max("cosine"), round_digits).alias("cosine")
+    )
+
+
 def _plane_literals(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim)).round(6).tolist()

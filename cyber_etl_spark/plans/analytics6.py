@@ -4221,3 +4221,298 @@ def q366_minhash_estimator_error(
             ),
         ).alias("mae"),
     )
+
+
+@query(
+    "q367_hard_negative_margin",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label,
+             {_md5_mod_sql("vec_id", 5)} = 0 AS is_test
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS tl
+          FROM base WHERE is_test),
+    c AS (SELECT vec_id AS nid, v AS cv, label AS gl
+          FROM base WHERE NOT is_test),
+    gm AS (
+      SELECT qid, tl, gl,
+             round(MAX(list_cosine_similarity(qv, cv)), 6) AS mc
+      FROM q, c GROUP BY 1, 2, 3
+    ),
+    st AS (
+      SELECT qid, tl,
+             MAX(CASE WHEN gl = tl THEN mc END) AS s,
+             MAX(CASE WHEN gl <> tl THEN mc END) AS d
+      FROM gm GROUP BY 1, 2
+    ),
+    ok AS (
+      SELECT tl,
+             CAST(round(s*1000000, 0) AS BIGINT) AS su,
+             CAST(round(d*1000000, 0) AS BIGINT) AS du
+      FROM st WHERE s IS NOT NULL AND d IS NOT NULL
+    ),
+    ag AS (
+      SELECT tl, COUNT(*) AS n,
+             CAST(SUM(su - du) AS BIGINT) AS mnum,
+             SUM(CASE WHEN du >= su THEN 1 ELSE 0 END) AS viol
+      FROM ok GROUP BY 1
+    )
+    SELECT CAST(tl AS INT) AS label,
+           CAST(n AS BIGINT) AS n_anchors,
+           {_sha6_sql("mnum", "n*1000000")} AS mean_margin,
+           CAST(viol AS BIGINT) AS hard_negatives,
+           {_sha6_sql("viol", "n")} AS hard_negative_rate
+    FROM ag ORDER BY label
+    """,
+    tags=("ann", "embedding", "mining"),
+)
+def q367_hard_negative_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative margin audit — the metric-learning data-quality
+    screen: for each held-out anchor (q361's md5 1-in-5 split), the best
+    cosine inside its OWN label class vs the best inside ANY OTHER class
+    (via :func:`operators.ann.groupwise_max_cosine`, which a plain top-k
+    cannot provide — the nearest same-label vector may sit at rank 1000);
+    per label, the mean margin and the share of anchors whose hardest
+    negative beats their hardest positive (d ≥ s — the pairs a
+    contrastive/triplet miner would surface, and the labels whose
+    embedding neighborhoods are broken).
+
+    Scale plan: one blocked-GEMM corpus pass (probe matrix broadcast
+    under the max_queries contract); per block only |Q|·|labels| max
+    rows shuffle; label lookups broadcast.  Exactness: 6-dp cosines
+    (round of a global max is blocking-invariant — round is monotone),
+    micro-integer margins (a 6-dp cosine ×1e6 re-rounds exactly: the
+    nearest .5 tie is 0.5 µ away), sums/shares sign-aware half-away
+    rationals via _sha6."""
+    from ..operators.ann import groupwise_max_cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.withColumn("is_test", _md5_mod(F.col("vec_id"), 5) == 0)
+    test = base.where(F.col("is_test"))
+    train = base.where(~F.col("is_test"))
+    gm = groupwise_max_cosine(
+        train.select("vec_id", "embedding", "label"),
+        test.select("vec_id", "embedding"),
+        "label",
+    )
+    tl = test.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    st = (
+        gm.join(F.broadcast(tl), "query_id")
+        .groupBy("query_id", "true_label")
+        .agg(
+            F.max(
+                F.when(F.col("label") == F.col("true_label"), F.col("cosine"))
+            ).alias("s"),
+            F.max(
+                F.when(F.col("label") != F.col("true_label"), F.col("cosine"))
+            ).alias("d"),
+        )
+    )
+    ok = st.where(F.col("s").isNotNull() & F.col("d").isNotNull()).select(
+        "true_label",
+        F.expr("CAST(round(s*1000000, 0) AS BIGINT)").alias("su"),
+        F.expr("CAST(round(d*1000000, 0) AS BIGINT)").alias("du"),
+    )
+    ag = ok.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("su - du")).alias("mnum"),
+        F.sum(F.when(F.col("du") >= F.col("su"), 1).otherwise(0)).alias(
+            "viol"
+        ),
+    )
+    return ag.select(
+        F.col("true_label").cast("int").alias("label"),
+        F.col("n").cast("long").alias("n_anchors"),
+        _sha6("mnum", "n*1000000").alias("mean_margin"),
+        F.col("viol").cast("long").alias("hard_negatives"),
+        _sha6("viol", "n").alias("hard_negative_rate"),
+    ).orderBy("label")
+
+
+@query(
+    "q368_shard_dedup_spillover",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c JOIN sizes sa ON c.id_a = sa.id
+      JOIN sizes sb ON c.id_b = sb.id
+      WHERE 2*c.n_common >= sa.n + sb.n - c.n_common
+    ),
+    hashed AS (
+      SELECT id_a, id_b,
+             CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS ha,
+             CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hb
+      FROM pairs
+    )
+    SELECT CAST(k AS INT) AS n_shards,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN ha % k = hb % k THEN 1 ELSE 0 END)
+                AS BIGINT) AS same_shard_pairs,
+           CAST(SUM(CASE WHEN ha % k <> hb % k THEN 1 ELSE 0 END)
+                AS BIGINT) AS cross_shard_pairs,
+           {_ha6_sql("SUM(CASE WHEN ha % k <> hb % k THEN 1 ELSE 0 END)",
+                     "COUNT(*)")} AS spillover_share
+    FROM hashed, (VALUES (CAST(4 AS BIGINT)), (16), (64)) AS v(k)
+    GROUP BY k ORDER BY n_shards
+    """,
+    tags=("dedup", "sharding", "audit"),
+)
+def q368_shard_dedup_spillover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local dedup spillover: if dedup ran independently inside k
+    md5 shards (the cheap distributed layout — no global shuffle), how
+    many true near-dup pairs CROSS a shard boundary and would be missed?
+    Swept at k ∈ {4, 16, 64} — the policy table that decides whether a
+    pipeline needs the global banded pass (operators/dedup) or per-shard
+    dedup is good enough, the distributed-layout sibling of the
+    provenance mix (q365).
+
+    Scale plan: reuses the memoized exact pair table (tiny — only
+    above-threshold pairs survive); the 3-value k grid rides a broadcast
+    fan-out, so the sweep costs 3 passes over a bounded table.  md5
+    shard assignment is the _md5_mod discipline, identical text in both
+    engines.  Exactness: integer counts; shares half-away rationals."""
+    from .textops import cached_jaccard_pairs
+
+    pairs = cached_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    ks = spark.sql(
+        "SELECT CAST(k AS BIGINT) AS k FROM (VALUES (4), (16), (64)) AS v(k)"
+    )
+    # _md5_mod takes a literal modulus; the sweep's k is a COLUMN, so the
+    # same first-8-hex-digits draw is inlined with `% F.col("k")`
+    lab = pairs.crossJoin(F.broadcast(ks)).select(
+        "k",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("id_a").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % F.col("k")
+        ).alias("sa"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("id_b").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % F.col("k")
+        ).alias("sb"),
+    )
+    ag = lab.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("sa") == F.col("sb"), 1).otherwise(0)).alias(
+            "same"
+        ),
+        F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)).alias(
+            "cross"
+        ),
+    )
+    return ag.select(
+        F.col("k").cast("int").alias("n_shards"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("same").cast("long").alias("same_shard_pairs"),
+        F.col("cross").cast("long").alias("cross_shard_pairs"),
+        _sha6("cross", "n").alias("spillover_share"),
+    ).orderBy("n_shards")
+
+
+@query(
+    "q369_source_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT source,
+             unnest(list_transform(range(1, length(text) + 1),
+                    i -> substring(text, i, 1))) AS ch
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, ch, COUNT(*) AS c FROM ch
+      WHERE ch <> '' GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, SUM(c) AS n, COUNT(*) AS alphabet
+      FROM cnt GROUP BY 1
+    ),
+    terms AS (
+      SELECT cnt.source,
+             CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c),
+                        12) AS DECIMAL(20,12)) AS term
+      FROM cnt JOIN tot ON cnt.source = tot.source
+    )
+    SELECT t.source,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(alphabet AS BIGINT) AS alphabet_size,
+           round(CAST(s AS DOUBLE), 6) AS entropy_nats
+    FROM tot t JOIN (SELECT source, SUM(term) AS s FROM terms GROUP BY 1) e
+      ON t.source = e.source
+    ORDER BY t.source
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def q369_source_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-level Shannon entropy (nats) — the cheapest
+    template/boilerplate screen a curation pipeline runs: a source whose
+    text is generated from a rigid template shows depressed character
+    entropy relative to organic prose, before any tokenization exists.
+    Publishes (source, n_chars, alphabet_size, entropy_nats).
+
+    Scale plan: one exploded character pass (the shingle-explode cost
+    class, linear) into map-side-combinable (source, char) counts —
+    |sources| × |alphabet| groups — then a broadcast totals join.
+    Exactness: each term (c/n)·ln(n/c) is identical double arithmetic in
+    both engines snapped at 12 dp into DECIMAL(20,12) (the q244
+    discipline — absorbs libm last-ulp differences), summed exactly,
+    published at 6 dp (the 12-dp decimal stays far under the 2^53
+    double-cast cliff: entropy < ln(alphabet) ≈ 5)."""
+    docs = read_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), "")).alias("ch")
+        )
+        .where(F.col("ch") != "")
+        .groupBy("source", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("alphabet")
+    )
+    terms = cnt.join(F.broadcast(tot.select("source", "n")), "source").select(
+        "source",
+        F.round(
+            (F.col("c").cast("double") / F.col("n"))
+            * F.log(F.col("n").cast("double") / F.col("c")),
+            12,
+        )
+        .cast("decimal(20,12)")
+        .alias("term"),
+    )
+    ent = terms.groupBy("source").agg(F.sum("term").alias("s"))
+    return (
+        tot.join(ent, "source")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_chars"),
+            F.col("alphabet").cast("long").alias("alphabet_size"),
+            F.round(F.col("s").cast("double"), 6).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )

@@ -478,3 +478,56 @@ def test_eps_neighbor_pairs_tiny_corpus(spark):
     assert sorted(map(tuple, got[["id_a", "id_b"]].values)) == [(1, 2)]
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert ann.eps_neighbor_pairs(empty).count() == 0
+
+
+def test_groupwise_max_cosine_block_invariant_and_exact(spark, sf_smoke, monkeypatch):
+    """groupwise_max_cosine (q367's kernel): (a) block sizing never
+    changes results (the brute_force_knn invariance contract); (b) the
+    per-(query, group) max equals a naive per-group max over the
+    brute-force score table; (c) self-matches are excluded; (d) the
+    max_queries probe contract raises."""
+    import pytest
+
+    import cyber_etl_spark.operators.ann as ann
+    from cyber_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    queries = emb.where(emb.vec_id < 15)
+
+    base = ann.groupwise_max_cosine(emb, queries, "label").toPandas()
+    monkeypatch.setattr(ann, "_TARGET_BLOCK_BYTES", 8 * 1024)
+    many = ann.groupwise_max_cosine(emb, queries, "label").toPandas()
+    key = ["query_id", "label", "cosine"]
+    assert sorted(map(tuple, base[key].values)) == sorted(
+        map(tuple, many[key].values)
+    )
+
+    # naive reference: exact per-(query, label) max over all pairs,
+    # self-matches excluded, rounded after the max (monotone)
+    import numpy as np
+
+    rows = emb.selectExpr(
+        "vec_id", "cast(embedding as array<double>) v", "label"
+    ).collect()
+    vecs = {r.vec_id: np.asarray(r.v) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    qids = [r.vec_id for r in rows if r.vec_id < 15]
+    want = {}
+    for q in qids:
+        for nid, v in vecs.items():
+            if nid == q:
+                continue
+            c = float(
+                vecs[q] @ v / (np.linalg.norm(vecs[q]) * np.linalg.norm(v))
+            )
+            k = (q, labels[nid])
+            want[k] = max(want.get(k, -2.0), c)
+    got = {
+        (r.query_id, r.label): r.cosine for _, r in base.iterrows()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - round(v, 6)) < 2e-6, (k, got[k], v)
+
+    with pytest.raises(ValueError, match="max_queries"):
+        ann.groupwise_max_cosine(emb, emb, "label", max_queries=10).toPandas()

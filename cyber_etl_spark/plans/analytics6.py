@@ -4516,3 +4516,208 @@ def q369_source_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q370_knn_hubness",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_md5_mod_sql("vec_id", 5)} = 0 AS is_test
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE is_test),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM base WHERE NOT is_test),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q, c
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    deg AS (SELECT neighbor_id, COUNT(*) AS indegree FROM top GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS edges FROM top)
+    SELECT neighbor_id,
+           CAST(indegree AS BIGINT) AS indegree,
+           {_ha6_sql("indegree", "(SELECT edges FROM tot)")} AS edge_share
+    FROM deg ORDER BY indegree DESC, neighbor_id ASC LIMIT 10
+    """,
+    tags=("ann", "embedding", "hubness"),
+)
+def q370_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN hubness audit — the high-dimensional pathology screen: a few
+    "hub" vectors appearing in a disproportionate share of top-k lists
+    degrade retrieval diversity and kNN-classifier calibration
+    (Radovanović et al.'s hubness effect).  Publishes the top-10 hubs of
+    the probe set's top-5 graph by in-degree with their edge share.
+
+    Scale plan: one blocked-GEMM brute-force top-5 over the md5 1-in-5
+    probe split (q361's kernel and split); the neighbor table is
+    |probes|·5 rows, pinned once for the degree count AND the edge
+    total (the ≥2-consumer rule); top-10 via TakeOrdered, never a
+    global sort.  Exactness: 6-dp cosine ranks with neighbor_id
+    tie-breaks (q361); integer degrees; shares half-away rationals."""
+    from ..operators.ann import brute_force_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.withColumn("is_test", _md5_mod(F.col("vec_id"), 5) == 0)
+    knn = brute_force_knn(
+        base.where(~F.col("is_test")).select("vec_id", "embedding"),
+        base.where(F.col("is_test")).select("vec_id", "embedding"),
+        k=5,
+    ).localCheckpoint(eager=True)
+    deg = knn.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("indegree"))
+    tot = knn.agg(F.count(F.lit(1)).alias("edges"))
+    return (
+        deg.crossJoin(F.broadcast(tot))
+        .select(
+            "neighbor_id",
+            F.col("indegree").cast("long").alias("indegree"),
+            _sha6("indegree", "edges").alias("edge_share"),
+        )
+        .orderBy(F.col("indegree").desc(), "neighbor_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q371_shard_rebalance_cost",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM docs
+    ),
+    tr AS (SELECT CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2
+           FROM (VALUES (4, 5), (16, 17)) AS v(k1, k2)),
+    modmoved AS (
+      SELECT k1, k2, COUNT(*) AS n,
+             SUM(CASE WHEN hv % k1 <> hv % k2 THEN 1 ELSE 0 END) AS moved
+      FROM h, tr GROUP BY 1, 2
+    ),
+    sv AS (SELECT CAST(unnest(range(0, 17)) AS BIGINT) AS s),
+    rv AS (
+      SELECT t.k1, t.k2, d.doc_id, sv.s,
+             md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(sv.s AS VARCHAR))
+               AS hs
+      FROM docs d, tr t, sv WHERE sv.s < t.k2
+    ),
+    pick AS (
+      SELECT k1, k2, doc_id,
+             FIRST(s ORDER BY hs DESC, s ASC) FILTER (WHERE s < k1)
+               AS old_s,
+             FIRST(s ORDER BY hs DESC, s ASC) AS new_s
+      FROM rv GROUP BY 1, 2, 3
+    ),
+    rvm AS (
+      SELECT k1, k2, COUNT(*) AS n,
+             SUM(CASE WHEN old_s <> new_s THEN 1 ELSE 0 END) AS moved
+      FROM pick GROUP BY 1, 2
+    )
+    SELECT CAST(k1 AS INT) AS k_from, CAST(k2 AS INT) AS k_to,
+           'mod' AS scheme, CAST(n AS BIGINT) AS n_docs,
+           CAST(moved AS BIGINT) AS moved_docs,
+           {_ha6_sql("moved", "n")} AS moved_share
+    FROM modmoved
+    UNION ALL
+    SELECT CAST(k1 AS INT), CAST(k2 AS INT), 'rendezvous',
+           CAST(n AS BIGINT), CAST(moved AS BIGINT),
+           {_ha6_sql("moved", "n")}
+    FROM rvm
+    ORDER BY k_from, scheme
+    """,
+    tags=("sharding", "layout", "audit"),
+)
+def q371_shard_rebalance_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-count rebalance cost: growing k → k+1 shards, what fraction
+    of documents MOVE under (a) mod hashing (≈ 1 − 1/k2 of everything
+    reshuffles — the naive layout's hidden cost) vs (b) rendezvous /
+    highest-random-weight hashing (only ~1/k2 moves, all INTO the new
+    shard) — the table that justifies consistent placement for any
+    100 TB corpus that ever re-shards.  Swept at 4→5 and 16→17.
+
+    Scale plan: linear — each doc fans out to ≤ k2+1 md5 draws
+    (broadcast transition × slot grids), one high-card groupBy(doc)
+    argmax (max_by on the lexicographic hex, FIRST(ORDER BY) in DuckDB
+    — the q320 discipline), then a bounded rollup.  Exactness: md5 hex
+    compares identically in both engines (lowercase, fixed width);
+    integer counts; shares half-away rationals; argmax ties are
+    md5-impossible but carry the s-asc tie-break anyway."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    tr = spark.sql(
+        "SELECT CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2"
+        " FROM (VALUES (4, 5), (16, 17)) AS v(k1, k2)"
+    )
+    h = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("bigint")
+        .alias("hv"),
+    )
+    modmoved = (
+        h.crossJoin(F.broadcast(tr))
+        .groupBy("k1", "k2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("hv") % F.col("k1") != F.col("hv") % F.col("k2"), 1
+                ).otherwise(0)
+            ).alias("moved"),
+        )
+    )
+    sv = spark.range(17).select(F.col("id").cast("bigint").alias("s"))
+    rv = (
+        docs.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(sv))
+        .where(F.col("s") < F.col("k2"))
+        .select(
+            "k1",
+            "k2",
+            "doc_id",
+            "s",
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("s").cast("string"),
+                )
+            ).alias("hs"),
+        )
+    )
+    pick = rv.groupBy("k1", "k2", "doc_id").agg(
+        F.expr(
+            "max_by(s, struct(hs, -s)) FILTER (WHERE s < k1)"
+        ).alias("old_s"),
+        F.expr("max_by(s, struct(hs, -s))").alias("new_s"),
+    )
+    rvm = pick.groupBy("k1", "k2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("old_s") != F.col("new_s"), 1).otherwise(0)
+        ).alias("moved"),
+    )
+    def publish(df, scheme):
+        return df.select(
+            F.col("k1").cast("int").alias("k_from"),
+            F.col("k2").cast("int").alias("k_to"),
+            F.lit(scheme).alias("scheme"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("moved").cast("long").alias("moved_docs"),
+            _sha6("moved", "n").alias("moved_share"),
+        )
+
+    return (
+        publish(modmoved, "mod")
+        .unionAll(publish(rvm, "rendezvous"))
+        .orderBy("k_from", "scheme")
+    )

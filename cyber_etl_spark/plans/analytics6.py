@@ -4721,3 +4721,186 @@ def q371_shard_rebalance_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(publish(rvm, "rendezvous"))
         .orderBy("k_from", "scheme")
     )
+
+
+@query(
+    "q372_curriculum_length_deciles",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS tokens
+      FROM documents
+    ),
+    d AS (
+      SELECT tokens, NTILE(10) OVER (ORDER BY tokens, doc_id) AS decile
+      FROM tk
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS total_tokens
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS grand FROM per)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           total_tokens,
+           {_sha6_sql("total_tokens", "n_docs")} AS mean_tokens,
+           {_sha6_sql("total_tokens", "(SELECT grand FROM tot)")}
+             AS token_share
+    FROM per ORDER BY decile
+    """,
+    tags=("text", "curriculum", "training"),
+)
+def q372_curriculum_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum schedule table: documents bucketed into global
+    token-count deciles (the short→long ordering a curriculum trainer
+    feeds), with each decile's document count, token mass, mean length
+    and share of the total token budget — the planning table that says
+    how many steps each curriculum phase can fund.
+
+    Scale plan: the global decile is the q63 discipline — the
+    distributed rank kernel (operators/prefix.global_ranks) derives
+    (rn, n) under the (tokens, doc_id) total order with no single-task
+    sort, and ntile_expr turns them into ANSI NTILE buckets row-locally;
+    the rollup is 10 rows, pinned once for the grand total AND the
+    publish (≥2-consumer rule).  Exactness: integer counts/sums; means
+    and shares half-away rationals."""
+    from ..operators.prefix import global_ranks, ntile_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))")
+        .cast("long")
+        .alias("tokens"),
+    )
+    g = global_ranks(tk, order_cols=["tokens", "doc_id"])
+    per = (
+        g.select(
+            "tokens", ntile_expr(F.col("rn"), F.col("n"), 10).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+        )
+        .localCheckpoint(eager=True)  # 10 rows; feeds grand total + publish
+    )
+    tot = per.agg(F.sum("total_tokens").alias("grand"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            _sha6("total_tokens", "n_docs").alias("mean_tokens"),
+            _sha6("total_tokens", "grand").alias("token_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q373_lang_source_independence",
+    oracle="""
+    WITH m AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    nl AS (SELECT lang, SUM(o) AS n_l FROM m GROUP BY 1),
+    ns AS (SELECT source, SUM(o) AS n_s FROM m GROUP BY 1),
+    nn AS (SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS r,
+                  COUNT(DISTINCT source) AS c
+           FROM m),
+    grid AS (
+      SELECT nl.lang, ns.source, nl.n_l, ns.n_s,
+             COALESCE(m.o, 0) AS o
+      FROM nl CROSS JOIN ns
+      LEFT JOIN m ON m.lang = nl.lang AND m.source = ns.source
+    ),
+    terms AS (
+      SELECT CAST(round(
+               (CAST(o AS DOUBLE)
+                - CAST(n_l AS DOUBLE) * n_s / (SELECT n FROM nn))
+               * (CAST(o AS DOUBLE)
+                  - CAST(n_l AS DOUBLE) * n_s / (SELECT n FROM nn))
+               / (CAST(n_l AS DOUBLE) * n_s / (SELECT n FROM nn)),
+               12) AS DECIMAL(24,12)) AS term
+      FROM grid
+    )
+    SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_docs,
+           CAST((SELECT r FROM nn) AS INT) AS n_langs,
+           CAST((SELECT c FROM nn) AS INT) AS n_sources,
+           CAST(((SELECT r FROM nn) - 1) * ((SELECT c FROM nn) - 1)
+                AS INT) AS dof,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+           round(sqrt(CAST(SUM(term) AS DOUBLE)
+                      / ((SELECT n FROM nn)
+                         * least((SELECT r FROM nn) - 1,
+                                 (SELECT c FROM nn) - 1))), 6) AS cramers_v
+    FROM terms
+    """,
+    tags=("quality", "independence", "statistics"),
+)
+def q373_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language × source independence (chi-squared + Cramér's V) — the
+    confounding screen a curation pipeline runs before per-source or
+    per-language decisions: if language composition differs wildly by
+    source, any per-source quality policy silently becomes a language
+    policy.
+
+    Scale plan: ONE map-side (lang, source) count into a bounded grid;
+    zero cells enter via the margins cross join (the q349 convention);
+    everything downstream is ≤ |langs|·|sources| rows.  Exactness: the
+    per-cell (o−e)²/e uses only IEEE +,−,×,÷ on identical expression
+    text — bit-identical across engines with NO libm exposure — and
+    each term snaps at 12 dp into DECIMAL before the exact sum (the
+    q244 shape, order-proof); sqrt is IEEE correctly-rounded so
+    Cramér's V survives a plain 6-dp round.  The double path never
+    overflows at any corpus size (the exact-integer x² route would
+    leave DECIMAL(38,0) past ~3e9 docs)."""
+    docs = read_table(spark, sf_dir, "documents")
+    m = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)  # bounded grid; feeds 3 margins + join
+    )
+    nl = m.groupBy("lang").agg(F.sum("o").alias("n_l"))
+    ns = m.groupBy("source").agg(F.sum("o").alias("n_s"))
+    nn = m.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("c"),
+    )
+    grid = (
+        nl.crossJoin(F.broadcast(ns))
+        .join(m, ["lang", "source"], "left")
+        .select("lang", "source", "n_l", "n_s", F.coalesce("o", F.lit(0)).alias("o"))
+        .crossJoin(F.broadcast(nn))
+    )
+    terms = grid.select(
+        "n",
+        "r",
+        "c",
+        F.expr(
+            "CAST(round((CAST(o AS DOUBLE)"
+            " - CAST(n_l AS DOUBLE) * n_s / n)"
+            " * (CAST(o AS DOUBLE) - CAST(n_l AS DOUBLE) * n_s / n)"
+            " / (CAST(n_l AS DOUBLE) * n_s / n), 12) AS DECIMAL(24,12))"
+        ).alias("term"),
+    )
+    ag = terms.groupBy("n", "r", "c").agg(F.sum("term").alias("s"))
+    return ag.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("r").cast("int").alias("n_langs"),
+        F.col("c").cast("int").alias("n_sources"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("int").alias("dof"),
+        F.round(F.col("s").cast("double"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("s").cast("double")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -4904,3 +4904,187 @@ def q373_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("cramers_v"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds on the exact 2^52 grid:
+# t_k = floor(CDF(k) * 2^52); a 52-bit md5 uniform u draws weight
+# w = #{k : u >= t_k} (truncated at 9 — tail mass ~1e-6, identical in
+# both engines so exactness is unaffected).  Shared constants generate
+# BOTH the Spark and the DuckDB expression text.
+_POIS1_T = [
+    1656781714176974, 3313563428353948, 4141954285442435,
+    4418084571138597, 4487117142562638, 4500923656847446,
+    4503224742561580, 4503553469092171, 4503594559908495,
+]
+
+
+def _pois1_w(u_expr: str) -> str:
+    """Engine-shared SQL: Poisson(1) weight from a 52-bit uniform."""
+    return "(" + " + ".join(
+        f"(CASE WHEN ({u_expr}) >= {t} THEN 1 ELSE 0 END)" for t in _POIS1_T
+    ) + ")"
+
+
+@query(
+    "q374_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, event_id AS rid,
+             CAST(round(round(value, 6) * 1000000, 0) AS BIGINT) AS vu
+      FROM events WHERE value IS NOT NULL
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(vu) AS BIGINT) AS num_all
+      FROM ev GROUP BY 1
+    ),
+    hx AS (
+      SELECT e.event_type, g.g, e.vu,
+             md5(CAST(e.rid AS VARCHAR) || ':' || CAST(g.g AS VARCHAR)) AS h
+      FROM ev e,
+           (SELECT CAST(unnest(range(1, 17)) AS BIGINT) AS g) g
+    ),
+    draws AS (
+      SELECT event_type, 2*g - 1 AS b, vu,
+             CAST(('0x' || substr(h, 1, 13)) AS BIGINT) AS u FROM hx
+      UNION ALL
+      SELECT event_type, 2*g AS b, vu,
+             CAST(('0x' || substr(h, 14, 13)) AS BIGINT) AS u FROM hx
+    ),
+    wts AS (
+      SELECT event_type, b, vu, {_pois1_w("u")} AS w FROM draws
+    ),
+    reps AS (
+      SELECT event_type, b,
+             SUM(CAST(w AS HUGEINT) * vu) AS num_u,
+             CAST(SUM(w) AS BIGINT) AS n_w
+      FROM wts GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT event_type, b,
+             {_sha6_sql("num_u", "CAST(n_w AS HUGEINT)*1000000")} AS mean_b
+      FROM reps WHERE n_w > 0
+    ),
+    ci AS (
+      SELECT event_type, list_sort(list(mean_b)) AS ms,
+             COUNT(*) AS n_reps
+      FROM means GROUP BY 1
+    )
+    SELECT base.event_type,
+           base.n_rows,
+           {_sha6_sql("num_all", "CAST(n_rows AS HUGEINT)*1000000")}
+             AS mean_value,
+           CAST(n_reps AS INT) AS n_replicates,
+           ms[2] AS ci_lo,
+           ms[31] AS ci_hi
+    FROM base JOIN ci ON base.event_type = ci.event_type
+    ORDER BY base.event_type
+    """,
+    tags=("statistics", "bootstrap", "scale"),
+)
+def q374_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the per-type mean value — THE bootstrap
+    that scales: instead of B resampled copies of the corpus, every row
+    draws an independent Poisson(1) replicate weight from md5(row:b), so
+    32 bootstrap replicate means come out of ONE corpus pass of
+    map-side-combinable aggregates (the streaming-bootstrap construction
+    used for CIs over web-scale logs).  Publishes the exact mean and the
+    [2nd, 31st] order statistics of the 32 sorted replicate means (a
+    ~94% percentile interval).
+
+    Scale plan: one explode(1..32) fan-out folded by partial aggregation
+    into |types|·32 groups — no shuffle growth, no per-replicate scan;
+    everything downstream is bounded (32-element sorted lists).
+    Exactness: weights are integer draws against shared 2^52-grid
+    Poisson thresholds (_POIS1_T generates both engines' CASE text);
+    values snap to exact micro-integers (round(·,6)·1e6 — tie-free);
+    replicate sums widen to DECIMAL(38,0)/HUGEINT.
+
+    Grid budget: num_u ≤ 9·n·1e8 and n_w·1e6 ≤ 9n·1e6 both widened
+    to DECIMAL(38,0) INSIDE the _sha6 operand text (the int64 product
+    n_w*1000000 would wrap near 9e12 rows); _sha6's runtime guard
+    raises if a mean ever leaves the 6-dp grid."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("event_id").alias("rid"),
+            F.expr(
+                "CAST(round(round(value, 6) * 1000000, 0) AS BIGINT)"
+            ).alias("vu"),
+        )
+        # the testdata parquet is one split: spread the 32x md5 fan-out
+        # across cores (q230 lesson) and pin — ev feeds base AND hx
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("vu").alias("num_all")
+    )
+    # one md5 per (row, g) feeds TWO replicate draws (digits 1-13 and
+    # 14-26 are independent 52-bit uniforms) — halves the dominant hash
+    # cost; b = 2g-1 / 2g keeps the replicate ids dense in 1..32
+    hx = ev.select(
+        "event_type",
+        "vu",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("g"),
+        F.col("rid"),
+    ).select(
+        "event_type",
+        "vu",
+        "g",
+        F.md5(
+            F.concat(
+                F.col("rid").cast("string"), F.lit(":"), F.col("g").cast("string")
+            )
+        ).alias("h"),
+    )
+    draws = hx.select(
+        "event_type",
+        "vu",
+        F.explode(
+            F.array(
+                F.struct(
+                    (2 * F.col("g") - 1).alias("b"),
+                    F.expr(
+                        "CAST(conv(substr(h, 1, 13), 16, 10) AS BIGINT)"
+                    ).alias("u"),
+                ),
+                F.struct(
+                    (2 * F.col("g")).alias("b"),
+                    F.expr(
+                        "CAST(conv(substr(h, 14, 13), 16, 10) AS BIGINT)"
+                    ).alias("u"),
+                ),
+            )
+        ).alias("x"),
+    ).select("event_type", F.col("x.b").alias("b"), "vu", F.col("x.u").alias("u"))
+    wts = draws.select("event_type", "b", "vu", F.expr(_pois1_w("u")).alias("w"))
+    reps = wts.groupBy("event_type", "b").agg(
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * vu")).alias("num_u"),
+        F.sum("w").alias("n_w"),
+    )
+    means = reps.where(F.col("n_w") > 0).select(
+        "event_type",
+        _sha6("num_u", "CAST(n_w AS DECIMAL(38,0))*1000000").alias("mean_b"),
+    )
+    ci = means.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("mean_b")).alias("ms"),
+        F.count(F.lit(1)).alias("n_reps"),
+    )
+    return (
+        base.join(ci, "event_type")
+        .select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            _sha6(
+                "num_all", "CAST(n_rows AS DECIMAL(38,0))*1000000"
+            ).alias("mean_value"),
+            F.col("n_reps").cast("int").alias("n_replicates"),
+            F.element_at("ms", 2).alias("ci_lo"),
+            F.element_at("ms", 31).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -1127,3 +1127,52 @@ def test_sprt_stream_twin(spark, sf_smoke, tmp_path):
                 / 1e6
                 == b["llr"]
             ), day
+
+
+def test_twap_stream_tiebreak_col_orders_equal_timestamps(spark, tmp_path):
+    """ADVICE r9: equal-ts events for one key must fold in event_id
+    order.  Feed one key with two events at the SAME ts_us written in
+    REVERSED event_id order, then a later closing event: with
+    tiebreak_col="event_id" the held value after the tie is the
+    higher-event_id one (the batch lead() order), so the final interval
+    accumulates xu(value of event 2), not event 1's."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyber_etl_spark.streaming import run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import twap_stream
+
+    d = tmp_path / "twap_tie"
+    d.mkdir()
+    rows = {
+        "user_id": [1, 1, 1],
+        "event_type": ["view", "view", "view"],
+        "ts_us": [1_000_000, 1_000_000, 3_000_000],
+        "value": [10.0, 20.0, 0.0],   # reversed write order at the tie
+        "event_id": [2, 1, 3],
+    }
+    # write with the tie REVERSED in file order: event_id 2 before 1
+    pq.write_table(pa.table(rows), str(d / "c0.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts_us long, value double,"
+            " event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_stream_to_memory(
+        twap_stream(stream, tiebreak_col="event_id"), "twap_tie", mode="update"
+    )
+    got = {
+        (r.user_id, r.event_type): r
+        for r in spark.sql("SELECT * FROM twap_tie").collect()
+    }
+    r = got[(1, "view")]
+    # intervals: (tie-winner=event_id 2, value 10.0 held 0us after the
+    # within-tie step) — the tie itself is a 0-length interval of the
+    # FIRST-sorted event (event_id 1, value 20.0), then value 10.0 held
+    # 2s into the close: num = 20.0*0 + 10.0*2e6 micro-units
+    assert r.n_intervals == 2
+    assert r.den_us == 2_000_000
+    assert int(r.num_str) == 10_000_000 * 2_000_000

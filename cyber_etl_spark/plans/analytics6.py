@@ -5088,3 +5088,152 @@ def q374_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _cms_sql(rel: str, key: str, width: int = 128, depth: int = 3) -> str:
+    """DuckDB text twin of operators/countmin.cms_sketch over
+    ``SELECT {key} FROM {rel}``: exact per-(row, bucket) counts."""
+    return f"""
+      SELECT r.r,
+             CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+                   CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {width} AS b,
+             COUNT(*) AS c
+      FROM {rel}, (SELECT unnest(range(0, {depth})) AS r) r
+      GROUP BY 1, 2
+    """
+
+
+@query(
+    "q375_join_size_estimate",
+    oracle=f"""
+    WITH se AS ({_cms_sql("events", "user_id")}),
+    sl AS ({_cms_sql("lineitem", "l_orderkey")}),
+    so AS ({_cms_sql("orders", "o_orderkey")}),
+    self_ip AS (
+      SELECT r, SUM(CAST(c AS HUGEINT) * c) AS ip FROM se GROUP BY r
+    ),
+    cross_ip AS (
+      SELECT sl.r, SUM(CAST(sl.c AS HUGEINT) * so.c) AS ip
+      FROM sl JOIN so ON sl.r = so.r AND sl.b = so.b
+      GROUP BY sl.r
+    ),
+    est AS (
+      SELECT 'events_self_user' AS join_name,
+             (SELECT MIN(ip) FROM self_ip) AS cms_estimate,
+             (SELECT SUM(CAST(c AS HUGEINT) * c)
+              FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id))
+               AS exact_pairs
+      UNION ALL
+      SELECT 'lineitem_orders_key',
+             (SELECT MIN(ip) FROM cross_ip),
+             (SELECT SUM(CAST(l.c AS HUGEINT) * o.c)
+              FROM (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
+                    GROUP BY 1) l
+              JOIN (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders
+                    GROUP BY 1) o ON l.k = o.k)
+    )
+    SELECT join_name,
+           CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - exact_pairs AS BIGINT) AS overcount,
+           {_ha6_sql("cms_estimate - exact_pairs", "exact_pairs")}
+             AS overcount_share
+    FROM est ORDER BY join_name
+    """,
+    tags=("sketch", "join", "planning"),
+)
+def q375_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from Count-Min sketches — the planner input
+    that decides whether a join is safe to run: |A ⋈_k B| estimated as
+    min over sketch rows of the bucket-count inner product (the AGMS/CMS
+    estimator, always ≥ the true size), next to the exact degree-product
+    truth, for (a) the skewed events self-join on user_id (the
+    sessionization-pair blow-up) and (b) the benign lineitem⋈orders key
+    join.  Sketches compose: each side is built independently (a stats
+    catalog keeps one per table) and the estimate needs only the two
+    O(depth·width) summaries — never the data.
+
+    Scale plan: one cms_sketch pass per relation (exact per-batch
+    [depth×width] accumulation, operators/countmin); inner products join
+    two ≤384-row tables.  Exactness: sketches are md5-deterministic and
+    hash-gated bit-identical (q224); inner products and degree products
+    widen to DECIMAL(38,0)/HUGEINT (c² is n²-scale).
+
+    Grid budget: the overcount share's numerator 2·(est−exact)·1e6 rides
+    DECIMAL(38,0) inside _ha6; est ≤ ΣcA·cB is n²-scale and stays in
+    DECIMAL(38,0) to ~1e16 rows per side."""
+    from ..operators.countmin import cms_sketch
+
+    # single-split testdata: spread the sketch kernels' per-distinct-item
+    # Python hashing across cores (q230 rule; slicing-independent sketch)
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("k"))
+        .repartition(32)
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .repartition(32)
+    )
+    od = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .repartition(32)
+    )
+    se = cms_sketch(ev, "k", width=128, depth=3)
+    sl = cms_sketch(li, "k", width=128, depth=3)
+    so = cms_sketch(od, "k", width=128, depth=3)
+    self_ip = se.groupBy("r").agg(
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("ip")
+    ).agg(F.min("ip").alias("cms_estimate"))
+    cross_ip = (
+        sl.alias("l")
+        .join(F.broadcast(so.alias("o")), ["r", "b"])
+        .groupBy("r")
+        .agg(
+            F.sum(F.expr("CAST(l.c AS DECIMAL(38,0)) * o.c")).alias("ip")
+        )
+        .agg(F.min("ip").alias("cms_estimate"))
+    )
+    self_exact = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("exact_pairs")
+        )
+    )
+    cross_exact = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cl"))
+        .join(
+            od.groupBy("k").agg(F.count(F.lit(1)).alias("co")), "k"
+        )
+        .agg(
+            F.sum(F.expr("CAST(cl AS DECIMAL(38,0)) * co")).alias(
+                "exact_pairs"
+            )
+        )
+    )
+
+    def row(name, exact_df, est_df):
+        return (
+            exact_df.crossJoin(F.broadcast(est_df))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("exact_pairs").cast("long").alias("exact_pairs"),
+                F.col("cms_estimate").cast("long").alias("cms_estimate"),
+                (F.col("cms_estimate") - F.col("exact_pairs"))
+                .cast("long")
+                .alias("overcount"),
+                _sha6(
+                    "cms_estimate - exact_pairs", "exact_pairs"
+                ).alias("overcount_share"),
+            )
+        )
+
+    return (
+        row("events_self_user", self_exact, self_ip)
+        .unionAll(row("lineitem_orders_key", cross_exact, cross_ip))
+        .orderBy("join_name")
+    )

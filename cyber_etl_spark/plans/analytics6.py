@@ -5237,3 +5237,225 @@ def q375_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("lineitem_orders_key", cross_exact, cross_ip))
         .orderBy("join_name")
     )
+
+
+# KMV (bottom-k / k-minimum-values) sketch constants: k = 32, hashes are
+# 52-bit md5 uniforms (13 hex digits).  Distinct estimate (k-1)*2^52/u_k
+# where u_k is the k-th smallest hash; exact when fewer than k distinct.
+_KMV_K = 32
+_KMV_NUM = (_KMV_K - 1) * (1 << 52)  # 139611588448485376, fits int64
+
+
+@query(
+    "q376_kmv_distinct_sketch",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS u
+      FROM du
+    ),
+    rk AS (
+      SELECT event_type, user_id, u,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY u, user_id) AS rn
+      FROM h
+    ),
+    bk AS (SELECT * FROM rk WHERE rn <= {_KMV_K}),
+    pt AS (
+      SELECT h.event_type,
+             COUNT(*) AS exact_d,
+             MAX(CASE WHEN rn = {_KMV_K} THEN u END) AS uk
+      FROM h LEFT JOIN rk ON rk.event_type = h.event_type
+                         AND rk.user_id = h.user_id AND rk.rn = {_KMV_K}
+      GROUP BY 1
+    ),
+    per_type AS (
+      SELECT event_type AS set_name,
+             CAST(exact_d AS BIGINT) AS exact_distinct,
+             CASE WHEN exact_d < {_KMV_K} THEN CAST(exact_d AS DOUBLE)
+                  ELSE {_ha6_sql(f"CAST({_KMV_NUM} AS HUGEINT)", "uk")} END AS kmv_estimate
+      FROM (
+        SELECT event_type, COUNT(*) AS exact_d,
+               (SELECT MAX(u) FROM bk b WHERE b.event_type = h2.event_type
+                AND b.rn <= {_KMV_K}) AS uk
+        FROM h h2 GROUP BY 1
+      )
+    ),
+    a AS (SELECT user_id, u FROM bk WHERE event_type = 'view'),
+    b AS (SELECT user_id, u FROM bk WHERE event_type = 'purchase'),
+    mu AS (
+      SELECT user_id, u,
+             ROW_NUMBER() OVER (ORDER BY u, user_id) AS rn
+      FROM (SELECT DISTINCT user_id, u FROM (SELECT * FROM a
+                                             UNION ALL SELECT * FROM b))
+    ),
+    ub AS (SELECT * FROM mu WHERE rn <= {_KMV_K}),
+    ustat AS (
+      SELECT COUNT(*) AS n_ub,
+             MAX(CASE WHEN rn = {_KMV_K} THEN u END) AS uk,
+             SUM(CASE WHEN user_id IN (SELECT user_id FROM a)
+                       AND user_id IN (SELECT user_id FROM b)
+                      THEN 1 ELSE 0 END) AS nb
+      FROM ub
+    ),
+    uex AS (
+      SELECT COUNT(DISTINCT user_id) AS ex_u,
+             COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+               + COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                     THEN user_id END)
+               - COUNT(DISTINCT user_id) AS ex_i
+      FROM du WHERE event_type IN ('view', 'purchase')
+    ),
+    pair AS (
+      SELECT 'view_union_purchase' AS set_name,
+             CAST(ex_u AS BIGINT) AS exact_distinct,
+             CASE WHEN n_ub < {_KMV_K} THEN CAST(n_ub AS DOUBLE)
+                  ELSE {_ha6_sql(f"CAST({_KMV_NUM} AS HUGEINT)", "uk")} END AS kmv_estimate
+      FROM ustat, uex
+      UNION ALL
+      SELECT 'view_intersect_purchase',
+             CAST(ex_i AS BIGINT),
+             CASE WHEN n_ub < {_KMV_K}
+                  THEN CAST(nb AS DOUBLE)
+                  ELSE {_ha6_sql(f"nb*CAST({_KMV_NUM} AS HUGEINT)",
+                                 f"CAST(uk AS HUGEINT)*{_KMV_K}")} END
+      FROM ustat, uex
+    )
+    SELECT * FROM per_type
+    UNION ALL SELECT * FROM pair
+    ORDER BY set_name
+    """,
+    tags=("sketch", "distinct", "set-ops"),
+)
+def q376_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct sketches with SET-OPERATION estimates —
+    the mergeable-distinct family that, unlike HLL (q312/q173), supports
+    intersection: per event type, the k=32 minimum 52-bit md5 hashes of
+    the user set give D̂ = (k−1)·2^52/u_k; two types' sketches merge into
+    the union's bottom-k, and the intersection estimate is the Jaccard
+    read off the merged bottom-k times the union estimate (Beyer et al.'s
+    KMV algebra).  Exact counts ride alongside.
+
+    Scale plan: per-type bottom-k is a rank window cut (WindowGroupLimit
+    — map-side k-row buffers at any cardinality); everything after the
+    cut touches ≤ k·|types| rows.  The estimate needs only the
+    O(k)-value summaries — the stats-catalog composition, like q375.
+    Exactness: md5 hashes identical cross-engine; estimates are exact
+    integer rationals through _ha6 (num (k−1)·2^52 fits int64; the
+    intersection numerator nb·(k−1)·2^52 widens to DECIMAL/HUGEINT);
+    sets with < k distinct take the exact branch (exercised at
+    sf0.001, where only 15 users exist)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    du = ev.distinct()
+    h = du.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 13), 16, 10)"
+            " AS BIGINT)"
+        ).alias("u"),
+    )
+    rk = h.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("u", "user_id")
+        ),
+    )
+    bk = rk.where(F.col("rn") <= _KMV_K).localCheckpoint(
+        eager=True
+    )  # tiny; feeds per-type uk, the pair merge and both membership joins
+    pt = (
+        h.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_d"))
+        .join(
+            bk.groupBy("event_type").agg(
+                F.max(F.when(F.col("rn") == _KMV_K, F.col("u"))).alias("uk")
+            ),
+            "event_type",
+        )
+        .select(
+            F.col("event_type").alias("set_name"),
+            F.col("exact_d").cast("long").alias("exact_distinct"),
+            F.when(
+                F.col("exact_d") < _KMV_K, F.col("exact_d").cast("double")
+            )
+            .otherwise(_sha6(str(_KMV_NUM), "uk"))
+            .alias("kmv_estimate"),
+        )
+    )
+    a = bk.where(F.col("event_type") == "view").select("user_id", "u")
+    b = bk.where(F.col("event_type") == "purchase").select("user_id", "u")
+    mu = (
+        a.unionAll(b)
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("u", "user_id"))
+        )
+        .where(F.col("rn") <= _KMV_K)
+    )
+    ustat = (
+        mu.join(
+            a.select(F.col("user_id").alias("ua")).withColumn(
+                "ina", F.lit(1)
+            ),
+            mu.user_id == F.col("ua"),
+            "left",
+        )
+        .join(
+            b.select(F.col("user_id").alias("ub2")).withColumn(
+                "inb", F.lit(1)
+            ),
+            mu.user_id == F.col("ub2"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ub"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("u"))).alias("uk"),
+            F.sum(
+                F.when(
+                    F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("nb"),
+        )
+    )
+    vp = du.where(F.col("event_type").isin("view", "purchase"))
+    uex = vp.agg(
+        F.countDistinct("user_id").alias("ex_u"),
+        (
+            F.countDistinct(
+                F.when(F.col("event_type") == "view", F.col("user_id"))
+            )
+            + F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            )
+            - F.countDistinct("user_id")
+        ).alias("ex_i"),
+    )
+    both = ustat.crossJoin(F.broadcast(uex))
+    pair = both.select(
+        F.lit("view_union_purchase").alias("set_name"),
+        F.col("ex_u").cast("long").alias("exact_distinct"),
+        F.when(F.col("n_ub") < _KMV_K, F.col("n_ub").cast("double"))
+        .otherwise(_sha6(str(_KMV_NUM), "uk"))
+        .alias("kmv_estimate"),
+    ).unionAll(
+        both.select(
+            F.lit("view_intersect_purchase").alias("set_name"),
+            F.col("ex_i").cast("long").alias("exact_distinct"),
+            F.when(F.col("n_ub") < _KMV_K, F.col("nb").cast("double"))
+            .otherwise(
+                _sha6(
+                    f"nb*CAST({_KMV_NUM} AS DECIMAL(38,0))",
+                    f"CAST(uk AS DECIMAL(38,0))*{_KMV_K}",
+                )
+            )
+            .alias("kmv_estimate"),
+        )
+    )
+    return pt.unionAll(pair).orderBy("set_name")

@@ -5287,16 +5287,15 @@ _KMV_NUM = (_KMV_K - 1) * (1 << 52)  # 139611588448485376, fits int64
     ),
     a AS (SELECT user_id, u FROM bk WHERE event_type = 'view'),
     b AS (SELECT user_id, u FROM bk WHERE event_type = 'purchase'),
-    mu AS (
-      SELECT user_id, u,
-             ROW_NUMBER() OVER (ORDER BY u, user_id) AS rn
+    ub AS (
+      SELECT user_id, u
       FROM (SELECT DISTINCT user_id, u FROM (SELECT * FROM a
                                              UNION ALL SELECT * FROM b))
+      ORDER BY u, user_id LIMIT {_KMV_K}
     ),
-    ub AS (SELECT * FROM mu WHERE rn <= {_KMV_K}),
     ustat AS (
       SELECT COUNT(*) AS n_ub,
-             MAX(CASE WHEN rn = {_KMV_K} THEN u END) AS uk,
+             MAX(u) AS uk,
              SUM(CASE WHEN user_id IN (SELECT user_id FROM a)
                        AND user_id IN (SELECT user_id FROM b)
                       THEN 1 ELSE 0 END) AS nb
@@ -5391,14 +5390,12 @@ def q376_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bk.where(F.col("event_type") == "view").select("user_id", "u")
     b = bk.where(F.col("event_type") == "purchase").select("user_id", "u")
-    mu = (
-        a.unionAll(b)
-        .distinct()
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy("u", "user_id"))
-        )
-        .where(F.col("rn") <= _KMV_K)
-    )
+    # merged bottom-k WITHOUT a window: a global (u, user_id) top-32 is
+    # TakeOrderedAndProject (Spark 4.1 never plans WindowGroupLimit for
+    # an EMPTY partition spec, so a rank window here would be a global
+    # single-task sort — caught by the r10 window audit); u_k is then
+    # max(u) of the 32-row table, valid exactly when n_ub = k
+    mu = a.unionAll(b).distinct().orderBy("u", "user_id").limit(_KMV_K)
     ustat = (
         mu.join(
             a.select(F.col("user_id").alias("ua")).withColumn(
@@ -5416,7 +5413,7 @@ def q376_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_ub"),
-            F.max(F.when(F.col("rn") == _KMV_K, F.col("u"))).alias("uk"),
+            F.max("u").alias("uk"),
             F.sum(
                 F.when(
                     F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1

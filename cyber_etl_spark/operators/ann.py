@@ -118,6 +118,8 @@ def brute_force_knn(
     def score(batches):
         for pdf in batches:
             for items, qitems in zip(pdf["items"], pdf["qitems"]):
+                if len(qitems) == 0 or len(items) == 0:
+                    continue  # empty probe/block: np.stack([]) raises
                 ids = np.asarray([r["id"] for r in items])
                 x = np.stack([np.asarray(r["v"]) for r in items])
                 qids = np.asarray([r["query_id"] for r in qitems])
@@ -219,6 +221,8 @@ def groupwise_max_cosine(
     def score(batches):
         for pdf in batches:
             for items, qitems in zip(pdf["items"], pdf["qitems"]):
+                if len(qitems) == 0 or len(items) == 0:
+                    continue  # empty probe/block: np.stack([]) raises
                 ids = np.asarray([r["id"] for r in items])
                 grps = pd.Series([r["grp"] for r in items])
                 x = np.stack([np.asarray(r["v"]) for r in items])

@@ -272,13 +272,24 @@ def ntile_expr(rn: Column, n: Column, k: int) -> Column:
     ``n div k`` — identical bucketing to the built-in window function,
     computable row-local once (rn, n) are known.
 
-    Grid budget: n div k on row counts - fits int64 to ~1e18 rows."""
-    base = F.floor(n / k)
+    Grid budget: true integer `div` (call_function) on row counts —
+    fits int64 to ~1e18 rows.  The earlier floor(n / k) form was double
+    division, whose truncation flips at exact multiples past 2^53
+    (~9e15 rows; measured: floor(9007199254740995/4) = ...249 vs exact
+    ...248) — the q201 class, caught by the r10 review."""
+
+    def idiv(a: Column, b: Column) -> Column:
+        """Integer `div` (see the enclosing grid budget: row counts)."""
+        return F.call_function("div", a, b)
+
+    base = idiv(n, F.lit(k))
     rem = n % k
     big = base + 1
+    # n < k ⇒ rem = n and big = 1, so rn <= rem*big always holds and the
+    # otherwise-branch (div by base = 0) is never evaluated (lazy CASE)
     return (
-        F.when(rn <= rem * big, F.floor((rn - 1) / big) + 1)
-        .otherwise(rem + F.floor((rn - 1 - rem * big) / base) + 1)
+        F.when(rn <= rem * big, idiv(rn - 1, big) + 1)
+        .otherwise(rem + idiv(rn - 1 - rem * big, base) + 1)
         .cast("int")
     )
 

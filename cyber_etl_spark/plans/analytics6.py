@@ -4976,8 +4976,8 @@ def _pois1_w(u_expr: str) -> str:
            {_sha6_sql("num_all", "CAST(n_rows AS HUGEINT)*1000000")}
              AS mean_value,
            CAST(n_reps AS INT) AS n_replicates,
-           ms[2] AS ci_lo,
-           ms[31] AS ci_hi
+           CASE WHEN n_reps = 32 THEN ms[2] END AS ci_lo,
+           CASE WHEN n_reps = 32 THEN ms[31] END AS ci_hi
     FROM base JOIN ci ON base.event_type = ci.event_type
     ORDER BY base.event_type
     """,
@@ -5083,8 +5083,14 @@ def q374_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "num_all", "CAST(n_rows AS DECIMAL(38,0))*1000000"
             ).alias("mean_value"),
             F.col("n_reps").cast("int").alias("n_replicates"),
-            F.element_at("ms", 2).alias("ci_lo"),
-            F.element_at("ms", 31).alias("ci_hi"),
+            # a type with very few rows can lose zero-weight replicates
+            # (n_reps < 32): Spark ANSI would RAISE on element_at past
+            # the end while DuckDB returns NULL — publish NULL in both
+            # engines unless the full 32 replicates survived (r10 review)
+            F.when(F.col("n_reps") == 32, F.element_at(F.col("ms"), 2))
+            .alias("ci_lo"),
+            F.when(F.col("n_reps") == 32, F.element_at(F.col("ms"), 31))
+            .alias("ci_hi"),
         )
         .orderBy("event_type")
     )
@@ -5265,14 +5271,6 @@ _KMV_NUM = (_KMV_K - 1) * (1 << 52)  # 139611588448485376, fits int64
       FROM h
     ),
     bk AS (SELECT * FROM rk WHERE rn <= {_KMV_K}),
-    pt AS (
-      SELECT h.event_type,
-             COUNT(*) AS exact_d,
-             MAX(CASE WHEN rn = {_KMV_K} THEN u END) AS uk
-      FROM h LEFT JOIN rk ON rk.event_type = h.event_type
-                         AND rk.user_id = h.user_id AND rk.rn = {_KMV_K}
-      GROUP BY 1
-    ),
     per_type AS (
       SELECT event_type AS set_name,
              CAST(exact_d AS BIGINT) AS exact_distinct,

@@ -24,20 +24,27 @@ def _plan(spark, sf_dir, name: str) -> str:
 
 
 def _package_state_key(sf_dir: str) -> str:
-    """md5 over every package source file + the smoke-data dir — the
-    cache key for built plan TEXT.  Any source edit invalidates the
+    """md5 over every package source file + the smoke-data dir CONTENTS —
+    the cache key for built plan TEXT.  Any source edit invalidates the
     whole cache (coarse but safe: a builder's plan can depend on any
     imported module), unchanged re-runs and sibling shard processes get
     the plans for free (r9 verdict ask: the audits are pure string
     checks, so plan text from a previous process is equally valid —
     expression ids differ per run but the audits never compare them
-    across runs)."""
+    across runs).  Parquet file sizes ride the key because executedPlan
+    text encodes statistics-driven choices (broadcast vs SMJ, AQE input
+    shapes): regenerated testdata at the same path must not serve stale
+    plans to the audits (r10 review)."""
+    import glob
     import hashlib
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.md5()
     h.update(sf_dir.encode())
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        h.update(p.encode())
+        h.update(str(os.path.getsize(p)).encode())
     pkg = os.path.join(root, "cyber_etl_spark")
     for dirpath, dirnames, filenames in sorted(os.walk(pkg)):
         dirnames.sort()

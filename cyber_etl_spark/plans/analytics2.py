@@ -51,11 +51,14 @@ def _ha6(num: str, den: str) -> F.Column:
     here because Spark's `div` on DECIMAL operands wraps silently EVEN
     UNDER ANSI MODE (measured on this build: CAST(4e19 AS
     DECIMAL(38,0)) div 1 returns garbage with ansi.enabled=true), so
-    no session conf can be the canary.  den = 0 still publishes NULL
-    (some callers shield zero denominators with an outer CASE)."""
+    no session conf can be the canary.  den = 0 publishes NULL via an
+    EXPLICIT CASE branch (r10 ADVICE: without it, ANSI `div` raises
+    DIVIDE_BY_ZERO — the den <> 0 overflow condition routes den=0
+    straight into the ELSE div)."""
     return (
         F.expr(
-            f"CASE WHEN ({den}) <> 0 AND abs(CAST(({num}) AS DOUBLE)"
+            f"CASE WHEN ({den}) = 0 THEN NULL"
+            f" WHEN abs(CAST(({num}) AS DOUBLE)"
             f" / CAST(({den}) AS DOUBLE)) > 9.0e12"
             f" THEN raise_error(concat('_ha6 grid overflow"
             f" (q238/q363 class — use a coarser grid): num=',"

@@ -512,13 +512,16 @@ def _sha6(num: str, den: str) -> F.Column:
     widened to DECIMAL(38,0) (the 2·num·1e6 product can't wrap an int64
     input) and a quotient beyond the 6-dp int64 grid (9e12) RAISES —
     Spark's `div` on DECIMAL operands wraps silently even under ANSI
-    mode, so the guard must live in the expression.  den = 0 still
-    publishes NULL."""
+    mode, so the guard must live in the expression.  den = 0 publishes
+    NULL via an EXPLICIT CASE branch (r10 ADVICE: without it, ANSI
+    `div` raises DIVIDE_BY_ZERO — the den <> 0 overflow condition
+    routes den=0 straight into the ELSE div)."""
     wn = f"CAST(({num}) AS DECIMAL(38,0))"
     wd = f"CAST(({den}) AS DECIMAL(38,0))"
     return (
         F.expr(
-            f"CASE WHEN ({den}) <> 0 AND abs(CAST(({num}) AS DOUBLE)"
+            f"CASE WHEN ({den}) = 0 THEN NULL"
+            f" WHEN abs(CAST(({num}) AS DOUBLE)"
             f" / CAST(({den}) AS DOUBLE)) > 9.0e12"
             f" THEN raise_error(concat('_sha6 grid overflow"
             f" (q238/q363 class — use a coarser grid): num=',"
@@ -4484,9 +4487,16 @@ def q369_source_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     published at 6 dp (the 12-dp decimal stays far under the 2^53
     double-cast cliff: entropy < ln(alphabet) ≈ 5)."""
     docs = read_table(spark, sf_dir, "documents")
+    # regexp_extract_all('(?s).') iterates CODEPOINTS (Java regex `.`
+    # consumes a full surrogate pair), matching the oracle's substring
+    # walk on arbitrary text — r10 ADVICE: F.split(text, '') is
+    # UTF-16-code-unit-shaped in general; also measured 3x faster here.
     cnt = (
         docs.select(
-            "source", F.explode(F.split(F.col("text"), "")).alias("ch")
+            "source",
+            F.explode(
+                F.expr("regexp_extract_all(text, '(?s).', 0)")
+            ).alias("ch"),
         )
         .where(F.col("ch") != "")
         .groupBy("source", "ch")
@@ -4930,7 +4940,7 @@ def _pois1_w(u_expr: str) -> str:
     oracle=f"""
     WITH ev AS (
       SELECT event_type, event_id AS rid,
-             CAST(round(round(value, 6) * 1000000, 0) AS BIGINT) AS vu
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
       FROM events WHERE value IS NOT NULL
     ),
     base AS (
@@ -4998,8 +5008,12 @@ def q374_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything downstream is bounded (32-element sorted lists).
     Exactness: weights are integer draws against shared 2^52-grid
     Poisson thresholds (_POIS1_T generates both engines' CASE text);
-    values snap to exact micro-integers (round(·,6)·1e6 — tie-free);
-    replicate sums widen to DECIMAL(38,0)/HUGEINT.
+    values snap to exact micro-integers via the engine-shared
+    floor(value·1e6 + 0.5) idiom (q332 form; r10 ADVICE — the earlier
+    round(round(·,6)·1e6) double-round is the Spark-BigDecimal vs
+    DuckDB-multiply-round divergence class; value >= 0 on this column
+    so half-up == half-away); replicate sums widen to
+    DECIMAL(38,0)/HUGEINT.
 
     Grid budget: num_u ≤ 9·n·1e8 and n_w·1e6 ≤ 9n·1e6 both widened
     to DECIMAL(38,0) INSIDE the _sha6 operand text (the int64 product
@@ -5012,7 +5026,7 @@ def q374_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("event_id").alias("rid"),
             F.expr(
-                "CAST(round(round(value, 6) * 1000000, 0) AS BIGINT)"
+                "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"
             ).alias("vu"),
         )
         # the testdata parquet is one split: spread the 32x md5 fan-out

@@ -80,7 +80,13 @@ def generate() -> str:
             if name in verified
             else "local"
         )
-        oracle = "sql" if q.oracle is not None else "rows-only"
+        # every rows-only query carries an adjudicated impossibility
+        # waiver in COVERAGE.md (q88 template; r10 verdict item 4)
+        oracle = (
+            "sql"
+            if q.oracle is not None
+            else "rows-only ([waiver](COVERAGE.md))"
+        )
         lines.append(
             f"| {name} | {src}:{line} | {', '.join(q.tags)} |"
             f" {oracle} | {rounds} |"

@@ -1,9 +1,40 @@
-"""Staleness gate for the generated registry index (r9 verdict item 7)."""
+"""Staleness gate for the generated registry index (r9 verdict item 7).
+
+r10 verdict item 2: the driver drops CORRECTNESS_r*.json AFTER the
+builder's last commit, so the committed QUERIES.md is always one artifact
+behind at round start.  That is not registry drift — only the
+"Driver rounds" column and the driver-green union count change.  The gate
+therefore compares a STRUCTURAL normalization (query names, file:line,
+tags, oracle status) strictly, and tolerates rounds/union drift so a
+fresh driver drop never opens the round with a red suite.  Regenerating
+(`python scripts/gen_queries_md.py`) at round start is still the
+convention; this test just stops punishing the window between the drop
+and the first commit.
+"""
 
 from __future__ import annotations
 
 import os
+import re
 import sys
+
+
+def _structural(text: str) -> str:
+    """Strip the driver-verification-derived parts of the index.
+
+    Removes the trailing "Driver rounds" cell from table rows and the
+    "driver-green union N/M" sentence — exactly the fields recomputed
+    from CORRECTNESS_r*.json artifacts, which arrive asynchronously.
+    """
+    out = []
+    for line in text.splitlines():
+        if line.startswith("|"):
+            cells = line.split("|")
+            # drop the last non-empty cell (Driver rounds / header / ---)
+            line = "|".join(cells[:-2]) + "|"
+        line = re.sub(r"driver-green union \*\*\d+/\d+\*\*", "", line)
+        out.append(line)
+    return "\n".join(out)
 
 
 def test_queries_md_is_current():
@@ -13,7 +44,12 @@ def test_queries_md_is_current():
 
     with open(os.path.join(root, "QUERIES.md")) as fh:
         committed = fh.read()
-    assert committed == gen_queries_md.generate(), (
-        "QUERIES.md is stale — run `python scripts/gen_queries_md.py` "
-        "and commit the result"
+    regenerated = gen_queries_md.generate()
+    if committed == regenerated:
+        return
+    assert _structural(committed) == _structural(regenerated), (
+        "QUERIES.md is structurally stale (queries added/renamed/moved) — "
+        "run `python scripts/gen_queries_md.py` and commit the result"
     )
+    # Rounds-column drift only: a CORRECTNESS_r*.json landed after the
+    # last regeneration.  Benign; refresh at the next convenient commit.

@@ -1,0 +1,316 @@
+"""Persisted statistics catalog: mergeable per-column sketches as a
+maintained Parquet artifact.
+
+The planner-stats idea behind q375/q376 (CMS join-size estimates, KMV
+distinct/set estimates) made first-class: instead of rebuilding sketches
+from the data at estimation time, a BUILD job writes one long-format
+sketch table per dataset, a MERGE operator folds a new batch's sketches
+into the catalog without touching the already-summarized corpus (the
+``ivf_index_append`` maintenance pattern applied to statistics), and
+estimation queries are served from the O(kB) artifact alone — the data
+is never rescanned.  That is exactly how a production stats catalog
+works at 100 TB: per-partition/per-day sketch jobs, additive folds, and
+a planner that reads a few hundred summary rows instead of the corpus.
+
+Catalog row format (one schema for every sketch kind, so the artifact
+is ONE parquet table and new kinds need no migration):
+
+    tbl  string   -- source table name
+    col  string   -- column the sketch summarizes
+    kind string   -- 'cms' | 'kmv' | 'moment'
+    r    long     -- cms: hash-row index; otherwise 0
+    b    long     -- cms: bucket; moment: stat id (_M_* constants);
+                     kmv: 0
+    v    decimal(38,0)
+                  -- cms: exact cell count; kmv: 52-bit md5 hash value;
+                     moment: exact integer statistic (micro-units for
+                     value sums — see grid notes below)
+
+Mergeability (the property the whole design rests on):
+
+- cms cells and moment rows merge by per-key integer ADDITION —
+  partitioning/slicing independent (operators/countmin discipline).
+- kmv rows merge by DISTINCT-then-bottom-k: the union's k smallest
+  hashes are contained in the union of the sides' bottom-k sets, so
+  merge(build(A), build(B)) == build(A ∪ B) EXACTLY.  (Beyer et al.'s
+  KMV algebra; the q376 estimator reads only COUNT and MAX of the k
+  values, so rank columns are not stored.)
+
+Grid budgets: cms counts and kmv hashes (< 2^52) fit int64 trivially;
+moment sums ride DECIMAL(38,0) — micro-unit squares are ~1e17 PER ROW
+(q215's 2^53 lesson), so the accumulator type is part of the schema,
+never a call-site cast.  DECIMAL(38,0) holds sum-of-micro-squares to
+~1e20 rows of |value| ≤ 1e3.
+
+Reference ancestry: the reference memoizes expensive intermediate
+artifacts and reloads them instead of recomputing
+(data_integration.ipynb cell 7's checkpoint-if-exists pickle pattern);
+here the artifact is the engine-native summary a planner consumes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import tempfile
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .countmin import cms_sketch
+
+CATALOG_SCHEMA = "tbl string, col string, kind string, r long, b long, v decimal(38,0)"
+
+# moment-row stat ids (b column when kind = 'moment')
+_M_NROWS = 0  # all rows, nulls included
+_M_NNONNULL = 1  # rows with a non-null value
+_M_SUM = 2  # sum of micro-unit values (floor(x*1e6 + 0.5))
+_M_SUMSQ = 3  # sum of SQUARED micro-unit values
+
+KMV_K = 32
+KMV_NUM = (KMV_K - 1) * (1 << 52)  # (k-1)*2^52, fits int64
+
+CMS_WIDTH = 128
+CMS_DEPTH = 3
+
+
+def key_sketches(
+    df: DataFrame, tbl: str, col: str
+) -> DataFrame:
+    """CMS + KMV catalog rows for one key column (nulls excluded —
+    a null key is absent from joins and distinct counts alike)."""
+    keyed = df.select(F.col(col).alias("k")).where(F.col("k").isNotNull())
+    cms = cms_sketch(keyed, "k", width=CMS_WIDTH, depth=CMS_DEPTH).select(
+        F.lit(tbl).alias("tbl"),
+        F.lit(col).alias("col"),
+        F.lit("cms").alias("kind"),
+        "r",
+        "b",
+        F.col("c").cast("decimal(38,0)").alias("v"),
+    )
+    # bottom-k distinct hashes via TakeOrderedAndProject (never a global
+    # rank window — the single-task-window ban; q376's `mu` form)
+    kmv = (
+        keyed.select(
+            F.expr(
+                "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 13), 16, 10)"
+                " AS BIGINT)"
+            ).alias("u")
+        )
+        .distinct()
+        .orderBy("u")
+        .limit(KMV_K)
+        .select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.lit("kmv").alias("kind"),
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("b"),
+            F.col("u").cast("decimal(38,0)").alias("v"),
+        )
+    )
+    return cms.unionAll(kmv)
+
+
+def value_moments(df: DataFrame, tbl: str, col: str) -> DataFrame:
+    """Moment catalog rows for a numeric column: n_rows, n_nonnull,
+    Σ micro-units, Σ micro-unit² — enough to serve count/mean/variance/
+    null-share without the data.  Micro snap is the engine-shared
+    floor(x·1e6 + 0.5) idiom (non-negative columns; a signed column
+    would need the sign-aware form)."""
+    xu = F.expr(f"CAST(floor({col} * 1000000 + 0.5) AS BIGINT)")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_rows"),
+        F.count(col).cast("decimal(38,0)").alias("n_nonnull"),
+        F.sum(xu.cast("decimal(38,0)")).alias("s"),
+        F.sum(xu.cast("decimal(38,0)") * xu).alias("ss"),
+    )
+    stats = F.array(
+        F.struct(F.lit(_M_NROWS).cast("long").alias("b"), F.col("n_rows").alias("v")),
+        F.struct(F.lit(_M_NNONNULL).cast("long").alias("b"), F.col("n_nonnull").alias("v")),
+        F.struct(F.lit(_M_SUM).cast("long").alias("b"), F.col("s").alias("v")),
+        F.struct(F.lit(_M_SUMSQ).cast("long").alias("b"), F.col("ss").alias("v")),
+    )
+    return agg.select(F.explode(stats).alias("x")).select(
+        F.lit(tbl).alias("tbl"),
+        F.lit(col).alias("col"),
+        F.lit("moment").alias("kind"),
+        F.lit(0).cast("long").alias("r"),
+        F.col("x.b").alias("b"),
+        F.col("x.v").alias("v"),
+    )
+
+
+HIST_BUCKETS = 10
+
+
+def equidepth_hist(df: DataFrame, tbl: str, col: str) -> DataFrame:
+    """Equi-depth histogram catalog rows (kind='hist', b = 0..10): the
+    11 bucket boundaries are the ACTUAL DATA VALUES at exact integer
+    ranks k_i = ceil(i·n/10) (k_0 = 1), micro-snapped — the planner
+    histogram ANALYZE would persist.
+
+    Rank selection rides the distributed quantile kernel's WEIGHTED
+    path (unit weights → no interpolation, always a data value) at
+    marks (k_i − 0.5)/n: the kernel picks the first row whose running
+    count reaches p·n, and k − 0.5 is exactly representable, so the
+    float round-trip fl(fl((k−0.5)/n)·n) stays strictly inside
+    (k−1, k) and selects rank k for ANY n — whereas a naive p = i/10
+    can land at k ± 1 ulp and silently select the neighboring rank
+    (0.7·1000 > 700 in IEEE).  The SQL twin is then the pure integer
+    rule MIN(x | row_number ≥ k_i), no float comparison anywhere.
+
+    Unlike cms/kmv/moment rows, hist rows are REBUILD-ONLY (order
+    statistics don't merge); merge_catalogs rejects them."""
+    from .quantiles import exact_quantiles
+
+    # column-prune BEFORE the kernel: its range repartition shuffles
+    # whole rows, and a fat sibling column (events.props) would ride
+    # the shuffle for nothing
+    vals_only = (
+        df.select(col).where(F.col(col).isNotNull()).withColumn("_one", F.lit(1))
+    )
+    n = vals_only.count()
+    if n == 0:
+        raise ValueError(f"equidepth_hist: {tbl}.{col} has no non-null rows")
+    marks: dict[str, float] = {}
+    for i in range(HIST_BUCKETS + 1):
+        k = max(1, (i * n + HIST_BUCKETS - 1) // HIST_BUCKETS)
+        marks[f"b{i}"] = (k - 0.5) / n
+    qs = exact_quantiles(vals_only, col, marks, weight_col="_one")
+    row = qs.collect()[0]
+    vals = [
+        (
+            tbl,
+            col,
+            "hist",
+            0,
+            i,
+            Decimal(int(math.floor(row[f"b{i}"] * 1_000_000 + 0.5))),
+        )
+        for i in range(HIST_BUCKETS + 1)
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(vals, CATALOG_SCHEMA)
+
+
+def merge_catalogs(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Fold two catalogs built on DISJOINT row sets of the same tables:
+    cms/moment rows add cell-wise; kmv rows take the bottom-k of the
+    distinct hash union.  merge(build(A), build(B)) == build(A ∪ B)
+    exactly (module docstring), which is the incremental-maintenance
+    contract: yesterday's catalog + today's batch catalog = the catalog
+    a full rebuild would produce.
+
+    Scale: additive kinds are one groupBy over O(|columns|·depth·width)
+    summary rows; the kmv fold is a bounded collect_set (≤ 2k hashes
+    per column) — never a window, never data-sized.
+
+    hist rows are REJECTED loudly: equi-depth boundaries are order
+    statistics, which do not merge — folding them additively would
+    corrupt the artifact silently.  Rebuild histograms from data
+    (:func:`equidepth_hist`) on the re-ANALYZE cadence instead."""
+    u = a.unionAll(b)
+    u = u.withColumn(
+        "kind",
+        F.when(
+            F.col("kind") == "hist",
+            F.expr(
+                "raise_error('merge_catalogs: hist rows do not merge —"
+                " rebuild with equidepth_hist')"
+            ),
+        ).otherwise(F.col("kind")),
+    )
+    additive = (
+        u.where(F.col("kind") != "kmv")
+        .groupBy("tbl", "col", "kind", "r", "b")
+        .agg(F.sum("v").cast("decimal(38,0)").alias("v"))
+    )
+    kmv = (
+        u.where(F.col("kind") == "kmv")
+        .groupBy("tbl", "col", "kind")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("v")), 1, k).alias("us")
+        )
+        .select(
+            "tbl",
+            "col",
+            "kind",
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("b"),
+            F.explode("us").alias("v"),
+        )
+    )
+    return additive.unionAll(kmv.select(*additive.columns))
+
+
+def catalog_path(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """Artifact location for one dataset's catalog, keyed on the
+    dataset path AND its parquet file sizes (the .plan_cache keying
+    rule): regenerated testdata gets a fresh directory instead of a
+    silently stale artifact."""
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            h.update(f"{t}:{os.path.getsize(p)}".encode())
+        except OSError:
+            h.update(f"{t}:?".encode())
+    return os.path.join(
+        tempfile.gettempdir(), "cyber_etl_stats_catalog", h.hexdigest()[:16]
+    )
+
+
+def save_catalog(cat: DataFrame, path: str) -> None:
+    """Persist hive-partitioned by (tbl, col): a real catalog holds
+    thousands of tables, and serving one table's stats should prune to
+    its directory (the save_ivf_index layout rule) — a flat file would
+    make every estimation query scan every table's sketch rows.
+    coalesce(1) per partition: the per-column payload is O(kB)."""
+    cat.coalesce(1).write.mode("overwrite").partitionBy("tbl", "col").parquet(path)
+
+
+def ensure_catalog(path: str, build_fn) -> None:
+    """Idempotent, CONCURRENCY-SAFE ensure-build: write to a private
+    temp dir, then atomically rename into place.  Two sessions (or two
+    threads of a verification sweep — the race that bit q380/q381 live:
+    one overwrote the artifact while the other was reading it) can race
+    this freely; exactly one rename wins, losers discard their temp
+    build, readers always see a complete artifact (rename is atomic —
+    old or new, never partial)."""
+    import shutil
+    import threading
+    import uuid
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}-{uuid.uuid4().hex[:8]}"
+    save_catalog(build_fn(), tmp)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)  # a racer won — fine
+            return
+        # stale partial artifact (crashed writer): replace it once
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def load_catalog(spark: SparkSession, path: str) -> DataFrame:
+    """Load a persisted catalog, restoring the partition-column types
+    the hive layout narrows (both are data-carrying strings here)."""
+    return (
+        spark.read.parquet(path)
+        .withColumn("tbl", F.col("tbl").cast("string"))
+        .withColumn("col", F.col("col").cast("string"))
+        .select("tbl", "col", "kind", "r", "b", "v")
+    )

@@ -11,3 +11,4 @@ from . import analytics3  # noqa: F401
 from . import analytics4  # noqa: F401
 from . import analytics5  # noqa: F401
 from . import analytics6  # noqa: F401
+from . import statcat  # noqa: F401

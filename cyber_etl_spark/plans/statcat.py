@@ -1,0 +1,673 @@
+"""Stats-catalog queries: build, incremental merge, catalog-served
+estimation (q377–q379).
+
+The r10 q375/q376 planner sketches made a MAINTAINED artifact
+(operators/statcat): q377 builds and persists the per-column sketch
+table, q378 proves the incremental-maintenance contract
+merge(build(A), build(B)) == build(A ∪ B) cross-engine, and q379 serves
+planner estimates (row counts, distinct counts, join sizes, value
+moments) from the persisted parquet WITHOUT rescanning the data — the
+oracle recomputes the same estimates from the base tables, so the gate
+checks the full persist → reload → estimate path end-to-end.
+
+Reference ancestry: the reference's checkpoint-if-exists artifact reuse
+(data_integration.ipynb cell 7) — recast as an engine-native statistics
+catalog, the artifact a query planner actually consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.statcat import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HIST_BUCKETS,
+    KMV_K,
+    KMV_NUM,
+    catalog_path,
+    ensure_catalog,
+    equidepth_hist,
+    key_sketches,
+    load_catalog,
+    merge_catalogs,
+    value_moments,
+)
+from ..session import SessionMemo, session_token
+from ..sources import read_table
+from .analytics2 import _ha6_sql
+from .registry import query
+
+# (table, key column) pairs sketched with CMS + KMV; events.value gets
+# moment rows.  Fixed spec — the catalog is an artifact, not a query
+# parameter.
+_KEY_SPEC = (
+    ("events", "user_id"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_orderkey"),
+)
+_CAT_TABLES = ("events", "lineitem", "orders")
+
+_CAT_CACHE: dict[tuple, DataFrame] = SessionMemo()
+
+
+def _cms_rows_sql(rel: str, key: str, tbl: str) -> str:
+    """DuckDB catalog-row text for one column's CMS sketch (the
+    operators/countmin bucket convention — md5 first-8-hex mod width)."""
+    return f"""
+      SELECT '{tbl}' AS tbl, '{key}' AS col, 'cms' AS kind, r.r,
+             CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+                   CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {CMS_WIDTH} AS b,
+             CAST(COUNT(*) AS HUGEINT) AS v
+      FROM {rel}, (SELECT unnest(range(0, {CMS_DEPTH})) AS r) r
+      WHERE {key} IS NOT NULL
+      GROUP BY 1, 2, 3, 4, 5
+    """
+
+
+def _kmv_rows_sql(rel: str, key: str, tbl: str) -> str:
+    """DuckDB catalog-row text for one column's KMV bottom-k (q376 hash
+    convention — md5 first-13-hex as a 52-bit uniform)."""
+    return f"""
+      SELECT '{tbl}' AS tbl, '{key}' AS col, 'kmv' AS kind,
+             CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS b,
+             CAST(u AS HUGEINT) AS v
+      FROM (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)),
+                              1, 13)) AS BIGINT) AS u
+        FROM {rel} WHERE {key} IS NOT NULL
+        ORDER BY u LIMIT {KMV_K}
+      )
+    """
+
+
+def _moment_rows_sql(rel: str, key: str, tbl: str) -> str:
+    """DuckDB catalog-row text for a numeric column's moment rows
+    (b: 0 n_rows, 1 n_nonnull, 2 Σmicro, 3 Σmicro²)."""
+    return f"""
+      SELECT '{tbl}' AS tbl, '{key}' AS col, 'moment' AS kind,
+             CAST(0 AS BIGINT) AS r, s.b, s.v
+      FROM (
+        SELECT COUNT(*) AS n_rows, COUNT({key}) AS n_nonnull,
+               SUM(CAST(floor({key} * 1000000 + 0.5) AS HUGEINT)) AS s,
+               SUM(CAST(floor({key} * 1000000 + 0.5) AS HUGEINT)
+                   * CAST(floor({key} * 1000000 + 0.5) AS HUGEINT)) AS ss
+        FROM {rel}
+      ) m, LATERAL (VALUES
+        (CAST(0 AS BIGINT), CAST(m.n_rows AS HUGEINT)),
+        (CAST(1 AS BIGINT), CAST(m.n_nonnull AS HUGEINT)),
+        (CAST(2 AS BIGINT), m.s),
+        (CAST(3 AS BIGINT), m.ss)) AS s(b, v)
+    """
+
+
+_FULL_CATALOG_SQL = " UNION ALL ".join(
+    [_cms_rows_sql(t, c, t) for t, c in _KEY_SPEC]
+    + [_kmv_rows_sql(t, c, t) for t, c in _KEY_SPEC]
+    + [_moment_rows_sql("events", "value", "events")]
+)
+
+
+def build_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized full catalog build for the fixed spec, pinned — shared
+    by q377 (publishes the rows) and q379 (persists + serves).  The
+    build runs one cms kernel pass + one bottom-k cut per key column
+    and one moment aggregate; single-split testdata spreads each kernel
+    input across cores first (q230 rule)."""
+    key = (session_token(spark), sf_dir, "stats_catalog")
+    if key not in _CAT_CACHE:
+        parts = []
+        for tbl, col in _KEY_SPEC:
+            df = (
+                read_table(spark, sf_dir, tbl)
+                .select(col)
+                .repartition(32)
+            )
+            parts.append(key_sketches(df, tbl, col))
+        parts.append(
+            value_moments(read_table(spark, sf_dir, "events"), "events", "value")
+        )
+        cat = parts[0]
+        for p in parts[1:]:
+            cat = cat.unionAll(p)
+        _CAT_CACHE[key] = cat.localCheckpoint(eager=True)
+    return _CAT_CACHE[key]
+
+
+@query(
+    "q377_stats_catalog_build",
+    oracle=f"""
+    SELECT tbl, col, kind, r, b, CAST(v AS VARCHAR) AS v
+    FROM ({_FULL_CATALOG_SQL})
+    ORDER BY tbl, col, kind, r, b, v
+    """,
+    tags=("sketch", "catalog", "planning"),
+)
+def q377_stats_catalog_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the per-table statistics catalog — CMS (128×3) + KMV
+    (k=32) sketches for the three join keys, moment rows for
+    events.value — and publish the catalog rows themselves, so the gate
+    hash-pins every cell of the artifact q379 serves from.
+
+    Scale plan: one linear sketch pass per column (operators/countmin's
+    per-Arrow-batch [depth×width] accumulation; KMV bottom-k is
+    TakeOrderedAndProject over the distinct-hash table — never a global
+    rank window); output is O(|columns|·depth·width) summary rows.  At
+    100 TB each column's sketch job is an independent map-side-combined
+    pass, and the catalog stays kilobytes.
+
+    Exactness: cms cells are md5-deterministic exact counts (q224's
+    hash-gate argument); kmv hashes are the shared 52-bit md5 text;
+    moment sums are exact integers on the micro grid.  v publishes as
+    STRING (the q309 convention — Σmicro² is ~1e17/row and DuckDB's
+    HUGEINT→DOUBLE cast is not correctly rounded past 2^53)."""
+    cat = build_catalog(spark, sf_dir)
+    return cat.select(
+        "tbl", "col", "kind", "r", "b", F.col("v").cast("string").alias("v")
+    ).orderBy("tbl", "col", "kind", "r", "b", "v")
+
+
+# engine-shared delta split: md5 first-8-hex of the event id, mod 10
+_DELTA_SQL = (
+    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 10 = 0"
+)
+_DELTA_SPARK = (
+    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT) % 10 = 0"
+)
+
+
+@query(
+    "q378_stats_catalog_merge",
+    oracle=f"""
+    SELECT tbl, col, kind, r, b, CAST(v AS VARCHAR) AS v
+    FROM ({_cms_rows_sql("events", "user_id", "events")}
+          UNION ALL {_kmv_rows_sql("events", "user_id", "events")}
+          UNION ALL {_moment_rows_sql("events", "value", "events")})
+    ORDER BY tbl, col, kind, r, b, v
+    """,
+    tags=("sketch", "catalog", "incremental"),
+)
+def q378_stats_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental catalog maintenance, gated by its defining identity:
+    split events into corpus (~90%) and delta batch (~10%) by a
+    deterministic md5 fraction, build each side's catalog
+    independently, MERGE the two summaries — and the oracle computes
+    the FULL single-pass build directly, so the hash gate proves
+    merge(build(A), build(B)) == build(A ∪ B) exactly (cms/moment
+    cells add; kmv is bottom-k of the distinct hash union — the Beyer
+    et al. algebra operators/statcat documents).
+
+    Scale plan: this is the daily-batch maintenance path — yesterday's
+    corpus is never rescanned in production; here both sides are built
+    from the split only to exercise the fold.  The merge itself touches
+    two O(depth·width + k) summaries: one tiny groupBy plus a bounded
+    collect_set (≤ 2k hashes per column), never the data.
+
+    Exactness: identical md5 split text both engines; all merge
+    arithmetic is exact integers; v publishes as STRING (q377)."""
+    ev = read_table(spark, sf_dir, "events")
+    delta_rows = ev.where(F.expr(_DELTA_SPARK))
+    corpus_rows = ev.where(~F.expr(_DELTA_SPARK))
+
+    def side(rows: DataFrame) -> DataFrame:
+        keys = rows.select("user_id").repartition(16)
+        return key_sketches(keys, "events", "user_id").unionAll(
+            value_moments(rows, "events", "value")
+        )
+
+    merged = merge_catalogs(side(corpus_rows), side(delta_rows), k=KMV_K)
+    return merged.select(
+        "tbl", "col", "kind", "r", "b", F.col("v").cast("string").alias("v")
+    ).orderBy("tbl", "col", "kind", "r", "b", "v")
+
+
+# the catalog is bounded BY CONSTRUCTION: |spec| * (depth*width + k)
+# cells + 4 moment rows — independent of data size.  Anything larger is
+# a broken artifact, not a bigger dataset.
+_CAT_MAX_ROWS = len(_KEY_SPEC) * (CMS_DEPTH * CMS_WIDTH + KMV_K) + 4
+
+
+def _ha6_py(num: int, den: int) -> float:
+    """Python twin of analytics2._ha6 (num >= 0, den > 0): exact integer
+    half-away round(num/den, 6).  Same 9e12 quotient guard — a planner
+    statistic past the 6-dp int grid means the caller picked the wrong
+    grid, never a silent wrap."""
+    if den == 0:
+        raise ValueError("stats-catalog estimate: zero denominator")
+    if abs(num / den) > 9.0e12:
+        raise ValueError(
+            f"_ha6_py grid overflow (q238/q363 class): num={num} den={den}"
+        )
+    return ((2 * num * 1_000_000 + den) // (2 * den)) / 1_000_000
+
+
+def _estimates_from_catalog(spark: SparkSession, cat: DataFrame) -> DataFrame:
+    """Planner estimates computed from catalog rows ONLY (no base-table
+    access): per key column n_rows / distinct_kmv / selfjoin_pairs_cms,
+    the lineitem⋈orders cross estimate, and events.value null-share /
+    mean / variance from the moment rows.
+
+    Served DRIVER-SIDE from a contract-capped collect: statistics
+    catalogs are driver-resident in every real planner (Spark's own CBO
+    holds table stats on the driver), the artifact is O(kB) at ANY data
+    scale, and a distributed 7-branch union over ~1k rows costs ~19
+    AQE stage-jobs (~2.3 s of pure scheduling floor, measured) to
+    compute what integer Python does for free.  The boundary-table
+    rule (q296/q310): bounded summaries reshape driver-side."""
+    rows = cat.limit(_CAT_MAX_ROWS + 1).collect()
+    if len(rows) > _CAT_MAX_ROWS:
+        raise ValueError(
+            f"stats catalog exceeds its construction bound "
+            f"({len(rows)} > {_CAT_MAX_ROWS} rows) — artifact is corrupt"
+        )
+    cms: dict[tuple, dict[tuple, int]] = {}
+    kmv: dict[tuple, list[int]] = {}
+    mom: dict[tuple, dict[int, int]] = {}
+    for row in rows:
+        key = (row.tbl, row.col)
+        v = int(row.v)
+        if row.kind == "cms":
+            cms.setdefault(key, {})[(row.r, row.b)] = v
+        elif row.kind == "kmv":
+            kmv.setdefault(key, []).append(v)
+        else:
+            mom.setdefault(key, {})[row.b] = v
+
+    out: list[tuple[str, str, str, float]] = []
+    for key, cells in sorted(cms.items()):
+        tot = {r: 0 for r in range(CMS_DEPTH)}
+        ip = {r: 0 for r in range(CMS_DEPTH)}
+        for (r, _b), c in cells.items():
+            tot[r] += c
+            ip[r] += c * c
+        n_rows = max(tot.values())  # every hash row sums to N
+        out.append((*key, "n_rows", float(n_rows)))
+        out.append((*key, "selfjoin_pairs_cms", float(min(ip.values()))))
+        us = kmv[key]
+        est = (
+            float(len(us))
+            if len(us) < KMV_K
+            else _ha6_py(KMV_NUM, max(us))
+        )
+        out.append((*key, "distinct_kmv", est))
+    li = cms[("lineitem", "l_orderkey")]
+    od = cms[("orders", "o_orderkey")]
+    cross_ip = {r: 0 for r in range(CMS_DEPTH)}
+    for (r, b), c in li.items():
+        cross_ip[r] += c * od.get((r, b), 0)
+    out.append(
+        (
+            "lineitem,orders",
+            "l_orderkey=o_orderkey",
+            "join_pairs_cms",
+            float(min(cross_ip.values())),
+        )
+    )
+    for key, m in sorted(mom.items()):
+        n, nn, s, ss = m[0], m[1], m[2], m[3]
+        out.append((*key, "null_share", _ha6_py(n - nn, n)))
+        out.append((*key, "mean", _ha6_py(s, nn * 1_000_000)))
+        out.append(
+            (
+                *key,
+                "variance",
+                _ha6_py(nn * ss - s * s, nn * (nn - 1) * 10**12),
+            )
+        )
+    out.sort(key=lambda t: (t[0], t[1], t[2]))
+    return spark.createDataFrame(
+        out, "tbl string, col string, stat string, value double"
+    )
+
+
+def _estimates_sql() -> str:
+    """DuckDB twin of :func:`_estimates_from_catalog` over catalog rows
+    recomputed straight from the base tables — the oracle never sees
+    the persisted parquet, which is exactly the point: persist → reload
+    → estimate must reproduce what a from-scratch engine computes."""
+    kmv_num = f"CAST({KMV_NUM} AS HUGEINT)"
+    return f"""
+    WITH cat AS ({_FULL_CATALOG_SQL}),
+    cms AS (SELECT * FROM cat WHERE kind = 'cms'),
+    per_r AS (
+      SELECT tbl, col, r, SUM(v) AS tot, SUM(v * v) AS ip
+      FROM cms GROUP BY 1, 2, 3
+    ),
+    key_stats AS (
+      SELECT tbl, col, MAX(tot) AS n_rows, MIN(ip) AS selfjoin
+      FROM per_r GROUP BY 1, 2
+    ),
+    kmv AS (
+      SELECT tbl, col, COUNT(*) AS nk, MAX(v) AS uk
+      FROM cat WHERE kind = 'kmv' GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT k.tbl, k.col, n_rows, selfjoin, nk, uk
+      FROM key_stats k JOIN kmv USING (tbl, col)
+    ),
+    cross_est AS (
+      SELECT MIN(ip) AS est FROM (
+        SELECT l.r, SUM(l.v * o.v) AS ip
+        FROM (SELECT * FROM cms WHERE tbl = 'lineitem') l
+        JOIN (SELECT * FROM cms WHERE tbl = 'orders') o
+          ON l.r = o.r AND l.b = o.b
+        GROUP BY 1
+      )
+    ),
+    mom AS (
+      SELECT tbl, col,
+             MAX(CASE WHEN b = 0 THEN v END) AS n_rows,
+             MAX(CASE WHEN b = 1 THEN v END) AS n_nonnull,
+             MAX(CASE WHEN b = 2 THEN v END) AS s,
+             MAX(CASE WHEN b = 3 THEN v END) AS ss
+      FROM cat WHERE kind = 'moment' GROUP BY 1, 2
+    )
+    SELECT tbl, col, stat, value FROM (
+      SELECT tbl, col, 'n_rows' AS stat, CAST(n_rows AS DOUBLE) AS value
+      FROM keyed
+      UNION ALL
+      SELECT tbl, col, 'distinct_kmv',
+             CASE WHEN nk < {KMV_K} THEN CAST(nk AS DOUBLE)
+                  ELSE {_ha6_sql(kmv_num, "uk")} END
+      FROM keyed
+      UNION ALL
+      SELECT tbl, col, 'selfjoin_pairs_cms', CAST(selfjoin AS DOUBLE)
+      FROM keyed
+      UNION ALL
+      SELECT 'lineitem,orders', 'l_orderkey=o_orderkey', 'join_pairs_cms',
+             CAST(est AS DOUBLE)
+      FROM cross_est
+      UNION ALL
+      SELECT tbl, col, 'null_share', {_ha6_sql("n_rows - n_nonnull", "n_rows")}
+      FROM mom
+      UNION ALL
+      SELECT tbl, col, 'mean', {_ha6_sql("s", "n_nonnull * 1000000")}
+      FROM mom
+      UNION ALL
+      SELECT tbl, col, 'variance',
+             {_ha6_sql("n_nonnull * ss - s * s",
+                       "n_nonnull * (n_nonnull - 1) * CAST(1000000000000 AS HUGEINT)")}
+      FROM mom
+    )
+    ORDER BY tbl, col, stat
+    """
+
+
+@query(
+    "q379_catalog_served_estimates",
+    oracle=_estimates_sql(),
+    tags=("sketch", "catalog", "planning"),
+)
+def q379_catalog_served_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner estimates SERVED FROM THE PERSISTED CATALOG: ensure the
+    parquet artifact exists (build + save on first touch — the
+    checkpoint-if-exists lifecycle), reload it, and compute row counts,
+    KMV distinct estimates, CMS self-join/cross-join sizes and value
+    moments from the summary rows alone.  The base tables are read only
+    if the artifact is missing; the serving plan scans O(kB) of catalog
+    parquet (hive-partitioned by (tbl, col), so a one-column lookup
+    prunes to one directory) and reshapes it DRIVER-SIDE under the
+    construction-bound contract (_estimates_from_catalog) — planner
+    stats are driver-resident in any real engine, and the distributed
+    7-branch alternative measured 19 AQE stage-jobs (~2.3 s of pure
+    scheduling floor) for 13 output rows.
+
+    The oracle recomputes the identical estimates from the base tables,
+    gating the whole persist → reload → estimate path: a type lost in
+    the parquet round-trip, a partition-column narrowing, or a merge
+    drift would all flip the hash.
+
+    Exactness/grid: estimates are exact integers published as doubles
+    (all < 2^53 here — n²-scale CMS products at petabyte row counts
+    would publish as STRINGS instead, the q309 rule) or _ha6 6-dp
+    rationals; the variance numerator n·Σx² − (Σx)² rides
+    DECIMAL(38,0)/HUGEINT (q317's widening) and its quotient is
+    variance in units² ≪ the 9e12 guard."""
+    path = catalog_path(sf_dir, _CAT_TABLES)
+    ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
+    return _estimates_from_catalog(spark, load_catalog(spark, path))
+
+
+# ---- equi-depth histogram kind (q380/q381) -------------------------------
+
+_HIST_SPEC = (
+    ("events", "value"),
+    ("lineitem", "l_extendedprice"),
+)
+# selectivity predicates as (label, lo%, hi%) of the [min, max] span —
+# span-relative so the same query text is meaningful at every sf
+_PRED_SPEC = (("p10_35", 10, 35), ("p25_75", 25, 75), ("p60_90", 60, 90))
+
+_HIST_CACHE: dict[tuple, DataFrame] = SessionMemo()
+
+
+def _hist_rows_sql(rel: str, key: str, tbl: str) -> str:
+    """DuckDB twin of operators/statcat.equidepth_hist: the boundary at
+    bucket b is the data value at exact integer rank
+    k = max(1, ceil(b·n/10)) — MIN(xu) over rows with row_number ≥ k
+    (the micro snap is monotone, so selecting then snapping equals
+    snapping then selecting)."""
+    return f"""
+      SELECT '{tbl}' AS tbl, '{key}' AS col, 'hist' AS kind,
+             CAST(0 AS BIGINT) AS r, i.b,
+             CAST(MIN(xu) AS HUGEINT) AS v
+      FROM (SELECT CAST(floor({key} * 1000000 + 0.5) AS BIGINT) AS xu,
+                   ROW_NUMBER() OVER (ORDER BY {key}) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM {rel} WHERE {key} IS NOT NULL) t,
+           (SELECT unnest(range(0, {HIST_BUCKETS + 1})) AS b) i
+      WHERE rn >= GREATEST(1, (i.b * n + {HIST_BUCKETS - 1}) // {HIST_BUCKETS})
+      GROUP BY 1, 2, 3, 4, 5
+    """
+
+
+def build_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized histogram rows for the fixed _HIST_SPEC (local-rows
+    frames out of the quantile kernel — no pin needed)."""
+    key = (session_token(spark), sf_dir, "stats_hist")
+    if key not in _HIST_CACHE:
+        parts = [
+            equidepth_hist(read_table(spark, sf_dir, tbl), tbl, col)
+            for tbl, col in _HIST_SPEC
+        ]
+        cat = parts[0]
+        for p in parts[1:]:
+            cat = cat.unionAll(p)
+        _HIST_CACHE[key] = cat
+    return _HIST_CACHE[key]
+
+
+def _hist_path(sf_dir: str) -> str:
+    return catalog_path(sf_dir, tuple(t for t, _ in _HIST_SPEC)) + "-hist"
+
+
+@query(
+    "q380_equidepth_histogram",
+    oracle=f"""
+    SELECT tbl, col, kind, r, b, CAST(v AS VARCHAR) AS v
+    FROM ({" UNION ALL ".join(_hist_rows_sql(t, c, t) for t, c in _HIST_SPEC)})
+    ORDER BY tbl, col, kind, r, b, v
+    """,
+    tags=("sketch", "catalog", "histogram"),
+)
+def q380_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram ANALYZE: 11 exact-rank boundaries per
+    profiled column (kind='hist' catalog rows), persisted like the
+    sketch catalog and published for the hash gate.
+
+    Scale plan: boundary selection is the distributed range-partition
+    quantile kernel (operators/quantiles — per-partition memory at any
+    column size, ~4 bounded jobs per column); the kernel's WEIGHTED
+    path at (k−0.5)/n marks pins the selection to exact integer ranks,
+    so the oracle is the pure integer rule MIN(x | rn ≥ k) with no
+    float threshold anywhere (equidepth_hist docstring has the ulp
+    argument).  hist rows are REBUILD-ONLY: merge_catalogs raises on
+    them (order statistics don't merge) — the re-ANALYZE cadence, not
+    the fold, maintains this kind.
+
+    Exactness: boundaries are actual data values selected by integer
+    rank, micro-snapped with the shared floor(x·1e6+0.5) idiom
+    (monotone, so snap-then-select == select-then-snap); published as
+    STRING like every catalog row."""
+    path = _hist_path(sf_dir)
+    hist = build_hist(spark, sf_dir)
+    ensure_catalog(path, lambda: hist)
+    return hist.select(
+        "tbl", "col", "kind", "r", "b", F.col("v").cast("string").alias("v")
+    ).orderBy("tbl", "col", "kind", "r", "b", "v")
+
+
+def _overlap6(plo: int, phi: int, lv: int, rv: int) -> int:
+    """Half-away micro fraction of bucket [lv, rv] covered by predicate
+    [plo, phi] under the uniform-within-bucket assumption; point
+    buckets (rv == lv) count fully iff the point is inside."""
+    if rv == lv:
+        return 1_000_000 if plo <= lv <= phi else 0
+    inter = max(0, min(phi, rv) - max(plo, lv))
+    den = rv - lv
+    return (2 * inter * 1_000_000 + den) // (2 * den)
+
+
+def _pred_bounds(b0: int, b10: int) -> list[tuple[str, int, int]]:
+    span = b10 - b0
+    return [
+        (label, b0 + span * a // 100, b0 + span * bb // 100)
+        for label, a, bb in _PRED_SPEC
+    ]
+
+
+def _selectivity_sql() -> str:
+    """DuckDB twin of q381: boundaries recomputed from the base tables
+    (the oracle never reads the artifact), then the identical integer
+    overlap/estimate arithmetic."""
+    per_col = []
+    for tbl, col in _HIST_SPEC:
+        per_col.append(f"""
+    SELECT e.tbl, e.col, e.pred,
+           CAST((2 * e.s * 1000000 + 10000000) // 20000000 AS DOUBLE)
+             / 1000000 AS est_sel,
+           CAST((2 * x.cnt * 1000000 + x.n) // (2 * x.n) AS DOUBLE)
+             / 1000000 AS exact_sel,
+           CAST(ABS((2 * e.s * 1000000 + 10000000) // 20000000
+                    - (2 * x.cnt * 1000000 + x.n) // (2 * x.n)) AS DOUBLE)
+             / 1000000 AS abs_err
+    FROM (
+      SELECT '{tbl}' AS tbl, '{col}' AS col, p.pred, SUM(
+        CASE WHEN bk.rv = bk.lv
+             THEN CASE WHEN p.plo <= bk.lv AND bk.lv <= p.phi
+                       THEN 1000000 ELSE 0 END
+             ELSE (2 * GREATEST(0, LEAST(p.phi, bk.rv)
+                                   - GREATEST(p.plo, bk.lv)) * 1000000
+                   + (bk.rv - bk.lv)) // (2 * (bk.rv - bk.lv))
+        END) AS s
+      FROM (
+        SELECT l.b + 1 AS i, l.v AS lv, r.v AS rv
+        FROM ({_hist_rows_sql(tbl, col, tbl)}) l
+        JOIN ({_hist_rows_sql(tbl, col, tbl)}) r ON r.b = l.b + 1
+      ) bk, (
+        SELECT p.pred, sp.lo0 + (sp.hi10 - sp.lo0) * p.a // 100 AS plo,
+               sp.lo0 + (sp.hi10 - sp.lo0) * p.bb // 100 AS phi
+        FROM (SELECT MAX(CASE WHEN b = 0 THEN v END) AS lo0,
+                     MAX(CASE WHEN b = {HIST_BUCKETS} THEN v END) AS hi10
+              FROM ({_hist_rows_sql(tbl, col, tbl)})) sp,
+             (VALUES {", ".join(f"('{l}', {a}, {bb})" for l, a, bb in _PRED_SPEC)})
+               AS p(pred, a, bb)
+      ) p
+      GROUP BY 1, 2, 3
+    ) e JOIN (
+      SELECT p.pred,
+             SUM(CASE WHEN t.xu BETWEEN p.plo AND p.phi THEN 1 ELSE 0 END)
+               AS cnt,
+             COUNT(*) AS n
+      FROM (SELECT CAST(floor({col} * 1000000 + 0.5) AS BIGINT) AS xu
+            FROM {tbl} WHERE {col} IS NOT NULL) t, (
+        SELECT p.pred, sp.lo0 + (sp.hi10 - sp.lo0) * p.a // 100 AS plo,
+               sp.lo0 + (sp.hi10 - sp.lo0) * p.bb // 100 AS phi
+        FROM (SELECT MAX(CASE WHEN b = 0 THEN v END) AS lo0,
+                     MAX(CASE WHEN b = {HIST_BUCKETS} THEN v END) AS hi10
+              FROM ({_hist_rows_sql(tbl, col, tbl)})) sp,
+             (VALUES {", ".join(f"('{l}', {a}, {bb})" for l, a, bb in _PRED_SPEC)})
+               AS p(pred, a, bb)
+      ) p
+      GROUP BY 1
+    ) x ON e.pred = x.pred""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(per_col)
+        + ") ORDER BY tbl, col, pred"
+    )
+
+
+@query(
+    "q381_histogram_selectivity",
+    oracle=_selectivity_sql(),
+    tags=("sketch", "catalog", "planning"),
+)
+def q381_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate selectivity SERVED FROM THE PERSISTED HISTOGRAM
+    (the CBO estimate every filter pushdown costs with), next to the
+    exact selectivity and the absolute error — the q375 estimate-vs-
+    truth shape for the histogram kind.  Three span-relative predicates
+    per profiled column; the estimator is the classic equi-depth rule
+    (each bucket holds 1/10 of rows, uniform within bucket, point
+    buckets all-in-or-out).
+
+    Scale plan: the estimate touches only the 11-row boundary table
+    (driver-side integer arithmetic under the q379 bounded-artifact
+    contract); the exact side is ONE conditional-count aggregate per
+    profiled table.  Ensure-build reuses q380's memoized kernel rows /
+    persisted artifact.
+
+    Exactness: per-bucket coverage is an exact integer half-away micro
+    fraction (_overlap6 — clamped intersection BEFORE the division, so
+    no negative floor-division semantics are exercised in either
+    engine); estimate = half-away(Σov6 / 10·1e6); predicate bounds and
+    abs_err are pure integer micro arithmetic, mirrored verbatim in the
+    oracle text."""
+    path = _hist_path(sf_dir)
+    ensure_catalog(path, lambda: build_hist(spark, sf_dir))
+    hist = load_catalog(spark, path).collect()
+    bounds: dict[tuple, dict[int, int]] = {}
+    for row in hist:
+        bounds.setdefault((row.tbl, row.col), {})[row.b] = int(row.v)
+
+    out: list[tuple[str, str, str, float, float, float]] = []
+    for tbl, col in _HIST_SPEC:
+        bs = bounds[(tbl, col)]
+        preds = _pred_bounds(bs[0], bs[HIST_BUCKETS])
+        # exact side: one conditional-count pass over the base column
+        xu = F.expr(f"CAST(floor({col} * 1000000 + 0.5) AS BIGINT)")
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(
+                F.when((xu >= F.lit(plo)) & (xu <= F.lit(phi)), 1).otherwise(0)
+            ).alias(label)
+            for label, plo, phi in preds
+        ]
+        exact = (
+            read_table(spark, sf_dir, tbl)
+            .where(F.col(col).isNotNull())
+            .agg(*aggs)
+            .collect()[0]
+        )
+        n = int(exact["n"])
+        for label, plo, phi in preds:
+            s = sum(
+                _overlap6(plo, phi, bs[i - 1], bs[i])
+                for i in range(1, HIST_BUCKETS + 1)
+            )
+            eu = (2 * s * 1_000_000 + 10_000_000) // 20_000_000
+            cnt = int(exact[label])
+            xu6 = (2 * cnt * 1_000_000 + n) // (2 * n)
+            out.append(
+                (tbl, col, label, eu / 1e6, xu6 / 1e6, abs(eu - xu6) / 1e6)
+            )
+    out.sort(key=lambda t: (t[0], t[1], t[2]))
+    return spark.createDataFrame(
+        out,
+        "tbl string, col string, pred string, est_sel double,"
+        " exact_sel double, abs_err double",
+    )

@@ -1,0 +1,263 @@
+"""Behavior tests for the persisted stats catalog (operators/statcat,
+plans/statcat q377–q379).
+
+The oracle gate already hash-pins the build rows (q377), the merge
+identity cross-engine (q378) and the persist→reload→estimate path
+(q379); these tests pin the operator contracts the SQL twins can't see:
+the merge identity on crafted unbalanced splits (including a sub-k
+side), the parquet round-trip, the rebuild-if-missing lifecycle, and
+the published estimator guarantees (CMS one-sided, KMV self-calibrating
+RSE — bounds from the literature, never hand-tuned)."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    return sorted(
+        (r.tbl, r.col, r.kind, r.r, r.b, int(r.v)) for r in df.collect()
+    )
+
+
+def test_merge_equals_full_build(spark):
+    """merge(build(A), build(B)) == build(A ∪ B) exactly, on a crafted
+    unbalanced split where one side has FEWER than k distinct keys (the
+    sub-k kmv branch) and the sides share keys (cms cells must add
+    across sides, kmv must dedup the shared hashes)."""
+    from cyber_etl_spark.operators.statcat import (
+        key_sketches,
+        merge_catalogs,
+        value_moments,
+    )
+
+    full = spark.range(0, 500).select(
+        (F.col("id") % 80).alias("k"), (F.col("id") % 7).cast("double").alias("x")
+    )
+    a = full.where(F.col("id") % 10 < 9)  # ~90%, all 80 keys
+    b = full.where(F.col("id") % 10 >= 9)  # ~10%, shares keys with a
+
+    def build(df):
+        return key_sketches(df, "t", "k").unionAll(value_moments(df, "t", "x"))
+
+    merged = merge_catalogs(build(a), build(b))
+    assert _rows(merged) == _rows(build(full))
+
+
+def test_merge_subk_side(spark):
+    """A delta batch with < k distinct keys merges exactly (its kmv side
+    is the whole hash set, not a cut)."""
+    from cyber_etl_spark.operators.statcat import key_sketches, merge_catalogs
+
+    full = spark.range(0, 200).select((F.col("id") % 60).alias("k"))
+    a = full.where(F.col("k") < 55)
+    b = full.where(F.col("k") >= 55)  # 5 distinct — sub-k
+    merged = merge_catalogs(
+        key_sketches(a, "t", "k"), key_sketches(b, "t", "k")
+    )
+    assert _rows(merged) == _rows(key_sketches(full, "t", "k"))
+
+
+def test_catalog_parquet_roundtrip(spark, sf_smoke, tmp_path):
+    """save → load preserves every row and the DECIMAL(38,0) value type
+    (a hive partition-column narrowing or decimal downcast would
+    corrupt the artifact silently)."""
+    from cyber_etl_spark.operators.statcat import load_catalog, save_catalog
+    from cyber_etl_spark.plans.statcat import build_catalog
+
+    cat = build_catalog(spark, sf_smoke)
+    path = str(tmp_path / "cat")
+    save_catalog(cat, path)
+    back = load_catalog(spark, path)
+    assert dict(back.dtypes)["v"] == "decimal(38,0)"
+    assert _rows(back) == _rows(cat)
+
+
+def test_estimates_rebuild_if_missing(spark, sf_smoke):
+    """q379's lifecycle: a missing artifact is rebuilt on first touch;
+    a second call serves the SAME result from the persisted parquet
+    (no rebuild — the artifact dir's mtime is unchanged)."""
+    from cyber_etl_spark.operators.statcat import catalog_path
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.plans.statcat import _CAT_TABLES
+
+    path = catalog_path(sf_smoke, _CAT_TABLES)
+    shutil.rmtree(path, ignore_errors=True)
+    first = QUERIES["q379_catalog_served_estimates"].builder(spark, sf_smoke)
+    rows1 = sorted(map(tuple, first.collect()))
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    second = QUERIES["q379_catalog_served_estimates"].builder(spark, sf_smoke)
+    rows2 = sorted(map(tuple, second.collect()))
+    assert rows1 == rows2
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+
+
+def test_estimator_published_bounds(spark, sf_correct):
+    """Self-calibrating gates (the q88/q173 rule — tolerances derived
+    from published bounds, never hand-tuned):
+
+    - CMS join/self-join estimates are ONE-SIDED: est >= exact, always
+      (every bucket inner product over-counts by collisions only).
+    - KMV distinct estimate: RSE of (k-1)/u_k is ~ 1/sqrt(k-2)
+      (Beyer et al. 2007); assert within 4 sigma of the truth.
+    """
+    from cyber_etl_spark.operators.statcat import KMV_K
+    from cyber_etl_spark.plans import QUERIES
+    from cyber_etl_spark.sources import read_table
+
+    est = {
+        (r.tbl, r.col, r.stat): r.value
+        for r in QUERIES["q379_catalog_served_estimates"]
+        .builder(spark, sf_correct)
+        .collect()
+    }
+    li = read_table(spark, sf_correct, "lineitem")
+    od = read_table(spark, sf_correct, "orders")
+    ev = read_table(spark, sf_correct, "events")
+
+    def self_pairs(df, col):
+        return (
+            df.groupBy(col)
+            .count()
+            .agg(F.sum(F.expr("CAST(count AS DECIMAL(38,0)) * count")))
+            .collect()[0][0]
+        )
+
+    assert est[("events", "user_id", "selfjoin_pairs_cms")] >= float(
+        self_pairs(ev, "user_id")
+    )
+    assert est[("lineitem", "l_orderkey", "selfjoin_pairs_cms")] >= float(
+        self_pairs(li, "l_orderkey")
+    )
+    cross_exact = (
+        li.groupBy("l_orderkey")
+        .count()
+        .withColumnRenamed("count", "cl")
+        .join(
+            od.groupBy("o_orderkey").count().withColumnRenamed("count", "co"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(F.sum(F.expr("CAST(cl AS DECIMAL(38,0)) * co")))
+        .collect()[0][0]
+    )
+    assert est[("lineitem,orders", "l_orderkey=o_orderkey", "join_pairs_cms")] >= float(
+        cross_exact
+    )
+    rse = 1.0 / math.sqrt(KMV_K - 2)
+    for tbl, col, df in (
+        ("events", "user_id", ev.select(F.col("user_id").alias("k"))),
+        ("lineitem", "l_orderkey", li.select(F.col("l_orderkey").alias("k"))),
+        ("orders", "o_orderkey", od.select(F.col("o_orderkey").alias("k"))),
+    ):
+        true_d = df.distinct().count()
+        got = est[(tbl, col, "distinct_kmv")]
+        if true_d < KMV_K:
+            assert got == float(true_d)  # exact branch
+        else:
+            assert abs(got - true_d) <= 4 * rse * true_d, (tbl, got, true_d)
+
+
+def test_catalog_bound_contract(spark, sf_smoke):
+    """An artifact larger than the construction bound raises the
+    contract error instead of serving from a corrupt catalog."""
+    from cyber_etl_spark.plans.statcat import (
+        _CAT_MAX_ROWS,
+        _estimates_from_catalog,
+    )
+
+    bad = spark.range(0, _CAT_MAX_ROWS + 5).select(
+        F.lit("t").alias("tbl"),
+        F.lit("c").alias("col"),
+        F.lit("cms").alias("kind"),
+        F.lit(0).cast("long").alias("r"),
+        F.col("id").alias("b"),
+        F.lit(1).cast("decimal(38,0)").alias("v"),
+    )
+    with pytest.raises(ValueError, match="construction bound"):
+        _estimates_from_catalog(spark, bad)
+
+
+def test_equidepth_hist_exact_ranks(spark):
+    """Boundaries are the data values at EXACT ranks ceil(i·n/10)
+    (k_0 = 1), for an n NOT divisible by 10 and for n divisible by 10
+    — the two regimes of the (k−0.5)/n mark argument (a naive i/10
+    mark can select rank k±1 when fl(i/10)·n crosses the integer)."""
+    from cyber_etl_spark.operators.statcat import HIST_BUCKETS, equidepth_hist
+
+    for n in (997, 1000):
+        vals = [(float(i) / 7.0,) for i in range(n)]
+        df = spark.createDataFrame(vals, "x double")
+        got = {
+            r.b: int(r.v)
+            for r in equidepth_hist(df, "t", "x").collect()
+        }
+        xs = sorted(v[0] for v in vals)
+        import math
+
+        for i in range(HIST_BUCKETS + 1):
+            k = max(1, (i * n + 9) // 10)
+            want = math.floor(xs[k - 1] * 1_000_000 + 0.5)
+            assert got[i] == want, (n, i, k, got[i], want)
+
+
+def test_merge_rejects_hist_rows(spark):
+    """Order statistics don't merge — folding hist rows must raise, not
+    silently corrupt the artifact."""
+    from cyber_etl_spark.operators.statcat import (
+        equidepth_hist,
+        key_sketches,
+        merge_catalogs,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("x")
+    )
+    h = equidepth_hist(df, "t", "x")
+    s = key_sketches(df, "t", "k")
+    with pytest.raises(Exception, match="hist rows do not merge"):
+        merge_catalogs(s.unionAll(h), s).collect()
+
+
+def test_ensure_catalog_concurrent(spark, sf_smoke, tmp_path):
+    """Two threads racing ensure_catalog on a clean path (the
+    q380/q381 sweep race, replayed): exactly one build lands, both
+    readers see a complete artifact, no temp dirs leak."""
+    import threading
+
+    from cyber_etl_spark.operators.statcat import (
+        ensure_catalog,
+        key_sketches,
+        load_catalog,
+    )
+    from cyber_etl_spark.sources import read_table
+
+    path = str(tmp_path / "racecat")
+    df = read_table(spark, sf_smoke, "events").select("user_id")
+
+    def build():
+        return key_sketches(df, "events", "user_id")
+
+    errs = []
+
+    def run():
+        try:
+            ensure_catalog(path, build)
+        except Exception as e:  # pragma: no cover - the assertion target
+            errs.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert load_catalog(spark, path).count() > 0
+    leftovers = [d for d in os.listdir(str(tmp_path)) if ".tmp-" in d]
+    assert leftovers == []

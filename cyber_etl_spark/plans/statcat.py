@@ -46,8 +46,10 @@ _KEY_SPEC = (
     ("events", "user_id"),
     ("lineitem", "l_orderkey"),
     ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("customer", "c_custkey"),
 )
-_CAT_TABLES = ("events", "lineitem", "orders")
+_CAT_TABLES = ("events", "lineitem", "orders", "customer")
 
 _CAT_CACHE: dict[tuple, DataFrame] = SessionMemo()
 
@@ -147,9 +149,9 @@ def build_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q377_stats_catalog_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the per-table statistics catalog — CMS (128×3) + KMV
-    (k=32) sketches for the three join keys, moment rows for
-    events.value — and publish the catalog rows themselves, so the gate
-    hash-pins every cell of the artifact q379 serves from.
+    (k=32) sketches for the five join-key columns of _KEY_SPEC, moment
+    rows for events.value — and publish the catalog rows themselves, so
+    the gate hash-pins every cell of the artifact q379/q383 serve from.
 
     Scale plan: one linear sketch pass per column (operators/countmin's
     per-Arrow-batch [depth×width] accumulation; KMV bottom-k is
@@ -352,8 +354,10 @@ def _estimates_sql() -> str:
     cross_est AS (
       SELECT MIN(ip) AS est FROM (
         SELECT l.r, SUM(l.v * o.v) AS ip
-        FROM (SELECT * FROM cms WHERE tbl = 'lineitem') l
-        JOIN (SELECT * FROM cms WHERE tbl = 'orders') o
+        FROM (SELECT * FROM cms
+              WHERE tbl = 'lineitem' AND col = 'l_orderkey') l
+        JOIN (SELECT * FROM cms
+              WHERE tbl = 'orders' AND col = 'o_orderkey') o
           ON l.r = o.r AND l.b = o.b
         GROUP BY 1
       )
@@ -670,4 +674,233 @@ def q381_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "tbl string, col string, pred string, est_sel double,"
         " exact_sel double, abs_err double",
+    )
+
+
+# ---- incremental view maintenance (q382) ---------------------------------
+
+# insert batch: md5 hex digits 1-8 of the event id, mod 10 (the q378
+# split); delete set: digits 9-16, mod 7, RESTRICTED to the corpus side
+# (an insert can't also be a retroactive delete)
+_INS_SQL = (
+    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 10 = 0"
+)
+_INS_SPARK = (
+    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT) % 10 = 0"
+)
+_DEL_SQL = (
+    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8))"
+    " AS BIGINT) % 7 = 1"
+)
+_DEL_SPARK = (
+    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 9, 8), 16, 10)"
+    " AS BIGINT) % 7 = 1"
+)
+
+
+@query(
+    "q382_ivm_agg_view",
+    oracle=f"""
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_micro
+    FROM events
+    WHERE ({_INS_SQL}) OR NOT ({_DEL_SQL})
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("incremental", "view", "maintenance"),
+)
+def q382_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a self-maintainable aggregate
+    view (per (event_type, day) count + Σ micro value), with INSERTS
+    and DELETES: the maintained view is computed as
+    V(corpus) ⊎ +Δ(inserts) ⊎ −Δ(deletes) — three independent
+    aggregates folded by group-wise integer addition, groups whose
+    count reaches zero dropped — and the ORACLE computes the full
+    rebuild over the effective row set directly, so the hash gate
+    proves maintain(V, +Δ, −Δ) == rebuild exactly (the q378 identity
+    for aggregate views).  COUNT/SUM are self-maintainable under
+    deletes; MIN/MAX are deliberately absent — a deleted row can hold
+    the group minimum, forcing a rescan (the textbook IVM boundary,
+    which is why the histogram kind is rebuild-only too).
+
+    Scale plan: in production the corpus view V is the stored artifact
+    and only the deltas are scanned; here both sides build from the
+    split to exercise the fold.  Each Δ is one map-side-combinable
+    aggregate; the fold is a groupBy-sum over |groups| rows, never the
+    data.  Grid: micro sums fit int64 to ~9e12 value-rows per group
+    per batch; counts are exact longs.
+
+    Determinism: engine-shared md5 split predicates (insert: hex 1–8
+    mod 10; delete: hex 9–16 mod 7, corpus-side only); day published
+    as STRING (the q154/q288 calendar convention)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("xu"),
+    )
+    ins = F.expr(_INS_SPARK)
+    dele = F.expr(_DEL_SPARK)
+    corpus = ev.where(~ins)
+
+    def agg_view(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            (F.count(F.lit(1)) * sign).alias("cnt"),
+            (F.coalesce(F.sum("xu"), F.lit(0)) * sign).alias("sum_micro"),
+        )
+
+    maintained = (
+        agg_view(corpus, 1)
+        .unionAll(agg_view(ev.where(ins), 1))
+        .unionAll(agg_view(corpus.where(dele), -1))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("cnt").alias("cnt"), F.sum("sum_micro").alias("sum_micro")
+        )
+        .where(F.col("cnt") > 0)
+    )
+    return maintained.select(
+        "event_type",
+        "day",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_micro").cast("long").alias("sum_micro"),
+    ).orderBy("event_type", "day")
+
+
+# ---- catalog-driven join ordering (q383) ---------------------------------
+
+# candidate left-deep orders for customer ⋈ orders ⋈ lineitem: the cost
+# proxy is the estimated INTERMEDIATE result size (the only quantity a
+# planner has before running anything)
+_JOIN_PLANS = (
+    ("co_first", ("customer", "c_custkey"), ("orders", "o_custkey")),
+    ("ol_first", ("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+)
+
+
+def _cms_cross_sql(a_tbl: str, a_col: str, b_tbl: str, b_col: str) -> str:
+    """min-over-rows CMS inner product of two catalog sketches (the
+    q375 estimator) as a DuckDB scalar subquery over the `cms` CTE."""
+    return f"""(
+      SELECT MIN(ip) FROM (
+        SELECT a.r, SUM(a.v * b.v) AS ip
+        FROM (SELECT * FROM cms
+              WHERE tbl = '{a_tbl}' AND col = '{a_col}') a
+        JOIN (SELECT * FROM cms
+              WHERE tbl = '{b_tbl}' AND col = '{b_col}') b
+          ON a.r = b.r AND a.b = b.b
+        GROUP BY 1
+      )
+    )"""
+
+
+def _exact_pairs_sql(a_tbl: str, a_col: str, b_tbl: str, b_col: str) -> str:
+    """Exact degree-product join size (the q375 truth column)."""
+    return f"""(
+      SELECT SUM(CAST(a.c AS HUGEINT) * b.c)
+      FROM (SELECT {a_col} AS k, COUNT(*) AS c FROM {a_tbl}
+            WHERE {a_col} IS NOT NULL GROUP BY 1) a
+      JOIN (SELECT {b_col} AS k, COUNT(*) AS c FROM {b_tbl}
+            WHERE {b_col} IS NOT NULL GROUP BY 1) b ON a.k = b.k
+    )"""
+
+
+def _join_order_sql() -> str:
+    plan_rows = " UNION ALL ".join(
+        f"""SELECT '{name}' AS plan,
+              {_cms_cross_sql(a[0], a[1], b[0], b[1])} AS est_intermediate,
+              {_exact_pairs_sql(a[0], a[1], b[0], b[1])} AS exact_intermediate"""
+        for name, a, b in _JOIN_PLANS
+    )
+    return f"""
+    WITH cat AS ({_FULL_CATALOG_SQL}),
+    cms AS (SELECT * FROM cat WHERE kind = 'cms'),
+    plans AS ({plan_rows}),
+    ranked AS (
+      SELECT plan, est_intermediate, exact_intermediate,
+             ROW_NUMBER() OVER (ORDER BY est_intermediate, plan) AS rn
+      FROM plans
+    )
+    SELECT plan,
+           CAST(est_intermediate AS BIGINT) AS est_intermediate,
+           CAST(exact_intermediate AS BIGINT) AS exact_intermediate,
+           rn = 1 AS chosen
+    FROM ranked ORDER BY plan
+    """
+
+
+@query(
+    "q383_join_order_choice",
+    oracle=_join_order_sql(),
+    tags=("catalog", "planning", "join"),
+)
+def q383_join_order_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planner decision the catalog exists FOR: choose the left-deep
+    join order of customer ⋈ orders ⋈ lineitem by estimated
+    intermediate size — |customer⋈orders| (on custkey) vs
+    |orders⋈lineitem| (on orderkey) from the persisted CMS sketches
+    (q375's min-over-rows inner product), with the exact degree-product
+    truth alongside and `chosen` marking the estimate-optimal plan
+    (ties break on plan name).  On TPC-H-shaped data the custkey-first
+    order wins by ~4× — exactly the call Spark's own CBO makes from its
+    driver-resident statistics.
+
+    Scale plan: the DECISION touches only catalog rows (driver-side
+    under the q379 bounded contract — a real optimizer costs plans on
+    the driver); the truth columns are one degree-product aggregate per
+    candidate.  Estimates are exact integers ≤ Σ cA·cB, published as
+    BIGINT.
+
+    Grid budget: CMS products ride Python arbitrary-precision ints
+    driver-side and DECIMAL(38,0)/HUGEINT in the truth aggregates."""
+    path = catalog_path(sf_dir, _CAT_TABLES)
+    ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
+    cms_rows: dict[tuple, dict[tuple, int]] = {}
+    for row in load_catalog(spark, path).where(F.col("kind") == "cms").collect():
+        cms_rows.setdefault((row.tbl, row.col), {})[(row.r, row.b)] = int(row.v)
+
+    def est(a, b):
+        ca, cb = cms_rows[a], cms_rows[b]
+        ip = {r: 0 for r in range(CMS_DEPTH)}
+        for (r, bkt), v in ca.items():
+            ip[r] += v * cb.get((r, bkt), 0)
+        return min(ip.values())
+
+    def exact(a, b):
+        da = (
+            read_table(spark, sf_dir, a[0])
+            .where(F.col(a[1]).isNotNull())
+            .groupBy(F.col(a[1]).alias("k"))
+            .agg(F.count(F.lit(1)).alias("ca"))
+        )
+        db = (
+            read_table(spark, sf_dir, b[0])
+            .where(F.col(b[1]).isNotNull())
+            .groupBy(F.col(b[1]).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        return int(
+            da.join(db, "k")
+            .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")))
+            .collect()[0][0]
+        )
+
+    rows = [
+        (name, est(a, b), exact(a, b)) for name, a, b in _JOIN_PLANS
+    ]
+    best = min((e, name) for name, e, _ in rows)[1]
+    out = [
+        (name, e, x, name == best) for name, e, x in rows
+    ]
+    out.sort(key=lambda t: t[0])
+    return spark.createDataFrame(
+        out,
+        "plan string, est_intermediate long, exact_intermediate long,"
+        " chosen boolean",
     )

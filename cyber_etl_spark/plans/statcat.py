@@ -904,3 +904,250 @@ def q383_join_order_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "plan string, est_intermediate long, exact_intermediate long,"
         " chosen boolean",
     )
+
+
+# ---- sampled ANALYZE (q384) ----------------------------------------------
+
+# deterministic 10% "block sample": md5 hex 1-8 of the event id, mod 10,
+# slice 3 (disjoint from the q378/q382 insert slice 0 by construction)
+_SAMPLE_SQL = (
+    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 10 = 3"
+)
+_SAMPLE_SPARK = (
+    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT) % 10 = 3"
+)
+
+
+@query(
+    "q384_sampled_analyze",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS xu
+      FROM events WHERE {_SAMPLE_SQL}
+    ),
+    deg AS (SELECT user_id, COUNT(*) AS c FROM s GROUP BY 1),
+    samp AS (
+      SELECT (SELECT COUNT(*) FROM s) AS n_s,
+             (SELECT SUM(xu) FROM s) AS sx,
+             (SELECT COUNT(*) FROM deg) AS d_s,
+             (SELECT COUNT(*) FROM deg WHERE c = 1) AS f1,
+             (SELECT COUNT(*) FROM deg WHERE c = 2) AS f2
+    ),
+    ex AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sx,
+             COUNT(DISTINCT user_id) AS d
+      FROM events
+    )
+    SELECT stat, estimate, exact FROM (
+      SELECT 'n_rows' AS stat,
+             CAST(n_s * 10 AS DOUBLE) AS estimate,
+             CAST(n AS DOUBLE) AS exact
+      FROM samp, ex
+      UNION ALL
+      SELECT 'mean_value',
+             {_ha6_sql("samp.sx", "n_s * 1000000")},
+             {_ha6_sql("ex.sx", "n * 1000000")}
+      FROM samp, ex
+      UNION ALL
+      SELECT 'distinct_users_chao1',
+             {_ha6_sql("2 * (f2 + 1) * d_s + f1 * (f1 - 1)",
+                       "2 * (f2 + 1)")},
+             CAST(d AS DOUBLE)
+      FROM samp, ex
+    ) ORDER BY stat
+    """,
+    tags=("sampling", "planning", "statistics"),
+)
+def q384_sampled_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE ... TABLESAMPLE, made deterministic and gated: row
+    count, mean value and distinct-user estimates from a 10% md5 block
+    sample, next to the full-scan truth.  Distinct count uses the
+    bias-corrected Chao1 estimator d̂ = d_s + f1·(f1−1)/(2·(f2+1)) —
+    hapax/dis legomena of the sample's degree table — the standard
+    species-richness correction for what sampling misses (a plain
+    scale-up over-counts when the key space is small, as here: 10% of
+    events still sees almost every user).
+
+    Scale plan: ONE pass over the 10% sample (a real TABLESAMPLE prunes
+    at the scan; the md5 predicate here is the deterministic stand-in)
+    plus the truth aggregates; at 100 TB only the sample side runs on
+    the maintenance cadence.  Exactness: the estimator is one exact
+    integer rational — d̂ = (2(f2+1)d_s + f1(f1−1)) / (2(f2+1)) — and
+    means ride the shared micro/_ha6 path.
+
+    Grid budget: 2·num·1e6 with num ≤ 2(f2+1)d_s + f1² ~ 3n² widens
+    inside _ha6/_ha6_sql DECIMAL(38,0)/HUGEINT; mean numerators are
+    micro sums ≤ 9e12-row-safe."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("xu"),
+    )
+    s = ev.where(F.expr(_SAMPLE_SPARK))
+    deg = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    samp = s.agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("xu").alias("sx")
+    ).crossJoin(
+        F.broadcast(
+            deg.agg(
+                F.count(F.lit(1)).alias("d_s"),
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+                F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+            )
+        )
+    )
+    ex = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xu").alias("exs"),
+        F.countDistinct("user_id").alias("d"),
+    )
+    j = samp.crossJoin(F.broadcast(ex))
+    from .analytics2 import _ha6
+
+    n_rows = j.select(
+        F.lit("n_rows").alias("stat"),
+        (F.col("n_s") * 10).cast("double").alias("estimate"),
+        F.col("n").cast("double").alias("exact"),
+    )
+    mean = j.select(
+        F.lit("mean_value").alias("stat"),
+        _ha6("sx", "n_s * 1000000").alias("estimate"),
+        _ha6("exs", "n * 1000000").alias("exact"),
+    )
+    chao = j.select(
+        F.lit("distinct_users_chao1").alias("stat"),
+        _ha6(
+            "2 * (f2 + 1) * d_s + f1 * (f1 - 1)", "2 * (f2 + 1)"
+        ).alias("estimate"),
+        F.col("d").cast("double").alias("exact"),
+    )
+    return n_rows.unionAll(mean).unionAll(chao).orderBy("stat")
+
+
+# ---- catalog-served skew detection (q385) --------------------------------
+
+# est-side salting threshold: recommend salting when the CMS upper
+# bound on the heaviest key's share exceeds 1% of the table (a single
+# reducer would see >1% of the join input)
+_SKEW_SHARE_PPM = 10_000  # 1% in micro units
+
+
+@query(
+    "q385_join_skew_audit",
+    oracle=f"""
+    WITH cat AS ({_FULL_CATALOG_SQL}),
+    cms AS (SELECT * FROM cat WHERE kind = 'cms'),
+    upper_est AS (
+      SELECT tbl, col, MIN(mx) AS upper_freq, MAX(tot) AS n_rows
+      FROM (
+        SELECT tbl, col, r, MAX(v) AS mx, SUM(v) AS tot
+        FROM cms GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    exact_mx AS (
+      SELECT 'events' AS tbl, 'user_id' AS col,
+             MAX(c) AS exact_freq
+      FROM (SELECT COUNT(*) AS c FROM events
+            WHERE user_id IS NOT NULL GROUP BY user_id)
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey', MAX(c)
+      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+      UNION ALL
+      SELECT 'orders', 'o_orderkey', MAX(c)
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'orders', 'o_custkey', MAX(c)
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'customer', 'c_custkey', MAX(c)
+      FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey)
+    )
+    SELECT u.tbl, u.col,
+           CAST(u.n_rows AS BIGINT) AS n_rows,
+           CAST(u.upper_freq AS BIGINT) AS max_freq_upper,
+           CAST(x.exact_freq AS BIGINT) AS max_freq_exact,
+           {_ha6_sql("u.upper_freq", "u.n_rows")} AS upper_share,
+           {_ha6_sql("x.exact_freq", "u.n_rows")} AS exact_share,
+           (2 * u.upper_freq * 1000000 + u.n_rows) // (2 * u.n_rows)
+             > {_SKEW_SHARE_PPM} AS salt_recommended
+    FROM upper_est u JOIN exact_mx x ON u.tbl = x.tbl AND u.col = x.col
+    ORDER BY u.tbl, u.col
+    """,
+    tags=("catalog", "skew", "planning"),
+)
+def q385_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting decision, served from the catalog: for every
+    sketched join key, the CMS upper bound on the heaviest key's
+    frequency — min over hash rows of the row's MAX bucket count (the
+    heavy key sits in ONE bucket per row, so every row's max is ≥ its
+    true count) — its share of the table, the exact heaviest-key truth,
+    and `salt_recommended` fired from the ESTIMATE side at a 1% share
+    threshold (one reducer seeing >1% of a shuffle input is where AQE
+    skew splitting / salting starts paying).  This is why a stats
+    catalog stores sketches rather than just scalars: the skew question
+    arrives AFTER the scan is gone.
+
+    Scale plan: the estimate reads O(depth·width) persisted rows
+    driver-side (q379 contract); the truth is one groupBy-max per
+    column.  The upper bound is conservative by construction (never
+    under the truth — collisions only inflate it), so a salt decision
+    made from it fails safe: it can over-salt, never under-salt.
+    Calibration: on a uniform key the bound floors at ~1/width share
+    (heaviest-bucket load, ≈0.78% at width 128), so the 1% threshold
+    deliberately sits just above the collision floor — measured here,
+    only the genuinely skewed events.user_id fires; a catalog
+    profiling heavier skew regimes sizes width to push the floor down.
+
+    Grid budget: 2·upper·1e6 ≤ 2n·1e6 widens inside _ha6/HUGEINT; the
+    boolean threshold compare reuses the same integer quotient text in
+    both engines."""
+    path = catalog_path(sf_dir, _CAT_TABLES)
+    ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
+    cms_rows: dict[tuple, dict[tuple, int]] = {}
+    for row in load_catalog(spark, path).where(F.col("kind") == "cms").collect():
+        cms_rows.setdefault((row.tbl, row.col), {})[(row.r, row.b)] = int(row.v)
+
+    exacts = {}
+    for tbl, col in _KEY_SPEC:
+        exacts[(tbl, col)] = int(
+            read_table(spark, sf_dir, tbl)
+            .where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .collect()[0][0]
+        )
+
+    out = []
+    for key in sorted(cms_rows):
+        cells = cms_rows[key]
+        mx = {r: 0 for r in range(CMS_DEPTH)}
+        tot = {r: 0 for r in range(CMS_DEPTH)}
+        for (r, _b), v in cells.items():
+            mx[r] = max(mx[r], v)
+            tot[r] += v
+        upper = min(mx.values())
+        n = max(tot.values())
+        xfreq = exacts[key]
+        up_u = (2 * upper * 1_000_000 + n) // (2 * n)
+        ex_u = (2 * xfreq * 1_000_000 + n) // (2 * n)
+        out.append(
+            (
+                *key,
+                n,
+                upper,
+                xfreq,
+                up_u / 1e6,
+                ex_u / 1e6,
+                up_u > _SKEW_SHARE_PPM,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "tbl string, col string, n_rows long, max_freq_upper long,"
+        " max_freq_exact long, upper_share double, exact_share double,"
+        " salt_recommended boolean",
+    )

@@ -1355,3 +1355,73 @@ def sprt_stream(daily: DataFrame, la12: int, lb12: int, a12: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_STREAM_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("gen", LongType()),
+        StructField("u", LongType()),
+    ]
+)
+
+_KMV_STATE = StructType(
+    [
+        StructField("gen", LongType()),
+        StructField("us", ArrayType(LongType())),
+    ]
+)
+
+
+def kmv_stream(items: DataFrame, k: int = 32) -> DataFrame:
+    """Streaming KMV (bottom-k distinct sketch) — the unbounded-feed
+    twin of the catalog's kmv kind (operators/statcat.key_sketches):
+    input rows carry (name, item); per name the state is the k smallest
+    52-bit md5 hashes of the distinct items seen so far, advanced per
+    micro-batch and emitted with a generation counter.
+
+    Because bottom-k-of-union is associative and order-free (the
+    merge_catalogs identity), the snapshot after ANY trigger equals the
+    batch sketch of everything fed so far under ANY slicing — the same
+    strength as the CMS twin, and together they make the whole additive
+    stats catalog streaming-maintainable (hist stays rebuild-only).
+    State is ≤ k longs per name, O(1) in stream length."""
+    import hashlib
+
+    def _u52(item: str) -> int:
+        return int(hashlib.md5(item.encode()).hexdigest()[:13], 16)
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (name,) = key
+        if state.exists:
+            gen, prev = state.get
+            us = set(prev)
+        else:
+            gen, us = 0, set()
+        for pdf in batches:
+            for item in pdf["item"].dropna().unique():
+                us.add(_u52(str(item)))
+        best = sorted(us)[:k]
+        gen += 1
+        state.update((gen, [int(x) for x in best]))
+        yield pd.DataFrame(
+            {
+                "name": [name] * len(best),
+                "gen": [gen] * len(best),
+                "u": best,
+            }
+        )
+
+    keyed = items.select(
+        F.col("name").cast("string").alias("name"),
+        F.col("item").cast("string").alias("item"),
+    )
+    return keyed.groupBy("name").applyInPandasWithState(
+        update,
+        outputStructType=KMV_STREAM_SCHEMA,
+        stateStructType=_KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -261,3 +261,58 @@ def test_ensure_catalog_concurrent(spark, sf_smoke, tmp_path):
     assert load_catalog(spark, path).count() > 0
     leftovers = [d for d in os.listdir(str(tmp_path)) if ".tmp-" in d]
     assert leftovers == []
+
+
+def test_kmv_stream_snapshot_equals_batch_sketch(spark, tmp_path):
+    """The KMV streaming twin: after every trigger the state equals the
+    batch bottom-k of everything fed so far — checked at the FINAL
+    generation against operators/statcat.key_sketches' kmv rows, and at
+    an intermediate generation against the fed prefix (the bottom-k-of-
+    union slicing-independence that makes the catalog streaming-
+    maintainable)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyber_etl_spark.operators.statcat import key_sketches
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import kmv_stream
+
+    n = 900
+    pdf = (
+        spark.range(n)
+        .select((F.col("id") * 37 % 211).alias("event_type"))
+        .toPandas()
+    )
+    pdf["event_type"] = pdf["event_type"].astype(str)
+    pdf["event_id"] = range(len(pdf))
+    pdf["ts"] = [1_700_000_000_000_000 + i for i in range(len(pdf))]
+    pdf["user_id"] = 1
+    pdf["value"] = 0.0
+    pdf["props"] = ""
+    pdf = pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    d = tmp_path / "kmv_feed"
+    d.mkdir()
+    for i in range(3):
+        chunk = pdf.iloc[i * 300 : (i + 1) * 300]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet"))
+    stream = read_event_stream(spark, str(d), empty_dir_ts="micros").select(
+        F.lit("t.k").alias("name"), F.col("event_type").alias("item")
+    )
+    run_stream_to_memory(kmv_stream(stream, k=32), "kmv_mem", mode="update")
+    rows = spark.sql("SELECT * FROM kmv_mem").collect()
+    assert max(r.gen for r in rows) == 3
+
+    def batch_kmv(upto: int) -> list[int]:
+        df = spark.createDataFrame(
+            pdf.iloc[:upto][["event_type"]].rename(columns={"event_type": "k"})
+        )
+        return sorted(
+            int(r.v)
+            for r in key_sketches(df, "t", "k")
+            .where(F.col("kind") == "kmv")
+            .collect()
+        )
+
+    for gen, upto in ((2, 600), (3, 900)):
+        got = sorted(r.u for r in rows if r.gen == gen)
+        assert got == batch_kmv(upto), gen

@@ -246,12 +246,20 @@ def merge_catalogs(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
     return additive.unionAll(kmv.select(*additive.columns))
 
 
-def catalog_path(sf_dir: str, tables: tuple[str, ...]) -> str:
+def catalog_path(
+    sf_dir: str, tables: tuple[str, ...], spec: tuple = ()
+) -> str:
     """Artifact location for one dataset's catalog, keyed on the
-    dataset path AND its parquet file sizes (the .plan_cache keying
-    rule): regenerated testdata gets a fresh directory instead of a
-    silently stale artifact."""
+    dataset path, its parquet file sizes (the .plan_cache keying rule),
+    the sketch-shape constants AND the caller's column spec — a spec or
+    width/depth/k change must mint a FRESH directory, or ensure_catalog
+    would silently serve old-shape sketches against a new-shape oracle
+    (the artifact outlives sessions in tempdir; r11 self-review
+    finding)."""
     h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    h.update(
+        f"w{CMS_WIDTH}:d{CMS_DEPTH}:k{KMV_K}:h{HIST_BUCKETS}:{spec!r}".encode()
+    )
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         try:

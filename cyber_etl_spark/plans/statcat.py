@@ -171,15 +171,27 @@ def q377_stats_catalog_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tbl", "col", "kind", "r", "b", "v")
 
 
-# engine-shared delta split: md5 first-8-hex of the event id, mod 10
-_DELTA_SQL = (
-    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
-    " AS BIGINT) % 10 = 0"
-)
-_DELTA_SPARK = (
-    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
-    " AS BIGINT) % 10 = 0"
-)
+# engine-shared md5-slice split predicates over event_id: ONE generator
+# pair for every deterministic row split in this module (r11 self-review
+# finding 5 — q384's disjointness note relies on all slices agreeing on
+# digit ranges, so the text must have a single source)
+def _md5_slice_sql(start: int, mod: int, eq: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), {start}, 8))"
+        f" AS BIGINT) % {mod} = {eq}"
+    )
+
+
+def _md5_slice_spark(start: int, mod: int, eq: int) -> str:
+    return (
+        f"CAST(conv(substr(md5(CAST(event_id AS STRING)), {start}, 8), 16, 10)"
+        f" AS BIGINT) % {mod} = {eq}"
+    )
+
+
+# q378 delta batch: hex 1-8, mod 10, slice 0
+_DELTA_SQL = _md5_slice_sql(1, 10, 0)
+_DELTA_SPARK = _md5_slice_spark(1, 10, 0)
 
 
 @query(
@@ -431,7 +443,7 @@ def q379_catalog_served_estimates(spark: SparkSession, sf_dir: str) -> DataFrame
     rationals; the variance numerator n·Σx² − (Σx)² rides
     DECIMAL(38,0)/HUGEINT (q317's widening) and its quotient is
     variance in units² ≪ the 9e12 guard."""
-    path = catalog_path(sf_dir, _CAT_TABLES)
+    path = catalog_path(sf_dir, _CAT_TABLES, spec=_KEY_SPEC)
     ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
     return _estimates_from_catalog(spark, load_catalog(spark, path))
 
@@ -486,7 +498,9 @@ def build_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hist_path(sf_dir: str) -> str:
-    return catalog_path(sf_dir, tuple(t for t, _ in _HIST_SPEC)) + "-hist"
+    return catalog_path(
+        sf_dir, tuple(t for t, _ in _HIST_SPEC), spec=_HIST_SPEC
+    ) + "-hist"
 
 
 @query(
@@ -547,9 +561,28 @@ def _pred_bounds(b0: int, b10: int) -> list[tuple[str, int, int]]:
 def _selectivity_sql() -> str:
     """DuckDB twin of q381: boundaries recomputed from the base tables
     (the oracle never reads the artifact), then the identical integer
-    overlap/estimate arithmetic."""
+    overlap/estimate arithmetic.  Each column's boundary table — a full
+    window scan — is computed ONCE behind AS MATERIALIZED (it feeds the
+    bucket pairs AND the predicate bounds; the round-8 q255 rule, bit
+    again by the r11 self-review: the inlined form ran 4 window scans
+    per column)."""
+    ctes = []
     per_col = []
+    values = ", ".join(f"('{l}', {a}, {bb})" for l, a, bb in _PRED_SPEC)
     for tbl, col in _HIST_SPEC:
+        ctes.append(
+            f"h_{tbl} AS MATERIALIZED ({_hist_rows_sql(tbl, col, tbl)}),\n"
+            f"    p_{tbl} AS MATERIALIZED (\n"
+            f"      SELECT p.pred,\n"
+            f"             sp.lo0 + (sp.hi10 - sp.lo0) * p.a // 100 AS plo,\n"
+            f"             sp.lo0 + (sp.hi10 - sp.lo0) * p.bb // 100 AS phi\n"
+            f"      FROM (SELECT MAX(CASE WHEN b = 0 THEN v END) AS lo0,\n"
+            f"                   MAX(CASE WHEN b = {HIST_BUCKETS} THEN v END)\n"
+            f"                     AS hi10\n"
+            f"            FROM h_{tbl}) sp,\n"
+            f"           (VALUES {values}) AS p(pred, a, bb)\n"
+            f"    )"
+        )
         per_col.append(f"""
     SELECT e.tbl, e.col, e.pred,
            CAST((2 * e.s * 1000000 + 10000000) // 20000000 AS DOUBLE)
@@ -570,17 +603,8 @@ def _selectivity_sql() -> str:
         END) AS s
       FROM (
         SELECT l.b + 1 AS i, l.v AS lv, r.v AS rv
-        FROM ({_hist_rows_sql(tbl, col, tbl)}) l
-        JOIN ({_hist_rows_sql(tbl, col, tbl)}) r ON r.b = l.b + 1
-      ) bk, (
-        SELECT p.pred, sp.lo0 + (sp.hi10 - sp.lo0) * p.a // 100 AS plo,
-               sp.lo0 + (sp.hi10 - sp.lo0) * p.bb // 100 AS phi
-        FROM (SELECT MAX(CASE WHEN b = 0 THEN v END) AS lo0,
-                     MAX(CASE WHEN b = {HIST_BUCKETS} THEN v END) AS hi10
-              FROM ({_hist_rows_sql(tbl, col, tbl)})) sp,
-             (VALUES {", ".join(f"('{l}', {a}, {bb})" for l, a, bb in _PRED_SPEC)})
-               AS p(pred, a, bb)
-      ) p
+        FROM h_{tbl} l JOIN h_{tbl} r ON r.b = l.b + 1
+      ) bk, p_{tbl} p
       GROUP BY 1, 2, 3
     ) e JOIN (
       SELECT p.pred,
@@ -588,19 +612,13 @@ def _selectivity_sql() -> str:
                AS cnt,
              COUNT(*) AS n
       FROM (SELECT CAST(floor({col} * 1000000 + 0.5) AS BIGINT) AS xu
-            FROM {tbl} WHERE {col} IS NOT NULL) t, (
-        SELECT p.pred, sp.lo0 + (sp.hi10 - sp.lo0) * p.a // 100 AS plo,
-               sp.lo0 + (sp.hi10 - sp.lo0) * p.bb // 100 AS phi
-        FROM (SELECT MAX(CASE WHEN b = 0 THEN v END) AS lo0,
-                     MAX(CASE WHEN b = {HIST_BUCKETS} THEN v END) AS hi10
-              FROM ({_hist_rows_sql(tbl, col, tbl)})) sp,
-             (VALUES {", ".join(f"('{l}', {a}, {bb})" for l, a, bb in _PRED_SPEC)})
-               AS p(pred, a, bb)
-      ) p
+            FROM {tbl} WHERE {col} IS NOT NULL) t, p_{tbl} p
       GROUP BY 1
     ) x ON e.pred = x.pred""")
     return (
-        "SELECT * FROM ("
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT * FROM ("
         + " UNION ALL ".join(per_col)
         + ") ORDER BY tbl, col, pred"
     )
@@ -682,22 +700,10 @@ def q381_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insert batch: md5 hex digits 1-8 of the event id, mod 10 (the q378
 # split); delete set: digits 9-16, mod 7, RESTRICTED to the corpus side
 # (an insert can't also be a retroactive delete)
-_INS_SQL = (
-    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
-    " AS BIGINT) % 10 = 0"
-)
-_INS_SPARK = (
-    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
-    " AS BIGINT) % 10 = 0"
-)
-_DEL_SQL = (
-    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8))"
-    " AS BIGINT) % 7 = 1"
-)
-_DEL_SPARK = (
-    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 9, 8), 16, 10)"
-    " AS BIGINT) % 7 = 1"
-)
+_INS_SQL = _DELTA_SQL
+_INS_SPARK = _DELTA_SPARK
+_DEL_SQL = _md5_slice_sql(9, 7, 1)
+_DEL_SPARK = _md5_slice_spark(9, 7, 1)
 
 
 @query(
@@ -706,8 +712,8 @@ _DEL_SPARK = (
     SELECT event_type,
            CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
-                AS BIGINT) AS sum_micro
+           CAST(COALESCE(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)),
+                         0) AS BIGINT) AS sum_micro
     FROM events
     WHERE ({_INS_SQL}) OR NOT ({_DEL_SQL})
     GROUP BY 1, 2
@@ -738,7 +744,10 @@ def q382_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: engine-shared md5 split predicates (insert: hex 1–8
     mod 10; delete: hex 9–16 mod 7, corpus-side only); day published
-    as STRING (the q154/q288 calendar convention)."""
+    as STRING (the q154/q288 calendar convention); a group whose
+    surviving rows are all value-NULL publishes sum_micro = 0 in BOTH
+    engines (Spark's fold coalesces, the oracle COALESCEs its SUM —
+    r11 self-review finding 2)."""
     ev = read_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -859,7 +868,7 @@ def q383_join_order_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Grid budget: CMS products ride Python arbitrary-precision ints
     driver-side and DECIMAL(38,0)/HUGEINT in the truth aggregates."""
-    path = catalog_path(sf_dir, _CAT_TABLES)
+    path = catalog_path(sf_dir, _CAT_TABLES, spec=_KEY_SPEC)
     ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
     cms_rows: dict[tuple, dict[tuple, int]] = {}
     for row in load_catalog(spark, path).where(F.col("kind") == "cms").collect():
@@ -910,14 +919,8 @@ def q383_join_order_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # deterministic 10% "block sample": md5 hex 1-8 of the event id, mod 10,
 # slice 3 (disjoint from the q378/q382 insert slice 0 by construction)
-_SAMPLE_SQL = (
-    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
-    " AS BIGINT) % 10 = 3"
-)
-_SAMPLE_SPARK = (
-    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
-    " AS BIGINT) % 10 = 3"
-)
+_SAMPLE_SQL = _md5_slice_sql(1, 10, 3)
+_SAMPLE_SPARK = _md5_slice_spark(1, 10, 3)
 
 
 @query(
@@ -1104,7 +1107,7 @@ def q385_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grid budget: 2·upper·1e6 ≤ 2n·1e6 widens inside _ha6/HUGEINT; the
     boolean threshold compare reuses the same integer quotient text in
     both engines."""
-    path = catalog_path(sf_dir, _CAT_TABLES)
+    path = catalog_path(sf_dir, _CAT_TABLES, spec=_KEY_SPEC)
     ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
     cms_rows: dict[tuple, dict[tuple, int]] = {}
     for row in load_catalog(spark, path).where(F.col("kind") == "cms").collect():

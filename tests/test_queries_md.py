@@ -53,3 +53,31 @@ def test_queries_md_is_current():
     )
     # Rounds-column drift only: a CORRECTNESS_r*.json landed after the
     # last regeneration.  Benign; refresh at the next convenient commit.
+
+
+def test_structural_normalization_still_gates():
+    """Self-check of the relaxed gate (r11): _structural must TOLERATE
+    driver-rounds drift (the column and the union count recomputed from
+    CORRECTNESS artifacts) but CATCH every real registry change —
+    renames, moved file:line, tag edits, oracle-status flips.  Without
+    this, a bug in the normalization would silently turn the staleness
+    gate into a no-op."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    import gen_queries_md
+
+    t = gen_queries_md.generate()
+    # tolerated: rounds-cell drift and a changed driver-green union
+    assert _structural(t.replace("| r10 |", "| r10, r11 |")) == _structural(t)
+    assert _structural(
+        re.sub(r"driver-green union \*\*\d+/\d+\*\*", "driver-green union **0/0**", t)
+    ) == _structural(t)
+    # caught: rename, moved location, tag edit, oracle flip
+    for broken in (
+        t.replace("q374_poisson", "q374_renamed", 1),
+        t.replace("analytics6.py", "analyticsX.py", 1),
+        re.sub(r"\| sketch, ", "| sketchX, ", t, count=1),
+        t.replace("| sql |", "| rows-only |", 1),
+    ):
+        assert broken != t  # the probe actually edited something
+        assert _structural(broken) != _structural(t)

@@ -84,9 +84,9 @@ def test_estimates_rebuild_if_missing(spark, sf_smoke):
     (no rebuild — the artifact dir's mtime is unchanged)."""
     from cyber_etl_spark.operators.statcat import catalog_path
     from cyber_etl_spark.plans import QUERIES
-    from cyber_etl_spark.plans.statcat import _CAT_TABLES
+    from cyber_etl_spark.plans.statcat import _CAT_TABLES, _KEY_SPEC
 
-    path = catalog_path(sf_smoke, _CAT_TABLES)
+    path = catalog_path(sf_smoke, _CAT_TABLES, spec=_KEY_SPEC)
     shutil.rmtree(path, ignore_errors=True)
     first = QUERIES["q379_catalog_served_estimates"].builder(spark, sf_smoke)
     rows1 = sorted(map(tuple, first.collect()))

@@ -316,3 +316,30 @@ def test_kmv_stream_snapshot_equals_batch_sketch(spark, tmp_path):
     for gen, upto in ((2, 600), (3, 900)):
         got = sorted(r.u for r in rows if r.gen == gen)
         assert got == batch_kmv(upto), gen
+
+
+def test_catalog_lookup_partition_prunes(spark, sf_smoke):
+    """The hive (tbl, col) layout's whole point: a one-column catalog
+    lookup must prune at the PARTITION level (PartitionFilters carry
+    both predicates, DataFilters stay empty) — i.e. load_catalog's
+    type-restoring casts do not defeat pruning."""
+    from cyber_etl_spark.operators.statcat import (
+        catalog_path,
+        ensure_catalog,
+        load_catalog,
+    )
+    from cyber_etl_spark.plans.statcat import _CAT_TABLES, _KEY_SPEC, build_catalog
+
+    path = catalog_path(sf_smoke, _CAT_TABLES, spec=_KEY_SPEC)
+    ensure_catalog(path, lambda: build_catalog(spark, sf_smoke))
+    df = load_catalog(spark, path).where(
+        (F.col("tbl") == "events") & (F.col("col") == "user_id")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan, plan
+    line = scan[0]
+    pf = line.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "tbl" in pf and "= events" in pf, line
+    assert "col" in pf and "= user_id" in pf, line
+    assert "DataFilters: []" in line, line

@@ -17,14 +17,15 @@ is ONE parquet table and new kinds need no migration):
 
     tbl  string   -- source table name
     col  string   -- column the sketch summarizes
-    kind string   -- 'cms' | 'kmv' | 'moment'
+    kind string   -- 'cms' | 'kmv' | 'moment' | 'hist'
     r    long     -- cms: hash-row index; otherwise 0
     b    long     -- cms: bucket; moment: stat id (_M_* constants);
-                     kmv: 0
+                     hist: boundary index 0..HIST_BUCKETS; kmv: 0
     v    decimal(38,0)
                   -- cms: exact cell count; kmv: 52-bit md5 hash value;
                      moment: exact integer statistic (micro-units for
-                     value sums — see grid notes below)
+                     value sums — see grid notes below); hist:
+                     micro-snapped boundary value at an exact rank
 
 Mergeability (the property the whole design rests on):
 
@@ -35,6 +36,9 @@ Mergeability (the property the whole design rests on):
   merge(build(A), build(B)) == build(A ∪ B) EXACTLY.  (Beyer et al.'s
   KMV algebra; the q376 estimator reads only COUNT and MAX of the k
   values, so rank columns are not stored.)
+- hist rows do NOT merge (order statistics aren't additive):
+  merge_catalogs raises on them; the re-ANALYZE cadence rebuilds
+  histograms from data (:func:`equidepth_hist`).
 
 Grid budgets: cms counts and kmv hashes (< 2^52) fit int64 trivially;
 moment sums ride DECIMAL(38,0) — micro-unit squares are ~1e17 PER ROW

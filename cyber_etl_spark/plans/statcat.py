@@ -229,21 +229,38 @@ def q378_stats_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is exact integers; v publishes as STRING (q377)."""
     ev = read_table(spark, sf_dir, "events")
     delta_rows = ev.where(F.expr(_DELTA_SPARK))
-    corpus_rows = ev.where(~F.expr(_DELTA_SPARK))
-
-    def side(rows: DataFrame) -> DataFrame:
-        keys = rows.select("user_id").repartition(16)
-        return key_sketches(keys, "events", "user_id").unionAll(
-            value_moments(rows, "events", "value")
-        )
-
-    ckey = (session_token(spark), sf_dir, "q378_corpus_side")
-    if ckey not in _CAT_CACHE:
-        _CAT_CACHE[ckey] = side(corpus_rows).localCheckpoint(eager=True)
-    merged = merge_catalogs(_CAT_CACHE[ckey], side(delta_rows), k=KMV_K)
+    merged = merge_catalogs(
+        _corpus_side_catalog(spark, sf_dir), _events_side(delta_rows), k=KMV_K
+    )
     return merged.select(
         "tbl", "col", "kind", "r", "b", F.col("v").cast("string").alias("v")
     ).orderBy("tbl", "col", "kind", "r", "b", "v")
+
+
+def _events_side(rows: DataFrame) -> DataFrame:
+    """events catalog rows (user_id sketches + value moments) for one
+    row subset — the per-side build q378's fold and q386's drift
+    monitor share."""
+    keys = rows.select("user_id").repartition(16)
+    return key_sketches(keys, "events", "user_id").unionAll(
+        value_moments(rows, "events", "value")
+    )
+
+
+def _corpus_side_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized+pinned corpus-side (NOT-delta) events catalog — the
+    role the persisted artifact plays in production (yesterday's corpus
+    is never rescanned); shared by q378 (fold input) and q386 (the
+    stale side of the drift monitor)."""
+    ckey = (session_token(spark), sf_dir, "q378_corpus_side")
+    if ckey not in _CAT_CACHE:
+        corpus_rows = read_table(spark, sf_dir, "events").where(
+            ~F.expr(_DELTA_SPARK)
+        )
+        _CAT_CACHE[ckey] = _events_side(corpus_rows).localCheckpoint(
+            eager=True
+        )
+    return _CAT_CACHE[ckey]
 
 
 # the catalog is bounded BY CONSTRUCTION: |spec| * (depth*width + k)
@@ -1160,4 +1177,125 @@ def q385_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbl string, col string, n_rows long, max_freq_upper long,"
         " max_freq_exact long, upper_share double, exact_share double,"
         " salt_recommended boolean",
+    )
+
+
+# ---- catalog staleness / re-ANALYZE trigger (q386) ------------------------
+
+# re-ANALYZE when any monitored statistic drifts more than 5%
+_REANALYZE_PPM = 50_000
+
+
+def _drift_sides_sql() -> str:
+    """Stale (corpus-only) vs fresh (full events) statistic micro-values
+    from moment + kmv rows, shared integer arithmetic."""
+    corpus_rel = f"(SELECT * FROM events WHERE NOT ({_DELTA_SQL})) ec"
+    sides = []
+    for name, rel in (("stale", corpus_rel), ("fresh", "events")):
+        sides.append(f"""
+    {name} AS MATERIALIZED (
+      SELECT m.n_rows, m.nn, m.s, k.nk, k.uk,
+             (2 * m.s + m.nn) // (2 * m.nn) AS mean_u,
+             CASE WHEN k.nk < {KMV_K} THEN k.nk * 1000000
+                  ELSE (2 * CAST({KMV_NUM} AS HUGEINT) * 1000000 + k.uk)
+                       // (2 * k.uk) END AS dist_u
+      FROM (
+        SELECT MAX(CASE WHEN b = 0 THEN v END) AS n_rows,
+               MAX(CASE WHEN b = 1 THEN v END) AS nn,
+               MAX(CASE WHEN b = 2 THEN v END) AS s
+        FROM ({_moment_rows_sql(rel, "value", "events")})
+      ) m, (
+        SELECT COUNT(*) AS nk, MAX(v) AS uk
+        FROM ({_kmv_rows_sql(rel, "user_id", "events")})
+      ) k
+    )""")
+    return ",".join(sides)
+
+
+@query(
+    "q386_catalog_staleness",
+    oracle=f"""
+    WITH {_drift_sides_sql()}
+    SELECT stat,
+           CAST(stale_u AS DOUBLE) / 1000000 AS stale,
+           CAST(fresh_u AS DOUBLE) / 1000000 AS fresh,
+           CAST((2 * ABS(fresh_u - stale_u) * 1000000 + fresh_u)
+                // (2 * fresh_u) AS DOUBLE) / 1000000 AS drift_share,
+           (2 * ABS(fresh_u - stale_u) * 1000000 + fresh_u)
+             // (2 * fresh_u) > {_REANALYZE_PPM} AS needs_reanalyze
+    FROM (
+      SELECT 'n_rows' AS stat,
+             s.n_rows * 1000000 AS stale_u, f.n_rows * 1000000 AS fresh_u
+      FROM stale s, fresh f
+      UNION ALL
+      SELECT 'mean_value', s.mean_u, f.mean_u FROM stale s, fresh f
+      UNION ALL
+      SELECT 'distinct_users_kmv', s.dist_u, f.dist_u FROM stale s, fresh f
+    ) ORDER BY stat
+    """,
+    tags=("catalog", "drift", "maintenance"),
+)
+def q386_catalog_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-ANALYZE trigger that closes the catalog lifecycle: compare
+    the STALE catalog (built before the delta batch arrived — the
+    memoized corpus side, standing in for yesterday's persisted
+    artifact) against a FRESH build over the grown table, and publish
+    per-statistic drift shares with `needs_reanalyze` fired at 5% — the
+    policy input that schedules q377 rebuilds/q378 folds, exactly like
+    ivf_cell_stats schedules IVF retrains.
+
+    Monitored: row count and mean value (moment rows), distinct users
+    (KMV) — each compared as exact integer micro-values, so the drift
+    share is one half-away rational per stat and the 5% threshold is an
+    integer compare (no float boundary).  On this data the 10% insert
+    batch fires n_rows (drift ≈ 10%) while mean/distinct stay put —
+    the catalog says "re-count, the content distribution is stable",
+    which is the correct maintenance call.
+
+    Scale plan: the stale side is the pinned q378 corpus catalog (zero
+    new scans in steady state); the fresh side is one linear sketch
+    pass; comparison is driver-side over two bounded summaries (q379
+    contract).
+
+    Grid budget: mean_u = (2s + nn) div 2nn with s ≤ 9e12·1e6 rides the
+    DECIMAL(38,0)/HUGEINT moment types; the distinct branch reuses
+    q376's HUGEINT-widened constant; drift numerators are ≤ 2·n·1e6 —
+    DECIMAL/HUGEINT-safe at any corpus size."""
+    stale_rows = _corpus_side_catalog(spark, sf_dir).collect()
+    fresh_rows = (
+        build_catalog(spark, sf_dir)
+        .where((F.col("tbl") == "events"))
+        .collect()
+    )
+
+    def stats(rows) -> dict[str, int]:
+        mom: dict[int, int] = {}
+        us: list[int] = []
+        for r in rows:
+            if r.kind == "moment" and r.col == "value":
+                mom[r.b] = int(r.v)
+            elif r.kind == "kmv" and r.col == "user_id":
+                us.append(int(r.v))
+        n, nn, s = mom[0], mom[1], mom[2]
+        mean_u = (2 * s + nn) // (2 * nn)
+        dist_u = (
+            len(us) * 1_000_000
+            if len(us) < KMV_K
+            else (2 * KMV_NUM * 1_000_000 + max(us)) // (2 * max(us))
+        )
+        return {"n_rows": n * 1_000_000, "mean_value": mean_u,
+                "distinct_users_kmv": dist_u}
+
+    st, fr = stats(stale_rows), stats(fresh_rows)
+    out = []
+    for stat in sorted(st):
+        su, fu = st[stat], fr[stat]
+        du = (2 * abs(fu - su) * 1_000_000 + fu) // (2 * fu)
+        out.append(
+            (stat, su / 1e6, fu / 1e6, du / 1e6, du > _REANALYZE_PPM)
+        )
+    return spark.createDataFrame(
+        out,
+        "stat string, stale double, fresh double, drift_share double,"
+        " needs_reanalyze boolean",
     )

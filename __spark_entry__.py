@@ -54,8 +54,16 @@ def _registry_order() -> list[str]:
                         seen[name] = seen.get(name, 0) + 1
         except (OSError, ValueError):
             continue
+    # Oracle-less queries sort as the FIRST key component (r11 verdict
+    # "What's wrong" #1): the driver's rows-only check can never produce
+    # a pass, so without this they sit in the (0 passes, ...) tier
+    # forever and permanently burn ~5 of the ~50 gate slots re-reporting
+    # `no_oracle` on adjudicated-waiver queries.  With it, every oracled
+    # query (including failures needing re-verification) fronts the
+    # window; the waived rows-only set rotates behind the whole oracled
+    # registry and is covered by its pytest behavior tests instead.
     return sorted(
-        QUERIES, key=lambda n: (seen.get(n, 0), QUERIES[n].oracle is None, n)
+        QUERIES, key=lambda n: (QUERIES[n].oracle is None, seen.get(n, 0), n)
     )
 
 

@@ -254,12 +254,13 @@ def catalog_path(
     sf_dir: str, tables: tuple[str, ...], spec: tuple = ()
 ) -> str:
     """Artifact location for one dataset's catalog, keyed on the
-    dataset path, its parquet file sizes (the .plan_cache keying rule),
-    the sketch-shape constants AND the caller's column spec — a spec or
-    width/depth/k change must mint a FRESH directory, or ensure_catalog
-    would silently serve old-shape sketches against a new-shape oracle
-    (the artifact outlives sessions in tempdir; r11 self-review
-    finding)."""
+    dataset path, its parquet file sizes AND mtimes (the .plan_cache
+    keying rule — size alone would serve a stale catalog if testdata
+    were regenerated byte-for-byte-sized; ADVICE r11), the sketch-shape
+    constants AND the caller's column spec — a spec or width/depth/k
+    change must mint a FRESH directory, or ensure_catalog would
+    silently serve old-shape sketches against a new-shape oracle (the
+    artifact outlives sessions in tempdir; r11 self-review finding)."""
     h = hashlib.md5(os.path.abspath(sf_dir).encode())
     h.update(
         f"w{CMS_WIDTH}:d{CMS_DEPTH}:k{KMV_K}:h{HIST_BUCKETS}:{spec!r}".encode()
@@ -267,7 +268,8 @@ def catalog_path(
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         try:
-            h.update(f"{t}:{os.path.getsize(p)}".encode())
+            st = os.stat(p)
+            h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
         except OSError:
             h.update(f"{t}:?".encode())
     return os.path.join(

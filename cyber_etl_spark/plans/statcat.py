@@ -368,9 +368,13 @@ def _estimates_sql() -> str:
     the persisted parquet, which is exactly the point: persist → reload
     → estimate must reproduce what a from-scratch engine computes."""
     kmv_num = f"CAST({KMV_NUM} AS HUGEINT)"
+    # cat feeds cms/kmv/mom and cms feeds per_r + the cross estimate:
+    # multiply-referenced CTEs MUST be AS MATERIALIZED or DuckDB's
+    # inlining recomputes the full 11-branch catalog per reference
+    # (the q141/q255 blowup class; ADVICE r11).
     return f"""
-    WITH cat AS ({_FULL_CATALOG_SQL}),
-    cms AS (SELECT * FROM cat WHERE kind = 'cms'),
+    WITH cat AS MATERIALIZED ({_FULL_CATALOG_SQL}),
+    cms AS MATERIALIZED (SELECT * FROM cat WHERE kind = 'cms'),
     per_r AS (
       SELECT tbl, col, r, SUM(v) AS tot, SUM(v * v) AS ip
       FROM cms GROUP BY 1, 2, 3
@@ -388,7 +392,15 @@ def _estimates_sql() -> str:
       FROM key_stats k JOIN kmv USING (tbl, col)
     ),
     cross_est AS (
-      SELECT MIN(ip) AS est FROM (
+      -- enumerate ALL depth rows from a spine: a hash row with zero
+      -- overlapping buckets contributes ip = 0 to the MIN (matching
+      -- the Python side's zero-initialized per-row accumulator) — a
+      -- bare JOIN+GROUP BY would silently DROP that row from the MIN
+      -- (ADVICE r11; unreachable on FK-overlapping keys, divergent on
+      -- disjoint key sets)
+      SELECT MIN(COALESCE(x.ip, 0)) AS est
+      FROM (SELECT unnest(range(0, {CMS_DEPTH})) AS r) d
+      LEFT JOIN (
         SELECT l.r, SUM(l.v * o.v) AS ip
         FROM (SELECT * FROM cms
               WHERE tbl = 'lineitem' AND col = 'l_orderkey') l
@@ -396,7 +408,7 @@ def _estimates_sql() -> str:
               WHERE tbl = 'orders' AND col = 'o_orderkey') o
           ON l.r = o.r AND l.b = o.b
         GROUP BY 1
-      )
+      ) x ON d.r = x.r
     ),
     mom AS (
       SELECT tbl, col,
@@ -819,9 +831,13 @@ _JOIN_PLANS = (
 
 def _cms_cross_sql(a_tbl: str, a_col: str, b_tbl: str, b_col: str) -> str:
     """min-over-rows CMS inner product of two catalog sketches (the
-    q375 estimator) as a DuckDB scalar subquery over the `cms` CTE."""
+    q375 estimator) as a DuckDB scalar subquery over the `cms` CTE.
+    The depth spine + COALESCE keeps a zero-overlap hash row in the MIN
+    as ip = 0, matching the Python accumulator (ADVICE r11)."""
     return f"""(
-      SELECT MIN(ip) FROM (
+      SELECT MIN(COALESCE(x.ip, 0))
+      FROM (SELECT unnest(range(0, {CMS_DEPTH})) AS r) d
+      LEFT JOIN (
         SELECT a.r, SUM(a.v * b.v) AS ip
         FROM (SELECT * FROM cms
               WHERE tbl = '{a_tbl}' AND col = '{a_col}') a
@@ -829,7 +845,7 @@ def _cms_cross_sql(a_tbl: str, a_col: str, b_tbl: str, b_col: str) -> str:
               WHERE tbl = '{b_tbl}' AND col = '{b_col}') b
           ON a.r = b.r AND a.b = b.b
         GROUP BY 1
-      )
+      ) x ON d.r = x.r
     )"""
 
 
@@ -852,8 +868,8 @@ def _join_order_sql() -> str:
         for name, a, b in _JOIN_PLANS
     )
     return f"""
-    WITH cat AS ({_FULL_CATALOG_SQL}),
-    cms AS (SELECT * FROM cat WHERE kind = 'cms'),
+    WITH cat AS MATERIALIZED ({_FULL_CATALOG_SQL}),
+    cms AS MATERIALIZED (SELECT * FROM cat WHERE kind = 'cms'),
     plans AS ({plan_rows}),
     ranked AS (
       SELECT plan, est_intermediate, exact_intermediate,
@@ -1065,8 +1081,8 @@ _SKEW_SHARE_PPM = 10_000  # 1% in micro units
 @query(
     "q385_join_skew_audit",
     oracle=f"""
-    WITH cat AS ({_FULL_CATALOG_SQL}),
-    cms AS (SELECT * FROM cat WHERE kind = 'cms'),
+    WITH cat AS MATERIALIZED ({_FULL_CATALOG_SQL}),
+    cms AS MATERIALIZED (SELECT * FROM cat WHERE kind = 'cms'),
     upper_est AS (
       SELECT tbl, col, MIN(mx) AS upper_freq, MAX(tot) AS n_rows
       FROM (

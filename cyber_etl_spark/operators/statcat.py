@@ -17,28 +17,39 @@ is ONE parquet table and new kinds need no migration):
 
     tbl  string   -- source table name
     col  string   -- column the sketch summarizes
-    kind string   -- 'cms' | 'kmv' | 'moment' | 'hist'
-    r    long     -- cms: hash-row index; otherwise 0
+    kind string   -- 'cms' | 'kmv' | 'moment' | 'hist' | 'ew' | 'minh'
+    r    long     -- cms: hash-row index; minh: slot (hash-fn) index;
+                     otherwise 0
     b    long     -- cms: bucket; moment: stat id (_M_* constants);
-                     hist: boundary index 0..HIST_BUCKETS; kmv: 0
+                     hist: boundary index 0..HIST_BUCKETS; ew:
+                     fixed-grid bucket index; kmv/minh: 0
     v    decimal(38,0)
-                  -- cms: exact cell count; kmv: 52-bit md5 hash value;
-                     moment: exact integer statistic (micro-units for
-                     value sums — see grid notes below); hist:
-                     micro-snapped boundary value at an exact rank
+                  -- cms/ew: exact cell count; kmv/minh: 52-bit md5
+                     hash value; moment: exact integer statistic
+                     (micro-units for value sums — see grid notes
+                     below); hist: micro-snapped boundary value at an
+                     exact rank
 
 Mergeability (the property the whole design rests on):
 
-- cms cells and moment rows merge by per-key integer ADDITION —
-  partitioning/slicing independent (operators/countmin discipline).
+- cms cells, moment rows and ew (fixed-grid equi-width histogram)
+  bucket counts merge by per-key integer ADDITION — partitioning/
+  slicing independent (operators/countmin discipline).  ew is the
+  MERGEABLE distribution summary (r11 verdict item #3): its bucket
+  boundaries are fixed by the spec (a cell size over the micro grid),
+  not by the data, so counts fold like any other counter.
 - kmv rows merge by DISTINCT-then-bottom-k: the union's k smallest
   hashes are contained in the union of the sides' bottom-k sets, so
   merge(build(A), build(B)) == build(A ∪ B) EXACTLY.  (Beyer et al.'s
   KMV algebra; the q376 estimator reads only COUNT and MAX of the k
   values, so rank columns are not stored.)
-- hist rows do NOT merge (order statistics aren't additive):
-  merge_catalogs raises on them; the re-ANALYZE cadence rebuilds
-  histograms from data (:func:`equidepth_hist`).
+- minh rows (one-permutation-per-slot MinHash signatures) merge by
+  per-slot MIN: min over A ∪ B = min(min over A, min over B) — the
+  signature of a union is the slot-wise minimum of the signatures.
+- hist rows do NOT merge (DATA-DEPENDENT order statistics aren't
+  additive): merge_catalogs raises on them; the re-ANALYZE cadence
+  rebuilds equi-DEPTH histograms from data (:func:`equidepth_hist`).
+  The ew kind exists precisely because this one can't fold.
 
 Grid budgets: cms counts and kmv hashes (< 2^52) fit int64 trivially;
 moment sums ride DECIMAL(38,0) — micro-unit squares are ~1e17 PER ROW
@@ -200,22 +211,103 @@ def equidepth_hist(df: DataFrame, tbl: str, col: str) -> DataFrame:
     return spark.createDataFrame(vals, CATALOG_SCHEMA)
 
 
+def equiwidth_counts(
+    df: DataFrame, tbl: str, col: str, cell_micro: int
+) -> DataFrame:
+    """Fixed-grid equi-width histogram catalog rows (kind='ew'): bucket
+    b = xu div cell_micro over the micro-snapped integer domain,
+    v = exact row count.  Boundaries are fixed by the SPEC (cell size),
+    never by the data, so counts merge by per-bucket addition — the
+    mergeable distribution summary the equi-depth kind can't be
+    (r11 verdict item #3).
+
+    Non-negative columns only (the value_moments contract): a negative
+    micro value would floor-divide differently in Spark (`div`
+    truncates toward zero) and DuckDB (`//` floors), so it raises
+    loudly instead of silently diverging."""
+    if cell_micro <= 0:
+        raise ValueError(f"equiwidth_counts: cell_micro must be > 0, got {cell_micro}")
+    xu = (
+        f"CAST(floor({col} * 1000000 + 0.5) AS BIGINT)"
+    )
+    guarded = (
+        f"CASE WHEN {xu} < 0 THEN raise_error('equiwidth_counts: negative"
+        f" value in {tbl}.{col} — the ew grid is non-negative-only')"
+        f" ELSE {xu} div {cell_micro} END"
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.expr(guarded).alias("b"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("v"))
+        .select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.lit("ew").alias("kind"),
+            F.lit(0).cast("long").alias("r"),
+            "b",
+            "v",
+        )
+    )
+
+
+MINH_SLOTS = 16
+
+
+def minhash_rows(
+    df: DataFrame, tbl: str, col: str, slots: int = MINH_SLOTS
+) -> DataFrame:
+    """MinHash signature catalog rows (kind='minh'): for each slot r,
+    the MINIMUM 52-bit md5 hash of ``r:value`` over the column's
+    distinct non-null values — one independent hash family per slot
+    (the cms "r:item" text convention at kmv's 13-hex width).  The
+    signature of a union is the slot-wise minimum of the signatures,
+    so minh rows merge by per-(r) MIN; slot-equality between two
+    columns' signatures estimates their set Jaccard (P[min-hash
+    collision] = J)."""
+    u = (
+        "CAST(conv(substr(md5(concat(CAST(r AS STRING), ':',"
+        " CAST(k AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    return (
+        df.select(F.col(col).alias("k"))
+        .where(F.col("k").isNotNull())
+        .distinct()
+        .select(
+            F.explode(F.expr(f"sequence(0, {slots - 1})")).alias("r"), "k"
+        )
+        .groupBy("r")
+        .agg(F.min(F.expr(u)).alias("mu"))
+        .select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.lit("minh").alias("kind"),
+            F.col("r").cast("long").alias("r"),
+            F.lit(0).cast("long").alias("b"),
+            F.col("mu").cast("decimal(38,0)").alias("v"),
+        )
+    )
+
+
 def merge_catalogs(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
     """Fold two catalogs built on DISJOINT row sets of the same tables:
-    cms/moment rows add cell-wise; kmv rows take the bottom-k of the
-    distinct hash union.  merge(build(A), build(B)) == build(A ∪ B)
-    exactly (module docstring), which is the incremental-maintenance
-    contract: yesterday's catalog + today's batch catalog = the catalog
-    a full rebuild would produce.
+    cms/moment/ew rows add cell-wise; kmv rows take the bottom-k of the
+    distinct hash union; minh rows take the per-slot MIN.
+    merge(build(A), build(B)) == build(A ∪ B) exactly (module
+    docstring), which is the incremental-maintenance contract:
+    yesterday's catalog + today's batch catalog = the catalog a full
+    rebuild would produce.  (For minh, "disjoint row sets" relaxes to
+    ANY split whose union is the full set — MIN is idempotent.)
 
     Scale: additive kinds are one groupBy over O(|columns|·depth·width)
     summary rows; the kmv fold is a bounded collect_set (≤ 2k hashes
-    per column) — never a window, never data-sized.
+    per column); the minh fold a groupBy-MIN over ≤ 2·slots rows —
+    never a window, never data-sized.
 
     hist rows are REJECTED loudly: equi-depth boundaries are order
     statistics, which do not merge — folding them additively would
     corrupt the artifact silently.  Rebuild histograms from data
-    (:func:`equidepth_hist`) on the re-ANALYZE cadence instead."""
+    (:func:`equidepth_hist`) on the re-ANALYZE cadence instead; keep
+    the ew kind alongside when a MERGEABLE shape summary is needed."""
     u = a.unionAll(b)
     u = u.withColumn(
         "kind",
@@ -228,9 +320,14 @@ def merge_catalogs(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
         ).otherwise(F.col("kind")),
     )
     additive = (
-        u.where(F.col("kind") != "kmv")
+        u.where(~F.col("kind").isin("kmv", "minh"))
         .groupBy("tbl", "col", "kind", "r", "b")
         .agg(F.sum("v").cast("decimal(38,0)").alias("v"))
+    )
+    minh = (
+        u.where(F.col("kind") == "minh")
+        .groupBy("tbl", "col", "kind", "r", "b")
+        .agg(F.min("v").cast("decimal(38,0)").alias("v"))
     )
     kmv = (
         u.where(F.col("kind") == "kmv")
@@ -247,7 +344,7 @@ def merge_catalogs(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
             F.explode("us").alias("v"),
         )
     )
-    return additive.unionAll(kmv.select(*additive.columns))
+    return additive.unionAll(minh).unionAll(kmv.select(*additive.columns))
 
 
 def catalog_path(

@@ -26,12 +26,15 @@ from ..operators.statcat import (
     HIST_BUCKETS,
     KMV_K,
     KMV_NUM,
+    MINH_SLOTS,
     catalog_path,
     ensure_catalog,
     equidepth_hist,
+    equiwidth_counts,
     key_sketches,
     load_catalog,
     merge_catalogs,
+    minhash_rows,
     value_moments,
 )
 from ..session import SessionMemo, session_token
@@ -175,16 +178,20 @@ def q377_stats_catalog_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair for every deterministic row split in this module (r11 self-review
 # finding 5 — q384's disjointness note relies on all slices agreeing on
 # digit ranges, so the text must have a single source)
-def _md5_slice_sql(start: int, mod: int, eq: int) -> str:
+def _md5_slice_sql(
+    start: int, mod: int, eq: int, key: str = "CAST(event_id AS VARCHAR)"
+) -> str:
     return (
-        f"CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), {start}, 8))"
+        f"CAST(('0x' || substr(md5({key}), {start}, 8))"
         f" AS BIGINT) % {mod} = {eq}"
     )
 
 
-def _md5_slice_spark(start: int, mod: int, eq: int) -> str:
+def _md5_slice_spark(
+    start: int, mod: int, eq: int, key: str = "CAST(event_id AS STRING)"
+) -> str:
     return (
-        f"CAST(conv(substr(md5(CAST(event_id AS STRING)), {start}, 8), 16, 10)"
+        f"CAST(conv(substr(md5({key}), {start}, 8), 16, 10)"
         f" AS BIGINT) % {mod} = {eq}"
     )
 
@@ -1314,4 +1321,235 @@ def q386_catalog_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "stat string, stale double, fresh double, drift_share double,"
         " needs_reanalyze boolean",
+    )
+
+
+# ---- mergeable equi-width histogram kind (q387/q388) ----------------------
+
+# (table, column, cell size in micro units, delta-split predicates):
+# boundaries are FIXED BY THIS SPEC — never by the data — which is what
+# makes the counts fold by addition (r11 verdict item #3).  Cells size
+# the grid to ~25 buckets over each column's natural range.
+_LI_SPLIT_KEY_SPARK = (
+    "concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))"
+)
+_LI_SPLIT_KEY_SQL = (
+    "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+)
+_EW_SPEC = (
+    ("events", "value", 20_000_000, _DELTA_SPARK, _DELTA_SQL),
+    (
+        "lineitem",
+        "l_extendedprice",
+        5_000_000_000,
+        _md5_slice_spark(1, 10, 0, key=_LI_SPLIT_KEY_SPARK),
+        _md5_slice_sql(1, 10, 0, key=_LI_SPLIT_KEY_SQL),
+    ),
+)
+
+
+def _ew_rows_sql(rel: str, key: str, tbl: str, cell_micro: int) -> str:
+    """DuckDB twin of operators/statcat.equiwidth_counts: fixed-grid
+    bucket = micro-snapped value floor-divided by the spec cell size
+    (both operands non-negative, so DuckDB ``//`` and Spark ``div``
+    agree — the operator raises on negatives)."""
+    return f"""
+      SELECT '{tbl}' AS tbl, '{key}' AS col, 'ew' AS kind,
+             CAST(0 AS BIGINT) AS r,
+             CAST(floor({key} * 1000000 + 0.5) AS BIGINT)
+               // {cell_micro} AS b,
+             CAST(COUNT(*) AS HUGEINT) AS v
+      FROM {rel} WHERE {key} IS NOT NULL
+      GROUP BY 1, 2, 3, 4, 5
+    """
+
+
+def _ew_path(sf_dir: str) -> str:
+    return catalog_path(
+        sf_dir,
+        tuple(t for t, _c, _w, _sp, _sq in _EW_SPEC),
+        spec=tuple((t, c, w) for t, c, w, _sp, _sq in _EW_SPEC),
+    ) + "-ew"
+
+
+def _ew_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized merged ew rows: per-table corpus/delta builds folded by
+    merge_catalogs' additive branch — the maintained form of the
+    mergeable histogram (corpus side never rescanned in production)."""
+    key = (session_token(spark), sf_dir, "ew_merged")
+    if key not in _CAT_CACHE:
+        corpus_parts, delta_parts = [], []
+        for tbl, col, cell, split_spark, _split_sql in _EW_SPEC:
+            df = read_table(spark, sf_dir, tbl)
+            split = F.expr(split_spark)
+            corpus_parts.append(
+                equiwidth_counts(df.where(~split), tbl, col, cell)
+            )
+            delta_parts.append(
+                equiwidth_counts(df.where(split), tbl, col, cell)
+            )
+        corpus = corpus_parts[0]
+        for p in corpus_parts[1:]:
+            corpus = corpus.unionAll(p)
+        delta = delta_parts[0]
+        for p in delta_parts[1:]:
+            delta = delta.unionAll(p)
+        _CAT_CACHE[key] = merge_catalogs(corpus, delta).localCheckpoint(
+            eager=True
+        )
+    return _CAT_CACHE[key]
+
+
+@query(
+    "q387_equiwidth_hist_merge",
+    oracle=f"""
+    SELECT tbl, col, kind, r, b, CAST(v AS VARCHAR) AS v
+    FROM ({" UNION ALL ".join(
+        _ew_rows_sql(t, c, t, w) for t, c, w, _sp, _sq in _EW_SPEC)})
+    ORDER BY tbl, col, kind, r, b, v
+    """,
+    tags=("sketch", "catalog", "histogram", "incremental"),
+)
+def q387_equiwidth_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE distribution summary the equi-depth kind can't be
+    (r11 verdict item #3): fixed-grid equi-width bucket counts
+    (kind='ew') whose boundaries come from the SPEC (a cell size over
+    the micro-snapped integer domain), so per-bucket counts fold by
+    addition.  Gated by the defining identity: each profiled table is
+    split corpus/delta by a deterministic md5 fraction, each side's
+    histogram built independently, MERGED — and the oracle computes the
+    single-pass full build directly, proving
+    merge(build(A), build(B)) == build(A ∪ B) exactly (the q378
+    contract extended to a distribution-shape summary).  The merged
+    rows persist next to the sketch catalog (ensure_catalog lifecycle)
+    and q388's drift monitor consumes them.
+
+    Scale plan: one map-side-combinable groupBy per (table, column) per
+    side; the fold is a groupBy-sum over O(|buckets|) summary rows.  At
+    100 TB this is the daily-batch histogram maintenance path — the
+    corpus side is never rescanned (memoized+pinned here, persisted in
+    production).
+
+    Exactness: bucket index = exact integer floor-division of the
+    micro-snapped value by the spec cell (both operands non-negative by
+    the operator's loud guard, so Spark `div` and DuckDB `//` agree);
+    counts are exact integers, published as STRING (catalog-row
+    convention)."""
+    merged = _ew_merged(spark, sf_dir)
+    ensure_catalog(_ew_path(sf_dir), lambda: merged)
+    return merged.select(
+        "tbl", "col", "kind", "r", "b", F.col("v").cast("string").alias("v")
+    ).orderBy("tbl", "col", "kind", "r", "b", "v")
+
+
+# q388: re-ANALYZE trigger on SHAPE — total-variation distance between
+# the stale (corpus-only) and fresh (full) ew histograms.
+_EW_MAX_ROWS = 4096  # loud contract cap for the driver-side collect
+
+
+def _ew_drift_sql() -> str:
+    ctes, rows = [], []
+    for tbl, col, cell, _split_spark, split_sql in _EW_SPEC:
+        corpus_rel = f"(SELECT * FROM {tbl} WHERE NOT ({split_sql})) c{tbl}"
+        ctes.append(
+            f"s_{tbl} AS MATERIALIZED ({_ew_rows_sql(corpus_rel, col, tbl, cell)}),\n"
+            f"    f_{tbl} AS MATERIALIZED ({_ew_rows_sql(tbl, col, tbl, cell)}),\n"
+            f"    t_{tbl} AS (\n"
+            f"      SELECT (SELECT SUM(v) FROM s_{tbl}) AS n_s,\n"
+            f"             (SELECT SUM(v) FROM f_{tbl}) AS n_f\n"
+            f"    ),\n"
+            f"    d_{tbl} AS (\n"
+            f"      SELECT MIN(t.n_s) AS n_s, MIN(t.n_f) AS n_f,\n"
+            f"             SUM(ABS(COALESCE(s.v, 0) * t.n_f\n"
+            f"                     - COALESCE(f.v, 0) * t.n_s)) AS num\n"
+            f"      FROM s_{tbl} s FULL OUTER JOIN f_{tbl} f ON s.b = f.b,\n"
+            f"           t_{tbl} t\n"
+            f"    )"
+        )
+        rows.append(
+            f"""
+      SELECT '{tbl}' AS tbl, '{col}' AS col,
+             CAST(n_s AS BIGINT) AS n_stale,
+             CAST(n_f AS BIGINT) AS n_fresh,
+             CAST((2 * num * 1000000 + 2 * n_s * n_f)
+                  // (4 * n_s * n_f) AS DOUBLE) / 1000000 AS tv_share,
+             (2 * num * 1000000 + 2 * n_s * n_f) // (4 * n_s * n_f)
+               > {_REANALYZE_PPM} AS needs_reanalyze
+      FROM d_{tbl}"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT * FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY tbl, col"
+    )
+
+
+@query(
+    "q388_ew_shape_drift",
+    oracle=_ew_drift_sql(),
+    tags=("catalog", "drift", "histogram", "maintenance"),
+)
+def q388_ew_shape_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-SHAPE staleness, the monitor q386 couldn't express
+    with scalars alone: total-variation distance between the stale
+    (corpus-only) and fresh (full, served from q387's persisted
+    artifact) equi-width histograms, with `needs_reanalyze` fired at
+    the shared 5% threshold.  On this data the delta batch is a
+    uniform md5 fraction, so the SHAPE stays put (TV ≈ 0, no trigger)
+    while q386's row-count monitor fires — together they make the
+    correct maintenance call: re-count, don't re-profile.
+
+    Scale plan: the fresh side reads O(|buckets|) persisted rows; the
+    stale side is one map-side-combinable groupBy per table (memoized
+    here, the persisted yesterday-artifact in production); the TV
+    comparison is driver-side integer arithmetic over two bounded
+    summaries under a loud row cap (q379 contract).
+
+    Exactness: TV = Σ_b |c_s·n_f − c_f·n_s| / (2·n_s·n_f) evaluated as
+    ONE half-away integer division (numerator and denominator widened
+    to Python int / HUGEINT — c·n is n²-scale, past int64 at ~3e9
+    rows); the 5% trigger is an integer compare on the same quotient
+    text in both engines."""
+    path = _ew_path(sf_dir)
+    ensure_catalog(path, lambda: _ew_merged(spark, sf_dir))
+    fresh_rows = load_catalog(spark, path).limit(_EW_MAX_ROWS + 1).collect()
+    if len(fresh_rows) > _EW_MAX_ROWS:
+        raise ValueError(
+            f"ew artifact exceeds its cap ({len(fresh_rows)} > {_EW_MAX_ROWS})"
+            " — grid mis-sized or artifact corrupt"
+        )
+    fresh: dict[tuple, dict[int, int]] = {}
+    for r in fresh_rows:
+        if r.kind == "ew":
+            fresh.setdefault((r.tbl, r.col), {})[int(r.b)] = int(r.v)
+
+    out = []
+    for tbl, col, cell, split_spark, _split_sql in _EW_SPEC:
+        df = read_table(spark, sf_dir, tbl)
+        stale_df = equiwidth_counts(
+            df.where(~F.expr(split_spark)), tbl, col, cell
+        )
+        stale = {
+            int(r.b): int(r.v)
+            for r in stale_df.limit(_EW_MAX_ROWS + 1).collect()
+        }
+        if len(stale) > _EW_MAX_ROWS:
+            raise ValueError("stale ew side exceeds its cap")
+        fr = fresh[(tbl, col)]
+        n_s, n_f = sum(stale.values()), sum(fr.values())
+        num = sum(
+            abs(stale.get(b, 0) * n_f - fr.get(b, 0) * n_s)
+            for b in set(stale) | set(fr)
+        )
+        tv_u = (2 * num * 1_000_000 + 2 * n_s * n_f) // (4 * n_s * n_f)
+        out.append(
+            (tbl, col, n_s, n_f, tv_u / 1e6, tv_u > _REANALYZE_PPM)
+        )
+    out.sort(key=lambda t: (t[0], t[1]))
+    return spark.createDataFrame(
+        out,
+        "tbl string, col string, n_stale long, n_fresh long,"
+        " tv_share double, needs_reanalyze boolean",
     )

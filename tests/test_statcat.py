@@ -343,3 +343,71 @@ def test_catalog_lookup_partition_prunes(spark, sf_smoke):
     assert "tbl" in pf and "= events" in pf, line
     assert "col" in pf and "= user_id" in pf, line
     assert "DataFilters: []" in line, line
+
+
+def test_ew_merge_is_additive_and_minh_merge_is_min(spark):
+    """The two r12 mergeable kinds: ew bucket counts fold by addition
+    on ANY disjoint split; minh signature rows fold by per-slot MIN on
+    ANY split (idempotent — overlapping sides allowed)."""
+    from cyber_etl_spark.operators.statcat import (
+        equiwidth_counts,
+        merge_catalogs,
+        minhash_rows,
+    )
+
+    full = spark.range(0, 400).select(
+        (F.col("id") % 90).cast("double").alias("x"),
+        (F.col("id") % 37).alias("k"),
+    )
+    a = full.where(F.col("k") % 3 == 0)
+    b = full.where(F.col("k") % 3 != 0)
+
+    ew_full = _rows(equiwidth_counts(full, "t", "x", 10_000_000))
+    ew_merged = _rows(
+        merge_catalogs(
+            equiwidth_counts(a, "t", "x", 10_000_000),
+            equiwidth_counts(b, "t", "x", 10_000_000),
+        )
+    )
+    assert ew_merged == ew_full
+
+    mh_full = _rows(minhash_rows(full, "t", "k", slots=8))
+    # overlapping split: MIN is idempotent, merge must still equal full
+    a2 = full.where(F.col("k") < 25)
+    b2 = full.where(F.col("k") > 10)
+    mh_merged = _rows(
+        merge_catalogs(
+            minhash_rows(a2, "t", "k", slots=8),
+            minhash_rows(b2, "t", "k", slots=8),
+        )
+    )
+    assert mh_merged == mh_full
+    assert len(mh_full) == 8
+
+
+def test_ew_negative_value_raises(spark):
+    """The ew grid is non-negative-only: Spark `div` truncates toward
+    zero while DuckDB `//` floors, so a negative micro value must fail
+    loudly instead of silently diverging cross-engine."""
+    from cyber_etl_spark.operators.statcat import equiwidth_counts
+
+    neg = spark.range(0, 10).select((F.col("id") - 5).cast("double").alias("x"))
+    with pytest.raises(Exception, match="negative"):
+        equiwidth_counts(neg, "t", "x", 1_000_000).collect()
+
+
+def test_minhash_slot_match_estimates_jaccard(spark):
+    """P[slot signature match] = Jaccard: on two sets with known
+    overlap, the match share must land within the binomial 4σ band
+    (published bound, never hand-tuned): σ = sqrt(J(1-J)/slots)."""
+    from cyber_etl_spark.operators.statcat import minhash_rows
+
+    slots = 64
+    a = spark.range(0, 300).select(F.col("id").alias("k"))  # {0..299}
+    b = spark.range(150, 450).select(F.col("id").alias("k"))  # {150..449}
+    j_true = 150 / 450  # |∩|=150, |∪|=450
+    sa = {r.r: int(r.v) for r in minhash_rows(a, "t", "k", slots=slots).collect()}
+    sb = {r.r: int(r.v) for r in minhash_rows(b, "t", "k", slots=slots).collect()}
+    matches = sum(1 for r in sa if sa[r] == sb[r])
+    sigma = math.sqrt(j_true * (1 - j_true) / slots)
+    assert abs(matches / slots - j_true) <= 4 * sigma

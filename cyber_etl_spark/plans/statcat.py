@@ -1553,3 +1553,136 @@ def q388_ew_shape_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbl string, col string, n_stale long, n_fresh long,"
         " tv_share double, needs_reanalyze boolean",
     )
+
+
+# ---- catalog-driven broadcast-vs-shuffle decision (q389) ------------------
+
+# broadcast a join side when its catalog-estimated row count clears this
+# (the row-count stand-in for autoBroadcastJoinThreshold's byte budget;
+# a real planner multiplies by the avg row width it also catalogs)
+_BCAST_ROWS = 20_000
+
+
+def catalog_row_estimates(
+    spark: SparkSession, sf_dir: str
+) -> dict[tuple[str, str], int]:
+    """Catalog-served row-count estimates for every sketched key column:
+    each CMS hash row's bucket counts sum to EXACTLY the non-null row
+    count, so n̂ = max over rows of Σ_b v (driver-side under the q379
+    bounded-artifact contract)."""
+    path = catalog_path(sf_dir, _CAT_TABLES, spec=_KEY_SPEC)
+    ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
+    tot: dict[tuple, dict[int, int]] = {}
+    for row in (
+        load_catalog(spark, path).where(F.col("kind") == "cms").collect()
+    ):
+        key = (row.tbl, row.col)
+        per_r = tot.setdefault(key, dict.fromkeys(range(CMS_DEPTH), 0))
+        per_r[row.r] += int(row.v)
+    return {key: max(per_r.values()) for key, per_r in tot.items()}
+
+
+def decided_join(
+    spark: SparkSession, sf_dir: str, threshold: int = _BCAST_ROWS
+) -> tuple[DataFrame, bool]:
+    """customer ⋈ orders with the physical strategy chosen FROM THE
+    CATALOG (the decision q389 audits, applied): broadcast the customer
+    side iff its estimated row count clears ``threshold``, else pin a
+    shuffle (merge) join.  Returns (joined plan, broadcast_decision) so
+    the plan test can assert the chosen strategy actually appears in
+    the physical plan."""
+    est = catalog_row_estimates(spark, sf_dir)[("customer", "c_custkey")]
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    bcast = est <= threshold
+    right = F.broadcast(cust) if bcast else cust.hint("merge")
+    joined = orders.join(
+        right, orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_mktsegment")
+    return joined, bcast
+
+
+def _broadcast_decision_sql() -> str:
+    ex_rows = " UNION ALL ".join(
+        f"SELECT '{tbl}' AS tbl, '{col}' AS col, COUNT({col}) AS n"
+        f" FROM {tbl}"
+        for tbl, col in _KEY_SPEC
+    )
+    return f"""
+    WITH cat AS MATERIALIZED ({_FULL_CATALOG_SQL}),
+    cms AS MATERIALIZED (SELECT * FROM cat WHERE kind = 'cms'),
+    est AS (
+      SELECT tbl, col, MAX(tot) AS n_est FROM (
+        SELECT tbl, col, r, SUM(v) AS tot FROM cms GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    ex AS ({ex_rows})
+    SELECT e.tbl, e.col,
+           CAST(e.n_est AS BIGINT) AS est_rows,
+           CAST(x.n AS BIGINT) AS exact_rows,
+           e.n_est <= {_BCAST_ROWS} AS broadcast_est,
+           x.n <= {_BCAST_ROWS} AS broadcast_exact,
+           (e.n_est <= {_BCAST_ROWS}) = (x.n <= {_BCAST_ROWS}) AS agree
+    FROM est e JOIN ex x ON e.tbl = x.tbl AND e.col = x.col
+    ORDER BY e.tbl, e.col
+    """
+
+
+@query(
+    "q389_broadcast_decision",
+    oracle=_broadcast_decision_sql(),
+    tags=("catalog", "planning", "join", "broadcast"),
+)
+def q389_broadcast_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-vs-shuffle call, served from the catalog (r11
+    verdict item #6 — the q383 join-ORDER decision's physical-strategy
+    twin): for every sketched join key, the catalog row-count estimate
+    (each CMS hash row sums to exactly the non-null count), the exact
+    truth, and the broadcast decision each side would make at a fixed
+    row threshold, with `agree` auditing whether estimate-driven
+    planning picks the same strategy truth would.  CMS row sums are
+    EXACT row counts (collisions move counts between buckets, never
+    across rows), so est == exact here by construction — the audit
+    exists for the catalog-staleness case, where the persisted estimate
+    and the live table diverge (q386's trigger feeds this).
+
+    The decision is also APPLIED, not just reported:
+    :func:`decided_join` builds customer ⋈ orders broadcasting the
+    customer side iff the catalog clears it, and the plan test pins
+    BroadcastHashJoin (or the shuffle fallback) in the physical plan.
+
+    Scale plan: decision side reads O(depth·width) persisted rows
+    driver-side (q379 contract); the truth side is one COUNT aggregate
+    per column — and at 100 TB the whole point is that the decision
+    side NEVER touches the table.
+
+    Exactness: all-integer compares; thresholds are spec constants
+    shared verbatim by both engines."""
+    est = catalog_row_estimates(spark, sf_dir)
+    by_tbl: dict[str, list[str]] = {}
+    for tbl, col in _KEY_SPEC:
+        by_tbl.setdefault(tbl, []).append(col)
+    exact: dict[tuple[str, str], int] = {}
+    for tbl, cols in by_tbl.items():
+        row = (
+            read_table(spark, sf_dir, tbl)
+            .agg(*[F.count(c).alias(c) for c in cols])
+            .collect()[0]
+        )
+        for c in cols:
+            exact[(tbl, c)] = int(row[c])
+
+    out = []
+    for key in sorted(est):
+        e, x = est[key], exact[key]
+        be, bx = e <= _BCAST_ROWS, x <= _BCAST_ROWS
+        out.append((*key, e, x, be, bx, be == bx))
+    return spark.createDataFrame(
+        out,
+        "tbl string, col string, est_rows long, exact_rows long,"
+        " broadcast_est boolean, broadcast_exact boolean, agree boolean",
+    )

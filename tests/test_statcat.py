@@ -411,3 +411,22 @@ def test_minhash_slot_match_estimates_jaccard(spark):
     matches = sum(1 for r in sa if sa[r] == sb[r])
     sigma = math.sqrt(j_true * (1 - j_true) / slots)
     assert abs(matches / slots - j_true) <= 4 * sigma
+
+
+def test_decided_join_strategy_appears_in_plan(spark, sf_smoke):
+    """q389's decision is executable, not just reported: when the
+    catalog clears the customer side, BroadcastHashJoin must appear in
+    the executed plan; when the threshold rejects it, the shuffle
+    (merge) fallback must."""
+    from cyber_etl_spark.plans.statcat import decided_join
+
+    joined, bcast = decided_join(spark, sf_smoke)
+    assert bcast  # smoke-scale customer is tiny
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    joined_smj, bcast_smj = decided_join(spark, sf_smoke, threshold=10)
+    assert not bcast_smj
+    plan_smj = joined_smj._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_smj
+    assert "BroadcastHashJoin" not in plan_smj

@@ -1686,3 +1686,222 @@ def q389_broadcast_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbl string, col string, est_rows long, exact_rows long,"
         " broadcast_est boolean, broadcast_exact boolean, agree boolean",
     )
+
+
+# ---- minhash signature kind: merge identity + set similarity (q390/q391) --
+
+
+def _minh_rows_sql(rel: str, key: str, tbl: str) -> str:
+    """DuckDB twin of operators/statcat.minhash_rows: per-slot MIN of
+    the 52-bit md5 hash of ``r:value`` over distinct non-null values
+    (the cms "r:item" text convention at kmv's 13-hex width)."""
+    return f"""
+      SELECT '{tbl}' AS tbl, '{key}' AS col, 'minh' AS kind, r.r,
+             CAST(0 AS BIGINT) AS b,
+             CAST(MIN(CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                  || CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)) AS HUGEINT)
+               AS v
+      FROM (SELECT DISTINCT {key} AS k FROM {rel}
+            WHERE {key} IS NOT NULL) t,
+           (SELECT unnest(range(0, {MINH_SLOTS})) AS r) r
+      GROUP BY 1, 2, 3, 4, 5
+    """
+
+
+@query(
+    "q390_minhash_signature_merge",
+    oracle=f"""
+    SELECT tbl, col, kind, r, b, CAST(v AS VARCHAR) AS v
+    FROM ({_minh_rows_sql("events", "user_id", "events")})
+    ORDER BY tbl, col, kind, r, b, v
+    """,
+    tags=("sketch", "catalog", "minhash", "incremental"),
+)
+def q390_minhash_signature_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures as a MAINTAINED catalog kind, gated by the
+    defining identity: split events corpus/delta by the shared md5
+    fraction, build each side's per-slot signature independently, merge
+    by slot-wise MIN — and the oracle computes the single-pass full
+    signature directly, proving merge(build(A), build(B)) ==
+    build(A ∪ B) exactly (min over a union is the min of mins; unlike
+    the additive kinds this identity holds for OVERLAPPING splits too).
+    A catalog that keeps signatures next to its KMV/CMS rows can answer
+    set-similarity questions between any two profiled columns without
+    touching data (q391 does exactly that).
+
+    Scale plan: one distinct + slot fan-out + groupBy-MIN per side
+    (map-side combinable; the fan-out is slots× over DISTINCT values,
+    never rows); the fold touches 2·slots summary rows.
+
+    Exactness: hashes are the deterministic 52-bit md5 text shared
+    verbatim with the oracle; published as STRING (catalog convention).
+    """
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    delta = F.expr(_DELTA_SPARK)
+    merged = merge_catalogs(
+        minhash_rows(ev.where(~delta), "events", "user_id"),
+        minhash_rows(ev.where(delta), "events", "user_id"),
+    )
+    return merged.select(
+        "tbl", "col", "kind", "r", "b", F.col("v").cast("string").alias("v")
+    ).orderBy("tbl", "col", "kind", "r", "b", "v")
+
+
+def _set_similarity_sql() -> str:
+    kmv_num = f"CAST({KMV_NUM} AS HUGEINT)"
+    return f"""
+    WITH ka AS MATERIALIZED (
+      SELECT u FROM (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                             1, 13)) AS BIGINT) AS u
+        FROM orders WHERE o_custkey IS NOT NULL
+      ) ORDER BY u LIMIT {KMV_K}
+    ),
+    kb AS MATERIALIZED (
+      SELECT u FROM (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                             1, 13)) AS BIGINT) AS u
+        FROM customer WHERE c_custkey IS NOT NULL
+      ) ORDER BY u LIMIT {KMV_K}
+    ),
+    uu AS MATERIALIZED (
+      SELECT u FROM (
+        SELECT DISTINCT u FROM (SELECT u FROM ka UNION ALL SELECT u FROM kb)
+      ) ORDER BY u LIMIT {KMV_K}
+    ),
+    nu AS (
+      SELECT COUNT(DISTINCT u) AS nu
+      FROM (SELECT u FROM ka UNION ALL SELECT u FROM kb)
+    ),
+    km AS (
+      SELECT COUNT(*) AS n_u,
+             SUM(CASE WHEN u IN (SELECT u FROM ka)
+                       AND u IN (SELECT u FROM kb)
+                 THEN 1 ELSE 0 END) AS kmatch,
+             MAX(u) AS uk
+      FROM uu
+    ),
+    sa AS MATERIALIZED ({_minh_rows_sql("orders", "o_custkey", "orders")}),
+    sb AS MATERIALIZED ({_minh_rows_sql("customer", "c_custkey", "customer")}),
+    mh AS (
+      SELECT SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS matches
+      FROM sa JOIN sb ON sa.r = sb.r
+    ),
+    ex AS (
+      SELECT a.na, b.nb, i.inter FROM
+        (SELECT COUNT(DISTINCT o_custkey) AS na FROM orders) a,
+        (SELECT COUNT(DISTINCT c_custkey) AS nb FROM customer) b,
+        (SELECT COUNT(*) AS inter FROM
+           (SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE o_custkey IS NOT NULL) x
+           JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+                 WHERE c_custkey IS NOT NULL) y ON x.k = y.k) i
+    )
+    SELECT stat, value FROM (
+      SELECT 'n_a_exact' AS stat, CAST(na AS DOUBLE) AS value FROM ex
+      UNION ALL SELECT 'n_b_exact', CAST(nb AS DOUBLE) FROM ex
+      UNION ALL SELECT 'intersection_exact', CAST(inter AS DOUBLE) FROM ex
+      UNION ALL SELECT 'jaccard_exact',
+        {_ha6_sql("inter", "na + nb - inter")} FROM ex
+      UNION ALL SELECT 'jaccard_minhash',
+        {_ha6_sql("matches", str(MINH_SLOTS))} FROM mh
+      UNION ALL SELECT 'jaccard_kmv', {_ha6_sql("kmatch", "n_u")} FROM km
+      UNION ALL SELECT 'union_kmv_est',
+        CASE WHEN nu.nu < {KMV_K} THEN CAST(nu.nu AS DOUBLE)
+             ELSE {_ha6_sql(kmv_num, "uk")} END
+        FROM km, nu
+    ) ORDER BY stat
+    """
+
+
+@query(
+    "q391_sketch_set_similarity",
+    oracle=_set_similarity_sql(),
+    tags=("sketch", "catalog", "similarity", "planning"),
+)
+def q391_sketch_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set similarity between two profiled key columns
+    (orders.o_custkey vs customer.c_custkey — "which customers actually
+    order", the FK-coverage question) answered three ways FROM SKETCH
+    STATE ONLY, next to the exact truth: the MinHash slot-match Jaccard
+    (P[collision] = J), the KMV-union Jaccard (share of the union's
+    bottom-k present in both sketches — Beyer et al.'s estimator) and
+    the KMV union-size estimate.  A planner uses exactly this to cost
+    semi-join reductions and FK-join selectivities without scanning
+    either table.
+
+    Scale plan: each sketch is one distinct + bounded cut (kmv) or
+    slot-fan-out groupBy-MIN (minh); estimation is driver-side integer
+    arithmetic over ≤ 2k hashes + 2·slots rows.  Exact truth columns
+    are one distinct-count each and one distinct-key join.
+
+    Exactness: estimators are single-step half-away rationals on exact
+    integer inputs, text-shared with the oracle (kmatch/n_u, matches/
+    slots, (k−1)·2⁵²/u_k with the q376 HUGEINT widening); the identical
+    md5 hashes make tie/membership decisions bit-equal cross-engine."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+
+    def kmv_bottom(df: DataFrame, col: str) -> list[int]:
+        return [
+            int(r.u)
+            for r in df.select(F.col(col).alias("k"))
+            .where(F.col("k").isNotNull())
+            .select(
+                F.expr(
+                    "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 13),"
+                    " 16, 10) AS BIGINT)"
+                ).alias("u")
+            )
+            .distinct()
+            .orderBy("u")
+            .limit(KMV_K)
+            .collect()
+        ]
+
+    ka, kb = kmv_bottom(orders, "o_custkey"), kmv_bottom(customer, "c_custkey")
+    sa = {
+        int(r.r): int(r.v)
+        for r in minhash_rows(orders, "orders", "o_custkey").collect()
+    }
+    sb = {
+        int(r.r): int(r.v)
+        for r in minhash_rows(customer, "customer", "c_custkey").collect()
+    }
+    matches = sum(1 for r in sa if sa[r] == sb[r])
+
+    set_a, set_b = set(ka), set(kb)
+    union_sorted = sorted(set_a | set_b)
+    nu = len(union_sorted)
+    bottom_u = union_sorted[:KMV_K]
+    kmatch = sum(1 for u in bottom_u if u in set_a and u in set_b)
+
+    na = int(orders.agg(F.countDistinct("o_custkey")).collect()[0][0])
+    nb = int(customer.agg(F.countDistinct("c_custkey")).collect()[0][0])
+    inter = int(
+        orders.select(F.col("o_custkey").alias("k"))
+        .where(F.col("k").isNotNull())
+        .distinct()
+        .join(
+            customer.select(F.col("c_custkey").alias("k"))
+            .where(F.col("k").isNotNull())
+            .distinct(),
+            "k",
+        )
+        .count()
+    )
+
+    union_est = (
+        float(nu) if nu < KMV_K else _ha6_py(KMV_NUM, bottom_u[-1])
+    )
+    out = [
+        ("intersection_exact", float(inter)),
+        ("jaccard_exact", _ha6_py(inter, na + nb - inter)),
+        ("jaccard_kmv", _ha6_py(kmatch, len(bottom_u))),
+        ("jaccard_minhash", _ha6_py(matches, MINH_SLOTS)),
+        ("n_a_exact", float(na)),
+        ("n_b_exact", float(nb)),
+        ("union_kmv_est", union_est),
+    ]
+    out.sort(key=lambda t: t[0])
+    return spark.createDataFrame(out, "stat string, value double")

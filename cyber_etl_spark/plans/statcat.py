@@ -1905,3 +1905,349 @@ def q391_sketch_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out.sort(key=lambda t: t[0])
     return spark.createDataFrame(out, "stat string, value double")
+
+
+# ---- degree-bound join-size audit (q392) -----------------------------------
+
+_BOUND_JOINS = (
+    ("events_self_user", ("events", "user_id"), ("events", "user_id")),
+    (
+        "lineitem_orders_key",
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_orderkey"),
+    ),
+)
+
+
+def _collect_cms_cells(
+    spark: SparkSession, sf_dir: str
+) -> dict[tuple, dict[tuple, int]]:
+    """Driver-side CMS cells for every sketched column (q379 bounded-
+    artifact contract; the q383/q385 serving pattern)."""
+    path = catalog_path(sf_dir, _CAT_TABLES, spec=_KEY_SPEC)
+    ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
+    cells: dict[tuple, dict[tuple, int]] = {}
+    for row in (
+        load_catalog(spark, path).where(F.col("kind") == "cms").collect()
+    ):
+        cells.setdefault((row.tbl, row.col), {})[(row.r, row.b)] = int(row.v)
+    return cells
+
+
+def _join_bounds_sql() -> str:
+    exm_rows = " UNION ALL ".join(
+        f"SELECT '{tbl}' AS tbl, '{col}' AS col, MAX(c) AS mx, SUM(c) AS n"
+        f" FROM (SELECT COUNT(*) AS c FROM {tbl}"
+        f" WHERE {col} IS NOT NULL GROUP BY {col})"
+        for tbl, col in (
+            ("events", "user_id"),
+            ("lineitem", "l_orderkey"),
+            ("orders", "o_orderkey"),
+        )
+    )
+
+    def ks_pick(stat: str, tbl: str, col: str) -> str:
+        return (
+            f"(SELECT {stat} FROM ks WHERE tbl = '{tbl}' AND col = '{col}')"
+        )
+
+    def exm_pick(stat: str, tbl: str, col: str) -> str:
+        return (
+            f"(SELECT CAST({stat} AS HUGEINT) FROM exm"
+            f" WHERE tbl = '{tbl}' AND col = '{col}')"
+        )
+
+    plan_rows = " UNION ALL ".join(
+        f"""SELECT '{name}' AS join_name,
+          {_exact_pairs_sql(a[0], a[1], b[0], b[1])} AS exact_pairs,
+          {_cms_cross_sql(a[0], a[1], b[0], b[1])} AS cms_est,
+          LEAST({ks_pick("maxdeg_up", *a)} * {ks_pick("n_est", *b)},
+                {ks_pick("maxdeg_up", *b)} * {ks_pick("n_est", *a)})
+            AS degree_bound_est,
+          LEAST({exm_pick("mx", *a)} * {exm_pick("n", *b)},
+                {exm_pick("mx", *b)} * {exm_pick("n", *a)})
+            AS degree_bound_exact"""
+        for name, a, b in _BOUND_JOINS
+    )
+    return f"""
+    WITH cat AS MATERIALIZED ({_FULL_CATALOG_SQL}),
+    cms AS MATERIALIZED (SELECT * FROM cat WHERE kind = 'cms'),
+    ks AS MATERIALIZED (
+      SELECT tbl, col, MAX(tot) AS n_est,
+             MIN(mx) AS maxdeg_up
+      FROM (
+        SELECT tbl, col, r, SUM(v) AS tot, MAX(v) AS mx
+        FROM cms GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    exm AS MATERIALIZED ({exm_rows}),
+    plans AS ({plan_rows})
+    SELECT join_name,
+           CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(degree_bound_est AS BIGINT) AS degree_bound_est,
+           CAST(degree_bound_exact AS BIGINT) AS degree_bound_exact,
+           {_ha6_sql("cms_est", "exact_pairs")} AS cms_ratio,
+           {_ha6_sql("degree_bound_est", "exact_pairs")} AS bound_ratio
+    FROM plans ORDER BY join_name
+    """
+
+
+@query(
+    "q392_join_upper_bounds",
+    oracle=_join_bounds_sql(),
+    tags=("catalog", "planning", "join", "bounds"),
+)
+def q392_join_upper_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-case join-size certificates from the catalog, next to the
+    CMS point estimate: |A ⋈ B| ≤ min(maxdeg_A·|B|, maxdeg_B·|A|) (the
+    degree-product bound an AGM-style optimizer budgets memory with),
+    where maxdeg comes from the q385 CMS upper bound (min over rows of
+    the row's max bucket — NEVER under the truth) and |·| from the
+    exact CMS row sums.  Both the estimate-side and exact-side bounds
+    publish, with tightness ratios against the true join size: the CMS
+    point estimate is near-exact but can under-provision nothing, while
+    the degree bound is a hard guarantee — the two numbers a planner
+    wants BEFORE scheduling a shuffle it can't afford.
+
+    Scale plan: everything on the estimate side reads O(depth·width)
+    persisted rows driver-side (q379 contract); truth columns are one
+    degree aggregate per column + the degree-product joins.  Safety:
+    the est-side bound uses an UPPER max-degree and EXACT row counts,
+    so bound_est ≥ bound_exact ≥ truth — it fails safe by construction.
+
+    Grid budget: degree-bound products are n²-scale → Python ints /
+    HUGEINT casts at every product site; ratios ride the shared
+    half-away text (quotients ≤ ~10² here, far under the 9e12 guard).
+    """
+    cells = _collect_cms_cells(spark, sf_dir)
+
+    def n_est(key: tuple) -> int:
+        tot = dict.fromkeys(range(CMS_DEPTH), 0)
+        for (r, _b), v in cells[key].items():
+            tot[r] += v
+        return max(tot.values())
+
+    def maxdeg_up(key: tuple) -> int:
+        mx = dict.fromkeys(range(CMS_DEPTH), 0)
+        for (r, _b), v in cells[key].items():
+            mx[r] = max(mx[r], v)
+        return min(mx.values())
+
+    def ip(a: tuple, b: tuple) -> int:
+        acc = dict.fromkeys(range(CMS_DEPTH), 0)
+        cb = cells[b]
+        for (r, bkt), v in cells[a].items():
+            acc[r] += v * cb.get((r, bkt), 0)
+        return min(acc.values())
+
+    exact: dict[tuple, tuple[int, int]] = {}  # (maxdeg, n_nonnull)
+    for tbl, col in {a for _n, a, b in _BOUND_JOINS for a in (a, b)}:
+        row = (
+            read_table(spark, sf_dir, tbl)
+            .where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("mx"), F.sum("c").alias("n"))
+            .collect()[0]
+        )
+        exact[(tbl, col)] = (int(row.mx), int(row.n))
+
+    def exact_pairs(a: tuple, b: tuple) -> int:
+        da = (
+            read_table(spark, sf_dir, a[0])
+            .where(F.col(a[1]).isNotNull())
+            .groupBy(F.col(a[1]).alias("k"))
+            .agg(F.count(F.lit(1)).alias("ca"))
+        )
+        if a == b:
+            return int(
+                da.agg(
+                    F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * ca"))
+                ).collect()[0][0]
+            )
+        db = (
+            read_table(spark, sf_dir, b[0])
+            .where(F.col(b[1]).isNotNull())
+            .groupBy(F.col(b[1]).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        return int(
+            da.join(db, "k")
+            .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")))
+            .collect()[0][0]
+        )
+
+    out = []
+    for name, a, b in _BOUND_JOINS:
+        xp = exact_pairs(a, b)
+        ce = ip(a, b)
+        dbe = min(
+            maxdeg_up(a) * n_est(b), maxdeg_up(b) * n_est(a)
+        )
+        dbx = min(
+            exact[a][0] * exact[b][1], exact[b][0] * exact[a][1]
+        )
+        out.append(
+            (name, xp, ce, dbe, dbx, _ha6_py(ce, xp), _ha6_py(dbe, xp))
+        )
+    out.sort(key=lambda t: t[0])
+    return spark.createDataFrame(
+        out,
+        "join_name string, exact_pairs long, cms_est long,"
+        " degree_bound_est long, degree_bound_exact long,"
+        " cms_ratio double, bound_ratio double",
+    )
+
+
+# ---- independence-assumption GROUP BY cardinality estimate (q393) ---------
+
+# (pair label, x column expr SPARK, x expr SQL, y column expr — columns
+# are events expressions; `day` is the calendar-day STRING, the shared
+# q154 convention)
+_GB_DAY_SPARK = "CAST(CAST(ts AS DATE) AS STRING)"
+_GB_DAY_SQL = "CAST(CAST(ts AS DATE) AS VARCHAR)"
+_GB_PAIRS = (
+    ("type_day", "event_type", "event_type", _GB_DAY_SPARK, _GB_DAY_SQL),
+    ("user_type", "user_id", "user_id", "event_type", "event_type"),
+)
+
+
+def _ndv_u_sql(col_sql: str) -> str:
+    """Scalar CTE body: KMV (nk, uk) for one events expression; the
+    caller turns them into the micro NDV estimate with the shared
+    CASE/half-away text."""
+    return f"""
+      SELECT COUNT(*) AS nk, MAX(u) AS uk FROM (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST({col_sql} AS VARCHAR)),
+                             1, 13)) AS BIGINT) AS u
+        FROM events WHERE {col_sql} IS NOT NULL
+        ORDER BY u LIMIT {KMV_K}
+      )
+    """
+
+
+_NDV_U_CASE = (
+    f"CASE WHEN nk < {KMV_K} THEN CAST(nk AS HUGEINT) * 1000000"
+    f" ELSE (2 * CAST({KMV_NUM} AS HUGEINT) * 1000000 + uk) // (2 * uk) END"
+)
+
+
+def _gb_cardinality_sql() -> str:
+    ctes, rows = [], []
+    for name, _xs, x_sql, _ys, y_sql in _GB_PAIRS:
+        ctes.append(
+            f"x_{name} AS ({_ndv_u_sql(x_sql)}),\n"
+            f"    y_{name} AS ({_ndv_u_sql(y_sql)}),\n"
+            f"    e_{name} AS (\n"
+            f"      SELECT (SELECT COUNT(*) FROM (\n"
+            f"         SELECT DISTINCT {x_sql}, {y_sql} FROM events\n"
+            f"         WHERE {x_sql} IS NOT NULL AND {y_sql} IS NOT NULL))\n"
+            f"           AS exact_pairs,\n"
+            f"             (SELECT COUNT(*) FROM events\n"
+            f"              WHERE {x_sql} IS NOT NULL AND {y_sql} IS NOT NULL)\n"
+            f"           AS n_rows\n"
+            f"    )"
+        )
+        rows.append(
+            f"""
+      SELECT '{name}' AS group_keys,
+             CAST(xu AS DOUBLE) / 1000000 AS ndv_x,
+             CAST(yu AS DOUBLE) / 1000000 AS ndv_y,
+             CAST(LEAST(xu * yu // 1000000,
+                        CAST(n_rows AS HUGEINT) * 1000000) AS DOUBLE)
+               / 1000000 AS est_groups,
+             CAST(exact_pairs AS BIGINT) AS exact_groups,
+             CAST((2 * LEAST(xu * yu // 1000000,
+                             CAST(n_rows AS HUGEINT) * 1000000) * 1000000
+                   + CAST(exact_pairs AS HUGEINT) * 1000000)
+                  // (2 * CAST(exact_pairs AS HUGEINT) * 1000000) AS DOUBLE)
+               / 1000000 AS est_ratio
+      FROM (SELECT {_NDV_U_CASE} AS xu FROM x_{name}) x,
+           (SELECT {_NDV_U_CASE} AS yu FROM y_{name}) y,
+           e_{name}"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT * FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY group_keys"
+    )
+
+
+@query(
+    "q393_groupby_cardinality",
+    oracle=_gb_cardinality_sql(),
+    tags=("catalog", "planning", "cardinality"),
+)
+def q393_groupby_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY output-cardinality estimation, the aggregation twin of
+    q375's join estimate: |distinct (x, y)| ≈ min(ndv(x)·ndv(y), n) —
+    the independence assumption every CBO costs hash aggregates with —
+    where per-column NDVs come from KMV sketches (exact below k,
+    (k−1)·2⁵²/u_k above) and the truth is the exact distinct-pair
+    count.  Two regimes on purpose: (event_type × day) multiplies two
+    exact sub-k counts and OVERSHOOTS because the keys are dependent
+    (every type occurs every day ⟹ est ≈ exact only when keys are
+    independent), while (user_id × event_type) exercises the real KMV
+    estimator path on the >k side.  The published est_ratio is the
+    audit a planner runs to learn which key pairs violate independence
+    badly enough to warrant a joint sketch.
+
+    Scale plan: NDV side is one distinct + bounded bottom-k cut per
+    column (catalog-shaped state, O(k) rows served driver-side); truth
+    is one distinct-pair aggregate.  Exactness: NDV estimates are the
+    q376 micro integers; the product folds at the micro grid via ONE
+    floor division (both operands positive → Spark/Python/DuckDB
+    agree), the cap and ratio are integer compares/half-away divisions
+    on HUGEINT-widened text shared verbatim."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def ndv_u(col_spark: str) -> int:
+        rows = (
+            ev.select(F.expr(col_spark).alias("k"))
+            .where(F.col("k").isNotNull())
+            .select(
+                F.expr(
+                    "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 13),"
+                    " 16, 10) AS BIGINT)"
+                ).alias("u")
+            )
+            .distinct()
+            .orderBy("u")
+            .limit(KMV_K)
+            .collect()
+        )
+        nk = len(rows)
+        if nk < KMV_K:
+            return nk * 1_000_000
+        uk = max(int(r.u) for r in rows)
+        return (2 * KMV_NUM * 1_000_000 + uk) // (2 * uk)
+
+    out = []
+    for name, x_spark, _xs, y_spark, _ys in _GB_PAIRS:
+        xu, yu = ndv_u(x_spark), ndv_u(y_spark)
+        both = ev.where(
+            F.expr(f"{x_spark} IS NOT NULL AND {y_spark} IS NOT NULL")
+        )
+        n_rows = both.count()
+        exact = (
+            both.select(
+                F.expr(x_spark).alias("x"), F.expr(y_spark).alias("y")
+            )
+            .distinct()
+            .count()
+        )
+        est_u = min(xu * yu // 1_000_000, n_rows * 1_000_000)
+        den = exact * 1_000_000
+        ratio_u = (2 * est_u * 1_000_000 + den) // (2 * den)
+        out.append(
+            (name, xu / 1e6, yu / 1e6, est_u / 1e6, exact, ratio_u / 1e6)
+        )
+    out.sort(key=lambda t: t[0])
+    return spark.createDataFrame(
+        out,
+        "group_keys string, ndv_x double, ndv_y double, est_groups double,"
+        " exact_groups long, est_ratio double",
+    )

@@ -88,11 +88,12 @@ def _kmv_rows_sql(rel: str, key: str, tbl: str) -> str:
     """
 
 
-def _moment_rows_sql(rel: str, key: str, tbl: str) -> str:
+def _moment_rows_sql(rel: str, key: str, tbl: str, label: str | None = None) -> str:
     """DuckDB catalog-row text for a numeric column's moment rows
-    (b: 0 n_rows, 1 n_nonnull, 2 Σmicro, 3 Σmicro²)."""
+    (b: 0 n_rows, 1 n_nonnull, 2 Σmicro, 3 Σmicro²).  ``label`` names
+    the catalog `col` when ``key`` is a derived expression."""
     return f"""
-      SELECT '{tbl}' AS tbl, '{key}' AS col, 'moment' AS kind,
+      SELECT '{tbl}' AS tbl, '{label or key}' AS col, 'moment' AS kind,
              CAST(0 AS BIGINT) AS r, s.b, s.v
       FROM (
         SELECT COUNT(*) AS n_rows, COUNT({key}) AS n_nonnull,
@@ -1348,13 +1349,16 @@ _EW_SPEC = (
 )
 
 
-def _ew_rows_sql(rel: str, key: str, tbl: str, cell_micro: int) -> str:
+def _ew_rows_sql(
+    rel: str, key: str, tbl: str, cell_micro: int, label: str | None = None
+) -> str:
     """DuckDB twin of operators/statcat.equiwidth_counts: fixed-grid
     bucket = micro-snapped value floor-divided by the spec cell size
     (both operands non-negative, so DuckDB ``//`` and Spark ``div``
-    agree — the operator raises on negatives)."""
+    agree — the operator raises on negatives).  ``label`` names the
+    catalog `col` when ``key`` is a derived expression."""
     return f"""
-      SELECT '{tbl}' AS tbl, '{key}' AS col, 'ew' AS kind,
+      SELECT '{tbl}' AS tbl, '{label or key}' AS col, 'ew' AS kind,
              CAST(0 AS BIGINT) AS r,
              CAST(floor({key} * 1000000 + 0.5) AS BIGINT)
                // {cell_micro} AS b,
@@ -2250,4 +2254,302 @@ def q393_groupby_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "group_keys string, ndv_x double, ndv_y double, est_groups double,"
         " exact_groups long, est_ratio double",
+    )
+
+
+# ---- training-data corpus catalog (q394/q395) ------------------------------
+
+# The stats catalog extended to the LLM tables: per-document token
+# counts and per-vector max |component| as derived profile columns,
+# each carrying moment rows + the mergeable ew histogram.  Token
+# definition is the corpus-wide whitespace-split convention (q16/q366).
+_CORPUS_SPEC = (
+    (
+        "documents",
+        "tok_count",
+        "CAST(size(filter(split(text, ' '), x -> x <> '')) AS DOUBLE)",
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))"
+        " AS DOUBLE)",
+        10_000_000,  # 10-token cells
+        _md5_slice_spark(1, 10, 0, key="CAST(doc_id AS STRING)"),
+        _md5_slice_sql(1, 10, 0, key="CAST(doc_id AS VARCHAR)"),
+    ),
+    (
+        "embeddings",
+        "max_component",
+        "CAST(array_max(embedding) AS DOUBLE)",
+        "CAST(list_max(embedding) AS DOUBLE)",
+        50_000,  # 0.05 cells
+        _md5_slice_spark(1, 10, 0, key="CAST(vec_id AS STRING)"),
+        _md5_slice_sql(1, 10, 0, key="CAST(vec_id AS VARCHAR)"),
+    ),
+)
+
+
+def _corpus_path(sf_dir: str) -> str:
+    return catalog_path(
+        sf_dir,
+        tuple(s[0] for s in _CORPUS_SPEC),
+        spec=tuple((s[0], s[1], s[4]) for s in _CORPUS_SPEC),
+    ) + "-corpus"
+
+
+def _corpus_side(spark: SparkSession, sf_dir: str, delta: bool) -> DataFrame:
+    parts = []
+    for tbl, label, spark_expr, _sql, cell, split_spark, _ssql in _CORPUS_SPEC:
+        df = read_table(spark, sf_dir, tbl)
+        pred = F.expr(split_spark)
+        side = df.where(pred if delta else ~pred).select(
+            F.expr(spark_expr).alias(label)
+        )
+        parts.append(equiwidth_counts(side, tbl, label, cell))
+        parts.append(value_moments(side, tbl, label))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _corpus_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized merged corpus-profile catalog (corpus ⊎ delta — the
+    maintained form; one derived-column scan per table per side)."""
+    key = (session_token(spark), sf_dir, "corpus_catalog")
+    if key not in _CAT_CACHE:
+        _CAT_CACHE[key] = merge_catalogs(
+            _corpus_side(spark, sf_dir, delta=False),
+            _corpus_side(spark, sf_dir, delta=True),
+        ).localCheckpoint(eager=True)
+    return _CAT_CACHE[key]
+
+
+_CORPUS_CAT_SQL = " UNION ALL ".join(
+    _ew_rows_sql(tbl, sql_expr, tbl, cell, label=label)
+    + " UNION ALL "
+    + _moment_rows_sql(tbl, sql_expr, tbl, label=label)
+    for tbl, label, _sp, sql_expr, cell, _ss, _sq in _CORPUS_SPEC
+)
+
+
+@query(
+    "q394_corpus_stats_catalog",
+    oracle=f"""
+    SELECT tbl, col, kind, r, b, CAST(v AS VARCHAR) AS v
+    FROM ({_CORPUS_CAT_SQL})
+    ORDER BY tbl, col, kind, r, b, v
+    """,
+    tags=("catalog", "training-data", "histogram", "incremental"),
+)
+def q394_corpus_stats_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats catalog extended to the TRAINING-DATA tables — the
+    profile a data-curation pipeline consults before planning a run:
+    per-document token counts (whitespace convention, q16/q366) and
+    per-vector max |component| as derived columns, each with moment
+    rows (count/mean/variance service) and the MERGEABLE ew histogram
+    (shape service), built corpus ⊎ delta and MERGED, oracle = the
+    single-pass full build (the q387 identity on derived columns).
+    Persisted via ensure_catalog; q395 serves curriculum/filter
+    planning estimates from the artifact alone.
+
+    Scale plan: one derived-column scan per table per side (token
+    split and array_max are native columnar exprs — no Python in the
+    hot path), map-side-combinable groupBys, O(|buckets|+4) rows per
+    column.  At 100 TB the corpus side is yesterday's persisted
+    artifact; only the delta batch is scanned.
+
+    Exactness: token counts are integers (micro snap exact);
+    max_component is a float→double EXACT cast (array_max picks, never
+    computes — the q202 element-cast rule applies to arithmetic, not
+    selection); counts/sums are exact integers published as STRING."""
+    merged = _corpus_merged(spark, sf_dir)
+    ensure_catalog(_corpus_path(sf_dir), lambda: merged)
+    return merged.select(
+        "tbl", "col", "kind", "r", "b", F.col("v").cast("string").alias("v")
+    ).orderBy("tbl", "col", "kind", "r", "b", "v")
+
+
+# q395: curriculum/filter planning estimates served from the q394
+# artifact.  Thresholds live on the micro grid; one per column is
+# grid-ALIGNED (estimate provably exact), one deliberately unaligned
+# (uniform-within-bucket estimate, error published).
+_TOK_CELL = _CORPUS_SPEC[0][4]
+_MAXC_CELL = _CORPUS_SPEC[1][4]
+_Q395_PREDS = (
+    # (stat, tbl, col label, threshold micro, cell micro)
+    ("docs_share_tok_ge_50", "documents", "tok_count", 50_000_000, _TOK_CELL),
+    ("docs_share_tok_ge_55", "documents", "tok_count", 55_000_000, _TOK_CELL),
+    ("emb_share_maxc_ge_030", "embeddings", "max_component", 300_000, _MAXC_CELL),
+    ("emb_share_maxc_ge_033", "embeddings", "max_component", 330_000, _MAXC_CELL),
+)
+
+
+def _cov6(lo_bucket_micro: int, cell: int, thr: int) -> int:
+    """Half-away micro fraction of ew bucket [lo, lo+cell) covered by
+    the predicate x ≥ thr, uniform-within-bucket."""
+    hi = lo_bucket_micro + cell
+    if thr <= lo_bucket_micro:
+        return 1_000_000
+    if thr >= hi:
+        return 0
+    return (2 * (hi - thr) * 1_000_000 + cell) // (2 * cell)
+
+
+def _q395_sql() -> str:
+    ctes = []
+    for tbl, label, _sp, sql_expr, cell, _ss, _sq in _CORPUS_SPEC:
+        ctes.append(
+            f"h_{tbl} AS MATERIALIZED"
+            f" ({_ew_rows_sql(tbl, sql_expr, tbl, cell, label=label)}),\n"
+            f"    m_{tbl} AS MATERIALIZED (\n"
+            f"      SELECT MAX(CASE WHEN b = 1 THEN v END) AS nn,\n"
+            f"             MAX(CASE WHEN b = 2 THEN v END) AS s\n"
+            f"      FROM ({_moment_rows_sql(tbl, sql_expr, tbl, label=label)})\n"
+            f"    ),\n"
+            f"    x_{tbl} AS MATERIALIZED (\n"
+            f"      SELECT COUNT(*) AS n, SUM(xu) AS sxu,\n"
+            + ",\n".join(
+                f"             SUM(CASE WHEN xu >= {thr} THEN 1 ELSE 0 END)"
+                f" AS c_{thr}"
+                for st, t2, _c, thr, _w in _Q395_PREDS
+                if t2 == tbl
+            )
+            + f"\n      FROM (SELECT CAST(floor(({sql_expr}) * 1000000 + 0.5)"
+            f" AS BIGINT) AS xu FROM {tbl}\n"
+            f"            WHERE ({sql_expr}) IS NOT NULL)\n"
+            f"    )"
+        )
+    share_rows = " UNION ALL ".join(
+        f"""
+      SELECT '{stat}' AS stat,
+             (SELECT (2 * SUM(v * CASE
+                 WHEN {thr} <= b * {cell} THEN 1000000
+                 WHEN {thr} >= (b + 1) * {cell} THEN 0
+                 ELSE (2 * ((b + 1) * {cell} - {thr}) * 1000000 + {cell})
+                      // (2 * {cell}) END) * 1000000
+               + (SELECT n FROM x_{tbl}) * 1000000)
+               // (2 * (SELECT n FROM x_{tbl}) * 1000000)
+              FROM h_{tbl}) AS est_u,
+             (SELECT (2 * CAST(c_{thr} AS HUGEINT) * 1000000 + n) // (2 * n)
+              FROM x_{tbl}) AS exact_u"""
+        for stat, tbl, _c, thr, cell in _Q395_PREDS
+    )
+    return f"""
+    WITH {",".join(ctes)},
+    stats AS (
+      SELECT 'docs_total_tokens' AS stat,
+             (SELECT s FROM m_documents) AS est_u,
+             (SELECT sxu FROM x_documents) AS exact_u
+      UNION ALL
+      SELECT 'docs_mean_tokens',
+             (SELECT (2 * s + nn) // (2 * nn) FROM m_documents),
+             (SELECT (2 * sxu + n) // (2 * n) FROM x_documents)
+      UNION ALL
+      SELECT 'emb_mean_maxcomp',
+             (SELECT (2 * s + nn) // (2 * nn) FROM m_embeddings),
+             (SELECT (2 * sxu + n) // (2 * n) FROM x_embeddings)
+      UNION ALL {share_rows}
+    )
+    SELECT stat,
+           CAST(est_u AS DOUBLE) / 1000000 AS est,
+           CAST(exact_u AS DOUBLE) / 1000000 AS exact,
+           CAST(ABS(est_u - exact_u) AS DOUBLE) / 1000000 AS abs_err
+    FROM stats ORDER BY stat
+    """
+
+
+@query(
+    "q395_corpus_planning_estimates",
+    oracle=_q395_sql(),
+    tags=("catalog", "training-data", "planning"),
+)
+def q395_corpus_planning_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum/filter planning SERVED FROM THE CORPUS CATALOG: total
+    and mean token counts (moment rows), and "share of docs/vectors
+    past a length/quality threshold" (the water-filling and filter-
+    budget inputs, q160/q333) from the ew histogram — each next to the
+    exact full-scan truth with the absolute error.  One threshold per
+    column is grid-ALIGNED, where the equi-width estimate is provably
+    EXACT (the bucket boundary IS the predicate boundary — the reason
+    data pipelines snap their filter thresholds to the profile grid);
+    one is deliberately unaligned, exercising the uniform-within-bucket
+    interpolation and publishing its honest error.
+
+    Scale plan: the estimate side reads O(|buckets|+4) persisted rows
+    driver-side (q379 contract) — at 100 TB the plan for "how many
+    docs survive the length filter" costs zero data scans; the truth
+    side is one conditional aggregate per table, run here only because
+    the query audits the estimator.
+
+    Exactness/grid: ALL arithmetic in exact micro integers (HUGEINT /
+    Python int): per-bucket coverage is the q381 half-away fraction,
+    shares one half-away division, means (2s+n)//(2n); est/exact/
+    abs_err publish as micro/1e6 doubles (micro totals here ≤ ~1e12 ≪
+    2⁵³; a petabyte corpus would publish totals as STRINGS, q309)."""
+    path = _corpus_path(sf_dir)
+    ensure_catalog(path, lambda: _corpus_merged(spark, sf_dir))
+    rows = load_catalog(spark, path).limit(_EW_MAX_ROWS + 1).collect()
+    if len(rows) > _EW_MAX_ROWS:
+        raise ValueError("corpus catalog exceeds its cap — artifact corrupt")
+    ew: dict[tuple, dict[int, int]] = {}
+    mom: dict[tuple, dict[int, int]] = {}
+    for r in rows:
+        if r.kind == "ew":
+            ew.setdefault((r.tbl, r.col), {})[int(r.b)] = int(r.v)
+        elif r.kind == "moment":
+            mom.setdefault((r.tbl, r.col), {})[int(r.b)] = int(r.v)
+
+    exact: dict[str, dict] = {}
+    for tbl, label, spark_expr, _sql, cell, _ss, _sq in _CORPUS_SPEC:
+        xu = F.expr(
+            f"CAST(floor(({spark_expr}) * 1000000 + 0.5) AS BIGINT)"
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xu.cast("decimal(38,0)")).alias("sxu"),
+        ] + [
+            F.sum(F.when(xu >= F.lit(thr), 1).otherwise(0)).alias(f"c_{thr}")
+            for st, t2, _c, thr, _w in _Q395_PREDS
+            if t2 == tbl
+        ]
+        row = (
+            read_table(spark, sf_dir, tbl)
+            .where(F.expr(spark_expr).isNotNull())
+            .agg(*aggs)
+            .collect()[0]
+        )
+        exact[tbl] = row.asDict()
+
+    out: list[tuple[str, int, int]] = []
+    for tbl, label in (("documents", "tok_count"), ("embeddings", "max_component")):
+        m = mom[(tbl, label)]
+        nn, s = m[1], m[2]
+        n, sxu = int(exact[tbl]["n"]), int(exact[tbl]["sxu"])
+        if tbl == "documents":
+            out.append(("docs_total_tokens", s, sxu))
+            out.append(
+                ("docs_mean_tokens", (2 * s + nn) // (2 * nn),
+                 (2 * sxu + n) // (2 * n))
+            )
+        else:
+            out.append(
+                ("emb_mean_maxcomp", (2 * s + nn) // (2 * nn),
+                 (2 * sxu + n) // (2 * n))
+            )
+    for stat, tbl, label, thr, cell in _Q395_PREDS:
+        buckets = ew[(tbl, label)]
+        S = sum(v * _cov6(b * cell, cell, thr) for b, v in buckets.items())
+        n = int(exact[tbl]["n"])
+        est_u = (2 * S * 1_000_000 + n * 1_000_000) // (2 * n * 1_000_000)
+        cnt = int(exact[tbl][f"c_{thr}"])
+        exact_u = (2 * cnt * 1_000_000 + n) // (2 * n)
+        out.append((stat, est_u, exact_u))
+
+    out.sort(key=lambda t: t[0])
+    return spark.createDataFrame(
+        [
+            (stat, eu / 1e6, xu / 1e6, abs(eu - xu) / 1e6)
+            for stat, eu, xu in out
+        ],
+        "stat string, est double, exact double, abs_err double",
     )

@@ -1425,3 +1425,90 @@ def kmv_stream(items: DataFrame, k: int = 32) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EW_STREAM_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("gen", LongType()),
+        StructField("b", LongType()),
+        StructField("c", LongType()),
+    ]
+)
+
+_EW_STATE = StructType(
+    [
+        StructField("gen", LongType()),
+        StructField("bs", ArrayType(LongType())),
+        StructField("cs", ArrayType(LongType())),
+    ]
+)
+
+
+def ew_stream(values: DataFrame, cell_micro: int) -> DataFrame:
+    """Streaming fixed-grid equi-width histogram — the unbounded-feed
+    twin of the catalog's ew kind (operators/statcat.equiwidth_counts):
+    input rows carry (name, x); per name the state is the per-bucket
+    count map over the spec grid (bucket = floor(x·1e6 + 0.5) div
+    cell_micro), advanced per micro-batch and emitted with a generation
+    counter.
+
+    Because per-bucket addition is associative and commutative (the
+    merge_catalogs additive identity), the snapshot after ANY trigger
+    equals the batch histogram of everything fed so far under ANY
+    slicing — the property that makes the ew kind the STREAMING-
+    maintainable distribution summary (equi-depth boundaries, being
+    order statistics, can never have a twin like this).  State is one
+    long per OCCUPIED bucket, bounded by the value range over the spec
+    cell — independent of stream length.
+
+    The micro snap is numpy floor on float64 — bit-identical to Spark's
+    floor(x·1e6 + 0.5) on DOUBLE (same IEEE ops).  Negative values
+    raise (the operator's non-negative grid contract)."""
+    import numpy as np
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (name,) = key
+        if state.exists:
+            gen, bs, cs = state.get
+            counts = dict(zip(bs, cs))
+        else:
+            gen, counts = 0, {}
+        for pdf in batches:
+            x = pdf["x"].dropna().to_numpy(dtype="float64")
+            if len(x) == 0:
+                continue
+            xu = np.floor(x * 1_000_000 + 0.5).astype("int64")
+            if (xu < 0).any():
+                raise ValueError(
+                    "ew_stream: negative value — the ew grid is"
+                    " non-negative-only (operators/statcat contract)"
+                )
+            b, c = np.unique(xu // cell_micro, return_counts=True)
+            for bi, ci in zip(b.tolist(), c.tolist()):
+                counts[bi] = counts.get(bi, 0) + ci
+        gen += 1
+        items = sorted(counts.items())
+        state.update((gen, [b for b, _ in items], [c for _, c in items]))
+        yield pd.DataFrame(
+            {
+                "name": [name] * len(items),
+                "gen": [gen] * len(items),
+                "b": [b for b, _ in items],
+                "c": [c for _, c in items],
+            }
+        )
+
+    keyed = values.select(
+        F.col("name").cast("string").alias("name"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return keyed.groupBy("name").applyInPandasWithState(
+        update,
+        outputStructType=EW_STREAM_SCHEMA,
+        stateStructType=_EW_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -430,3 +430,53 @@ def test_decided_join_strategy_appears_in_plan(spark, sf_smoke):
     plan_smj = joined_smj._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan_smj
     assert "BroadcastHashJoin" not in plan_smj
+
+
+def test_ew_stream_snapshot_equals_batch_histogram(spark, tmp_path):
+    """The ew streaming twin: after every trigger the per-bucket state
+    equals the batch equiwidth_counts of everything fed so far — the
+    additive-merge identity under arbitrary micro-batch slicing that
+    makes the ew kind streaming-maintainable (and which the equi-depth
+    kind, being order statistics, can never have)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyber_etl_spark.operators.statcat import equiwidth_counts
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import ew_stream
+
+    n = 900
+    pdf = (
+        spark.range(n)
+        .select(((F.col("id") * 37 % 211) / 7.0).alias("value"))
+        .toPandas()
+    )
+    pdf["event_id"] = range(len(pdf))
+    pdf["ts"] = [1_700_000_000_000_000 + i for i in range(len(pdf))]
+    pdf["user_id"] = 1
+    pdf["event_type"] = "x"
+    pdf["props"] = ""
+    pdf = pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    d = tmp_path / "ew_feed"
+    d.mkdir()
+    for i in range(3):
+        chunk = pdf.iloc[i * 300 : (i + 1) * 300]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet"))
+    stream = read_event_stream(spark, str(d), empty_dir_ts="micros").select(
+        F.lit("t.x").alias("name"), F.col("value").alias("x")
+    )
+    cell = 5_000_000
+    run_stream_to_memory(ew_stream(stream, cell), "ew_mem", mode="update")
+    rows = spark.sql("SELECT * FROM ew_mem").collect()
+    assert max(r.gen for r in rows) == 3
+
+    def batch_hist(upto: int) -> list[tuple[int, int]]:
+        df = spark.createDataFrame(pdf.iloc[:upto][["value"]])
+        return sorted(
+            (int(r.b), int(r.v))
+            for r in equiwidth_counts(df, "t", "value", cell).collect()
+        )
+
+    for gen, upto in ((1, 300), (2, 600), (3, 900)):
+        got = sorted((r.b, r.c) for r in rows if r.gen == gen)
+        assert got == batch_hist(upto), gen

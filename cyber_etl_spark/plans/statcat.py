@@ -2553,3 +2553,239 @@ def q395_corpus_planning_estimates(
         ],
         "stat string, est double, exact double, abs_err double",
     )
+
+
+# ---- estimate-driven shuffle sizing (q396) ---------------------------------
+
+# rows-per-reduce-partition budget and the clamp bounds a scheduler
+# enforces (spec constants, shared verbatim with the oracle)
+_TARGET_ROWS_PER_PART = 100_000
+_MAX_PARTS = 4_096
+
+
+def _shuffle_advisor_sql() -> str:
+    def rec(expr: str) -> str:
+        return (
+            f"LEAST(GREATEST(({expr} + {_TARGET_ROWS_PER_PART - 1})"
+            f" // {_TARGET_ROWS_PER_PART}, 1), {_MAX_PARTS})"
+        )
+
+    plan_rows = " UNION ALL ".join(
+        f"""SELECT '{name}' AS join_name,
+          {_cms_cross_sql(a[0], a[1], b[0], b[1])} AS est_pairs,
+          {_exact_pairs_sql(a[0], a[1], b[0], b[1])} AS exact_pairs"""
+        for name, a, b in _BOUND_JOINS
+    )
+    return f"""
+    WITH cat AS MATERIALIZED ({_FULL_CATALOG_SQL}),
+    cms AS MATERIALIZED (SELECT * FROM cat WHERE kind = 'cms'),
+    plans AS ({plan_rows})
+    SELECT join_name,
+           CAST(est_pairs AS BIGINT) AS est_pairs,
+           CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           CAST({rec("est_pairs")} AS BIGINT) AS rec_parts_est,
+           CAST({rec("exact_pairs")} AS BIGINT) AS rec_parts_exact,
+           {rec("est_pairs")} = {rec("exact_pairs")} AS agree
+    FROM plans ORDER BY join_name
+    """
+
+
+@query(
+    "q396_shuffle_partition_advisor",
+    oracle=_shuffle_advisor_sql(),
+    tags=("catalog", "planning", "shuffle"),
+)
+def q396_shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the planner DOES with a join-size estimate: the shuffle
+    partition count for the join's reduce side, sized from the catalog
+    CMS estimate at a rows-per-partition budget with scheduler clamps
+    (ceil division, [1, max] — the spark.sql.shuffle.partitions /
+    AQE-advisory decision made BEFORE any scan), next to the count the
+    exact size would pick and an `agree` audit.  CMS one-sidedness
+    (est ≥ truth) means the advisor can only over-partition — at most
+    wasted tiny tasks, never a spilling reducer: the fail-safe
+    direction, same argument as q385's salting call.
+
+    Scale plan: the estimate side reads O(depth·width) persisted rows
+    driver-side (q379 contract); truth columns run one degree-product
+    aggregate per join, present only because the query audits the
+    decision.
+
+    Exactness: ceil division as (n + t − 1) // t on positive integers
+    (Spark div / Python // / DuckDB // agree on non-negatives), clamps
+    as integer LEAST/GREATEST, all text-shared with the oracle."""
+    cells = _collect_cms_cells(spark, sf_dir)
+
+    def ip(a: tuple, b: tuple) -> int:
+        acc = dict.fromkeys(range(CMS_DEPTH), 0)
+        cb = cells[b]
+        for (r, bkt), v in cells[a].items():
+            acc[r] += v * cb.get((r, bkt), 0)
+        return min(acc.values())
+
+    def exact_pairs(a: tuple, b: tuple) -> int:
+        da = (
+            read_table(spark, sf_dir, a[0])
+            .where(F.col(a[1]).isNotNull())
+            .groupBy(F.col(a[1]).alias("k"))
+            .agg(F.count(F.lit(1)).alias("ca"))
+        )
+        if a == b:
+            return int(
+                da.agg(
+                    F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * ca"))
+                ).collect()[0][0]
+            )
+        db = (
+            read_table(spark, sf_dir, b[0])
+            .where(F.col(b[1]).isNotNull())
+            .groupBy(F.col(b[1]).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        return int(
+            da.join(db, "k")
+            .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")))
+            .collect()[0][0]
+        )
+
+    def rec(n: int) -> int:
+        return min(
+            max((n + _TARGET_ROWS_PER_PART - 1) // _TARGET_ROWS_PER_PART, 1),
+            _MAX_PARTS,
+        )
+
+    out = []
+    for name, a, b in _BOUND_JOINS:
+        e, x = ip(a, b), exact_pairs(a, b)
+        out.append((name, e, x, rec(e), rec(x), rec(e) == rec(x)))
+    out.sort(key=lambda t: t[0])
+    return spark.createDataFrame(
+        out,
+        "join_name string, est_pairs long, exact_pairs long,"
+        " rec_parts_est long, rec_parts_exact long, agree boolean",
+    )
+
+
+# ---- histogram-served quantile estimates (q397) ----------------------------
+
+_HQ_PCTS = (50, 90)
+
+
+def _hist_quantile_sql() -> str:
+    ctes, rows = [], []
+    for tbl, col, cell, _ss, _sq in _EW_SPEC:
+        ctes.append(
+            f"h_{tbl} AS MATERIALIZED ({_ew_rows_sql(tbl, col, tbl, cell)}),\n"
+            f"    hh_{tbl} AS MATERIALIZED (\n"
+            f"      SELECT b, v, SUM(v) OVER (ORDER BY b) AS cum,\n"
+            f"             SUM(v) OVER () AS n\n"
+            f"      FROM h_{tbl}\n"
+            f"    ),\n"
+            f"    x_{tbl} AS MATERIALIZED (\n"
+            f"      SELECT CAST(floor({col} * 1000000 + 0.5) AS BIGINT) AS xu,\n"
+            f"             ROW_NUMBER() OVER (ORDER BY {col}) AS rn,\n"
+            f"             COUNT(*) OVER () AS n\n"
+            f"      FROM {tbl} WHERE {col} IS NOT NULL\n"
+            f"    )"
+        )
+        for p in _HQ_PCTS:
+            rows.append(
+                f"""
+      SELECT '{tbl}' AS tbl, '{col}' AS col, {p} AS pct,
+             (SELECT b * {cell}
+                     + (2 * {cell} * ({p} * n - 100 * (cum - v))
+                        + 100 * v) // (200 * v)
+              FROM hh_{tbl}
+              WHERE 100 * cum >= {p} * n
+              ORDER BY b LIMIT 1) AS est_u,
+             (SELECT MIN(xu) FROM x_{tbl}
+              WHERE 100 * rn >= {p} * n) AS exact_u"""
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT tbl, col, pct,
+           CAST(est_u AS DOUBLE) / 1000000 AS est,
+           CAST(exact_u AS DOUBLE) / 1000000 AS exact,
+           CAST(ABS(est_u - exact_u) AS DOUBLE) / 1000000 AS abs_err
+    FROM ("""
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY tbl, col, pct"
+    )
+
+
+@query(
+    "q397_hist_quantile_estimate",
+    oracle=_hist_quantile_sql(),
+    tags=("catalog", "histogram", "planning", "quantiles"),
+)
+def q397_hist_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles SERVED FROM THE MERGEABLE HISTOGRAM — the estimate a
+    planner (or a monitoring dashboard) uses when the data is gone and
+    only the ew artifact remains: p50/p90 by uniform-within-bucket
+    interpolation over the persisted q387 bucket counts, audited
+    against the exact rank-k order statistic (rank k = ceil(p·n/100),
+    selected through the distributed quantile kernel at the (k−0.5)/n
+    mark — the q380 exact-rank technique).  The error bound is one
+    cell width by construction; the published abs_err shows where the
+    grid is too coarse for the tail (the signal to shrink the cell or
+    re-ANALYZE the equi-depth kind).
+
+    Scale plan: the estimate touches O(|buckets|) persisted rows
+    driver-side (q379 contract); the exact side is the range-partition
+    selection kernel (per-partition memory at any size), run only
+    because the query audits the estimator.
+
+    Exactness: interpolation is ONE half-away integer division
+    (2·cell·(p·n − 100·cum_before) + 100·v) // (200·v) on exact integer
+    bucket state; the crossing bucket is the first b with
+    100·cum ≥ p·n (integer compare, no ceil/float anywhere); exact
+    ranks via 100·rn ≥ p·n ⟺ rn ≥ ceil(p·n/100)."""
+    from ..operators.quantiles import exact_quantiles
+
+    path = _ew_path(sf_dir)
+    ensure_catalog(path, lambda: _ew_merged(spark, sf_dir))
+    ew: dict[tuple, dict[int, int]] = {}
+    for r in load_catalog(spark, path).limit(_EW_MAX_ROWS + 1).collect():
+        if r.kind == "ew":
+            ew.setdefault((r.tbl, r.col), {})[int(r.b)] = int(r.v)
+
+    out = []
+    for tbl, col, cell, _ss, _sq in _EW_SPEC:
+        buckets = sorted(ew[(tbl, col)].items())
+        n = sum(v for _b, v in buckets)
+        vals_only = (
+            read_table(spark, sf_dir, tbl)
+            .select(col)
+            .where(F.col(col).isNotNull())
+            .withColumn("_one", F.lit(1))
+        )
+        marks = {}
+        for p in _HQ_PCTS:
+            k = (p * n + 99) // 100
+            marks[f"p{p}"] = (k - 0.5) / n
+        qrow = exact_quantiles(vals_only, col, marks, weight_col="_one").collect()[0]
+        for p in _HQ_PCTS:
+            cum = 0
+            for b, v in buckets:
+                cum += v
+                if 100 * cum >= p * n:
+                    cum_before = cum - v
+                    est_u = b * cell + (
+                        2 * cell * (p * n - 100 * cum_before) + 100 * v
+                    ) // (200 * v)
+                    break
+            exact_u = int(
+                __import__("math").floor(qrow[f"p{p}"] * 1_000_000 + 0.5)
+            )
+            out.append(
+                (tbl, col, p, est_u / 1e6, exact_u / 1e6,
+                 abs(est_u - exact_u) / 1e6)
+            )
+    out.sort(key=lambda t: (t[0], t[1], t[2]))
+    return spark.createDataFrame(
+        out,
+        "tbl string, col string, pct int, est double, exact double,"
+        " abs_err double",
+    )

@@ -2789,3 +2789,57 @@ def q397_hist_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbl string, col string, pct int, est double, exact double,"
         " abs_err double",
     )
+
+
+# ---- delete-maintainable histogram (q398) ----------------------------------
+
+
+@query(
+    "q398_ew_ivm",
+    oracle=f"""
+    SELECT tbl, col, kind, r, b, CAST(v AS VARCHAR) AS v
+    FROM ({_ew_rows_sql(
+        f"(SELECT * FROM events WHERE ({_INS_SQL}) OR NOT ({_DEL_SQL})) eff",
+        "value", "events", 20_000_000)})
+    ORDER BY tbl, col, kind, r, b, v
+    """,
+    tags=("catalog", "histogram", "incremental", "maintenance"),
+)
+def q398_ew_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ew histogram maintained under INSERTS AND DELETES — the
+    completion of the q382 IVM story for distribution summaries:
+    maintained = hist(corpus) ⊕ hist(+Δ) ⊖ hist(−Δ) (per-bucket signed
+    integer addition, empty buckets dropped), and the oracle rebuilds
+    the histogram over the effective row set directly, proving the
+    identity.  Counters are the ONLY delete-maintainable sketch kind in
+    the catalog: kmv/minh minima can't un-see a deleted value (a
+    deleted hash may BE the minimum — the same rescan-forcing argument
+    as MIN/MAX in q382), so retention-driven pipelines (GDPR deletes,
+    TTL expiry) keep their shape summaries as ew counters or rebuild.
+
+    Scale plan: each Δ is one map-side-combinable groupBy over the
+    batch; the fold touches O(|buckets|) rows per side.  Deletes
+    restricted to the corpus side (an insert can't be retroactively
+    deleted — the q382 split discipline).
+
+    Exactness: signed integer bucket counts; the shared md5 split
+    predicates; published as STRING (catalog convention)."""
+    ev = read_table(spark, sf_dir, "events")
+    ins, dele = F.expr(_INS_SPARK), F.expr(_DEL_SPARK)
+    corpus = ev.where(~ins)
+
+    def hist(df: DataFrame, sign: int) -> DataFrame:
+        h = equiwidth_counts(df, "events", "value", 20_000_000)
+        return h.withColumn("v", (F.col("v") * sign).cast("decimal(38,0)"))
+
+    maintained = (
+        hist(corpus, 1)
+        .unionAll(hist(ev.where(ins), 1))
+        .unionAll(hist(corpus.where(dele), -1))
+        .groupBy("tbl", "col", "kind", "r", "b")
+        .agg(F.sum("v").cast("decimal(38,0)").alias("v"))
+        .where(F.col("v") != 0)
+    )
+    return maintained.select(
+        "tbl", "col", "kind", "r", "b", F.col("v").cast("string").alias("v")
+    ).orderBy("tbl", "col", "kind", "r", "b", "v")

@@ -360,7 +360,8 @@ def catalog_path(
     artifact outlives sessions in tempdir; r11 self-review finding)."""
     h = hashlib.md5(os.path.abspath(sf_dir).encode())
     h.update(
-        f"w{CMS_WIDTH}:d{CMS_DEPTH}:k{KMV_K}:h{HIST_BUCKETS}:{spec!r}".encode()
+        f"w{CMS_WIDTH}:d{CMS_DEPTH}:k{KMV_K}:h{HIST_BUCKETS}"
+        f":m{MINH_SLOTS}:{spec!r}".encode()
     )
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")

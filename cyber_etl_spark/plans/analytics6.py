@@ -5204,70 +5204,25 @@ def q375_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ΣcA·cB is n²-scale — past ~9e12 the 6-dp share would overflow the
     shared grid, at which point the share needs a coarser grid (q238
     rule), not a wider int."""
-    from ..operators.statcat import (
-        CMS_DEPTH,
-        catalog_path,
-        ensure_catalog,
-        load_catalog,
-    )
-    from .statcat import _CAT_TABLES, _KEY_SPEC, build_catalog
-
-    path = catalog_path(sf_dir, _CAT_TABLES, spec=_KEY_SPEC)
-    ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
-    cms_rows: dict[tuple, dict[tuple, int]] = {}
-    wanted = {("events", "user_id"), ("lineitem", "l_orderkey"),
-              ("orders", "o_orderkey")}
-    for r in (
-        load_catalog(spark, path).where(F.col("kind") == "cms").collect()
-    ):
-        if (r.tbl, r.col) in wanted:
-            cms_rows.setdefault((r.tbl, r.col), {})[(r.r, r.b)] = int(r.v)
-
-    def est(a: tuple, b: tuple) -> int:
-        ca, cb = cms_rows[a], cms_rows[b]
-        ip = {r: 0 for r in range(CMS_DEPTH)}
-        for (r, bkt), v in ca.items():
-            ip[r] += v * cb.get((r, bkt), 0)
-        return min(ip.values())
-
-    self_est = est(("events", "user_id"), ("events", "user_id"))
-    cross_est = est(("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("user_id").isNotNull()
-    )
-    self_exact = int(
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")))
-        .collect()[0][0]
-    )
-    li = read_table(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey").isNotNull()
-    )
-    od = read_table(spark, sf_dir, "orders").where(
-        F.col("o_orderkey").isNotNull()
-    )
-    cross_exact = int(
-        li.groupBy(F.col("l_orderkey").alias("k"))
-        .agg(F.count(F.lit(1)).alias("cl"))
-        .join(
-            od.groupBy(F.col("o_orderkey").alias("k")).agg(
-                F.count(F.lit(1)).alias("co")
-            ),
-            "k",
-        )
-        .agg(F.sum(F.expr("CAST(cl AS DECIMAL(38,0)) * co")))
-        .collect()[0][0]
+    from .statcat import (
+        _collect_cms_cells,
+        _ha6_py,
+        cms_inner_product,
+        exact_degree_product,
     )
 
-    from .statcat import _ha6_py
-
+    cells = _collect_cms_cells(spark, sf_dir)
     out = []
-    for name, e, x in (
-        ("events_self_user", self_est, self_exact),
-        ("lineitem_orders_key", cross_est, cross_exact),
+    for name, a, b in (
+        ("events_self_user", ("events", "user_id"), ("events", "user_id")),
+        (
+            "lineitem_orders_key",
+            ("lineitem", "l_orderkey"),
+            ("orders", "o_orderkey"),
+        ),
     ):
+        e = cms_inner_product(cells, a, b)
+        x = exact_degree_product(spark, sf_dir, a, b)
         out.append((name, x, e, e - x, _ha6_py(e - x, x)))
     return spark.createDataFrame(
         out,

@@ -916,40 +916,14 @@ def q383_join_order_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Grid budget: CMS products ride Python arbitrary-precision ints
     driver-side and DECIMAL(38,0)/HUGEINT in the truth aggregates."""
-    path = catalog_path(sf_dir, _CAT_TABLES, spec=_KEY_SPEC)
-    ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
-    cms_rows: dict[tuple, dict[tuple, int]] = {}
-    for row in load_catalog(spark, path).where(F.col("kind") == "cms").collect():
-        cms_rows.setdefault((row.tbl, row.col), {})[(row.r, row.b)] = int(row.v)
-
-    def est(a, b):
-        ca, cb = cms_rows[a], cms_rows[b]
-        ip = {r: 0 for r in range(CMS_DEPTH)}
-        for (r, bkt), v in ca.items():
-            ip[r] += v * cb.get((r, bkt), 0)
-        return min(ip.values())
-
-    def exact(a, b):
-        da = (
-            read_table(spark, sf_dir, a[0])
-            .where(F.col(a[1]).isNotNull())
-            .groupBy(F.col(a[1]).alias("k"))
-            .agg(F.count(F.lit(1)).alias("ca"))
-        )
-        db = (
-            read_table(spark, sf_dir, b[0])
-            .where(F.col(b[1]).isNotNull())
-            .groupBy(F.col(b[1]).alias("k"))
-            .agg(F.count(F.lit(1)).alias("cb"))
-        )
-        return int(
-            da.join(db, "k")
-            .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")))
-            .collect()[0][0]
-        )
-
+    cms_rows = _collect_cms_cells(spark, sf_dir)
     rows = [
-        (name, est(a, b), exact(a, b)) for name, a, b in _JOIN_PLANS
+        (
+            name,
+            cms_inner_product(cms_rows, a, b),
+            exact_degree_product(spark, sf_dir, a, b),
+        )
+        for name, a, b in _JOIN_PLANS
     ]
     best = min((e, name) for name, e, _ in rows)[1]
     out = [
@@ -1155,11 +1129,7 @@ def q385_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grid budget: 2·upper·1e6 ≤ 2n·1e6 widens inside _ha6/HUGEINT; the
     boolean threshold compare reuses the same integer quotient text in
     both engines."""
-    path = catalog_path(sf_dir, _CAT_TABLES, spec=_KEY_SPEC)
-    ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
-    cms_rows: dict[tuple, dict[tuple, int]] = {}
-    for row in load_catalog(spark, path).where(F.col("kind") == "cms").collect():
-        cms_rows.setdefault((row.tbl, row.col), {})[(row.r, row.b)] = int(row.v)
+    cms_rows = _collect_cms_cells(spark, sf_dir)
 
     exacts = {}
     for tbl, col in _KEY_SPEC:
@@ -1574,16 +1544,13 @@ def catalog_row_estimates(
     each CMS hash row's bucket counts sum to EXACTLY the non-null row
     count, so n̂ = max over rows of Σ_b v (driver-side under the q379
     bounded-artifact contract)."""
-    path = catalog_path(sf_dir, _CAT_TABLES, spec=_KEY_SPEC)
-    ensure_catalog(path, lambda: build_catalog(spark, sf_dir))
-    tot: dict[tuple, dict[int, int]] = {}
-    for row in (
-        load_catalog(spark, path).where(F.col("kind") == "cms").collect()
-    ):
-        key = (row.tbl, row.col)
-        per_r = tot.setdefault(key, dict.fromkeys(range(CMS_DEPTH), 0))
-        per_r[row.r] += int(row.v)
-    return {key: max(per_r.values()) for key, per_r in tot.items()}
+    out: dict[tuple[str, str], int] = {}
+    for key, cmap in _collect_cms_cells(spark, sf_dir).items():
+        per_r = dict.fromkeys(range(CMS_DEPTH), 0)
+        for (r, _b), v in cmap.items():
+            per_r[r] += v
+        out[key] = max(per_r.values())
+    return out
 
 
 def decided_join(
@@ -1938,6 +1905,53 @@ def _collect_cms_cells(
     return cells
 
 
+def cms_inner_product(
+    cells: dict[tuple, dict[tuple, int]], a: tuple, b: tuple
+) -> int:
+    """min over depth rows of the bucket-count inner product — the
+    AGMS/CMS join-size estimator.  Rows are ZERO-initialized so a hash
+    row with no overlapping buckets stays in the MIN as 0 (the r11
+    ADVICE depth-spine convention, mirrored by _cms_cross_sql).  ONE
+    implementation for q375/q383/q392/q396 — an estimator tweak must
+    not have five divergent copies (r12 self-review finding)."""
+    acc = dict.fromkeys(range(CMS_DEPTH), 0)
+    cb = cells[b]
+    for (r, bkt), v in cells[a].items():
+        acc[r] += v * cb.get((r, bkt), 0)
+    return min(acc.values())
+
+
+def exact_degree_product(
+    spark: SparkSession, sf_dir: str, a: tuple, b: tuple
+) -> int:
+    """Exact join size Σ c_A(k)·c_B(k) over non-null keys (the truth
+    column next to every CMS estimate); DECIMAL(38,0)-widened — degree
+    products are n²-scale."""
+    da = (
+        read_table(spark, sf_dir, a[0])
+        .where(F.col(a[1]).isNotNull())
+        .groupBy(F.col(a[1]).alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    if a == b:
+        return int(
+            da.agg(
+                F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * ca"))
+            ).collect()[0][0]
+        )
+    db = (
+        read_table(spark, sf_dir, b[0])
+        .where(F.col(b[1]).isNotNull())
+        .groupBy(F.col(b[1]).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    return int(
+        da.join(db, "k")
+        .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")))
+        .collect()[0][0]
+    )
+
+
 def _join_bounds_sql() -> str:
     exm_rows = " UNION ALL ".join(
         f"SELECT '{tbl}' AS tbl, '{col}' AS col, MAX(c) AS mx, SUM(c) AS n"
@@ -2038,15 +2052,8 @@ def q392_join_upper_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             mx[r] = max(mx[r], v)
         return min(mx.values())
 
-    def ip(a: tuple, b: tuple) -> int:
-        acc = dict.fromkeys(range(CMS_DEPTH), 0)
-        cb = cells[b]
-        for (r, bkt), v in cells[a].items():
-            acc[r] += v * cb.get((r, bkt), 0)
-        return min(acc.values())
-
     exact: dict[tuple, tuple[int, int]] = {}  # (maxdeg, n_nonnull)
-    for tbl, col in {a for _n, a, b in _BOUND_JOINS for a in (a, b)}:
+    for tbl, col in {side for _n, a, b in _BOUND_JOINS for side in (a, b)}:
         row = (
             read_table(spark, sf_dir, tbl)
             .where(F.col(col).isNotNull())
@@ -2057,35 +2064,10 @@ def q392_join_upper_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         exact[(tbl, col)] = (int(row.mx), int(row.n))
 
-    def exact_pairs(a: tuple, b: tuple) -> int:
-        da = (
-            read_table(spark, sf_dir, a[0])
-            .where(F.col(a[1]).isNotNull())
-            .groupBy(F.col(a[1]).alias("k"))
-            .agg(F.count(F.lit(1)).alias("ca"))
-        )
-        if a == b:
-            return int(
-                da.agg(
-                    F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * ca"))
-                ).collect()[0][0]
-            )
-        db = (
-            read_table(spark, sf_dir, b[0])
-            .where(F.col(b[1]).isNotNull())
-            .groupBy(F.col(b[1]).alias("k"))
-            .agg(F.count(F.lit(1)).alias("cb"))
-        )
-        return int(
-            da.join(db, "k")
-            .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")))
-            .collect()[0][0]
-        )
-
     out = []
     for name, a, b in _BOUND_JOINS:
-        xp = exact_pairs(a, b)
-        ce = ip(a, b)
+        xp = exact_degree_product(spark, sf_dir, a, b)
+        ce = cms_inner_product(cells, a, b)
         dbe = min(
             maxdeg_up(a) * n_est(b), maxdeg_up(b) * n_est(a)
         )
@@ -2277,8 +2259,12 @@ _CORPUS_SPEC = (
     (
         "embeddings",
         "max_component",
-        "CAST(array_max(embedding) AS DOUBLE)",
-        "CAST(list_max(embedding) AS DOUBLE)",
+        # max |component| — abs BEFORE the max so an all-negative vector
+        # can't hand equiwidth_counts a negative value (its non-negative
+        # guard would raise); abs/max are exact selections on floats,
+        # no arithmetic, so the float→double cast stays bit-exact
+        "CAST(array_max(transform(embedding, v -> abs(v))) AS DOUBLE)",
+        "CAST(list_max(list_transform(embedding, v -> abs(v))) AS DOUBLE)",
         50_000,  # 0.05 cells
         _md5_slice_spark(1, 10, 0, key="CAST(vec_id AS STRING)"),
         _md5_slice_sql(1, 10, 0, key="CAST(vec_id AS VARCHAR)"),
@@ -2287,10 +2273,15 @@ _CORPUS_SPEC = (
 
 
 def _corpus_path(sf_dir: str) -> str:
+    # the FULL spec tuples ride the key — a derived-expression change
+    # (not just a cell/label change) must mint a fresh artifact, or
+    # ensure_catalog would serve stale-expression sketches against a
+    # new-expression oracle (the catalog_path docstring contract;
+    # r12 self-review finding)
     return catalog_path(
         sf_dir,
         tuple(s[0] for s in _CORPUS_SPEC),
-        spec=tuple((s[0], s[1], s[4]) for s in _CORPUS_SPEC),
+        spec=_CORPUS_SPEC,
     ) + "-corpus"
 
 
@@ -2616,38 +2607,6 @@ def q396_shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFram
     as integer LEAST/GREATEST, all text-shared with the oracle."""
     cells = _collect_cms_cells(spark, sf_dir)
 
-    def ip(a: tuple, b: tuple) -> int:
-        acc = dict.fromkeys(range(CMS_DEPTH), 0)
-        cb = cells[b]
-        for (r, bkt), v in cells[a].items():
-            acc[r] += v * cb.get((r, bkt), 0)
-        return min(acc.values())
-
-    def exact_pairs(a: tuple, b: tuple) -> int:
-        da = (
-            read_table(spark, sf_dir, a[0])
-            .where(F.col(a[1]).isNotNull())
-            .groupBy(F.col(a[1]).alias("k"))
-            .agg(F.count(F.lit(1)).alias("ca"))
-        )
-        if a == b:
-            return int(
-                da.agg(
-                    F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * ca"))
-                ).collect()[0][0]
-            )
-        db = (
-            read_table(spark, sf_dir, b[0])
-            .where(F.col(b[1]).isNotNull())
-            .groupBy(F.col(b[1]).alias("k"))
-            .agg(F.count(F.lit(1)).alias("cb"))
-        )
-        return int(
-            da.join(db, "k")
-            .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")))
-            .collect()[0][0]
-        )
-
     def rec(n: int) -> int:
         return min(
             max((n + _TARGET_ROWS_PER_PART - 1) // _TARGET_ROWS_PER_PART, 1),
@@ -2656,7 +2615,8 @@ def q396_shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFram
 
     out = []
     for name, a, b in _BOUND_JOINS:
-        e, x = ip(a, b), exact_pairs(a, b)
+        e = cms_inner_product(cells, a, b)
+        x = exact_degree_product(spark, sf_dir, a, b)
         out.append((name, e, x, rec(e), rec(x), rec(e) == rec(x)))
     out.sort(key=lambda t: t[0])
     return spark.createDataFrame(
@@ -2746,8 +2706,16 @@ def q397_hist_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _ew_path(sf_dir)
     ensure_catalog(path, lambda: _ew_merged(spark, sf_dir))
+    rows = load_catalog(spark, path).limit(_EW_MAX_ROWS + 1).collect()
+    if len(rows) > _EW_MAX_ROWS:
+        # loud contract error like q388/q395: a silently-truncated
+        # artifact would undercount n and corrupt every rank below
+        raise ValueError(
+            f"ew artifact exceeds its cap ({len(rows)} > {_EW_MAX_ROWS})"
+            " — grid mis-sized or artifact corrupt"
+        )
     ew: dict[tuple, dict[int, int]] = {}
-    for r in load_catalog(spark, path).limit(_EW_MAX_ROWS + 1).collect():
+    for r in rows:
         if r.kind == "ew":
             ew.setdefault((r.tbl, r.col), {})[int(r.b)] = int(r.v)
 
@@ -2793,6 +2761,11 @@ def q397_hist_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- delete-maintainable histogram (q398) ----------------------------------
 
+# the events grid cell comes from _EW_SPEC so a re-grid (the q397
+# abs_err signal's action) keeps q398 maintaining the SAME histogram
+# q387 persists (r12 self-review finding)
+_EV_CELL = _EW_SPEC[0][2]
+
 
 @query(
     "q398_ew_ivm",
@@ -2800,7 +2773,7 @@ def q397_hist_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tbl, col, kind, r, b, CAST(v AS VARCHAR) AS v
     FROM ({_ew_rows_sql(
         f"(SELECT * FROM events WHERE ({_INS_SQL}) OR NOT ({_DEL_SQL})) eff",
-        "value", "events", 20_000_000)})
+        "value", "events", _EW_SPEC[0][2])})
     ORDER BY tbl, col, kind, r, b, v
     """,
     tags=("catalog", "histogram", "incremental", "maintenance"),
@@ -2829,7 +2802,7 @@ def q398_ew_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = ev.where(~ins)
 
     def hist(df: DataFrame, sign: int) -> DataFrame:
-        h = equiwidth_counts(df, "events", "value", 20_000_000)
+        h = equiwidth_counts(df, "events", "value", _EV_CELL)
         return h.withColumn("v", (F.col("v") * sign).cast("decimal(38,0)"))
 
     maintained = (

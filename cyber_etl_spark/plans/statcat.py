@@ -2816,3 +2816,194 @@ def q398_ew_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.select(
         "tbl", "col", "kind", "r", "b", F.col("v").cast("string").alias("v")
     ).orderBy("tbl", "col", "kind", "r", "b", "v")
+
+
+# ---- estimate-driven materialized-view selection (q399) --------------------
+
+# Workload: aggregate templates over events, each a group-key set with
+# a frequency weight.  Candidate views = the key sets themselves; view
+# v answers query q iff q's keys ⊆ v's keys (static containment, baked
+# into the shared VALUES table).  Greedy picks _VIEW_BUDGET views, each
+# step taking the candidate with the lowest resulting workload cost
+# (rows scanned, estimated), ties on view name.
+_VS_QUERIES = (
+    # (query, weight, frozenset of keys)
+    ("by_type", 10, ("event_type",)),
+    ("by_type_day", 5, ("event_type", "day")),
+    ("by_day", 3, ("day",)),
+    ("by_user", 2, ("user_id",)),
+    ("by_user_type", 1, ("user_id", "event_type")),
+)
+_VS_VIEWS = tuple(name for name, _w, _k in _VS_QUERIES)
+_VIEW_BUDGET = 2
+# (answerable) pairs: query ⊆ view, both named by their template row
+_VS_ANS = tuple(
+    (q, v)
+    for q, _w, qk in _VS_QUERIES
+    for v, _w2, vk in _VS_QUERIES
+    if set(qk) <= set(vk)
+)
+_VS_COL_SQL = {"event_type": "event_type", "day": _GB_DAY_SQL, "user_id": "user_id"}
+_VS_COL_SPARK = {
+    "event_type": "event_type",
+    "day": _GB_DAY_SPARK,
+    "user_id": "user_id",
+}
+
+
+def _view_selection_sql() -> str:
+    ndv_ctes = ",\n    ".join(
+        f"nd_{c} AS (SELECT {_NDV_U_CASE} AS u FROM ({_ndv_u_sql(sql)}))"
+        for c, sql in _VS_COL_SQL.items()
+    )
+    size_rows = " UNION ALL ".join(
+        (
+            f"SELECT '{name}' AS view, (SELECT u FROM nd_{ks[0]}) AS est_u"
+            if len(ks) == 1
+            else f"SELECT '{name}', LEAST((SELECT u FROM nd_{ks[0]})"
+            f" * (SELECT u FROM nd_{ks[1]}) // 1000000,"
+            f" (SELECT base_u FROM nb))"
+        )
+        for name, _w, ks in _VS_QUERIES
+    )
+    wl = ", ".join(f"('{q}', {w})" for q, w, _k in _VS_QUERIES)
+    ans = ", ".join(f"('{q}', '{v}')" for q, v in _VS_ANS)
+    return f"""
+    WITH {ndv_ctes},
+    nb AS (SELECT CAST(COUNT(*) AS HUGEINT) * 1000000 AS base_u
+           FROM events),
+    sizes AS MATERIALIZED ({size_rows}),
+    wl(q, w) AS (VALUES {wl}),
+    ans(q, v) AS (VALUES {ans}),
+    c1 AS (
+      SELECT s.view AS cand, w.q, w.w,
+             LEAST((SELECT base_u FROM nb),
+                   CASE WHEN a.q IS NOT NULL THEN s.est_u
+                        ELSE (SELECT base_u FROM nb) END) AS cost_u
+      FROM sizes s CROSS JOIN wl w
+      LEFT JOIN ans a ON a.q = w.q AND a.v = s.view
+    ),
+    t1 AS (SELECT cand, SUM(w * cost_u) AS tot FROM c1 GROUP BY 1),
+    p1 AS (SELECT FIRST(cand ORDER BY tot, cand) AS pick FROM t1),
+    c2 AS (
+      SELECT s.view AS cand, w.q, w.w,
+             LEAST((SELECT base_u FROM nb),
+                   CASE WHEN a1.q IS NOT NULL
+                        THEN (SELECT est_u FROM sizes
+                              WHERE view = (SELECT pick FROM p1))
+                        ELSE (SELECT base_u FROM nb) END,
+                   CASE WHEN a.q IS NOT NULL THEN s.est_u
+                        ELSE (SELECT base_u FROM nb) END) AS cost_u
+      FROM sizes s CROSS JOIN wl w
+      LEFT JOIN ans a ON a.q = w.q AND a.v = s.view
+      LEFT JOIN ans a1 ON a1.q = w.q AND a1.v = (SELECT pick FROM p1)
+      WHERE s.view <> (SELECT pick FROM p1)
+    ),
+    t2 AS (SELECT cand, SUM(w * cost_u) AS tot FROM c2 GROUP BY 1),
+    p2 AS (SELECT FIRST(cand ORDER BY tot, cand) AS pick FROM t2)
+    SELECT s.view,
+           CAST(s.est_u AS DOUBLE) / 1000000 AS est_rows,
+           s.view IN ((SELECT pick FROM p1), (SELECT pick FROM p2))
+             AS picked,
+           CASE WHEN s.view = (SELECT pick FROM p1) THEN 1
+                WHEN s.view = (SELECT pick FROM p2) THEN 2
+                ELSE 0 END AS pick_order
+    FROM sizes s ORDER BY s.view
+    """
+
+
+@query(
+    "q399_view_selection",
+    oracle=_view_selection_sql(),
+    tags=("catalog", "planning", "materialized-view"),
+)
+def q399_view_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view selection — the classic planner problem every
+    statistic in this catalog exists to feed: given a weighted workload
+    of aggregate templates over events and their group-key sets as
+    candidate views, greedily pick the _VIEW_BUDGET views minimizing
+    total estimated rows scanned (a view answers a query iff the
+    query's keys ⊆ the view's keys; unanswered queries scan the base
+    table).  View sizes come from the q393 GROUP BY cardinality
+    estimator (KMV NDVs, independence product, n cap) — the decision
+    runs on sketch state alone, before anything is materialized.  The
+    greedy's submodular interaction is visible in the output: after
+    (event_type, day) is picked, the singleton (event_type) view's
+    marginal benefit collapses, and the second pick jumps to the
+    user_id family.
+
+    Scale plan: NDV sketches are bounded bottom-k cuts; the greedy
+    itself is driver-side integer arithmetic over |views|·|workload|
+    literals (a real optimizer's view advisor is driver-resident for
+    the same reason planner stats are).
+
+    Exactness: all costs are exact micro integers (sizes are q393
+    est_u values, base cost n·1e6, weights spec ints); argmin steps
+    are FIRST(cand ORDER BY tot, cand) in DuckDB (the q320 ORDER BY
+    discipline) mirrored by Python min() on (tot, cand) tuples."""
+    ev = read_table(spark, sf_dir, "events")
+    n = ev.count()
+    base_u = n * 1_000_000
+
+    def ndv_u(col_spark: str) -> int:
+        rows = (
+            ev.select(F.expr(col_spark).alias("k"))
+            .where(F.col("k").isNotNull())
+            .select(
+                F.expr(
+                    "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 13),"
+                    " 16, 10) AS BIGINT)"
+                ).alias("u")
+            )
+            .distinct()
+            .orderBy("u")
+            .limit(KMV_K)
+            .collect()
+        )
+        nk = len(rows)
+        if nk < KMV_K:
+            return nk * 1_000_000
+        uk = max(int(r.u) for r in rows)
+        return (2 * KMV_NUM * 1_000_000 + uk) // (2 * uk)
+
+    nd = {c: ndv_u(sp) for c, sp in _VS_COL_SPARK.items()}
+    sizes: dict[str, int] = {}
+    for name, _w, ks in _VS_QUERIES:
+        if len(ks) == 1:
+            sizes[name] = nd[ks[0]]
+        else:
+            sizes[name] = min(nd[ks[0]] * nd[ks[1]] // 1_000_000, base_u)
+
+    ans = set(_VS_ANS)
+
+    def workload_cost(picked: tuple[str, ...]) -> int:
+        tot = 0
+        for q, w, _ks in _VS_QUERIES:
+            cost = base_u
+            for v in picked:
+                if (q, v) in ans:
+                    cost = min(cost, sizes[v])
+            tot += w * cost
+        return tot
+
+    picks: list[str] = []
+    for _ in range(_VIEW_BUDGET):
+        best = min(
+            (workload_cost((*picks, cand)), cand)
+            for cand in _VS_VIEWS
+            if cand not in picks
+        )
+        picks.append(best[1])
+
+    out = [
+        (
+            name,
+            sizes[name] / 1e6,
+            name in picks,
+            picks.index(name) + 1 if name in picks else 0,
+        )
+        for name in sorted(_VS_VIEWS)
+    ]
+    return spark.createDataFrame(
+        out, "view string, est_rows double, picked boolean, pick_order int"
+    )

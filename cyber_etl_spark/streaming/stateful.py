@@ -1512,3 +1512,80 @@ def ew_stream(values: DataFrame, cell_micro: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MINH_STREAM_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("gen", LongType()),
+        StructField("r", LongType()),
+        StructField("v", LongType()),
+    ]
+)
+
+_MINH_STATE = StructType(
+    [
+        StructField("gen", LongType()),
+        StructField("vs", ArrayType(LongType())),
+    ]
+)
+
+
+def minh_stream(items: DataFrame, slots: int = 16) -> DataFrame:
+    """Streaming MinHash signature — the unbounded-feed twin of the
+    catalog's minh kind (operators/statcat.minhash_rows): per name the
+    state is the per-slot minimum 52-bit md5 hash of ``r:item`` over
+    everything seen, advanced per micro-batch and emitted with a
+    generation counter.
+
+    Slot-wise MIN is associative, commutative AND idempotent, so the
+    snapshot after any trigger equals the batch signature of everything
+    fed so far under any slicing — and re-delivered items are harmless
+    (at-least-once delivery needs no dedup), a strictly stronger
+    property than the additive kinds have.  State is exactly ``slots``
+    longs per name, O(1) in stream length."""
+    import hashlib
+
+    def _u52(r: int, item: str) -> int:
+        return int(
+            hashlib.md5(f"{r}:{item}".encode()).hexdigest()[:13], 16
+        )
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (name,) = key
+        if state.exists:
+            gen, vs = state.get
+            vs = list(vs)
+        else:
+            gen, vs = 0, [None] * slots
+        for pdf in batches:
+            for item in pdf["item"].dropna().unique():
+                for r in range(slots):
+                    u = _u52(r, str(item))
+                    if vs[r] is None or u < vs[r]:
+                        vs[r] = u
+        gen += 1
+        state.update((gen, vs))
+        occupied = [(r, v) for r, v in enumerate(vs) if v is not None]
+        yield pd.DataFrame(
+            {
+                "name": [name] * len(occupied),
+                "gen": [gen] * len(occupied),
+                "r": [r for r, _ in occupied],
+                "v": [v for _, v in occupied],
+            }
+        )
+
+    keyed = items.select(
+        F.col("name").cast("string").alias("name"),
+        F.col("item").cast("string").alias("item"),
+    )
+    return keyed.groupBy("name").applyInPandasWithState(
+        update,
+        outputStructType=MINH_STREAM_SCHEMA,
+        stateStructType=_MINH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

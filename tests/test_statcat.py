@@ -480,3 +480,60 @@ def test_ew_stream_snapshot_equals_batch_histogram(spark, tmp_path):
     for gen, upto in ((1, 300), (2, 600), (3, 900)):
         got = sorted((r.b, r.c) for r in rows if r.gen == gen)
         assert got == batch_hist(upto), gen
+
+
+def test_minh_stream_snapshot_equals_batch_signature(spark, tmp_path):
+    """The minh streaming twin: after every trigger the per-slot state
+    equals the batch minhash_rows of everything fed so far — and
+    because MIN is idempotent, REPLAYING a chunk (at-least-once
+    delivery) must leave the signature unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyber_etl_spark.operators.statcat import minhash_rows
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import minh_stream
+
+    n = 600
+    pdf = (
+        spark.range(n)
+        .select((F.col("id") * 13 % 97).alias("event_type"))
+        .toPandas()
+    )
+    pdf["event_type"] = pdf["event_type"].astype(str)
+    pdf["event_id"] = range(len(pdf))
+    pdf["ts"] = [1_700_000_000_000_000 + i for i in range(len(pdf))]
+    pdf["user_id"] = 1
+    pdf["value"] = 0.0
+    pdf["props"] = ""
+    pdf = pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    d = tmp_path / "minh_feed"
+    d.mkdir()
+    for i in range(2):
+        chunk = pdf.iloc[i * 300 : (i + 1) * 300]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet"))
+    # chunk 2 REPLAYS chunk 0 — idempotence under at-least-once delivery
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[0:300]), str(d / "chunk_2.parquet")
+    )
+    stream = read_event_stream(spark, str(d), empty_dir_ts="micros").select(
+        F.lit("t.k").alias("name"), F.col("event_type").alias("item")
+    )
+    run_stream_to_memory(minh_stream(stream, slots=8), "minh_mem", mode="update")
+    rows = spark.sql("SELECT * FROM minh_mem").collect()
+    assert max(r.gen for r in rows) == 3
+
+    def batch_sig(upto: int) -> list[tuple[int, int]]:
+        df = spark.createDataFrame(
+            pdf.iloc[:upto][["event_type"]].rename(columns={"event_type": "k"})
+        )
+        return sorted(
+            (int(r.r), int(r.v))
+            for r in minhash_rows(df, "t", "k", slots=8).collect()
+        )
+
+    sig2 = sorted((r.r, r.v) for r in rows if r.gen == 2)
+    assert sig2 == batch_sig(600)
+    # the replayed chunk must not move the signature
+    sig3 = sorted((r.r, r.v) for r in rows if r.gen == 3)
+    assert sig3 == sig2

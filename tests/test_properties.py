@@ -367,3 +367,55 @@ def test_prefix_filter_matches_bruteforce_token_sets(spark, texts):
                 if jac >= 0.5:
                     want.add((i, j, jac))
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2000),  # value in 1e-2 grid
+            st.booleans(),  # side assignment
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_statcat_merge_identities_on_random_splits(spark, rows):
+    """merge(build(A), build(B)) == build(A ∪ B) for the ew (additive)
+    and minh (slot-MIN) catalog kinds on ARBITRARY generated multisets
+    and ARBITRARY splits — the q387/q390 oracles pin one md5 split on
+    one dataset; this pins the algebra itself."""
+    from pyspark.sql import functions as F
+
+    from cyber_etl_spark.operators.statcat import (
+        equiwidth_counts,
+        merge_catalogs,
+        minhash_rows,
+    )
+
+    data = [(v / 100.0, side) for v, side in rows]
+    full = spark.createDataFrame(data, "x double, side boolean")
+    a, b = full.where("side"), full.where("NOT side")
+
+    def canon(df):
+        return sorted(
+            (r.tbl, r.col, r.kind, r.r, r.b, int(r.v)) for r in df.collect()
+        )
+
+    ew_full = canon(equiwidth_counts(full, "t", "x", 3_000_000))
+    ew_merged = canon(
+        merge_catalogs(
+            equiwidth_counts(a, "t", "x", 3_000_000),
+            equiwidth_counts(b, "t", "x", 3_000_000),
+        )
+    )
+    assert ew_merged == ew_full
+
+    mh_full = canon(minhash_rows(full, "t", "x", slots=4))
+    mh_merged = canon(
+        merge_catalogs(
+            minhash_rows(a, "t", "x", slots=4),
+            minhash_rows(b, "t", "x", slots=4),
+        )
+    )
+    assert mh_merged == mh_full

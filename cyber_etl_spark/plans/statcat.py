@@ -2290,6 +2290,11 @@ def _corpus_side(spark: SparkSession, sf_dir: str, delta: bool) -> DataFrame:
     for tbl, label, spark_expr, _sql, cell, split_spark, _ssql in _CORPUS_SPEC:
         df = read_table(spark, sf_dir, tbl)
         pred = F.expr(split_spark)
+        # `side` feeds two consumers (ew + moments) UNPINNED by measured
+        # choice (r10 pin-per-case rule): interleaved min-of-3 at sf0.1,
+        # recompute 1.53 s vs localCheckpoint-per-side 1.61 s — four
+        # blocking pin jobs cost more than re-tokenizing 5k docs.  At a
+        # scale where the derived projection dominates, pin here.
         side = df.where(pred if delta else ~pred).select(
             F.expr(spark_expr).alias(label)
         )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.statcat import CMS_DEPTH, CMS_WIDTH
 from ..sources import read_table
 from .analytics2 import _ha6_sql
 from .analytics5 import _md5_mod, _md5_mod_sql
@@ -5110,7 +5111,7 @@ def q374_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cms_sql(rel: str, key: str, width: int = 128, depth: int = 3) -> str:
+def _cms_sql(rel: str, key: str, width: int = CMS_WIDTH, depth: int = CMS_DEPTH) -> str:
     """DuckDB text twin of operators/countmin.cms_sketch over
     ``SELECT {key} FROM {rel} WHERE {key} IS NOT NULL``: exact
     per-(row, bucket) counts.  Nulls are excluded to match the stats
@@ -5142,7 +5143,7 @@ def _cms_sql(rel: str, key: str, width: int = 128, depth: int = 3) -> str:
       -- buckets contributes ip = 0 to the MIN, matching the Python
       -- accumulator's zero-initialized rows (ADVICE r11)
       SELECT d.r, COALESCE(x.ip, 0) AS ip
-      FROM (SELECT unnest(range(0, 3)) AS r) d
+      FROM (SELECT unnest(range(0, {CMS_DEPTH})) AS r) d
       LEFT JOIN (
         SELECT sl.r, SUM(CAST(sl.c AS HUGEINT) * so.c) AS ip
         FROM sl JOIN so ON sl.r = so.r AND sl.b = so.b
@@ -5205,6 +5206,7 @@ def q375_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared grid, at which point the share needs a coarser grid (q238
     rule), not a wider int."""
     from .statcat import (
+        _BOUND_JOINS,
         _collect_cms_cells,
         _ha6_py,
         cms_inner_product,
@@ -5213,14 +5215,7 @@ def q375_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells = _collect_cms_cells(spark, sf_dir)
     out = []
-    for name, a, b in (
-        ("events_self_user", ("events", "user_id"), ("events", "user_id")),
-        (
-            "lineitem_orders_key",
-            ("lineitem", "l_orderkey"),
-            ("orders", "o_orderkey"),
-        ),
-    ):
+    for name, a, b in _BOUND_JOINS:
         e = cms_inner_product(cells, a, b)
         x = exact_degree_product(spark, sf_dir, a, b)
         out.append((name, x, e, e - x, _ha6_py(e - x, x)))

@@ -17,6 +17,8 @@ catalog, the artifact a query planner actually consumes.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -182,9 +184,15 @@ def q377_stats_catalog_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _md5_slice_sql(
     start: int, mod: int, eq: int, key: str = "CAST(event_id AS VARCHAR)"
 ) -> str:
+    # COALESCE(..., FALSE): a NULL key must land in the CORPUS side
+    # (delta = false), not vanish from BOTH sides of a split — a bare
+    # predicate is NULL on NULL keys and df.where(p) / df.where(~p)
+    # would each drop the row, silently breaking every merge-identity
+    # oracle (r12 review finding; no null keys in this data, guarded
+    # anyway)
     return (
-        f"CAST(('0x' || substr(md5({key}), {start}, 8))"
-        f" AS BIGINT) % {mod} = {eq}"
+        f"COALESCE(CAST(('0x' || substr(md5({key}), {start}, 8))"
+        f" AS BIGINT) % {mod} = {eq}, FALSE)"
     )
 
 
@@ -192,8 +200,8 @@ def _md5_slice_spark(
     start: int, mod: int, eq: int, key: str = "CAST(event_id AS STRING)"
 ) -> str:
     return (
-        f"CAST(conv(substr(md5({key}), {start}, 8), 16, 10)"
-        f" AS BIGINT) % {mod} = {eq}"
+        f"COALESCE(CAST(conv(substr(md5({key}), {start}, 8), 16, 10)"
+        f" AS BIGINT) % {mod} = {eq}, false)"
     )
 
 
@@ -1813,23 +1821,6 @@ def q391_sketch_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
 
-    def kmv_bottom(df: DataFrame, col: str) -> list[int]:
-        return [
-            int(r.u)
-            for r in df.select(F.col(col).alias("k"))
-            .where(F.col("k").isNotNull())
-            .select(
-                F.expr(
-                    "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 13),"
-                    " 16, 10) AS BIGINT)"
-                ).alias("u")
-            )
-            .distinct()
-            .orderBy("u")
-            .limit(KMV_K)
-            .collect()
-        ]
-
     ka, kb = kmv_bottom(orders, "o_custkey"), kmv_bottom(customer, "c_custkey")
     sa = {
         int(r.r): int(r.v)
@@ -1921,12 +1912,50 @@ def cms_inner_product(
     return min(acc.values())
 
 
+def kmv_bottom(df: DataFrame, col_spark: str) -> list[int]:
+    """Bottom-k distinct 52-bit md5 hashes of one column/expression —
+    the key_sketches kmv cut, collected driver-side (O(k) rows).  ONE
+    implementation for q391/q393/q399 (r12 review finding: estimator
+    text must not fork)."""
+    return [
+        int(r.u)
+        for r in df.select(F.expr(col_spark).alias("k"))
+        .where(F.col("k").isNotNull())
+        .select(
+            F.expr(
+                "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 13),"
+                " 16, 10) AS BIGINT)"
+            ).alias("u")
+        )
+        .distinct()
+        .orderBy("u")
+        .limit(KMV_K)
+        .collect()
+    ]
+
+
+def ndv_micro(df: DataFrame, col_spark: str) -> int:
+    """KMV NDV estimate in micro units: exact nk·1e6 below k,
+    half-away((k−1)·2⁵²·1e6 / u_k) above (the q376 estimator)."""
+    us = kmv_bottom(df, col_spark)
+    if len(us) < KMV_K:
+        return len(us) * 1_000_000
+    uk = max(us)
+    return (2 * KMV_NUM * 1_000_000 + uk) // (2 * uk)
+
+
 def exact_degree_product(
     spark: SparkSession, sf_dir: str, a: tuple, b: tuple
 ) -> int:
     """Exact join size Σ c_A(k)·c_B(k) over non-null keys (the truth
     column next to every CMS estimate); DECIMAL(38,0)-widened — degree
-    products are n²-scale."""
+    products are n²-scale.  Memoized per (session, dataset, pair):
+    q375/q392/q396 audit the SAME joins, and the truth aggregate is the
+    expensive side now that estimates come from the persisted catalog
+    (r12 review finding)."""
+    ckey = (session_token(spark), sf_dir, "degprod", a, b)
+    if ckey in _CAT_CACHE:
+        return _CAT_CACHE[ckey]
     da = (
         read_table(spark, sf_dir, a[0])
         .where(F.col(a[1]).isNotNull())
@@ -1934,22 +1963,25 @@ def exact_degree_product(
         .agg(F.count(F.lit(1)).alias("ca"))
     )
     if a == b:
-        return int(
+        out = int(
             da.agg(
                 F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * ca"))
             ).collect()[0][0]
         )
-    db = (
-        read_table(spark, sf_dir, b[0])
-        .where(F.col(b[1]).isNotNull())
-        .groupBy(F.col(b[1]).alias("k"))
-        .agg(F.count(F.lit(1)).alias("cb"))
-    )
-    return int(
-        da.join(db, "k")
-        .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")))
-        .collect()[0][0]
-    )
+    else:
+        db = (
+            read_table(spark, sf_dir, b[0])
+            .where(F.col(b[1]).isNotNull())
+            .groupBy(F.col(b[1]).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        out = int(
+            da.join(db, "k")
+            .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")))
+            .collect()[0][0]
+        )
+    _CAT_CACHE[ckey] = out
+    return out
 
 
 def _join_bounds_sql() -> str:
@@ -2190,30 +2222,9 @@ def q393_groupby_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     on HUGEINT-widened text shared verbatim."""
     ev = read_table(spark, sf_dir, "events")
 
-    def ndv_u(col_spark: str) -> int:
-        rows = (
-            ev.select(F.expr(col_spark).alias("k"))
-            .where(F.col("k").isNotNull())
-            .select(
-                F.expr(
-                    "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 13),"
-                    " 16, 10) AS BIGINT)"
-                ).alias("u")
-            )
-            .distinct()
-            .orderBy("u")
-            .limit(KMV_K)
-            .collect()
-        )
-        nk = len(rows)
-        if nk < KMV_K:
-            return nk * 1_000_000
-        uk = max(int(r.u) for r in rows)
-        return (2 * KMV_NUM * 1_000_000 + uk) // (2 * uk)
-
     out = []
     for name, x_spark, _xs, y_spark, _ys in _GB_PAIRS:
-        xu, yu = ndv_u(x_spark), ndv_u(y_spark)
+        xu, yu = ndv_micro(ev, x_spark), ndv_micro(ev, y_spark)
         both = ev.where(
             F.expr(f"{x_spark} IS NOT NULL AND {y_spark} IS NOT NULL")
         )
@@ -2749,9 +2760,7 @@ def q397_hist_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         2 * cell * (p * n - 100 * cum_before) + 100 * v
                     ) // (200 * v)
                     break
-            exact_u = int(
-                __import__("math").floor(qrow[f"p{p}"] * 1_000_000 + 0.5)
-            )
+            exact_u = int(math.floor(qrow[f"p{p}"] * 1_000_000 + 0.5))
             out.append(
                 (tbl, col, p, est_u / 1e6, exact_u / 1e6,
                  abs(est_u - exact_u) / 1e6)
@@ -2950,28 +2959,7 @@ def q399_view_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = ev.count()
     base_u = n * 1_000_000
 
-    def ndv_u(col_spark: str) -> int:
-        rows = (
-            ev.select(F.expr(col_spark).alias("k"))
-            .where(F.col("k").isNotNull())
-            .select(
-                F.expr(
-                    "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 13),"
-                    " 16, 10) AS BIGINT)"
-                ).alias("u")
-            )
-            .distinct()
-            .orderBy("u")
-            .limit(KMV_K)
-            .collect()
-        )
-        nk = len(rows)
-        if nk < KMV_K:
-            return nk * 1_000_000
-        uk = max(int(r.u) for r in rows)
-        return (2 * KMV_NUM * 1_000_000 + uk) // (2 * uk)
-
-    nd = {c: ndv_u(sp) for c, sp in _VS_COL_SPARK.items()}
+    nd = {c: ndv_micro(ev, sp) for c, sp in _VS_COL_SPARK.items()}
     sizes: dict[str, int] = {}
     for name, _w, ks in _VS_QUERIES:
         if len(ks) == 1:

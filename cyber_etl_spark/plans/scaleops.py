@@ -220,6 +220,66 @@ def _hilbert_oracle() -> str:
 _Q["q245_hilbert_layout"].oracle = _hilbert_oracle()
 
 
+@query(
+    "q400_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "bucketing", "layout", "scale"),
+)
+def q400_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through pre-bucketed storage: lineitem and orders
+    are written once bucketed+sorted by the order key into matching
+    bucket counts (sources/bucketing.ensure_bucketed_fact_pair), after
+    which the sort-merge join reads bucket files co-located — ZERO
+    Exchange under the join in the physical plan (pinned by
+    tests/test_scale_ops.py::test_q400_join_side_has_no_exchange; the
+    only shuffle left in the whole query is the 5-group priority agg).
+
+    This is the storage-side answer to the same problem q103 solves at
+    runtime: at 100 TB the dominant cost of every fact-fact key join is
+    shuffling both sides, and bucketing prepays that shuffle ONCE at
+    write time for every downstream key-join/key-agg consumer.  The
+    `.hint("merge")` pins SortMergeJoin so the co-location is what the
+    plan exercises even when one side would fit a broadcast at test
+    scale (the q389 decision problem is orthogonal — broadcast beats
+    bucketing only when the dim is small; here both sides are facts).
+
+    Laziness exception: the FIRST build per (session, dataset) runs the
+    two bucketed writes inside the builder (memoized + lock-serialized,
+    the ensure_catalog lifecycle); warm calls construct the plan only.
+
+    Determinism: the bucketed copies hold exactly the source rows
+    (projection only), so the join-agg is hash-identical to the plain
+    oracle join regardless of bucket layout.  Reference anchor: the
+    enrichment joins of SURVEY §2.3 J1 (alerts/cpe_product.ipynb) all
+    re-shuffle per notebook run; this is the write-once discipline they
+    would need at scale."""
+    from ..sources.bucketing import ensure_bucketed_fact_pair
+
+    li_tbl, ord_tbl = ensure_bucketed_fact_pair(spark, sf_dir, n_buckets=8)
+    li = spark.table(li_tbl)
+    orders = spark.table(ord_tbl)
+    joined = li.join(orders.hint("merge"), "ok")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _q290_oracle() -> str:
     from ..operators.layout import z_value_sql
 

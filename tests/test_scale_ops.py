@@ -361,3 +361,28 @@ def test_datasketches_builtin_union(spark, sf_smoke):
     exact = events.select("user_id").distinct().count()
     rse = 1.04 / (2**12) ** 0.5
     assert abs(est - exact) <= max(3, 4 * rse * exact), (est, exact)
+
+
+def test_q400_join_side_has_no_exchange(spark, sf_smoke):
+    """q400's claim, pinned: below the SortMergeJoin the plan reads
+    bucketed FileScans directly — every Exchange in the query sits
+    ABOVE the join (the 5-group agg + final sort), none below it."""
+    from cyber_etl_spark.plans.registry import QUERIES
+
+    df = QUERIES["q400_bucketed_colocated_join"].builder(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    join_tail = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_tail, "bucketed join sides must not shuffle"
+    assert join_tail.count("Bucketed: true") == 2
+
+
+def test_q400_ensure_build_is_memoized(spark, sf_smoke):
+    """Second ensure call must return the same tables without a write
+    (memo hit — no saveAsTable job)."""
+    from cyber_etl_spark.sources.bucketing import ensure_bucketed_fact_pair
+
+    a = ensure_bucketed_fact_pair(spark, sf_smoke, n_buckets=8)
+    b = ensure_bucketed_fact_pair(spark, sf_smoke, n_buckets=8)
+    assert a == b
+    assert spark.catalog.tableExists(a[0]) and spark.catalog.tableExists(a[1])

@@ -3000,3 +3000,101 @@ def q399_view_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "view string, est_rows double, picked boolean, pick_order int"
     )
+
+
+# ---- join-view IVM (q401): the bilinear delta rule -------------------------
+
+# orders insert batch: hex 1-8 of the order key, mod 10, slice 2 (~10%);
+# customer insert batch: mod 20, slice 5 (~5%); order delete set: hex
+# 9-16 mod 7 slice 2, restricted to the order CORPUS side (an insert
+# can't be a retroactive delete — the q382 rule, per side)
+_JV_OK = "CAST(o_orderkey AS {s})"
+_JV_CK = "CAST(c_custkey AS {s})"
+_JV_INS_O_SQL = _md5_slice_sql(1, 10, 2, key=_JV_OK.format(s="VARCHAR"))
+_JV_INS_O_SPARK = _md5_slice_spark(1, 10, 2, key=_JV_OK.format(s="STRING"))
+_JV_INS_C_SQL = _md5_slice_sql(1, 20, 5, key=_JV_CK.format(s="VARCHAR"))
+_JV_INS_C_SPARK = _md5_slice_spark(1, 20, 5, key=_JV_CK.format(s="STRING"))
+_JV_DEL_O_SQL = _md5_slice_sql(9, 7, 2, key=_JV_OK.format(s="VARCHAR"))
+_JV_DEL_O_SPARK = _md5_slice_spark(9, 7, 2, key=_JV_OK.format(s="STRING"))
+
+
+@query(
+    "q401_ivm_join_view",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COALESCE(SUM(CAST(floor(o_totalprice * 1000000 + 0.5)
+                                  AS BIGINT)), 0) AS BIGINT) AS sum_micro
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE ({_JV_INS_O_SQL}) OR NOT ({_JV_DEL_O_SQL})
+    GROUP BY c_mktsegment, o_orderpriority
+    ORDER BY c_mktsegment, o_orderpriority
+    """,
+    tags=("ivm", "join", "statcat"),
+)
+def q401_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregate view OVER A JOIN — the
+    bilinear delta rule q382 (single-table IVM) deliberately left out:
+    with inserts ΔO, ΔC arriving on BOTH sides of O ⋈ C, the join's
+    delta is ΔO⋈C₀ ∪ O₀⋈ΔC ∪ ΔO⋈ΔC (the cross term is the classic
+    missed-delta bug this oracle would catch), and a subsequent delete
+    batch D ⊆ O₀ retracts D ⋈ C (against the POST-insert customer
+    side) by signed addition.  The maintained view —
+    V(O₀⋈C₀) ⊎ the three insert deltas ⊎ −Δ(D⋈C) — is compared
+    against the oracle's full rebuild over the effective row set, so
+    the gate proves maintain == rebuild exactly, cross-engine.
+
+    Scale plan: in production V(O₀⋈C₀) is the stored artifact and only
+    the delta joins run per batch — each is |Δ|-sized on its delta side
+    (Catalyst broadcasts the small side automatically; at 100 TB the
+    delta joins shuffle |Δ| rows, never the corpus), and the fold is a
+    groupBy-sum over |groups| partial rows, never the data.  COUNT/SUM
+    are self-maintainable under deletes; MIN/MAX deliberately absent
+    (the q382/q398 rescan boundary).
+
+    Determinism: engine-shared md5 split predicates on the ORDER/
+    CUSTOMER keys (null-safe COALESCE form); micro-integer sums.  Grid
+    budget: Σ floor(o_totalprice·1e6+0.5) per group fits int64 to
+    ~1.5e7 order rows/group at the ~6e5 max price (sf ≲ 10 locally; the
+    stored-view column would be DECIMAL(38,0) at warehouse scale)."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)").alias("xu"),
+        F.expr(_JV_INS_O_SPARK).alias("ins_o"),
+        F.expr(_JV_DEL_O_SPARK).alias("del_o"),
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr(_JV_INS_C_SPARK).alias("ins_c"),
+    )
+    o_base, o_ins = orders.where(~F.col("ins_o")), orders.where(F.col("ins_o"))
+    c_base, c_ins = customer.where(~F.col("ins_c")), customer.where(F.col("ins_c"))
+    deletes = o_base.where(F.col("del_o"))
+
+    def delta(o_side: DataFrame, c_side: DataFrame, sign: int) -> DataFrame:
+        j = o_side.join(
+            c_side, o_side.o_custkey == c_side.c_custkey, "inner"
+        )
+        return j.groupBy("c_mktsegment", "o_orderpriority").agg(
+            (F.count(F.lit(1)) * sign).alias("cnt"),
+            (F.coalesce(F.sum("xu"), F.lit(0)) * sign).alias("sum_micro"),
+        )
+
+    maintained = (
+        delta(o_base, c_base, 1)       # the stored view V(O₀ ⋈ C₀)
+        .unionAll(delta(o_ins, c_base, 1))   # ΔO ⋈ C₀
+        .unionAll(delta(o_base, c_ins, 1))   # O₀ ⋈ ΔC
+        .unionAll(delta(o_ins, c_ins, 1))    # ΔO ⋈ ΔC (the cross term)
+        .unionAll(delta(deletes, customer, -1))  # −(D ⋈ C), post-insert C
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_micro").alias("sum_micro"))
+        .where(F.col("cnt") > 0)
+    )
+    return maintained.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_micro").cast("long").alias("sum_micro"),
+    ).orderBy("c_mktsegment", "o_orderpriority")

@@ -3588,3 +3588,163 @@ def q178_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.where(F.col("_m").isNull() | (F.col("diversity") > F.col("_m"))).select(
         "doc_id", "n_tokens", F.round("diversity", 6).alias("diversity")
     )
+
+
+# ---- DSIR importance-weight data selection (q402) ---------------------------
+
+# engine-shared arithmetic text (the q339 _DL_LEVELS discipline): the
+# per-bucket log importance ratio and its 1e-12 sign-aware half-away
+# snap are ONE string consumed by both the Spark selectExpr and the
+# DuckDB oracle, so both engines run identical IEEE ops on identical
+# integer inputs (ln on the same double is the same double on one
+# libm; the snap then erases any residual representation concern).
+_DSIR_B = 64  # hashed feature buckets
+_DSIR_X = (
+    "ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + {B} AS DOUBLE))"
+    " - ln(CAST(sc + 1 AS DOUBLE) / CAST(ss + {B} AS DOUBLE))"
+).format(B=_DSIR_B)
+_DSIR_LAM12 = (
+    f"CASE WHEN ({_DSIR_X}) >= 0"
+    f" THEN CAST(floor(({_DSIR_X}) * 1000000000000 + 0.5) AS BIGINT)"
+    f" ELSE CAST(ceil(({_DSIR_X}) * 1000000000000 - 0.5) AS BIGINT) END"
+)
+
+
+@query(
+    "q402_dsir_selection",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    shb AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(shingle), 1, 13)) AS BIGINT)
+               % {_DSIR_B} AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks
+      )
+    ),
+    spine AS (SELECT unnest(range({_DSIR_B})) AS b),
+    tcnt AS (SELECT b, COUNT(*) AS c FROM shb WHERE lang = 'en' GROUP BY b),
+    scnt AS (SELECT b, COUNT(*) AS c FROM shb GROUP BY b),
+    tot AS (
+      SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt,
+             COUNT(*) AS ss
+      FROM shb
+    ),
+    lam AS (
+      SELECT b, {_DSIR_LAM12} AS lam12
+      FROM (
+        SELECT spine.b, COALESCE(tcnt.c, 0) AS tc, COALESCE(scnt.c, 0) AS sc,
+               tot.tt, tot.ss
+        FROM spine LEFT JOIN tcnt ON spine.b = tcnt.b
+                   LEFT JOIN scnt ON spine.b = scnt.b
+                   CROSS JOIN tot
+      )
+    ),
+    docb AS (SELECT doc_id, b, COUNT(*) AS cb FROM shb GROUP BY doc_id, b),
+    docw AS (
+      SELECT doc_id, SUM(cb * lam12) AS w
+      FROM docb JOIN lam ON docb.b = lam.b GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source, d.lang,
+           CAST(COALESCE(w.w, 0) AS BIGINT) AS w12
+    FROM documents d LEFT JOIN docw w ON d.doc_id = w.doc_id
+    ORDER BY w12 DESC, d.doc_id
+    LIMIT 20
+    """,
+    tags=("llm-data", "selection", "dsir"),
+)
+def q402_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    its hashed-n-gram importance ratio against a target slice — here
+    feature = 3-word shingle (the q22/q49 term-space rule; unigrams
+    degenerate on this corpus, q261 lesson) hashed into 64 buckets,
+    target = the lang='en' slice, source = the whole corpus — and keep
+    the top-k.  Per-bucket log ratio λ_b = ln p̂_t(b) − ln p̂_s(b)
+    (Laplace-smoothed), per-doc weight = Σ_b c_b(doc)·λ_b; DSIR's
+    Gumbel-resampling step is replaced by deterministic top-k (rank by
+    weight, doc_id tie-break) so the gate stays exact.
+
+    Scale plan: two map-side-combinable bucket-count aggregates (64-row
+    results), a 64-row λ table broadcast onto the per-(doc, bucket)
+    count table, one per-doc sum — linear scans, bounded state, no
+    all-pairs anything; exactly the shape DSIR runs at corpus scale.
+    The shingle fan-out is the standard explode (at 100 TB it rides the
+    same scan the dedup family already pays, and the two count tables
+    could come straight from the stats catalog's ew kind).
+
+    Determinism: λ snapped per bucket to the 1e-12 integer grid
+    (sign-aware half-away, the q346 ln-increment rule) via arithmetic
+    text SHARED verbatim with the oracle; doc weights are then pure
+    integer sums (|λ12| ≲ 5e12 × c_b ≤ shingles/doc ~2e2 × 64 buckets
+    ≈ 6e16 — int64-safe to ~3e4 shingles/doc)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    from ..functions.text import shingles
+
+    # measured A/B (sf0.1, interleaved min-of-3, quiet box): spreading the
+    # single-split scan before the fan-out (the q230 rule) is a WASH here
+    # (0.87 s both ways — the zip-based shingle transform is cheap enough
+    # that one core keeps up at this corpus size); keep the shuffle-free
+    # form, which also avoids shipping full text bodies
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(shingles(tokens(F.col("text")))).alias("shingle"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"CAST(conv(substr(md5(shingle), 1, 13), 16, 10) AS BIGINT)"
+            f" % {_DSIR_B}"
+        ).alias("b"),
+    )
+    sh = sh.localCheckpoint(eager=True)  # feeds 3 aggregates (r7 multi-consumer rule)
+    tcnt = sh.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    scnt = sh.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
+    tot = sh.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+        F.count(F.lit(1)).alias("ss"),
+    )
+    spine = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    lam = (
+        spine.join(tcnt, "b", "left")
+        .join(scnt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "b",
+            f"COALESCE(tc, 0) AS tc",
+            f"COALESCE(sc, 0) AS sc",
+            "tt",
+            "ss",
+        )
+        .selectExpr("b", f"{_DSIR_LAM12} AS lam12")
+    )
+    docb = sh.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cb"))
+    docw = (
+        docb.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cb") * F.col("lam12")).alias("w"))
+    )
+    return (
+        docs.select("doc_id", "source", "lang")
+        .join(docw, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("w12"),
+        )
+        .orderBy(F.col("w12").desc(), "doc_id")
+        .limit(20)
+    )

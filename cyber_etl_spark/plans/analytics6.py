@@ -5435,3 +5435,145 @@ def q376_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pt.unionAll(pair).orderBy("set_name")
+
+
+# ---- DTW series similarity (q403) ------------------------------------------
+
+_DTW_INF = 1 << 40
+
+
+@query(
+    "q403_dtw_similarity",
+    oracle=f"""
+    WITH RECURSIVE bounds AS (
+      SELECT MIN(year(o_orderdate)*12 + month(o_orderdate)) AS lo,
+             MAX(year(o_orderdate)*12 + month(o_orderdate)) AS hi
+      FROM orders
+    ),
+    months AS (SELECT unnest(generate_series(lo, hi)) AS ym FROM bounds),
+    cnts AS (
+      SELECT c_nationkey AS nk, year(o_orderdate)*12 + month(o_orderdate) AS ym,
+             COUNT(*) AS c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    ser AS MATERIALIZED (
+      SELECT n.n_nationkey, n.n_name,
+             list(CAST(COALESCE(c.c, 0) AS BIGINT) ORDER BY m.ym) AS s
+      FROM nation n
+      CROSS JOIN months m
+      LEFT JOIN cnts c ON c.nk = n.n_nationkey AND c.ym = m.ym
+      GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT x.n_name AS n1, y.n_name AS n2, x.s AS a, y.s AS b
+      FROM ser x JOIN ser y ON x.n_nationkey < y.n_nationkey
+    ),
+    dp AS (
+      SELECT n1, n2, a, b, 0 AS k,
+             list_transform(range(1, len(b)+1),
+                j -> CASE WHEN j = 1 THEN CAST(abs(a[1]-b[1]) AS BIGINT)
+                          ELSE CAST({_DTW_INF} AS BIGINT) END) AS cur,
+             CAST(NULL AS BIGINT[]) AS prev
+      FROM pairs
+      UNION ALL
+      SELECT n1, n2, a, b, k+1,
+             list_transform(range(1, len(b)+1), j ->
+               CASE WHEN (k+1) - (j-1) BETWEEN 0 AND len(a)-1
+                    THEN CAST(abs(a[k+3-j] - b[j]) AS BIGINT) + LEAST(
+                           COALESCE(cur[j], {_DTW_INF}),
+                           CASE WHEN j >= 2 THEN COALESCE(cur[j-1], {_DTW_INF})
+                                ELSE {_DTW_INF} END,
+                           CASE WHEN j >= 2 THEN COALESCE(prev[j-1], {_DTW_INF})
+                                ELSE {_DTW_INF} END)
+                    ELSE {_DTW_INF} END),
+             cur
+      FROM dp WHERE k+1 <= len(a)+len(b)-2
+    )
+    SELECT n1, n2, CAST(cur[len(b)] AS BIGINT) AS dtw
+    FROM dp WHERE k = len(a)+len(b)-2
+    ORDER BY dtw, n1, n2
+    LIMIT 15
+    """,
+    tags=("timeseries", "dtw", "kernel"),
+)
+def q403_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping similarity between nations' monthly order
+    series — the elastic-alignment distance the fixed-lag families
+    (q273 CCF, q241 ACF) can't express: same demand shape at drifting
+    phase is CLOSE under DTW, far under any per-timestep metric.  Every
+    nation's series lives on one shared month spine (missing months 0);
+    all 300 nation pairs run through the anti-diagonal DP kernel
+    (operators/dtw.dtw_pairs — one vectorized time loop over the
+    pair×diagonal axes, the walk-kernel group-axis rule), and the 15
+    closest pairs publish.
+
+    The oracle replays the IDENTICAL recurrence as a recursive CTE
+    whose state is the last two diagonals as lists — integer costs, so
+    both engines' DPs are bit-equal cell by cell (no float anywhere).
+
+    Scale plan: the series build is one join + one (nation, month)
+    count agg (map-side combinable); the quadratic DP is per-PAIR over
+    calendar-bounded length (~84 months), P·n² int ops batch-vectorized
+    — at 1000× data the series only get DENSER, not longer, and the
+    pair count depends on the entity vocabulary, not the corpus.  Grid:
+    path cost ≤ (n+m)·max|Δcount| ≪ 2^40 = the INF sentinel."""
+    from ..operators.dtw import dtw_pairs
+
+    ords = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    bounds = ords.agg(F.min("ym").alias("lo"), F.max("ym").alias("hi"))
+    cnts = (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), "ym")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = (
+        nation.crossJoin(F.broadcast(bounds))
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.sequence("lo", "hi")).alias("ym"),
+        )
+    )
+    ser = (
+        spine.join(
+            cnts,
+            (spine.n_nationkey == cnts.nk) & (spine.ym == cnts.ym),
+            "left",
+        )
+        .select(
+            "n_nationkey",
+            "n_name",
+            spine.ym.alias("m"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "c"))), lambda s: s["c"]
+            ).alias("s")
+        )
+    )
+    # 25 rows; the self-join below would otherwise run the spine join +
+    # collect_list build once PER SIDE (r7 multi-consumer rule)
+    ser = ser.localCheckpoint(eager=True)
+    x, y = ser.alias("x"), ser.alias("y")
+    pairs = x.join(
+        y, F.col("x.n_nationkey") < F.col("y.n_nationkey")
+    ).select(
+        F.col("x.n_name").alias("n1"),
+        F.col("y.n_name").alias("n2"),
+        F.col("x.s").alias("a"),
+        F.col("y.s").alias("b"),
+    )
+    scored = dtw_pairs(pairs, "a", "b", out="dtw")
+    return (
+        scored.select("n1", "n2", F.col("dtw").cast("long").alias("dtw"))
+        .orderBy("dtw", "n1", "n2")
+        .limit(15)
+    )

@@ -1,0 +1,174 @@
+"""Distributed minimum spanning forest — Borůvka supersteps.
+
+The spanning-tree family the engine lacked: given edges carrying a
+STRICT total order (an int order key ``d`` with (d, src, dst) unique —
+the caller encodes max-spanning as d = −w), compute the unique minimum
+spanning forest.  Borůvka is the distributed-native MST algorithm:
+every round, each component selects its minimum crossing edge (all such
+edges are MSF edges by the cut property; uniqueness of the total order
+makes the forest unique), the selected pointer graph is contracted by
+pointer doubling, and the component count at least HALVES — so the
+superstep count is log₂(V) regardless of data size, each round a pair
+of joins plus small-table pointer jumps.
+
+Scale contract: rounds run distributed until the component count drops
+under ``tail_cap``; the remainder — per-component-pair minimum edges of
+a ≤ tail_cap-node contracted graph, a summary whose size is bounded by
+CONSTRUCTION — is finished with driver-side union-find under a
+limit-capped collect with a contract error (the statcat bounded-
+artifact serving rule: real engines finish tiny MST tails locally too).
+At 100 TB only the round count grows (log V), never a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pin(df: DataFrame, w: int = 8) -> DataFrame:
+    """Checkpoint a loop-state table, first collapsing its stage-terminal
+    shuffle to ``w`` reduce tasks (the graph/algorithms._nw rule: pin
+    jobs bypass AQE, so a 1000-row pointer table would otherwise run 32
+    near-empty reduce tasks per superstep; when the exchange already has
+    fewer partitions than ``w`` the coalesce is a no-op, so
+    cluster-scale width is untouched).  Measured a wash at sf0.1 (the
+    loop is job-floor-bound, ~7 jobs/round), kept for the reduce-task
+    floor it removes on wider sessions."""
+    return df.coalesce(w).localCheckpoint(eager=True)
+
+
+def boruvka_msf(edges: DataFrame, tail_cap: int = 128, max_rounds: int = 64) -> DataFrame:
+    """Minimum spanning forest of ``edges(src, dst, d)``.
+
+    ``(d, src, dst)`` must be a strict total order (distinct rows with
+    src < dst); the MSF is then unique, so the result is deterministic
+    regardless of partitioning.  Returns the selected ``(src, dst)``
+    pairs.
+
+    Each superstep: (1) crossing edges under current labels, (2) per-
+    component lexicographic-min edge via ``F.min`` on a
+    (d, src, dst, ca, cb) struct — map-side combinable, (3) pointer
+    graph contraction: 2-cycles broken at the smaller label, then
+    pointer doubling until stable (checked per jump — chains of
+    strictly-decreasing min-edge weights can be long in adversarial
+    inputs, so the jump count is convergence-driven, not fixed).
+    Superstep state (comp, pointer tables) is checkpointed every round
+    — the force-broadcast/loop pin rule.
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    comp = _pin(nodes.select("n", F.col("n").alias("c")))
+    selected: list[DataFrame] = []
+
+    for _ in range(max_rounds):
+        n_comp = comp.select("c").distinct().count()
+        if n_comp <= tail_cap:
+            break
+        ca = comp.select(F.col("n").alias("src"), F.col("c").alias("ca"))
+        cb = comp.select(F.col("n").alias("dst"), F.col("c").alias("cb"))
+        e2 = _pin(
+            edges.join(ca, "src").join(cb, "dst").where(F.col("ca") != F.col("cb"))
+        )
+        st = F.struct("d", "src", "dst", "ca", "cb").alias("e")
+        cand = e2.select(F.col("ca").alias("c"), st).unionAll(
+            e2.select(F.col("cb").alias("c"), st)
+        )
+        mine = _pin(cand.groupBy("c").agg(F.min("e").alias("e")))
+        selected.append(mine.select("e.src", "e.dst").distinct())
+        ptr = mine.select(
+            "c",
+            F.when(F.col("c") == F.col("e.ca"), F.col("e.cb"))
+            .otherwise(F.col("e.ca"))
+            .alias("p"),
+        )
+        # break the guaranteed 2-cycles (both endpoints of a mutually-
+        # minimal edge point at each other) at the smaller label
+        a, b = ptr.alias("a"), ptr.alias("b")
+        cur = _pin(
+            a.join(b, F.col("a.p") == F.col("b.c"), "left").select(
+                F.col("a.c").alias("c"),
+                F.when(
+                    (F.col("b.p") == F.col("a.c")) & (F.col("a.c") < F.col("a.p")),
+                    F.col("a.c"),
+                )
+                .otherwise(F.col("a.p"))
+                .alias("p"),
+            )
+        )
+        while True:
+            x, y = cur.alias("x"), cur.alias("y")
+            unstable = (
+                x.join(y, F.col("x.p") == F.col("y.c"))
+                .where(F.col("y.p") != F.col("x.p"))
+                .count()
+            )
+            if unstable == 0:
+                break
+            cur = _pin(
+                x.join(y, F.col("x.p") == F.col("y.c"), "left").select(
+                    F.col("x.c").alias("c"),
+                    F.coalesce(F.col("y.p"), F.col("x.p")).alias("p"),
+                )
+            )
+        lbl = cur.select(F.col("c").alias("_old"), F.col("p").alias("_new"))
+        comp = _pin(
+            comp.join(lbl, comp.c == F.col("_old"), "left").select(
+                "n", F.coalesce(F.col("_new"), F.col("c")).alias("c")
+            )
+        )
+    else:
+        raise RuntimeError(
+            f"boruvka_msf: component count still above tail_cap={tail_cap} "
+            f"after {max_rounds} rounds — raise max_rounds (components at "
+            "least halve per round, so this indicates a logic error)"
+        )
+
+    # bounded tail: minimum edge per unordered component pair of the
+    # ≤ tail_cap-node contracted graph, finished with driver union-find
+    ca = comp.select(F.col("n").alias("src"), F.col("c").alias("ca"))
+    cb = comp.select(F.col("n").alias("dst"), F.col("c").alias("cb"))
+    rem = (
+        edges.join(ca, "src")
+        .join(cb, "dst")
+        .where(F.col("ca") != F.col("cb"))
+        .groupBy(
+            F.least("ca", "cb").alias("pa"), F.greatest("ca", "cb").alias("pb")
+        )
+        .agg(F.min(F.struct("d", "src", "dst")).alias("e"))
+        .select("pa", "pb", "e.d", "e.src", "e.dst")
+    )
+    cap = tail_cap * (tail_cap - 1) // 2
+    rows = rem.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"boruvka_msf: contracted tail exceeds its by-construction "
+            f"bound of {cap} component pairs — tail_cap contract violated"
+        )
+    parent: dict[int, int] = {}
+
+    def _find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    picked: list[tuple[int, int]] = []
+    for r in sorted(rows, key=lambda r: (r.d, r.src, r.dst)):
+        # connectivity lives at COMPONENT granularity — union the pair's
+        # component ids, record the winning (src, dst) node edge
+        rs, rd = _find(int(r.pa)), _find(int(r.pb))
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+            picked.append((int(r.src), int(r.dst)))
+    tail = spark.createDataFrame(
+        sorted(picked) or [], schema="src long, dst long"
+    )
+    out = tail
+    for s in selected:
+        out = out.unionAll(s)
+    return out

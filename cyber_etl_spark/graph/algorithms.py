@@ -96,6 +96,46 @@ def _compact(df: DataFrame, rows_hint: int, rows_per_part: int = 200_000) -> Dat
     return df.coalesce(target) if target < cur else df
 
 
+_BARRIER_DIRS: dict[str, str] = {}
+
+
+def _plan_barrier(df: DataFrame) -> DataFrame:
+    """Sever a chained-superstep frame COMPLETELY via a parquet
+    round-trip, returning a plain scan-backed DataFrame.
+
+    Measured finding (r12 s4, the q405 hang): a superstep loop whose
+    state frame references its predecessor MORE THAN ONCE per iteration
+    (min-label CC joins `labels` into both the neighbor-min agg and the
+    hook, then self-joins the hooked frame for pointer jumping)
+    develops exponentially slower jobs past ~10 chained pins — ×2.3 per
+    iteration with CONSTANT job count and constant row counts, i.e. the
+    per-job overhead itself doubles.  Neither ``localCheckpoint`` nor a
+    RELIABLE ``checkpoint(eager=True)`` stops the growth (both were
+    A/B'd: 0.5 s/iter → 80 s/iter by iteration 13), while a parquet
+    write+read is flat at 0.4 s/iter through 20+ iterations.  Loops
+    that reference their state ONCE per iteration (pagerank) don't
+    compound and don't need this.
+
+    The barrier is a distributed write+read (no driver traffic), so it
+    is exactly as scale-safe as any shuffle; insert one every ~6
+    supersteps in deep loops.  Files land in a per-session tempdir
+    (tiny label tables locally; at cluster scale this would point at
+    the job's scratch space, the same place reliable checkpoints go).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    base = _BARRIER_DIRS.setdefault(
+        spark.sparkContext.applicationId,
+        tempfile.mkdtemp(prefix="cyber_etl_barrier_"),
+    )
+    path = os.path.join(base, uuid.uuid4().hex[:12])
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _sym(edges: DataFrame) -> DataFrame:
     """Symmetrize (undirected semantics) and MATERIALIZE the edge list.
 
@@ -136,15 +176,20 @@ def _ecount(edges: DataFrame, e: DataFrame) -> int:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 40, barrier_every: int = 6
 ) -> DataFrame:
     """Min-label propagation connected components → (id, component).
 
     ``component`` is the smallest vertex id reachable from ``id`` —
     exactly the deterministic cluster id needed by the entity-resolution
     pipeline (SURVEY.md M2: blocking → scoring → connected components).
-    Converges in O(diameter) supersteps; each superstep is one join +
-    min-aggregation.
+    Converges in O(diameter) supersteps (pointer jumping compresses
+    that to ~O(log diameter)); each superstep is one join +
+    min-aggregation.  Every ``barrier_every`` supersteps the label
+    frame goes through :func:`_plan_barrier` — without it, loops that
+    reference their state more than once per iteration develop
+    exponentially slower jobs past ~10 chained pins (measured on q405's
+    high-diameter forest; see the barrier docstring).
     """
     e = _sym(edges)
     labels = (
@@ -194,6 +239,8 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        if (it + 1) % barrier_every == 0:
+            new_labels = _plan_barrier(new_labels)
         cur_sum = new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]

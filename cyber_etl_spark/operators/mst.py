@@ -38,24 +38,18 @@ def _pin(df: DataFrame, w: int = 8) -> DataFrame:
     return df.coalesce(w).localCheckpoint(eager=True)
 
 
-def boruvka_msf(edges: DataFrame, tail_cap: int = 128, max_rounds: int = 64) -> DataFrame:
-    """Minimum spanning forest of ``edges(src, dst, d)``.
+def _contract(
+    edges: DataFrame, tail_cap: int, max_rounds: int
+) -> tuple[DataFrame, list[DataFrame], list, dict]:
+    """Run Borůvka rounds until ≤ tail_cap components remain, then
+    union-find the contracted remainder on the driver.
 
-    ``(d, src, dst)`` must be a strict total order (distinct rows with
-    src < dst); the MSF is then unique, so the result is deterministic
-    regardless of partitioning.  Returns the selected ``(src, dst)``
-    pairs.
-
-    Each superstep: (1) crossing edges under current labels, (2) per-
-    component lexicographic-min edge via ``F.min`` on a
-    (d, src, dst, ca, cb) struct — map-side combinable, (3) pointer
-    graph contraction: 2-cycles broken at the smaller label, then
-    pointer doubling until stable (checked per jump — chains of
-    strictly-decreasing min-edge weights can be long in adversarial
-    inputs, so the jump count is convergence-driven, not fixed).
-    Superstep state (comp, pointer tables) is checkpointed every round
-    — the force-broadcast/loop pin rule.
-    """
+    Returns ``(comp, selected, picked, parent)``: the node→component
+    table after the distributed rounds, the per-round selected-edge
+    frames, the (src, dst) edges the driver tail picked, and the final
+    union-find parent map over tail component ids (callers compose
+    these into a forest — :func:`boruvka_msf` — or a component labeling
+    — :func:`boruvka_components`)."""
     spark = edges.sparkSession
     nodes = (
         edges.select(F.col("src").alias("n"))
@@ -64,6 +58,7 @@ def boruvka_msf(edges: DataFrame, tail_cap: int = 128, max_rounds: int = 64) -> 
     )
     comp = _pin(nodes.select("n", F.col("n").alias("c")))
     selected: list[DataFrame] = []
+    rounds_done = 0
 
     for _ in range(max_rounds):
         n_comp = comp.select("c").distinct().count()
@@ -121,6 +116,15 @@ def boruvka_msf(edges: DataFrame, tail_cap: int = 128, max_rounds: int = 64) -> 
                 "n", F.coalesce(F.col("_new"), F.col("c")).alias("c")
             )
         )
+        rounds_done += 1
+        if rounds_done % 2 == 0:
+            # each round chains ~4 pins that reference their predecessors
+            # multiple times — sever the plan before the chain reaches
+            # the ~10-level exponential-job-cost wall (_plan_barrier's
+            # measured finding)
+            from ..graph.algorithms import _plan_barrier
+
+            comp = _plan_barrier(comp)
     else:
         raise RuntimeError(
             f"boruvka_msf: component count still above tail_cap={tail_cap} "
@@ -165,6 +169,37 @@ def boruvka_msf(edges: DataFrame, tail_cap: int = 128, max_rounds: int = 64) -> 
         if rs != rd:
             parent[max(rs, rd)] = min(rs, rd)
             picked.append((int(r.src), int(r.dst)))
+    # resolve every tail component to its final root (path-compress all)
+    for r in rows:
+        _find(int(r.pa))
+        _find(int(r.pb))
+    roots = {c: _find(c) for c in list(parent)}
+    return comp, selected, picked, roots
+
+
+def boruvka_msf(
+    edges: DataFrame, tail_cap: int = 128, max_rounds: int = 64
+) -> DataFrame:
+    """Minimum spanning forest of ``edges(src, dst, d)``.
+
+    ``(d, src, dst)`` must be a strict total order (distinct rows with
+    src < dst); the MSF is then unique, so the result is deterministic
+    regardless of partitioning.  Returns the selected ``(src, dst)``
+    pairs.
+
+    Each superstep: (1) crossing edges under current labels, (2) per-
+    component lexicographic-min edge via ``F.min`` on a
+    (d, src, dst, ca, cb) struct — map-side combinable, (3) pointer
+    graph contraction: 2-cycles broken at the smaller label, then
+    pointer doubling until stable (checked per jump — chains of
+    strictly-decreasing min-edge weights can be long in adversarial
+    inputs, so the jump count is convergence-driven, not fixed).
+    Superstep state (comp, pointer tables) is checkpointed every round
+    — the force-broadcast/loop pin rule — with a full plan barrier
+    every 2 rounds (the _plan_barrier exponential-chain finding).
+    """
+    spark = edges.sparkSession
+    _, selected, picked, _ = _contract(edges, tail_cap, max_rounds)
     tail = spark.createDataFrame(
         sorted(picked) or [], schema="src long, dst long"
     )
@@ -172,3 +207,38 @@ def boruvka_msf(edges: DataFrame, tail_cap: int = 128, max_rounds: int = 64) -> 
     for s in selected:
         out = out.unionAll(s)
     return out
+
+
+def boruvka_components(
+    edges: DataFrame, tail_cap: int = 128, max_rounds: int = 64
+) -> DataFrame:
+    """Connected components via Borůvka contraction → (n, component).
+
+    The structural alternative to min-label propagation for HIGH-
+    DIAMETER graphs: label spreading needs O(diameter) supersteps (a
+    spanning forest's diameter can be O(V) — q405's cut forest took 20+
+    min-label rounds), while contraction HALVES the component count
+    every round regardless of diameter, so the loop is log₂(V) rounds
+    flat.  Edge order is irrelevant for connectivity — any strict total
+    order drives the same partition of nodes — so the caller passes
+    bare (src, dst) pairs and the edge itself serves as the order key.
+
+    Component ids are opaque representatives (a contraction root is the
+    smaller endpoint of its mutual min edge, not necessarily the
+    component minimum) — consumers aggregate over them (sizes, counts);
+    they must not interpret the id.  The ≤ tail_cap-component remainder
+    is resolved by the same driver union-find as the forest, shipped
+    back as a broadcast relabel map."""
+    spark = edges.sparkSession
+    e3 = edges.select("src", "dst", F.lit(0).cast("long").alias("d"))
+    comp, _, _, roots = _contract(e3, tail_cap, max_rounds)
+    if roots:
+        rmap = spark.createDataFrame(
+            sorted(roots.items()), schema="_old long, _root long"
+        )
+        comp = comp.join(
+            F.broadcast(rmap), comp.c == F.col("_old"), "left"
+        ).select("n", F.coalesce(F.col("_root"), F.col("c")).alias("component"))
+    else:
+        comp = comp.select("n", F.col("c").alias("component"))
+    return comp.withColumnRenamed("n", "id")

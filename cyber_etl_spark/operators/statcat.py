@@ -288,6 +288,56 @@ def minhash_rows(
     )
 
 
+def trigram_rows(df: DataFrame, tbl: str, col: str) -> DataFrame:
+    """Trigram document-frequency catalog rows (kind='tri') — the
+    planner statistic behind LIKE '%lit%' selectivity: for each 3-char
+    substring g of the column, v = number of ROWS whose value contains
+    g (per-row distinct, so v is a document frequency), keyed
+    b = 52-bit md5 of g; plus one (r=1, b=0) row-count register.  Both
+    row shapes are ADDITIVE over disjoint row splits, so the kind rides
+    merge_catalogs' additive path unchanged — a real engine's pg_trgm-
+    style statistic with the q378 merge contract.
+
+    Scale: one explode + map-side-combinable count per column; the
+    artifact is O(|trigram vocabulary|), which column profiling bounds
+    (names/categories, not free text — for free text, profile a
+    bounded-vocab derived column instead)."""
+    s = df.select(F.col(col).cast("string").alias("s")).where(
+        F.col(col).isNotNull()
+    )
+    tri = s.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(s) >= 3 THEN array_distinct("
+                "transform(sequence(1, length(s) - 2),"
+                " i -> substring(s, i, 3))) ELSE array() END"
+            )
+        ).alias("g")
+    )
+    dfc = tri.groupBy(
+        F.expr("CAST(conv(substr(md5(g), 1, 13), 16, 10) AS BIGINT)").alias(
+            "b"
+        )
+    ).agg(F.count(F.lit(1)).alias("c"))
+    body = dfc.select(
+        F.lit(tbl).alias("tbl"),
+        F.lit(col).alias("col"),
+        F.lit("tri").alias("kind"),
+        F.lit(0).cast("long").alias("r"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("decimal(38,0)").alias("v"),
+    )
+    n = s.agg(F.count(F.lit(1)).alias("c")).select(
+        F.lit(tbl).alias("tbl"),
+        F.lit(col).alias("col"),
+        F.lit("tri").alias("kind"),
+        F.lit(1).cast("long").alias("r"),
+        F.lit(0).cast("long").alias("b"),
+        F.col("c").cast("decimal(38,0)").alias("v"),
+    )
+    return body.unionAll(n)
+
+
 def merge_catalogs(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
     """Fold two catalogs built on DISJOINT row sets of the same tables:
     cms/moment/ew rows add cell-wise; kmv rows take the bottom-k of the

@@ -3098,3 +3098,188 @@ def q401_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("cnt"),
         F.col("sum_micro").cast("long").alias("sum_micro"),
     ).orderBy("c_mktsegment", "o_orderpriority")
+
+
+# ---- trigram statistics: LIKE-selectivity kind (q407/q408) -----------------
+
+_TRI_INS_SQL = _md5_slice_sql(1, 10, 4, key="CAST(p_partkey AS VARCHAR)")
+_TRI_INS_SPARK = _md5_slice_spark(1, 10, 4, key="CAST(p_partkey AS STRING)")
+
+# single-pass trigram build over part.p_name, shared by both oracles
+_TRI_BUILD_CTE = """
+    s AS (SELECT CAST(p_name AS VARCHAR) AS s FROM part
+          WHERE p_name IS NOT NULL),
+    tri AS (
+      SELECT unnest(list_distinct(
+               CASE WHEN len(s) >= 3
+                    THEN list_transform(range(1, len(s) - 1),
+                                        i -> substr(s, i, 3))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS g
+      FROM s
+    ),
+    dfc AS (
+      SELECT CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS b,
+             COUNT(*) AS c
+      FROM tri GROUP BY 1
+    )
+"""
+
+
+@query(
+    "q407_trigram_catalog_merge",
+    oracle=f"""
+    WITH {_TRI_BUILD_CTE}
+    SELECT 'part' AS tbl, 'p_name' AS col, 'tri' AS kind,
+           CAST(0 AS BIGINT) AS r, b, CAST(c AS VARCHAR) AS v
+    FROM dfc
+    UNION ALL
+    SELECT 'part', 'p_name', 'tri', 1, 0,
+           CAST((SELECT COUNT(*) FROM s) AS VARCHAR)
+    ORDER BY r, b
+    """,
+    tags=("statcat", "trigram", "merge"),
+)
+def q407_trigram_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A trigram document-frequency KIND for the stats catalog — the
+    pg_trgm-style statistic behind LIKE '%literal%' selectivity, which
+    none of the existing kinds can answer (cms/kmv see whole values,
+    ew/hist see numeric shape).  Per 3-char substring of part.p_name:
+    v = rows containing it (per-row distinct ⟹ a document frequency),
+    keyed by its 52-bit md5; plus a row-count register (r=1).  Both
+    shapes are ADDITIVE over disjoint row splits, so the kind rides
+    merge_catalogs' additive path untouched — and this query gates the
+    defining identity: part is split by a deterministic md5 tenth of
+    the part key, each side's trigram rows built independently and
+    MERGED, while the oracle builds single-pass from the full table:
+    merge(build(A), build(B)) == build(A ∪ B), the q378/q387 contract
+    extended to text statistics.
+
+    Scale plan: one explode + map-side-combinable count per side; the
+    merge folds O(|trigram vocab|) summary rows.  The artifact is
+    vocabulary-bounded (names/categories — free text would profile a
+    bounded derived column).  Determinism: pure integer counts,
+    engine-shared md5 keys."""
+    from ..operators.statcat import merge_catalogs, trigram_rows
+
+    part = read_table(spark, sf_dir, "part")
+    ins = F.expr(_TRI_INS_SPARK)
+    merged = merge_catalogs(
+        trigram_rows(part.where(~ins), "part", "p_name"),
+        trigram_rows(part.where(ins), "part", "p_name"),
+    )
+    return merged.select(
+        "tbl",
+        "col",
+        "kind",
+        "r",
+        "b",
+        F.col("v").cast("decimal(38,0)").cast("string").alias("v"),
+    ).orderBy("r", "b")
+
+
+_Q408_PROBES = ("widget", "bolt", "d w", "zzz", "qz")
+
+
+@query(
+    "q408_like_selectivity_bound",
+    oracle=f"""
+    WITH {_TRI_BUILD_CTE},
+    n AS (SELECT COUNT(*) AS n FROM s),
+    probes AS (SELECT p FROM (VALUES {", ".join(f"('{p}')" for p in _Q408_PROBES)}) t(p)),
+    ptris AS (
+      SELECT p, unnest(list_transform(range(1, len(p) - 1),
+                                      i -> substr(p, i, 3))) AS g
+      FROM probes WHERE len(p) >= 3
+    ),
+    est AS (
+      SELECT t.p, CAST(MIN(COALESCE(d.c, 0)) AS BIGINT) AS est_ub,
+             COUNT(*) AS n_tri
+      FROM ptris t
+      LEFT JOIN dfc d
+        ON CAST(('0x' || substr(md5(t.g), 1, 13)) AS BIGINT) = d.b
+      GROUP BY t.p
+    ),
+    exact AS (
+      SELECT pr.p,
+             CAST(SUM(CASE WHEN s.s LIKE '%' || pr.p || '%'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS exact
+      FROM probes pr CROSS JOIN s GROUP BY pr.p
+    )
+    SELECT pr.p AS probe,
+           CAST(COALESCE(e.n_tri, 0) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(e.est_ub, n.n) AS BIGINT) AS est_ub,
+           x.exact,
+           CAST(COALESCE(e.est_ub, n.n) - x.exact AS BIGINT) AS slack
+    FROM probes pr
+    CROSS JOIN n
+    LEFT JOIN est e ON pr.p = e.p
+    JOIN exact x ON pr.p = x.p
+    ORDER BY probe
+    """,
+    tags=("statcat", "trigram", "selectivity"),
+)
+def q408_like_selectivity_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-served LIKE '%literal%' selectivity UPPER BOUNDS from the
+    q407 trigram kind: a row matching %p% contains every trigram of p,
+    so rows(p) ≤ min over p's trigrams of their document frequency —
+    one-sided, so the planner over-allocates, never starves (the
+    q392/q396 fail-safe discipline).  The sweep exercises all three
+    regimes: informative probes ('widget', 'bolt', 'd w' — the
+    cross-word trigram), an absent trigram ('zzz' → bound 0, and the
+    LIKE count MUST be 0, the bound's correctness edge), and a
+    too-short probe ('qz' → no trigram, honest n fallback).  The
+    oracle recomputes bounds AND exact LIKE counts from the base
+    table; slack = est − exact publishes the bound's looseness.
+
+    Scale plan: the estimate reads O(|probe trigrams|) catalog rows
+    (hash-joined against the df table — in production, served from the
+    persisted artifact with partition pruning); the exact audit is one
+    conditional-aggregate scan.  Pure integers throughout."""
+    import hashlib
+
+    from ..operators.statcat import trigram_rows
+
+    part = read_table(spark, sf_dir, "part")
+    dfc = (
+        trigram_rows(part, "part", "p_name")
+        .where(F.col("r") == 0)
+        .select("b", F.col("v").cast("long").alias("c"))
+    )
+    probe_tris = []
+    for p in _Q408_PROBES:
+        if len(p) >= 3:
+            for i in range(len(p) - 2):
+                g = p[i : i + 3]
+                b = int(hashlib.md5(g.encode()).hexdigest()[:13], 16)
+                probe_tris.append((p, b))
+    pt = spark.createDataFrame(probe_tris, "p string, b long")
+    est = (
+        pt.join(F.broadcast(dfc), "b", "left")
+        .groupBy("p")
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_ub"),
+            F.count(F.lit(1)).alias("n_tri"),
+        )
+    )
+    s = part.where(F.col("p_name").isNotNull()).select(
+        F.col("p_name").cast("string").alias("s")
+    )
+    exact_aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(
+            F.when(F.col("s").like(f"%{p}%"), 1).otherwise(0)
+        ).alias(f"_x{i}")
+        for i, p in enumerate(_Q408_PROBES)
+    ]
+    row = s.agg(*exact_aggs).collect()[0]
+    n = int(row["_n"])
+    exacts = {p: int(row[f"_x{i}"]) for i, p in enumerate(_Q408_PROBES)}
+    est_map = {
+        r.p: (int(r.est_ub), int(r.n_tri)) for r in est.collect()
+    }  # ≤ |probes| rows — bounded by construction
+    out = []
+    for p in sorted(_Q408_PROBES):
+        eu, nt = est_map.get(p, (n, 0))
+        out.append((p, nt, eu, exacts[p], eu - exacts[p]))
+    return spark.createDataFrame(
+        out, "probe string, n_trigrams long, est_ub long, exact long, slack long"
+    ).orderBy("probe")

@@ -537,3 +537,48 @@ def test_minh_stream_snapshot_equals_batch_signature(spark, tmp_path):
     # the replayed chunk must not move the signature
     sig3 = sorted((r.r, r.v) for r in rows if r.gen == 3)
     assert sig3 == sig2
+
+
+def test_tri_merge_is_additive_and_bound_holds(spark):
+    """The r12 s4 trigram kind: df rows fold by addition on disjoint
+    row splits, and the q408 bound property min-trigram-df >= LIKE
+    count holds for every substring probe of the vocabulary."""
+    from cyber_etl_spark.operators.statcat import merge_catalogs, trigram_rows
+
+    words = ["widget", "bolt", "gear", "bracket", "nut", "x"]
+    full = spark.range(0, 300).select(
+        F.concat(
+            F.lit("pre "),
+            F.element_at(
+                F.array(*[F.lit(w) for w in words]),
+                (F.col("id") % len(words) + 1).cast("int"),
+            ),
+        ).alias("nm")
+    )
+    a = full.where(F.length("nm") % 2 == 0)
+    b = full.where(~(F.length("nm") % 2 == 0))
+    t_full = _rows(trigram_rows(full, "t", "nm"))
+    t_merged = _rows(
+        merge_catalogs(
+            trigram_rows(a, "t", "nm"), trigram_rows(b, "t", "nm")
+        )
+    )
+    assert t_merged == t_full
+
+    import hashlib
+
+    dfc = {
+        r.b: int(r.v)
+        for r in trigram_rows(full, "t", "nm").where(F.col("r") == 0).collect()
+    }
+    for probe in ["widget", "ge", "bra", "e b", "qqq"]:
+        exact = full.where(F.col("nm").like(f"%{probe}%")).count()
+        tris = [probe[i : i + 3] for i in range(max(len(probe) - 2, 0))]
+        if not tris:
+            bound = 300
+        else:
+            bound = min(
+                dfc.get(int(hashlib.md5(g.encode()).hexdigest()[:13], 16), 0)
+                for g in tris
+            )
+        assert bound >= exact, (probe, bound, exact)

@@ -5577,3 +5577,162 @@ def q403_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dtw", "n1", "n2")
         .limit(15)
     )
+
+
+# ---- HLL register rollup (q409) --------------------------------------------
+
+def _q409_oracle() -> str:
+    from .analytics4 import _q312_rho_sql
+
+    rho = _q312_rho_sql("hv % 16777216")
+    lvl = """
+      SELECT '{level}' AS level, {period} AS period, user_id, hv
+      FROM h
+    """
+    levels = " UNION ALL ".join(
+        lvl.format(level=lv, period=p)
+        for lv, p in (
+            ("day", "CAST(CAST(ts AS DATE) AS VARCHAR)"),
+            ("week", "CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR)"),
+            ("month", "CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR)"),
+        )
+    )
+    return f"""
+    WITH h AS (
+      SELECT ts, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    lv AS MATERIALIZED ({levels}),
+    reg AS (
+      SELECT level, period, (hv // 16777216) % 256 AS j,
+             MAX({rho}) AS m
+      FROM lv GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT level, period,
+             (256 - COUNT(*)) + SUM(1.0 / (CAST(1 AS BIGINT) << m)) AS z,
+             COUNT(*) AS hit
+      FROM reg GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT level, period, COUNT(DISTINCT user_id) AS n
+      FROM lv GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT s.level, s.period, s.hit,
+             CASE WHEN 0.7213 / (1.0 + 1.079 / 256) * 65536 / s.z
+                       <= 2.5 * 256 AND s.hit < 256
+                  THEN 256.0 * ln(256.0 / (256 - s.hit))
+                  ELSE 0.7213 / (1.0 + 1.079 / 256) * 65536 / s.z END AS e
+      FROM s
+    )
+    SELECT est.level, est.period,
+           CAST(ex.n AS BIGINT) AS n_exact,
+           CAST(est.hit AS BIGINT) AS registers_hit,
+           round(est.e, 6) AS hll_estimate,
+           round(ABS(est.e - ex.n) / ex.n, 6) AS rel_err
+    FROM est JOIN ex ON est.level = ex.level AND est.period = ex.period
+    ORDER BY est.level, est.period
+    """
+
+
+@query(
+    "q409_hll_register_rollup",
+    oracle=_q409_oracle(),
+    tags=("sketch", "cardinality", "rollup", "mergeable"),
+)
+def q409_hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count PRE-AGGREGATION through the calendar hierarchy —
+    the classic problem HLL registers exist to solve: COUNT DISTINCT
+    does not roll up (Σ daily distincts ≠ weekly distinct), but
+    register vectors do (register-wise MAX is the HLL union).  The
+    Spark side builds registers once per DAY and derives week and month
+    levels by FOLDING the day registers (max per j) — never re-scanning
+    the raw events — while the oracle recomputes every level from raw;
+    MAX's associativity makes the two bit-identical, so the hash gate
+    pins the rollup algebra itself (the q378 merge-identity discipline
+    applied to the q312 sketch).  Estimates carry the standard
+    small-range correction; exact distincts ride alongside per period.
+
+    Scale plan: one map-side-combinable (day, j) MAX over the raw scan,
+    then folds over O(|periods|·256) summary rows — the week/month
+    levels cost NOTHING data-sized, which is the point: a year of daily
+    register vectors (365·256 ints) serves any ad-hoc date-range
+    distinct query.  Exactness: q312's dyadic-Z/integer-rho rules;
+    periods published as date STRINGS (q154/q288 convention);
+    date_trunc('week'/'month') is Monday/first-of-month in BOTH
+    engines."""
+    from .analytics4 import _q312_rho_sql
+
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.date_trunc("week", "ts").cast("date").cast("string").alias("week"),
+        F.date_trunc("month", "ts").cast("date").cast("string").alias("month"),
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+        "user_id",
+    ).localCheckpoint(eager=True)  # feeds day registers + 3 exact counts
+    dayreg = h.groupBy(
+        "day",
+        "week",
+        "month",
+        F.expr("(hv div 16777216) % 256").alias("j"),
+    ).agg(F.expr(f"MAX({_q312_rho_sql('hv % 16777216')})").alias("m"))
+    dayreg = dayreg.localCheckpoint(eager=True)  # the stored artifact; 3 consumers
+    regs = (
+        dayreg.select(F.lit("day").alias("level"), F.col("day").alias("period"), "j", "m")
+        .unionAll(
+            dayreg.groupBy(F.lit("week").alias("level"), F.col("week").alias("period"), "j")
+            .agg(F.max("m").alias("m"))
+            .select("level", "period", "j", "m")
+        )
+        .unionAll(
+            dayreg.groupBy(F.lit("month").alias("level"), F.col("month").alias("period"), "j")
+            .agg(F.max("m").alias("m"))
+            .select("level", "period", "j", "m")
+        )
+    )
+    s = regs.groupBy("level", "period").agg(
+        (
+            (F.lit(256) - F.count(F.lit(1)))
+            + F.sum(
+                F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")
+            )
+        ).alias("z"),
+        F.count(F.lit(1)).alias("hit"),
+    )
+    ex = (
+        h.groupBy(F.lit("day").alias("level"), F.col("day").alias("period"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .unionAll(
+            h.groupBy(F.lit("week").alias("level"), F.col("week").alias("period"))
+            .agg(F.count_distinct("user_id").alias("n"))
+        )
+        .unionAll(
+            h.groupBy(F.lit("month").alias("level"), F.col("month").alias("period"))
+            .agg(F.count_distinct("user_id").alias("n"))
+        )
+    )
+    raw = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / 256) * 65536 / F.col("z")
+    est = F.when(
+        (raw <= 2.5 * 256) & (F.col("hit") < 256),
+        256.0 * F.log(256.0 / (256 - F.col("hit"))),
+    ).otherwise(raw)
+    return (
+        s.join(ex, ["level", "period"])
+        .select(
+            "level",
+            "period",
+            F.col("n").cast("long").alias("n_exact"),
+            F.col("hit").cast("long").alias("registers_hit"),
+            F.round(est, 6).alias("hll_estimate"),
+            F.round(F.abs(est - F.col("n")) / F.col("n"), 6).alias("rel_err"),
+        )
+        .orderBy("level", "period")
+    )

@@ -434,3 +434,181 @@ def q290_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("scan_amplification"),
     ).orderBy("layout")
+
+
+# ---- bloom-filter file skipping (q410) -------------------------------------
+
+_BLOOM_M = 65536  # bits per file; k=3 md5-derived hash functions
+_BLOOM_BIT_SQL = (
+    "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||"
+    f" CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_M}"
+)
+_BLOOM_BIT_SPARK = (
+    "CAST(conv(substr(md5(CAST(i AS STRING) || ':' ||"
+    f" CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT) % {_BLOOM_M}"
+)
+
+
+@query(
+    "q410_bloom_file_skipping",
+    oracle=f"""
+    WITH binned AS MATERIALIZED (
+      SELECT l_orderkey AS k,
+             (ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber,
+                                          l_partkey, l_suppkey) - 1) * 64
+               // (SELECT COUNT(*) FROM lineitem) AS bin
+      FROM lineitem
+    ),
+    kb AS (SELECT MIN(k) AS kmin, MAX(k) AS kmax FROM binned),
+    kmid AS (SELECT MAX(k) AS v FROM binned, kb WHERE k <= kmax // 2),
+    probes AS (
+      SELECT 'p1_min' AS probe, kmin AS k FROM kb
+      UNION ALL SELECT 'p2_mid', v FROM kmid
+      UNION ALL SELECT 'p3_max', kmax FROM kb
+      UNION ALL SELECT 'p4_absent', kmax + 7777 FROM kb
+    ),
+    bits AS MATERIALIZED (
+      SELECT DISTINCT bin, {_BLOOM_BIT_SQL} AS bit
+      FROM (SELECT DISTINCT bin, k FROM binned),
+           (VALUES (1), (2), (3)) t(i)
+    ),
+    pbits AS (
+      SELECT probe, k, {_BLOOM_BIT_SQL} AS bit
+      FROM probes, (VALUES (1), (2), (3)) t(i)
+    ),
+    pass AS (
+      SELECT p.probe, b.bin
+      FROM (SELECT DISTINCT probe, bit FROM pbits) p
+      JOIN bits b ON p.bit = b.bit
+      GROUP BY p.probe, b.bin
+      HAVING COUNT(*) = (SELECT COUNT(DISTINCT bit) FROM pbits pb
+                         WHERE pb.probe = p.probe)
+    ),
+    binrows AS (SELECT bin, COUNT(*) AS nrows FROM binned GROUP BY 1),
+    actual AS (
+      SELECT pr.probe, COUNT(DISTINCT b.bin) AS files_actual,
+             COUNT(*) AS rows_matching
+      FROM probes pr LEFT JOIN binned b ON b.k = pr.k
+      GROUP BY 1
+    )
+    SELECT pr.probe, pr.k AS key,
+           CAST(CASE WHEN a.rows_matching > 0 OR EXISTS
+                          (SELECT 1 FROM binned bb WHERE bb.k = pr.k)
+                     THEN a.files_actual ELSE 0 END AS BIGINT) AS files_actual,
+           CAST(COALESCE(ps.n_pass, 0) AS BIGINT) AS files_bloom,
+           CAST(COALESCE(ps.rows_scanned, 0) AS BIGINT) AS rows_scanned,
+           CAST(CASE WHEN EXISTS (SELECT 1 FROM binned bb WHERE bb.k = pr.k)
+                     THEN a.rows_matching ELSE 0 END AS BIGINT) AS rows_matching
+    FROM probes pr
+    JOIN actual a ON pr.probe = a.probe
+    LEFT JOIN (
+      SELECT pass.probe, COUNT(*) AS n_pass, SUM(br.nrows) AS rows_scanned
+      FROM pass JOIN binrows br ON pass.bin = br.bin GROUP BY 1
+    ) ps ON pr.probe = ps.probe
+    ORDER BY pr.probe
+    """,
+    tags=("layout", "bloom", "data-skipping"),
+)
+def q410_bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter FILE skipping audit — the point-predicate complement
+    of q290's zone maps: an equality probe on a high-cardinality key
+    inside key-sorted files skips well on min/max zones, but under any
+    OTHER layout zones span the key space and skip nothing, while a
+    per-file Bloom filter (m={m} bits, k=3 md5 hash functions —
+    deterministic, so both engines compute identical bit sets) still
+    prunes to the few possible files.  Four probes exercise the
+    regimes: present keys at the low/mid/high end (files_bloom ≥
+    files_actual, the no-false-negative invariant) and an absent key
+    (files_actual = 0; any files_bloom > 0 rows are pure false
+    positives — the measured fp economics).
+
+    Scale plan: the bin assignment is the q290 distributed-rank kernel
+    shape; bit sets are one distinct-project per file (at 100 TB these
+    ARE parquet's column-index bloom filters, written once at layout
+    time); the audit touches only O(files × k) membership rows.
+    Determinism: pure integer md5 bit arithmetic, exact counts."""
+    import hashlib
+
+    from ..operators.prefix import global_ranks
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    r = global_ranks(
+        li, order_cols=["k", "l_linenumber", "l_partkey", "l_suppkey"]
+    )
+    binned = r.select(
+        "k", F.expr("(rn - 1) * 64 div n").alias("bin")
+    ).localCheckpoint(eager=True)  # feeds bits, bin sizes, probe scans
+    kb = binned.agg(F.min("k").alias("kmin"), F.max("k").alias("kmax")).collect()[0]
+    kmin, kmax = int(kb.kmin), int(kb.kmax)
+    kmid = int(
+        binned.where(F.col("k") <= kmax // 2).agg(F.max("k")).collect()[0][0]
+    )
+    probes = [
+        ("p1_min", kmin),
+        ("p2_mid", kmid),
+        ("p3_max", kmax),
+        ("p4_absent", kmax + 7777),
+    ]
+    bits = (
+        binned.select("bin", "k")
+        .distinct()
+        .select(
+            "bin",
+            F.explode(F.expr("sequence(1, 3)")).alias("i"),
+            "k",
+        )
+        .select("bin", F.expr(_BLOOM_BIT_SPARK).alias("bit"))
+        .distinct()
+    )
+    pbit_rows = sorted(
+        {
+            (label, int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:8], 16) % _BLOOM_M)
+            for label, key in probes
+            for i in (1, 2, 3)
+        }
+    )
+    n_bits = {label: len({b for l2, b in pbit_rows if l2 == label}) for label, _ in probes}
+    pb = spark.createDataFrame(pbit_rows, "probe string, bit long")
+    nb = spark.createDataFrame(sorted(n_bits.items()), "probe string, need long")
+    passed = (
+        pb.join(bits, "bit")
+        .groupBy("probe", "bin")
+        .agg(F.count(F.lit(1)).alias("got"))
+        .join(F.broadcast(nb), "probe")
+        .where(F.col("got") == F.col("need"))
+        .select("probe", "bin")
+    )
+    binrows = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("nrows"))
+    ps = (
+        passed.join(binrows, "bin")
+        .groupBy("probe")
+        .agg(
+            F.count(F.lit(1)).alias("files_bloom"),
+            F.sum("nrows").alias("rows_scanned"),
+        )
+    )
+    pdf = spark.createDataFrame(probes, "probe string, key long")
+    actual = (
+        pdf.join(binned, pdf.key == binned.k, "left")
+        .groupBy("probe", "key")
+        .agg(
+            F.count_distinct("bin").alias("files_actual"),
+            F.sum(F.when(F.col("bin").isNotNull(), 1).otherwise(0)).alias(
+                "rows_matching"
+            ),
+        )
+    )
+    return (
+        actual.join(ps, "probe", "left")
+        .select(
+            "probe",
+            "key",
+            F.col("files_actual").cast("long").alias("files_actual"),
+            F.coalesce(F.col("files_bloom"), F.lit(0)).cast("long").alias("files_bloom"),
+            F.coalesce(F.col("rows_scanned"), F.lit(0)).cast("long").alias("rows_scanned"),
+            F.col("rows_matching").cast("long").alias("rows_matching"),
+        )
+        .orderBy("probe")
+    )

@@ -5736,3 +5736,92 @@ def q409_hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "period")
     )
+
+
+# ---- Croston intermittent demand (q411) ------------------------------------
+
+@query(
+    "q411_croston_intermittent",
+    oracle="""
+    WITH RECURSIVE dem AS MATERIALIZED (
+      SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS day,
+             SUM(CAST(l_quantity AS BIGINT)) AS d
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ev AS MATERIALIZED (
+      SELECT pk, d,
+             ROW_NUMBER() OVER (PARTITION BY pk ORDER BY day) AS rn,
+             COALESCE(day - LAG(day) OVER (PARTITION BY pk ORDER BY day),
+                      0) AS gap
+      FROM dem
+    ),
+    st AS (
+      SELECT pk, 1 AS k, CAST(d AS DOUBLE) AS z, CAST(1 AS DOUBLE) AS p
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT st.pk, st.k + 1,
+             (e.d + st.z) / 2.0, (e.gap + st.p) / 2.0
+      FROM st JOIN ev e ON e.pk = st.pk AND e.rn = st.k + 1
+    ),
+    fin AS (
+      SELECT pk, k AS n_events, z, p,
+             ROW_NUMBER() OVER (PARTITION BY pk ORDER BY k DESC) AS last
+      FROM st
+    )
+    SELECT pk AS p_partkey, CAST(n_events AS BIGINT) AS n_events,
+           round(z, 6) AS z, round(p, 6) AS p,
+           round(z / p, 6) AS demand_rate
+    FROM fin WHERE last = 1
+    ORDER BY demand_rate DESC, p_partkey
+    LIMIT 20
+    """,
+    tags=("forecast", "timeseries", "kernel"),
+)
+def q411_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand — the forecasting family
+    member (q248 Holt, q277 Holt-Winters) built for series that are
+    mostly zero: each part's demand arrives on scattered ship days, and
+    Croston smooths demand SIZE and inter-demand INTERVAL separately
+    (α = 1/2 dyadic), forecasting the demand rate z/p.  Top-20 parts by
+    smoothed rate publish.
+
+    Scale plan: demand aggregates to the (part, day) grid map-side;
+    the per-part recurrences run in operators/forecast.croston_forecast
+    — the MANY-small-series group-axis kernel (one row per part
+    carrying its event list, the time loop vectorized over the part
+    axis; NEVER per-period Spark recursion, the q248 lesson — the
+    recursive CTE stays oracle-side where DuckDB runs one join round
+    per event rank).  Exactness: integer demands/gaps halved under
+    dyadic α are identical IEEE trajectories cross-engine; 6-dp rounds
+    of dyadics can't hit .5e-6 ties (5-adic denominators — the module
+    rule); rate ties break on partkey."""
+    from pyspark.sql.window import Window
+
+    from ..operators.forecast import croston_forecast
+
+    li = read_table(spark, sf_dir, "lineitem")
+    dem = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.to_date("l_shipdate").alias("day"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("d"))
+    w = Window.partitionBy("pk").orderBy("day")
+    ev = dem.select(
+        "pk",
+        "d",
+        F.row_number().over(w).alias("rn"),
+        F.coalesce(
+            F.datediff("day", F.lag("day").over(w)), F.lit(0)
+        ).alias("gap"),
+    )
+    cf = croston_forecast(ev, "pk", "rn", "d", "gap")
+    return (
+        cf.select(
+            F.col("pk").alias("p_partkey"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("z", 6).alias("z"),
+            F.round("p", 6).alias("p"),
+            F.round(F.col("z") / F.col("p"), 6).alias("demand_rate"),
+        )
+        .orderBy(F.col("demand_rate").desc(), "p_partkey")
+        .limit(20)
+    )

@@ -1589,3 +1589,86 @@ def minh_stream(items: DataFrame, slots: int = 16) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRI_STREAM_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("gen", LongType()),
+        StructField("r", LongType()),
+        StructField("b", LongType()),
+        StructField("v", LongType()),
+    ]
+)
+
+_TRI_STATE = StructType(
+    [
+        StructField("gen", LongType()),
+        StructField("n", LongType()),
+        StructField("bs", ArrayType(LongType())),
+        StructField("cs", ArrayType(LongType())),
+    ]
+)
+
+
+def tri_stream(texts: DataFrame) -> DataFrame:
+    """Streaming trigram document-frequency profile — the unbounded-feed
+    twin of the catalog's tri kind (operators/statcat.trigram_rows):
+    input rows carry (name, s); per name the state is the per-trigram
+    df-count map (52-bit md5 keys, per-ROW distinct trigrams — exactly
+    the batch builder's semantics) plus the row-count register,
+    advanced per micro-batch and emitted with a generation counter.
+
+    Because both row shapes are ADDITIVE over disjoint row sets (the
+    merge_catalogs additive identity q407 gates), the snapshot after
+    ANY trigger equals the batch build of everything fed so far under
+    ANY slicing — the same property that made the ew kind streaming-
+    maintainable.  State is one long per OBSERVED trigram, bounded by
+    the trigram vocabulary (the batch kind's artifact-size contract),
+    independent of stream length.  Hashing is hashlib md5 on the utf-8
+    bytes — identical to both engines' md5 of the same string."""
+    import hashlib
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (name,) = key
+        if state.exists:
+            gen, n, bs, cs = state.get
+            counts = dict(zip(bs, cs))
+        else:
+            gen, n, counts = 0, 0, {}
+        for pdf in batches:
+            for s in pdf["s"].dropna():
+                s = str(s)
+                n += 1
+                if len(s) >= 3:
+                    for g in {s[i : i + 3] for i in range(len(s) - 2)}:
+                        b = int(hashlib.md5(g.encode()).hexdigest()[:13], 16)
+                        counts[b] = counts.get(b, 0) + 1
+        gen += 1
+        items = sorted(counts.items())
+        state.update(
+            (gen, n, [b for b, _ in items], [c for _, c in items])
+        )
+        yield pd.DataFrame(
+            {
+                "name": [name] * (len(items) + 1),
+                "gen": [gen] * (len(items) + 1),
+                "r": [0] * len(items) + [1],
+                "b": [b for b, _ in items] + [0],
+                "v": [c for _, c in items] + [n],
+            }
+        )
+
+    keyed = texts.select(
+        F.col("name").cast("string").alias("name"),
+        F.col("s").cast("string").alias("s"),
+    )
+    return keyed.groupBy("name").applyInPandasWithState(
+        update,
+        outputStructType=TRI_STREAM_SCHEMA,
+        stateStructType=_TRI_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

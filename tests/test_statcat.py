@@ -582,3 +582,54 @@ def test_tri_merge_is_additive_and_bound_holds(spark):
                 for g in tris
             )
         assert bound >= exact, (probe, bound, exact)
+
+
+def test_tri_stream_snapshot_equals_batch_build(spark, tmp_path):
+    """The tri streaming twin: after every trigger the per-trigram df
+    state (plus the row-count register) equals the batch trigram_rows
+    of everything fed so far — the additive identity q407 gates,
+    holding under arbitrary micro-batch slicing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyber_etl_spark.operators.statcat import trigram_rows
+    from cyber_etl_spark.streaming import read_event_stream, run_stream_to_memory
+    from cyber_etl_spark.streaming.stateful import tri_stream
+
+    words = ["widget", "bolt", "gear", "bracket", "nut", "ox"]
+    n = 450
+    texts = [f"pre {words[i % len(words)]} {i % 7}" for i in range(n)]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [1_700_000_000_000_000 + i for i in range(n)],
+            "user_id": 1,
+            "event_type": "x",
+            "value": 0.0,
+            "props": texts,
+        }
+    )
+    d = tmp_path / "tri_feed"
+    d.mkdir()
+    for i in range(3):
+        chunk = pdf.iloc[i * 150 : (i + 1) * 150]
+        pq.write_table(pa.Table.from_pandas(chunk), str(d / f"chunk_{i}.parquet"))
+    stream = read_event_stream(spark, str(d), empty_dir_ts="micros").select(
+        F.lit("docs").alias("name"), F.col("props").alias("s")
+    )
+    run_stream_to_memory(tri_stream(stream), "tri_mem", mode="update")
+    rows = spark.sql("SELECT * FROM tri_mem").collect()
+    assert max(r.gen for r in rows) == 3
+
+    def batch_rows(upto: int) -> list[tuple[int, int, int]]:
+        df = spark.createDataFrame(pdf.iloc[:upto][["props"]])
+        return sorted(
+            (int(r.r), int(r.b), int(r.v))
+            for r in trigram_rows(df, "t", "props").collect()
+        )
+
+    for gen, upto in ((1, 150), (2, 300), (3, 450)):
+        got = sorted((r.r, r.b, r.v) for r in rows if r.gen == gen)
+        assert got == batch_rows(upto), gen

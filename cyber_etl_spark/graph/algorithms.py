@@ -1108,3 +1108,88 @@ def eigenvector_centrality(
             F.col("dst").alias("src"), (F.col("s") / F.col("nrm")).alias("score")
         )
     return x.select(F.col("src").alias("id"), "score")
+
+
+def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Deterministic Luby maximal independent set → (id, round).
+
+    The third distributed-graph primitive family next to label
+    propagation and Borůvka contraction: per round, every UNDECIDED
+    node whose (priority, id) is a strict local maximum over its
+    undecided neighbors joins the MIS (priorities are md5-derived, so
+    the "random" permutation is deterministic and engine-portable);
+    winners' undecided neighbors are excluded, and the surviving
+    subgraph shrinks by a constant fraction in expectation — O(log n)
+    rounds (Luby 1986).  The result is BOTH independent (no edge inside
+    the set — winners are local maxima, two adjacent winners are
+    impossible) and maximal (a node is only decided by joining or by an
+    adjacent winner), pinned by tests; `round` records the superstep a
+    node entered.
+
+    Scale contract: each round is two semi-joins + one anti-join over
+    the SHRINKING undecided edge set, state pinned per round with a
+    full plan barrier every 2 rounds (the _plan_barrier finding — the
+    undecided tables are referenced multiple times per round)."""
+    pr = (
+        "CAST(conv(substr(md5('mis:' || CAST({n} AS STRING)), 1, 13),"
+        " 16, 10) AS BIGINT)"
+    )
+    und_nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .select("n", F.expr(pr.format(n="n")).alias("p"))
+        .localCheckpoint(eager=True)  # depth-0 state: a pin suffices
+    )
+    und_edges = edges.select(
+        "src",
+        "dst",
+        F.expr(pr.format(n="src")).alias("pa"),
+        F.expr(pr.format(n="dst")).alias("pb"),
+    ).localCheckpoint(eager=True)
+    mis_frames: list[DataFrame] = []
+    for k in range(1, max_rounds + 1):
+        if und_nodes.limit(1).count() == 0:
+            break
+        blocked = und_edges.select(
+            F.when(
+                F.struct(F.col("pa"), F.col("src"))
+                < F.struct(F.col("pb"), F.col("dst")),
+                F.col("src"),
+            )
+            .otherwise(F.col("dst"))
+            .alias("n")
+        ).distinct()
+        winners = und_nodes.join(blocked, "n", "left_anti").select("n")
+        winners = winners.localCheckpoint(eager=True)  # feeds mis, excluded, removal
+        mis_frames.append(winners.select("n", F.lit(k).alias("round")))
+        excluded = (
+            und_edges.join(winners, und_edges.src == winners.n, "leftsemi")
+            .select(F.col("dst").alias("n"))
+            .unionAll(
+                und_edges.join(
+                    winners, und_edges.dst == winners.n, "leftsemi"
+                ).select(F.col("src").alias("n"))
+            )
+            .distinct()
+        )
+        rm = winners.select("n").unionAll(excluded).distinct()
+        rm = rm.localCheckpoint(eager=True)
+        und_nodes = und_nodes.join(rm, "n", "left_anti")
+        und_edges = und_edges.join(
+            rm, und_edges.src == rm.n, "left_anti"
+        ).join(rm, und_edges.dst == rm.n, "left_anti")
+        if k % 2 == 0:
+            und_nodes = _plan_barrier(und_nodes)
+            und_edges = _plan_barrier(und_edges)
+        else:
+            und_nodes = und_nodes.localCheckpoint(eager=True)
+            und_edges = und_edges.localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"luby_mis: undecided nodes remain after {max_rounds} rounds"
+        )
+    out = mis_frames[0]
+    for f in mis_frames[1:]:
+        out = out.unionAll(f)
+    return out.withColumnRenamed("n", "id")

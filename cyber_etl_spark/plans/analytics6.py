@@ -5663,7 +5663,10 @@ def q409_hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct query.  Exactness: q312's dyadic-Z/integer-rho rules;
     periods published as date STRINGS (q154/q288 convention);
     date_trunc('week'/'month') is Monday/first-of-month in BOTH
-    engines."""
+    engines.
+
+    Grid budget: hv < 2^32 (8 md5 hex digits); `div` 2^24 only shrinks
+    it (the q312 budget, unchanged)."""
     from .analytics4 import _q312_rho_sql
 
     ev = read_table(spark, sf_dir, "events")

@@ -526,7 +526,10 @@ def q410_bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; bit sets are one distinct-project per file (at 100 TB these
     ARE parquet's column-index bloom filters, written once at layout
     time); the audit touches only O(files × k) membership rows.
-    Determinism: pure integer md5 bit arithmetic, exact counts."""
+    Determinism: pure integer md5 bit arithmetic, exact counts.
+
+    Grid budget: (rn − 1)·64 fits int64 to ~1.4e17 rows (the q290 bin
+    arithmetic, unchanged); bloom bits are md5 % 65536, always tiny."""
     import hashlib
 
     from ..operators.prefix import global_ranks

@@ -5828,3 +5828,121 @@ def q411_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("demand_rate").desc(), "p_partkey")
         .limit(20)
     )
+
+
+# ---- distribution-free median CI (q413) ------------------------------------
+
+# exact integer sqrt of 38416·n (= (100·1.96·sqrt(n))²): floor(sqrt) on a
+# double then a ±1 fix-up by exact integer comparison — the q172 rule
+# (never trust a libm boundary a bucket depends on).  {n} is the group
+# size column; both engines share the text verbatim.
+_Q413_T = (
+    "(CAST(floor(sqrt(CAST(38416 * {n} AS DOUBLE))) AS BIGINT)"
+    " - CASE WHEN CAST(floor(sqrt(CAST(38416 * {n} AS DOUBLE))) AS BIGINT)"
+    "            * CAST(floor(sqrt(CAST(38416 * {n} AS DOUBLE))) AS BIGINT)"
+    "            > 38416 * {n} THEN 1 ELSE 0 END"
+    " + CASE WHEN (CAST(floor(sqrt(CAST(38416 * {n} AS DOUBLE))) AS BIGINT) + 1)"
+    "            * (CAST(floor(sqrt(CAST(38416 * {n} AS DOUBLE))) AS BIGINT) + 1)"
+    "            <= 38416 * {n} THEN 1 ELSE 0 END)"
+)
+
+
+@query(
+    "q413_median_ci",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS x,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    ks AS (
+      SELECT grp, n, {_Q413_T.format(n="n")} AS t
+      FROM (SELECT DISTINCT grp, n FROM r)
+    ),
+    bounds AS (
+      SELECT grp, n,
+             GREATEST(1, (100 * n - t) // 200) AS k_lo,
+             (n + 1) // 2 AS k_med,
+             LEAST(n, (100 * n + t) // 200 + 1) AS k_hi
+      FROM ks
+    )
+    SELECT b.grp AS o_orderpriority, CAST(b.n AS BIGINT) AS n,
+           CAST(b.k_lo AS BIGINT) AS k_lo, CAST(b.k_hi AS BIGINT) AS k_hi,
+           MIN(CASE WHEN r.rn = b.k_lo THEN r.x END) AS ci_lo,
+           MIN(CASE WHEN r.rn = b.k_med THEN r.x END) AS median,
+           MIN(CASE WHEN r.rn = b.k_hi THEN r.x END) AS ci_hi
+    FROM bounds b JOIN r ON r.grp = b.grp
+                        AND r.rn IN (b.k_lo, b.k_med, b.k_hi)
+    GROUP BY b.grp, b.n, b.k_lo, b.k_hi
+    ORDER BY b.grp
+    """,
+    tags=("stats", "quantiles", "kernel"),
+)
+def q413_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the per-group
+    MEDIAN — the order-statistic CI (ranks (n ± 1.96√n)/2, the binomial
+    normal approximation; Hahn & Meeker's nonparametric interval): no
+    distributional assumption, just the k-th and (n−k+1)-ish order
+    statistics, which is why it is THE robust analyst tool for skewed
+    money columns.  Published per order priority: n, the rank bounds,
+    and the three order-statistic VALUES (CI low, lower median, CI
+    high) — raw column values, so the hash gate is exact with no float
+    arithmetic beyond the isqrt.
+
+    Scale plan: ranks come from the distributed range-partition rank
+    kernel (operators/prefix.global_ranks — never a per-group
+    single-task window; the oracle's plain window is DuckDB-side only);
+    rank bounds are pure integer arithmetic on the 5-row group table,
+    with 1.96√n computed as an EXACT integer sqrt of 38416·n (floor-
+    sqrt plus a ±1 fix-up by integer comparison — the q172 boundary
+    rule, immune to any libm ulp).
+
+    Grid budget: 38416·n fits int64 to n ≈ 2.4e14 rows/group; the
+    `div` 200 only shrinks; rank arithmetic is group-size-bounded."""
+    from ..operators.prefix import global_ranks
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("x"),
+        "o_orderkey",
+    )
+    r = global_ranks(
+        orders, order_cols=["x", "o_orderkey"], group_cols=["grp"]
+    )
+    ks = (
+        r.select("grp", "n")
+        .distinct()
+        .selectExpr("grp", "n", f"{_Q413_T.format(n='n')} AS t")
+    )
+    bounds = ks.selectExpr(
+        "grp",
+        "n",
+        "GREATEST(1, (100 * n - t) div 200) AS k_lo",
+        "(n + 1) div 2 AS k_med",
+        "LEAST(n, (100 * n + t) div 200 + 1) AS k_hi",
+    )
+    j = r.select("grp", "x", "rn").join(F.broadcast(bounds), "grp").where(
+        (F.col("rn") == F.col("k_lo"))
+        | (F.col("rn") == F.col("k_med"))
+        | (F.col("rn") == F.col("k_hi"))
+    )
+    return (
+        j.groupBy("grp", F.col("n").alias("n_rows"), "k_lo", "k_hi", "k_med")
+        .agg(
+            F.min(F.when(F.col("rn") == F.col("k_lo"), F.col("x"))).alias("ci_lo"),
+            F.min(F.when(F.col("rn") == F.col("k_med"), F.col("x"))).alias("median"),
+            F.min(F.when(F.col("rn") == F.col("k_hi"), F.col("x"))).alias("ci_hi"),
+        )
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            F.col("n_rows").cast("long").alias("n"),
+            F.col("k_lo").cast("long").alias("k_lo"),
+            F.col("k_hi").cast("long").alias("k_hi"),
+            "ci_lo",
+            "median",
+            "ci_hi",
+        )
+        .orderBy("o_orderpriority")
+    )

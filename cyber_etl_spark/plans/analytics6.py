@@ -5946,3 +5946,139 @@ def q413_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---- James-Stein shrinkage (q414) ------------------------------------------
+
+# the shrinkage arithmetic, shared verbatim between engines (identical
+# IEEE ops on identical integer-micro-sum inputs): group mean, grand
+# mean of group means, between-group S, averaged sampling variance
+# vbar = s2w * mean(1/n_g), factor B = max(0, 1 - (m-3)*vbar/S)
+_Q414_XG = "CAST(sxu AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)"
+
+
+@query(
+    "q414_james_stein_shrinkage",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey AS nk,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS sxu,
+             CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS HUGEINT)
+                      * CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS sx2u
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(n) AS BIGINT) AS nn,
+             SUM({_Q414_XG}) / COUNT(*) AS grand,
+             SUM(1.0 / CAST(n AS DOUBLE)) / COUNT(*) AS invn
+      FROM g
+    ),
+    s2 AS (
+      SELECT SUM(({_Q414_XG} - m.grand) * ({_Q414_XG} - m.grand)) AS s
+      FROM g, m
+    ),
+    w AS (
+      SELECT SUM(CAST(sx2u AS DOUBLE) / 1e12
+                 - CAST(sxu AS DOUBLE) / 1e6 * ({_Q414_XG})) AS ssw
+      FROM g
+    ),
+    fac AS (
+      SELECT m.m, m.grand,
+             GREATEST(0.0,
+               1.0 - (m.m - 3) * (w.ssw / (m.nn - m.m) * m.invn) / s2.s
+             ) AS b
+      FROM m, s2, w
+    )
+    SELECT g.nk AS nationkey, CAST(g.n AS BIGINT) AS n,
+           round({_Q414_XG}, 6) AS raw_mean,
+           round(fac.grand + fac.b * ({_Q414_XG} - fac.grand), 6)
+             AS shrunk_mean,
+           round(fac.b, 6) AS shrink_b
+    FROM g, fac
+    ORDER BY g.nk
+    """,
+    tags=("stats", "shrinkage", "empirical-bayes"),
+)
+def q414_james_stein_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-nation mean order values — the
+    Efron–Morris/James–Stein estimator that DOMINATES the raw group
+    means under squared error whenever ≥ 4 groups exist: each nation's
+    mean is pulled toward the grand mean by B = 1 − (m−3)·v̄/S (v̄ the
+    averaged sampling variance of a group mean from the pooled within-
+    group variance, S the between-group sum of squares), clamped at 0.
+    Small noisy groups shrink hard; the factor publishes alongside.
+
+    Scale plan: one map-side-combinable (Σ, Σx²) pass per group in
+    exact integer micro units, then all shrinkage arithmetic on the
+    m-row group table (m = 25 nations).  Exactness: micro sums are
+    exact integers (HUGEINT / DECIMAL(38,0)); every double op from
+    there is the SAME expression text in both engines (the q339 shared-
+    text discipline), so 6-dp rounds agree.
+
+    Grid budget: Σx²·1e12 micro² per group ≈ 6e27 — exceeds int64, so
+    the squared-sum accumulates in DECIMAL(38,0)/HUGEINT (exact to
+    1e38); no integer `div` anywhere."""
+    ords = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .join(
+            read_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.expr(
+                "CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)"
+            ).alias("xu"),
+        )
+    )
+    g = ords.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xu").cast("decimal(38,0)")).alias("sxu"),
+        F.sum(
+            (F.col("xu").cast("decimal(38,0)") * F.col("xu")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sx2u"),
+    )
+    g = g.localCheckpoint(eager=True)  # 25 rows; feeds 3 aggregates + output
+    xg = _Q414_XG
+    m = g.selectExpr(
+        "CAST(COUNT(*) AS BIGINT) AS m",
+        "CAST(SUM(n) AS BIGINT) AS nn",
+        f"SUM({xg}) / COUNT(*) AS grand",
+        "SUM(1.0 / CAST(n AS DOUBLE)) / COUNT(*) AS invn",
+    )
+    s2 = g.crossJoin(F.broadcast(m)).selectExpr(
+        f"SUM(({xg} - grand) * ({xg} - grand)) AS s"
+    )
+    w = g.selectExpr(
+        f"SUM(CAST(sx2u AS DOUBLE) / 1e12"
+        f" - CAST(sxu AS DOUBLE) / 1e6 * ({xg})) AS ssw"
+    )
+    fac = (
+        m.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(w))
+        .selectExpr(
+            "m",
+            "grand",
+            "GREATEST(0.0, 1.0 - (m - 3) * (ssw / (nn - m) * invn) / s) AS b",
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(fac))
+        .selectExpr(
+            "nk AS nationkey",
+            "CAST(n AS BIGINT) AS n",
+            f"round({xg}, 6) AS raw_mean",
+            f"round(grand + b * ({xg} - grand), 6) AS shrunk_mean",
+            "round(b, 6) AS shrink_b",
+        )
+        .orderBy("nationkey")
+    )

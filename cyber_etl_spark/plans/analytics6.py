@@ -6082,3 +6082,187 @@ def q414_james_stein_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---- Benjamini-Hochberg FDR (q415) -----------------------------------------
+
+def _phi_inv(q: float) -> float:
+    """Φ⁻¹ by bisection on math.erf — runs ONCE at import to mint the
+    BH threshold literals both engines share (no scipy in the
+    container; math.erf is exact enough for a 1e-9 bisection, and the
+    6-dp snap below makes the literals platform-stable)."""
+    import math
+
+    lo, hi = -10.0, 10.0
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if (1.0 + math.erf(mid / math.sqrt(2.0))) / 2.0 < q:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+_BH_M = 25        # one hypothesis per nation
+_BH_ALPHA = 0.05
+# |z| threshold for BH rank k: p_(k) <= alpha*k/m  <=>  |z_(k)| >= t_k,
+# t_k = PhiInv(1 - alpha*k/(2m)) — p is monotone in |z|, so BH runs
+# entirely on z-scores with NO p-value/erf at query time
+_BH_T = [
+    round(_phi_inv(1.0 - _BH_ALPHA * k / (2 * _BH_M)), 6)
+    for k in range(1, _BH_M + 1)
+]
+_BH_VALUES = ", ".join(
+    f"({k}, {t})" for k, t in zip(range(1, _BH_M + 1), _BH_T)
+)
+
+_Q415_XG = "CAST(sxu AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)"
+_Q415_Z = (
+    f"(({_Q415_XG}) - mu0) / sqrt(var0 / CAST(n AS DOUBLE))"
+)
+
+
+@query(
+    "q415_bh_fdr",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n,
+             CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS sxu
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    gl AS (
+      SELECT COUNT(*) AS nn,
+             CAST(SUM(xu) AS DOUBLE) / 1e6 / COUNT(*) AS mu0,
+             (CAST(SUM(CAST(xu AS HUGEINT) * xu) AS DOUBLE) / 1e12
+              - CAST(SUM(xu) AS DOUBLE) / 1e6
+                * (CAST(SUM(xu) AS DOUBLE) / 1e6 / COUNT(*)))
+             / (COUNT(*) - 1) AS var0
+      FROM (SELECT CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) AS xu
+            FROM orders)
+    ),
+    z AS (
+      SELECT g.nk, g.n, {_Q415_Z} AS z
+      FROM g, gl
+    ),
+    rk AS (
+      SELECT nk, n, z,
+             ROW_NUMBER() OVER (ORDER BY ABS(z) DESC, nk) AS rank
+      FROM z
+    ),
+    th AS (SELECT k, t FROM (VALUES {_BH_VALUES}) v(k, t)),
+    flag AS (
+      SELECT rk.*, th.t, (ABS(rk.z) >= th.t) AS passes
+      FROM rk JOIN th ON rk.rank = th.k
+    ),
+    kstar AS (
+      SELECT COALESCE(MAX(CASE WHEN passes THEN rank END), 0) AS ks
+      FROM flag
+    )
+    SELECT f.nk AS nationkey, CAST(f.n AS BIGINT) AS n,
+           round(f.z, 6) AS z,
+           CAST(f.rank AS BIGINT) AS bh_rank,
+           CAST(f.t AS DOUBLE) AS threshold,
+           (f.rank <= kstar.ks) AS rejected
+    FROM flag f, kstar
+    ORDER BY f.nk
+    """,
+    tags=("stats", "multiple-testing", "fdr"),
+)
+def q415_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over 25 simultaneous hypotheses —
+    the multiple-testing correction every per-group screen (q309's
+    feature screening, q144's A/B tests) needs before anyone reads its
+    "significant" list: per nation, a z-test of mean order value
+    against the global mean; BH's step-up rule rejects the k* smallest
+    p-values where k* = max{{k : p_(k) ≤ αk/m}}.  Because p is monotone
+    in |z|, the whole procedure runs on z-scores against precomputed
+    thresholds t_k = Φ⁻¹(1 − αk/2m) — Φ⁻¹ evaluated ONCE at import by
+    erf-bisection and embedded as identical 6-dp literals in BOTH
+    engines, so no erf/CDF exists at query time in either plan.
+
+    Scale plan: one exact integer-micro moment pass per group plus one
+    global pass; the BH machinery runs on the m-row table (ranked by a
+    self-join count Spark-side — the 25-row table never earns a window;
+    the oracle's ROW_NUMBER is DuckDB-side only).  Exactness: z from
+    shared expression text on exact integer sums; threshold comparisons
+    against 6-dp literals (a |z| landing within one ulp of a threshold
+    is measure-zero on data-derived ratios — the q312 double-path
+    rule).
+
+    Grid budget: global Σx² widened per-row to HUGEINT/DECIMAL(38,0)
+    before summing (the q414/q215 rule); no integer `div`."""
+    ords = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)").alias(
+            "xu"
+        ),
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    g = (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("xu").cast("decimal(38,0)")).alias("sxu"),
+        )
+    )
+    glob = ords.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(F.col("xu").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.col("xu").cast("decimal(38,0)") * F.col("xu")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sx2"),
+    ).selectExpr(
+        "CAST(SX AS DOUBLE) / 1e6 / nn AS mu0",
+        "(CAST(sx2 AS DOUBLE) / 1e12"
+        " - CAST(sx AS DOUBLE) / 1e6 * (CAST(sx AS DOUBLE) / 1e6 / nn))"
+        " / (nn - 1) AS var0",
+    )
+    z = (
+        g.crossJoin(F.broadcast(glob))
+        .selectExpr("nk", "n", f"{_Q415_Z} AS z")
+        .localCheckpoint(eager=True)  # 25 rows; self-join rank + kstar + output
+    )
+    a, b = z.alias("a"), z.alias("b")
+    rk = (
+        a.join(
+            b,
+            (F.abs(F.col("b.z")) > F.abs(F.col("a.z")))
+            | (
+                (F.abs(F.col("b.z")) == F.abs(F.col("a.z")))
+                & (F.col("b.nk") <= F.col("a.nk"))
+            ),
+        )
+        .groupBy(F.col("a.nk").alias("nk"), F.col("a.n").alias("n"), F.col("a.z").alias("z"))
+        .agg(F.count(F.lit(1)).alias("rank"))
+    )
+    th = spark.createDataFrame(
+        list(zip(range(1, _BH_M + 1), _BH_T)), "k long, t double"
+    )
+    flag = rk.join(F.broadcast(th), rk.rank == th.k).select(
+        "nk", "n", "z", "rank", "t", (F.abs(F.col("z")) >= F.col("t")).alias("passes")
+    )
+    flag = flag.localCheckpoint(eager=True)
+    kstar = flag.agg(
+        F.coalesce(
+            F.max(F.when(F.col("passes"), F.col("rank"))), F.lit(0)
+        ).alias("ks")
+    )
+    return (
+        flag.crossJoin(F.broadcast(kstar))
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("n").cast("long").alias("n"),
+            F.round("z", 6).alias("z"),
+            F.col("rank").cast("long").alias("bh_rank"),
+            F.col("t").cast("double").alias("threshold"),
+            (F.col("rank") <= F.col("ks")).alias("rejected"),
+        )
+        .orderBy("nationkey")
+    )

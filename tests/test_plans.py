@@ -354,6 +354,10 @@ DECLARED_HIGH_CARD = {
     # the supplier/part corpus; the per-src adjacency ranking is the
     # textbook bounded-group window
     "src",
+    # q411: part key alias (l_partkey) — |parts| grows with the corpus
+    # (200 -> 2k -> 20k across the test scales); the per-part demand-rank
+    # window's group size is calendar-bounded (ship days per part)
+    "pk",
 }
 
 

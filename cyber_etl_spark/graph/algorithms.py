@@ -1134,19 +1134,47 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         "CAST(conv(substr(md5('mis:' || CAST({n} AS STRING)), 1, 13),"
         " 16, 10) AS BIGINT)"
     )
-    und_nodes = (
+
+    # Node and edge state ride ONE union frame (_k = 0 edges, 1 nodes) so
+    # each round's state pin — and each barrier's parquet write — is a
+    # single job instead of two (r12 optimization: the loop is job-floor
+    # bound; same rows, same joins, half the state-materialization jobs).
+    def _split(st: DataFrame) -> tuple[DataFrame, DataFrame]:
+        nodes = st.where(F.col("_k") == 1).select(F.col("a").alias("n"))
+        es = st.where(F.col("_k") == 0).select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "pa", "pb"
+        )
+        return nodes, es
+
+    def _merge(nodes: DataFrame, es: DataFrame) -> DataFrame:
+        return es.select(
+            F.lit(0).alias("_k"),
+            F.col("src").cast("long").alias("a"),
+            F.col("dst").cast("long").alias("b"),
+            F.col("pa"),
+            F.col("pb"),
+        ).unionAll(
+            nodes.select(
+                F.lit(1).alias("_k"),
+                F.col("n").cast("long").alias("a"),
+                F.lit(None).cast("long").alias("b"),
+                F.lit(None).cast("bigint").alias("pa"),
+                F.lit(None).cast("bigint").alias("pb"),
+            )
+        )
+
+    state = _merge(
         edges.select(F.col("src").alias("n"))
         .unionAll(edges.select(F.col("dst").alias("n")))
-        .distinct()
-        .select("n", F.expr(pr.format(n="n")).alias("p"))
-        .localCheckpoint(eager=True)  # depth-0 state: a pin suffices
-    )
-    und_edges = edges.select(
-        "src",
-        "dst",
-        F.expr(pr.format(n="src")).alias("pa"),
-        F.expr(pr.format(n="dst")).alias("pb"),
-    ).localCheckpoint(eager=True)
+        .distinct(),
+        edges.select(
+            "src",
+            "dst",
+            F.expr(pr.format(n="src")).alias("pa"),
+            F.expr(pr.format(n="dst")).alias("pb"),
+        ),
+    ).localCheckpoint(eager=True)  # depth-0 state: a pin suffices
+    und_nodes, und_edges = _split(state)
     mis_frames: list[DataFrame] = []
     for k in range(1, max_rounds + 1):
         if und_nodes.limit(1).count() == 0:
@@ -1173,18 +1201,22 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             )
             .distinct()
         )
+        # rm is NOT pinned: its three consumers (node anti-join, both
+        # edge anti-joins) are all branches of the ONE merged-state pin
+        # job, so the tiny winners∪excluded subtree re-evaluates in-job
+        # (broadcast semi-joins over pinned inputs) instead of paying a
+        # dedicated checkpoint job per round (r12 A/B)
         rm = winners.select("n").unionAll(excluded).distinct()
-        rm = rm.localCheckpoint(eager=True)
-        und_nodes = und_nodes.join(rm, "n", "left_anti")
-        und_edges = und_edges.join(
+        nxt_nodes = und_nodes.join(rm, "n", "left_anti")
+        nxt_edges = und_edges.join(
             rm, und_edges.src == rm.n, "left_anti"
         ).join(rm, und_edges.dst == rm.n, "left_anti")
+        merged = _merge(nxt_nodes, nxt_edges)
         if k % 2 == 0:
-            und_nodes = _plan_barrier(und_nodes)
-            und_edges = _plan_barrier(und_edges)
+            state = _plan_barrier(merged)
         else:
-            und_nodes = und_nodes.localCheckpoint(eager=True)
-            und_edges = und_edges.localCheckpoint(eager=True)
+            state = merged.localCheckpoint(eager=True)
+        und_nodes, und_edges = _split(state)
     else:
         raise RuntimeError(
             f"luby_mis: undecided nodes remain after {max_rounds} rounds"

@@ -59,10 +59,24 @@ def _contract(
     comp = _pin(nodes.select("n", F.col("n").alias("c")))
     selected: list[DataFrame] = []
     rounds_done = 0
+    # Upper bound on the number of components that still carry a CROSSING
+    # edge.  The driver tail's C(tail_cap, 2) contract only involves such
+    # components (rem keeps ca != cb rows only), so the loop may hand off
+    # as soon as the ACTIVE count fits — inactive (finished) components
+    # never reappear.  Tracking the bound this way replaces the former
+    # per-round `comp.select("c").distinct().count()` (a full extra
+    # shuffle job per superstep) with a near-free count of the pinned
+    # per-component min-edge table, and skips the final round's whole
+    # contraction (r12 optimization; forest/partition output is invariant
+    # to WHEN the handoff happens — both paths compute the unique MSF).
+    n_active_bound = comp.count()
+    # crossing-edge table of the CURRENT comp, when one is already pinned
+    # (mid-loop handoff) — the tail reuses it instead of re-running the
+    # two comp joins
+    cross: DataFrame | None = None
 
     for _ in range(max_rounds):
-        n_comp = comp.select("c").distinct().count()
-        if n_comp <= tail_cap:
+        if n_active_bound <= tail_cap:
             break
         ca = comp.select(F.col("n").alias("src"), F.col("c").alias("ca"))
         cb = comp.select(F.col("n").alias("dst"), F.col("c").alias("cb"))
@@ -74,6 +88,14 @@ def _contract(
             e2.select(F.col("cb").alias("c"), st)
         )
         mine = _pin(cand.groupBy("c").agg(F.min("e").alias("e")))
+        cross = e2
+        n_active = mine.count()  # post-pin count: partition-size sum only
+        if n_active <= tail_cap:
+            # the remainder fits the tail contract NOW — the driver
+            # union-find picks the exact same forest edges further
+            # rounds would (Kruskal over per-pair min edges of the
+            # contracted graph == remaining Borůvka rounds)
+            break
         selected.append(mine.select("e.src", "e.dst").distinct())
         ptr = mine.select(
             "c",
@@ -116,6 +138,10 @@ def _contract(
                 "n", F.coalesce(F.col("_new"), F.col("c")).alias("c")
             )
         )
+        cross = None  # comp changed — the pinned crossing table is stale
+        # each active component merged with at least one other this
+        # round, so the next round's active count is at most half
+        n_active_bound = n_active // 2
         rounds_done += 1
         if rounds_done % 2 == 0:
             # each round chains ~4 pins that reference their predecessors
@@ -134,12 +160,16 @@ def _contract(
 
     # bounded tail: minimum edge per unordered component pair of the
     # ≤ tail_cap-node contracted graph, finished with driver union-find
-    ca = comp.select(F.col("n").alias("src"), F.col("c").alias("ca"))
-    cb = comp.select(F.col("n").alias("dst"), F.col("c").alias("cb"))
+    if cross is not None:
+        crossing = cross
+    else:
+        ca = comp.select(F.col("n").alias("src"), F.col("c").alias("ca"))
+        cb = comp.select(F.col("n").alias("dst"), F.col("c").alias("cb"))
+        crossing = (
+            edges.join(ca, "src").join(cb, "dst").where(F.col("ca") != F.col("cb"))
+        )
     rem = (
-        edges.join(ca, "src")
-        .join(cb, "dst")
-        .where(F.col("ca") != F.col("cb"))
+        crossing
         .groupBy(
             F.least("ca", "cb").alias("pa"), F.greatest("ca", "cb").alias("pb")
         )

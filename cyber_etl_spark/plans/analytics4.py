@@ -94,14 +94,37 @@ def q266_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # feeds three rank passes
     )
-    g = global_ranks(rfm, order_cols=["rec", "cust"], rn_col="r_rn", total_col="n1")
-    g = global_ranks(g, order_cols=["negf", "cust"], rn_col="f_rn", total_col="n2")
-    g = global_ranks(g, order_cols=["negm", "cust"], rn_col="m_rn", total_col="n3")
-    seg = g.select(
-        "mon",
-        ntile_expr(F.col("r_rn"), F.col("n1"), 5).alias("r_q"),
-        ntile_expr(F.col("f_rn"), F.col("n2"), 5).alias("f_q"),
-        ntile_expr(F.col("m_rn"), F.col("n3"), 5).alias("m_q"),
+    # All three quintile rankings ride ONE rank-kernel call (r12, the
+    # q290 fusion): the R/F/M sort keys stack into a dim-tagged union —
+    # each key cast to DECIMAL(21,2), an order-embedding for int days,
+    # long counts and 18,2-decimal revenue alike, so per-dim (rn, n) are
+    # identical to the former three chained calls — then one cust-keyed
+    # pivot reassembles the quintiles.  One range shuffle + one pin
+    # instead of three of each.
+    stack = None
+    for dim, key in (("r", "rec"), ("f", "negf"), ("m", "negm")):
+        part = rfm.select(
+            F.lit(dim).alias("dim"),
+            F.col(key).cast("decimal(21,2)").alias("sk"),
+            "cust",
+            "mon",
+        )
+        stack = part if stack is None else stack.unionByName(part)
+    g = global_ranks(
+        stack, order_cols=["sk", "cust"], group_cols=["dim"],
+        rn_col="rn", total_col="nn",
+    )
+    q5 = ntile_expr(F.col("rn"), F.col("nn"), 5)
+    seg = (
+        g.select("dim", "cust", "mon", q5.alias("q"))
+        .groupBy("cust")
+        .agg(
+            F.max("mon").alias("mon"),
+            F.max(F.when(F.col("dim") == "r", F.col("q"))).alias("r_q"),
+            F.max(F.when(F.col("dim") == "f", F.col("q"))).alias("f_q"),
+            F.max(F.when(F.col("dim") == "m", F.col("q"))).alias("m_q"),
+        )
+        .select("mon", "r_q", "f_q", "m_q")
     )
     return (
         seg.groupBy("r_q", "f_q", "m_q")

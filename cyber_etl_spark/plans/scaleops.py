@@ -371,26 +371,44 @@ def q290_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zv = z_value_sql("l_partkey", "l_suppkey", bits=16)
 
-    def binned(name: str, order_cols: list) -> DataFrame:
-        """Grid budget: (rn-1)*64 fits int64 for any realistic row count (rn <= n <= 1.4e17)."""
-        src = li.withColumn("_zv", F.expr(zv)) if name == "zorder" else li
-        r = global_ranks(src, order_cols=order_cols, rn_col="rn", total_col="n")
-        return r.select(
-            F.lit(name).alias("layout"),
-            "l_partkey",
-            F.expr("(rn - 1) * 64 div n").alias("bin"),
-        )
-
-    nat = binned(
-        "natural", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    # BOTH layouts ride ONE rank-kernel call (r12 optimization): each
+    # layout's sort key is padded into a uniform (_s1.._s5) tuple whose
+    # within-layout order equals the original order_cols chain, and the
+    # kernel groups by `layout` — one range shuffle + one checkpoint +
+    # one control table instead of two of each.  Per-layout (rn, n) are
+    # identical to the former two-call form, so bins are unchanged.
+    # Grid budget: (rn - 1) * 64 fits int64 for any realistic row count
+    # (rn <= n <= 1.4e17).
+    nat_src = li.select(
+        F.lit("natural").alias("layout"),
+        F.lit(0).cast("long").alias("_s1"),
+        F.col("l_orderkey").alias("_s2"),
+        F.col("l_linenumber").cast("long").alias("_s3"),
+        F.col("l_partkey").alias("_s4"),
+        F.col("l_suppkey").alias("_s5"),
+        "l_partkey",
     )
-    zo = binned(
-        "zorder",
-        ["_zv", "l_partkey", "l_orderkey", "l_suppkey", "l_linenumber"],
+    zo_src = li.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(zv).cast("long").alias("_s1"),
+        F.col("l_partkey").alias("_s2"),
+        F.col("l_orderkey").alias("_s3"),
+        F.col("l_suppkey").cast("long").alias("_s4"),
+        F.col("l_linenumber").cast("long").alias("_s5"),
+        "l_partkey",
+    )
+    r = global_ranks(
+        nat_src.unionByName(zo_src),
+        order_cols=["_s1", "_s2", "_s3", "_s4", "_s5"],
+        group_cols=["layout"],
+        rn_col="rn",
+        total_col="n",
+    )
+    both = r.select(
+        "layout", "l_partkey", F.expr("(rn - 1) * 64 div n").alias("bin")
     )
     zones = (
-        nat.unionByName(zo)
-        .crossJoin(F.broadcast(pred))
+        both.crossJoin(F.broadcast(pred))
         .groupBy("layout", "bin")
         .agg(
             F.min("l_partkey").alias("mn"),
@@ -554,10 +572,14 @@ def q410_bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("p3_max", kmax),
         ("p4_absent", kmax + 7777),
     ]
+    # no (bin, k) pre-distinct: the final distinct on (bin, bit) dedupes
+    # identically (same bit set as the oracle's DISTINCT bin, k feed) and
+    # md5 over the raw rows is in-stage arithmetic, while the pre-distinct
+    # was a full extra exchange — and distinct's map-side partial
+    # aggregation already bounds the (bin, bit) shuffle at scale
+    # (r12 A/B: 1.11 s -> 0.65 s for the bits pass at sf0.1)
     bits = (
-        binned.select("bin", "k")
-        .distinct()
-        .select(
+        binned.select(
             "bin",
             F.explode(F.expr("sequence(1, 3)")).alias("i"),
             "k",

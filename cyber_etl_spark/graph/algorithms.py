@@ -350,10 +350,6 @@ def pagerank(
     w = _width(m)
     for i in range(iterations):
         r = F.broadcast(ranks) if bcast else ranks
-        # NOT _nw-wrapped: the agg's hashpartitioning(to) feeds the join
-        # below exchange-free; a coalesce here would erase the output
-        # partitioning and buy an extra full shuffle per superstep
-        # (measured +35% on q28/q29/q48 at sf0.1).
         contribs = (
             eshare.join(r, eshare.src == r.id)
             .select(
@@ -363,11 +359,25 @@ def pagerank(
             .groupBy("to")
             .agg(F.sum("c").alias("mass"))
         )
-        ranks = _nw(deg.join(contribs, deg.id == contribs["to"], "left"), w).select(
-            "id",
-            (base_col + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
-                "rank"
-            ),
+        # e is symmetric in EVERY path (_sym() for unweighted input, the
+        # documented caller contract for weight_col), so each node has an
+        # in-edge and `contribs` already covers the full node set: the
+        # former `deg LEFT JOIN contribs` was an identity costing one
+        # SortMergeJoin + an exchange and sort of BOTH sides per superstep
+        # (checkpointed frames carry no stats and checkpoint jobs bypass
+        # AQE's dynamic broadcast conversion).  `mass` is never NULL for
+        # the same reason, so the coalesce is gone too — per-node values
+        # are bit-identical.  On the bcast path the agg is plan-terminal
+        # (next use is a broadcast collect) → _nw-collapse it; on the
+        # shuffle path leave it un-wrapped so hashpartitioning(to→id)
+        # feeds the next superstep's rank join exchange-free.
+        ranks = (
+            (_nw(contribs, w) if bcast else contribs)
+            .select(F.col("to").alias("id"), "mass")
+            .select(
+                "id",
+                (base_col + F.lit(damping) * F.col("mass")).alias("rank"),
+            )
         )
         if bcast:
             # a forced broadcast of an UNcheckpointed superstep chain is
@@ -955,14 +965,16 @@ def hits(
         hubs = _compact(hubs, n_src).localCheckpoint(eager=True)
     auths = None
     for _ in range(iterations):
-        # pin the RAW sums: each is referenced twice (normalizer + the
-        # normalized projection) — unpinned, the |E| join would execute
-        # twice per half-step (loop discipline, CLAUDE.md)
+        # The raw sums are each referenced twice (normalizer + the
+        # normalized projection), but both references live inside the ONE
+        # action that pins `hubs` below: Spark's exchange reuse writes the
+        # |E|-join shuffle once and reads it twice, so the former per-
+        # half-step `a_raw`/`h_raw` checkpoints were pure job overhead
+        # (2 extra blocking jobs per iteration; r12 A/B).  Only `hubs`
+        # crosses iterations, so only `hubs` is pinned.
         a_raw = _nw(
             e.join(bc_h(hubs), "src").groupBy("dst").agg(F.sum("h").alias("a")), w
         )
-        if checkpoint_each:
-            a_raw = _compact(a_raw, n_dst).localCheckpoint(eager=True)
         a_norm = a_raw.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
         auths = a_raw.crossJoin(F.broadcast(a_norm)).select(
             "dst", (F.col("a") / F.col("nrm")).alias("a")
@@ -970,12 +982,12 @@ def hits(
         h_raw = _nw(
             e.join(bc_a(auths), "dst").groupBy("src").agg(F.sum("a").alias("h")), w
         )
-        if checkpoint_each:
-            h_raw = _compact(h_raw, n_src).localCheckpoint(eager=True)
         h_norm = h_raw.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
         hubs = h_raw.crossJoin(F.broadcast(h_norm)).select(
             "src", (F.col("h") / F.col("nrm")).alias("h")
         )
+        if checkpoint_each:
+            hubs = _compact(hubs, n_src).localCheckpoint(eager=True)
     return hubs, auths
 
 
@@ -1094,19 +1106,23 @@ def eigenvector_centrality(
     x = e.select("src").distinct().withColumn("score", F.lit(1.0))
     if checkpoint_each:
         x = _compact(x, n).localCheckpoint(eager=True)
-    for _ in range(iterations):
+    for i in range(iterations):
+        # raw is referenced twice (normalizer + projection) but both live
+        # inside the one action that pins x below — exchange reuse writes
+        # the |E|-join shuffle once, so the former per-step raw pin was a
+        # pure extra blocking job (the hits() finding, r12)
         raw = _nw(
             e.join(bc(x.select(F.col("src"), F.col("score"))), "src")
             .groupBy("dst")
             .agg(F.sum("score").alias("s")),
             w,
         )
-        if checkpoint_each:
-            raw = _compact(raw, n).localCheckpoint(eager=True)
         nrm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
         x = raw.crossJoin(F.broadcast(nrm)).select(
             F.col("dst").alias("src"), (F.col("s") / F.col("nrm")).alias("score")
         )
+        if checkpoint_each:
+            x = _compact(x, n).localCheckpoint(eager=True)
     return x.select(F.col("src").alias("id"), "score")
 
 

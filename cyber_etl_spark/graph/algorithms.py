@@ -206,19 +206,30 @@ def connected_components(
     # rounding).
     prev_sum = None
     w = _width(_ecount(edges, e))
+    # Label/neighbor-min/hooked frames are all ≤|V| rows: under the cap
+    # broadcast them into every per-superstep join (the loop-family
+    # policy) — stats-less state frames otherwise plan SortMergeJoins
+    # that re-exchange the EDGE side every superstep, and checkpoint jobs
+    # bypass AQE's broadcast conversion.  Past the cap the shuffle plan
+    # is unchanged.  Labels are integers with min tie-breaks, so join
+    # strategy cannot perturb the result.
+    n_nodes = _derived(edges, ("nnodes",), lambda: e.select("src").distinct().count())
+    bx = (
+        (lambda d: F.broadcast(d))
+        if n_nodes <= _BCAST_MAX_ROWS
+        else (lambda d: d)
+    )
     for it in range(max_iterations):
         # agg left un-wrapped: its hashpartitioning(nid) is reused by the
         # join below (see _nw docstring on partitioning erasure)
+        lb = bx(labels)
         neighbor_min = (
-            _nw(e.join(labels, e.src == labels.id), w)
+            _nw(e.join(lb, e.src == lb.id), w)
             .groupBy(F.col("dst").alias("nid"))
             .agg(F.min("component").alias("nmin"))
         )
-        # un-wrapped too: this join's hashpartitioning(id) serves the
-        # pointer-jump's y side exchange-free
-        hooked = labels.join(
-            neighbor_min, labels.id == neighbor_min.nid, "left"
-        ).select(
+        nm = bx(neighbor_min)
+        hooked = labels.join(nm, labels.id == nm.nid, "left").select(
             "id",
             F.least(
                 F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
@@ -227,7 +238,7 @@ def connected_components(
         # pointer jumping: adopt the label of my label — halves chain depth
         # every iteration, so convergence is O(log diameter) supersteps
         # instead of O(diameter)
-        x, y = hooked.alias("x"), hooked.alias("y")
+        x, y = hooked.alias("x"), bx(hooked.alias("y"))
         new_labels = (
             _nw(x.join(y, F.col("x.component") == F.col("y.id"), "left"), w)
             .select(
@@ -903,10 +914,19 @@ def sssp_hop_limited(
     dist = spark.createDataFrame(
         [(int(source), 0)], "id bigint, dist bigint"
     ).localCheckpoint(eager=True)
-    n = 1
     w = _width(_ecount(wedges, e))
+    # dist is <= |V| rows BY CONSTRUCTION (one row per reached vertex),
+    # so ONE up-front memoized node bound decides broadcastability for
+    # every superstep — the former per-iteration dist.count() existed
+    # only for this decision and cost one extra job per superstep
+    # (min-distances are exact integers, so join strategy cannot perturb
+    # the result; past the cap the shuffle plan is unchanged).
+    n_nodes = _derived(
+        wedges, ("nnodes",), lambda: e.select("src").distinct().count()
+    )
+    bcast = n_nodes <= _BCAST_MAX_ROWS
     for _ in range(iterations):
-        d = F.broadcast(dist) if n <= _BCAST_MAX_ROWS else dist
+        d = F.broadcast(dist) if bcast else dist
         relax = e.join(d, e.src == d["id"]).select(
             F.col("dst").alias("id"), (d["dist"] + F.col("w")).alias("dist")
         )
@@ -917,7 +937,6 @@ def sssp_hop_limited(
             )
             .localCheckpoint(eager=True)
         )
-        n = dist.count()
     return dist
 
 
@@ -1013,6 +1032,18 @@ def betweenness_sampled(
     if not sources:
         raise ValueError("betweenness_sampled needs at least one source")
     spark = e.sparkSession
+    # Per-level state (visited/frontier/delta) is bounded by |S|·|V| BY
+    # CONSTRUCTION, so ONE up-front bound decides broadcastability for the
+    # whole loop (no per-level counts): under the cap every per-level join
+    # broadcasts the state side and the pinned edge list never moves —
+    # without the hint each level ran 2 SortMergeJoins whose exchanges
+    # re-shuffled both sides (state frames carry no stats and checkpoint
+    # jobs bypass AQE's broadcast conversion).  Past the cap the shuffle
+    # plan is unchanged.  sigma is integral (join strategy can't perturb
+    # it); delta keeps the per-level round(…, 6) convention.
+    n_nodes = _derived(edges, ("nnodes",), lambda: e.select("src").distinct().count())
+    small = len(sources) * n_nodes <= _BCAST_MAX_ROWS
+    bx = (lambda d: F.broadcast(d)) if small else (lambda d: d)
     src_df = spark.createDataFrame([(int(s),) for s in sources], "s long")
     visited = src_df.select(
         "s", F.col("s").alias("v"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
@@ -1020,11 +1051,11 @@ def betweenness_sampled(
     for lvl in range(1, max_depth + 1):
         frontier = visited.where(F.col("dist") == lvl - 1)
         nxt = (
-            frontier.join(e, frontier.v == e.src)
+            e.join(bx(frontier), frontier.v == e.src)
             .groupBy("s", F.col("dst").alias("nv"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(
-                visited.select("s", F.col("v").alias("nv")),
+                bx(visited.select("s", F.col("v").alias("nv"))),
                 ["s", "nv"],
                 "left_anti",
             )
@@ -1039,7 +1070,7 @@ def betweenness_sampled(
     for lvl in range(max_depth, 0, -1):
         w_nodes = (
             visited.where(F.col("dist") == lvl)
-            .join(delta, ["s", "v"], "left")
+            .join(bx(delta), ["s", "v"], "left")
             .select(
                 "s",
                 F.col("v").alias("w"),
@@ -1051,8 +1082,8 @@ def betweenness_sampled(
             "s", "v", F.col("sigma").alias("sigma_v")
         )
         delta = (
-            v_nodes.join(e, v_nodes.v == e.src)
-            .join(w_nodes.withColumnRenamed("w", "dst"), ["s", "dst"])
+            e.join(bx(v_nodes), v_nodes.v == e.src)
+            .join(bx(w_nodes.withColumnRenamed("w", "dst")), ["s", "dst"])
             .groupBy("s", "v")
             .agg(
                 F.round(
@@ -1070,7 +1101,7 @@ def betweenness_sampled(
         all_delta = all_delta.unionByName(d)
     out = (
         visited.where(F.col("dist") > 0)
-        .join(all_delta, ["s", "v"], "left")
+        .join(bx(all_delta), ["s", "v"], "left")
         .groupBy(F.col("v").alias("id"))
         .agg(F.round(F.sum(F.coalesce("delta", F.lit(0.0))), 6).alias("bc"))
     )

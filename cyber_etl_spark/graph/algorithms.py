@@ -427,29 +427,26 @@ def label_propagation(
     bcast = labels.count() <= _BCAST_MAX_ROWS  # label vector small → map-side join
     w = _width(_ecount(edges, e))
     for i in range(iterations):
-        # single aggregation replaces count+window-rank: max_by over the
-        # (cnt, -community) struct implements "most frequent label, ties
-        # to smallest" with one shuffle per superstep instead of two.
+        # ONE exchange replaces the former count-then-argmax pair:
+        # mode(community, deterministic=True) is EXACTLY "most frequent
+        # label, ties to smallest" (a TypedImperativeAggregate with
+        # map-side partial count maps, so shuffle bytes are the partial
+        # (community → cnt) maps — the same information the two-phase
+        # form shipped, in half the shuffle rounds).
         lab = F.broadcast(labels) if bcast else labels
-        # inner coalesce is safe (the second groupBy re-keys from
-        # (nid, community) to nid, so an exchange happens regardless);
-        # the outer agg stays un-wrapped so its hashpartitioning(nid)
-        # feeds the label join exchange-free.
         best = (
-            _nw(
-                e.join(lab, e.src == lab.id)
-                .groupBy(F.col("dst").alias("nid"), "community")
-                .agg(F.count(F.lit(1)).alias("cnt")),
-                w,
-            )
-            .groupBy("nid")
-            .agg(
-                F.expr("max_by(community, struct(cnt, -community))").alias(
-                    "new_community"
-                )
-            )
+            e.join(lab, e.src == lab.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.mode("community", True).alias("new_community"))
         )
-        labels = _nw(labels.join(best, labels.id == best.nid, "left"), w).select(
+        # label update: best is ≤|V| rows — broadcast it under the cap
+        # (the left join's right side) so the checkpointed label vector
+        # is never re-exchanged/sorted into a SortMergeJoin; on the
+        # bcast path the agg is then plan-terminal → _nw-collapse it.
+        # Past the cap keep the agg un-wrapped so hashpartitioning(nid)
+        # feeds the shuffle join exchange-free.
+        b = F.broadcast(_nw(best, w)) if bcast else best
+        labels = _nw(labels.join(b, labels.id == b.nid, "left"), w).select(
             "id",
             F.coalesce(F.col("new_community"), F.col("community")).alias("community"),
         )
@@ -576,15 +573,19 @@ def louvain_level(
             w_stage,
         )
         # Σdeg over each community, minus i's own degree when i ∈ C.
-        # Un-wrapped: hashpartitioning(community) is reused by the join
-        # below (see _nw docstring).
         degsum = state.groupBy("community").agg(F.sum("deg").alias("deg_c"))
-        # un-wrapped: the id-keyed second join's partitioning feeds the
-        # groupBy("id") below, whose output feeds the state join — one
-        # exchange-free reuse chain down to the checkpoint
+        # degsum (≤ #communities rows) and state (≤ |V| rows) both
+        # broadcast under the cap: w_ic leaves its groupBy partitioned
+        # by (id, n_comm), so the former SortMergeJoins re-exchanged it
+        # TWICE (→ n_comm for degsum, → id for state) plus sorted both
+        # small sides — broadcast joins keep w_ic in place and the only
+        # remaining exchange is the groupBy("id") below.  Past the cap
+        # the shuffle plan is unchanged.
+        dg = F.broadcast(degsum) if bcast else degsum
+        st = state.withColumnRenamed("community", "cur")
         cand = (
-            w_ic.join(degsum, w_ic.n_comm == degsum.community)
-            .join(state.withColumnRenamed("community", "cur"), "id")
+            w_ic.join(dg, w_ic.n_comm == dg.community)
+            .join(F.broadcast(st) if bcast else st, "id")
         ).select(
             "id",
             "n_comm",
@@ -601,7 +602,10 @@ def louvain_level(
                 / F.lit(2 * m)
             ).alias("gain"),
         )
-        # un-wrapped: hashpartitioning(id) feeds the state join below
+        # on the bcast path best (≤|V| rows) broadcasts into the state
+        # join below (left join, right side), so the checkpointed state
+        # never re-exchanges; past the cap the agg stays un-wrapped so
+        # hashpartitioning(id) feeds the shuffle join exchange-free
         best = cand.groupBy("id").agg(
             F.expr("max_by(n_comm, struct(gain, -n_comm))").alias("best_comm"),
             F.max(F.struct("gain", (-F.col("n_comm")).alias("nc"))).alias("best_key"),
@@ -610,7 +614,14 @@ def louvain_level(
             ).alias("cur_gain"),
         )
         state = _compact(
-            _nw(state.join(best, "id", "left"), w_stage)
+            _nw(
+                state.join(
+                    F.broadcast(_nw(best, w_stage)) if bcast else best,
+                    "id",
+                    "left",
+                ),
+                w_stage,
+            )
             .select(
                 "id",
                 F.when(

@@ -244,15 +244,22 @@ def global_ranks(
     rn_col: str = "rn",
     total_col: str = "n",
     num_partitions: int | None = None,
+    pin_input: bool = False,
 ) -> DataFrame:
     """``df`` + global 1-based row number over ``order_cols`` within each
     group, plus the group size — the building block for every
     distributional window (percent_rank = (rn-1)/(n-1), cume_dist = rn/n
     under a total order, ntile from (rn, n) bucket arithmetic) without a
-    per-group single-task sort."""
+    per-group single-task sort.
+
+    ``pin_input``: repartitionByRange SAMPLES its child to pick
+    boundaries, so an expensive input plan (a join+aggregate, a
+    tokenize) executes twice; pinning materializes it once (one
+    blocking job — measure per case, the r10 rule)."""
     group_cols = list(group_cols)
     ranged, offsets = _ranged_partials(
-        df, group_cols, order_cols, [F.count(F.lit(1))], num_partitions
+        df, group_cols, order_cols, [F.count(F.lit(1))], num_partitions,
+        pin_input=pin_input,
     )
     joined = _join_offsets(ranged, offsets, group_cols)
     wl = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)

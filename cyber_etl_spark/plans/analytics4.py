@@ -2896,7 +2896,13 @@ def q295_weekly_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("negr", -F.col("revu"))
     )
     rk = global_ranks(
-        wr, order_cols=["negr", "part"], group_cols=["wk"], rn_col="rnk"
+        wr,
+        order_cols=["negr", "part"],
+        group_cols=["wk"],
+        rn_col="rnk",
+        # the kernel's range sampler would re-run the lineitem⋈orders
+        # join + aggregation a second time; one pin is cheaper (A/B'd)
+        pin_input=True,
     ).localCheckpoint(eager=True)  # feeds the top-10 cut AND the prev join
     cur = rk.where(F.col("rnk") <= 10).select(
         "wk", "part", "revu", F.col("rnk").alias("crnk")

@@ -326,21 +326,25 @@ def symspell_lev1_pairs(df: DataFrame, col: str) -> DataFrame:
     losslessness gate.  Output: (name_a, name_b) with name_a < name_b.
     """
     v = df.where(F.col(col).isNotNull()).select(F.col(col).alias("_val")).distinct()
-    keys = F.array_union(
-        F.array(F.struct(F.col("_val").alias("k"), F.lit(0).alias("pos"))),
-        F.transform(
-            F.sequence(F.lit(1), F.length("_val")),
-            lambda i: F.struct(
-                F.concat(
-                    F.col("_val").substr(F.lit(1), i - 1),
-                    F.col("_val").substr(i + 1, F.length("_val")),
-                ).alias("k"),
-                i.alias("pos"),
-            ),
-        ),
-    )
-    keyed = v.select("_val", F.explode(keys).alias("kp")).select(
-        "_val", F.col("kp.k").alias("k"), F.col("kp.pos").alias("pos")
+    # explode positions FIRST, then build each deletion key with plain
+    # codegen'd substr/concat: a higher-order transform evaluates its
+    # lambda interpreted per element (the shingles lesson, ~2x here),
+    # and the struct-array + array_union allocation is pure overhead.
+    # pos 0 = identity key; array_union never dropped anything (the
+    # identity (k, 0) can't equal a deletion struct — lengths differ).
+    keyed = v.select(
+        "_val", F.explode(F.sequence(F.lit(0), F.length("_val"))).alias("pos")
+    ).select(
+        "_val",
+        F.when(F.col("pos") == 0, F.col("_val"))
+        .otherwise(
+            F.concat(
+                F.expr("substr(_val, 1, pos - 1)"),
+                F.expr("substr(_val, pos + 1, length(_val))"),
+            )
+        )
+        .alias("k"),
+        "pos",
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (

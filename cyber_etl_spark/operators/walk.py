@@ -16,7 +16,7 @@ bit-identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -25,8 +25,8 @@ def clamped_inventory_walk(
     group_col: str,
     step_col: str,
     demand_col: str,
-    replenish_col: str,
-    cap_col: str,
+    replenish_col: str | Column,
+    cap_col: str | Column,
     horizon_col: str,
 ) -> DataFrame:
     """Per-group clamped stock recurrence over a dense step grid.
@@ -48,10 +48,17 @@ def clamped_inventory_walk(
     whose state is one int64 vector pair per Arrow batch; per-group
     state is O(W) (calendar-bounded).  The parameter columns must be
     constant within a group (first row wins) and the horizon constant
-    across the frame.
+    across the frame.  ``replenish_col``/``cap_col`` may instead be
+    AGGREGATE Column expressions evaluated inside the per-group agg
+    (e.g. a replenishment derived from the group's total demand) — that
+    folds the parameter derivation into the ONE shuffle this kernel
+    already pays instead of a separate aggregate + join back.
     """
     import numpy as np
     import pandas as pd
+
+    def _param(c: str | Column) -> Column:
+        return F.first(F.col(c).cast("long")) if isinstance(c, str) else c.cast("long")
 
     agg = demand.groupBy(F.col(group_col).cast("long").alias(group_col)).agg(
         F.collect_list(
@@ -60,8 +67,8 @@ def clamped_inventory_walk(
                 F.col(demand_col).cast("long").alias("d"),
             )
         ).alias("_steps"),
-        F.first(F.col(replenish_col).cast("long")).alias("_r"),
-        F.first(F.col(cap_col).cast("long")).alias("_cap"),
+        _param(replenish_col).alias("_r"),
+        _param(cap_col).alias("_cap"),
         F.first(F.col(horizon_col).cast("long")).alias("_w"),
     )
 

@@ -1038,10 +1038,15 @@ def q322_itemcf_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # feeds train/co, hist, target
     )
     train = items.where(~F.col("is_last")).select("ok", "pk")
-    ta = train.select("ok", F.col("pk").alias("pa"))
-    tb = train.select("ok", F.col("pk").alias("pb"))
+    # basket-local pair generation: (ok, pk) is unique after the items
+    # distinct, so collect_list per order + double explode enumerates
+    # exactly the ordered pairs the former train⋈train self-join
+    # produced — with ONE exchange (groupBy ok) instead of two join
+    # shuffles + sorts; the fan-out stays in-stage (basket-bounded)
+    baskets = train.groupBy("ok").agg(F.collect_list("pk").alias("pks"))
     co = (
-        ta.join(tb, "ok")
+        baskets.select(F.explode("pks").alias("pa"), "pks")
+        .select("pa", F.explode("pks").alias("pb"))
         .where(F.col("pa") != F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("co"))

@@ -1349,14 +1349,18 @@ def q341_inventory_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dem")
         )
     )
-    d = d.localCheckpoint(eager=True)  # feeds params agg AND the walk input
-    p = d.groupBy("pk", "w").agg(
-        F.expr("(SUM(dem) + w - 1) div w").alias("r"),
-        F.expr("4 * ((SUM(dem) + w - 1) div w)").alias("cap"),
-    )
-    walk_in = d.drop("w").join(p, "pk").withColumnRenamed("pk", "partkey")
+    # r = ceil(total part demand / w) and cap = 4r are derivable from
+    # the SAME per-part grouping the walk kernel already pays for: pass
+    # them as aggregate expressions so the former separate params
+    # aggregate + join back (two extra exchanges over the demand grid)
+    # disappears — and d no longer needs a pin (single consumer).
+    # div grid: unchanged semantics from the former params aggregate
+    # (integer ceil-division of int64 demand sums by the period count).
+    r_expr = F.expr("(SUM(dem) + FIRST(w) - 1) div FIRST(w)")
+    cap_expr = F.expr("4 * ((SUM(dem) + FIRST(w) - 1) div FIRST(w))")
+    walk_in = d.withColumnRenamed("pk", "partkey")
     out = clamped_inventory_walk(
-        walk_in, "partkey", "t", "dem", "r", "cap", "w"
+        walk_in, "partkey", "t", "dem", r_expr, cap_expr, "w"
     )
     return out.orderBy(
         F.col("shortage_steps").desc(), "partkey"
@@ -1417,14 +1421,24 @@ def q342_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
     tot = items.agg(F.count_distinct("ok").alias("n_orders"))
-    a = items.select("ok", F.col("pk").alias("part_a"))
-    b = items.select("ok", F.col("pk").alias("part_b"))
-    c = items.select("ok", F.col("pk").alias("part_c"))
+    # basket-local triple enumeration: sort each basket once, then
+    # posexplode + slice walks the strictly-increasing (a < b < c)
+    # combinations in-stage — ONE exchange (groupBy ok) instead of the
+    # former a⋈b⋈c self-join's shared exchange + two SortMergeJoin
+    # sorts; (ok, pk) is unique after the distinct so collect_list is
+    # exactly the basket.
+    baskets = items.groupBy("ok").agg(
+        F.array_sort(F.collect_list("pk")).alias("pks")
+    )
     tri = (
-        a.join(b, "ok")
-        .where(F.col("part_a") < F.col("part_b"))
-        .join(c, "ok")
-        .where(F.col("part_b") < F.col("part_c"))
+        baskets.select(F.posexplode("pks").alias("ia", "part_a"), "pks")
+        .select("part_a", F.expr("slice(pks, ia + 2, size(pks))").alias("rest"))
+        .select("part_a", F.posexplode("rest").alias("ib", "part_b"), "rest")
+        .select(
+            "part_a",
+            "part_b",
+            F.explode(F.expr("slice(rest, ib + 2, size(rest))")).alias("part_c"),
+        )
         .groupBy("part_a", "part_b", "part_c")
         .agg(F.count(F.lit(1)).alias("support"))
     )

@@ -672,7 +672,15 @@ def louvain(
         lab_dst = level_labels.select(
             F.col("id").alias("dst"), F.col("community").alias("c_dst")
         )
-        n = level_labels.count()
+        # level_labels has ≤ |V| rows at every level (labels only shrink
+        # under contraction), so the memoized node count of the ORIGINAL
+        # graph is a valid one-sided broadcast bound — the former
+        # per-level count() job existed only for this decision
+        n = _derived(
+            edges,
+            ("nnodes-sym",),
+            lambda: _sym(edges).select("src").distinct().count(),
+        )
         bsrc = F.broadcast(lab_src) if n <= _BCAST_MAX_ROWS else lab_src
         bdst = F.broadcast(lab_dst) if n <= _BCAST_MAX_ROWS else lab_dst
         # the contraction/remap tables are community-count-sized — run
@@ -716,11 +724,20 @@ def bfs_distances(
     Q6 two-hop — this generalizes them to k hops with distances.)
     """
     e = _sym(edges)
-    dist = sources.select("id", F.lit(0).cast("int").alias("dist")).localCheckpoint(
-        eager=True
-    )
-    frontier = dist.select("id")
-    n_frontier = dist.count()
+    # LAZY pin + count: the count is the action that materializes the
+    # checkpoint, so each level costs ONE job instead of a dedicated
+    # eager-pin job plus a count job (r12, guide §1.2 job floor).
+    dist0 = sources.select(
+        "id", F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint(eager=False)
+    n_frontier = dist0.count()
+    # settled vertices ride as a LIST of per-level pins unioned lazily —
+    # re-pinning the growing union each level was a third job per hop
+    # carrying no new information (every member is already cached; the
+    # union depth is bounded by max_hops)
+    settled = [dist0]
+    dist = dist0
+    frontier = dist0.select("id")
     w = _width(_ecount(edges, e))
     for h in range(1, max_hops + 1):
         # broadcast only while the frontier is provably small: on a dense
@@ -740,12 +757,15 @@ def bfs_distances(
                 w,
             )
             .withColumn("dist", F.lit(h).cast("int"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_frontier = nxt.count()
         if n_frontier == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        settled.append(nxt)
+        dist = settled[0]
+        for s in settled[1:]:
+            dist = dist.unionByName(s)
         frontier = nxt.select("id")
     return dist
 
@@ -765,8 +785,10 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
     never re-shuffles.
     """
     e = _sym(edges)
+    # lazy pin + count: the count materializes the checkpoint — one job,
+    # not two (the bfs_distances r12 pattern)
     active = (
-        e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+        e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=False)
     )
     n = active.count()
     w = _width(_ecount(edges, e))
@@ -786,9 +808,9 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
             in_core_deg(active, n)
             .where(F.col("core_deg") >= k)
             .select(F.col("src").alias("id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        n_nxt = nxt.count()
+        n_nxt = nxt.count()  # the action that materializes the pin
         if n_nxt == n:  # fixpoint — further rounds are no-ops
             active = nxt
             break
@@ -821,7 +843,8 @@ def ktruss(edges_upper: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     """
     if k < 3:
         raise ValueError(f"k-truss needs k >= 3, got {k}")
-    e = edges_upper.select("src", "dst").localCheckpoint(eager=True)
+    # lazy pin + count: one job, not two (the bfs_distances r12 pattern)
+    e = edges_upper.select("src", "dst").localCheckpoint(eager=False)
     m = e.count()
     w = _width(m)
     thr = k - 2
@@ -851,8 +874,8 @@ def ktruss(edges_upper: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     for _ in range(rounds):
         nxt = _nw(
             e.join(support(e), ["src", "dst"]).where(F.col("support") >= thr), w
-        ).select("src", "dst").localCheckpoint(eager=True)
-        m_nxt = nxt.count()
+        ).select("src", "dst").localCheckpoint(eager=False)
+        m_nxt = nxt.count()  # the action that materializes the pin
         if m_nxt == m:  # fixpoint — further rounds are no-ops
             e = nxt
             break
@@ -878,11 +901,15 @@ def multi_bfs_distances(
     exactly: per-level checkpoint, plan-local width, broadcast while
     small with shuffle fallback past the cap."""
     e = _sym(edges)
-    dist = sources.select(
+    # lazy pin + count and the settled-pin list: one job per level
+    # instead of three (see bfs_distances)
+    dist0 = sources.select(
         "pivot", "id", F.lit(0).cast("int").alias("dist")
-    ).localCheckpoint(eager=True)
-    frontier = dist.select("pivot", "id")
-    n_frontier = dist.count()
+    ).localCheckpoint(eager=False)
+    n_frontier = dist0.count()
+    settled = [dist0]
+    dist = dist0
+    frontier = dist0.select("pivot", "id")
     w = _width(_ecount(edges, e))
     for h in range(1, max_hops + 1):
         fr = F.broadcast(frontier) if n_frontier <= _BCAST_MAX_ROWS else frontier
@@ -895,12 +922,15 @@ def multi_bfs_distances(
                 w,
             )
             .withColumn("dist", F.lit(h).cast("int"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_frontier = nxt.count()
         if n_frontier == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        settled.append(nxt)
+        dist = settled[0]
+        for s in settled[1:]:
+            dist = dist.unionByName(s)
         frontier = nxt.select("pivot", "id")
     return dist
 
@@ -1056,11 +1086,16 @@ def betweenness_sampled(
     small = len(sources) * n_nodes <= _BCAST_MAX_ROWS
     bx = (lambda d: F.broadcast(d)) if small else (lambda d: d)
     src_df = spark.createDataFrame([(int(s),) for s in sources], "s long")
-    visited = src_df.select(
+    lvl0 = src_df.select(
         "s", F.col("s").alias("v"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
     ).localCheckpoint(eager=True)
+    # per-level pins unioned lazily (the bfs_distances r12 pattern): each
+    # level pins only ITS rows instead of re-caching the whole growing
+    # visited set every level; the union depth is bounded by max_depth
+    levels = [lvl0]
+    visited = lvl0
     for lvl in range(1, max_depth + 1):
-        frontier = visited.where(F.col("dist") == lvl - 1)
+        frontier = levels[-1]
         nxt = (
             e.join(bx(frontier), frontier.v == e.src)
             .groupBy("s", F.col("dst").alias("nv"))
@@ -1071,8 +1106,12 @@ def betweenness_sampled(
                 "left_anti",
             )
             .select("s", F.col("nv").alias("v"), F.lit(lvl).alias("dist"), "sigma")
+            .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
+        visited = levels[0]
+        for x in levels[1:]:
+            visited = visited.unionByName(x)
     # backward dependency sweep
     delta = visited.where(F.col("dist") == max_depth).select(
         "s", "v", F.lit(0.0).alias("delta")

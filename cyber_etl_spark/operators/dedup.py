@@ -280,40 +280,41 @@ def band_signatures(sh: DataFrame, num_perm: int = 8, bands: int = 4) -> DataFra
     if num_perm % bands:
         raise ValueError(f"num_perm={num_perm} must divide into bands={bands}")
     rows_per_band = num_perm // bands
-    seeds = F.array(*[F.lit(i) for i in range(num_perm)])
-    hashed = sh.select(
-        "id",
-        F.explode(seeds).alias("seed"),
-        "shingle",
-    ).select(
-        "id",
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    # One md5 COLUMN per permutation over the (id, shingle) rows — the
+    # former explode(seeds) fanned every shingle string out num_perm×
+    # before hashing, paying num_perm hash-agg probes (and num_perm
+    # copies of the shingle bytes) per shingle where one probe updating
+    # num_perm min slots carries the same information (r12, guide §2.3:
+    # shuffle/aggregate fewer, wider rows).  Hash inputs, min fold and
+    # band-signature fold are byte-identical to the exploded form, so
+    # persisted signatures and the q22-family oracles are unchanged.
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+            ).alias(f"p{i}")
+            for i in range(num_perm)
+        ]
     )
-    # min-hash per (id, seed), then fold each band's row-hashes into one
-    # signature string — one conditional-min aggregate per row slot, all
-    # in a single groupBy.  (row r of band b is permutation r*bands + b,
-    # i.e. seed // bands == r; for the historical 8/4 default this is
-    # exactly the original seed<bands / seed>=bands split, so existing
-    # persisted signatures and the q22-family oracles are unchanged.)
-    row_mins = [
-        F.min(F.when((F.col("seed") / bands).cast("int") == r, F.col("h"))).alias(f"m{r}")
-        for r in range(rows_per_band)
-    ]
-    return (
-        hashed.groupBy("id", (F.col("seed") % bands).alias("band"))
-        .agg(*row_mins)
-        .select(
-            "id",
-            "band",
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("band").cast("string"),
-                    *[f"m{r}" for r in range(rows_per_band)],
-                )
-            ).alias("band_sig"),
-        )
+    # permutation i feeds band i % bands, row i // bands; the band
+    # signature is md5(band | m0 | m1 | ...) over row-order minima
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col(f"p{r * bands + b}") for r in range(rows_per_band)],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return mins.select("id", F.explode(band_rows).alias("_bs")).select(
+        "id", F.col("_bs.band").alias("band"), F.col("_bs.band_sig").alias("band_sig")
     )
 
 

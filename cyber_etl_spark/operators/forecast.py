@@ -234,15 +234,24 @@ def holt_winters_backtest(
 def croston_forecast(
     events: DataFrame,
     group_col: str,
-    rn_col: str,
+    day_col: str,
     demand_col: str,
-    gap_col: str,
 ) -> DataFrame:
     """Croston's intermittent-demand method over MANY small series —
     the group-axis regime (operators/walk.py rule): each group reduces
-    to ONE row carrying its ordered (demand, gap) event list, and a
+    to ONE row carrying its day-ordered demand events, and a
     mapInPandas kernel walks ALL groups of a batch simultaneously with
     the time loop vectorized over the group axis.
+
+    ``events`` is one row per (group, day): ``day_col`` an INTEGER day
+    number (days since epoch — ``F.unix_date``), ``demand_col`` the
+    integer demand.  Inter-demand gaps are derived HERE as
+    ``days[i] - days[i-1]`` (first gap 0) — identical integers to a
+    ``datediff(day, lag(day))`` window, without paying that window's
+    full exchange + sort (r12: dropping it cut one of q411's three
+    exchanges).  Events ship as array_sort'ed plain long arrays via
+    native struct-field extraction (GetArrayStructFields — codegen'd,
+    never a per-element higher-order lambda or Python dict unpack).
 
     Recurrence (α = 1/2, dyadic — the module's cross-engine rule):
     z₁ = d₁, p₁ = 1; for t ≥ 2: z_t = (d_t + z_{t-1})/2 (demand-size
@@ -260,16 +269,23 @@ def croston_forecast(
     import numpy as np
     from pyspark.sql import functions as F
 
-    agg = events.groupBy(F.col(group_col).cast("long").alias(group_col)).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col(rn_col).cast("long").alias("t"),
-                    F.col(demand_col).cast("long").alias("d"),
-                    F.col(gap_col).cast("long").alias("g"),
+    agg = (
+        events.groupBy(F.col(group_col).cast("long").alias(group_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(day_col).cast("long").alias("t"),
+                        F.col(demand_col).cast("long").alias("d"),
+                    )
                 )
-            )
-        ).alias("_ev")
+            ).alias("_ev")
+        )
+        .select(
+            group_col,
+            F.col("_ev").getField("t").alias("_days"),
+            F.col("_ev").getField("d").alias("_ds"),
+        )
     )
     out_schema = f"{group_col} long, n_events long, z double, p double"
 
@@ -277,15 +293,18 @@ def croston_forecast(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            evs = pdf["_ev"]
-            n = np.array([len(e) for e in evs], dtype=np.int64)
+            days_l, ds_l = pdf["_days"], pdf["_ds"]
+            n = np.fromiter(
+                (len(e) for e in ds_l), dtype=np.int64, count=len(pdf)
+            )
             tmax = int(n.max()) if len(n) else 0
             d = np.zeros((len(pdf), tmax), dtype=np.float64)
             g = np.zeros((len(pdf), tmax), dtype=np.float64)
-            for r, e in enumerate(evs):
-                # already rank-sorted by the array_sort on (t, d, g)
-                d[r, : len(e)] = [x["d"] for x in e]
-                g[r, : len(e)] = [x["g"] for x in e]
+            for r in range(len(pdf)):
+                k = n[r]
+                d[r, :k] = np.asarray(ds_l.iloc[r], dtype=np.int64)
+                dd = np.asarray(days_l.iloc[r], dtype=np.int64)
+                g[r, 1:k] = dd[1:] - dd[:-1]
             z = d[:, 0].copy()
             p = np.ones(len(pdf), dtype=np.float64)
             for t in range(1, tmax):

@@ -53,6 +53,68 @@ from pyspark.sql.types import (
 )
 
 
+def _sql_literal(v, sql_type: str) -> str:
+    """Render one Python value as a CAST('…' AS type) Spark SQL literal
+    whose parsed value round-trips exactly.  Floats go through repr()
+    (shortest round-trip decimal → exact DOUBLE); strings escape quote
+    and backslash.  Raises TypeError for types no caller ships (the
+    caller falls back to createDataFrame)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return f"CAST(NULL AS {sql_type})"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            s = "NaN"
+        elif v == float("inf"):
+            s = "Infinity"
+        elif v == float("-inf"):
+            s = "-Infinity"
+        else:
+            s = repr(v)
+        return f"CAST('{s}' AS {sql_type})"
+    if isinstance(v, (int, decimal.Decimal)):
+        return f"CAST({v} AS {sql_type})"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"CAST('{esc}' AS {sql_type})"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP'{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE'{v.isoformat()}'"
+    raise TypeError(f"_sql_literal: unsupported type {type(v).__name__}")
+
+
+def _local_values_df(spark, rows: list[list], schema: StructType):
+    """Ship a small driver-side table as a pure-JVM VALUES LocalRelation.
+
+    ``spark.createDataFrame(rows)`` builds an RDD-backed frame whose every
+    downstream materialization — a BroadcastExchange in particular — pays
+    Python-worker round-trips (the r8 q296 lesson, measured ~0.3 s per
+    broadcast consumer on this box).  A VALUES relation parses to a
+    LocalRelation: broadcasting it is pure JVM.  Falls back to
+    createDataFrame for empty inputs (VALUES needs ≥1 row), >1000 rows
+    (plan-text size — the q122 big-literal rule) or unsupported types.
+    """
+    if not rows or len(rows) > 1000:
+        return spark.createDataFrame(rows, schema=schema)
+    types = [f.dataType.simpleString() for f in schema.fields]
+    try:
+        body = ", ".join(
+            "(" + ", ".join(_sql_literal(v, t) for v, t in zip(r, types)) + ")"
+            for r in rows
+        )
+    except TypeError:
+        return spark.createDataFrame(rows, schema=schema)
+    cols = ", ".join(
+        f"col{i + 1} AS `{f.name}`" for i, f in enumerate(schema.fields)
+    )
+    return spark.sql(f"SELECT {cols} FROM (VALUES {body})")
+
+
 def _interpolate(p: float, n: int, at: dict[int, float]) -> float | None:
     """Spark Percentile.getPercentile: rank = p*(n-1); linear between
     floor and ceil with (higher-pos)*lower + (pos-lower)*higher."""
@@ -275,4 +337,4 @@ def exact_quantiles(
         else:
             qs = [at.get(g, {}).get(p * totals[g]) for p in probs.values()]
         out_rows.append(list(g) + qs)
-    return spark.createDataFrame(out_rows, schema=res_schema)
+    return _local_values_df(spark, out_rows, res_schema)

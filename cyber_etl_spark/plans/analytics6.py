@@ -5812,25 +5812,18 @@ def q411_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     dyadic α are identical IEEE trajectories cross-engine; 6-dp rounds
     of dyadics can't hit .5e-6 ties (5-adic denominators — the module
     rule); rate ties break on partkey."""
-    from pyspark.sql.window import Window
-
     from ..operators.forecast import croston_forecast
 
     li = read_table(spark, sf_dir, "lineitem")
     dem = li.groupBy(
         F.col("l_partkey").alias("pk"),
-        F.to_date("l_shipdate").alias("day"),
+        F.unix_date(F.to_date("l_shipdate")).alias("day"),
     ).agg(F.sum(F.col("l_quantity").cast("long")).alias("d"))
-    w = Window.partitionBy("pk").orderBy("day")
-    ev = dem.select(
-        "pk",
-        "d",
-        F.row_number().over(w).alias("rn"),
-        F.coalesce(
-            F.datediff("day", F.lag("day").over(w)), F.lit(0)
-        ).alias("gap"),
-    )
-    cf = croston_forecast(ev, "pk", "rn", "d", "gap")
+    # rn/gap need no window: the kernel sorts each part's (day, d)
+    # events once collected and derives gaps as integer day diffs —
+    # identical to datediff(day, lag(day)) without the window's full
+    # pk exchange + sort (one of three exchanges gone)
+    cf = croston_forecast(dem, "pk", "day", "d")
     return (
         cf.select(
             F.col("pk").alias("p_partkey"),

@@ -983,6 +983,7 @@ def semantic_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Within-cell cosine pairs after k-means clustering — the SemDeDup
     candidate structure (Abbas et al. 2023: duplicates concentrate inside
@@ -993,11 +994,19 @@ def semantic_neardup_pairs(
     key: a skewed giant cell hash-splits into many block rows instead of
     folding into one >2 GB row, and block sizing derives from the LARGEST
     cell (one tiny agg job), so memory is bounded regardless of skew.
+
+    ``prebuilt``: a ``(vecs, cents)`` pair as built by
+    ``plans.textops.cached_kmeans`` — skips the quantize pin and the
+    Lloyd loop (a trained clustering is a shared session artifact, the
+    q375/statcat routing rule); ``n_cells``/``iters`` are ignored then.
     """
     import math
 
-    vecs = _quantized_vecs(corpus, id_col, vec_col).localCheckpoint(eager=True)
-    cents = _kmeans_core(vecs, n_cells, iters)
+    if prebuilt is not None:
+        vecs, cents = prebuilt
+    else:
+        vecs = _quantized_vecs(corpus, id_col, vec_col).localCheckpoint(eager=True)
+        cents = _kmeans_core(vecs, n_cells, iters)
     members = nearest_centroid_assign(vecs, cents, extra_cols=("v",)).select(
         F.col("cell").alias("grp"), "id", "v"
     )
@@ -1025,6 +1034,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """SemDeDup survivors: drop every document that has a SMALLER-id
     within-cell neighbor at/above the cosine threshold (deterministic
@@ -1036,7 +1046,8 @@ def semantic_dedup(
     :func:`cosine_neardup_pairs`.
     """
     assign, pairs = semantic_neardup_pairs(
-        corpus, n_cells, iters, threshold, id_col, vec_col
+        corpus, n_cells, iters, threshold, id_col, vec_col,
+        prebuilt=prebuilt,
     )
     dropped = pairs.select(F.col("id_b").alias("id")).distinct()
     return assign.join(dropped, "id", "left_anti").select(

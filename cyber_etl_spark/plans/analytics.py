@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..session import SessionMemo, session_token
 from ..sources import read_table
 from .registry import query
-from .textops import _SHINGLES_CTE, cached_shingles
+from .textops import _SHINGLES_CTE, cached_ivf_index, cached_shingles
 
 _EPS_PAIR_CACHE: dict[tuple, DataFrame] = SessionMemo()
 
@@ -2048,7 +2048,13 @@ def q212_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     exact = brute_force_knn(emb, queries, k=10).select("query_id", "neighbor_id")
-    approx = ivf_knn(emb, queries, k=10, n_cells=16, nprobe=4).select(
+    approx = ivf_knn(
+        emb,
+        queries,
+        k=10,
+        nprobe=4,
+        index=cached_ivf_index(spark, sf_dir, n_cells=16, iters=2),
+    ).select(
         F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
     )
     return (

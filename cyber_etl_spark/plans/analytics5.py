@@ -1174,10 +1174,12 @@ def q323_cluster_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact decimals, 6-dp rounded (sqrt output — tie-impossible).
 
     Grid budget: hits <= n (corpus docs); 2*hits*1e6 fits int64 to ~4.6e12 docs."""
-    from ..operators.ann import kmeans_fit
+    from ..operators.ann import nearest_centroid_assign
+    from .textops import cached_kmeans
 
     emb = read_table(spark, sf_dir, "embeddings")
-    _, assign = kmeans_fit(emb, n_cells=8, iters=2)
+    vecs, cents = cached_kmeans(spark, sf_dir, n_cells=8, iters=2)
+    assign = nearest_centroid_assign(vecs, cents)
     m = (
         assign.withColumnRenamed("id", "vec_id")
         .join(emb.select("vec_id", "label"), "vec_id")

@@ -42,6 +42,46 @@ def cached_shingles(spark: SparkSession, sf_dir: str):
     return _SH_CACHE[key]
 
 
+def cached_kmeans(
+    spark: SparkSession, sf_dir: str, n_cells: int, iters: int
+):
+    """(vecs_pinned, cents): ONE deterministic Lloyd training per
+    (session, dataset, scheme) over the embeddings table — q125's
+    SemDeDup cells, q323's clustering eval and the 16-cell IVF family
+    (q40/q166/q212) all train the IDENTICAL centroids (same micro-grid,
+    same seed pick), so per-query retraining was duplicate work (the
+    q375 catalog-routing rule applied to clustering artifacts)."""
+    from ..operators.ann import _kmeans_core, _quantized_vecs
+
+    key = (session_token(spark), sf_dir, "kmeans", n_cells, iters)
+    if key not in _SH_CACHE:
+        emb = read_table(spark, sf_dir, "embeddings")
+        vecs = _quantized_vecs(emb, "vec_id", "embedding").localCheckpoint(
+            eager=True
+        )
+        _SH_CACHE[key] = (vecs, _kmeans_core(vecs, n_cells, iters))
+    return _SH_CACHE[key]
+
+
+def cached_ivf_index(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16, iters: int = 2
+):
+    """(centroids, assignments) for the trained IVF coarse quantizer —
+    the in-session twin of the persisted-index lifecycle (build once,
+    every consumer probes it).  Values are identical to a per-query
+    ``ivf_assign(emb, n_cells)`` (same kmeans_fit path)."""
+    from ..operators.ann import nearest_centroid_assign
+
+    key = (session_token(spark), sf_dir, "ivfidx", n_cells, iters)
+    if key not in _SH_CACHE:
+        vecs, cents = cached_kmeans(spark, sf_dir, n_cells, iters)
+        assign = nearest_centroid_assign(vecs, cents).localCheckpoint(
+            eager=True
+        )
+        _SH_CACHE[key] = (cents, assign)
+    return _SH_CACHE[key]
+
+
 def cached_lsh_pairs(spark: SparkSession, sf_dir: str):
     """MinHash-LSH verified pair table (q22's scheme, threshold 0.5),
     materialized once per (session, dataset).  Because a document's
@@ -818,7 +858,13 @@ def q40_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
-    return ivf_knn(emb, queries, k=10, n_cells=16, nprobe=4)
+    return ivf_knn(
+        emb,
+        queries,
+        k=10,
+        nprobe=4,
+        index=cached_ivf_index(spark, sf_dir, n_cells=16, iters=2),
+    )
 
 
 @query(
@@ -1702,7 +1748,11 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import semantic_dedup
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, n_cells=8, iters=2, threshold=0.4)
+    return semantic_dedup(
+        emb,
+        threshold=0.4,
+        prebuilt=cached_kmeans(spark, sf_dir, n_cells=8, iters=2),
+    )
 
 
 from ..operators.bpe import (  # noqa: E402
@@ -3147,10 +3197,9 @@ def q166_ivf_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one column-pruned groupBy over assignment ids + a broadcast
     1-row totals crossJoin; output is k rows.  No window touches the
     data."""
-    from ..operators.ann import ivf_assign, ivf_cell_stats
+    from ..operators.ann import ivf_cell_stats
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    _, assign = ivf_assign(emb, n_cells=16)
+    _, assign = cached_ivf_index(spark, sf_dir, n_cells=16, iters=2)
     return ivf_cell_stats(assign)
 
 

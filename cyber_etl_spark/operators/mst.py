@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _pin(df: DataFrame, w: int = 8) -> DataFrame:
+def _pin(df: DataFrame, w: int = 8, eager: bool = True) -> DataFrame:
     """Checkpoint a loop-state table, first collapsing its stage-terminal
     shuffle to ``w`` reduce tasks (the graph/algorithms._nw rule: pin
     jobs bypass AQE, so a 1000-row pointer table would otherwise run 32
@@ -34,8 +34,11 @@ def _pin(df: DataFrame, w: int = 8) -> DataFrame:
     fewer partitions than ``w`` the coalesce is a no-op, so
     cluster-scale width is untouched).  Measured a wash at sf0.1 (the
     loop is job-floor-bound, ~7 jobs/round), kept for the reduce-task
-    floor it removes on wider sessions."""
-    return df.coalesce(w).localCheckpoint(eager=True)
+    floor it removes on wider sessions.  ``eager=False`` when the caller
+    immediately counts the result — the count is then the action that
+    materializes the pin, one job instead of two (the bfs_distances r12
+    pattern)."""
+    return df.coalesce(w).localCheckpoint(eager=eager)
 
 
 def _contract(
@@ -56,7 +59,7 @@ def _contract(
         .unionAll(edges.select(F.col("dst").alias("n")))
         .distinct()
     )
-    comp = _pin(nodes.select("n", F.col("n").alias("c")))
+    comp = _pin(nodes.select("n", F.col("n").alias("c")), eager=False)
     selected: list[DataFrame] = []
     rounds_done = 0
     # Upper bound on the number of components that still carry a CROSSING
@@ -87,7 +90,7 @@ def _contract(
         cand = e2.select(F.col("ca").alias("c"), st).unionAll(
             e2.select(F.col("cb").alias("c"), st)
         )
-        mine = _pin(cand.groupBy("c").agg(F.min("e").alias("e")))
+        mine = _pin(cand.groupBy("c").agg(F.min("e").alias("e")), eager=False)
         cross = e2
         n_active = mine.count()  # post-pin count: partition-size sum only
         if n_active <= tail_cap:

@@ -723,10 +723,21 @@ def q192_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    a, b = items.alias("a"), items.alias("b")
+    # basket-local pair generation (the q322/q342 r12 form): sort each
+    # basket once, then posexplode + slice walks exactly the p_a < p_b
+    # pairs in-stage — ONE exchange (groupBy o) instead of the
+    # self-join's shared exchange + two sorts; (o, p) is unique after
+    # the distinct, so counts are identical
+    baskets = items.groupBy("o").agg(
+        F.array_sort(F.collect_list("p")).alias("ps")
+    )
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p_a"), F.col("b.p").alias("p_b"))
+        baskets.select(F.posexplode("ps").alias("ia", "p_a"), "ps")
+        .select(
+            "p_a",
+            F.explode(F.expr("slice(ps, ia + 2, size(ps))")).alias("p_b"),
+        )
+        .groupBy("p_a", "p_b")
         .agg(F.count(F.lit(1)).alias("support"))
     )
     icnt = items.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1230,28 +1230,53 @@ def q227_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "value")
 
-    def rank2(col: str):
-        blocks = ev.groupBy("event_type", F.col(col).alias("v")).agg(
+    # ONE kernel pass for both rank dimensions (the q266 stacking): the
+    # two distinct-value block tables ride a dim-tagged union ranked by a
+    # double order-embedding of each key — value IS double; ts embeds as
+    # unix_micros cast to double (epoch micros ~1.7e15 < 2^53: exact,
+    # monotone, injective), so per-(event_type, dim) cum totals are
+    # identical to two separate kernel passes over the original keys.
+    def blocks(col: str, dim: str):
+        b = ev.groupBy("event_type", F.col(col).alias("v")).agg(
             F.count(F.lit(1)).alias("n")
         )
-        c = running_total(
-            blocks, "n", order_cols=["v"], group_cols=["event_type"],
-            out_col="cum",
+        sk = (
+            F.col("v").cast("double")
+            if dim == "x"
+            else F.unix_micros(F.col("v")).cast("double")
         )
-        return c.select(
+        return b.select(
+            F.lit(dim).alias("dim"),
             "event_type",
-            F.col("v"),
-            (2 * F.col("cum") - F.col("n") + 1).alias("r2"),
+            sk.alias("sk"),
+            (
+                F.col("v")
+                if dim == "x"
+                else F.lit(None).cast(ev.schema["value"].dataType)
+            ).alias("vx"),
+            (
+                F.col("v")
+                if dim == "t"
+                else F.lit(None).cast(ev.schema["ts"].dataType)
+            ).alias("vt"),
+            "n",
         )
 
-    rx = rank2("value").select(
+    c = running_total(
+        blocks("value", "x").unionByName(blocks("ts", "t")),
+        "n",
+        order_cols=["sk"],
+        group_cols=["event_type", "dim"],
+        out_col="cum",
+    ).withColumn("r2", 2 * F.col("cum") - F.col("n") + 1)
+    rx = c.where(F.col("dim") == "x").select(
         F.col("event_type").alias("_etx"),
-        F.col("v").alias("_vx"),
+        F.col("vx").alias("_vx"),
         F.col("r2").alias("x"),
     )
-    ry = rank2("ts").select(
+    ry = c.where(F.col("dim") == "t").select(
         F.col("event_type").alias("_ety"),
-        F.col("v").alias("_vy"),
+        F.col("vt").alias("_vy"),
         F.col("r2").alias("y"),
     )
     j = (
@@ -2177,24 +2202,30 @@ def q235_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.when(F.col("id") % 10 < 2, F.col("label")).alias("lab"),
     ).localCheckpoint(eager=True)
+    # one-exchange superstep (the q100 LPA r12 treatment): deterministic
+    # F.mode IS "most frequent neighbor label, ties to smallest" —
+    # verified on strings ({a:2,b:2} → 'a') — so the former
+    # count-per-(src,label) exchange + rank-window exchange collapse into
+    # ONE aggregate whose map-side partial state is the (label → cnt)
+    # map; the ≤|V|-row label vector broadcasts into both per-superstep
+    # joins, so the pinned knn edge list never re-exchanges.
     for _ in range(3):
-        votes = (
+        best = (
             knn.join(
-                cur.select(F.col("id").alias("dst"), F.col("lab").alias("nlab")),
+                F.broadcast(
+                    cur.select(
+                        F.col("id").alias("dst"), F.col("lab").alias("nlab")
+                    )
+                ),
                 "dst",
             )
             .where(F.col("nlab").isNotNull())
-            .groupBy("src", "nlab")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        wv = Window.partitionBy("src").orderBy(F.desc("cnt"), "nlab")
-        best = (
-            votes.withColumn("rn", F.row_number().over(wv))
-            .where(F.col("rn") == 1)
-            .select(F.col("src").alias("id"), F.col("nlab").alias("newlab"))
+            .groupBy("src")
+            .agg(F.mode("nlab", deterministic=True).alias("newlab"))
+            .select(F.col("src").alias("id"), "newlab")
         )
         cur = (
-            cur.join(best, "id", "left")
+            cur.join(F.broadcast(best), "id", "left")
             .select("id", F.coalesce("lab", "newlab").alias("lab"))
             .localCheckpoint(eager=True)
         )

@@ -1243,7 +1243,11 @@ def q249_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 5
             == 0
         ).alias("is_test"),
-    )
+    # pinned: the full-text tokenize feeds five consumers (class totals,
+    # priors, vocabulary, (class, word) counts, test tokens) and Spark
+    # has no cross-consumer CSE — each re-ran the tokenize (the
+    # q192/q374 shared-fan-out pin rule)
+    ).localCheckpoint(eager=True)
     trtok = base.where(~F.col("is_test")).select(
         F.col("lang").alias("c"), F.explode("t").alias("w")
     )
@@ -2001,15 +2005,26 @@ def q261_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nrm")
     )
     wp = w.where(F.col("df") <= 100)
-    a = wp.select(
-        "token", F.col("doc_id").alias("doc_a"), F.col("w").alias("wa")
-    )
-    b = wp.select(
-        "token", F.col("doc_id").alias("doc_b"), F.col("w").alias("wb")
+    # posting-list "basket" form (the q322/q342 r12 treatment): each
+    # token's doc-sorted (doc, w) posting list enumerates exactly the
+    # doc_a < doc_b candidate pairs via posexplode + slice — ONE
+    # exchange (groupBy token) instead of the posting self-join; doc_id
+    # is unique within a token's postings, so the aggregates are
+    # identical
+    post = wp.groupBy("token").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "w"))).alias("ps")
     )
     dot = (
-        a.join(b, "token")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        post.select(F.posexplode("ps").alias("i", "a"), "ps")
+        .select(
+            "a", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("b")
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.w").alias("wa"),
+            F.col("b.w").alias("wb"),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("n_shared"),

@@ -2039,17 +2039,27 @@ def q331_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = read_table(spark, sf_dir, ptbl).select(
             F.col(pcol).alias("__pk")
         ).distinct()
-        j = c.join(p, c[col] == F.col("__pk"), "left")
+        # aggregate the fact to per-key counts FIRST: mixing
+        # count_distinct with plain sums over the row-level join planned
+        # the two-exchange expand; on (key, n) rows every statistic is a
+        # plain sum/count (n_keys = non-null key rows), the parent join
+        # touches |keys| rows instead of |fact|, and NULL keys ride as
+        # one group (never join-matched, same as the row-level form)
+        per_key = c.groupBy(F.col(col).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        j = per_key.join(p, per_key["__k"] == F.col("__pk"), "left")
         frames.append(
             j.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.count_distinct(F.col(col)).alias("n_keys"),
-                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(
-                    "n_null"
-                ),
+                F.sum("__n").alias("n_rows"),
+                F.count(F.when(F.col("__k").isNotNull(), 1)).alias("n_keys"),
+                F.sum(
+                    F.when(F.col("__k").isNull(), F.col("__n")).otherwise(0)
+                ).alias("n_null"),
                 F.sum(
                     F.when(
-                        F.col(col).isNotNull() & F.col("__pk").isNull(), 1
+                        F.col("__k").isNotNull() & F.col("__pk").isNull(),
+                        F.col("__n"),
                     ).otherwise(0)
                 ).alias("n_orphan"),
             ).select(

@@ -1531,8 +1531,11 @@ def q343_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior test pins.
 
     Scale plan: the corpus aggregates to the per-DAY grid once; the
-    transform is 6 chained pair-sum aggregates on a ≤64-row frame
-    (bounded by construction, the q216 grid class).  Exactness:
+    transform state is a 64-int vector bounded by construction (the
+    q216 grid class), so the pyramid replays driver-side in exact
+    Python integers under a limit-capped collect (the q223 /
+    bounded-artifact serving rule) and publishes via a VALUES
+    LocalRelation.  Exactness:
     unnormalized Haar sums/differences are pure integers; level-ℓ
     energy Σd²/2^ℓ is a DYADIC rational (numerator < 2^53), so the
     published double is EXACT in both engines; the energy share is a
@@ -1545,57 +1548,56 @@ def q343_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("x"))
     )
     idx = spark.range(64).select(F.col("id").alias("i"))
-    x0 = (
-        idx.join(cnt, "i", "left")
-        .select("i", F.coalesce("x", F.lit(0)).alias("x"))
-        .localCheckpoint(eager=True)  # feeds level 1 AND the total-energy agg
+    x0 = idx.join(cnt, "i", "left").select(
+        "i", F.coalesce("x", F.lit(0)).alias("x")
     )
-    cur = x0
-    parts = []
+    # The pyramid's state is a 64-int vector BY CONSTRUCTION (the q216
+    # grid class): the corpus-scale work ends at the per-day aggregate,
+    # so the 6 chained distributed levels (each a pin job + a tiny
+    # exchange) are replayed in exact Python integer arithmetic under a
+    # limit-capped collect instead (the q223 / statcat bounded-artifact
+    # serving rule — 28 jobs → 3).  Every published value is identical:
+    # sums/differences are integers; level energy num/2^ℓ is a dyadic
+    # float division (exact IEEE, same as CAST(num AS DOUBLE)/sc); the
+    # share is the same truncating integer division (operands are
+    # non-negative, so Python // == SQL div) then one double division
+    # by 1e6 of the same integer.
+    rows = x0.orderBy("i").limit(65).collect()
+    if len(rows) > 64:
+        raise ValueError("q343: day grid exceeded its 64-row bound")
+    xs = [int(r["x"]) for r in rows]
+    te = sum(v * v for v in xs)
+    out_rows = []
+    cur = xs
     for lev in range(1, 7):
-        cur = (
-            cur.groupBy(F.expr("i div 2").alias("i"))
-            .agg(
-                F.sum("x").alias("x"),
-                F.sum(
-                    F.expr("CASE WHEN i % 2 = 0 THEN x ELSE -x END")
-                ).alias("d"),
-            )
-            .localCheckpoint(eager=True)  # feeds next level AND its energy agg
-        )
-        parts.append(
-            cur.agg(
-                F.lit(lev).alias("level"),
-                F.count(F.lit(1)).alias("n_coeffs"),
-                F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("num"),
-                F.lit(2 ** lev).alias("sc"),
-            )
-        )
-    parts.append(
-        cur.agg(
-            F.lit(7).alias("level"),
-            F.lit(1).cast("long").alias("n_coeffs"),
-            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("num"),
-            F.lit(64).alias("sc"),
-        )
+        ds = [cur[2 * j] - cur[2 * j + 1] for j in range(len(cur) // 2)]
+        cur = [cur[2 * j] + cur[2 * j + 1] for j in range(len(cur) // 2)]
+        num = sum(d * d for d in ds)
+        out_rows.append((lev, len(cur), num, 2 ** lev))
+    out_rows.append((7, 1, cur[0] * cur[0], 64))
+    vals = []
+    for lev, ncoef, num, sc in out_rows:
+        share = (2 * num * 1_000_000 + sc * te) // (2 * (sc * te))
+        vals.append([lev, ncoef, float(num) / sc, float(share) / 1_000_000])
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
-    e = parts[0]
-    for pdf in parts[1:]:
-        e = e.union(pdf)
-    tot = x0.agg(F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("te"))
-    return (
-        e.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("level").cast("int").alias("level"),
-            F.col("n_coeffs").cast("long").alias("n_coeffs"),
-            (F.col("num").cast("double") / F.col("sc")).alias("energy"),
-            F.expr(
-                "CAST((2*num*1000000 + sc*te) div (2*(sc*te)) AS DOUBLE)"
-                " / 1000000"
-            ).alias("energy_share"),
-        )
-        .orderBy("level")
+
+    from ..operators.quantiles import _local_values_df
+
+    schema = StructType(
+        [
+            StructField("level", IntegerType()),
+            StructField("n_coeffs", LongType()),
+            StructField("energy", DoubleType()),
+            StructField("energy_share", DoubleType()),
+        ]
     )
+    return _local_values_df(spark, vals, schema)
 
 
 def _fertility_oracle() -> str:
@@ -2629,22 +2631,16 @@ def q354_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = cached_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     truth = truth.localCheckpoint(eager=True)  # feeds one tp join per scheme
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    hashed = sh.select(
-        "id",
-        F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("seed"),
-        "shingle",
-    ).select(
-        "id",
-        "seed",
-        F.md5(
-            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-        ).alias("h"),
-    )
+    # column-wise permutation minima (the r12 band_signatures form): the
+    # 8 md5s ride as COLUMNS of the un-exploded shingle rows — one
+    # hash-agg probe per shingle instead of 8, identical hash inputs
     mins = (
-        hashed.groupBy("id")
+        sh.groupBy("id")
         .agg(
             *[
-                F.min(F.when(F.col("seed") == p, F.col("h"))).alias(f"mh{p}")
+                F.min(
+                    F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))
+                ).alias(f"mh{p}")
                 for p in range(8)
             ]
         )

@@ -1256,22 +1256,33 @@ def q276_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division — Python big-ints vs HUGEINT, bit-identical; the
     unrolled MATERIALIZED recursive oracle (q255 discipline) pins all
     five iterations."""
-    from ..functions.text import shingles, tokens as tok_expr
+    from ..functions.text import tokens as tok_expr
     from ..operators.textrank import textrank_scores
 
     docs = read_table(spark, sf_dir, "documents")
-    t = tok_expr(F.col("text"))
-    p1 = docs.select(F.explode(shingles(t, 2)).alias("s")).select(
-        F.split("s", " ").alias("p")
-    ).select(
-        F.element_at("p", 1).alias("u"), F.element_at("p", 2).alias("v")
+    # ONE scan / ONE tokenize for both window offsets (r12): the old
+    # form built shingle STRINGS (concat_ws) in two separate document
+    # scans only to split them back into pairs — pure waste both ways.
+    # zip each token array with its d-shifted copy (the shingles
+    # machinery minus the string round-trip); arrays_zip over two
+    # function-call args names fields '0'/'1'; both zips share the
+    # element type so their concat explodes in one pass.  Pair multiset
+    # identical: tokens contain no spaces (split on ' '), so
+    # concat_ws+split was lossless.
+    base = docs.select(tok_expr(F.col("text")).alias("w"))
+
+    def _zp(d: int) -> str:
+        ln = f"greatest(size(w) - {d}, 0)"
+        return f"arrays_zip(slice(w, 1, {ln}), slice(w, {d + 1}, {ln}))"
+
+    fw = (
+        base.select(
+            F.explode(F.expr(f"concat({_zp(1)}, {_zp(2)})")).alias("x")
+        )
+        .select(F.col("x.0").alias("u"), F.col("x.1").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    p2 = docs.select(F.explode(shingles(t, 3)).alias("s")).select(
-        F.split("s", " ").alias("p")
-    ).select(
-        F.element_at("p", 1).alias("u"), F.element_at("p", 3).alias("v")
-    )
-    fw = p1.unionAll(p2).groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
     ed = (
         fw.select("u", "v", "c")
         .unionAll(
@@ -4124,14 +4135,22 @@ def q307_catalog_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # feeds first-occurrence AND the rollup
     )
     fo = wp.groupBy("part").agg(F.min("wk").alias("first_wk"))
+    # r12: no part-keyed join back — n_new_parts(wk) is just the
+    # first-occurrence table grouped by first_wk, so the |parts×weeks|
+    # join collapses into a bounded week⋈week join of two aggregates
+    # (guide §2.4: one less full shuffle of wp).  Every week in wp
+    # appears in the per-week rollup, so the left join + coalesce(0)
+    # publishes the identical zero-new weeks.
+    per_wk = wp.groupBy("wk").agg(F.count(F.lit(1)).alias("n_parts"))
+    new_wk = fo.groupBy(F.col("first_wk").alias("wk")).agg(
+        F.count(F.lit(1)).alias("nn")
+    )
     return (
-        wp.join(fo, "part")
-        .groupBy("wk")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.sum(
-                F.when(F.col("first_wk") == F.col("wk"), 1).otherwise(0)
-            ).alias("n_new_parts"),
+        per_wk.join(F.broadcast(new_wk), "wk", "left")
+        .select(
+            "wk",
+            "n_parts",
+            F.coalesce("nn", F.lit(0)).alias("n_new_parts"),
         )
         .select(
             F.col("wk").cast("date").cast("string").alias("week"),

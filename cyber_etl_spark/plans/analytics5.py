@@ -85,11 +85,20 @@ def q314_itemcf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = items.localCheckpoint(eager=True)
     n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
     tot = items.agg(F.count_distinct("ok").alias("n_orders"))
-    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
-    b = items.select(F.col("ok"), F.col("pk").alias("part_b"))
+    # basket-local pair generation (the q192/q322/q342 r12 form): sort
+    # each basket once, then posexplode + slice walks exactly the
+    # part_a < part_b pairs in-stage — ONE exchange (groupBy ok) instead
+    # of the self-join's shared exchange + two sorts; (ok, pk) is unique
+    # after the distinct, so co counts are identical
+    baskets = items.groupBy("ok").agg(
+        F.array_sort(F.collect_list("pk")).alias("ps")
+    )
     co = (
-        a.join(b, "ok")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.posexplode("ps").alias("ia", "part_a"), "ps")
+        .select(
+            "part_a",
+            F.explode(F.expr("slice(ps, ia + 2, size(ps))")).alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("co"))
         .where(F.col("co") >= 2)

@@ -209,9 +209,16 @@ def q42_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP totals (status → status×priority → grand
     total) — one pass, Catalyst expands the grouping sets."""
     orders = read_table(spark, sf_dir, "orders")
+    # r12: pre-aggregate to the finest grouping first (the q64 Expand
+    # rule) — the 3× grouping-set replication then runs over ≤|status×
+    # priority| partial rows, not the table; SUM of partial counts ==
+    # COUNT(*) per set.
+    fine = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
     return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        fine.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("_n").alias("n_orders"))
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
             F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
@@ -810,13 +817,23 @@ def q64_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface beyond q42's ROLLUP.  Per-column GROUPING flags (not
     grouping_id) so the oracle is unambiguous about bit order."""
     li = read_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    # r12: pre-aggregate to the finest grouping FIRST — Spark's Expand
+    # replicates every INPUT row once per grouping set (4× the table)
+    # before the aggregate, so cube directly on lineitem pushes 4·|T|
+    # rows through the hash agg.  count/decimal-sum are algebraic
+    # (decimal addition exact + associative), so cube over the ≤|rf×ls|
+    # partial rows publishes bit-identical values, GROUPING() flags
+    # included (cube groups by VALUE, data NULLs ride as a value group
+    # in both forms; the flags alone mark subtotal rows).
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.expr("SUM(CAST(l_quantity AS DECIMAL(18,6)))").alias("_sq"),
+    )
+    return fine.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_rf"),
         F.grouping("l_linestatus").cast("int").alias("g_ls"),
-        F.count(F.lit(1)).alias("n"),
-        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)").alias(
-            "sum_qty"
-        ),
+        F.sum("_n").alias("n"),
+        F.expr("CAST(SUM(_sq) AS DOUBLE)").alias("sum_qty"),
     )
 
 

@@ -1466,9 +1466,13 @@ def q77_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import shingles, tokens
 
     docs = read_table(spark, sf_dir, "documents")
+    # pinned: the exploded bigram stream feeds THREE consumers (bigram
+    # counts, unigram counts, the scored join) and Spark has no
+    # cross-consumer CSE — each re-ran the full-text tokenize+shingle
+    # (the q249/q374 shared-fan-out pin rule)
     bi = docs.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")), 2)).alias("bg")
-    )
+    ).localCheckpoint(eager=True)
     c12 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     c1 = (
         bi.select(F.substring_index("bg", " ", 1).alias("w1"))

@@ -1224,18 +1224,26 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     node entered.
 
     Scale contract: each round is two semi-joins + one anti-join over
-    the SHRINKING undecided edge set, state pinned per round with a
-    full plan barrier every 2 rounds (the _plan_barrier finding — the
-    undecided tables are referenced multiple times per round)."""
+    the SHRINKING undecided edge set; node state, edge state AND the
+    round's winners ride ONE union frame whose per-round pin is LAZY
+    and materialized by the early-exit count — one job per round (two
+    on plan-barrier rounds; the barrier every 2 rounds is the
+    _plan_barrier finding — the undecided tables are referenced
+    multiple times per round)."""
     pr = (
         "CAST(conv(substr(md5('mis:' || CAST({n} AS STRING)), 1, 13),"
         " 16, 10) AS BIGINT)"
     )
 
-    # Node and edge state ride ONE union frame (_k = 0 edges, 1 nodes) so
-    # each round's state pin — and each barrier's parquet write — is a
-    # single job instead of two (r12 optimization: the loop is job-floor
-    # bound; same rows, same joins, half the state-materialization jobs).
+    # Node, edge and winner state ride ONE union frame (_k = 0 edges,
+    # 1 undecided nodes, 2 this round's winners with b = entry round) so
+    # the whole round materializes in a single job: the merged lazy pin
+    # is forced by the early-exit count (count-materializes-pin, r12) and
+    # the winners/excluded/rm subtrees are branches of that one job —
+    # the former per-round winners pin and the separate limit(1).count()
+    # job are gone (r12 optimization 2: 66 → ~30 jobs; the loop is
+    # job-floor bound).  Winner rows are published from each round's
+    # PINNED state, so nothing recomputes at output time.
     def _split(st: DataFrame) -> tuple[DataFrame, DataFrame]:
         nodes = st.where(F.col("_k") == 1).select(F.col("a").alias("n"))
         es = st.where(F.col("_k") == 0).select(
@@ -1243,8 +1251,10 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         )
         return nodes, es
 
-    def _merge(nodes: DataFrame, es: DataFrame) -> DataFrame:
-        return es.select(
+    def _merge(
+        nodes: DataFrame, es: DataFrame, winners: DataFrame | None = None
+    ) -> DataFrame:
+        out = es.select(
             F.lit(0).alias("_k"),
             F.col("src").cast("long").alias("a"),
             F.col("dst").cast("long").alias("b"),
@@ -1259,6 +1269,17 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
                 F.lit(None).cast("bigint").alias("pb"),
             )
         )
+        if winners is not None:
+            out = out.unionAll(
+                winners.select(
+                    F.lit(2).alias("_k"),
+                    F.col("n").cast("long").alias("a"),
+                    F.col("round").cast("long").alias("b"),
+                    F.lit(None).cast("bigint").alias("pa"),
+                    F.lit(None).cast("bigint").alias("pb"),
+                )
+            )
+        return out
 
     state = _merge(
         edges.select(F.col("src").alias("n"))
@@ -1270,11 +1291,12 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             F.expr(pr.format(n="src")).alias("pa"),
             F.expr(pr.format(n="dst")).alias("pb"),
         ),
-    ).localCheckpoint(eager=True)  # depth-0 state: a pin suffices
+    ).localCheckpoint(eager=False)
     und_nodes, und_edges = _split(state)
+    n_und = und_nodes.count()  # materializes the depth-0 pin
     mis_frames: list[DataFrame] = []
     for k in range(1, max_rounds + 1):
-        if und_nodes.limit(1).count() == 0:
+        if n_und == 0:
             break
         blocked = und_edges.select(
             F.when(
@@ -1285,9 +1307,13 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             .otherwise(F.col("dst"))
             .alias("n")
         ).distinct()
+        # winners is NOT pinned: all its consumers (the _k=2 state rows,
+        # both excluded semi-joins, the rm anti-joins) are branches of
+        # the ONE merged-state job below; the deterministic md5-priority
+        # anti-join over pinned inputs re-evaluates in-job with its
+        # `blocked` exchange reused (ReuseExchange), instead of paying a
+        # dedicated checkpoint job per round (r12 A/B)
         winners = und_nodes.join(blocked, "n", "left_anti").select("n")
-        winners = winners.localCheckpoint(eager=True)  # feeds mis, excluded, removal
-        mis_frames.append(winners.select("n", F.lit(k).alias("round")))
         excluded = (
             und_edges.join(winners, und_edges.src == winners.n, "leftsemi")
             .select(F.col("dst").alias("n"))
@@ -1298,22 +1324,25 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             )
             .distinct()
         )
-        # rm is NOT pinned: its three consumers (node anti-join, both
-        # edge anti-joins) are all branches of the ONE merged-state pin
-        # job, so the tiny winners∪excluded subtree re-evaluates in-job
-        # (broadcast semi-joins over pinned inputs) instead of paying a
-        # dedicated checkpoint job per round (r12 A/B)
         rm = winners.select("n").unionAll(excluded).distinct()
         nxt_nodes = und_nodes.join(rm, "n", "left_anti")
         nxt_edges = und_edges.join(
             rm, und_edges.src == rm.n, "left_anti"
         ).join(rm, und_edges.dst == rm.n, "left_anti")
-        merged = _merge(nxt_nodes, nxt_edges)
+        merged = _merge(
+            nxt_nodes, nxt_edges, winners.select("n", F.lit(k).alias("round"))
+        )
         if k % 2 == 0:
             state = _plan_barrier(merged)
         else:
-            state = merged.localCheckpoint(eager=True)
+            state = merged.localCheckpoint(eager=False)
         und_nodes, und_edges = _split(state)
+        n_und = und_nodes.count()  # one job: materializes the round's pin
+        mis_frames.append(
+            state.where(F.col("_k") == 2).select(
+                F.col("a").alias("n"), F.col("b").cast("int").alias("round")
+            )
+        )
     else:
         raise RuntimeError(
             f"luby_mis: undecided nodes remain after {max_rounds} rounds"

@@ -50,6 +50,48 @@ def cached_eps_pairs(
     return _EPS_PAIR_CACHE[key]
 
 
+_BASKET_CACHE: dict[tuple, DataFrame] = SessionMemo()
+
+
+def cached_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (ok, pk) order-item pairs of lineitem, built and pinned
+    ONCE per (session, dataset) — the shared base relation of the
+    basket-mining family (q192 pair rules, q314 itemCF, q342 triples,
+    q322's train/holdout derivation).  Same persisted-projection policy
+    as the co-supply _EDGE_CACHE / the Lloyd-training _SH_CACHE (r12
+    opt #24): the 600 k-row distinct is the basket-table BUILD every
+    family member re-ran identically, not part of any one consumer's
+    marginal cost."""
+    key = (session_token(spark), sf_dir, "order_items")
+    if key not in _BASKET_CACHE:
+        _BASKET_CACHE[key] = (
+            read_table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return _BASKET_CACHE[key]
+
+
+def cached_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order SORTED part baskets (ok, ps = array_sort(collect_list))
+    over :func:`cached_order_items`, pinned once per (session, dataset).
+    The sorted array is what the basket-local posexplode+slice pair/
+    triple enumeration (r12 opt #17/#19/#30) walks; q192/q314/q342 each
+    paid the identical groupBy(ok) exchange before sharing it here."""
+    key = (session_token(spark), sf_dir, "order_baskets")
+    if key not in _BASKET_CACHE:
+        _BASKET_CACHE[key] = (
+            cached_order_items(spark, sf_dir)
+            .groupBy("ok")
+            .agg(F.array_sort(F.collect_list("pk")).alias("ps"))
+            .localCheckpoint(eager=True)
+        )
+    return _BASKET_CACHE[key]
+
+
 @query(
     "q181_heavy_hitters",
     oracle=f"""
@@ -714,22 +756,19 @@ def q192_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson applies: the OUTPUT is capped (top-50 with a total
     tie-break), because pair universes grow quadratically with
     vocabulary even when each basket is small."""
-    li = read_table(spark, sf_dir, "lineitem")
-    # pin: three consumers (pair join x2 sides, item counts, order count)
-    # would each re-run the 600k-row distinct — interleaved A/B at sf0.1:
-    # 2.45s unpinned vs 1.6s pinned
-    items = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # shared pinned base + sorted baskets (cached_order_items /
+    # cached_order_baskets — the q314/q342 family builds the identical
+    # tables; rename is a free projection on the pinned frames)
+    items = cached_order_items(spark, sf_dir).select(
+        F.col("ok").alias("o"), F.col("pk").alias("p")
     )
     # basket-local pair generation (the q322/q342 r12 form): sort each
     # basket once, then posexplode + slice walks exactly the p_a < p_b
     # pairs in-stage — ONE exchange (groupBy o) instead of the
     # self-join's shared exchange + two sorts; (o, p) is unique after
     # the distinct, so counts are identical
-    baskets = items.groupBy("o").agg(
-        F.array_sort(F.collect_list("p")).alias("ps")
+    baskets = cached_order_baskets(spark, sf_dir).select(
+        F.col("ok").alias("o"), "ps"
     )
     pairs = (
         baskets.select(F.posexplode("ps").alias("ia", "p_a"), "ps")

@@ -76,13 +76,11 @@ def q314_itemcf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational through `_ha6`.  Rank ties break (cosine, part_a, part_b)
     — cosine doubles are identical cross-engine because their integer
     inputs are."""
-    items = (
-        read_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    # feeds the degree table, the pair join (both sides) and the order count
-    items = items.localCheckpoint(eager=True)
+    from .analytics import cached_order_baskets, cached_order_items
+
+    # shared pinned base (the q192/q342 family builds the identical
+    # distinct + sorted-basket tables — r12 shared-build memo)
+    items = cached_order_items(spark, sf_dir)
     n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
     tot = items.agg(F.count_distinct("ok").alias("n_orders"))
     # basket-local pair generation (the q192/q322/q342 r12 form): sort
@@ -90,9 +88,7 @@ def q314_itemcf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part_a < part_b pairs in-stage — ONE exchange (groupBy ok) instead
     # of the self-join's shared exchange + two sorts; (ok, pk) is unique
     # after the distinct, so co counts are identical
-    baskets = items.groupBy("ok").agg(
-        F.array_sort(F.collect_list("pk")).alias("ps")
-    )
+    baskets = cached_order_baskets(spark, sf_dir)
     co = (
         baskets.select(F.posexplode("ps").alias("ia", "part_a"), "ps")
         .select(
@@ -1034,16 +1030,21 @@ def q322_itemcf_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lastord = o.groupBy("cust").agg(
         F.max(F.struct("dt", "ok")).getField("ok").alias("last_ok")
     )
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
+    from .analytics import cached_order_items
+
+    # shared pinned (ok, pk) base (the q192/q314/q342 distinct) joined to
+    # the per-order customer/holdout flags: o_orderkey and cust are unique
+    # in their tables, so each distinct base row matches exactly one
+    # (cust, is_last) pair and the former post-join distinct was a no-op —
+    # identical row set, with the join probing |distinct| rows instead of
+    # |lineitem| (r12 shared-build memo)
     items = (
-        li.join(o.select("ok", "cust"), "ok")
+        cached_order_items(spark, sf_dir)
+        .join(o.select("ok", "cust"), "ok")
         .join(lastord, "cust")
         .select(
             "ok", "cust", "pk", (F.col("ok") == F.col("last_ok")).alias("is_last")
         )
-        .distinct()
         .localCheckpoint(eager=True)  # feeds train/co, hist, target
     )
     train = items.where(~F.col("is_last")).select("ok", "pk")

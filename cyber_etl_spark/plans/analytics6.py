@@ -1413,12 +1413,11 @@ def q342_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree joins.  Exactness: lift3 is an exact integer rational
     through sign-free `_ha6`, cross-products widened to DECIMAL(38,0)
     (N² is corpus-squared scale)."""
-    items = (
-        read_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .localCheckpoint(eager=True)  # degree table + 3 join sides + N
-    )
+    from .analytics import cached_order_baskets, cached_order_items
+
+    # shared pinned base (the q192/q314 family builds the identical
+    # distinct + sorted-basket tables — r12 shared-build memo)
+    items = cached_order_items(spark, sf_dir)
     n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
     tot = items.agg(F.count_distinct("ok").alias("n_orders"))
     # basket-local triple enumeration: sort each basket once, then
@@ -1427,8 +1426,8 @@ def q342_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # former a⋈b⋈c self-join's shared exchange + two SortMergeJoin
     # sorts; (ok, pk) is unique after the distinct so collect_list is
     # exactly the basket.
-    baskets = items.groupBy("ok").agg(
-        F.array_sort(F.collect_list("pk")).alias("pks")
+    baskets = cached_order_baskets(spark, sf_dir).withColumnRenamed(
+        "ps", "pks"
     )
     tri = (
         baskets.select(F.posexplode("pks").alias("ia", "part_a"), "pks")

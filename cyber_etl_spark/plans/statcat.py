@@ -2758,10 +2758,15 @@ def q397_hist_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r.kind == "ew":
             ew.setdefault((r.tbl, r.col), {})[int(r.b)] = int(r.v)
 
-    out = []
-    for tbl, col, cell, _ss, _sq in _EW_SPEC:
-        buckets = sorted(ew[(tbl, col)].items())
-        n = sum(v for _b, v in buckets)
+    # the exact side runs one independent quantile-kernel chain per
+    # _EW_SPEC table (each a short sequence of blocking driver actions);
+    # overlap them from a small thread pool so the second table's range
+    # shuffle back-fills the first's collect waits (guide §2.6 — Spark
+    # schedules concurrent jobs FIFO; values are unchanged, the kernel
+    # runs per-table exactly as before)
+    def _exact_row(spec):
+        tbl, col, _cell, _ss, _sq = spec
+        n = sum(v for _b, v in sorted(ew[(tbl, col)].items()))
         vals_only = (
             read_table(spark, sf_dir, tbl)
             .select(col)
@@ -2772,7 +2777,22 @@ def q397_hist_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in _HQ_PCTS:
             k = (p * n + 99) // 100
             marks[f"p{p}"] = (k - 0.5) / n
-        qrow = exact_quantiles(vals_only, col, marks, weight_col="_one").collect()[0]
+        return exact_quantiles(vals_only, col, marks, weight_col="_one").collect()[0]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    # inheritable_thread_target: pool threads inherit this thread's JVM
+    # local properties (job group/description), so the kernel's jobs stay
+    # visible to the bench's per-query job accounting
+    with ThreadPoolExecutor(max_workers=min(4, len(_EW_SPEC))) as pool:
+        qrows = list(pool.map(inheritable_thread_target(_exact_row), _EW_SPEC))
+
+    out = []
+    for (tbl, col, cell, _ss, _sq), qrow in zip(_EW_SPEC, qrows):
+        buckets = sorted(ew[(tbl, col)].items())
+        n = sum(v for _b, v in buckets)
         for p in _HQ_PCTS:
             cum = 0
             for b, v in buckets:

@@ -1293,7 +1293,20 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         ),
     ).localCheckpoint(eager=False)
     und_nodes, und_edges = _split(state)
-    n_und = und_nodes.count()  # materializes the depth-0 pin
+    # one up-front bound decides broadcastability for the whole loop (the
+    # q129/CC policy): every per-round side table (blocked ≤ |E|, winners
+    # ≤ |V|, excluded ≤ 2|E|, rm ≤ |V|+2|E|) only shrinks with the
+    # undecided subgraph, so the initial |V|+|E| state count — which also
+    # materializes the depth-0 pin — is a valid one-sided bound.  Under
+    # the cap the pre-join distincts are dropped too: their only job is
+    # bounding SHUFFLED bytes, and a broadcast semi/anti hash build
+    # dedups keys itself — row sets are unchanged, the per-round shuffle
+    # exchanges (and their AQE stage jobs) disappear.  Past the cap the
+    # distinct+shuffle plan is exactly the old one.
+    n0 = state.count()
+    bcast = n0 <= _BCAST_MAX_ROWS
+    bc = (lambda d: F.broadcast(d)) if bcast else (lambda d: d)
+    n_und = n0  # nodes exist iff state is non-empty (every edge has ends)
     mis_frames: list[DataFrame] = []
     for k in range(1, max_rounds + 1):
         if n_und == 0:
@@ -1306,29 +1319,36 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             )
             .otherwise(F.col("dst"))
             .alias("n")
-        ).distinct()
+        )
+        if not bcast:
+            blocked = blocked.distinct()
         # winners is NOT pinned: all its consumers (the _k=2 state rows,
         # both excluded semi-joins, the rm anti-joins) are branches of
         # the ONE merged-state job below; the deterministic md5-priority
         # anti-join over pinned inputs re-evaluates in-job with its
         # `blocked` exchange reused (ReuseExchange), instead of paying a
         # dedicated checkpoint job per round (r12 A/B)
-        winners = und_nodes.join(blocked, "n", "left_anti").select("n")
+        winners = und_nodes.join(bc(blocked), "n", "left_anti").select("n")
+        bw = bc(winners)
         excluded = (
-            und_edges.join(winners, und_edges.src == winners.n, "leftsemi")
+            und_edges.join(bw, und_edges.src == bw.n, "leftsemi")
             .select(F.col("dst").alias("n"))
             .unionAll(
-                und_edges.join(
-                    winners, und_edges.dst == winners.n, "leftsemi"
-                ).select(F.col("src").alias("n"))
+                und_edges.join(bw, und_edges.dst == bw.n, "leftsemi").select(
+                    F.col("src").alias("n")
+                )
             )
-            .distinct()
         )
-        rm = winners.select("n").unionAll(excluded).distinct()
-        nxt_nodes = und_nodes.join(rm, "n", "left_anti")
+        if not bcast:
+            excluded = excluded.distinct()
+        rm = winners.select("n").unionAll(excluded)
+        if not bcast:
+            rm = rm.distinct()
+        brm = bc(rm)
+        nxt_nodes = und_nodes.join(brm, "n", "left_anti")
         nxt_edges = und_edges.join(
-            rm, und_edges.src == rm.n, "left_anti"
-        ).join(rm, und_edges.dst == rm.n, "left_anti")
+            brm, und_edges.src == brm.n, "left_anti"
+        ).join(brm, und_edges.dst == brm.n, "left_anti")
         merged = _merge(
             nxt_nodes, nxt_edges, winners.select("n", F.lit(k).alias("round"))
         )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity, dot, to_double_array
+from .quantiles import _local_values_df
 
 # Target bytes for one folded corpus block (ids + double matrix) in the
 # blocked-GEMM operators.  64 MB keeps a block row far under Spark's 2 GB
@@ -637,8 +638,8 @@ def eps_neighbor_pairs(
         if i != j or p <= q
     ]
     spark = corpus.sparkSession
-    allowed_df = spark.createDataFrame(
-        allowed, "cell_a long, sub_a int, cell_b long, sub_b int"
+    allowed_df = _local_values_df(
+        spark, allowed, "cell_a long, sub_a int, cell_b long, sub_b int"
     )
     chunks = members.groupBy(
         "cell", F.pmod(F.xxhash64(F.col("id")), F.lit(n_sub)).cast("int").alias("sub")

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .quantiles import _local_values_df
+
 
 def _pin(df: DataFrame, w: int = 8, eager: bool = True) -> DataFrame:
     """Checkpoint a loop-state table, first collapsing its stage-terminal
@@ -233,8 +235,8 @@ def boruvka_msf(
     """
     spark = edges.sparkSession
     _, selected, picked, _ = _contract(edges, tail_cap, max_rounds)
-    tail = spark.createDataFrame(
-        sorted(picked) or [], schema="src long, dst long"
+    tail = _local_values_df(
+        spark, [list(t) for t in sorted(picked)], "src long, dst long"
     )
     out = tail
     for s in selected:
@@ -266,8 +268,8 @@ def boruvka_components(
     e3 = edges.select("src", "dst", F.lit(0).cast("long").alias("d"))
     comp, _, _, roots = _contract(e3, tail_cap, max_rounds)
     if roots:
-        rmap = spark.createDataFrame(
-            sorted(roots.items()), schema="_old long, _root long"
+        rmap = _local_values_df(
+            spark, [list(t) for t in sorted(roots.items())], "_old long, _root long"
         )
         comp = comp.join(
             F.broadcast(rmap), comp.c == F.col("_old"), "left"

@@ -88,17 +88,21 @@ def _sql_literal(v, sql_type: str) -> str:
     raise TypeError(f"_sql_literal: unsupported type {type(v).__name__}")
 
 
-def _local_values_df(spark, rows: list[list], schema: StructType):
+def _local_values_df(spark, rows: list[list], schema: StructType | str):
     """Ship a small driver-side table as a pure-JVM VALUES LocalRelation.
 
     ``spark.createDataFrame(rows)`` builds an RDD-backed frame whose every
     downstream materialization — a BroadcastExchange in particular — pays
     Python-worker round-trips (the r8 q296 lesson, measured ~0.3 s per
-    broadcast consumer on this box).  A VALUES relation parses to a
-    LocalRelation: broadcasting it is pure JVM.  Falls back to
-    createDataFrame for empty inputs (VALUES needs ≥1 row), >1000 rows
-    (plan-text size — the q122 big-literal rule) or unsupported types.
+    broadcast consumer on this box; ~0.22 s even for a single direct
+    noop materialization of a 13-row frame, r12 A/B).  A VALUES relation
+    parses to a LocalRelation: broadcasting or materializing it is pure
+    JVM.  Falls back to createDataFrame for empty inputs (VALUES needs
+    ≥1 row), >1000 rows (plan-text size — the q122 big-literal rule) or
+    unsupported types.  ``schema`` may be a StructType or a DDL string.
     """
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
     if not rows or len(rows) > 1000:
         return spark.createDataFrame(rows, schema=schema)
     types = [f.dataType.simpleString() for f in schema.fields]

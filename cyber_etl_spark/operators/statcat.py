@@ -75,6 +75,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .countmin import cms_sketch
+from .quantiles import _local_values_df
 
 CATALOG_SCHEMA = "tbl string, col string, kind string, r long, b long, v decimal(38,0)"
 
@@ -208,7 +209,7 @@ def equidepth_hist(df: DataFrame, tbl: str, col: str) -> DataFrame:
         for i in range(HIST_BUCKETS + 1)
     ]
     spark = df.sparkSession
-    return spark.createDataFrame(vals, CATALOG_SCHEMA)
+    return _local_values_df(spark, vals, CATALOG_SCHEMA)
 
 
 def equiwidth_counts(

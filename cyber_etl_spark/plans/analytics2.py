@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from ..session import SessionMemo, session_token
 from ..sources import read_table
+from ..operators.quantiles import _local_values_df as _values_df
 from .registry import query
 
 _DAY_GRID_CACHE: dict[tuple, DataFrame] = SessionMemo()
@@ -2441,7 +2442,7 @@ def q236_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     chans = (
         j.where(F.col("st") != "__conv").select(F.col("st").alias("ch")).distinct()
     )
-    variants = spark.createDataFrame([("base",)], "variant string").union(
+    variants = _values_df(spark, [("base",)], "variant string").union(
         chans.select(F.col("ch").alias("variant"))
     ).localCheckpoint(eager=True)  # feeds mt AND the result join
     mt = (

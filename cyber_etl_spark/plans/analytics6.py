@@ -21,6 +21,7 @@ from ..operators.statcat import CMS_DEPTH, CMS_WIDTH
 from ..sources import read_table
 from .analytics2 import _ha6_sql
 from .analytics5 import _md5_mod, _md5_mod_sql
+from ..operators.quantiles import _local_values_df as _values_df
 from .registry import query
 
 
@@ -5228,7 +5229,7 @@ def q375_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = cms_inner_product(cells, a, b)
         x = exact_degree_product(spark, sf_dir, a, b)
         out.append((name, x, e, e - x, _ha6_py(e - x, x)))
-    return spark.createDataFrame(
+    return _values_df(spark, 
         out,
         "join_name string, exact_pairs long, cms_estimate long,"
         " overcount long, overcount_share double",
@@ -6244,7 +6245,7 @@ def q415_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.nk").alias("nk"), F.col("a.n").alias("n"), F.col("a.z").alias("z"))
         .agg(F.count(F.lit(1)).alias("rank"))
     )
-    th = spark.createDataFrame(
+    th = _values_df(spark, 
         list(zip(range(1, _BH_M + 1), _BH_T)), "k long, t double"
     )
     flag = rk.join(F.broadcast(th), rk.rank == th.k).select(

@@ -11,6 +11,7 @@ from pyspark.sql.types import IntegerType, MapType, StringType
 
 from ..sources import read_table
 from .registry import dsum_expr, query
+from ..operators.quantiles import _local_values_df as _values_df
 
 
 @query(
@@ -1407,8 +1408,8 @@ def q87_fuzzy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape runs against a q-gram-blocked candidate set instead of the
     full cross."""
     part = read_table(spark, sf_dir, "part")
-    probes = spark.createDataFrame(
-        [("small ring",), ("red widgit",), ("blue gadget",)], ["probe"]
+    probes = _values_df(spark, 
+        [("small ring",), ("red widgit",), ("blue gadget",)], "probe string"
     )
     # bounded variant: early-exits the DP past the threshold (returns -1),
     # O(k·n) instead of O(n·m) per comparison

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators.skew import salted_aggregate, salted_join
 from ..sources import read_table
+from ..operators.quantiles import _local_values_df as _values_df
 from .registry import query
 
 
@@ -595,8 +596,8 @@ def q410_bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     n_bits = {label: len({b for l2, b in pbit_rows if l2 == label}) for label, _ in probes}
-    pb = spark.createDataFrame(pbit_rows, "probe string, bit long")
-    nb = spark.createDataFrame(sorted(n_bits.items()), "probe string, need long")
+    pb = _values_df(spark, [list(t) for t in pbit_rows], "probe string, bit long")
+    nb = _values_df(spark, [list(t) for t in sorted(n_bits.items())], "probe string, need long")
     passed = (
         pb.join(bits, "bit")
         .groupBy("probe", "bin")
@@ -614,7 +615,7 @@ def q410_bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nrows").alias("rows_scanned"),
         )
     )
-    pdf = spark.createDataFrame(probes, "probe string, key long")
+    pdf = _values_df(spark, [list(t) for t in probes], "probe string, key long")
     actual = (
         pdf.join(binned, pdf.key == binned.k, "left")
         .groupBy("probe", "key")

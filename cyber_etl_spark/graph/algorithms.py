@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.quantiles import _local_values_df
+
 # Derived tables (symmetrized edges, degree/share tables) are pure
 # functions of their input edge DataFrame and get rebuilt by every
 # algorithm that shares a graph — memoize them per edge-DataFrame.
@@ -952,8 +954,8 @@ def sssp_hop_limited(
     """
     spark = wedges.sparkSession
     e = wedges.select("src", "dst", F.col("weight").cast("long").alias("w"))
-    dist = spark.createDataFrame(
-        [(int(source), 0)], "id bigint, dist bigint"
+    dist = _local_values_df(
+        spark, [[int(source), 0]], "id bigint, dist bigint"
     ).localCheckpoint(eager=True)
     w = _width(_ecount(wedges, e))
     # dist is <= |V| rows BY CONSTRUCTION (one row per reached vertex),
@@ -1085,7 +1087,7 @@ def betweenness_sampled(
     n_nodes = _derived(edges, ("nnodes",), lambda: e.select("src").distinct().count())
     small = len(sources) * n_nodes <= _BCAST_MAX_ROWS
     bx = (lambda d: F.broadcast(d)) if small else (lambda d: d)
-    src_df = spark.createDataFrame([(int(s),) for s in sources], "s long")
+    src_df = _local_values_df(spark, [[int(s)] for s in sources], "s long")
     lvl0 = src_df.select(
         "s", F.col("s").alias("v"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
     ).localCheckpoint(eager=True)

@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from ..functions.strings import normalize_entity
 from ..graph.algorithms import connected_components
+from ..operators.quantiles import _local_values_df
 from ..operators.similarity import char_ngram_jaccard_join, token_jaccard_join
 
 # deterministic stand-ins for the reference's per-type thresholds
@@ -125,8 +126,8 @@ def resolve_entities(
         per_type.extend(type_edges(sub, thr, char_thresholds.get(t, default_char_threshold)))
     other = norm.join(
         F.broadcast(
-            norm.sparkSession.createDataFrame(
-                [(t,) for t in thresholds], ["type"]
+            _local_values_df(
+                norm.sparkSession, [[t] for t in thresholds], "type string"
             )
         ),
         "type",

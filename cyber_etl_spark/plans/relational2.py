@@ -2988,7 +2988,7 @@ def q173_hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("event_type")
         .distinct()
         .unionByName(
-            events.sparkSession.createDataFrame([("ALL",)], "event_type string")
+            _values_df(events.sparkSession, [("ALL",)], "event_type string")
         )
     )
     grid = types.crossJoin(

@@ -1087,7 +1087,12 @@ def betweenness_sampled(
     n_nodes = _derived(edges, ("nnodes",), lambda: e.select("src").distinct().count())
     small = len(sources) * n_nodes <= _BCAST_MAX_ROWS
     bx = (lambda d: F.broadcast(d)) if small else (lambda d: d)
-    src_df = _local_values_df(spark, [[int(s)] for s in sources], "s long")
+    # NOT a VALUES relation: the duplicated-attribute projection below
+    # (s, s AS v) over a LocalRelation trips a Catalyst attribute-rewrite
+    # NoSuchElementException ("key not found: v#…") on some graph shapes
+    # (r12: test_betweenness_exact_on_path_graph) — keep the RDD-backed
+    # frame; the Python round-trip is once per call, not per level
+    src_df = spark.createDataFrame([(int(s),) for s in sources], "s long")
     lvl0 = src_df.select(
         "s", F.col("s").alias("v"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
     ).localCheckpoint(eager=True)

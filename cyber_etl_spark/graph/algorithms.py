@@ -23,8 +23,9 @@ list and the rank/label state by vertex id so each superstep co-locates,
 from __future__ import annotations
 
 import weakref
+from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -44,6 +45,39 @@ _DERIVED: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictiona
 # a 10 M-row forced broadcast (hundreds of MB, re-shipped every superstep)
 # OOMs real executors long before the driver notices.
 _BCAST_MAX_ROWS = 1_000_000
+
+
+@contextmanager
+def _aqe_off(spark, enabled: bool = True):
+    """Disable adaptive execution for the enclosed LOOP-INTERNAL actions.
+
+    Per-superstep pin jobs in the force-broadcast rank loops are one
+    hinted broadcast join + one aggregation whose width `_nw` already
+    sizes — AQE contributes nothing there but materializes every
+    exchange as an extra scheduler job (r13 A/B, interleaved min-of-3:
+    q28 3.17→2.88 s / 33→22 jobs, q135 3.06→2.36, q29 2.59→2.31,
+    q129 2.77→2.33; jobs −1/superstep each).  Loops with UNHINTED or
+    self-join shuffles (CC, ktruss, luby, betweenness) measured WORSE
+    wall with AQE off — AQE's parallel stage materialization overlaps
+    their independent subtrees — so only the single-shuffle-per-step
+    rank/relaxation loops use this, and only on their broadcast path
+    (past `_BCAST_MAX_ROWS` — the 100 TB regime — AQE stays on for
+    skew handling).  The toggle is scoped to the loop's own blocking
+    actions; frames returned to callers plan under the session default
+    again.  AQE is adaptive EXECUTION, never results — a concurrently
+    planned query on a threaded sweep would at worst run one query
+    non-adaptively.
+    """
+    if not enabled:
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _width(rows: int, rows_per_part: int = 200_000) -> int:
@@ -250,13 +284,21 @@ def connected_components(
                     F.coalesce(F.col("y.component"), F.col("x.component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if (it + 1) % barrier_every == 0:
             new_labels = _plan_barrier(new_labels)
-        cur_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0][0]
+        # LAZY pin + observed count: the count is the one action that
+        # materializes the superstep's checkpoint (or first-reads the
+        # barrier scan), and the convergence sum rides it as a
+        # CollectMetrics observation — one job per superstep where the
+        # eager pin + agg-collect pair cost three (r13; the luby
+        # count-materializes-pin form with the metric folded in).
+        obs = Observation()
+        new_labels.observe(
+            obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).count()
+        cur_sum = obs.get["s"]
         labels = new_labels
         # None == None breaks too: an empty graph is trivially converged
         if it > 0 and cur_sum == prev_sum:
@@ -361,7 +403,8 @@ def pagerank(
     # past that AQE picks a shuffle join and the loop still works.
     bcast = n <= _BCAST_MAX_ROWS
     w = _width(m)
-    for i in range(iterations):
+    with _aqe_off(e.sparkSession, bcast):
+      for i in range(iterations):
         r = F.broadcast(ranks) if bcast else ranks
         contribs = (
             eshare.join(r, eshare.src == r.id)
@@ -968,7 +1011,10 @@ def sssp_hop_limited(
         wedges, ("nnodes",), lambda: e.select("src").distinct().count()
     )
     bcast = n_nodes <= _BCAST_MAX_ROWS
-    for _ in range(iterations):
+    # single hinted-broadcast join + one agg per relaxation: the AQE-off
+    # loop class (see _aqe_off; q129 A/B 2.77→2.33 s, 22→15 jobs)
+    with _aqe_off(e.sparkSession, bcast):
+      for _ in range(iterations):
         d = F.broadcast(dist) if bcast else dist
         relax = e.join(d, e.src == d["id"]).select(
             F.col("dst").alias("id"), (d["dist"] + F.col("w")).alias("dist")
@@ -993,9 +1039,21 @@ def hits(
     symmetrized co-supply graph): per iteration every authority score is
     the sum of its in-neighbors' hub scores and every hub score the sum
     of its out-neighbors' authority scores, each side L2-normalized.
-    The normalizer is a 1-row aggregate broadcast into the projection —
-    no driver collect; per-iteration state (two vectors ≤ |V| rows) is
-    localCheckpoint-pinned per the loop discipline.
+
+    The loop itself runs UNNORMALIZED (r13): the HITS recurrence is
+    linear, so every per-iteration L2 normalizer is a pure scalar that
+    cancels exactly — hubs_t = (AᵀA)ᵗ·1 / ‖(AᵀA)ᵗ·1‖ whether you divide
+    per half-step or once at the end.  Dividing once removes TWO 1-row
+    normalizer broadcasts and one |V|-row vector broadcast per iteration
+    (r12 profile: 9 broadcast-exchange jobs + 1 pin per iteration, 53
+    jobs total for q141; now 3 per iteration).  Overflow headroom: raw
+    magnitudes grow by ≈σ₁² ≈ (max degree)² per iteration; even at
+    degree 1e6 that is 1e12/iter — doubles (1e308) allow ~25 iterations
+    at 100 TB-graph degrees, far above the fixed 5-6 used here.
+    Float drift vs the per-step-divided form is the last-ulps class the
+    rounded comparison already absorbs (same argument as shuffle-order
+    drift in pagerank); the swap was verified output-identical at
+    sf0.001/0.01/0.1 against the unchanged per-step-normalized oracle.
 
     Determinism: double sums drift by shuffle order in the last ulps
     only (same argument as pagerank); callers compare rounded.  Scale:
@@ -1025,32 +1083,34 @@ def hits(
     hubs = e.select("src").distinct().withColumn("h", F.lit(1.0))
     if checkpoint_each:
         hubs = _compact(hubs, n_src).localCheckpoint(eager=True)
-    auths = None
-    for _ in range(iterations):
-        # The raw sums are each referenced twice (normalizer + the
-        # normalized projection), but both references live inside the ONE
-        # action that pins `hubs` below: Spark's exchange reuse writes the
-        # |E|-join shuffle once and reads it twice, so the former per-
-        # half-step `a_raw`/`h_raw` checkpoints were pure job overhead
-        # (2 extra blocking jobs per iteration; r12 A/B).  Only `hubs`
-        # crosses iterations, so only `hubs` is pinned.
+    a_raw = None
+    # hinted-broadcast joins + aggs only: the AQE-off loop class
+    # (see _aqe_off)
+    with _aqe_off(e.sparkSession, n_src <= _BCAST_MAX_ROWS):
+      for _ in range(iterations):
+        # one un-normalized double half-step per pin: a_raw is referenced
+        # once (the h_raw join) inside the one action that pins `hubs`,
+        # so nothing recomputes; only `hubs` crosses iterations.
         a_raw = _nw(
             e.join(bc_h(hubs), "src").groupBy("dst").agg(F.sum("h").alias("a")), w
         )
-        a_norm = a_raw.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
-        auths = a_raw.crossJoin(F.broadcast(a_norm)).select(
-            "dst", (F.col("a") / F.col("nrm")).alias("a")
-        )
-        h_raw = _nw(
-            e.join(bc_a(auths), "dst").groupBy("src").agg(F.sum("a").alias("h")), w
-        )
-        h_norm = h_raw.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
-        hubs = h_raw.crossJoin(F.broadcast(h_norm)).select(
-            "src", (F.col("h") / F.col("nrm")).alias("h")
+        hubs = _nw(
+            e.join(bc_a(a_raw), "dst").groupBy("src").agg(F.sum("a").alias("h")), w
         )
         if checkpoint_each:
             hubs = _compact(hubs, n_src).localCheckpoint(eager=True)
-    return hubs, auths
+    # single final normalization of each returned side (exact-cancel
+    # argument above).  auths derives from the PINNED penultimate hub
+    # vector, so consuming it never re-runs the loop.
+    h_norm = hubs.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
+    hubs_out = hubs.crossJoin(F.broadcast(h_norm)).select(
+        "src", (F.col("h") / F.col("nrm")).alias("h")
+    )
+    a_norm = a_raw.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
+    auths_out = a_raw.crossJoin(F.broadcast(a_norm)).select(
+        "dst", (F.col("a") / F.col("nrm")).alias("a")
+    )
+    return hubs_out, auths_out
 
 
 def betweenness_sampled(
@@ -1175,10 +1235,14 @@ def eigenvector_centrality(
     The undirected member of the spectral family next to HITS (q141 —
     which is exactly this recurrence run on a directed graph with two
     alternating vectors).  Loop discipline identical to :func:`hits`:
-    pinned distinct edge list, raw neighbor-sum pinned per step (it is
-    referenced twice — normalizer + normalized projection),
-    broadcast-under-cap state vector, `_nw` plan-local widths, L2
-    normalizer as a broadcast 1-row aggregate (never a driver collect).
+    pinned distinct edge list, broadcast-under-cap state vector, `_nw`
+    plan-local widths — and the r13 UNNORMALIZED loop: power iteration
+    is linear, so the per-step L2 normalizer is a scalar that cancels
+    exactly (x_t = Aᵗ·1 / ‖Aᵗ·1‖ either way); one final normalization
+    replaces one 1-row normalizer broadcast + crossJoin per step (see
+    hits() for the overflow headroom and last-ulps drift argument —
+    verified output-identical at sf0.001/0.01/0.1 against the unchanged
+    per-step-normalized oracle).
     """
     if iterations < 1:
         raise ValueError(f"need iterations >= 1, got {iterations}")
@@ -1194,24 +1258,21 @@ def eigenvector_centrality(
     x = e.select("src").distinct().withColumn("score", F.lit(1.0))
     if checkpoint_each:
         x = _compact(x, n).localCheckpoint(eager=True)
-    for i in range(iterations):
-        # raw is referenced twice (normalizer + projection) but both live
-        # inside the one action that pins x below — exchange reuse writes
-        # the |E|-join shuffle once, so the former per-step raw pin was a
-        # pure extra blocking job (the hits() finding, r12)
-        raw = _nw(
+    # hinted-broadcast join + agg only: the AQE-off loop class
+    with _aqe_off(e.sparkSession, n <= _BCAST_MAX_ROWS):
+      for i in range(iterations):
+        x = _nw(
             e.join(bc(x.select(F.col("src"), F.col("score"))), "src")
             .groupBy("dst")
-            .agg(F.sum("score").alias("s")),
+            .agg(F.sum("score").alias("score")),
             w,
-        )
-        nrm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
-        x = raw.crossJoin(F.broadcast(nrm)).select(
-            F.col("dst").alias("src"), (F.col("s") / F.col("nrm")).alias("score")
-        )
+        ).withColumnRenamed("dst", "src")
         if checkpoint_each:
             x = _compact(x, n).localCheckpoint(eager=True)
-    return x.select(F.col("src").alias("id"), "score")
+    nrm = x.agg(F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("nrm"))
+    return x.crossJoin(F.broadcast(nrm)).select(
+        F.col("src").alias("id"), (F.col("score") / F.col("nrm")).alias("score")
+    )
 
 
 def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:

@@ -2914,7 +2914,9 @@ def q295_weekly_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the kernel's range sampler would re-run the lineitem⋈orders
         # join + aggregation a second time; one pin is cheaper (A/B'd)
         pin_input=True,
-    ).localCheckpoint(eager=True)  # feeds the top-10 cut AND the prev join
+    ).localCheckpoint(eager=False)  # feeds the top-10 cut AND the prev join
+    # — both branches of the one output action: LAZY pin, materialized
+    # once inside that job (r13)
     cur = rk.where(F.col("rnk") <= 10).select(
         "wk", "part", "revu", F.col("rnk").alias("crnk")
     )

@@ -1045,7 +1045,9 @@ def q322_itemcf_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ok", "cust", "pk", (F.col("ok") == F.col("last_ok")).alias("is_last")
         )
-        .localCheckpoint(eager=True)  # feeds train/co, hist, target
+        .localCheckpoint(eager=False)  # feeds train/co, hist, target — all
+        # branches of the ONE output action, so the pin is LAZY: the RDD
+        # materializes once inside that job (r13; two blocking jobs gone)
     )
     train = items.where(~F.col("is_last")).select("ok", "pk")
     # basket-local pair generation: (ok, pk) is unique after the items
@@ -1083,7 +1085,8 @@ def q322_itemcf_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scores.select(
         "cust", "cand", F.row_number().over(w).alias("rnk")
     ).where(F.col("rnk") <= 10)
-    ranked = ranked.localCheckpoint(eager=True)  # feeds evalc AND firsthit
+    ranked = ranked.localCheckpoint(eager=False)  # feeds evalc AND firsthit
+    # (both inside the one output action — lazy pin, see items above)
     evalc = ranked.select("cust").distinct()
     firsthit = (
         ranked.join(

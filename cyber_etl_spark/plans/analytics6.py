@@ -3180,7 +3180,8 @@ def q358_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graphops import _sparse_upper_edges
 
     se = _sparse_upper_edges(spark, sf_dir)
-    se = se.localCheckpoint(eager=True)  # feeds doubled edges + both counts
+    se = se.localCheckpoint(eager=False)  # feeds doubled edges + both counts
+    # (CC's first superstep materializes it — lazy pin, r13)
     dbl = se.select(
         (2 * F.col("src")).alias("src"), (2 * F.col("dst") + 1).alias("dst")
     ).union(

@@ -561,12 +561,24 @@ def q410_bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = r.select(
         "k", F.expr("(rn - 1) * 64 div n").alias("bin")
-    ).localCheckpoint(eager=True)  # feeds bits, bin sizes, probe scans
-    kb = binned.agg(F.min("k").alias("kmin"), F.max("k").alias("kmax")).collect()[0]
-    kmin, kmax = int(kb.kmin), int(kb.kmax)
-    kmid = int(
-        binned.where(F.col("k") <= kmax // 2).agg(F.max("k")).collect()[0][0]
+    ).localCheckpoint(eager=False)  # feeds bits, bin sizes, probe scans;
+    # LAZY — the kmin/kmax collect below is the materializing action (r13)
+    # ONE collect for all three probe anchors: kmid's dependence on kmax
+    # rides a broadcast 1-row aggregate into the same plan instead of a
+    # second sequential collect (r13; kmax div 2 == kmax // 2 for the
+    # non-negative key)
+    kb = (
+        binned.crossJoin(
+            F.broadcast(binned.agg(F.max("k").alias("kmax2")))
+        )
+        .agg(
+            F.min("k").alias("kmin"),
+            F.max("k").alias("kmax"),
+            F.max(F.when(F.expr("k <= kmax2 div 2"), F.col("k"))).alias("kmid"),
+        )
+        .collect()[0]
     )
+    kmin, kmax, kmid = int(kb.kmin), int(kb.kmax), int(kb.kmid)
     probes = [
         ("p1_min", kmin),
         ("p2_mid", kmid),

@@ -1038,27 +1038,25 @@ def q384_sampled_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xu").alias("exs"),
         F.countDistinct("user_id").alias("d"),
     )
-    j = samp.crossJoin(F.broadcast(ex))
-    from .analytics2 import _ha6
-
-    n_rows = j.select(
-        F.lit("n_rows").alias("stat"),
-        (F.col("n_s") * 10).cast("double").alias("estimate"),
-        F.col("n").cast("double").alias("exact"),
-    )
-    mean = j.select(
-        F.lit("mean_value").alias("stat"),
-        _ha6("sx", "n_s * 1000000").alias("estimate"),
-        _ha6("exs", "n * 1000000").alias("exact"),
-    )
-    chao = j.select(
-        F.lit("distinct_users_chao1").alias("stat"),
-        _ha6(
-            "2 * (f2 + 1) * d_s + f1 * (f1 - 1)", "2 * (f2 + 1)"
-        ).alias("estimate"),
-        F.col("d").cast("double").alias("exact"),
-    )
-    return n_rows.unionAll(mean).unionAll(chao).orderBy("stat")
+    # ONE bounded collect (a 1-row, 8-int artifact) + driver-side exact
+    # integer math + VALUES publish — the q385 bounded-artifact form.
+    # The former 3-branch union referenced the aggregate join three
+    # times, paying repeated broadcast/stage jobs for three rows (r13:
+    # 16 jobs → ~6).  _ha6_py is the text twin of the _ha6 expressions
+    # this replaced (identical integer half-away arithmetic).
+    r = samp.crossJoin(F.broadcast(ex)).collect()[0]
+    n_s, sx, d_s, f1, f2 = int(r.n_s), int(r.sx), int(r.d_s), int(r.f1), int(r.f2)
+    n, exs, d = int(r.n), int(r.exs), int(r.d)
+    out = [
+        (
+            "distinct_users_chao1",
+            _ha6_py(2 * (f2 + 1) * d_s + f1 * (f1 - 1), 2 * (f2 + 1)),
+            float(d),
+        ),
+        ("mean_value", _ha6_py(sx, n_s * 1_000_000), _ha6_py(exs, n * 1_000_000)),
+        ("n_rows", float(n_s * 10), float(n)),
+    ]
+    return _values_df(spark, out, "stat string, estimate double, exact double")
 
 
 # ---- catalog-served skew detection (q385) --------------------------------
@@ -1140,16 +1138,25 @@ def q385_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     cms_rows = _collect_cms_cells(spark, sf_dir)
 
-    exacts = {}
+    # ONE action for all five exact heaviest-key truths: the per-table
+    # groupBy-max aggregates are independent subtrees of a single tagged
+    # union, so Spark runs their scans/aggregations concurrently instead
+    # of five sequential collect round-trips (guide §2.6; r13 — was the
+    # dominant wall cost of this audit).
+    parts = []
     for tbl, col in _KEY_SPEC:
-        exacts[(tbl, col)] = int(
+        parts.append(
             read_table(spark, sf_dir, tbl)
             .where(F.col(col).isNotNull())
             .groupBy(col)
             .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c"))
-            .collect()[0][0]
+            .agg(F.max("c").alias("mx"))
+            .select(F.lit(tbl).alias("tbl"), F.lit(col).alias("col"), "mx")
         )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    exacts = {(r.tbl, r.col): int(r.mx) for r in u.collect()}
 
     out = []
     for key in sorted(cms_rows):
@@ -1646,15 +1653,26 @@ def q389_broadcast_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_tbl: dict[str, list[str]] = {}
     for tbl, col in _KEY_SPEC:
         by_tbl.setdefault(tbl, []).append(col)
-    exact: dict[tuple[str, str], int] = {}
+    # ONE action for all truth counts: per-table COUNT aggregates are
+    # independent subtrees of a single tagged union — concurrent scans
+    # instead of one sequential collect per table (the q385 r13 form)
+    parts = []
     for tbl, cols in by_tbl.items():
-        row = (
-            read_table(spark, sf_dir, tbl)
-            .agg(*[F.count(c).alias(c) for c in cols])
-            .collect()[0]
+        agg = read_table(spark, sf_dir, tbl).agg(
+            *[F.count(c).alias(f"c{i}") for i, c in enumerate(cols)]
         )
-        for c in cols:
-            exact[(tbl, c)] = int(row[c])
+        for i, c in enumerate(cols):
+            parts.append(
+                agg.select(
+                    F.lit(tbl).alias("tbl"),
+                    F.lit(c).alias("col"),
+                    F.col(f"c{i}").alias("x"),
+                )
+            )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    exact = {(r.tbl, r.col): int(r.x) for r in u.collect()}
 
     out = []
     for key in sorted(est):

@@ -784,26 +784,57 @@ def bfs_distances(
     dist = dist0
     frontier = dist0.select("id")
     w = _width(_ecount(edges, e))
-    for h in range(1, max_hops + 1):
-        # broadcast only while the frontier is provably small: on a dense
-        # graph a hop-2 frontier can be a large fraction of |V|, and a
-        # forced multi-GB broadcast re-shipped per hop OOMs executors.
-        # Past the cap, fall back to a shuffle join (AQE still converts
-        # back to broadcast dynamically if the frontier shrinks again).
-        fr = F.broadcast(frontier) if n_frontier <= _BCAST_MAX_ROWS else frontier
-        # distinct left un-wrapped: its hashpartitioning(id) feeds the
-        # anti-join exchange-free; only the join output is collapsed
-        nxt = (
-            _nw(
-                e.join(fr, e.src == fr["id"])
-                .select(F.col("dst").alias("id"))
-                .distinct()
-                .join(dist, "id", "left_anti"),
-                w,
+    # the settled set is ≤ |V| BY CONSTRUCTION (one row per reached
+    # vertex), so one memoized node bound decides broadcastability for
+    # the whole loop (the CC policy)
+    n_nodes = _derived(edges, ("nnodes",), lambda: e.select("src").distinct().count())
+    bcast = n_nodes <= _BCAST_MAX_ROWS
+    # under the cap every join is hinted-broadcast and the one distinct
+    # exchange is _nw-sized — the AQE-off loop class (see _aqe_off)
+    with _aqe_off(e.sparkSession, bcast):
+      for h in range(1, max_hops + 1):
+        if bcast:
+            # ONE broadcast of the settled union serves BOTH per-level
+            # joins (r13): the expansion join keeps the frontier filter
+            # (dist = h-1) in the join CONDITION, so its broadcast
+            # subtree canonicalizes identically to the anti-join's and
+            # ReuseExchange builds it once — replacing the former
+            # frontier broadcast + the anti-join's unhinted SortMergeJoin
+            # (which re-exchanged the settled side every level).  ids
+            # are unique in `dist`, so the condition-filtered probe
+            # matches at most one build row, exactly the old frontier
+            # semantics.
+            st1, st2 = F.broadcast(dist), F.broadcast(dist)
+            nxt = (
+                _nw(
+                    e.join(
+                        st1,
+                        (e.src == st1["id"]) & (st1["dist"] == F.lit(h - 1)),
+                    )
+                    .select(F.col("dst").alias("id"))
+                    .distinct()
+                    .join(st2, "id", "left_anti"),
+                    w,
+                )
+                .withColumn("dist", F.lit(h).cast("int"))
+                .localCheckpoint(eager=False)
             )
-            .withColumn("dist", F.lit(h).cast("int"))
-            .localCheckpoint(eager=False)
-        )
+        else:
+            # past the cap (the 100 TB regime) keep the frontier-keyed
+            # shuffle shape: the frontier side is far smaller than the
+            # settled union, and AQE's dynamic broadcast conversion
+            # still applies when it shrinks again
+            nxt = (
+                _nw(
+                    e.join(frontier, e.src == frontier["id"])
+                    .select(F.col("dst").alias("id"))
+                    .distinct()
+                    .join(dist, "id", "left_anti"),
+                    w,
+                )
+                .withColumn("dist", F.lit(h).cast("int"))
+                .localCheckpoint(eager=False)
+            )
         n_frontier = nxt.count()
         if n_frontier == 0:
             break
@@ -956,14 +987,24 @@ def multi_bfs_distances(
     dist = dist0
     frontier = dist0.select("pivot", "id")
     w = _width(_ecount(edges, e))
-    for h in range(1, max_hops + 1):
+    # state is ≤ |pivots|·|V| rows BY CONSTRUCTION — one up-front bound
+    # (the betweenness policy) decides the anti-join's broadcast for the
+    # whole loop; the expansion join stays frontier-keyed (its key is
+    # bare `id`, a different broadcast mode, so nothing would be reused)
+    n_nodes = _derived(edges, ("nnodes",), lambda: e.select("src").distinct().count())
+    bcast_state = n_frontier * n_nodes <= _BCAST_MAX_ROWS
+    # under the state bound both joins are hinted-broadcast and the one
+    # distinct exchange is _nw-sized — the AQE-off loop class
+    with _aqe_off(e.sparkSession, bcast_state):
+      for h in range(1, max_hops + 1):
         fr = F.broadcast(frontier) if n_frontier <= _BCAST_MAX_ROWS else frontier
+        st = F.broadcast(dist) if bcast_state else dist
         nxt = (
             _nw(
                 e.join(fr, e.src == fr["id"])
                 .select("pivot", F.col("dst").alias("id"))
                 .distinct()
-                .join(dist, ["pivot", "id"], "left_anti"),
+                .join(st, ["pivot", "id"], "left_anti"),
                 w,
             )
             .withColumn("dist", F.lit(h).cast("int"))
@@ -1147,11 +1188,14 @@ def betweenness_sampled(
     n_nodes = _derived(edges, ("nnodes",), lambda: e.select("src").distinct().count())
     small = len(sources) * n_nodes <= _BCAST_MAX_ROWS
     bx = (lambda d: F.broadcast(d)) if small else (lambda d: d)
-    # NOT a VALUES relation: the duplicated-attribute projection below
-    # (s, s AS v) over a LocalRelation trips a Catalyst attribute-rewrite
-    # NoSuchElementException ("key not found: v#…") on some graph shapes
-    # (r12: test_betweenness_exact_on_path_graph) — keep the RDD-backed
-    # frame; the Python round-trip is once per call, not per level
+    # NOT a VALUES relation: r13 re-tested the r12 hypothesis that the
+    # duplicated-attribute projection (s, s AS v) caused the Catalyst
+    # attribute-rewrite NoSuchElementException ("key not found: v#…") —
+    # emitting s and v as INDEPENDENT VALUES columns still fails the
+    # exact-path test with the same error, so the bug is the
+    # LocalRelation itself under this plan shape, not the projection.
+    # Keep the RDD-backed frame; the Python round-trip is once per call,
+    # not per level.
     src_df = spark.createDataFrame([(int(s),) for s in sources], "s long")
     lvl0 = src_df.select(
         "s", F.col("s").alias("v"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
@@ -1364,15 +1408,17 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     # one up-front bound decides broadcastability for the whole loop (the
     # q129/CC policy): every per-round side table (blocked ≤ |E|, winners
     # ≤ |V|, excluded ≤ 2|E|, rm ≤ |V|+2|E|) only shrinks with the
-    # undecided subgraph, so the initial |V|+|E| state count — which also
-    # materializes the depth-0 pin — is a valid one-sided bound.  Under
-    # the cap the pre-join distincts are dropped too: their only job is
-    # bounding SHUFFLED bytes, and a broadcast semi/anti hash build
-    # dedups keys itself — row sets are unchanged, the per-round shuffle
-    # exchanges (and their AQE stage jobs) disappear.  Past the cap the
-    # distinct+shuffle plan is exactly the old one.
+    # undecided subgraph.  With the pre-join distincts dropped under the
+    # cap, `rm` can carry up to |V|+2|E| UNDEDUPED rows ≈ 2·n0, so the
+    # effective cap is HALVED (ADVICE r12) to keep every broadcast build
+    # under the same row budget as the other loops.  Under the cap the
+    # pre-join distincts are dropped: their only job is bounding SHUFFLED
+    # bytes, and a broadcast semi/anti hash build dedups keys itself —
+    # row sets are unchanged, the per-round shuffle exchanges (and their
+    # AQE stage jobs) disappear.  Past the cap the distinct+shuffle plan
+    # is exactly the old one.
     n0 = state.count()
-    bcast = n0 <= _BCAST_MAX_ROWS
+    bcast = n0 <= _BCAST_MAX_ROWS // 2
     bc = (lambda d: F.broadcast(d)) if bcast else (lambda d: d)
     n_und = n0  # nodes exist iff state is non-empty (every edge has ends)
     mis_frames: list[DataFrame] = []
@@ -1431,9 +1477,20 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
                 F.col("a").alias("n"), F.col("b").cast("int").alias("round")
             )
         )
-    else:
+    # ADVICE r12: decide completion by the FINAL undecided count, not
+    # for/else — a graph whose last allowed round decides every node is
+    # complete, not an error.
+    if n_und != 0:
         raise RuntimeError(
             f"luby_mis: undecided nodes remain after {max_rounds} rounds"
+        )
+    if not mis_frames:
+        # empty edge input: no nodes, empty MIS (ADVICE r12 — was an
+        # IndexError); reuse the state frame's lineage for the schema
+        return (
+            state.select(
+                F.col("a").alias("id"), F.col("b").cast("int").alias("round")
+            ).limit(0)
         )
     out = mis_frames[0]
     for f in mis_frames[1:]:

@@ -100,6 +100,16 @@ def _local_values_df(spark, rows: list[list], schema: StructType | str):
     JVM.  Falls back to createDataFrame for empty inputs (VALUES needs
     ≥1 row), >1000 rows (plan-text size — the q122 big-literal rule) or
     unsupported types.  ``schema`` may be a StructType or a DDL string.
+
+    ADVICE r12 note: the two paths differ in column NULLABILITY (VALUES
+    columns are non-nullable when every literal is non-null; the RDD
+    path keeps the declared schema), so a call site whose ROW COUNT is
+    data-dependent can see different physical shapes across scale
+    factors.  That is deliberate — plan-shape tests must not pin a
+    LocalTableScan for frames that can legitimately exceed the cap —
+    but strict-union/schema-equality consumers should normalize with an
+    explicit ``select(cast(...))`` projection rather than rely on one
+    path's nullability.
     """
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
@@ -140,6 +150,7 @@ def exact_quantiles(
     num_partitions: int | None = None,
     weight_col: str | None = None,
     max_control_rows: int = 1_000_000,
+    group_probs: Mapping[tuple, Mapping[str, float]] | None = None,
 ) -> DataFrame:
     """Exact quantiles of ``value_col`` per group.
 
@@ -160,6 +171,16 @@ def exact_quantiles(
     bounded-group-count / unbounded-group-SIZE regime (a global group at
     100 TB); the opposite regime — millions of tiny groups — fits a
     per-group aggregation buffer by definition and needs no kernel.
+
+    ``group_probs``: per-GROUP fraction map (group-value tuple →
+    {alias: fraction}) overriding ``probs`` — the r13 fusion hook: a
+    caller whose per-group marks depend on each group's own size (e.g.
+    q397's exact rank-k marks (k−0.5)/n per table) can stack all groups
+    into ONE kernel pass instead of one chain per group.  All groups
+    must share the same alias set (it is the output schema); ``probs``
+    still supplies the column order.  A data group absent from
+    ``group_probs`` is a contract error (raises), mirroring the bounded
+    collect discipline.
     """
     spark = df.sparkSession
     group_cols = list(group_cols)
@@ -252,9 +273,17 @@ def exact_quantiles(
     # group -> sorted needed global ranks (unweighted: floor/ceil of
     # p*(n-1)) or weight thresholds (weighted: p*W).
     needed: dict[tuple, list[float]] = {}
+    if group_probs is not None:
+        missing = [g for g in totals if g not in group_probs]
+        if missing:
+            raise ValueError(
+                f"exact_quantiles: data group(s) {missing[:5]} have no "
+                "group_probs entry — per-group marks must cover every group"
+            )
     for g, n in totals.items():
         marks: set[float] = set()
-        for p in probs.values():
+        gp = probs if group_probs is None else group_probs[g]
+        for p in gp.values():
             if weight_col is None:
                 pos = p * (n - 1)
                 marks.add(float(math.floor(pos)))
@@ -333,12 +362,14 @@ def exact_quantiles(
     )
     out_rows = []
     for g in sorted(totals, key=lambda t: tuple(map(str, t))):
+        gp = probs if group_probs is None else group_probs[g]
+        # alias order follows `probs` (the shared output schema)
+        pvals = [gp[a] for a in probs]
         if weight_col is None:
             qs = [
-                _interpolate(p, int(totals[g]), at.get(g, {}))
-                for p in probs.values()
+                _interpolate(p, int(totals[g]), at.get(g, {})) for p in pvals
             ]
         else:
-            qs = [at.get(g, {}).get(p * totals[g]) for p in probs.values()]
+            qs = [at.get(g, {}).get(p * totals[g]) for p in pvals]
         out_rows.append(list(g) + qs)
     return _local_values_df(spark, out_rows, res_schema)

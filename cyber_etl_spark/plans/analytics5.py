@@ -2042,51 +2042,67 @@ def q331_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (q85 column dq, q272 functional dependencies, q324 calendar
     gaps).
 
-    Scale plan: each edge is ONE left join against its (usually
-    broadcastable) parent's key projection + a 1-row rollup; the fact
-    side never shuffles twice (count/distinct/null/orphan share the
-    joined pass).  Exactness: pure integer counts."""
-    frames = []
-    for fk, tbl, col, ptbl, pcol in _FK_EDGES:
-        c = read_table(spark, sf_dir, tbl)
-        p = read_table(spark, sf_dir, ptbl).select(
-            F.col(pcol).alias("__pk")
-        ).distinct()
-        # aggregate the fact to per-key counts FIRST: mixing
-        # count_distinct with plain sums over the row-level join planned
-        # the two-exchange expand; on (key, n) rows every statistic is a
-        # plain sum/count (n_keys = non-null key rows), the parent join
-        # touches |keys| rows instead of |fact|, and NULL keys ride as
-        # one group (never join-matched, same as the row-level form)
-        per_key = c.groupBy(F.col(col).alias("__k")).agg(
-            F.count(F.lit(1)).alias("__n")
-        )
-        j = per_key.join(p, per_key["__k"] == F.col("__pk"), "left")
-        frames.append(
-            j.agg(
-                F.sum("__n").alias("n_rows"),
-                F.count(F.when(F.col("__k").isNotNull(), 1)).alias("n_keys"),
-                F.sum(
-                    F.when(F.col("__k").isNull(), F.col("__n")).otherwise(0)
-                ).alias("n_null"),
-                F.sum(
-                    F.when(
-                        F.col("__k").isNotNull() & F.col("__pk").isNull(),
-                        F.col("__n"),
-                    ).otherwise(0)
-                ).alias("n_orphan"),
-            ).select(
-                F.lit(fk).alias("fk"),
-                F.col("n_rows").cast("long").alias("n_rows"),
-                F.col("n_keys").cast("long").alias("n_keys"),
-                F.col("n_null").cast("long").alias("n_null"),
-                F.col("n_orphan").cast("long").alias("n_orphan"),
+    Scale plan (r13 stacked form): ALL edges ride one edge-tagged
+    (tag, key) union — one groupBy(tag, key) exchange for every fact
+    side together (same shuffled rows as the former six per-edge
+    exchanges, six fewer AQE stages: 37 → ~10 jobs), one LEFT join
+    against the stacked distinct parent-key table (186 k rows at sf0.1
+    — broadcastable; all keys are native integers, the r9 stacking
+    caveat), one tag rollup.  Per-key pre-aggregation keeps every
+    statistic a plain sum and the parent join at |keys| rows; NULL keys
+    ride as one group per tag.  Exactness: pure integer counts."""
+    facts = []
+    parents = []
+    for i, (fk, tbl, col, ptbl, pcol) in enumerate(_FK_EDGES):
+        facts.append(
+            read_table(spark, sf_dir, tbl).select(
+                F.lit(i).alias("__t"), F.col(col).cast("long").alias("__k")
             )
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out.orderBy("fk")
+        parents.append(
+            read_table(spark, sf_dir, ptbl).select(
+                F.lit(i).alias("__t"), F.col(pcol).cast("long").alias("__pk")
+            )
+        )
+    fu = facts[0]
+    for f in facts[1:]:
+        fu = fu.unionByName(f)
+    pu = parents[0]
+    for p in parents[1:]:
+        pu = pu.unionByName(p)
+    per_key = fu.groupBy("__t", "__k").agg(F.count(F.lit(1)).alias("__n"))
+    pk = F.broadcast(pu.distinct().withColumnRenamed("__t", "__pt"))
+    j = per_key.join(
+        pk, (per_key["__t"] == F.col("__pt")) & (per_key["__k"] == F.col("__pk")),
+        "left",
+    )
+    fk_name = F.element_at(
+        F.array(*[F.lit(e[0]) for e in _FK_EDGES]), F.col("__t") + 1
+    )
+    return (
+        j.groupBy("__t")
+        .agg(
+            F.sum("__n").alias("n_rows"),
+            F.count(F.when(F.col("__k").isNotNull(), 1)).alias("n_keys"),
+            F.sum(
+                F.when(F.col("__k").isNull(), F.col("__n")).otherwise(0)
+            ).alias("n_null"),
+            F.sum(
+                F.when(
+                    F.col("__k").isNotNull() & F.col("__pk").isNull(),
+                    F.col("__n"),
+                ).otherwise(0)
+            ).alias("n_orphan"),
+        )
+        .select(
+            fk_name.alias("fk"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_null").cast("long").alias("n_null"),
+            F.col("n_orphan").cast("long").alias("n_orphan"),
+        )
+        .orderBy("fk")
+    )
 
 
 @query(

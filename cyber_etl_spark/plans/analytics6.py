@@ -4182,8 +4182,19 @@ def q366_minhash_estimator_error(
             (F.col("na") + F.col("nb") - F.col("nc")).alias("nu"),
         )
     )
+    # signatures are only compared FOR TRUTH-PAIR MEMBERS: semi-join the
+    # shingle table down to those ids before the 8× seed fan-out + md5 —
+    # the fan-out input drops from the whole corpus to the pair members
+    # (guide §2.3 project-early; per-id signatures are independent, so
+    # values are unchanged)
+    pair_ids = (
+        t.select(F.col("id_a").alias("id"))
+        .unionAll(t.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     hashed = (
-        sh.select(
+        sh.join(F.broadcast(pair_ids), "id", "leftsemi")
+        .select(
             "id",
             F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("seed"),
             "shingle",

@@ -21,6 +21,8 @@ Design notes for the 100 TB target (tested on local[N]):
 from __future__ import annotations
 
 import os
+import threading as _threading
+import time as _time
 
 from pyspark.sql import SparkSession
 
@@ -96,11 +98,33 @@ class SessionMemo(dict):
 
     Reads stay plain dict hits — no per-access overhead in the hot
     bench loop.
+
+    **Build-cost visibility** (r12 verdict item #2): every memo call
+    site uses the ``if key not in cache: cache[key] = build()`` idiom,
+    so the wall time between a miss (``__contains__`` returning False)
+    and the subsequent insert IS the build cost.  Both ends are
+    recorded into the class-level ``BUILD_LOG`` (label → seconds,
+    label = the key tuple minus session token and dataset dir), which
+    bench.py publishes as a ``builds`` map next to ``queries`` — the
+    amortized shared-artifact costs the min-of-2 warm methodology
+    otherwise erases.  Lazy builds (plan-only, pinned by the first
+    consumer) record their construction time only, by design.
     """
+
+    BUILD_LOG: "dict[str, float]" = {}
+    _MISS_AT: "dict[tuple, float]" = {}
+    _LOG_LOCK = _threading.Lock()
 
     def __init__(self, cap: int = 16) -> None:
         super().__init__()
         self._cap = cap
+
+    def __contains__(self, key) -> bool:  # type: ignore[override]
+        hit = super().__contains__(key)
+        if not hit and isinstance(key, tuple) and key:
+            with SessionMemo._LOG_LOCK:
+                SessionMemo._MISS_AT[(id(self), key)] = _time.perf_counter()
+        return hit
 
     def __setitem__(self, key, value) -> None:
         # keys MUST be (session_token, ...) tuples: a non-tuple key would
@@ -113,10 +137,15 @@ class SessionMemo(dict):
             super().__delitem__(stale)
         # cap only gates NET growth: overwriting an existing key must not
         # evict an unrelated live entry (review r6 finding)
-        if key not in self:
+        if not super().__contains__(key):
             while len(self) >= self._cap:
                 super().__delitem__(next(iter(self)))
         super().__setitem__(key, value)
+        with SessionMemo._LOG_LOCK:
+            t0 = SessionMemo._MISS_AT.pop((id(self), key), None)
+        if t0 is not None:
+            label = ":".join(str(x) for x in key[2:]) or "artifact"
+            SessionMemo.BUILD_LOG[label] = round(_time.perf_counter() - t0, 4)
 
     # dict.update()/setdefault() are C-level and would bypass __setitem__
     # (entries inserted that way would evade both the purge and the cap) —

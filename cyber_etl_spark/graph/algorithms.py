@@ -924,13 +924,22 @@ def ktruss(edges_upper: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     m = e.count()
     w = _width(m)
     thr = k - 2
+    # the survivor edge set only SHRINKS, so the initial edge count is a
+    # one-sided bound for every round's join sides (the q129/CC policy):
+    # under the cap the triangle self-joins and the survivor⋈support
+    # join are hinted-broadcast (the stats-less pinned frames otherwise
+    # plan SortMergeJoins that re-exchange both sides every round), and
+    # the loop joins the scoped-AQE-off class.  Past the cap the shuffle
+    # plan is unchanged.
+    bcast = m <= _BCAST_MAX_ROWS
+    bx = (lambda d: F.broadcast(d)) if bcast else (lambda d: d)
 
     def support(edges_cur: DataFrame) -> DataFrame:
         ab, bc, ac = (edges_cur.alias(x) for x in ("ab", "bc", "ac"))
         tri = (
-            ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+            ab.join(bx(bc), F.col("ab.dst") == F.col("bc.src"))
             .join(
-                ac,
+                bx(ac),
                 (F.col("ac.src") == F.col("ab.src"))
                 & (F.col("ac.dst") == F.col("bc.dst")),
             )
@@ -947,9 +956,10 @@ def ktruss(edges_upper: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
         )
         return roles.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("support"))
 
-    for _ in range(rounds):
+    with _aqe_off(e.sparkSession, bcast):
+      for _ in range(rounds):
         nxt = _nw(
-            e.join(support(e), ["src", "dst"]).where(F.col("support") >= thr), w
+            e.join(bx(support(e)), ["src", "dst"]).where(F.col("support") >= thr), w
         ).select("src", "dst").localCheckpoint(eager=False)
         m_nxt = nxt.count()  # the action that materializes the pin
         if m_nxt == m:  # fixpoint — further rounds are no-ops
@@ -958,7 +968,7 @@ def ktruss(edges_upper: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
         e, m = nxt, m_nxt
         if m == 0:
             break
-    return e.join(support(e), ["src", "dst"], "left").select(
+    return e.join(bx(support(e)), ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
     )
 
